@@ -1,0 +1,98 @@
+"""Text-analysis column expressions for large-scale corpus pipelines.
+
+Everything here is a pure JVM-side Column expression (no Python UDFs),
+so it stays inside whole-stage codegen and scales linearly with
+executors. Each helper has an exactly-equivalent ANSI-SQL spelling used
+by the DuckDB oracle (see queries.py) — keep the two in sync.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Shared stopword list (tiny on purpose: used as a deterministic signal
+# for quality scoring, not linguistic truth).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# Marker tokens per language for the n-gram/stopword language-ID
+# heuristic. Ordered: ties resolve to the earliest entry.
+LANG_MARKERS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("en", ("the", "and", "of", "is")),
+    ("es", ("el", "la", "de", "que")),
+    ("de", ("der", "und", "die", "ist")),
+    ("fr", ("le", "et", "la", "est")),
+    ("zh", ("de5", "shi4", "le5", "zai4")),
+)
+
+
+def tokens(col: str | Column = "text") -> Column:
+    """Whitespace tokenization (matches regexp_split_to_array '\\s+')."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: str | Column = "text") -> Column:
+    return F.size(tokens(col))
+
+
+def unique_token_count(col: str | Column = "text") -> Column:
+    return F.size(F.array_distinct(tokens(col)))
+
+
+def punct_count(col: str | Column = "text") -> Column:
+    """Characters that are not alphanumeric/whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+
+
+def stopword_count(toks: Column) -> Column:
+    in_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return F.expr(f"size(filter(__toks__, t -> t IN ({in_list})))").alias(
+        "stopword_count"
+    ) if False else F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+
+
+def marker_count(toks: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
+def normalized_text(col: str | Column = "text") -> Column:
+    """lower + trim + collapse internal whitespace — dedup canonical form."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def content_hash(col: str | Column = "text") -> Column:
+    """sha256 hex of the normalized text (exact-dedup key)."""
+    return F.sha2(normalized_text(col), 256)
+
+
+def fingerprint_hex(col: str | Column = "text") -> Column:
+    """md5 hex of the normalized text (cheap 128-bit fingerprint)."""
+    return F.md5(normalized_text(col))
+
+
+def word_shingles(toks: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles; whole text if fewer than k tokens.
+
+    Pure array expression: transform over a sequence of start offsets,
+    each shingle being concat_ws(' ', slice(toks, i, k)).
+    """
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        )
+    )
+
+
+def portable_hash64(col: Column, seed: int = 0) -> Column:
+    """Deterministic 60-bit integer hash reproducible in DuckDB.
+
+    md5 hex -> first 15 hex digits -> int. DuckDB spelling:
+      CAST('0x' || substr(md5(seed || ':' || s), 1, 15) AS BIGINT)
+    Used by MinHash/SimHash so the oracle can replay signatures exactly.
+    """
+    keyed = F.concat_ws(":", F.lit(str(seed)), col)
+    return F.conv(F.substring(F.md5(keyed), 1, 15), 16, 10).cast("long")

@@ -1,0 +1,341 @@
+"""Document deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash, and embedding-cosine near-dup.
+
+All operators are pure DataFrame compositions (no Python UDFs) built on
+the deterministic md5-derived hash family in functions/text.py, so the
+DuckDB oracle can replay signatures bit-for-bit.
+
+Scale notes (100 TB):
+- exact dedup = one hash aggregation on a 64-char key — one shuffle.
+- n-gram Jaccard is the *verification* primitive: it self-joins on
+  shingles and is quadratic within a shingle bucket. At scale it must
+  only run on candidate pairs from LSH, never the full corpus.
+- MinHash+LSH is the scale path: cost = rows x num_perms (map-side) +
+  one shuffle on band keys; near-dup pairs surface without any
+  all-pairs comparison.
+- SimHash bands (4 x 15 bits) guarantee recall for hamming <= 3 by
+  pigeonhole while keeping the join equi-key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    content_hash,
+    normalized_text,
+    portable_hash64,
+    tokens,
+    word_shingles,
+)
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group by sha256(normalized text): one row per distinct content,
+    keeping the smallest id as the canonical representative."""
+    return (
+        df.select(F.col(id_col), content_hash(text_col).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row (min id) per distinct normalized content."""
+    keep = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ------------------------------------------------------- shingle common
+
+
+def shingle_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, shingle) exploded table of distinct k-word shingles."""
+    return df.select(
+        F.col(id_col),
+        F.explode(word_shingles(tokens(text_col), k)).alias("shingle"),
+    )
+
+
+# ------------------------------------------------- n-gram Jaccard (exact)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """All-pairs Jaccard over distinct k-word shingle sets, via a
+    shingle self-join (inverted index). Exact but quadratic within hot
+    shingles — the verification stage of the LSH pipeline at scale.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    sh = shingle_table(df, text_col, id_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------- MinHash + LSH
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_perms: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """(id, perm, min_hash): MinHash signature rows.
+
+    Uses the portable md5-derived hash family (seed = perm index) so
+    signatures are engine-independent. Long-format output keeps the
+    aggregation a single map-side-combinable groupBy.
+    """
+    sh = shingle_table(df, text_col, id_col, k)
+    perms = F.explode(F.sequence(F.lit(0), F.lit(num_perms - 1))).alias("perm")
+    expanded = sh.select(id_col, "shingle", perms)
+    hashed = expanded.select(
+        id_col,
+        "perm",
+        portable_hash64(
+            F.concat_ws("|", F.col("perm").cast("string"), F.col("shingle"))
+        ).alias("h"),
+    )
+    return hashed.groupBy(id_col, "perm").agg(F.min("h").alias("min_hash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_perms: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """MinHash banding: docs sharing any band bucket become candidate
+    pairs, then exact Jaccard verifies against ``threshold``.
+
+    Returns (id_a, id_b, jaccard). rows_per_band = num_perms // bands.
+    """
+    rows_per_band = num_perms // bands
+    sig = minhash_signatures(df, num_perms, text_col, id_col, k)
+    banded = (
+        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.array_sort(
+                        F.collect_list(
+                            F.concat_ws(
+                                ":",
+                                F.col("perm").cast("string"),
+                                F.col("min_hash").cast("string"),
+                            )
+                        )
+                    ),
+                    ",",
+                )
+            ).alias("bucket")
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    verified = verify_jaccard(
+        shingle_table(df, text_col, id_col, k), candidates, id_col
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def verify_jaccard(
+    sh: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard for an explicit candidate-pair set — cost is
+    O(candidate_pairs x shingles), never all-pairs. ``sh`` is a
+    (id, shingle) table; ``pairs`` has (id_a, id_b)."""
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                4,
+            ),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------- SimHash
+
+SIMHASH_BITS = 60  # 15 hex digits from the portable hash -> 60 usable bits
+SIMHASH_BANDS = 4
+_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """60-bit SimHash over distinct tokens (unit weights).
+
+    bit b of the signature is set iff #\\{tokens with bit b set\\} >
+    #\\{tokens with bit b clear\\}. Pure explode + conditional-sum —
+    map-side combinable, one shuffle on (id, bit)."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    )
+    hashed = toks.select(id_col, portable_hash64(F.col("tok")).alias("h"))
+    bits = hashed.select(
+        id_col,
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+    )
+    votes = bits.withColumn(
+        "vote",
+        F.when(F.expr("(h >> bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
+    ).groupBy(id_col, "bit").agg(F.sum("vote").alias("s"))
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Banding on 4 x 15-bit slices: any pair within hamming 3 must agree
+    on >= 1 band (pigeonhole), so the join stays equi-key; the xor
+    popcount then verifies exactly. Returns (id_a, id_b, hamming)."""
+    sig = simhash_signatures(df, text_col, id_col)
+    band_idx = F.explode(
+        F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))
+    ).alias("band")
+    banded = sig.select(id_col, "simhash", band_idx).withColumn(
+        "band_val",
+        F.expr(f"(simhash >> (band * {_BAND_BITS})) & {(1 << _BAND_BITS) - 1}"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ------------------------------------------------ embedding near-dup
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.99,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lsh_bits: int = 8,
+) -> DataFrame:
+    """Near-duplicate vectors by cosine >= threshold, bucketed by
+    sign-LSH so the self-join is equi-key rather than all-pairs.
+
+    Recall caveat (documented, standard LSH trade-off): pairs whose
+    sign bits differ in the first ``n_lsh_bits`` dims are missed; at
+    cosine >= 0.99 sign flips are rare. Exact variant: n_lsh_bits=0
+    degrades to a single bucket (all pairs)."""
+    from ..functions.vectors import as_double, cosine, sign_lsh_bucket
+
+    v = emb.select(
+        F.col(id_col),
+        as_double(vec_col).alias("v"),
+        sign_lsh_bucket(vec_col, n_lsh_bits).alias("bucket"),
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

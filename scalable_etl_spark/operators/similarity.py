@@ -1,0 +1,93 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two strategies:
+- brute_force_topk: exact cosine top-k. Query side is broadcast; the
+  corpus streams through one narrow stage (no shuffle of the corpus).
+  Right answer for <~10^4 queries against any corpus size.
+- lsh_topk: sign-LSH bucket prefilter, then cosine only within the
+  query's bucket — the 100 TB path (bucket count grows 2^bits, each
+  join is equi-key and AQE-skew-splittable).
+
+Cosines are computed in float64 (cast from float32 storage) and rounded
+to 6 dp *before* ranking so ranking ties are resolved identically in
+Spark and the DuckDB oracle (tiebreak: neighbor id asc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double, cosine, sign_lsh_bucket
+
+
+def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, cos_sim, rank). Self-matches are
+    excluded by id inequality."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    return _ranked_topk(scored, k)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lsh_bits: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign-LSH
+    bucket. Same output shape as brute_force_topk."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(vec_col).alias("qv"),
+        sign_lsh_bucket(vec_col, n_lsh_bits).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(vec_col).alias("cv"),
+        sign_lsh_bucket(vec_col, n_lsh_bits).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    return _ranked_topk(scored, k)

@@ -1,0 +1,698 @@
+"""Analytic query corpus (reference parity) over the driver testdata.
+
+The `events` table plays the listen stream (user_id/ts/event_type =
+user_name/listened_at/track_name — FIXTURES.md §B); star tables exercise
+the equi-join/aggregate surface. Every query has a DuckDB oracle with
+identical aliases.
+
+Determinism rules applied throughout (SURVEY.md §7.5, FIXTURES.md §C):
+- session TZ pinned UTC; ns timestamps truncated to µs on both engines
+- every row_number has an explicit total-order tiebreak
+- computed doubles rounded identically on both sides
+- raw timestamps never emitted — epoch µs (BIGINT) or DATE instead
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.band_join import rolling_distinct_count
+from .operators.topk import global_top_k, top_k_per_group
+from .registry import query
+from .tables import load_table
+
+# --------------------------------------------------------------- events
+
+
+@query(
+    "events_flatten",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+           event_type, value,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,
+           CAST(ts AS DATE) AS event_date
+    FROM events
+    """,
+)
+def events_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bronze flatten: projection + JSON path extraction + derived date
+    (reference src/jobs/ingest_job.py:72-86)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        F.to_date("ts").alias("event_date"),
+    )
+
+
+@query(
+    "events_silver",
+    oracle="""
+    WITH ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+               ORDER BY event_id) AS rn
+      FROM events)
+    SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+           event_type, value, CAST(ts AS DATE) AS event_date,
+           CAST(year(ts) AS INT) AS year, CAST(month(ts) AS INT) AS month,
+           CAST(day(ts) AS INT) AS day, CAST(hour(ts) AS INT) AS hour
+    FROM ranked WHERE rn = 1
+    """,
+)
+def events_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silver: dedup on (user, ts) + time-dimension lattice
+    (reference src/jobs/transform_job.py:75-88); tiebreak = event_id."""
+    ev = load_table(spark, sf_dir, "events")
+    deduped = top_k_per_group(
+        ev, ["user_id", "ts"], [F.col("event_id").asc()], 1, rank_col="rn"
+    ).drop("rn")
+    return deduped.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        "value",
+        F.to_date("ts").alias("event_date"),
+        F.year("ts").alias("year"),
+        F.month("ts").alias("month"),
+        F.dayofmonth("ts").alias("day"),
+        F.hour("ts").alias("hour"),
+    )
+
+
+@query(
+    "gold_user_peaks",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS event_date,
+             COUNT(*) AS listen_count,
+             COUNT(DISTINCT event_type) AS unique_types
+      FROM events GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY listen_count DESC, event_date ASC) AS rank
+      FROM daily)
+    SELECT user_id, event_date, listen_count, unique_types, rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def gold_user_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold: top-3 busiest days per user with distinct counts
+    (reference src/jobs/transform_job.py:106-120, daily_job.py:37-46)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("event_date")).agg(
+        F.count("*").alias("listen_count"),
+        F.countDistinct("event_type").alias("unique_types"),
+    )
+    return top_k_per_group(
+        daily,
+        ["user_id"],
+        [F.col("listen_count").desc(), F.col("event_date").asc()],
+        3,
+    ).select("user_id", "event_date", "listen_count", "unique_types", "rank")
+
+
+@query(
+    "top_users",
+    oracle="""
+    SELECT user_id, COUNT(*) AS listen_count
+    FROM events GROUP BY user_id
+    ORDER BY listen_count DESC, user_id ASC LIMIT 10
+    """,
+)
+def top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users by event count (reference src/jobs/daily_job_glue.py:21-25);
+    TakeOrderedAndProject — no global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("listen_count"))
+    return global_top_k(
+        counts, [F.col("listen_count").desc(), F.col("user_id").asc()], 10
+    )
+
+
+@query(
+    "rolling_active_users",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS event_date, user_id FROM events)
+    SELECT curr.event_date,
+           COUNT(DISTINCT past.user_id) AS active_users
+    FROM (SELECT DISTINCT event_date FROM daily) curr
+    LEFT JOIN daily past
+      ON past.event_date >= curr.event_date - 6
+     AND past.event_date <= curr.event_date
+    GROUP BY curr.event_date
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users. The oracle states the reference's
+    band self-join (reference src/jobs/daily_job_glue.py:28-39); the
+    Spark plan is the explode/equi-join rewrite — linear, not nested-loop."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(F.to_date("ts").alias("event_date"), "user_id")
+    return rolling_distinct_count(
+        base, "event_date", "user_id", 7, out_count_col="active_users"
+    )
+
+
+@query(
+    "active_user_pct",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS event_date, user_id FROM events),
+    total AS (SELECT COUNT(DISTINCT user_id) AS total_cnt FROM events)
+    SELECT ad.event_date,
+           COUNT(DISTINCT du.user_id) AS active_users,
+           ROUND(COUNT(DISTINCT du.user_id) * 100.0
+                 / (SELECT total_cnt FROM total), 2) AS active_pct
+    FROM (SELECT DISTINCT event_date FROM daily) ad
+    JOIN daily du
+      ON du.event_date >= ad.event_date - 6
+     AND du.event_date <= ad.event_date
+    GROUP BY ad.event_date
+    """,
+)
+def active_user_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling active users as % of all users — inner band join +
+    uncorrelated scalar subquery (reference notebooks/analysis.ipynb:136-144);
+    scalar subquery -> broadcast cross join in DataFrame form."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(F.to_date("ts").alias("event_date"), "user_id")
+    act = rolling_distinct_count(
+        base, "event_date", "user_id", 7, out_count_col="active_users"
+    )
+    total = ev.agg(F.countDistinct("user_id").alias("total_cnt"))
+    return act.crossJoin(F.broadcast(total)).select(
+        "event_date",
+        "active_users",
+        F.round(F.col("active_users") * 100.0 / F.col("total_cnt"), 2).alias(
+            "active_pct"
+        ),
+    )
+
+
+@query(
+    "hourly_activity",
+    oracle="""
+    SELECT CAST(hour(ts) AS INT) AS hour, COUNT(*) AS cnt,
+           ROUND(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER (), 2) AS pct
+    FROM events GROUP BY 1
+    """,
+)
+def hourly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Listens per hour with percent-of-whole via empty-frame window
+    (reference notebooks/analysis-minio.ipynb:959)."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(F.hour("ts").alias("hour")).agg(F.count("*").alias("cnt"))
+    return agg.withColumn(
+        "pct",
+        F.round(F.col("cnt") * 100.0 / F.sum("cnt").over(Window.partitionBy()), 2),
+    )
+
+
+@query(
+    "monthly_trends",
+    oracle="""
+    SELECT CAST(year(ts) AS INT) AS year, CAST(month(ts) AS INT) AS month,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS active_users,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY year, month
+    """,
+)
+def monthly_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly listen/user/value trend (reference analysis-minio.ipynb
+    monthly cells, O3 multi-key sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.year("ts").alias("year"), F.month("ts").alias("month"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("active_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("year", "month")
+    )
+
+
+@query(
+    "user_stats",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types,
+           epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS first_us,
+           epoch_us(CAST(MAX(ts) AS TIMESTAMP)) AS last_us,
+           ROUND(AVG(value), 4) AS avg_value,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user first/last listen + activity profile
+    (reference analysis-minio.ipynb:293-295,894-897)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.unix_micros(F.min("ts")).alias("first_us"),
+        F.unix_micros(F.max("ts")).alias("last_us"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "type_diversity",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types,
+           ROUND(COUNT(DISTINCT event_type) * 100.0 / COUNT(*), 2)
+             AS diversity_ratio
+    FROM events GROUP BY user_id HAVING COUNT(*) >= 10
+    """,
+)
+def type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity ratio with HAVING threshold
+    (reference notebooks/analysis-minio.ipynb:989-992)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .filter(F.col("n_events") >= 10)
+        .withColumn(
+            "diversity_ratio",
+            F.round(F.col("n_types") * 100.0 / F.col("n_events"), 2),
+        )
+    )
+
+
+@query(
+    "recent_events",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+           event_type, value
+    FROM events
+    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id ASC LIMIT 10
+    """,
+)
+def recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most recent 10 events (reference analysis-minio.ipynb cell 2,
+    'ORDER BY listened_at DESC LIMIT 10') with id tiebreak."""
+    ev = load_table(spark, sf_dir, "events")
+    return global_top_k(
+        ev, [F.col("ts").desc(), F.col("event_id").asc()], 10
+    ).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        "value",
+    )
+
+
+@query(
+    "value_by_type",
+    oracle="""
+    SELECT event_type,
+           ROUND(SUM(CASE WHEN event_type = 'error' THEN NULL ELSE value END), 2)
+             AS total_v,
+           COUNT(*) AS cnt,
+           COALESCE(ROUND(SUM(CASE WHEN event_type = 'error' THEN NULL
+                                   ELSE value END), 2), 0.0) AS total_v_filled
+    FROM events GROUP BY event_type
+    """,
+)
+def value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling parity: NULL-producing aggregate + COALESCE fill
+    (reference P8 — analysis-minio.ipynb COALESCE / NULLS LAST)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("value")
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.sum(v), 2).alias("total_v"),
+            F.count("*").alias("cnt"),
+        )
+        .withColumn("total_v_filled", F.coalesce("total_v", F.lit(0.0)))
+    )
+
+
+@query(
+    "gold_schema_merge",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS event_date,
+             COUNT(*) AS cnt, COUNT(DISTINCT event_type) AS uniq
+      FROM events GROUP BY 1, 2),
+    v1 AS (SELECT user_id, event_date, cnt AS listen_count, uniq AS unique_types
+           FROM daily WHERE day(event_date) <= 15),
+    v2 AS (SELECT user_id, event_date, cnt AS "count"
+           FROM daily WHERE day(event_date) > 15),
+    merged AS (SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2)
+    SELECT user_id, event_date,
+           COALESCE(listen_count, "count") AS listens, unique_types
+    FROM merged
+    """,
+)
+def gold_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution merge read: two gold generations (v1
+    listen_count+unique vs v2 bare count) unioned by name and
+    reconciled with COALESCE (reference analysis-minio.ipynb:251-262)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("event_date")).agg(
+        F.count("*").alias("cnt"), F.countDistinct("event_type").alias("uniq")
+    )
+    v1 = daily.filter(F.dayofmonth("event_date") <= 15).select(
+        "user_id",
+        "event_date",
+        F.col("cnt").alias("listen_count"),
+        F.col("uniq").alias("unique_types"),
+    )
+    v2 = daily.filter(F.dayofmonth("event_date") > 15).select(
+        "user_id", "event_date", F.col("cnt").alias("count")
+    )
+    merged = v1.unionByName(v2, allowMissingColumns=True)
+    return merged.select(
+        "user_id",
+        "event_date",
+        F.coalesce("listen_count", "count").alias("listens"),
+        "unique_types",
+    )
+
+
+@query(
+    "users_purchase_and_signup",
+    oracle="""
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+    """,
+)
+def users_purchase_and_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op INTERSECT (§2.7 — free in Spark, exercised here)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    s = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    return p.intersect(s)
+
+
+@query(
+    "users_error_no_purchase",
+    oracle="""
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    EXCEPT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def users_error_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op EXCEPT / anti-join shape (reference J3 ledger anti-join,
+    src/jobs/ingest_job.py:62-64)."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return e.exceptAll(p).distinct()
+
+
+# ----------------------------------------------------------- star schema
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+             AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: predicate pushdown + hash agg
+    with partial (map-side) aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias(
+                "sum_charge"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "revenue_by_region",
+    oracle="""
+    SELECT r.r_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+             AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped multi-join: fact-fact shuffle join (lineitem ⋈
+    orders) then broadcast dims (customer/nation/region)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "top_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(DISTINCT o.o_orderkey) AS n_orders
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c_custkey ASC LIMIT 10
+    """,
+)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by discounted revenue (global top-k over a
+    3-way join; ranking on the *rounded* revenue so both engines agree)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+    return global_top_k(
+        agg, [F.col("revenue").desc(), F.col("c_custkey").asc()], 10
+    )
+
+
+@query(
+    "order_priority_counts",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS -> left-semi join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    big = li.filter(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "brand_promo_share",
+    oracle="""
+    WITH agg AS (
+      SELECT p.p_brand,
+             ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+             ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+                            THEN l.l_extendedprice * (1 - l.l_discount)
+                            ELSE 0.0 END), 2) AS promo_revenue,
+             COUNT(*) AS n_items
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand)
+    SELECT p_brand, revenue, promo_revenue,
+           ROUND(promo_revenue * 100.0 / revenue, 4) AS promo_pct, n_items
+    FROM agg
+    """,
+)
+def brand_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped conditional aggregate over a broadcast dim join;
+    promo_pct derived from the already-rounded components so the ratio
+    is bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(disc_price), 2).alias("revenue"),
+            F.round(
+                F.sum(
+                    F.when(F.col("p_type") == "PROMO", disc_price).otherwise(0.0)
+                ),
+                2,
+            ).alias("promo_revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+    return agg.select(
+        "p_brand",
+        "revenue",
+        "promo_revenue",
+        F.round(F.col("promo_revenue") * 100.0 / F.col("revenue"), 4).alias(
+            "promo_pct"
+        ),
+        "n_items",
+    )
+
+
+@query(
+    "customer_order_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+           CAST(date_diff('day',
+                CAST(lag(o_orderdate) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY CAST(o_orderdate AS TIMESTAMP), o_orderkey)
+                     AS DATE),
+                CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev
+    FROM orders
+    """,
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() window: days between consecutive orders per customer
+    (beyond reference surface — SURVEY.md §2.5 notes no lead/lag there)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w))
+        ).alias("days_since_prev"),
+    )
+
+
+@query(
+    "nation_customer_stats",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2) AS total_acctbal,
+           ROUND(AVG(c.c_acctbal), 4) AS avg_acctbal,
+           ROUND(MIN(c.c_acctbal), 2) AS min_acctbal,
+           ROUND(MAX(c.c_acctbal), 2) AS max_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def nation_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim-dim broadcast join + min/max/avg aggregate family (A5)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_acctbal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_acctbal"),
+        )
+    )
+
+
+@query(
+    "mktsegment_order_priority",
+    oracle="""
+    SELECT c.c_mktsegment, o.o_orderpriority, COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment, o.o_orderpriority
+    """,
+)
+def mktsegment_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-key grouped join aggregate (segment x priority matrix)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )

@@ -1,0 +1,76 @@
+"""SparkSession factory + runtime tuning shared by every entry point.
+
+Design notes (scale-first):
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting) —
+  the reference disables it and pins shuffle.partitions=1
+  (reference src/jobs/transform_job.py:31-32), which only works on toy
+  data; at 100 TB AQE is mandatory.
+- Session timezone pinned to UTC so epoch<->timestamp functions agree
+  with the DuckDB oracle (reference never pins it — SURVEY.md §7.5.5).
+- ``spark.sql.legacy.parquet.nanosAsLong`` because the driver testdata
+  writes parquet TIMESTAMP(NANOS) which Spark refuses by default; the
+  loader converts the raw nanos to proper TimestampType (see tables.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Conf that must be set before the JVM starts (builder-time only).
+BUILDER_CONF: dict[str, str] = {
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    "spark.driver.maxResultSize": "4g",
+}
+
+# Conf that is safe to (re)apply on a live session — used both for our
+# own sessions and to tune the externally provided driver session.
+RUNTIME_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # 128 MB scan partitions: right-sized for many-executor parquet scans.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # Broadcast dims aggressively (region/nation/part-scale sides).
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime conf to an existing session (e.g. the driver's)."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable on this build — keep going
+    return spark
+
+
+def get_spark(
+    app_name: str = "scalable-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = default_parallelism()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in BUILDER_CONF.items():
+        builder = builder.config(k, v)
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    builder = builder.config(
+        "spark.sql.shuffle.partitions", str(shuffle_partitions or cpus)
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
