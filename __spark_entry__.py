@@ -3,8 +3,12 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+All real logic lives in the ``scalable_etl_spark`` package; this module
+only adapts the registry to the driver's shape. Importing
+``scalable_etl_spark.queries`` (and the other query modules) populates
+``registry.QUERIES`` / ``registry.ORACLE_SQL`` via the @query decorator.
 """
 
 from __future__ import annotations
@@ -13,26 +17,25 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Importing these modules registers every query + oracle pair.
+import scalable_etl_spark.queries  # noqa: F401
+import scalable_etl_spark.queries_llm  # noqa: F401
+import scalable_etl_spark.queries_sql  # noqa: F401
+from scalable_etl_spark.registry import ORACLE_SQL, QUERIES
+from scalable_etl_spark.session import tune_session
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1-shaped pricing summary) on sf0.001."""
+    tune_session(spark)
+    return QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle SQL per query name (same aliases as the Spark side)."""
+    return dict(ORACLE_SQL)

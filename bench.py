@@ -1,0 +1,73 @@
+"""Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and print ONE JSON line:
+
+    {"metric": "total_query_sec", "value": N, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": 0.1}
+
+Each query is timed as plan-build + full execution; results are
+materialized via a count-style action (collect on aggregates is tiny —
+every registered query returns an aggregate/top-k-sized result).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from scalable_etl_spark.session import get_spark  # noqa: E402
+
+import scalable_etl_spark.queries  # noqa: F401,E402
+import scalable_etl_spark.queries_llm  # noqa: F401,E402
+import scalable_etl_spark.queries_sql  # noqa: F401,E402
+from scalable_etl_spark.registry import QUERIES  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+    spark = get_spark(app_name="scalable-etl-spark-bench")
+
+    # Warm the JVM + parquet footers once so per-query times measure the
+    # query, not session startup. A failing warmup must not suppress the
+    # JSON line — the per-query loop reports failures itself.
+    try:
+        QUERIES["pricing_summary"](spark, sf_dir).collect()
+    except Exception as exc:
+        print(f"# warmup failed: {exc}", file=sys.stderr)
+
+    times: dict[str, float] = {}
+    for name, fn in sorted(QUERIES.items()):
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+            times[name] = round(time.perf_counter() - t0, 3)
+            print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+        except Exception as exc:  # keep benching; report the failure
+            times[name] = -1.0
+            print(f"# {name}: FAILED {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in times.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

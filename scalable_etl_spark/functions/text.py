@@ -27,9 +27,16 @@ LANG_MARKERS: tuple[tuple[str, tuple[str, ...]], ...] = (
 
 
 def tokens(col: str | Column = "text") -> Column:
-    """Whitespace tokenization (matches regexp_split_to_array '\\s+')."""
+    """Whitespace tokenization (matches regexp_split_to_array '\\s+').
+
+    Empty / whitespace-only text yields [] (Spark's split would yield
+    [''], making token_count 1 for empty docs). DuckDB oracle spelling:
+      CASE WHEN trim(t) = '' THEN [] ELSE regexp_split_to_array(trim(t), '\\s+') END
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(c), r"\s+")
+    return F.when(F.trim(c) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(c), r"\s+")
+    )
 
 
 def token_count(col: str | Column = "text") -> Column:
@@ -47,10 +54,7 @@ def punct_count(col: str | Column = "text") -> Column:
 
 
 def stopword_count(toks: Column) -> Column:
-    in_list = ", ".join(f"'{w}'" for w in STOPWORDS)
-    return F.expr(f"size(filter(__toks__, t -> t IN ({in_list})))").alias(
-        "stopword_count"
-    ) if False else F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
 
 
 def marker_count(toks: Column, markers: tuple[str, ...]) -> Column:

@@ -3,12 +3,23 @@
 Embeddings arrive as array<float>; every helper casts to array<double>
 first so Spark and the DuckDB oracle (list_dot_product on DOUBLE[])
 accumulate at the same precision.
+
+The sign-LSH here uses *fixed-seed pseudo-random hyperplanes* rather
+than raw leading-dimension signs (real embeddings have correlated,
+mostly-same-sign leading dims -> one hot bucket + lost recall). The
+hyperplane weights are derived from md5 at plan-build time and embedded
+as literals, so the plan does zero per-row hashing and the DuckDB
+oracle can embed the identical literals (see ``hyperplane_sql``).
 """
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+EMBEDDING_DIM = 64  # driver testdata embeddings.parquet: FLOAT[64]
 
 
 def as_double(col: str | Column) -> Column:
@@ -30,14 +41,46 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def sign_lsh_bucket(col: str | Column, n_bits: int = 8) -> Column:
-    """Axis-aligned random-hyperplane LSH: bucket = sign bits of the
-    first ``n_bits`` dimensions packed into an int. Deterministic and
-    replayable in plain SQL (the oracle uses the same expression)."""
-    c = F.col(col) if isinstance(col, str) else col
+def hyperplane(plane: int, dim: int = EMBEDDING_DIM) -> list[float]:
+    """Deterministic pseudo-random hyperplane: weight (plane, i) =
+    ((md5_60bit(f"{plane}:{i}") mod 2001) - 1000) / 1000 in [-1, 1].
+
+    Exact thousandths -> bit-identical as SQL literals on both engines.
+    """
+    out = []
+    for i in range(dim):
+        h = int(hashlib.md5(f"{plane}:{i}".encode()).hexdigest()[:15], 16)
+        out.append(((h % 2001) - 1000) / 1000.0)
+    return out
+
+
+def hyperplane_sql(plane: int, dim: int = EMBEDDING_DIM) -> str:
+    """The same hyperplane as a DuckDB DOUBLE[] literal."""
+    return "[" + ", ".join(repr(w) for w in hyperplane(plane, dim)) + "]::DOUBLE[]"
+
+
+def sign_lsh_bucket(
+    col: str | Column, n_bits: int = 8, dim: int = EMBEDDING_DIM
+) -> Column:
+    """Random-hyperplane sign-LSH: bit p of the bucket = (v . h_p >= 0).
+
+    Oracle spelling per bit p (see ``hyperplane_sql``):
+      CASE WHEN list_dot_product(v::DOUBLE[], <h_p literal>) >= 0
+           THEN 1 << p ELSE 0 END
+    """
+    v = as_double(col)
     bucket = F.lit(0)
-    for i in range(n_bits):
-        bucket = bucket + F.when(F.element_at(c, i + 1) >= 0, F.lit(1 << i)).otherwise(
-            F.lit(0)
-        )
+    for p in range(n_bits):
+        w = F.lit(hyperplane(p, dim)).cast("array<double>")
+        bucket = bucket + F.when(dot(v, w) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket.cast("int")
+
+
+def lsh_bucket_sql(vec_expr: str, n_bits: int = 8, dim: int = EMBEDDING_DIM) -> str:
+    """DuckDB expression computing the identical sign-LSH bucket."""
+    terms = [
+        f"(CASE WHEN list_dot_product({vec_expr}::DOUBLE[], "
+        f"{hyperplane_sql(p, dim)}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_bits)
+    ]
+    return "(" + " + ".join(terms) + ")"

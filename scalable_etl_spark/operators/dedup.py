@@ -76,17 +76,34 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    max_shingle_fanout: int | None = 10_000,
 ) -> DataFrame:
     """All-pairs Jaccard over distinct k-word shingle sets, via a
     shingle self-join (inverted index). Exact but quadratic within hot
-    shingles — the verification stage of the LSH pipeline at scale.
+    shingles — the verification stage of the LSH pipeline at scale;
+    prefer ``minhash_lsh_pairs`` for full-corpus dedup.
+
+    ``max_shingle_fanout`` guards the quadratic blowup: shingles shared
+    by more than that many docs are dropped from the index (a shingle in
+    10k+ docs carries ~no similarity signal but would generate 10^8
+    candidate pairs). Pass None to disable (exact, dangerous at scale).
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     sh = shingle_table(df, text_col, id_col, k)
+    if max_shingle_fanout is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_shingle_fanout)
+            .select("shingle")
+        )
+        join_sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    else:
+        join_sh = sh
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    a = join_sh.alias("a")
+    b = join_sh.alias("b")
     inter = (
         a.join(b, "shingle")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -156,6 +173,12 @@ def minhash_lsh_pairs(
 
     Returns (id_a, id_b, jaccard). rows_per_band = num_perms // bands.
     """
+    if num_perms < bands or num_perms % bands != 0:
+        raise ValueError(
+            f"num_perms ({num_perms}) must be a positive multiple of bands "
+            f"({bands}) — otherwise the effective band width drifts from the "
+            "requested recall guarantee"
+        )
     rows_per_band = num_perms // bands
     sig = minhash_signatures(df, num_perms, text_col, id_col, k)
     banded = (
@@ -314,12 +337,15 @@ def embedding_near_dup_pairs(
     n_lsh_bits: int = 8,
 ) -> DataFrame:
     """Near-duplicate vectors by cosine >= threshold, bucketed by
-    sign-LSH so the self-join is equi-key rather than all-pairs.
+    random-hyperplane sign-LSH so the self-join is equi-key rather than
+    all-pairs.
 
-    Recall caveat (documented, standard LSH trade-off): pairs whose
-    sign bits differ in the first ``n_lsh_bits`` dims are missed; at
-    cosine >= 0.99 sign flips are rare. Exact variant: n_lsh_bits=0
-    degrades to a single bucket (all pairs)."""
+    Recall caveat (standard LSH trade-off): a pair is found only if all
+    ``n_lsh_bits`` hyperplane signs agree; P[one plane splits a pair] =
+    theta/pi, so at cosine >= 0.99 (theta ~ 8deg) recall ~ (1-0.045)^8
+    ~ 0.7 per table — callers needing higher recall should union several
+    bucketings (different plane seeds) or lower n_lsh_bits. Exact
+    variant: n_lsh_bits=0 degrades to a single bucket (all pairs)."""
     from ..functions.vectors import as_double, cosine, sign_lsh_bucket
 
     v = emb.select(

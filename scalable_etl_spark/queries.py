@@ -522,24 +522,65 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 customers by discounted revenue (global top-k over a
-    3-way join; ranking on the *rounded* revenue so both engines agree)."""
+    """Top-10 customers by discounted revenue.
+
+    Scale shape: lineitem revenue is pre-aggregated to one row per
+    l_orderkey *before* the orders join, so the big shuffle moves
+    |orders| rows instead of |lineitem| rows, and the per-customer
+    COUNT(DISTINCT o_orderkey) collapses to a plain COUNT(*) of
+    pre-agg rows. Ranking on the *rounded* revenue so engines agree."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "order_rev"
+        )
+    )
     agg = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(F.sum("order_rev"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
         )
     )
     return global_top_k(
         agg, [F.col("revenue").desc(), F.col("c_custkey").asc()], 10
+    )
+
+
+@query(
+    "top_supplier_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+               AS total_revenue
+      FROM lineitem GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped: supplier(s) with maximum revenue — aggregate
+    per supplier, broadcast the 1-row max (scalar-subquery idiom), then
+    broadcast-join the supplier dim. Comparison on rounded revenue."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
     )
 
 

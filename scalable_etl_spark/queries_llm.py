@@ -1,0 +1,476 @@
+"""LLM-training-data pipeline queries over the ``documents`` and
+``embeddings`` testdata tables: text stats, language-ID, fingerprints,
+exact/MinHash/SimHash dedup, n-gram Jaccard, embedding near-dup, and
+ANN top-k.
+
+Every operator is a pure JVM-side DataFrame composition (zero Python
+UDFs) built on the deterministic md5-derived hash family
+(functions/text.py portable_hash64), so each DuckDB oracle replays the
+exact same signatures/buckets bit-for-bit — approximate algorithms are
+checked exactly, not statistically.
+
+Scale notes are on the operators themselves (operators/dedup.py,
+operators/similarity.py): MinHash/SimHash cost rows x perms map-side +
+one equi-shuffle on band keys; no all-pairs joins anywhere at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    content_hash,
+    fingerprint_hex,
+    marker_count,
+    normalized_text,
+    portable_hash64,
+    punct_count,
+    stopword_count,
+    token_count,
+    tokens,
+    unique_token_count,
+)
+from .functions.vectors import as_double, cosine, lsh_bucket_sql, sign_lsh_bucket
+from .operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from .operators.similarity import brute_force_topk, lsh_topk
+from .registry import query
+from .tables import load_table
+
+# ------------------------------------------------------------------ SQL
+# Shared DuckDB fragments — keep in lockstep with functions/text.py.
+
+_SQL_TOKS = (
+    "CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[] "
+    "ELSE regexp_split_to_array(trim(coalesce(text, '')), '\\s+') END"
+)
+_SQL_NORM = "regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')"
+_SQL_STOPS = ", ".join(f"'{w}'" for w in STOPWORDS)
+# portable_hash64(expr, seed=0) — md5 -> first 15 hex digits -> BIGINT
+_SQL_H64 = "CAST(('0x' || substr(md5('0:' || {expr}), 1, 15)) AS BIGINT)"
+# k=3 word shingles over a token-array column named t
+_SQL_SHINGLES = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len(t) - 2, 1)), "
+    "i -> array_to_string(t[i:i+2], ' ')))"
+)
+
+
+# ----------------------------------------------------------- text stats
+
+
+@query(
+    "doc_text_stats",
+    oracle=f"""
+    WITH dt AS (SELECT doc_id, text, {_SQL_TOKS} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(t) AS INT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS INT) AS n_unique,
+           CAST(length(regexp_replace(coalesce(text, ''),
+                '[A-Za-z0-9\\s]', '', 'g')) AS INT) AS n_punct,
+           CAST(len(list_filter(t, x -> x IN ({_SQL_STOPS}))) AS INT)
+             AS n_stopwords
+    FROM dt
+    """,
+)
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/unique/punctuation/stopword counts — linear,
+    whole-stage-codegen friendly (no shuffle at all)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        unique_token_count("text").alias("n_unique"),
+        punct_count(F.coalesce("text", F.lit(""))).alias("n_punct"),
+        stopword_count(toks).alias("n_stopwords"),
+    )
+
+
+@query(
+    "doc_quality",
+    oracle=f"""
+    WITH dt AS (SELECT doc_id, text, n_chars, {_SQL_TOKS} AS t FROM documents),
+    s AS (SELECT doc_id,
+                 CAST(len(t) AS INT) AS n_tokens,
+                 CAST(length(regexp_replace(coalesce(text, ''),
+                      '[A-Za-z0-9\\s]', '', 'g')) AS INT) AS n_punct,
+                 CAST(len(list_filter(t, x -> x IN ({_SQL_STOPS}))) AS INT)
+                   AS n_stopwords,
+                 CAST(length(coalesce(text, '')) AS INT) AS len_chars
+          FROM dt)
+    SELECT doc_id, n_tokens,
+           ROUND(n_punct * 1.0 / greatest(len_chars, 1), 4) AS punct_ratio,
+           ROUND(n_stopwords * 1.0 / greatest(n_tokens, 1), 4)
+             AS stopword_ratio,
+           ROUND(0.5 * least(n_tokens, 50) / 50.0
+                 + 0.3 * (1.0 - n_punct * 1.0 / greatest(len_chars, 1))
+                 + 0.2 * (n_stopwords * 1.0 / greatest(n_tokens, 1)), 4)
+             AS quality
+    FROM s
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length + low punctuation + natural
+    stopword density. Deterministic formula, identical on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    s = d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        punct_count(F.coalesce("text", F.lit(""))).alias("n_punct"),
+        stopword_count(toks).alias("n_stopwords"),
+        F.length(F.coalesce("text", F.lit(""))).alias("len_chars"),
+    )
+    punct_ratio = F.col("n_punct") * 1.0 / F.greatest("len_chars", F.lit(1))
+    stop_ratio = F.col("n_stopwords") * 1.0 / F.greatest("n_tokens", F.lit(1))
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(
+            0.5 * F.least("n_tokens", F.lit(50)) / 50.0
+            + 0.3 * (1.0 - punct_ratio)
+            + 0.2 * stop_ratio,
+            4,
+        ).alias("quality"),
+    )
+
+
+def _lang_case_sql() -> str:
+    counts = {
+        lang: f"len(list_filter(t, x -> lower(x) IN "
+        f"({', '.join(repr(m) for m in markers)})))"
+        for lang, markers in LANG_MARKERS
+    }
+    langs = [lang for lang, _ in LANG_MARKERS]
+    zero = " AND ".join(f"{counts[lang]} = 0" for lang in langs)
+    whens = []
+    for i, lang in enumerate(langs[:-1]):
+        geq = " AND ".join(
+            f"{counts[lang]} >= {counts[other]}" for other in langs[i + 1 :]
+        )
+        whens.append(f"WHEN {geq} THEN '{lang}'")
+    return (
+        f"CASE WHEN {zero} THEN 'und' "
+        + " ".join(whens)
+        + f" ELSE '{langs[-1]}' END"
+    )
+
+
+@query(
+    "doc_lang_id",
+    oracle=f"""
+    WITH dt AS (SELECT doc_id, lang, {_SQL_TOKS} AS t FROM documents)
+    SELECT doc_id, lang, {_lang_case_sql()} AS lang_pred
+    FROM dt
+    """,
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID: argmax of per-language marker counts,
+    ties to the earliest LANG_MARKERS entry, all-zero -> 'und'."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    langs = [lang for lang, _ in LANG_MARKERS]
+    counts = {
+        lang: marker_count(
+            F.transform(toks, lambda t: F.lower(t)), markers
+        )
+        for lang, markers in LANG_MARKERS
+    }
+    zero = None
+    for lang in langs:
+        c = counts[lang] == 0
+        zero = c if zero is None else (zero & c)
+    pred = F.lit(langs[-1])
+    for i in range(len(langs) - 2, -1, -1):
+        lang = langs[i]
+        geq = None
+        for other in langs[i + 1 :]:
+            c = counts[lang] >= counts[other]
+            geq = c if geq is None else (geq & c)
+        pred = F.when(geq, F.lit(lang)).otherwise(pred)
+    pred = F.when(zero, F.lit("und")).otherwise(pred)
+    return d.select("doc_id", "lang", pred.alias("lang_pred"))
+
+
+@query(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           sha256({_SQL_NORM}) AS content_sha,
+           md5({_SQL_NORM}) AS fingerprint_md5,
+           {_SQL_H64.format(expr=_SQL_NORM)} AS hash60
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: sha256 / md5 / portable 60-bit hash of the
+    normalized text — the exact-dedup and shard-routing keys."""
+    d = load_table(spark, sf_dir, "documents")
+    nt = normalized_text(F.coalesce("text", F.lit("")))
+    return d.select(
+        "doc_id",
+        F.sha2(nt, 256).alias("content_sha"),
+        F.md5(nt).alias("fingerprint_md5"),
+        portable_hash64(nt).alias("hash60"),
+    )
+
+
+# ---------------------------------------------------------------- dedup
+
+
+@query(
+    "exact_dedup",
+    oracle=f"""
+    SELECT sha256({_SQL_NORM}) AS content_hash,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: one hash aggregation -> one shuffle on a
+    64-char key regardless of corpus size (operators/dedup.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(d.withColumn("text", F.coalesce("text", F.lit(""))))
+
+
+@query(
+    "ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS nc
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           ROUND(nc / (sa.sz + sb.sz - nc), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(nc / (sa.sz + sb.sz - nc), 4) >= 0.8
+    """,
+)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs >= 0.8 via inverted shingle index —
+    the *verification* primitive (quadratic within hot shingles; the
+    full-corpus path is minhash_lsh below)."""
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, threshold=0.8)
+
+
+_MINHASH_SIG_SQL = f"""
+    toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM toks),
+    mh AS (
+      SELECT doc_id, p.perm,
+             MIN({_SQL_H64.format(expr="p.perm || '|' || shingle")}) AS min_hash
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS perm) p
+      GROUP BY 1, 2)
+"""
+
+
+@query(
+    "minhash_lsh",
+    oracle=f"""
+    WITH {_MINHASH_SIG_SQL},
+    banded AS (
+      SELECT doc_id, CAST(perm // 4 AS INT) AS band,
+             md5(array_to_string(list_sort(
+               list(perm::VARCHAR || ':' || min_hash::VARCHAR)), ','))
+               AS bucket
+      FROM mh GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b USING (band, bucket)
+      WHERE a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS nc
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, ROUND(nc / (sa.sz + sb.sz - nc), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(nc / (sa.sz + sb.sz - nc), 4) >= 0.8
+    """,
+)
+def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 perms) + 4-band LSH near-dup pairs, verified with
+    exact Jaccard >= 0.8 on candidates only. The oracle replays the
+    identical md5-derived signatures, so the approximate candidate set
+    matches bit-for-bit — the 100 TB dedup path, checked exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, num_perms=16, bands=4, threshold=0.8)
+
+
+@query(
+    "simhash_near_dup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, list_distinct({_SQL_TOKS}) AS t FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    hashed AS (SELECT doc_id, {_SQL_H64.format(expr="tok")} AS h FROM tok),
+    bits AS (SELECT doc_id, h, unnest(generate_series(0, 59)) AS bit
+             FROM hashed),
+    votes AS (
+      SELECT doc_id, bit,
+             SUM(CASE WHEN ((h >> CAST(bit AS INT)) & 1) = 1
+                      THEN 1 ELSE -1 END) AS s
+      FROM bits GROUP BY 1, 2),
+    sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0
+                  THEN (1::BIGINT << CAST(bit AS INT)) ELSE 0 END) AS BIGINT)
+               AS simhash
+      FROM votes GROUP BY 1),
+    banded AS (
+      SELECT doc_id, simhash, band,
+             (simhash >> CAST(band * 15 AS INT)) & 32767 AS band_val
+      FROM sig, (SELECT unnest(generate_series(0, 3)) AS band)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM banded a JOIN banded b USING (band, band_val)
+      WHERE a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+    FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """,
+)
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash near-dup pairs (hamming <= 3) via 4x15-bit
+    banding; pigeonhole guarantees recall for hamming <= 3 and the
+    banding prefilter keeps the join equi-key. Oracle replays the
+    identical signature bits."""
+    d = load_table(spark, sf_dir, "documents")
+    out = simhash_near_pairs(d, max_hamming=3)
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
+
+
+@query(
+    "embedding_near_dup",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {lsh_bucket_sql("embedding", 4)} AS bucket
+      FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.42
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.42) bucketed by 4-bit
+    random-hyperplane sign-LSH — equi-key self-join, never all-pairs.
+    The oracle embeds the identical hyperplane literals."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, threshold=0.42, n_lsh_bits=4)
+
+
+# ------------------------------------------------------------------ ANN
+
+_COS_SQL = (
+    "ROUND(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) "
+    "* sqrt(list_dot_product(cv, cv))), 6)"
+)
+
+
+@query(
+    "ann_brute_force",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, e.vec_id AS neighbor_id, e.v AS cv, qv
+      FROM q CROSS JOIN e WHERE e.vec_id <> query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, {_COS_SQL} AS cos_sim,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {_COS_SQL} DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 10 query vectors: queries broadcast, the
+    corpus streams through one narrow stage — no corpus shuffle at any
+    scale (operators/similarity.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+@query(
+    "ann_lsh",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {lsh_bucket_sql("embedding", 4)} AS bucket
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket
+          FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, e.vec_id AS neighbor_id, e.v AS cv, qv
+      FROM q JOIN e USING (bucket) WHERE e.vec_id <> query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, {_COS_SQL} AS cos_sim,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {_COS_SQL} DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5: candidates restricted to the query's sign-LSH
+    bucket (4 random hyperplanes) — the bucketed scale path; oracle
+    replays the identical buckets."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(e, e.filter(F.col("vec_id") < 10), k=5, n_lsh_bits=4)
+
+
+# --------------------------------------------------------- corpus stats
+
+
+@query(
+    "top_tokens",
+    oracle=f"""
+    WITH dt AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    tok AS (SELECT unnest(t) AS token FROM dt)
+    SELECT token, COUNT(*) AS freq
+    FROM tok GROUP BY token
+    ORDER BY freq DESC, token ASC LIMIT 20
+    """,
+)
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency top-20 (vocabulary building): explode +
+    map-side-combinable count + TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(20)
+    )
