@@ -60,27 +60,75 @@ def hyperplane_sql(plane: int, dim: int = EMBEDDING_DIM) -> str:
 
 
 def sign_lsh_bucket(
-    col: str | Column, n_bits: int = 8, dim: int = EMBEDDING_DIM
+    col: str | Column,
+    n_bits: int = 8,
+    dim: int = EMBEDDING_DIM,
+    plane_offset: int = 0,
 ) -> Column:
     """Random-hyperplane sign-LSH: bit p of the bucket = (v . h_p >= 0).
 
+    ``plane_offset`` selects an independent plane family — table t of a
+    multi-table (OR-construction) LSH uses ``plane_offset = t * n_bits``.
+
     Oracle spelling per bit p (see ``hyperplane_sql``):
-      CASE WHEN list_dot_product(v::DOUBLE[], <h_p literal>) >= 0
+      CASE WHEN list_dot_product(v::DOUBLE[], <h_{offset+p} literal>) >= 0
            THEN 1 << p ELSE 0 END
     """
     v = as_double(col)
     bucket = F.lit(0)
     for p in range(n_bits):
-        w = F.lit(hyperplane(p, dim)).cast("array<double>")
+        w = F.lit(hyperplane(plane_offset + p, dim)).cast("array<double>")
         bucket = bucket + F.when(dot(v, w) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket.cast("int")
 
 
-def lsh_bucket_sql(vec_expr: str, n_bits: int = 8, dim: int = EMBEDDING_DIM) -> str:
+def multi_table_buckets(
+    col: str | Column,
+    n_bits: int = 2,
+    n_tables: int = 8,
+    dim: int = EMBEDDING_DIM,
+) -> Column:
+    """Array of ``n_tables`` independent sign-LSH buckets (table t uses
+    planes t*n_bits .. t*n_bits+n_bits-1). posexplode the result to get
+    (table, bucket) join keys — candidates are the union over tables,
+    the standard OR-construction that trades one corpus-explosion factor
+    of L for recall 1-(1-p^b)^L instead of p^b."""
+    return F.array(
+        *[
+            sign_lsh_bucket(col, n_bits, dim, plane_offset=t * n_bits)
+            for t in range(n_tables)
+        ]
+    )
+
+
+def lsh_bucket_sql(
+    vec_expr: str,
+    n_bits: int = 8,
+    dim: int = EMBEDDING_DIM,
+    plane_offset: int = 0,
+) -> str:
     """DuckDB expression computing the identical sign-LSH bucket."""
     terms = [
         f"(CASE WHEN list_dot_product({vec_expr}::DOUBLE[], "
-        f"{hyperplane_sql(p, dim)}) >= 0 THEN {1 << p} ELSE 0 END)"
+        f"{hyperplane_sql(plane_offset + p, dim)}) >= 0 THEN {1 << p} ELSE 0 END)"
         for p in range(n_bits)
     ]
     return "(" + " + ".join(terms) + ")"
+
+
+def multi_table_buckets_sql(
+    vec_expr: str,
+    n_bits: int = 2,
+    n_tables: int = 8,
+    dim: int = EMBEDDING_DIM,
+) -> str:
+    """DuckDB DOUBLE[]-of-buckets literal matching multi_table_buckets;
+    unnest WITH ORDINALITY (or generate_subscripts) yields (table, bucket)."""
+    return (
+        "["
+        + ", ".join(
+            lsh_bucket_sql(vec_expr, n_bits, dim, plane_offset=t * n_bits)
+            for t in range(n_tables)
+        )
+        + "]"
+    )

@@ -65,29 +65,46 @@ def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_lsh_bits: int = 4,
+    n_lsh_bits: int = 2,
+    n_tables: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's sign-LSH
-    bucket. Same output shape as brute_force_topk."""
+    """Approximate top-k via multi-table sign-LSH (OR-construction):
+    candidates = union over ``n_tables`` independent bucketings, then
+    exact cosine only on candidates. Same output shape as
+    brute_force_topk.
+
+    Recall = 1 - (1 - p^b)^L with p = 1 - theta/pi per plane; the
+    defaults (b=2, L=8) give ~0.95+ even for theta ~ 70deg neighbors.
+    Scale: corpus explodes x L into (table, bucket) keys — the join
+    stays equi-key; per-bucket population ~ |corpus| / 2^b per table,
+    so raise ``n_lsh_bits`` as the corpus grows to keep buckets bounded.
+    """
+    from ..functions.vectors import multi_table_buckets
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double(vec_col).alias("qv"),
-        sign_lsh_bucket(vec_col, n_lsh_bits).alias("bucket"),
+        F.posexplode(
+            multi_table_buckets(vec_col, n_lsh_bits, n_tables)
+        ).alias("tbl", "bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(vec_col).alias("cv"),
-        sign_lsh_bucket(vec_col, n_lsh_bits).alias("bucket"),
+        F.posexplode(
+            multi_table_buckets(vec_col, n_lsh_bits, n_tables)
+        ).alias("tbl", "bucket"),
     )
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
             F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
         )
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     return _ranked_topk(scored, k)

@@ -33,7 +33,7 @@ from .functions.text import (
     tokens,
     unique_token_count,
 )
-from .functions.vectors import as_double, cosine, lsh_bucket_sql, sign_lsh_bucket
+from .functions.vectors import multi_table_buckets_sql
 from .operators.dedup import (
     embedding_near_dup_pairs,
     exact_dedup_groups,
@@ -366,24 +366,34 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v,
-             {lsh_bucket_sql("embedding", 4)} AS bucket
-      FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(list_dot_product(a.v, b.v)
-                 / (sqrt(list_dot_product(a.v, a.v))
-                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
-    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE ROUND(list_dot_product(a.v, b.v)
-                / (sqrt(list_dot_product(a.v, a.v))
-                   * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.42
+             {multi_table_buckets_sql("embedding", 2, 8)} AS bks
+      FROM embeddings),
+    eb AS (SELECT vec_id, generate_subscripts(bks, 1) AS tbl,
+                  unnest(bks) AS bucket
+           FROM e),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM eb a JOIN eb b USING (tbl, bucket)
+      WHERE a.vec_id < b.vec_id)
+    SELECT id_a, id_b,
+           ROUND(list_dot_product(ea.v, ex.v)
+                 / (sqrt(list_dot_product(ea.v, ea.v))
+                    * sqrt(list_dot_product(ex.v, ex.v))), 6) AS cos_sim
+    FROM cand
+    JOIN e ea ON ea.vec_id = id_a
+    JOIN e ex ON ex.vec_id = id_b
+    WHERE ROUND(list_dot_product(ea.v, ex.v)
+                / (sqrt(list_dot_product(ea.v, ea.v))
+                   * sqrt(list_dot_product(ex.v, ex.v))), 6) >= 0.42
     """,
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine >= 0.42) bucketed by 4-bit
-    random-hyperplane sign-LSH — equi-key self-join, never all-pairs.
-    The oracle embeds the identical hyperplane literals."""
+    """Embedding near-dup pairs (cosine >= 0.42) via multi-table sign-LSH
+    (2 bits x 8 tables, OR-construction: recall ~0.98 at theta ~ 65deg) —
+    every join equi-key, never all-pairs. The oracle embeds the identical
+    hyperplane literals and replays the identical candidate set."""
     e = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(e, threshold=0.42, n_lsh_bits=4)
+    return embedding_near_dup_pairs(e, threshold=0.42, n_lsh_bits=2, n_tables=8)
 
 
 # ------------------------------------------------------------------ ANN
@@ -425,13 +435,20 @@ def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v,
-             {lsh_bucket_sql("embedding", 4)} AS bucket
+             {multi_table_buckets_sql("embedding", 2, 8)} AS bks
       FROM embeddings),
-    q AS (SELECT vec_id AS query_id, v AS qv, bucket
-          FROM e WHERE vec_id < 10),
+    eb AS (SELECT vec_id, generate_subscripts(bks, 1) AS tbl,
+                  unnest(bks) AS bucket
+           FROM e),
+    q AS (SELECT vec_id AS query_id, tbl, bucket FROM eb WHERE vec_id < 10),
+    cand AS (
+      SELECT DISTINCT query_id, eb.vec_id AS neighbor_id
+      FROM q JOIN eb USING (tbl, bucket) WHERE eb.vec_id <> query_id),
     scored AS (
-      SELECT query_id, e.vec_id AS neighbor_id, e.v AS cv, qv
-      FROM q JOIN e USING (bucket) WHERE e.vec_id <> query_id),
+      SELECT query_id, neighbor_id, qe.v AS qv, ne.v AS cv
+      FROM cand
+      JOIN e qe ON qe.vec_id = query_id
+      JOIN e ne ON ne.vec_id = neighbor_id),
     ranked AS (
       SELECT query_id, neighbor_id, {_COS_SQL} AS cos_sim,
              row_number() OVER (
@@ -443,11 +460,15 @@ def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5: candidates restricted to the query's sign-LSH
-    bucket (4 random hyperplanes) — the bucketed scale path; oracle
-    replays the identical buckets."""
+    """Approximate top-5 via multi-table sign-LSH (2 bits x 8 tables):
+    candidates are the union of the query's buckets across tables —
+    recall ~0.95 at theta ~ 70deg vs 0.13 for a single 4-bit table
+    (measured, tests/test_similarity.py); oracle replays the identical
+    buckets."""
     e = load_table(spark, sf_dir, "embeddings")
-    return lsh_topk(e, e.filter(F.col("vec_id") < 10), k=5, n_lsh_bits=4)
+    return lsh_topk(
+        e, e.filter(F.col("vec_id") < 10), k=5, n_lsh_bits=2, n_tables=8
+    )
 
 
 # --------------------------------------------------------- corpus stats

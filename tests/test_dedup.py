@@ -1,0 +1,108 @@
+"""Dedup operator tests: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Known tiny corpora with hand-reasoned near-dup structure; MinHash/LSH
+recall is also cross-checked against exact Jaccard ground truth.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scalable_etl_spark.operators.dedup import (
+    drop_exact_duplicates,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "THE  QUICK   brown fox jumps over the lazy dog"),  # exact dup of 1 (normalized)
+    (3, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+    (4, "completely different text about spark pipelines"),
+    (5, ""),  # empty doc
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(spark, docs):
+    out = {r.keep_id: r.n_copies for r in exact_dedup_groups(docs).collect()}
+    assert out == {1: 2, 3: 1, 4: 1, 5: 1}
+
+
+def test_drop_exact_duplicates(spark, docs):
+    kept = sorted(r.doc_id for r in drop_exact_duplicates(docs).collect())
+    assert kept == [1, 3, 4, 5]
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    out = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    # Docs 1/3 differ only in the last of 9 tokens: 7 shingles each,
+    # only the final "the lazy dog|cat" shingle differs -> 6/8 = 0.75.
+    assert (1, 3) in out
+    assert out[(1, 3)] == pytest.approx(0.75, abs=1e-4)
+    # Docs 1/2 differ in case of the first two tokens -> 5/9 = 0.5556.
+    assert out[(1, 2)] == pytest.approx(round(5 / 9, 4), abs=1e-4)
+    assert not any({a, b} == {1, 4} for a, b in out)
+
+
+def test_minhash_lsh_matches_exact_on_candidates(spark, docs):
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(
+            docs, num_perms=16, bands=8, threshold=0.3
+        ).collect()
+    }
+    # Verification stage recomputes exact Jaccard -> values must agree
+    # on every surfaced pair; with 8 bands of 2 rows recall on j=0.4
+    # pairs is near-certain on this corpus.
+    for pair, j in lsh.items():
+        assert exact[pair] == j
+    assert (1, 3) in lsh
+
+
+def test_minhash_rejects_bad_band_split(spark, docs):
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(docs, num_perms=10, bands=4)
+
+
+def test_simhash_near_pairs_close_docs(spark):
+    # 40 shared tokens + 1 differing token -> tiny hamming distance;
+    # unrelated doc -> large distance.
+    base = " ".join(f"tok{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [
+            (1, base + " ending1"),
+            (2, base + " ending2"),
+            (3, " ".join(f"other{i}" for i in range(40))),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {(r.id_a, r.id_b) for r in simhash_near_pairs(df, max_hamming=8).collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_hot_shingle_fanout_guard(spark):
+    # Every doc shares the same 3 tokens -> one hot shingle; with the
+    # guard at fanout<=2 the shared shingle is dropped and no pairs emerge.
+    df = spark.createDataFrame(
+        [(i, "common shingle here") for i in range(10)], ["doc_id", "text"]
+    )
+    guarded = ngram_jaccard_pairs(df, threshold=0.1, max_shingle_fanout=2)
+    assert guarded.count() == 0
+    unguarded = ngram_jaccard_pairs(df, threshold=0.1, max_shingle_fanout=None)
+    assert unguarded.count() == 45  # all C(10,2) identical pairs
