@@ -1,0 +1,85 @@
+"""Graded queries that drive the sink/catalog surface (K2/K6/K7) through
+the correctness gate: each creates real catalog tables, then returns a
+DataFrame the DuckDB oracle can reproduce with pure SQL.
+
+Side effects are idempotent (createOrReplace / drop-first) so driver
+re-runs are stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import query
+from .sinks import create_namespace, create_or_replace_table, insert_ignore
+from .tables import load_table
+
+
+@query(
+    "sink_table_roundtrip",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def sink_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2/K7 through the gate: aggregate -> writeTo(...).createOrReplace
+    on the session catalog -> read back via spark.table. The returned
+    data must survive the table round-trip bit-for-bit."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    create_namespace(spark, "etl_gate")
+    create_or_replace_table(daily, "etl_gate.daily_events")
+    return spark.table("etl_gate.daily_events")
+
+
+@query(
+    "sink_insert_ignore",
+    oracle="""
+    WITH target AS (
+      SELECT DISTINCT ON (event_id) event_id, event_type
+      FROM events WHERE user_id < 75 ORDER BY event_id),
+    batch AS (
+      SELECT DISTINCT ON (event_id) event_id, event_type
+      FROM events WHERE user_id >= 50 ORDER BY event_id),
+    final AS (
+      SELECT * FROM target
+      UNION ALL
+      SELECT * FROM batch
+      WHERE event_id NOT IN (SELECT event_id FROM target))
+    SELECT event_type, COUNT(*) AS n_rows FROM final GROUP BY 1
+    """,
+)
+def sink_insert_ignore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 through the gate: load a keyed target, insert-ignore an
+    overlapping batch (ON CONFLICT DO NOTHING semantics — reference
+    notebooks/analysis.ipynb:112-124), return the final per-type counts.
+
+    event_id is unique in the testdata, so DISTINCT ON in the oracle is
+    a formality matching dropDuplicates' any-winner semantics."""
+    create_namespace(spark, "etl_gate")
+    spark.sql("DROP TABLE IF EXISTS etl_gate.ii_events")
+    insert_ignore(
+        spark, "etl_gate.ii_events",
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 75)
+        .select("event_id", "event_type"),
+        ["event_id"],
+    )
+    insert_ignore(
+        spark, "etl_gate.ii_events",
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") >= 50)
+        .select("event_id", "event_type"),
+        ["event_id"],
+    )
+    return (
+        spark.table("etl_gate.ii_events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_rows"))
+    )

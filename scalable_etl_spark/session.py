@@ -24,6 +24,11 @@ BUILDER_CONF: dict[str, str] = {
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     "spark.driver.maxResultSize": "4g",
+    # Session-catalog tables (saveAsTable / writeTo) land here rather
+    # than polluting the cwd; override per-deployment.
+    "spark.sql.warehouse.dir": os.environ.get(
+        "SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"
+    ),
 }
 
 # Conf that is safe to (re)apply on a live session — used both for our

@@ -1,0 +1,137 @@
+"""Table sinks + catalog surface (SURVEY §2 K2-K8, R2).
+
+The reference writes Iceberg tables through the DataFrameWriterV2
+(``df.writeTo(t).partitionedBy(...).createOrReplace()`` — reference
+src/jobs/transform_job.py:60-64,91-95,124-128, with a table property at
+transform_job_glue.py:45-47), exports single-file parquet for BI
+hand-off (notebooks/analysis.ipynb:145-146, daily_job.py:41), and
+upserts with ``INSERT ... ON CONFLICT DO NOTHING``
+(notebooks/analysis.ipynb:112-124).
+
+Here the same surfaces target Spark's V2 session catalog (parquet
+provider). On a cluster with an Iceberg/Delta catalog configured these
+functions work unchanged — the V2 API is catalog-agnostic; only
+``insert_ignore`` would switch to a native ``MERGE INTO``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def create_namespace(spark: SparkSession, name: str) -> None:
+    """K7: CREATE NAMESPACE IF NOT EXISTS (reference
+    src/jobs/transform_job.py:56-57)."""
+    spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {name}")
+
+
+def create_or_replace_table(
+    df: DataFrame,
+    table: str,
+    partition_cols: Sequence[str] = (),
+    properties: dict[str, str] | None = None,
+    provider: str = "parquet",
+) -> None:
+    """K2/K3: DataFrameWriterV2 createOrReplace, optionally partitioned
+    and with table properties (reference src/jobs/transform_job.py:60-64,
+    transform_job_glue.py:45-47).
+
+    Scale: partition columns should be low-cardinality (date, region);
+    the writer shuffles by partition expression only when the planner
+    needs it — pre-``repartition(*partition_cols)`` for one-file-per-
+    partition layouts."""
+    def _writer() -> object:
+        w = df.writeTo(table).using(provider)
+        for k, v in (properties or {}).items():
+            w = w.tableProperty(k, v)
+        if partition_cols:
+            from pyspark.sql import functions as F
+
+            w = w.partitionedBy(*[F.col(c) for c in partition_cols])
+        return w
+
+    try:
+        _writer().createOrReplace()
+    except Exception:
+        # The built-in V2 session catalog lacks atomic REPLACE TABLE AS
+        # SELECT for file providers; fall back to the reference's own
+        # non-atomic spelling (DROP IF EXISTS + CREATE — reference
+        # src/jobs/transform_job.py:59-64). Iceberg/Delta catalogs take
+        # the atomic path above.
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        _writer().create()
+
+
+def save_as_table(
+    df: DataFrame,
+    table: str,
+    mode: str = "overwrite",
+    partition_cols: Sequence[str] = (),
+) -> None:
+    """K2 (V1 spelling): saveAsTable for catalogs without V2 support."""
+    w = df.write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.saveAsTable(table)
+
+
+def export_single_parquet(df: DataFrame, path: str) -> None:
+    """K5/R2: single-file parquet export for BI hand-off (reference
+    notebooks/analysis.ipynb:145-146 COPY ... TO parquet; daily_job.py:41
+    coalesce(1)).
+
+    coalesce(1) funnels the final stage through one task — correct for
+    export-sized results (post-aggregation), wrong for raw data; callers
+    exporting >~1 GB should keep the natural partitioning."""
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def insert_ignore(
+    spark: SparkSession,
+    target_table: str,
+    df: DataFrame,
+    key_cols: Sequence[str],
+) -> int:
+    """K6: upsert/insert-ignore — the reference's ``INSERT ... ON
+    CONFLICT (user_name, listened_at) DO NOTHING`` against a UNIQUE key
+    (reference notebooks/analysis.ipynb:112-124).
+
+    Parquet tables have no unique constraints, so: dedup the incoming
+    batch on the key, anti-join against the target's existing keys, and
+    append only the novel rows. Returns the number of rows inserted.
+
+    Scale: the anti-join shuffles on the key (or broadcasts the batch
+    side when small — Catalyst picks); on Delta/Iceberg this whole
+    function is ``MERGE INTO t USING batch ON keys WHEN NOT MATCHED
+    THEN INSERT``."""
+    from pyspark.sql import functions as F
+
+    keys = list(key_cols)
+    batch = df.dropDuplicates(keys)
+    if spark.catalog.tableExists(target_table):
+        existing = spark.table(target_table).select(*keys)
+        novel = batch.join(existing, keys, "left_anti")
+    else:
+        novel = batch
+    novel = novel.cache()
+    try:
+        n = novel.count()
+        if n:
+            novel.write.mode("append").saveAsTable(target_table)
+    finally:
+        novel.unpersist()
+    return n
+
+
+def describe_tables(spark: SparkSession, namespace: str) -> dict[str, DataFrame]:
+    """K8: introspection dump — SHOW TABLES + DESCRIBE per table
+    (reference src/jobs/query_tables.py:18-32)."""
+    tables = spark.sql(f"SHOW TABLES IN {namespace}")
+    out: dict[str, DataFrame] = {}
+    for row in tables.collect():
+        name = f"{namespace}.{row.tableName}"
+        out[name] = spark.sql(f"DESCRIBE TABLE {name}")
+    return out
