@@ -349,23 +349,36 @@ def embedding_near_dup_pairs(
     n_lsh_bits=0 degrades to a single bucket (all pairs)."""
     from ..functions.vectors import as_double, cosine, multi_table_buckets
 
-    v = emb.select(
+    # Bucket table carries ids only; vectors are fetched once per
+    # *distinct* candidate pair. Scoring before dedup would evaluate the
+    # 64-dim cosine up to n_tables times per pair — measured 8x slower.
+    keyed = emb.select(
         F.col(id_col),
-        as_double(vec_col).alias("v"),
         F.posexplode(
             multi_table_buckets(vec_col, n_lsh_bits, n_tables)
         ).alias("tbl", "bucket"),
     )
-    a = v.alias("a")
-    b = v.alias("b")
-    return (
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    cand = (
         a.join(b, ["tbl", "bucket"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+        .distinct()
+    )
+    v = emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+    va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
     )

@@ -471,6 +471,36 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------- multimodal
+
+
+@query(
+    "media_features",
+    oracle="""
+    WITH m AS (SELECT doc_id, encode(coalesce(text, '')) AS b FROM documents)
+    SELECT doc_id,
+           CAST(octet_length(b) AS INT) AS n_bytes,
+           lower(substr(hex(b), 1, 8)) AS header_hex,
+           CAST(coalesce(list_sum(list_transform(
+                  generate_series(1, octet_length(b)),
+                  i -> CAST(('0x' || substr(hex(b), i*2-1, 2)) AS INT))), 0)
+                % 997 AS BIGINT) AS byte_sum_mod
+    FROM m
+    """,
+)
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing under the gate: documents -> opaque binary
+    payload + metadata struct -> Arrow-batched mapInPandas feature
+    extraction (operators/multimodal.py). The features are
+    deterministic byte-level functions so the Python-UDF path itself is
+    oracle-checked; a real image codec swaps in for the stub without
+    touching the pipeline."""
+    from .operators.multimodal import attach_fake_media, extract_media_features
+
+    d = load_table(spark, sf_dir, "documents")
+    return extract_media_features(attach_fake_media(d))
+
+
 # --------------------------------------------------------- corpus stats
 
 

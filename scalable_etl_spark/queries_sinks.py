@@ -12,7 +12,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .registry import query
-from .sinks import create_namespace, create_or_replace_table, insert_ignore
+from .sinks import (
+    create_namespace,
+    create_or_replace_table,
+    drop_table_and_location,
+    insert_ignore,
+)
 from .tables import load_table
 
 
@@ -63,7 +68,7 @@ def sink_insert_ignore(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id is unique in the testdata, so DISTINCT ON in the oracle is
     a formality matching dropDuplicates' any-winner semantics."""
     create_namespace(spark, "etl_gate")
-    spark.sql("DROP TABLE IF EXISTS etl_gate.ii_events")
+    drop_table_and_location(spark, "etl_gate.ii_events")
     insert_ignore(
         spark, "etl_gate.ii_events",
         load_table(spark, sf_dir, "events")

@@ -27,6 +27,28 @@ def create_namespace(spark: SparkSession, name: str) -> None:
     spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {name}")
 
 
+def drop_table_and_location(spark: SparkSession, table: str) -> None:
+    """DROP TABLE IF EXISTS *and* delete any orphaned managed location.
+
+    The in-memory session catalog forgets tables when the session ends
+    but leaves their files in the warehouse dir; a later CREATE of the
+    same name then fails with LOCATION_ALREADY_EXISTS. Deleting through
+    the Hadoop FileSystem API keeps this correct on any storage (local,
+    HDFS, S3A), not just the local FS."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    parts = table.split(".")
+    if len(parts) == 2:
+        ns, name = parts
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        location = f"{warehouse.rstrip('/')}/{ns}.db/{name}"
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(location)
+        fs = path.getFileSystem(hconf)
+        if fs.exists(path):
+            fs.delete(path, True)
+
+
 def create_or_replace_table(
     df: DataFrame,
     table: str,
@@ -58,10 +80,10 @@ def create_or_replace_table(
         # The built-in V2 session catalog lacks atomic REPLACE TABLE AS
         # SELECT for file providers; fall back to the reference's own
         # non-atomic spelling (DROP IF EXISTS + CREATE — reference
-        # src/jobs/transform_job.py:59-64). Iceberg/Delta catalogs take
-        # the atomic path above.
-        spark = df.sparkSession
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        # src/jobs/transform_job.py:59-64), also clearing any orphaned
+        # location left by a previous session. Iceberg/Delta catalogs
+        # take the atomic path above.
+        drop_table_and_location(df.sparkSession, table)
         _writer().create()
 
 
