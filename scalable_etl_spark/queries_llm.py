@@ -471,6 +471,41 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------------- sessionization
+
+
+@query(
+    "user_sessions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered)
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via Spark's native
+    session_window — one hash aggregation, sessions merged inside the
+    operator. The oracle is the classic gaps-and-islands spelling
+    (LAG + running SUM), proving the two formulations agree exactly."""
+    from .operators.sessions import sessionize
+
+    e = load_table(spark, sf_dir, "events")
+    return sessionize(e, ts_col="ts", key_col="user_id", gap="30 minutes")
+
+
 # ----------------------------------------------------------- multimodal
 
 
