@@ -1,0 +1,62 @@
+"""Lifecycle CLI tests: ingest (batch + stream) -> transform -> daily ->
+report, in-process via cli.main (same SparkSession via getOrCreate)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from scalable_etl_spark.cli import main
+
+
+@pytest.fixture(scope="module")
+def listens_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli_in")
+    recs = [
+        {"listened_at": 1704103200 + i * 3600, "recording_msid": f"m{i}",
+         "user_name": "alice" if i % 2 else "bob",
+         "track_metadata": {"track_name": f"T{i}", "artist_name": "A",
+                            "release_name": None, "additional_info": {}}}
+        for i in range(6)
+    ]
+    with open(d / "listens.jsonl", "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+    return str(d)
+
+
+def _run(capsys, *argv):
+    assert main(list(argv)) == 0
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_full_lifecycle(spark, listens_dir, tmp_path, capsys):
+    wh = str(tmp_path / "wh")
+    out = _run(capsys, "ingest", "--in", listens_dir, "--warehouse", wh)
+    assert out == {"bronze_rows": 6}
+
+    # Unique ts -> no silver dupes; gold = top listening DAYS per user,
+    # and all events land on 2024-01-01 -> one row per user.
+    out = _run(capsys, "transform", "--warehouse", wh)
+    assert out == {"silver_rows": 6, "gold_rows": 2}
+
+    daily_out = str(tmp_path / "daily")
+    out = _run(capsys, "daily", "--warehouse", wh, "--out", daily_out)
+    assert out == {"days": 1}  # all events on 2024-01-01
+
+    report = _run(capsys, "report", "--warehouse", wh)
+    assert set(report) == {"bronze_listens", "silver_listens", "gold_user_peaks"}
+    assert report["silver_listens"]["rows"] == 6
+    assert any(c.startswith("hour:") for c in report["silver_listens"]["schema"])
+
+
+def test_stream_ingest_cli(spark, listens_dir, tmp_path, capsys):
+    wh = str(tmp_path / "whs")
+    out = _run(capsys, "ingest", "--in", listens_dir, "--warehouse", wh,
+               "--stream")
+    assert out == {"bronze_rows": 6}
+    # Second run: checkpoint makes it a no-op, not a duplication.
+    out = _run(capsys, "ingest", "--in", listens_dir, "--warehouse", wh,
+               "--stream")
+    assert out == {"bronze_rows": 6}
