@@ -1,0 +1,93 @@
+"""Physical-layout operators for 100 TB shuffle hygiene: bucketed
+co-located joins and salted skew handling.
+
+The reference never needs these (its largest in-repo input is 4 rows);
+at the target scale they are the difference between a join that moves
+terabytes and one that moves nothing:
+
+- **Bucketing**: persist both sides of a repeated equi-join bucketed by
+  the join key -> Spark plans a SortMergeJoin with NO Exchange on
+  either side (verified by test_partitioning.py asserting the plan).
+  The shuffle is paid once at write time, amortized over every
+  downstream join/aggregation on that key.
+- **Salting**: a hot key (the reference's single-user skew, or a
+  dedup corpus where one template dominates) lands on one reducer and
+  stalls the stage. Salted two-phase aggregation splits each key into
+  ``n_salts`` partial groups, aggregates, then merges — bounded reducer
+  input at the cost of one extra (tiny) shuffle. AQE's skew-join
+  handles *join* skew at runtime; aggregation skew still needs salt.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` bucketed (and optionally sorted) by the join key.
+
+    Both sides of a later equi-join on ``bucket_cols`` with the same
+    ``n_buckets`` join shuffle-free. Pick ``n_buckets`` ~ total data /
+    (target 128 MB x growth headroom); buckets are fixed at write time.
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def salted_agg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    aggs: dict[str, str],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation for skewed group keys.
+
+    ``aggs`` maps column -> 'sum' | 'count' | 'min' | 'max' (the
+    re-aggregable functions; avg must be decomposed by the caller into
+    sum+count). Phase 1 groups by (key, salt) — hot keys spread over
+    ``n_salts`` reducers; phase 2 merges the partials per key.
+    """
+    merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    first_fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    for c, how in aggs.items():
+        if how not in first_fn:
+            raise ValueError(f"non-re-aggregable function {how!r} for {c!r}")
+    salted = df.withColumn(
+        "__salt", (F.rand(seed=42) * n_salts).cast("int")
+    )
+    phase1 = salted.groupBy(*group_cols, "__salt").agg(
+        *[first_fn[how](c).alias(f"__p_{c}") for c, how in aggs.items()]
+    )
+    return phase1.groupBy(*group_cols).agg(
+        *[
+            merge_fn[how](f"__p_{c}").alias(f"{c}_{how}")
+            for c, how in aggs.items()
+        ]
+    )
+
+
+def explain_str(df: DataFrame) -> str:
+    """Executed-plan string (for plan assertions in tests/audits)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of SHUFFLE Exchange operators in the physical plan
+    (executedPlan: in Spark 4 ``sparkPlan`` precedes EnsureRequirements,
+    so exchanges only exist in the executed/adaptive plan).
+    BroadcastExchange is excluded: it ships one small side to every
+    executor, not a repartitioning of the data."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Exchange") - plan.count("BroadcastExchange")

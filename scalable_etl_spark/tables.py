@@ -43,8 +43,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     dtypes = dict(df.dtypes)
     for c in _TS_NANOS_COLS.get(name, ()):
         if dtypes.get(c) == "bigint":
-            # integer div (not fp) — 1.7e18 ns exceeds double's exact range
-            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+            # Integer FLOOR division (not fp — 1.7e18 ns exceeds double's
+            # exact range, and not `div` — Spark's div truncates toward
+            # zero while DuckDB's TIMESTAMP_NS cast floors, so pre-1970
+            # nanos would round the other way): floor(a/b) for b>0 is
+            # (a - ((a % b + b) % b)) / b.
+            df = df.withColumn(
+                c,
+                F.expr(
+                    f"timestamp_micros(({c} - (({c} % 1000 + 1000) % 1000))"
+                    " div 1000)"
+                ),
+            )
     return df
 
 
