@@ -350,6 +350,44 @@ def value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "nulls_last_ranking",
+    oracle="""
+    WITH agg AS (
+      SELECT user_id, event_type,
+             ROUND(MAX(CASE WHEN event_type = 'error' THEN NULL
+                            ELSE value END), 2) AS max_v
+      FROM events GROUP BY 1, 2)
+    SELECT user_id, event_type, max_v
+    FROM agg
+    ORDER BY max_v ASC NULLS LAST, user_id ASC, event_type ASC
+    LIMIT 20
+    """,
+)
+def nulls_last_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 explicit NULLS LAST under LIMIT: error groups aggregate to
+    NULL max_v; ascending order must push them past the cutoff. Spark's
+    asc default is nulls FIRST (DuckDB's is nulls last), so the
+    explicit asc_nulls_last is exactly what makes both engines agree —
+    dropping it changes which rows the LIMIT keeps."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("value")
+    )
+    agg = ev.groupBy("user_id", "event_type").agg(
+        F.round(F.max(v), 2).alias("max_v")
+    )
+    return global_top_k(
+        agg,
+        [
+            F.col("max_v").asc_nulls_last(),
+            F.col("user_id").asc(),
+            F.col("event_type").asc(),
+        ],
+        20,
+    )
+
+
+@query(
     "gold_schema_merge",
     oracle="""
     WITH daily AS (
