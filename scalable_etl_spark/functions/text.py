@@ -43,6 +43,22 @@ def token_count(col: str | Column = "text") -> Column:
     return F.size(tokens(col))
 
 
+# BPE-ish pre-tokenizer classes: letter runs, digit runs, single
+# punctuation marks — the split a byte-pair tokenizer starts from.
+# ASCII classes only, so Java (Spark) and RE2-ish (DuckDB) regex
+# engines agree byte-for-byte; DuckDB spelling:
+#   regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')
+BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def bpe_tokens(col: str | Column = "text") -> Column:
+    """Regex pre-tokenization (letters/digits/punct marks)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(
+        F.coalesce(c, F.lit("")), F.lit(BPE_TOKEN_RE), 0
+    )
+
+
 def unique_token_count(col: str | Column = "text") -> Column:
     return F.size(F.array_distinct(tokens(col)))
 

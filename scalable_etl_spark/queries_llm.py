@@ -471,6 +471,41 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "bpe_token_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(coalesce(text, ''),
+               '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]') AS toks
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_bpe_tokens,
+           CAST(len(list_distinct(toks)) AS INT) AS n_bpe_unique,
+           CAST(len(list_filter(toks, x -> x ~ '^[0-9]+$')) AS INT)
+             AS n_number_tokens
+    FROM t
+    """,
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenization counts (letter runs / digit runs /
+    single punctuation) — the token accounting an LLM-data pipeline
+    runs before a real BPE vocabulary is applied. Pure regexp
+    expressions, codegen-side, no shuffle."""
+    from .functions.text import bpe_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = bpe_tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_bpe_unique"),
+        F.size(
+            F.filter(toks, lambda t: t.rlike("^[0-9]+$"))
+        ).alias("n_number_tokens"),
+    )
+
+
 # -------------------------------------------------------- sessionization
 
 
