@@ -83,28 +83,40 @@ def lsh_topk(
     """
     from ..functions.vectors import multi_table_buckets
 
-    q = queries.select(
+    # Candidate ids first, vectors later: a pair colliding in several
+    # tables must score its 64-dim cosine exactly once, and the
+    # (tbl, bucket) join should move ids, not embedding arrays.
+    q_keyed = queries.select(
         F.col(id_col).alias("query_id"),
-        as_double(vec_col).alias("qv"),
         F.posexplode(
             multi_table_buckets(vec_col, n_lsh_bits, n_tables)
         ).alias("tbl", "bucket"),
     )
-    c = corpus.select(
+    c_keyed = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        as_double(vec_col).alias("cv"),
         F.posexplode(
             multi_table_buckets(vec_col, n_lsh_bits, n_tables)
         ).alias("tbl", "bucket"),
+    )
+    cand = (
+        c_keyed.join(F.broadcast(q_keyed), ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
     )
     scored = (
-        c.join(F.broadcast(q), ["tbl", "bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
             F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     return _ranked_topk(scored, k)
