@@ -61,6 +61,78 @@ def brute_force_topk(
     return _ranked_topk(scored, k)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    ``n_cells`` Voronoi cells, search only the query's ``n_probe``
+    nearest cells.
+
+    Centroids are the ``n_cells`` corpus vectors with the smallest
+    ``portable_hash64(id)`` — a deterministic pseudo-random sample, so
+    the DuckDB oracle replays the identical cells (a k-means refinement
+    would improve cell balance but break exact replay; at 100 TB you'd
+    train centroids offline and broadcast them exactly the same way).
+
+    Scale shape: assignment = corpus x n_cells cosines against a
+    broadcast centroid table (narrow map stage + top-1 window per row);
+    probing = candidates restricted to n_probe cells, equi-joined on
+    cell id. Corpus never self-joins; raising n_cells keeps per-cell
+    scan size ~ |corpus| / n_cells.
+    """
+    from ..functions.text import portable_hash64
+
+    cents = (
+        corpus.select(
+            F.col(id_col).alias("centroid_id"),
+            as_double(vec_col).alias("centv"),
+            portable_hash64(F.col(id_col).cast("string")).alias("__h"),
+        )
+        .orderBy(F.col("__h").asc(), F.col("centroid_id").asc())
+        .limit(n_cells)
+        .drop("__h")
+    )
+
+    def assign(side: DataFrame, out_id: str, vec_out: str, top: int) -> DataFrame:
+        v = side.select(
+            F.col(id_col).alias(out_id), as_double(vec_col).alias(vec_out)
+        )
+        scored = v.join(F.broadcast(cents)).select(
+            out_id,
+            vec_out,
+            "centroid_id",
+            F.round(cosine(F.col(vec_out), F.col("centv")), 6).alias("__c"),
+        )
+        w = Window.partitionBy(out_id).orderBy(
+            F.col("__c").desc(), F.col("centroid_id").asc()
+        )
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= top)
+            .select(out_id, vec_out, "centroid_id")
+        )
+
+    c_cells = assign(corpus, "neighbor_id", "cv", 1)
+    q_cells = assign(queries, "query_id", "qv", n_probe)
+    scored = (
+        c_cells.join(F.broadcast(q_cells), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    return _ranked_topk(scored, k)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

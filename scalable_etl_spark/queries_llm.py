@@ -41,7 +41,7 @@ from .operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
-from .operators.similarity import brute_force_topk, lsh_topk
+from .operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from .registry import query
 from .tables import load_table
 
@@ -569,6 +569,60 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return extract_media_features(attach_fake_media(d))
+
+
+@query(
+    "ann_ivf",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+      SELECT vec_id AS centroid_id, v AS centv
+      FROM e
+      ORDER BY CAST(('0x' || substr(md5('0:' || CAST(vec_id AS VARCHAR)),
+                     1, 15)) AS BIGINT) ASC, vec_id ASC
+      LIMIT 16),
+    c_assign AS (
+      SELECT neighbor_id, cv, centroid_id FROM (
+        SELECT e.vec_id AS neighbor_id, e.v AS cv, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND(list_dot_product(e.v, c.centv)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(c.centv, c.centv))), 6) DESC,
+                   c.centroid_id ASC) AS r
+        FROM e CROSS JOIN cents c) WHERE r = 1),
+    q_assign AS (
+      SELECT query_id, qv, centroid_id FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND(list_dot_product(e.v, c.centv)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(c.centv, c.centv))), 6) DESC,
+                   c.centroid_id ASC) AS r
+        FROM e CROSS JOIN cents c WHERE e.vec_id < 10) WHERE r <= 4),
+    scored AS (
+      SELECT DISTINCT query_id, neighbor_id, qv, cv
+      FROM c_assign JOIN q_assign USING (centroid_id)
+      WHERE query_id <> neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, {_COS_SQL} AS cos_sim,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {_COS_SQL} DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: 16 deterministic centroid cells, queries
+    probe their 4 nearest cells (operators/similarity.py ivf_topk). The
+    oracle replays the identical centroid sample and cell assignment."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        e, e.filter(F.col("vec_id") < 10), k=5, n_cells=16, n_probe=4
+    )
 
 
 # --------------------------------------------------------- corpus stats

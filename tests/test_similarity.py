@@ -63,6 +63,27 @@ def test_lsh_recall_vs_brute_force(spark):
 
 
 @pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata missing")
+def test_ivf_recall_vs_brute_force(spark):
+    from scalable_etl_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, q, k=5, n_cells=16, n_probe=4).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    # Probing 4 of 16 cells scans ~25% of the corpus; near neighbors
+    # concentrate in the probed cells, so recall must beat that floor
+    # by a wide margin.
+    assert recall >= 0.6, f"IVF recall {recall:.2f} too low"
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata missing")
 def test_lsh_buckets_are_populated(spark):
     """Random-hyperplane buckets must spread vectors (the axis-aligned
     predecessor collapsed most rows into one bucket — VERDICT r01)."""
