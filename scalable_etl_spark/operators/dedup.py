@@ -130,6 +130,31 @@ def ngram_jaccard_pairs(
     )
 
 
+def drop_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perms: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Materialize the deduplicated corpus: greedy min-id keeper over
+    MinHash near-dup pairs (id_a < id_b -> drop id_b).
+
+    One anti-join against the pair table's b-side. Greedy-by-id is the
+    standard large-scale policy (a full connected-components pass needs
+    iterative joins); exact duplicates have Jaccard 1.0, so they are
+    subsumed by any threshold <= 1. Chains collapse to their minimum id
+    transitively: in a-b-c, b and c each appear as some pair's b-side."""
+    pairs = minhash_lsh_pairs(
+        df, num_perms=num_perms, bands=bands, threshold=threshold,
+        text_col=text_col, id_col=id_col, k=k,
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
 # --------------------------------------------------------- MinHash + LSH
 
 

@@ -35,6 +35,7 @@ from .functions.text import (
 )
 from .functions.vectors import multi_table_buckets_sql
 from .operators.dedup import (
+    drop_near_duplicates,
     embedding_near_dup_pairs,
     exact_dedup_groups,
     minhash_lsh_pairs,
@@ -316,6 +317,48 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches bit-for-bit — the 100 TB dedup path, checked exactly."""
     d = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, num_perms=16, bands=4, threshold=0.8)
+
+
+@query(
+    "near_dedup_corpus",
+    oracle=f"""
+    WITH {_MINHASH_SIG_SQL},
+    banded AS (
+      SELECT doc_id, CAST(perm // 4 AS INT) AS band,
+             md5(array_to_string(list_sort(
+               list(perm::VARCHAR || ':' || min_hash::VARCHAR)), ','))
+               AS bucket
+      FROM mh GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b USING (band, bucket)
+      WHERE a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS nc
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2),
+    losers AS (
+      SELECT DISTINCT id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE ROUND(nc / (sa.sz + sb.sz - nc), 4) >= 0.8)
+    SELECT doc_id, lang, source
+    FROM documents WHERE doc_id NOT IN (SELECT id_b FROM losers)
+    """,
+)
+def near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup *applied*: materialize the cleaned corpus by dropping
+    the b-side of every verified MinHash near-dup pair (greedy min-id
+    keeper; exact dups have Jaccard 1.0 and are subsumed). This is the
+    query a training-data pipeline actually ships."""
+    d = load_table(spark, sf_dir, "documents")
+    return drop_near_duplicates(d, threshold=0.8).select(
+        "doc_id", "lang", "source"
+    )
 
 
 @query(
