@@ -111,6 +111,50 @@ def extract_media_features(
     )
 
 
+def grouped_zscore(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group z-score via grouped-map ``applyInPandas`` — the third
+    Arrow surface (mapInPandas: stateless stream; applyInPandasWithState:
+    streaming state; this: whole-group pandas logic).
+
+    The z-score itself is SQL-expressible (that is what puts this path
+    under the oracle gate); the pattern is for group-level Python that
+    is NOT — per-group model scoring, sklearn transforms, etc.
+
+    Scale: one shuffle on the group key; each group must fit in one
+    executor's pandas frame — keep groups bounded (language/source
+    partitions, not the whole corpus)."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(group_col, T.StringType()),
+            T.StructField("zscore", T.DoubleType()),
+        ]
+    )
+
+    def z(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        v = pdf[value_col].astype("float64")
+        std = v.std(ddof=0)
+        zs = (v - v.mean()) / std if std > 0 else v * 0.0
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                group_col: pdf[group_col],
+                "zscore": zs.round(6),
+            }
+        )
+
+    return df.select(id_col, group_col, value_col).groupBy(group_col).applyInPandas(
+        z, schema=out_schema
+    )
+
+
 def sample_frames(
     media: DataFrame,
     every_ms: int = 1000,

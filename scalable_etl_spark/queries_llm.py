@@ -668,6 +668,27 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_len_zscore_by_lang",
+    oracle="""
+    SELECT doc_id, lang,
+           ROUND(CASE WHEN stddev_pop(n_chars) OVER (PARTITION BY lang) > 0
+                 THEN (n_chars - avg(n_chars) OVER (PARTITION BY lang))
+                      / stddev_pop(n_chars) OVER (PARTITION BY lang)
+                 ELSE 0.0 END, 6) AS zscore
+    FROM documents
+    """,
+)
+def doc_len_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length z-score via grouped-map applyInPandas
+    (operators/multimodal.py grouped_zscore) — the Arrow grouped-map
+    surface under the gate; the oracle is the pure-SQL window spelling."""
+    from .operators.multimodal import grouped_zscore
+
+    d = load_table(spark, sf_dir, "documents")
+    return grouped_zscore(d, group_col="lang", value_col="n_chars")
+
+
 # --------------------------------------------------------- corpus stats
 
 
