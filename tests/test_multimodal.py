@@ -48,3 +48,26 @@ def test_sample_frames_shape(media):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_grouped_zscore(spark):
+    from scalable_etl_spark.operators.multimodal import grouped_zscore
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", 10.0),
+            (2, "en", 20.0),
+            (3, "en", 30.0),
+            (4, "de", 7.0),
+            (5, "de", 7.0),  # zero-variance group -> zscore 0.0
+        ],
+        ["doc_id", "lang", "n_chars"],
+    )
+    out = {r.doc_id: r.zscore for r in grouped_zscore(df, "lang", "n_chars").collect()}
+    import math
+
+    s = math.sqrt(200 / 3)  # population std of {10,20,30}
+    assert out[1] == pytest.approx(round(-10 / s, 6))
+    assert out[2] == 0.0
+    assert out[3] == pytest.approx(round(10 / s, 6))
+    assert out[4] == 0.0 and out[5] == 0.0
