@@ -76,21 +76,72 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
-    max_shingle_fanout: int | None = 10_000,
+    max_shingle_fanout: int | None = None,
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """All-pairs Jaccard over distinct k-word shingle sets, via a
-    shingle self-join (inverted index). Exact but quadratic within hot
-    shingles — the verification stage of the LSH pipeline at scale;
-    prefer ``minhash_lsh_pairs`` for full-corpus dedup.
+    """EXACT Jaccard >= threshold pairs over distinct k-word shingle
+    sets, with prefix filtering (ALL-Pairs / PPJoin, Xiao et al. 2008,
+    public algorithm): order shingles globally rarest-first; any pair
+    with J >= t shares >= t*max(|a|,|b|) shingles, so each doc's first
+    |s| - ceil(t*|s|) + 1 shingles in that order must contain a common
+    one. Only those (rare) prefix shingles are indexed -> candidate
+    generation cost collapses from sum(df^2) over ALL shingles to the
+    rare tail, with zero recall loss. A size-ratio filter
+    (t*max <= min) prunes further before exact verification.
 
-    ``max_shingle_fanout`` guards the quadratic blowup: shingles shared
-    by more than that many docs are dropped from the index (a shingle in
-    10k+ docs carries ~no similarity signal but would generate 10^8
-    candidate pairs). Pass None to disable (exact, dangerous at scale).
+    ``prefix_filter=False`` falls back to the plain inverted-index
+    self-join; ``max_shingle_fanout`` optionally drops ultra-hot
+    shingles there (LOSSY — only sane for verification of LSH
+    candidates where the hot shingle carries no signal).
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
+    from pyspark.sql import Window
+
     sh = shingle_table(df, text_col, id_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
+
+    if prefix_filter:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+        ranked = (
+            sh.join(freq, "shingle")
+            .join(sizes, id_col)
+            .withColumn(
+                "__rk",
+                F.row_number().over(
+                    Window.partitionBy(id_col).orderBy(
+                        F.col("__df").asc(), F.col("shingle").asc()
+                    )
+                ),
+            )
+            .filter(
+                F.col("__rk")
+                <= F.col("set_size")
+                - F.ceil(F.lit(threshold) * F.col("set_size"))
+                + 1
+            )
+            .select(id_col, "shingle", "set_size")
+        )
+        a = ranked.alias("a")
+        b = ranked.alias("b")
+        cand = (
+            a.join(b, "shingle")
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .filter(
+                F.lit(threshold)
+                * F.greatest(F.col("a.set_size"), F.col("b.set_size"))
+                <= F.least(F.col("a.set_size"), F.col("b.set_size"))
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+        return verify_jaccard(sh, cand, id_col).filter(
+            F.col("jaccard") >= threshold
+        )
+
     if max_shingle_fanout is not None:
         hot = (
             sh.groupBy("shingle")
@@ -101,7 +152,6 @@ def ngram_jaccard_pairs(
         join_sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     else:
         join_sh = sh
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
     a = join_sh.alias("a")
     b = join_sh.alias("b")
     inter = (

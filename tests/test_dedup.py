@@ -98,11 +98,40 @@ def test_simhash_near_pairs_close_docs(spark):
 
 def test_hot_shingle_fanout_guard(spark):
     # Every doc shares the same 3 tokens -> one hot shingle; with the
-    # guard at fanout<=2 the shared shingle is dropped and no pairs emerge.
+    # (lossy, opt-in) guard at fanout<=2 the shared shingle is dropped
+    # and no pairs emerge from the plain inverted-index path.
     df = spark.createDataFrame(
         [(i, "common shingle here") for i in range(10)], ["doc_id", "text"]
     )
-    guarded = ngram_jaccard_pairs(df, threshold=0.1, max_shingle_fanout=2)
+    guarded = ngram_jaccard_pairs(
+        df, threshold=0.1, prefix_filter=False, max_shingle_fanout=2
+    )
     assert guarded.count() == 0
-    unguarded = ngram_jaccard_pairs(df, threshold=0.1, max_shingle_fanout=None)
+    unguarded = ngram_jaccard_pairs(df, threshold=0.1, prefix_filter=False)
     assert unguarded.count() == 45  # all C(10,2) identical pairs
+    # Prefix filtering is EXACT: identical result, pruned index.
+    assert ngram_jaccard_pairs(df, threshold=0.1).count() == 45
+
+
+def test_prefix_filter_matches_brute_force(spark):
+    import random
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        (i, " ".join(rng.choices(vocab, k=rng.randrange(5, 25))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for t in (0.3, 0.6, 0.9):
+        fast = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in ngram_jaccard_pairs(df, threshold=t).collect()
+        }
+        brute = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in ngram_jaccard_pairs(
+                df, threshold=t, prefix_filter=False
+            ).collect()
+        }
+        assert fast == brute, f"threshold {t}"
