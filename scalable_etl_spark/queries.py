@@ -388,6 +388,38 @@ def nulls_last_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_value_by_type",
+    oracle="""
+    SELECT event_type,
+           ROUND(SUM(value), 2) AS value_sum,
+           MAX(value) AS value_max
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation under the gate: two-phase salted_agg
+    (operators/partitioning.py) — hot keys spread over 16 salted
+    partials, then merged. The merged result is salt-independent, so the
+    oracle is the plain GROUP BY."""
+    from .operators.partitioning import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev.select("event_type", "value"),
+        ["event_type"],
+        {"value": "sum"},
+        n_salts=16,
+    ).withColumn("value_sum", F.round("value_sum", 2))
+    mx = salted_agg(
+        ev.select("event_type", "value"), ["event_type"], {"value": "max"},
+        n_salts=16,
+    )
+    return out.join(mx, "event_type").select(
+        "event_type", "value_sum", "value_max"
+    )
+
+
+@query(
     "gold_schema_merge",
     oracle="""
     WITH daily AS (
