@@ -22,6 +22,32 @@ from pyspark.sql import functions as F
 EMBEDDING_DIM = 64  # driver testdata embeddings.parquet: FLOAT[64]
 
 
+def l2_norm_pandas(col: str | Column) -> Column:
+    """L2 norm via a scalar ``@pandas_udf`` — the Arrow scalar-UDF
+    surface. Numerically identical to the JVM ``norm`` expression
+    (both accumulate float64), so it sits under the oracle gate; use
+    the JVM ``norm`` in hot paths, this form when the per-value logic
+    outgrows SQL expressions (numpy/scipy per element)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # NB: this module uses `from __future__ import annotations`, which
+    # stringifies type hints — pandas_udf cannot introspect them
+    # (UNSUPPORTED_SIGNATURE), so the eval type is passed explicitly.
+    def _norm_fn(v):
+        import numpy as np
+
+        return v.map(
+            lambda a: float(np.sqrt(np.dot(a, a)))
+            if a is not None
+            else None
+        )
+
+    _norm = pandas_udf(_norm_fn, "double", PandasUDFType.SCALAR)
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _norm(c.cast("array<double>"))
+
+
 def as_double(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return c.cast("array<double>")

@@ -615,6 +615,27 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id, label,
+           ROUND(sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar @pandas_udf surface under the gate: per-vector L2 norm
+    computed in numpy over Arrow batches, equal to the SQL spelling at
+    float64 (functions/vectors.py l2_norm_pandas)."""
+    from .functions.vectors import l2_norm_pandas
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", "label", F.round(l2_norm_pandas("embedding"), 6).alias("l2_norm")
+    )
+
+
+@query(
     "ann_ivf",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
