@@ -22,7 +22,7 @@ import argparse
 import json
 import sys
 
-from pyspark.sql import SparkSession, functions as F
+from pyspark.sql import SparkSession
 
 from .medallion import (
     flatten_listens,

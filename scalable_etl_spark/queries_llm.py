@@ -23,7 +23,6 @@ from .functions.text import (
     LANG_MARKERS,
     STOPWORDS,
     content_hash,
-    fingerprint_hex,
     marker_count,
     normalized_text,
     portable_hash64,
