@@ -208,17 +208,14 @@ def drop_near_duplicates(
 # --------------------------------------------------------- MinHash + LSH
 
 
-def minhash_signatures(
+def _minhash_wide(
     df: DataFrame,
-    num_perms: int = 16,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k: int = 3,
+    num_perms: int,
+    text_col: str,
+    id_col: str,
+    k: int,
 ) -> DataFrame:
-    """(id, perm, min_hash): MinHash signature rows.
-
-    Uses the portable md5-derived hash family (seed = perm index) so
-    signatures are engine-independent.
+    """One row per doc with ``num_perms`` min-hash columns h0..h{n-1}.
 
     Shape: explode shingles ONCE, project the ``num_perms`` hashes as
     plain columns (whole-stage codegen — array higher-order functions
@@ -239,9 +236,24 @@ def minhash_signatures(
             for p in range(num_perms)
         ],
     )
-    wide = hashed.groupBy(id_col).agg(
+    return hashed.groupBy(id_col).agg(
         *[F.min(f"h{p}").alias(f"h{p}") for p in range(num_perms)]
     )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_perms: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """(id, perm, min_hash): MinHash signature rows.
+
+    Uses the portable md5-derived hash family (seed = perm index) so
+    signatures are engine-independent. See ``_minhash_wide`` for the
+    one-shuffle aggregation shape."""
+    wide = _minhash_wide(df, num_perms, text_col, id_col, k)
     return wide.select(
         F.col(id_col),
         F.posexplode(
@@ -271,26 +283,38 @@ def minhash_lsh_pairs(
             "requested recall guarantee"
         )
     rows_per_band = num_perms // bands
-    sig = minhash_signatures(df, num_perms, text_col, id_col, k)
-    banded = (
-        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.array_sort(
-                        F.collect_list(
+    # Band buckets come straight off the wide signature row — zero extra
+    # shuffles beyond the one signature aggregation. The bucket string
+    # (md5 of the lexically sorted "perm:min_hash" list) is identical to
+    # the posexplode+collect_list spelling, so the DuckDB oracle's
+    # groupBy-based replay produces the same buckets bit-for-bit.
+    wide = _minhash_wide(df, num_perms, text_col, id_col, k)
+    band_buckets = [
+        F.md5(
+            F.array_join(
+                F.array_sort(
+                    F.array(
+                        *[
                             F.concat_ws(
                                 ":",
-                                F.col("perm").cast("string"),
-                                F.col("min_hash").cast("string"),
+                                F.lit(str(p)),
+                                F.col(f"h{p}").cast("string"),
                             )
-                        )
-                    ),
-                    ",",
-                )
-            ).alias("bucket")
+                            for p in range(
+                                band * rows_per_band,
+                                (band + 1) * rows_per_band,
+                            )
+                        ]
+                    )
+                ),
+                ",",
+            )
         )
+        for band in range(bands)
+    ]
+    banded = wide.select(
+        F.col(id_col),
+        F.posexplode(F.array(*band_buckets)).alias("band", "bucket"),
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -441,6 +465,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     n_lsh_bits: int = 2,
     n_tables: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vectors by cosine >= threshold, bucketed by
     multi-table random-hyperplane sign-LSH (OR-construction) so each
@@ -452,7 +477,13 @@ def embedding_near_dup_pairs(
     population ~ |corpus| / 2^b — raise ``n_lsh_bits`` with corpus size
     to bound the per-bucket self-join. Exact variant: n_tables=1,
     n_lsh_bits=0 degrades to a single bucket (all pairs)."""
-    from ..functions.vectors import as_double, cosine, multi_table_buckets
+    from ..functions.vectors import (
+        EMBEDDING_DIM,
+        as_double,
+        cosine_prenormed,
+        multi_table_buckets,
+        norm,
+    )
 
     # Bucket table carries ids only; vectors are fetched once per
     # *distinct* candidate pair. Scoring before dedup would evaluate the
@@ -460,7 +491,7 @@ def embedding_near_dup_pairs(
     keyed = emb.select(
         F.col(id_col),
         F.posexplode(
-            multi_table_buckets(vec_col, n_lsh_bits, n_tables)
+            multi_table_buckets(vec_col, n_lsh_bits, n_tables, dim or EMBEDDING_DIM)
         ).alias("tbl", "bucket"),
     )
     a = keyed.alias("a")
@@ -474,16 +505,28 @@ def embedding_near_dup_pairs(
         )
         .distinct()
     )
-    v = emb.select(F.col(id_col), as_double(vec_col).alias("v"))
-    va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-    vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    # Norm once per vector; pair scoring is then a single unrolled dot.
+    v = emb.select(F.col(id_col), as_double(vec_col).alias("v")).withColumn(
+        "n", norm(F.col("v"), dim)
+    )
+    va = v.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    vb = v.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(
+                cosine_prenormed(
+                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb"), dim
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double, cosine, sign_lsh_bucket
+from ..functions.vectors import as_double, cosine, cosine_prenormed, norm
 
 
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -38,24 +38,32 @@ def brute_force_topk(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Output: (query_id, neighbor_id, cos_sim, rank). Self-matches are
-    excluded by id inequality."""
+    excluded by id inequality. Norms are computed once per vector (not
+    per pair), and with ``dim`` the dot product is an unrolled codegen
+    expression — pair scoring is a single fused dot per (q, c)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-    )
+    ).withColumn("qn", norm(F.col("qv"), dim))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
-    )
+    ).withColumn("cn", norm(F.col("cv"), dim))
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(
+                cosine_prenormed(
+                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"), dim
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
     return _ranked_topk(scored, k)
@@ -69,6 +77,7 @@ def ivf_topk(
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
     ``n_cells`` Voronoi cells, search only the query's ``n_probe``
@@ -107,7 +116,7 @@ def ivf_topk(
             out_id,
             vec_out,
             "centroid_id",
-            F.round(cosine(F.col(vec_out), F.col("centv")), 6).alias("__c"),
+            F.round(cosine(F.col(vec_out), F.col("centv"), dim), 6).alias("__c"),
         )
         w = Window.partitionBy(out_id).orderBy(
             F.col("__c").desc(), F.col("centroid_id").asc()
@@ -126,7 +135,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(cosine(F.col("qv"), F.col("cv"), dim), 6).alias("cos_sim"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -141,6 +150,7 @@ def lsh_topk(
     n_tables: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via multi-table sign-LSH (OR-construction):
     candidates = union over ``n_tables`` independent bucketings, then
@@ -153,21 +163,22 @@ def lsh_topk(
     stays equi-key; per-bucket population ~ |corpus| / 2^b per table,
     so raise ``n_lsh_bits`` as the corpus grows to keep buckets bounded.
     """
-    from ..functions.vectors import multi_table_buckets
+    from ..functions.vectors import EMBEDDING_DIM, multi_table_buckets
 
+    hp_dim = dim or EMBEDDING_DIM
     # Candidate ids first, vectors later: a pair colliding in several
     # tables must score its 64-dim cosine exactly once, and the
     # (tbl, bucket) join should move ids, not embedding arrays.
     q_keyed = queries.select(
         F.col(id_col).alias("query_id"),
         F.posexplode(
-            multi_table_buckets(vec_col, n_lsh_bits, n_tables)
+            multi_table_buckets(vec_col, n_lsh_bits, n_tables, hp_dim)
         ).alias("tbl", "bucket"),
     )
     c_keyed = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.posexplode(
-            multi_table_buckets(vec_col, n_lsh_bits, n_tables)
+            multi_table_buckets(vec_col, n_lsh_bits, n_tables, hp_dim)
         ).alias("tbl", "bucket"),
     )
     cand = (
@@ -178,17 +189,22 @@ def lsh_topk(
     )
     qv = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-    )
+    ).withColumn("qn", norm(F.col("qv"), dim))
     cv = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
-    )
+    ).withColumn("cn", norm(F.col("cv"), dim))
     scored = (
         cand.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(
+                cosine_prenormed(
+                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"), dim
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
     return _ranked_topk(scored, k)

@@ -32,7 +32,7 @@ from .functions.text import (
     tokens,
     unique_token_count,
 )
-from .functions.vectors import multi_table_buckets_sql
+from .functions.vectors import EMBEDDING_DIM, multi_table_buckets_sql
 from .operators.dedup import (
     drop_near_duplicates,
     embedding_near_dup_pairs,
@@ -435,7 +435,9 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     every join equi-key, never all-pairs. The oracle embeds the identical
     hyperplane literals and replays the identical candidate set."""
     e = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(e, threshold=0.42, n_lsh_bits=2, n_tables=8)
+    return embedding_near_dup_pairs(
+        e, threshold=0.42, n_lsh_bits=2, n_tables=8, dim=EMBEDDING_DIM
+    )
 
 
 # ------------------------------------------------------------------ ANN
@@ -469,7 +471,9 @@ def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus streams through one narrow stage — no corpus shuffle at any
     scale (operators/similarity.py)."""
     e = load_table(spark, sf_dir, "embeddings")
-    return brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+    return brute_force_topk(
+        e, e.filter(F.col("vec_id") < 10), k=5, dim=EMBEDDING_DIM
+    )
 
 
 @query(
@@ -509,7 +513,8 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets."""
     e = load_table(spark, sf_dir, "embeddings")
     return lsh_topk(
-        e, e.filter(F.col("vec_id") < 10), k=5, n_lsh_bits=2, n_tables=8
+        e, e.filter(F.col("vec_id") < 10), k=5, n_lsh_bits=2, n_tables=8,
+        dim=EMBEDDING_DIM,
     )
 
 
@@ -684,7 +689,8 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the identical centroid sample and cell assignment."""
     e = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(
-        e, e.filter(F.col("vec_id") < 10), k=5, n_cells=16, n_probe=4
+        e, e.filter(F.col("vec_id") < 10), k=5, n_cells=16, n_probe=4,
+        dim=EMBEDDING_DIM,
     )
 
 
