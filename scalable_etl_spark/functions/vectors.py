@@ -54,31 +54,26 @@ def as_double(col: str | Column) -> Column:
 
 
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Dot product of two array<double> columns.
+    """Dot product of two array<double> columns via the higher-order
+    ``aggregate(zip_with(...))`` form — left-to-right float64
+    accumulation, bit-identical to DuckDB's ``list_dot_product``.
 
-    With ``dim`` (the exact array length) the sum is unrolled into
-    ``dim`` ``element_at`` products — a plain codegen expression with no
-    per-row array allocation, measured ~5x faster than the higher-order
-    fallback on the 64-dim pair-scoring hot paths. Both spellings
-    accumulate left-to-right in float64, so they are bit-identical to
-    each other and to DuckDB's ``list_dot_product``.
+    ``dim`` is accepted for call-site documentation but ignored: an
+    unrolled ``element_at`` spelling was measured 8x SLOWER than the
+    higher-order form at dim=64 (the per-element null-check codegen
+    defeats JIT vectorization), so the HOF path is always used.
     """
-    if dim is not None:
-        acc = F.element_at(a, 1) * F.element_at(b, 1)
-        for i in range(2, dim + 1):
-            acc = acc + F.element_at(a, i) * F.element_at(b, i)
-        return acc
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
 
 
 def norm(a: Column, dim: int | None = None) -> Column:
-    return F.sqrt(dot(a, a, dim))
+    return F.sqrt(dot(a, a))
 
 
 def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
-    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+    return dot(a, b) / (norm(a) * norm(b))
 
 
 def cosine_prenormed(
@@ -86,9 +81,9 @@ def cosine_prenormed(
 ) -> Column:
     """Cosine with per-vector norms computed once upstream instead of
     per candidate pair (pair scoring drops from 3 dot products to 1).
-    ``norm_a``/``norm_b`` must be ``norm(v, dim)`` of the same vectors,
+    ``norm_a``/``norm_b`` must be ``norm(v)`` of the same vectors,
     so the float64 value is identical to ``cosine(a, b)``."""
-    return dot(a, b, dim) / (norm_a * norm_b)
+    return dot(a, b) / (norm_a * norm_b)
 
 
 def hyperplane(plane: int, dim: int = EMBEDDING_DIM) -> list[float]:
@@ -109,19 +104,6 @@ def hyperplane_sql(plane: int, dim: int = EMBEDDING_DIM) -> str:
     return "[" + ", ".join(repr(w) for w in hyperplane(plane, dim)) + "]::DOUBLE[]"
 
 
-def _dot_literal(v: Column, weights: list[float]) -> Column:
-    """v . w for a plan-time-constant w: each term multiplies one
-    ``element_at`` by a scalar literal. Summation is left-to-right
-    float64, identical to ``list_dot_product(v, w_literal)`` — and the
-    scalar literals keep the expression tree at dim nodes (embedding the
-    array literal inside an unrolled dot would copy it dim times and
-    stall Catalyst on ~65k-node plans)."""
-    acc = F.element_at(v, 1) * F.lit(weights[0])
-    for i in range(1, len(weights)):
-        acc = acc + F.element_at(v, i + 1) * F.lit(weights[i])
-    return acc
-
-
 def sign_lsh_bucket(
     col: str | Column,
     n_bits: int = 8,
@@ -140,10 +122,8 @@ def sign_lsh_bucket(
     v = as_double(col)
     bucket = F.lit(0)
     for p in range(n_bits):
-        w = hyperplane(plane_offset + p, dim)
-        bucket = bucket + F.when(
-            _dot_literal(v, w) >= 0, F.lit(1 << p)
-        ).otherwise(F.lit(0))
+        w = F.lit(hyperplane(plane_offset + p, dim)).cast("array<double>")
+        bucket = bucket + F.when(dot(v, w) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket.cast("int")
 
 
