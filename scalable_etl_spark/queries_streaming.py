@@ -1,12 +1,12 @@
-"""Graded streaming queries — registered WITHOUT oracles (Structured
-Streaming execution is not SQL-expressible for DuckDB; the driver
-records a rows-only check, and the batch-parity equivalence is proven
-in tests/test_sessions_windows.py and test_streaming_ingest.py).
+"""Graded streaming queries.
 
 Each query materializes a real streaming execution (file source ->
 watermark -> windowed aggregation -> availableNow drain) over data
 derived deterministically from the testdata tables, then returns the
-result as a DataFrame.
+result as a DataFrame. Where the drained result is deterministic batch
+SQL (complete-mode tumbling counts), the query carries a full DuckDB
+oracle; batch-parity is additionally proven in
+tests/test_sessions_windows.py and test_streaming_ingest.py.
 """
 
 from __future__ import annotations
@@ -21,14 +21,28 @@ from .registry import query
 from .tables import load_table
 
 
-@query("streaming_event_counts")
+@query(
+    "streaming_event_counts",
+    oracle="""
+    SELECT event_type,
+           date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           COUNT(*) AS n_events
+    FROM events WHERE user_id < 40
+    GROUP BY 1, 2
+    """,
+)
 def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour counts per event_type computed BY A STREAM: the
     events table is spooled to JSON files, read back through
     ``readStream`` with a watermark, aggregated with the same
     ``tumbling_counts`` expression the batch path uses, and drained with
-    ``availableNow`` into a complete-mode sink. Result is deterministic
-    and equals the batch aggregation over the same rows."""
+    ``availableNow`` into a complete-mode sink.
+
+    The drained result IS SQL-expressible: complete-mode output with an
+    availableNow drain counts every spooled row exactly once, and 1-hour
+    tumbling windows are epoch-aligned, so ``window.start`` equals
+    ``date_trunc('hour', ts)`` — the oracle replays the aggregation as
+    plain batch SQL and the value hash must match bit-for-bit."""
     src = tempfile.mkdtemp(prefix="stream_src_")
     ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
     ev = (
