@@ -23,6 +23,7 @@ from scalable_etl_spark.session import get_spark  # noqa: E402
 import scalable_etl_spark.queries  # noqa: F401,E402
 import scalable_etl_spark.queries_llm  # noqa: F401,E402
 import scalable_etl_spark.queries_sinks  # noqa: F401,E402
+import scalable_etl_spark.queries_sources  # noqa: F401
 import scalable_etl_spark.queries_sql  # noqa: F401,E402
 import scalable_etl_spark.queries_streaming  # noqa: F401,E402
 from scalable_etl_spark.registry import QUERIES  # noqa: E402
