@@ -44,6 +44,37 @@ def sink_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_describe_table",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('event_date', 'date'),
+      ('n_events', 'bigint'),
+      ('n_users', 'bigint')) AS t(col_name, data_type)
+    """,
+)
+def sink_describe_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3/K8 through the gate: createOrReplace with a table property
+    (reference src/jobs/transform_job_glue.py:45-47 sets
+    format-version=2) followed by DESCRIBE introspection (reference
+    src/jobs/query_tables.py:18-32). The returned (col_name, data_type)
+    rows pin the catalog schema the sink declared — a schema drift in
+    the write path fails the hash check."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    create_namespace(spark, "etl_gate")
+    create_or_replace_table(
+        daily, "etl_gate.daily_described", properties={"format-version": "2"}
+    )
+    desc = spark.sql("DESCRIBE TABLE etl_gate.daily_described")
+    return desc.filter(
+        (~F.col("col_name").startswith("#")) & (F.col("col_name") != "")
+    ).select("col_name", "data_type")
+
+
+@query(
     "sink_insert_ignore",
     oracle="""
     WITH target AS (
