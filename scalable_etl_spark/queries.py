@@ -807,3 +807,45 @@ def mktsegment_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+@query(
+    "purchase_asof_view",
+    oracle="""
+    WITH l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    r AS (
+      SELECT user_id, ts, MAX(value) AS view_value
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+    SELECT l.event_id, l.user_id, l.ts,
+           r.ts AS view_ts, r.view_value
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def purchase_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase, the user's most recent 'view'
+    event at-or-before the purchase instant (LEFT semantics — purchases
+    with no prior view keep NULLs).
+
+    Spark side is the union+window formulation (operators/asof_join.py)
+    — one shuffle on user_id, linear work, no nested-loop join; the
+    oracle is DuckDB's native ASOF LEFT JOIN, giving the rewrite an
+    independent engine as witness. The right side is pre-deduped to one
+    row per (user, ts) so tie-breaking is engine-neutral."""
+    from .operators.asof_join import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    l = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    r = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+        .select("user_id", "ts", F.col("ts").alias("view_ts"), "view_value")
+    )
+    return asof_join(
+        l, r, key_col="user_id", ts_col="ts",
+        value_cols=["view_ts", "view_value"],
+    )
