@@ -8,6 +8,8 @@ by the DuckDB oracle (see queries.py) — keep the two in sync.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -116,3 +118,54 @@ def portable_hash64(col: Column, seed: int = 0) -> Column:
     """
     keyed = F.concat_ws(":", F.lit(str(seed)), col)
     return F.conv(F.substring(F.md5(keyed), 1, 15), 16, 10).cast("long")
+
+
+# ------------------------------------------- multiply-shift mix family
+#
+# MinHash needs num_perms independent hashes per shingle. Hashing the
+# string num_perms times (md5 each) makes the signature build O(perms)
+# string hashes per shingle — the measured hot spot of the whole dedup
+# path. Instead: ONE md5 per shingle -> 60-bit base, then a per-perm
+# multiply-shift mix over the base's 30-bit halves. Every operation
+# (&, >>, *, +) is exact BIGINT arithmetic with all intermediates
+# < 2^62, so Spark (ANSI) and DuckDB compute identical values with no
+# overflow on either engine.
+
+MIX_MASK30 = (1 << 30) - 1
+MIX_MASK60 = (1 << 60) - 1
+
+
+def mix_constants(p: int) -> tuple[int, int, int]:
+    """Per-permutation (a, b, c): md5-derived, a/b odd 30-bit, c 60-bit.
+    Public multiply-shift universal-hash construction (Dietzfelbinger
+    et al.); constants are plan-time literals on both engines."""
+
+    def _h(tag: str, bits: int) -> int:
+        v = int(hashlib.md5(f"{tag}:{p}".encode()).hexdigest()[:15], 16)
+        return v & ((1 << bits) - 1)
+
+    return _h("A", 30) | 1, _h("B", 30) | 1, _h("C", 60)
+
+
+def mix_hash(base: Column, p: int) -> Column:
+    """Permutation p of a 60-bit ``base`` hash: (a*lo & M) + (b*hi & M)
+    + c, all masked to 60 bits. ~6 integer ops vs one md5 — the reason
+    a 16-perm MinHash costs 1 string hash per shingle, not 16."""
+    a, b, c = mix_constants(p)
+    lo = base.bitwiseAND(F.lit(MIX_MASK30))
+    hi = F.shiftright(base, 30)
+    return (
+        (lo * F.lit(a)).bitwiseAND(F.lit(MIX_MASK60))
+        + (hi * F.lit(b)).bitwiseAND(F.lit(MIX_MASK60))
+        + F.lit(c)
+    ).bitwiseAND(F.lit(MIX_MASK60))
+
+
+def mix_hash_sql(base_expr: str, p: int) -> str:
+    """The identical permutation as a DuckDB expression."""
+    a, b, c = mix_constants(p)
+    return (
+        f"(((({base_expr} & {MIX_MASK30}) * {a}) & {MIX_MASK60}) + "
+        f"((({base_expr} >> 30) * {b}) & {MIX_MASK60}) + {c}) "
+        f"& {MIX_MASK60}"
+    )

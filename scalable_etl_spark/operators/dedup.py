@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import (
     content_hash,
+    mix_hash,
     normalized_text,
     portable_hash64,
     tokens,
@@ -217,10 +218,10 @@ def _minhash_wide(
 ) -> DataFrame:
     """One row per doc with ``num_perms`` min-hash columns h0..h{n-1}.
 
-    Shape: explode shingles ONCE, project the ``num_perms`` hashes as
-    plain columns (whole-stage codegen — array higher-order functions
-    would drop to interpreted lambda evaluation, measured 6x slower),
-    then groupBy(id) with ``num_perms`` MIN aggregates. Map-side combine
+    Shape: explode shingles ONCE, md5 each shingle ONCE to a 60-bit
+    base, derive the ``num_perms`` permutation hashes by multiply-shift
+    mixing (functions/text.py mix_hash — integer codegen, no further
+    string hashing), then groupBy(id) with ``num_perms`` MIN aggregates. Map-side combine
     collapses each mapper's shingle rows to one narrow row per doc
     before the exchange, so the shuffle moves rows x num_perms longs —
     never the rows x shingles x perms cross product the naive
@@ -228,13 +229,10 @@ def _minhash_wide(
     """
     sh = shingle_table(df, text_col, id_col, k)
     hashed = sh.select(
+        id_col, portable_hash64(F.col("shingle")).alias("__base")
+    ).select(
         id_col,
-        *[
-            portable_hash64(
-                F.concat_ws("|", F.lit(str(p)), F.col("shingle"))
-            ).alias(f"h{p}")
-            for p in range(num_perms)
-        ],
+        *[mix_hash(F.col("__base"), p).alias(f"h{p}") for p in range(num_perms)],
     )
     return hashed.groupBy(id_col).agg(
         *[F.min(f"h{p}").alias(f"h{p}") for p in range(num_perms)]
@@ -326,8 +324,22 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
+    # Verification explodes shingles for CANDIDATE docs only: the
+    # broadcast semi-join prunes the corpus before the tokenize/explode
+    # re-derivation, so the full-corpus shingle pass happens exactly
+    # once (inside the signature build) no matter how many candidate
+    # pairs surface. Candidate ids are tiny by construction (LSH
+    # output), and the pair set is cached because it feeds BOTH the
+    # broadcast id list and the verification join — without the cache
+    # the whole signature+banding pipeline would execute twice.
+    candidates = candidates.cache()
+    cand_ids = (
+        candidates.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
+        .distinct()
+    )
+    df_cand = df.join(F.broadcast(cand_ids), id_col, "left_semi")
     verified = verify_jaccard(
-        shingle_table(df, text_col, id_col, k), candidates, id_col
+        shingle_table(df_cand, text_col, id_col, k), candidates, id_col
     )
     return verified.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"

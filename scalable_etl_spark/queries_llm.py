@@ -24,6 +24,7 @@ from .functions.text import (
     STOPWORDS,
     content_hash,
     marker_count,
+    mix_hash_sql,
     normalized_text,
     portable_hash64,
     punct_count,
@@ -270,27 +271,44 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, threshold=0.8)
 
 
-_MINHASH_SIG_SQL = f"""
+def _band_bucket_sql(band: int, rows_per_band: int = 4) -> str:
+    """Band bucket = md5 of the lexically sorted 'perm:min_hash' strings
+    — identical to the Spark side's array_sort+array_join spelling."""
+    items = ", ".join(
+        f"'{p}:' || h{p}::VARCHAR"
+        for p in range(band * rows_per_band, (band + 1) * rows_per_band)
+    )
+    return f"md5(array_to_string(list_sort([{items}]), ','))"
+
+
+# MinHash signatures + band buckets. One md5 per shingle -> 60-bit base,
+# then 16 multiply-shift permutations (functions/text.py mix_hash /
+# mix_hash_sql — kept in lockstep) aggregated MIN per doc.
+_MINHASH_SIG_SQL = (
+    f"""
     toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
     sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM toks),
-    mh AS (
-      SELECT doc_id, p.perm,
-             MIN({_SQL_H64.format(expr="p.perm || '|' || shingle")}) AS min_hash
-      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS perm) p
-      GROUP BY 1, 2)
-"""
+    hashed AS (
+      SELECT doc_id, {_SQL_H64.format(expr="shingle")} AS base FROM sh),
+    mh_wide AS (
+      SELECT doc_id, """
+    + ", ".join(f"MIN({mix_hash_sql('base', p)}) AS h{p}" for p in range(16))
+    + """
+      FROM hashed GROUP BY 1),
+    banded AS ("""
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_band_bucket_sql(b)} AS bucket "
+        "FROM mh_wide"
+        for b in range(4)
+    )
+    + ")"
+)
 
 
 @query(
     "minhash_lsh",
     oracle=f"""
     WITH {_MINHASH_SIG_SQL},
-    banded AS (
-      SELECT doc_id, CAST(perm // 4 AS INT) AS band,
-             md5(array_to_string(list_sort(
-               list(perm::VARCHAR || ':' || min_hash::VARCHAR)), ','))
-               AS bucket
-      FROM mh GROUP BY 1, 2),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM banded a JOIN banded b USING (band, bucket)
@@ -322,12 +340,6 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "near_dedup_corpus",
     oracle=f"""
     WITH {_MINHASH_SIG_SQL},
-    banded AS (
-      SELECT doc_id, CAST(perm // 4 AS INT) AS band,
-             md5(array_to_string(list_sort(
-               list(perm::VARCHAR || ':' || min_hash::VARCHAR)), ','))
-               AS bucket
-      FROM mh GROUP BY 1, 2),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM banded a JOIN banded b USING (band, bucket)
