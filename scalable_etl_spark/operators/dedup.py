@@ -28,7 +28,7 @@ from ..functions.text import (
     normalized_text,
     portable_hash64,
     tokens,
-    word_shingles,
+    word_shingles_text,
 )
 
 # ---------------------------------------------------------------- exact
@@ -61,10 +61,14 @@ def drop_exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "
 def shingle_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
-    """(id, shingle) exploded table of distinct k-word shingles."""
+    """(id, shingle) exploded table of distinct k-word shingles.
+
+    Uses the single-regex-pass shingle builder (codegen) — the
+    higher-order-function spelling evaluates interpreted and was the
+    measured hot spot of every shingle-based dedup query."""
     return df.select(
         F.col(id_col),
-        F.explode(word_shingles(tokens(text_col), k)).alias("shingle"),
+        F.explode(word_shingles_text(text_col, k)).alias("shingle"),
     )
 
 
@@ -139,9 +143,18 @@ def ngram_jaccard_pairs(
             )
             .distinct()
         )
-        return verify_jaccard(sh, cand, id_col).filter(
-            F.col("jaccard") >= threshold
+        # Same shape as minhash_lsh_pairs: cache the (tiny) candidate
+        # pair set, then verify over candidate docs only — the full
+        # corpus is never re-exploded for verification.
+        cand = cand.cache()
+        cand_ids = (
+            cand.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
+            .distinct()
         )
+        df_cand = df.join(F.broadcast(cand_ids), id_col, "left_semi")
+        return verify_jaccard(
+            shingle_table(df_cand, text_col, id_col, k), cand, id_col
+        ).filter(F.col("jaccard") >= threshold)
 
     if max_shingle_fanout is not None:
         hot = (
