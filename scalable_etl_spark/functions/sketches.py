@@ -1,0 +1,115 @@
+"""Deterministic distinct-count sketch (HyperLogLog) replayable in SQL.
+
+Spark's built-in ``approx_count_distinct`` and DuckDB's
+``approx_distinct`` use different internal sketches, so they can never
+hash-match across engines. This module implements classic HLL (Flajolet
+et al. 2007, public algorithm) from first principles on the portable
+md5-derived hash, with every arithmetic step chosen to be bit-exact on
+both engines:
+
+- register index / remainder: integer shift + mask of a 32-bit hash;
+- rank (leading-zero count): via ``length(bin(x))`` — both engines
+  print minimal-width binary;
+- the harmonic sum: scaled to EXACT integers (sum of 2^(Q-r) as
+  BIGINT, max ~2^33 — no float-order nondeterminism);
+- the final estimate: one float division (and one ``ln`` in the
+  linear-counting branch) — identical libm on both engines, rounded
+  to 4 decimals for the gate.
+
+Scale: a per-group sketch is two hash aggregations (group x register,
+then group) — fixed 2^p registers per group regardless of cardinality,
+the standard way to count distinct users per key over 100 TB without a
+distinct shuffle of the raw keys.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HLL_P = 8  # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+HLL_W = 32 - HLL_P  # remainder bits
+HLL_Q = HLL_W + 1  # max rank
+# alpha_m for m >= 128 (Flajolet et al. Fig. 3)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+# scaled numerator: alpha * m^2 * 2^Q (exact in double: alpha * 2^41)
+_HLL_K = HLL_ALPHA * HLL_M * HLL_M * (1 << HLL_Q)
+
+
+def _hash32(col: Column) -> Column:
+    """First 8 md5 hex digits -> uniform 32-bit integer (same '0:' seed
+    framing as portable_hash64)."""
+    keyed = F.concat_ws(":", F.lit("0"), col)
+    return F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("long")
+
+
+def hll_distinct(
+    df: DataFrame, key_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group HLL distinct-count estimate of ``key_col``.
+
+    Output: group_cols + (n_registers, est_distinct). Deterministic:
+    the same rows always produce the same estimate, on any engine that
+    replays the register computation (see ``hll_sql``).
+    """
+    h = _hash32(F.col(key_col).cast("string"))
+    idx = F.shiftright(h, HLL_W)
+    rem = h.bitwiseAND(F.lit((1 << HLL_W) - 1))
+    rho = (
+        F.when(rem == 0, F.lit(HLL_Q))
+        .otherwise(F.lit(HLL_Q) - F.length(F.bin(rem)))
+        .cast("int")
+    )
+    regs = (
+        df.select(*group_cols, idx.alias("__reg"), rho.alias("__rho"))
+        .groupBy(*group_cols, "__reg")
+        .agg(F.max("__rho").alias("__r"))
+    )
+    # pow(2, k) is exactly representable and correctly rounded -> the
+    # BIGINT cast is exact; the register sum is pure integer arithmetic.
+    term = F.pow(F.lit(2.0), F.lit(HLL_Q) - F.col("__r")).cast("long")
+    per_group = regs.groupBy(*group_cols).agg(
+        F.count("*").alias("n_registers"),
+        F.sum(term).alias("__s_present"),
+    )
+    v0 = F.lit(HLL_M) - F.col("n_registers")  # empty registers
+    s_total = F.col("__s_present") + v0 * F.lit(1 << HLL_Q)
+    raw = F.lit(_HLL_K) / s_total
+    lc = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v0)
+    est = F.when((v0 > 0) & (raw <= F.lit(2.5 * HLL_M)), lc).otherwise(raw)
+    return per_group.select(
+        *group_cols,
+        "n_registers",
+        F.round(est, 4).alias("est_distinct"),
+    )
+
+
+def hll_sql(key_expr: str, table: str, group_cols: list[str]) -> str:
+    """The identical per-group estimate as a DuckDB query."""
+    g = ", ".join(group_cols)
+    mask = (1 << HLL_W) - 1
+    return f"""
+    WITH h AS (
+      SELECT {g},
+             CAST(('0x' || substr(md5('0:' || CAST({key_expr} AS VARCHAR)), 1, 8)) AS BIGINT) AS h32
+      FROM {table}),
+    regs AS (
+      SELECT {g}, h32 >> {HLL_W} AS reg,
+             MAX(CASE WHEN (h32 & {mask}) = 0 THEN {HLL_Q}
+                      ELSE {HLL_Q} - length(bin(h32 & {mask})) END) AS r
+      FROM h GROUP BY {g}, reg),
+    agg AS (
+      SELECT {g}, COUNT(*) AS n_registers,
+             SUM(CAST(pow(2, {HLL_Q} - r) AS BIGINT)) AS s_present
+      FROM regs GROUP BY {g})
+    SELECT {g}, n_registers,
+           ROUND(CASE WHEN ({HLL_M} - n_registers) > 0
+                       AND {_HLL_K!r} / (s_present + ({HLL_M} - n_registers) * {1 << HLL_Q}) <= {2.5 * HLL_M}
+                      THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / ({HLL_M} - n_registers))
+                      ELSE {_HLL_K!r} / (s_present + ({HLL_M} - n_registers) * {1 << HLL_Q})
+                 END, 4) AS est_distinct
+    FROM agg
+    """

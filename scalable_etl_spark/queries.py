@@ -849,3 +849,24 @@ def purchase_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         l, r, key_col="user_id", ts_col="ts",
         value_cols=["view_ts", "view_value"],
     )
+
+
+from .functions.sketches import hll_sql as _hll_sql
+
+
+@query(
+    "hll_distinct_users",
+    oracle=_hll_sql("user_id", "events", ["event_type"]),
+)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-user estimate per event_type
+    (functions/sketches.py): the sketch arithmetic is replayed
+    register-for-register by the DuckDB oracle, so an *approximate*
+    aggregate sits under the exact value-hash gate — something neither
+    engine's built-in approx_count_distinct can do. Two hash
+    aggregations, 256 registers per group: the 100 TB way to count
+    distinct keys without shuffling them."""
+    from .functions.sketches import hll_distinct
+
+    e = load_table(spark, sf_dir, "events")
+    return hll_distinct(e, "user_id", ["event_type"])

@@ -1,0 +1,38 @@
+"""HLL sketch: accuracy vs exact distinct counts, determinism, and the
+linear-counting/raw regime switch."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scalable_etl_spark.functions.sketches import HLL_M, hll_distinct
+
+
+def test_hll_accuracy_small_and_large(spark):
+    # Small cardinality (linear-counting regime) and larger-than-m
+    # cardinality (raw regime) per group; HLL with m=256 has std error
+    # ~1.04/sqrt(256) = 6.5% — assert a loose 3-sigma bound.
+    df = spark.range(30000).select(
+        F.when(F.col("id") % 3 == 0, "small").otherwise("large").alias("g"),
+        F.when(F.col("id") % 3 == 0, F.col("id") % 50)
+        .otherwise(F.col("id"))
+        .alias("k"),
+    )
+    exact = {
+        r.g: r.n
+        for r in df.groupBy("g").agg(F.countDistinct("k").alias("n")).collect()
+    }
+    est = {r.g: r.est_distinct for r in hll_distinct(df, "k", ["g"]).collect()}
+    assert set(est) == set(exact)
+    for g, n in exact.items():
+        assert abs(est[g] - n) / n < 0.20, (g, n, est[g])
+
+
+def test_hll_deterministic(spark):
+    df = spark.range(5000).select(
+        F.lit("x").alias("g"), (F.col("id") * 7919 % 1000).alias("k")
+    )
+    a = hll_distinct(df, "k", ["g"]).collect()[0]
+    b = hll_distinct(df.repartition(13), "k", ["g"]).collect()[0]
+    assert a.est_distinct == b.est_distinct
+    assert a.n_registers <= HLL_M
