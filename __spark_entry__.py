@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Importing these modules registers every query + oracle pair.
 import scalable_etl_spark.queries  # noqa: F401
+import scalable_etl_spark.queries_analytics  # noqa: F401
 import scalable_etl_spark.queries_llm  # noqa: F401
 import scalable_etl_spark.queries_sinks  # noqa: F401
 import scalable_etl_spark.queries_sources  # noqa: F401

@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from scalable_etl_spark.session import get_spark  # noqa: E402
 
 import scalable_etl_spark.queries  # noqa: F401,E402
+import scalable_etl_spark.queries_analytics  # noqa: F401
 import scalable_etl_spark.queries_llm  # noqa: F401,E402
 import scalable_etl_spark.queries_sinks  # noqa: F401,E402
 import scalable_etl_spark.queries_sources  # noqa: F401

@@ -1,0 +1,158 @@
+"""Graded analytics-breadth queries: grouping sets (ROLLUP), pivot,
+ranking tiles, and custom window frames.
+
+The reference's aggregate surface stops at plain GROUP BY (SURVEY
+§2.4 "no grouping sets / cube / rollup"); a complete engine needs the
+rest of the standard analytic toolkit, so each family is registered
+here with a DuckDB oracle. All are single-shuffle hash aggregations or
+single-sort window passes — no shape that degrades at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import query
+from .tables import load_table
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "rollup_revenue",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           ROUND(SUM(c.c_acctbal), 2) AS total_acctbal,
+           COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (region, nation): per-nation, per-region subtotal, and
+    grand-total rows in one aggregation pass. Spark plans one Expand +
+    one hash aggregate — the subtotal levels share the shuffle instead
+    of issuing three queries."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.count("*").alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "pivot_event_values",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date,
+           ROUND(COALESCE(SUM(value) FILTER (event_type = 'click'), 0), 2) AS click,
+           ROUND(COALESCE(SUM(value) FILTER (event_type = 'error'), 0), 2) AS error,
+           ROUND(COALESCE(SUM(value) FILTER (event_type = 'purchase'), 0), 2) AS purchase,
+           ROUND(COALESCE(SUM(value) FILTER (event_type = 'signup'), 0), 2) AS signup,
+           ROUND(COALESCE(SUM(value) FILTER (event_type = 'view'), 0), 2) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one column per event type, summed value per day. The
+    explicit value list keeps the plan single-pass (Spark needs no
+    distinct-values pre-query) and makes the output schema static —
+    both required for a sane pivot over 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    out = (
+        e.groupBy(F.to_date("ts").alias("event_date"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.sum("value"))
+    )
+    return out.select(
+        "event_date",
+        *[
+            F.round(F.coalesce(F.col(t), F.lit(0.0)), 2).alias(t)
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+@query(
+    "user_value_deciles",
+    oracle="""
+    WITH totals AS (
+      SELECT user_id, ROUND(SUM(value), 2) AS total_value
+      FROM events GROUP BY 1),
+    tiled AS (
+      SELECT user_id, total_value,
+             NTILE(10) OVER (ORDER BY total_value DESC, user_id ASC) AS decile
+      FROM totals)
+    SELECT decile, COUNT(*) AS n_users,
+           ROUND(MIN(total_value), 2) AS min_value,
+           ROUND(MAX(total_value), 2) AS max_value
+    FROM tiled GROUP BY 1
+    """,
+)
+def user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(10) user-value deciles. The user_id tiebreak pins tile
+    boundaries so both engines split ties identically."""
+    e = load_table(spark, sf_dir, "events")
+    totals = e.groupBy("user_id").agg(
+        F.round(F.sum("value"), 2).alias("total_value")
+    )
+    w = Window.orderBy(F.col("total_value").desc(), F.col("user_id").asc())
+    tiled = totals.withColumn("decile", F.ntile(10).over(w))
+    return tiled.groupBy("decile").agg(
+        F.count("*").alias("n_users"),
+        F.round(F.min("total_value"), 2).alias("min_value"),
+        F.round(F.max("total_value"), 2).alias("max_value"),
+    )
+
+
+@query(
+    "rolling_weekly_value",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             ROUND(SUM(value), 2) AS day_value
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, d AS epoch_day,
+           ROUND(SUM(day_value) OVER (
+             PARTITION BY event_type ORDER BY d
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS week_value,
+           LEAD(d) OVER (PARTITION BY event_type ORDER BY d) - d
+             AS days_to_next
+    FROM daily
+    """,
+)
+def rolling_weekly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day value per event type via a RANGE frame over
+    epoch-day (value-based frame — skipped days still bound the window
+    correctly, unlike a ROWS frame), plus LEAD for the gap to the next
+    active day. One sort per partition; the frame is O(1) memory per
+    row at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "d"
+        ),
+    ).agg(F.round(F.sum("value"), 2).alias("day_value"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    wl = Window.partitionBy("event_type").orderBy("d")
+    return daily.select(
+        "event_type",
+        F.col("d").alias("epoch_day"),
+        F.round(F.sum("day_value").over(w), 2).alias("week_value"),
+        (F.lead("d").over(wl) - F.col("d")).alias("days_to_next"),
+    )

@@ -16,6 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 
 import scalable_etl_spark.queries  # noqa: F401
+import scalable_etl_spark.queries_analytics  # noqa: F401
 import scalable_etl_spark.queries_llm  # noqa: F401
 import scalable_etl_spark.queries_sinks  # noqa: F401
 import scalable_etl_spark.queries_sources  # noqa: F401
