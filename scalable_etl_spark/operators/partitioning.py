@@ -78,6 +78,42 @@ def salted_agg(
     )
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key_cols: Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: salt the big side deterministically,
+    replicate the small side across all ``n_salts`` salt values, and
+    join on (key, salt). Result is row-identical to the plain join; the
+    hot key's rows are spread over ``n_salts`` reducers instead of
+    stalling one.
+
+    The big-side salt is ``xxhash64(all key cols + a marker) % n``:
+    deterministic (re-runs and retries land rows on the same reducer —
+    required for exactly-once sinks downstream) yet decorrelated from
+    the join key's own hash partitioning. Replication multiplies the
+    SMALL side only (n_salts x |small| rows) — use for skewed
+    big-to-modest joins; AQE's skew-join split covers the
+    big-to-big case at runtime.
+    """
+    keys = list(key_cols)
+    salted_big = big.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*keys, F.lit("__salt__")), F.lit(n_salts)).cast(
+            "int"
+        ),
+    )
+    salts = F.explode(
+        F.sequence(F.lit(0), F.lit(n_salts - 1))
+    ).alias("__salt")
+    replicated = small.select("*", salts)
+    out = salted_big.join(replicated, keys + ["__salt"], how)
+    return out.drop("__salt")
+
+
 def explain_str(df: DataFrame) -> str:
     """Executed-plan string (for plan assertions in tests/audits)."""
     return df._jdf.queryExecution().executedPlan().toString()

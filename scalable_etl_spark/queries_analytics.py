@@ -156,3 +156,92 @@ def rolling_weekly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("day_value").over(w), 2).alias("week_value"),
         (F.lead("d").over(wl) - F.col("d")).alias("days_to_next"),
     )
+
+
+@query(
+    "session_event_join",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered),
+    sess AS (
+      SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end
+      FROM numbered GROUP BY user_id, session_no)
+    SELECT s.user_id, s.session_start, s.session_end,
+           COUNT(e.event_id) AS n_matched,
+           ROUND(SUM(e.value), 2) AS session_value
+    FROM sess s
+    JOIN events e
+      ON e.user_id = s.user_id
+     AND e.ts BETWEEN s.session_start AND s.session_end
+    GROUP BY 1, 2, 3
+    """,
+)
+def session_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join at scale: sessionize (native
+    session_window), then join every event back to its containing
+    session via the binned equi-join rewrite
+    (operators/range_join.py) — no nested-loop join anywhere in the
+    plan. The oracle runs the naive BETWEEN join (DuckDB plans its
+    IEJoin), so two fundamentally different physical strategies must
+    produce the identical pair set."""
+    from .operators.range_join import interval_join
+    from .operators.sessions import sessionize
+
+    e = load_table(spark, sf_dir, "events")
+    sess = sessionize(e, ts_col="ts", key_col="user_id", gap="30 minutes")
+    joined = interval_join(
+        sess.drop("n_events"),
+        e.select("user_id", "ts", "event_id", "value"),
+        key_col="user_id",
+        start_col="session_start",
+        end_col="session_end",
+        ts_col="ts",
+        bin_width_sec=1800,
+    )
+    return joined.groupBy("user_id", "session_start", "session_end").agg(
+        F.count("event_id").alias("n_matched"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+@query(
+    "salted_segment_revenue",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           ROUND(SUM(e.value), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof join (operators/partitioning.py salted_join): the big
+    fact side is salted deterministically, the dimension replicated
+    n_salts times, and the join runs on (key, salt) — a hot user_id
+    spreads over 8 reducers instead of stalling one. The oracle's plain
+    join proves the rewrite is row-identical."""
+    from .operators.partitioning import salted_join
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "value")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        salted_join(e, c, ["user_id"], n_salts=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
