@@ -505,9 +505,9 @@ def embedding_near_dup_pairs(
     from ..functions.vectors import (
         EMBEDDING_DIM,
         as_double,
-        cosine_prenormed,
-        multi_table_buckets,
-        norm,
+        dot_pandas,
+        multi_table_buckets_pandas,
+        norm_pandas,
     )
 
     # Bucket table carries ids only; vectors are fetched once per
@@ -516,7 +516,9 @@ def embedding_near_dup_pairs(
     keyed = emb.select(
         F.col(id_col),
         F.posexplode(
-            multi_table_buckets(vec_col, n_lsh_bits, n_tables, dim or EMBEDDING_DIM)
+            multi_table_buckets_pandas(
+                vec_col, n_lsh_bits, n_tables, dim or EMBEDDING_DIM
+            )
         ).alias("tbl", "bucket"),
     )
     a = keyed.alias("a")
@@ -532,7 +534,7 @@ def embedding_near_dup_pairs(
     )
     # Norm once per vector; pair scoring is then a single unrolled dot.
     v = emb.select(F.col(id_col), as_double(vec_col).alias("v")).withColumn(
-        "n", norm(F.col("v"), dim)
+        "n", norm_pandas(F.col("v"))
     )
     va = v.select(
         F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
@@ -547,9 +549,8 @@ def embedding_near_dup_pairs(
             "id_a",
             "id_b",
             F.round(
-                cosine_prenormed(
-                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb"), dim
-                ),
+                dot_pandas(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
                 6,
             ).alias("cos_sim"),
         )

@@ -18,7 +18,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double, cosine, cosine_prenormed, norm
+from ..functions.vectors import (
+    as_double,
+    cosine_pandas,
+    dot_pandas,
+    multi_table_buckets_pandas,
+    norm_pandas,
+)
 
 
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -48,10 +54,10 @@ def brute_force_topk(
     expression — pair scoring is a single fused dot per (q, c)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-    ).withColumn("qn", norm(F.col("qv"), dim))
+    ).withColumn("qn", norm_pandas(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
-    ).withColumn("cn", norm(F.col("cv"), dim))
+    ).withColumn("cn", norm_pandas(F.col("cv")))
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -59,9 +65,8 @@ def brute_force_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                cosine_prenormed(
-                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"), dim
-                ),
+                dot_pandas(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cn")),
                 6,
             ).alias("cos_sim"),
         )
@@ -116,7 +121,9 @@ def ivf_topk(
             out_id,
             vec_out,
             "centroid_id",
-            F.round(cosine(F.col(vec_out), F.col("centv"), dim), 6).alias("__c"),
+            F.round(
+                cosine_pandas(F.col(vec_out), F.col("centv")), 6
+            ).alias("__c"),
         )
         w = Window.partitionBy(out_id).orderBy(
             F.col("__c").desc(), F.col("centroid_id").asc()
@@ -135,7 +142,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv"), dim), 6).alias("cos_sim"),
+            F.round(cosine_pandas(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -163,7 +170,7 @@ def lsh_topk(
     stays equi-key; per-bucket population ~ |corpus| / 2^b per table,
     so raise ``n_lsh_bits`` as the corpus grows to keep buckets bounded.
     """
-    from ..functions.vectors import EMBEDDING_DIM, multi_table_buckets
+    from ..functions.vectors import EMBEDDING_DIM
 
     hp_dim = dim or EMBEDDING_DIM
     # Candidate ids first, vectors later: a pair colliding in several
@@ -172,13 +179,13 @@ def lsh_topk(
     q_keyed = queries.select(
         F.col(id_col).alias("query_id"),
         F.posexplode(
-            multi_table_buckets(vec_col, n_lsh_bits, n_tables, hp_dim)
+            multi_table_buckets_pandas(vec_col, n_lsh_bits, n_tables, hp_dim)
         ).alias("tbl", "bucket"),
     )
     c_keyed = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.posexplode(
-            multi_table_buckets(vec_col, n_lsh_bits, n_tables, hp_dim)
+            multi_table_buckets_pandas(vec_col, n_lsh_bits, n_tables, hp_dim)
         ).alias("tbl", "bucket"),
     )
     cand = (
@@ -189,10 +196,10 @@ def lsh_topk(
     )
     qv = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-    ).withColumn("qn", norm(F.col("qv"), dim))
+    ).withColumn("qn", norm_pandas(F.col("qv")))
     cv = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
-    ).withColumn("cn", norm(F.col("cv"), dim))
+    ).withColumn("cn", norm_pandas(F.col("cv")))
     scored = (
         cand.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
@@ -200,9 +207,8 @@ def lsh_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                cosine_prenormed(
-                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"), dim
-                ),
+                dot_pandas(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cn")),
                 6,
             ).alias("cos_sim"),
         )
