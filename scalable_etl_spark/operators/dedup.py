@@ -107,18 +107,19 @@ def ngram_jaccard_pairs(
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
 
     if prefix_filter:
-        freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+        # Document frequency and per-doc size/rank as WINDOW functions:
+        # one shuffle on shingle, one on doc (size + rank share the
+        # doc exchange) — versus four (two aggs + two join-backs) in
+        # the groupBy/join spelling.
+        w_sh = Window.partitionBy("shingle")
+        w_doc = Window.partitionBy(id_col)
+        w_rank = Window.partitionBy(id_col).orderBy(
+            F.col("__df").asc(), F.col("shingle").asc()
+        )
         ranked = (
-            sh.join(freq, "shingle")
-            .join(sizes, id_col)
-            .withColumn(
-                "__rk",
-                F.row_number().over(
-                    Window.partitionBy(id_col).orderBy(
-                        F.col("__df").asc(), F.col("shingle").asc()
-                    )
-                ),
-            )
+            sh.withColumn("__df", F.count("*").over(w_sh))
+            .withColumn("set_size", F.count("*").over(w_doc))
+            .withColumn("__rk", F.row_number().over(w_rank))
             .filter(
                 F.col("__rk")
                 <= F.col("set_size")
