@@ -43,6 +43,9 @@ def main() -> None:
     # JSON line — the per-query loop reports failures itself.
     try:
         QUERIES["pricing_summary"](spark, sf_dir).collect()
+        # Also spin up the Arrow/pandas-UDF Python workers once, so the
+        # first vector query is timed on query work, not worker forks.
+        QUERIES["embedding_norms"](spark, sf_dir).collect()
     except Exception as exc:
         print(f"# warmup failed: {exc}", file=sys.stderr)
 

@@ -463,19 +463,35 @@ def simhash_near_pairs(
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    joined = (
         a.join(b, ["band", "band_val"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
+            "band",
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.col("a.simhash").alias("sh_a"),
             F.col("b.simhash").alias("sh_b"),
         )
-        .distinct()
-        .withColumn(
-            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-        )
+    )
+    # A pair colliding in several bands would surface once per band; a
+    # distinct() here would shuffle the whole (large) candidate stream.
+    # Both signatures are already in hand, so dedup is a pure FILTER:
+    # keep only the row whose band is the pair's FIRST matching band
+    # (band slice of xor == 0) — exactly one survivor per pair, zero
+    # extra shuffles.
+    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    mask = (1 << _BAND_BITS) - 1
+    first_band = F.lit(SIMHASH_BANDS - 1)
+    for bband in range(SIMHASH_BANDS - 2, -1, -1):
+        first_band = F.when(
+            F.shiftright(xor, bband * _BAND_BITS).bitwiseAND(F.lit(mask))
+            == 0,
+            F.lit(bband),
+        ).otherwise(first_band)
+    return (
+        joined.filter(F.col("band") == first_band)
+        .withColumn("hamming", F.bit_count(xor))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
