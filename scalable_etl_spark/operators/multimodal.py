@@ -111,6 +111,84 @@ def extract_media_features(
     )
 
 
+MEDIA_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+    ]
+)
+
+
+def sample_frame_bytes(
+    media: DataFrame,
+    n_frames: int = 4,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame-content sampling (video stand-in): split each payload into
+    ``n_frames`` contiguous chunks — frame f covers bytes
+    [len*f//n, len*(f+1)//n). One mapInPandas stage, no shuffle; a real
+    pipeline swaps the byte slicing for ffmpeg keyframe extraction with
+    the identical (id, frame_idx, frame_bytes) contract."""
+
+    def frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, chunks = [], [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                n = len(b)
+                for f in range(n_frames):
+                    ids.append(i)
+                    idxs.append(f)
+                    chunks.append(bytes(b[n * f // n_frames : n * (f + 1) // n_frames]))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_bytes": chunks}
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        frames, schema=MEDIA_FRAMES_SCHEMA
+    )
+
+
+def resize_media(
+    media: DataFrame,
+    out_w: int = 8,
+    out_h: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize (image stand-in): deterministic byte striding to a fixed
+    ``out_w x out_h`` payload — output byte j is input byte
+    ``len*j // (w*h)`` (nearest-neighbor downsampling over the byte
+    stream; empty payloads stay empty). Same mapInPandas contract a
+    PIL-backed resize would use: binary in, fixed-size binary out,
+    partition-preserving, no shuffle."""
+    out_n = out_w * out_h
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            def _one(b: bytes) -> bytes:
+                n = len(b)
+                if n == 0:
+                    return b""
+                return bytes(b[n * j // out_n] for j in range(out_n))
+
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "resized": pdf[payload_col].map(_one),
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        resize, schema="doc_id long, resized binary"
+    )
+
+
 def grouped_zscore(
     df: DataFrame,
     group_col: str,

@@ -751,3 +751,43 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), F.col("token").asc())
         .limit(20)
     )
+
+
+@query(
+    "media_frame_sample",
+    oracle="""
+    WITH m AS (SELECT doc_id, encode(coalesce(text, '')) AS b FROM documents),
+    f AS (
+      SELECT doc_id, b, octet_length(b) AS n,
+             unnest(generate_series(0, 3)) AS frame_idx
+      FROM m),
+    frames AS (
+      SELECT doc_id, frame_idx, b,
+             n * frame_idx // 4 AS fstart,
+             (n * (frame_idx + 1) // 4) - (n * frame_idx // 4) AS flen
+      FROM f)
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(flen AS INT) AS frame_n_bytes,
+           lower(substr(hex(b), fstart * 2 + 1, least(flen * 2, 8)))
+             AS frame_header_hex
+    FROM frames
+    """,
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling under the gate (operators/multimodal.py
+    sample_frame_bytes): each payload split into 4 contiguous 'frames' by an
+    Arrow-batched mapInPandas stage — the video keyframe-extraction
+    contract with a deterministic byte-level slicer, so the frame
+    boundaries, sizes, and headers are oracle-checked exactly."""
+    from .operators.multimodal import attach_fake_media, sample_frame_bytes
+
+    d = load_table(spark, sf_dir, "documents")
+    frames = sample_frame_bytes(attach_fake_media(d), n_frames=4)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.octet_length("frame_bytes").cast("int").alias("frame_n_bytes"),
+        F.lower(F.substring(F.hex("frame_bytes"), 1, 8)).alias(
+            "frame_header_hex"
+        ),
+    )

@@ -71,3 +71,28 @@ def test_grouped_zscore(spark):
     assert out[2] == 0.0
     assert out[3] == pytest.approx(round(10 / s, 6))
     assert out[4] == 0.0 and out[5] == 0.0
+
+
+def test_sample_frame_bytes_reassembles(media):
+    from scalable_etl_spark.operators.multimodal import sample_frame_bytes
+
+    out = sample_frame_bytes(media, n_frames=4).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.frame_idx)):
+        by_doc.setdefault(r.doc_id, b"")
+        by_doc[r.doc_id] += bytes(r.frame_bytes)
+    # Frames are a partition of the payload: concatenation round-trips.
+    assert by_doc[1] == b"hello world"
+    assert by_doc[2] == b""
+    assert by_doc[3] == "héllo".encode()
+    assert all(len([r for r in out if r.doc_id == d]) == 4 for d in by_doc)
+
+
+def test_resize_media_fixed_size(media):
+    from scalable_etl_spark.operators.multimodal import resize_media
+
+    rows = {r.doc_id: bytes(r.resized) for r in resize_media(media, 2, 3).collect()}
+    b = b"hello world"
+    assert rows[1] == bytes(b[len(b) * j // 6] for j in range(6))
+    assert len(rows[1]) == 6 and len(rows[3]) == 6
+    assert rows[2] == b""  # empty payload stays empty
