@@ -69,3 +69,59 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(qname).select("event_type", "window_start", "n_events")
+
+
+@query(
+    "streaming_stateful_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events WHERE user_id < 30 GROUP BY 1
+    """,
+)
+def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator under the gate:
+    ``applyInPandasWithState`` running per-user totals
+    (streaming/stateful.py), drained with ``maxFilesPerTrigger=1`` so
+    the state genuinely carries across MULTIPLE micro-batches. Update
+    mode emits a row per user per batch; the final state is the row
+    with the highest n_events (monotone per user), and that lifetime
+    total must equal the plain batch aggregation — which is exactly
+    what the oracle computes."""
+    from .streaming.stateful import running_user_totals
+
+    src = tempfile.mkdtemp(prefix="state_src_")
+    ckpt = tempfile.mkdtemp(prefix="state_ckpt_")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 30)
+        .select("user_id", "value")
+    )
+    ev.coalesce(3).write.mode("overwrite").json(src)
+
+    stream = (
+        spark.readStream.schema("user_id BIGINT, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    totals = running_user_totals(stream)
+    qname = "streaming_stateful_totals_sink"
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = (
+        spark.table(qname)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value")).alias("m"))
+    )
+    return final.select(
+        "user_id",
+        F.col("m.n_events").alias("n_events"),
+        F.round(F.col("m.total_value"), 2).alias("total_value"),
+    )
