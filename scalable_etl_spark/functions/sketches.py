@@ -113,3 +113,91 @@ def hll_sql(key_expr: str, table: str, group_cols: list[str]) -> str:
                  END, 4) AS est_distinct
     FROM agg
     """
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    quantiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+    bin_width: float = 1.0,
+) -> DataFrame:
+    """Deterministic approximate quantiles via a fixed-width histogram.
+
+    Built-in approx sketches (GK in Spark, t-digest in DuckDB) can't
+    cross-match; this one can: bin = floor(value / w), and the
+    p-quantile estimate is the lower edge of the first bin whose
+    cumulative count reaches p * total. Error is bounded by one
+    ``bin_width``; every step is integer arithmetic plus one float
+    multiply per quantile, so both engines agree bit-for-bit.
+
+    Scale: one hash aggregation to (group, bin) — cardinality is
+    value_range/w per group regardless of row count — then a per-group
+    sorted cumulative pass over those few bins. The 100 TB shape for
+    p99-latency style dashboards.
+    """
+    from pyspark.sql import Window
+
+    w = float(bin_width)
+    binned = (
+        df.select(*group_cols, F.col(value_col).alias("__v"))
+        .withColumn("__bin", F.floor(F.col("__v") / F.lit(w)).cast("long"))
+        .groupBy(*group_cols, "__bin")
+        .agg(F.count("*").alias("__n"))
+    )
+    cum_w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy(*group_cols)
+    cum = binned.withColumn("__cum", F.sum("__n").over(cum_w)).withColumn(
+        "__total", F.sum("__n").over(tot_w)
+    )
+    aggs = [
+        F.round(
+            F.min(
+                F.when(
+                    F.col("__cum") >= F.lit(q) * F.col("__total"),
+                    F.col("__bin"),
+                )
+            )
+            * F.lit(w),
+            4,
+        ).alias(f"p{int(q * 100)}")
+        for q in quantiles
+    ]
+    return cum.groupBy(*group_cols).agg(
+        F.max("__total").alias("n_rows"), *aggs
+    )
+
+
+def histogram_quantiles_sql(
+    value_expr: str,
+    table: str,
+    group_cols: list[str],
+    quantiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+    bin_width: float = 1.0,
+) -> str:
+    """The identical histogram-quantile estimate as a DuckDB query."""
+    g = ", ".join(group_cols)
+    w = float(bin_width)
+    qcols = ", ".join(
+        f"ROUND(MIN(CASE WHEN cum >= {q!r} * total THEN bin END) * {w!r}, 4)"
+        f" AS p{int(q * 100)}"
+        for q in quantiles
+    )
+    return f"""
+    WITH binned AS (
+      SELECT {g}, CAST(floor({value_expr} / {w!r}) AS BIGINT) AS bin,
+             COUNT(*) AS n
+      FROM {table} GROUP BY {g}, bin),
+    cum AS (
+      SELECT {g}, bin, n,
+             SUM(n) OVER (PARTITION BY {g} ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(n) OVER (PARTITION BY {g}) AS total
+      FROM binned)
+    SELECT {g}, MAX(total) AS n_rows, {qcols}
+    FROM cum GROUP BY {g}
+    """

@@ -870,3 +870,22 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return hll_distinct(e, "user_id", ["event_type"])
+
+
+from .functions.sketches import histogram_quantiles_sql as _hq_sql
+
+
+@query(
+    "value_quantiles_by_type",
+    oracle=_hq_sql("value", "events", ["event_type"]),
+)
+def value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic histogram-quantile sketch (functions/sketches.py):
+    p50/p95/p99 of event value per type, replayed bin-for-bin by the
+    oracle — an approximate quantile that two engines agree on exactly,
+    which neither GK nor t-digest built-ins can offer. Error bound =
+    one bin width."""
+    from .functions.sketches import histogram_quantiles
+
+    e = load_table(spark, sf_dir, "events")
+    return histogram_quantiles(e, "value", ["event_type"])

@@ -36,3 +36,17 @@ def test_hll_deterministic(spark):
     b = hll_distinct(df.repartition(13), "k", ["g"]).collect()[0]
     assert a.est_distinct == b.est_distinct
     assert a.n_registers <= HLL_M
+
+
+def test_histogram_quantiles_accuracy(spark):
+    from scalable_etl_spark.functions.sketches import histogram_quantiles
+
+    df = spark.range(10000).select(
+        F.lit("g").alias("g"), (F.col("id") % 100 + 0.5).alias("v")
+    )
+    row = histogram_quantiles(df, "v", ["g"], bin_width=1.0).collect()[0]
+    # Uniform over [0.5, 99.5]: estimates within one bin of the truth.
+    assert row.n_rows == 10000
+    assert abs(row.p50 - 50) <= 1
+    assert abs(row.p95 - 95) <= 1
+    assert abs(row.p99 - 99) <= 1
