@@ -1,0 +1,71 @@
+"""Physical-plan shape assertions for the headline queries: every
+non-equi join shape must compile to hash joins (never a nested loop or
+cartesian product), and small dimensions must broadcast. These are the
+properties that decide whether a plan survives a 100x scale-up — pinned
+here so a regression in an operator rewrite fails CI, not production.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import scalable_etl_spark.queries  # noqa: F401
+import scalable_etl_spark.queries_analytics  # noqa: F401
+import scalable_etl_spark.queries_llm  # noqa: F401
+from scalable_etl_spark.registry import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+NESTED = ("BroadcastNestedLoopJoin", "CartesianProduct")
+
+# Queries whose logical shape is a non-equi join (band, as-of,
+# interval, LSH candidate generation) — each MUST have been rewritten
+# to equi-joins, windows, or explodes; a nested-loop operator in any
+# of these plans means the rewrite silently regressed.
+NO_NESTED_LOOP = [
+    "rolling_active_users",
+    "purchase_asof_view",
+    "session_event_join",
+    "minhash_lsh",
+    "embedding_near_dup",
+    "simhash_near_dup",
+    "ngram_jaccard",
+    "salted_segment_revenue",
+]
+
+# ann_brute_force intentionally crossJoins a broadcast 10-row query set
+# against the corpus — the one place a nested-loop product is the
+# RIGHT plan (documented in operators/similarity.py) — so it is absent
+# from the list above.
+
+
+@pytest.mark.parametrize("name", NO_NESTED_LOOP)
+def test_no_nested_loop_join(spark, name):
+    plan = _plan(QUERIES[name](spark, SF_DIR))
+    for op in NESTED:
+        assert op not in plan, f"{name}: {op} in physical plan"
+
+
+@pytest.mark.parametrize(
+    "name", ["top_customers", "revenue_by_region", "rollup_revenue"]
+)
+def test_small_dims_broadcast(spark, name):
+    plan = _plan(QUERIES[name](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, f"{name}: dimension not broadcast"
+
+
+def test_pricing_summary_stays_in_codegen(spark):
+    # The flagship scan-agg query must be whole-stage codegen end to
+    # end: no Python workers (BatchEvalPython/ArrowEvalPython) anywhere.
+    # AQE only materializes codegen stage wrappers in the FINAL plan,
+    # so execute before inspecting.
+    df = QUERIES["pricing_summary"](spark, SF_DIR)
+    df.collect()
+    plan = _plan(df)
+    assert "WholeStageCodegen" in plan
+    assert "EvalPython" not in plan
