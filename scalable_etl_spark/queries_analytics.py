@@ -245,3 +245,42 @@ def salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@query(
+    "unpivot_daily_values",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS event_date,
+             ROUND(COALESCE(SUM(value) FILTER (event_type = 'purchase'), 0), 2) AS purchase,
+             ROUND(COALESCE(SUM(value) FILTER (event_type = 'view'), 0), 2) AS view
+      FROM events GROUP BY 1)
+    SELECT event_date, 'purchase' AS metric, purchase AS metric_value FROM daily
+    UNION ALL
+    SELECT event_date, 'view' AS metric, view AS metric_value FROM daily
+    """,
+)
+def unpivot_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-day metric columns back to long
+    (event_date, metric, metric_value) rows via DataFrame.unpivot —
+    the Expand-based single-pass inverse of pivot. The oracle spells it
+    as the portable UNION ALL."""
+    e = load_table(spark, sf_dir, "events")
+    wide = (
+        e.groupBy(F.to_date("ts").alias("event_date"))
+        .pivot("event_type", ["purchase", "view"])
+        .agg(F.sum("value"))
+    )
+    wide = wide.select(
+        "event_date",
+        *[
+            F.round(F.coalesce(F.col(t), F.lit(0.0)), 2).alias(t)
+            for t in ("purchase", "view")
+        ],
+    )
+    return wide.unpivot(
+        ["event_date"],
+        ["purchase", "view"],
+        "metric",
+        "metric_value",
+    )

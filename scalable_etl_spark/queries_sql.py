@@ -123,3 +123,36 @@ def sql_type_share_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM by_type
         """
     )
+
+
+@query(
+    "sql_correlated_subquery",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, ROUND(c.c_acctbal, 2) AS acctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+      SELECT AVG(c2.c_acctbal) FROM customer c2
+      WHERE c2.c_nationkey = c.c_nationkey)
+      AND EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery + correlated EXISTS through spark.sql:
+    customers above their nation's average balance who have orders.
+    Catalyst decorrelates both into aggregate + join / left-semi —
+    there is no per-row re-execution at any scale (the plan is two hash
+    joins); the oracle runs the identical SQL text on DuckDB."""
+    _view(spark, sf_dir, "customer", "customer_v")
+    _view(spark, sf_dir, "orders", "orders_v")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, ROUND(c.c_acctbal, 2) AS acctbal
+        FROM customer_v c
+        WHERE c.c_acctbal > (
+          SELECT AVG(c2.c_acctbal) FROM customer_v c2
+          WHERE c2.c_nationkey = c.c_nationkey)
+          AND EXISTS (
+            SELECT 1 FROM orders_v o WHERE o.o_custkey = c.c_custkey)
+        """
+    )
