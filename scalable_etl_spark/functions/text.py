@@ -111,9 +111,13 @@ def word_shingles(toks: Column, k: int = 3) -> Column:
     )
 
 
-def word_shingles_text(col: str | Column = "text", k: int = 3) -> Column:
+def word_shingles_text(
+    col: str | Column = "text", k: int = 3, distinct: bool = True
+) -> Column:
     """``word_shingles`` computed in ONE native regex pass — identical
-    output, ~3x faster on corpus-scale explodes.
+    output, ~3x faster on corpus-scale explodes. ``distinct=False``
+    keeps the positional (ordered, repeated) shingle sequence, which
+    winnowing needs.
 
     Whitespace is first collapsed to single spaces, then overlapping
     k-token windows are captured with a lookahead group while each
@@ -127,9 +131,8 @@ def word_shingles_text(col: str | Column = "text", k: int = 3) -> Column:
     collapsed = F.regexp_replace(F.trim(F.coalesce(c, F.lit(""))), r"\s+", " ")
     pat = "(?=(" + " ".join(["\\S+"] * k) + "))\\S+ ?"
     got = F.regexp_extract_all(collapsed, F.lit(pat), F.lit(1))
-    return F.array_distinct(
-        F.when(F.size(got) > 0, got).otherwise(F.array(collapsed))
-    )
+    out = F.when(F.size(got) > 0, got).otherwise(F.array(collapsed))
+    return F.array_distinct(out) if distinct else out
 
 
 def portable_hash64(col: Column, seed: int = 0) -> Column:

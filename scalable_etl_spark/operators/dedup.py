@@ -573,3 +573,57 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# ----------------------------------------------------------- winnowing
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
+    the MOSS algorithm, public): hash the POSITIONAL k-gram sequence,
+    slide a ``window`` of consecutive hashes, keep each window's
+    minimum, and return the distinct selected hashes per document.
+
+    Guarantees: any shared substring of length >= window + k - 1 tokens
+    contributes at least one common fingerprint, while only ~2/(w+1) of
+    all k-gram hashes are kept — the rolling-hash fingerprint scheme
+    for plagiarism/near-dup detection at corpus scale.
+
+    Shape: one regex pass per doc, posexplode, ONE shuffle on the doc
+    key shared by all three window expressions (rolling min, position
+    count), then distinct. Output: (id, fingerprint).
+    """
+    from pyspark.sql import Window as W
+
+    from ..functions.text import word_shingles_text
+
+    seq = df.select(
+        F.col(id_col),
+        F.posexplode(
+            word_shingles_text(text_col, k, distinct=False)
+        ).alias("pos", "shingle"),
+    ).select(
+        id_col, "pos", portable_hash64(F.col("shingle")).alias("h")
+    )
+    w_min = (
+        W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    )
+    w_all = W.partitionBy(id_col)
+    picked = (
+        seq.withColumn("minh", F.min("h").over(w_min))
+        .withColumn("n", F.count("*").over(w_all))
+        # full windows only; a doc shorter than the window keeps its
+        # single partial window at pos 0
+        .filter(
+            F.col("pos") <= F.greatest(F.col("n") - window, F.lit(0))
+        )
+    )
+    return picked.select(
+        F.col(id_col), F.col("minh").alias("fingerprint")
+    ).distinct()

@@ -791,3 +791,39 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frame_header_hex"
         ),
     )
+
+
+@query(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    pos AS (
+      SELECT doc_id, g.i - 1 AS pos,
+             CASE WHEN len(t) < 3 THEN array_to_string(t[1:3], ' ')
+                  ELSE array_to_string(t[g.i:g.i+2], ' ') END AS shingle
+      FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)),
+    hashed AS (
+      SELECT doc_id, pos,
+             {_SQL_H64.format(expr="shingle")} AS h
+      FROM pos),
+    winged AS (
+      SELECT doc_id, pos,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minh,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n
+      FROM hashed)
+    SELECT DISTINCT doc_id, minh AS fingerprint
+    FROM winged
+    WHERE pos <= greatest(n - 4, 0)
+    """,
+)
+def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints under the gate: rolling minimum
+    over the positional k-gram hash sequence, window 4 — any shared
+    run of >= 6 tokens between two documents shares a fingerprint,
+    at ~2/(w+1) storage. The oracle replays positions, hashes, and the
+    rolling min exactly (operators/dedup.py winnowing_fingerprints)."""
+    from .operators.dedup import winnowing_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    return winnowing_fingerprints(d, window=4)

@@ -135,3 +135,27 @@ def test_prefix_filter_matches_brute_force(spark):
             ).collect()
         }
         assert fast == brute, f"threshold {t}"
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    from scalable_etl_spark.operators.dedup import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7-token run
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here {shared} tail one"),
+            (2, f"{shared} completely different ending text"),
+            (3, "nothing in common with the others at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    fp = winnowing_fingerprints(docs, window=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    # Shared run of >= window + k - 1 = 6 tokens -> common fingerprint.
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3] & by_doc[2])
+    # Winnowing compresses: far fewer fingerprints than shingles.
+    n_shingles = 7 + 4 - 2  # tokens per doc minus k-1
+    assert all(len(v) < n_shingles for v in by_doc.values())
