@@ -44,8 +44,12 @@ def main() -> None:
     try:
         QUERIES["pricing_summary"](spark, sf_dir).collect()
         # Also spin up the Arrow/pandas-UDF Python workers once, so the
-        # first vector query is timed on query work, not worker forks.
+        # first vector query is timed on query work, not worker forks,
+        # and JIT-warm the regex-shingle/md5/mix codegen paths at the
+        # smallest scale factor (first execution of those generated
+        # methods costs ~2s of JVM compilation otherwise).
         QUERIES["embedding_norms"](spark, sf_dir).collect()
+        QUERIES["minhash_lsh"](spark, "/root/testdata/sf0.001").count()
     except Exception as exc:
         print(f"# warmup failed: {exc}", file=sys.stderr)
 

@@ -72,6 +72,22 @@ def shingle_table(
     )
 
 
+def shingle_hash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, h): portable 60-bit hashes of the distinct k-word shingles.
+
+    Every downstream join/count/sort operates on the hash, never the
+    string — shuffles move (long, long) rows instead of docs' worth of
+    40-char shingle text, and sort keys compare in one instruction.
+    The oracle computes the identical hash, so both engines agree even
+    in the (2^-60) collision case."""
+    return df.select(
+        F.col(id_col),
+        F.explode(word_shingles_text(text_col, k)).alias("shingle"),
+    ).select(id_col, portable_hash64(F.col("shingle")).alias("h"))
+
+
 # ------------------------------------------------- n-gram Jaccard (exact)
 
 
@@ -103,18 +119,18 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql import Window
 
-    sh = shingle_table(df, text_col, id_col, k)
+    sh = shingle_hash_table(df, text_col, id_col, k)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
 
     if prefix_filter:
         # Document frequency and per-doc size/rank as WINDOW functions:
-        # one shuffle on shingle, one on doc (size + rank share the
-        # doc exchange) — versus four (two aggs + two join-backs) in
-        # the groupBy/join spelling.
-        w_sh = Window.partitionBy("shingle")
+        # one shuffle on shingle hash, one on doc (size + rank share
+        # the doc exchange) — versus four (two aggs + two join-backs)
+        # in the groupBy/join spelling.
+        w_sh = Window.partitionBy("h")
         w_doc = Window.partitionBy(id_col)
         w_rank = Window.partitionBy(id_col).orderBy(
-            F.col("__df").asc(), F.col("shingle").asc()
+            F.col("__df").asc(), F.col("h").asc()
         )
         ranked = (
             sh.withColumn("__df", F.count("*").over(w_sh))
@@ -126,12 +142,12 @@ def ngram_jaccard_pairs(
                 - F.ceil(F.lit(threshold) * F.col("set_size"))
                 + 1
             )
-            .select(id_col, "shingle", "set_size")
+            .select(id_col, "h", "set_size")
         )
         a = ranked.alias("a")
         b = ranked.alias("b")
         cand = (
-            a.join(b, "shingle")
+            a.join(b, "h")
             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             .filter(
                 F.lit(threshold)
@@ -154,23 +170,23 @@ def ngram_jaccard_pairs(
         )
         df_cand = df.join(F.broadcast(cand_ids), id_col, "left_semi")
         return verify_jaccard(
-            shingle_table(df_cand, text_col, id_col, k), cand, id_col
+            shingle_hash_table(df_cand, text_col, id_col, k), cand, id_col
         ).filter(F.col("jaccard") >= threshold)
 
     if max_shingle_fanout is not None:
         hot = (
-            sh.groupBy("shingle")
+            sh.groupBy("h")
             .agg(F.count("*").alias("__df"))
             .filter(F.col("__df") > max_shingle_fanout)
-            .select("shingle")
+            .select("h")
         )
-        join_sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        join_sh = sh.join(F.broadcast(hot), "h", "left_anti")
     else:
         join_sh = sh
     a = join_sh.alias("a")
     b = join_sh.alias("b")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "h")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
@@ -241,12 +257,9 @@ def _minhash_wide(
     never the rows x shingles x perms cross product the naive
     (explode-everything, groupBy(id, perm)) spelling ships.
     """
-    sh = shingle_table(df, text_col, id_col, k)
-    hashed = sh.select(
-        id_col, portable_hash64(F.col("shingle")).alias("__base")
-    ).select(
+    hashed = shingle_hash_table(df, text_col, id_col, k).select(
         id_col,
-        *[mix_hash(F.col("__base"), p).alias(f"h{p}") for p in range(num_perms)],
+        *[mix_hash(F.col("h"), p).alias(f"h{p}") for p in range(num_perms)],
     )
     return hashed.groupBy(id_col).agg(
         *[F.min(f"h{p}").alias(f"h{p}") for p in range(num_perms)]
@@ -353,7 +366,7 @@ def minhash_lsh_pairs(
     )
     df_cand = df.join(F.broadcast(cand_ids), id_col, "left_semi")
     verified = verify_jaccard(
-        shingle_table(df_cand, text_col, id_col, k), candidates, id_col
+        shingle_hash_table(df_cand, text_col, id_col, k), candidates, id_col
     )
     return verified.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
@@ -365,13 +378,13 @@ def verify_jaccard(
 ) -> DataFrame:
     """Exact Jaccard for an explicit candidate-pair set — cost is
     O(candidate_pairs x shingles), never all-pairs. ``sh`` is a
-    (id, shingle) table; ``pairs`` has (id_a, id_b)."""
+    (id, h) shingle-hash table; ``pairs`` has (id_a, id_b)."""
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
-    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "h")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "h")
     inter = (
         pairs.join(sh_a, "id_a")
-        .join(sh_b, ["id_b", "shingle"])
+        .join(sh_b, ["id_b", "h"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
     )

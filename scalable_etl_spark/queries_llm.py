@@ -250,10 +250,11 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
     sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM toks),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    shh AS (SELECT doc_id, {_SQL_H64.format(expr="shingle")} AS h FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY 1),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS nc
-      FROM sh a JOIN sh b USING (shingle)
+      FROM shh a JOIN shh b USING (h)
       WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
     SELECT id_a, id_b,
            ROUND(nc / (sa.sz + sb.sz - nc), 4) AS jaccard
@@ -313,12 +314,12 @@ _MINHASH_SIG_SQL = (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM banded a JOIN banded b USING (band, bucket)
       WHERE a.doc_id < b.doc_id),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM hashed GROUP BY 1),
     inter AS (
       SELECT c.id_a, c.id_b, COUNT(*) AS nc
       FROM cand c
-      JOIN sh a ON a.doc_id = c.id_a
-      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      JOIN hashed a ON a.doc_id = c.id_a
+      JOIN hashed b ON b.doc_id = c.id_b AND b.base = a.base
       GROUP BY 1, 2)
     SELECT id_a, id_b, ROUND(nc / (sa.sz + sb.sz - nc), 4) AS jaccard
     FROM inter
@@ -344,12 +345,12 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM banded a JOIN banded b USING (band, bucket)
       WHERE a.doc_id < b.doc_id),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM hashed GROUP BY 1),
     inter AS (
       SELECT c.id_a, c.id_b, COUNT(*) AS nc
       FROM cand c
-      JOIN sh a ON a.doc_id = c.id_a
-      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      JOIN hashed a ON a.doc_id = c.id_a
+      JOIN hashed b ON b.doc_id = c.id_b AND b.base = a.base
       GROUP BY 1, 2),
     losers AS (
       SELECT DISTINCT id_b
