@@ -125,3 +125,64 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.n_events").alias("n_events"),
         F.round(F.col("m.total_value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "streaming_sliding_counts",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE user_id < 40),
+    w AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '15 minutes', ts)
+               - k.k * INTERVAL '15 minutes' AS window_start
+      FROM e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k)
+    SELECT event_type, window_start, COUNT(*) AS n_events
+    FROM w GROUP BY 1, 2
+    """,
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window streaming counts (1 h window, 15 min slide): every
+    event lands in 4 overlapping windows. Same spool -> readStream ->
+    watermark -> complete-mode drain protocol as the tumbling query;
+    sliding windows are also epoch-aligned, so window_start enumerates
+    as time_bucket(15 min, ts) - k*15 min for k in 0..3 — fully
+    SQL-expressible, full value-hash oracle."""
+    src = tempfile.mkdtemp(prefix="slide_src_")
+    ckpt = tempfile.mkdtemp(prefix="slide_ckpt_")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 40)
+        .select("event_id", "ts", "event_type")
+    )
+    ev.coalesce(4).write.mode("overwrite").json(src)
+
+    stream = (
+        spark.readStream.schema("event_id BIGINT, ts TIMESTAMP, event_type STRING")
+        .json(src)
+        .withWatermark("ts", "1 minute")
+    )
+    agg = (
+        stream.groupBy(
+            F.col("event_type"),
+            F.window(F.col("ts"), "1 hour", "15 minutes"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "event_type",
+            F.col("window.start").alias("window_start"),
+            "n_events",
+        )
+    )
+    qname = "streaming_sliding_counts_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
