@@ -284,3 +284,27 @@ def unpivot_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "metric_value",
     )
+
+
+@query(
+    "cube_type_daily",
+    oracle="""
+    SELECT event_type, CAST(ts AS DATE) AS event_date,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM events WHERE user_id < 50
+    GROUP BY CUBE (event_type, CAST(ts AS DATE))
+    """,
+)
+def cube_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (event_type, day): all four grouping levels — cell,
+    per-type, per-day, grand total — in one Expand + one hash
+    aggregation (completes the grouping-sets family next to
+    rollup_revenue)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return (
+        e.cube("event_type", F.to_date("ts").alias("event_date"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -119,3 +119,50 @@ def sink_insert_ignore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_rows"))
     )
+
+
+@query(
+    "sink_bucketed_join",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+      FROM events GROUP BY 1),
+    o AS (
+      SELECT o_custkey AS user_id, COUNT(*) AS n_orders
+      FROM orders WHERE o_custkey <= 150 GROUP BY 1)
+    SELECT e.user_id, e.n_events, e.total_value, o.n_orders
+    FROM e JOIN o ON e.user_id = o.user_id
+    """,
+)
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join through the gate: both sides are
+    persisted bucketed by the join key (operators/partitioning.py
+    save_bucketed), then joined — Spark plans a SortMergeJoin with NO
+    Exchange on either side (asserted in tests/test_partitioning.py);
+    here the gate checks the joined VALUES survive the bucketed
+    round-trip bit-for-bit. This is the layout that amortizes one
+    write-time shuffle over every downstream join on the key."""
+    from .operators.partitioning import save_bucketed
+
+    create_namespace(spark, "etl_gate")
+    e = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 150)
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    drop_table_and_location(spark, "etl_gate.bk_events")
+    drop_table_and_location(spark, "etl_gate.bk_orders")
+    save_bucketed(e, "etl_gate.bk_events", ["user_id"], n_buckets=8)
+    save_bucketed(o, "etl_gate.bk_orders", ["user_id"], n_buckets=8)
+    return spark.table("etl_gate.bk_events").join(
+        spark.table("etl_gate.bk_orders"), "user_id"
+    )
