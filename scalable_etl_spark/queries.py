@@ -964,3 +964,58 @@ def priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+@query(
+    "profile_events_columns",
+    oracle="""
+    SELECT 'event_id' AS column_name, COUNT(*) AS n_rows,
+           SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+           COUNT(DISTINCT event_id) AS n_distinct
+    FROM events
+    UNION ALL
+    SELECT 'user_id', COUNT(*),
+           SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT user_id)
+    FROM events
+    UNION ALL
+    SELECT 'event_type', COUNT(*),
+           SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT event_type)
+    FROM events
+    UNION ALL
+    SELECT 'value', COUNT(*),
+           SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT value)
+    FROM events
+    """,
+)
+def profile_events_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling audit (the pre-training sanity pass every
+    pipeline runs): per-column row/null/distinct counts in ONE scan —
+    all 12 aggregates share a single pass and Catalyst expands the
+    multi-distinct internally; the long output shape comes from a
+    post-aggregation unpivot of a 1-row wide result, not four scans."""
+    e = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type", "value"]
+    wide = e.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"null_{c}")
+            for c in cols
+        ],
+        *[F.countDistinct(c).alias(f"dist_{c}") for c in cols],
+    )
+    parts = [
+        wide.select(
+            F.lit(c).alias("column_name"),
+            F.col("n_rows"),
+            F.col(f"null_{c}").alias("n_null"),
+            F.col(f"dist_{c}").alias("n_distinct"),
+        )
+        for c in cols
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

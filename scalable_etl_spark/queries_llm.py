@@ -828,3 +828,76 @@ def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return winnowing_fingerprints(d, window=4)
+
+
+@query(
+    "bigram_pmi",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    uni AS (
+      SELECT unnest(t) AS tok FROM toks),
+    uni_c AS (
+      SELECT tok, COUNT(*) AS c FROM uni GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n FROM uni),
+    bi AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)),
+    bi_c AS (
+      SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+    bi_tot AS (SELECT COUNT(*) AS n FROM bi)
+    SELECT b.w1, b.w2, b.c AS pair_count,
+           ROUND(ln((b.c * 1.0 / bt.n)
+                    / ((u1.c * 1.0 / t.n) * (u2.c * 1.0 / t.n))), 4)
+             + 0.0 AS pmi
+    FROM bi_c b, bi_tot bt, tot t
+    JOIN uni_c u1 ON u1.tok = b.w1
+    JOIN uni_c u2 ON u2.tok = b.w2
+    WHERE b.c >= 20
+    """,
+)
+def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent
+    token pairs with count >= 20. Bigrams come from one posexplode over
+    token positions; unigram/bigram totals are scalar subplans Catalyst
+    broadcasts. PMI's single ln is computed identically by both
+    engines' libm and rounded to 4 — the corpus-statistics pattern for
+    tokenizer/vocab curation at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(tokens("text").alias("t"))
+    uni = toks.select(F.explode("t").alias("tok"))
+    uni_c = uni.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = uni.count()
+    bi = toks.select(
+        F.posexplode(F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0)))).alias(
+            "i0", "w1"
+        ),
+        F.col("t"),
+    ).select("w1", F.element_at("t", F.col("i0") + 2).alias("w2"))
+    bi_c = bi.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    bi_tot = bi.count()
+    u1 = uni_c.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni_c.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bi_c.filter(F.col("c") >= 20)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .select(
+            "w1",
+            "w2",
+            F.col("c").alias("pair_count"),
+            (
+                F.round(
+                    F.log(
+                        (F.col("c") * 1.0 / F.lit(float(bi_tot)))
+                        / (
+                            (F.col("c1") * 1.0 / F.lit(float(tot)))
+                            * (F.col("c2") * 1.0 / F.lit(float(tot)))
+                        )
+                    ),
+                    4,
+                )
+                # -0.0 -> 0.0 so both engines canonicalize identically
+                + F.lit(0.0)
+            ).alias("pmi"),
+        )
+    )
