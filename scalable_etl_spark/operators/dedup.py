@@ -142,10 +142,28 @@ def ngram_jaccard_pairs(
                 - F.ceil(F.lit(threshold) * F.col("set_size"))
                 + 1
             )
-            .select(id_col, "h", "set_size")
+            .select(id_col, "h", "set_size", "__rk")
         )
         a = ranked.alias("a")
         b = ranked.alias("b")
+        # Positional filter (PPJoin): both docs' shingles are sorted by
+        # the SAME global rarity order, so a match at ranks (rk_a, rk_b)
+        # bounds the true overlap by min(|a|-rk_a, |b|-rk_b) + 1. If
+        # that bound misses the overlap threshold alpha =
+        # t/(1+t) * (|a|+|b|), the true overlap does too — dropping the
+        # match row is LOSSLESS (the pair survives iff some match
+        # passes). Cuts candidates well below the plain prefix join.
+        overlap_bound = (
+            F.least(
+                F.col("a.set_size") - F.col("a.__rk"),
+                F.col("b.set_size") - F.col("b.__rk"),
+            )
+            + 1
+        )
+        alpha = F.ceil(
+            F.lit(threshold / (1.0 + threshold))
+            * (F.col("a.set_size") + F.col("b.set_size"))
+        )
         cand = (
             a.join(b, "h")
             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -154,6 +172,7 @@ def ngram_jaccard_pairs(
                 * F.greatest(F.col("a.set_size"), F.col("b.set_size"))
                 <= F.least(F.col("a.set_size"), F.col("b.set_size"))
             )
+            .filter(overlap_bound >= alpha)
             .select(
                 F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
