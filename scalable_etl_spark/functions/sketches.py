@@ -201,3 +201,53 @@ def histogram_quantiles_sql(
     SELECT {g}, MAX(total) AS n_rows, {qcols}
     FROM cum GROUP BY {g}
     """
+
+
+def hll_registers(df: DataFrame, key_col: str) -> DataFrame:
+    """Global (ungrouped) HLL register table: (__reg, __r). The
+    mergeable representation — sketches of different slices union by
+    register-wise MAX, which is exactly the sketch of the slices'
+    union. This is what a 100 TB pipeline persists per partition/day
+    and folds at query time instead of re-scanning raw keys."""
+    h = _hash32(F.col(key_col).cast("string"))
+    idx = F.shiftright(h, HLL_W)
+    rem = h.bitwiseAND(F.lit((1 << HLL_W) - 1))
+    rho = (
+        F.when(rem == 0, F.lit(HLL_Q))
+        .otherwise(F.lit(HLL_Q) - F.length(F.bin(rem)))
+        .cast("int")
+    )
+    return (
+        df.select(idx.alias("__reg"), rho.alias("__rho"))
+        .groupBy("__reg")
+        .agg(F.max("__rho").alias("__r"))
+    )
+
+
+def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
+    """(n_registers, est_distinct) from a (__reg, __r) register table —
+    same estimator arithmetic as ``hll_distinct``."""
+    term = F.pow(F.lit(2.0), F.lit(HLL_Q) - F.col("__r")).cast("long")
+    agg = regs.agg(
+        F.count("*").alias("n_registers"),
+        F.sum(term).alias("__s_present"),
+    )
+    v0 = F.lit(HLL_M) - F.col("n_registers")
+    s_total = F.col("__s_present") + v0 * F.lit(1 << HLL_Q)
+    raw = F.lit(_HLL_K) / s_total
+    lc = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v0)
+    est = F.when((v0 > 0) & (raw <= F.lit(2.5 * HLL_M)), lc).otherwise(raw)
+    return agg.select(
+        "n_registers", F.round(est, 4).alias("est_distinct")
+    )
+
+
+def hll_merge_estimate(*register_tables: DataFrame) -> DataFrame:
+    """Union-cardinality estimate from merged sketches: register-wise
+    MAX across the tables, then the standard estimator. Bit-identical
+    to sketching the underlying union directly."""
+    merged = register_tables[0]
+    for t in register_tables[1:]:
+        merged = merged.unionByName(t)
+    folded = merged.groupBy("__reg").agg(F.max("__r").alias("__r"))
+    return hll_estimate_from_registers(folded)

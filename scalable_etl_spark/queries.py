@@ -1019,3 +1019,52 @@ def profile_events_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _hll_union_oracle() -> str:
+    from .functions.sketches import _HLL_K, HLL_M, HLL_Q, HLL_W
+
+    mask = (1 << HLL_W) - 1
+    return f"""
+    WITH h AS (
+      SELECT CAST(('0x' || substr(md5('0:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h32
+      FROM events WHERE event_type IN ('purchase', 'view')),
+    regs AS (
+      SELECT h32 >> {HLL_W} AS reg,
+             MAX(CASE WHEN (h32 & {mask}) = 0 THEN {HLL_Q}
+                      ELSE {HLL_Q} - length(bin(h32 & {mask})) END) AS r
+      FROM h GROUP BY 1),
+    agg AS (
+      SELECT COUNT(*) AS n_registers,
+             SUM(CAST(pow(2, {HLL_Q} - r) AS BIGINT)) AS s_present
+      FROM regs)
+    SELECT n_registers,
+           ROUND(CASE WHEN ({HLL_M} - n_registers) > 0
+                       AND {_HLL_K!r} / (s_present + ({HLL_M} - n_registers) * {1 << HLL_Q}) <= {2.5 * HLL_M}
+                      THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / ({HLL_M} - n_registers))
+                      ELSE {_HLL_K!r} / (s_present + ({HLL_M} - n_registers) * {1 << HLL_Q})
+                 END, 4) AS est_distinct
+    FROM agg
+    """
+
+
+@query(
+    "hll_union_users",
+    oracle=_hll_union_oracle(),
+)
+def hll_union_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGABILITY under the gate: build one HLL register table
+    for 'purchase' users and another for 'view' users, fold them by
+    register-wise MAX, and estimate — the mathematically identical
+    result to sketching the union directly, which is exactly what the
+    oracle computes. This is the pre-aggregated rollup pattern: persist
+    tiny per-slice sketches, answer cross-slice distinct counts without
+    touching raw keys."""
+    from .functions.sketches import hll_merge_estimate, hll_registers
+
+    e = load_table(spark, sf_dir, "events")
+    purchase = hll_registers(
+        e.filter(F.col("event_type") == "purchase"), "user_id"
+    )
+    view = hll_registers(e.filter(F.col("event_type") == "view"), "user_id")
+    return hll_merge_estimate(purchase, view)

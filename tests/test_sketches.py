@@ -50,3 +50,24 @@ def test_histogram_quantiles_accuracy(spark):
     assert abs(row.p50 - 50) <= 1
     assert abs(row.p95 - 95) <= 1
     assert abs(row.p99 - 99) <= 1
+
+
+def test_hll_merge_equals_direct(spark):
+    from scalable_etl_spark.functions.sketches import (
+        hll_merge_estimate,
+        hll_registers,
+    )
+
+    a = spark.range(0, 800).select(F.col("id").alias("k"))
+    b = spark.range(500, 1500).select(F.col("id").alias("k"))
+    merged = hll_merge_estimate(
+        hll_registers(a, "k"), hll_registers(b, "k")
+    ).collect()[0]
+    direct = hll_merge_estimate(
+        hll_registers(a.unionByName(b), "k")
+    ).collect()[0]
+    # Sketch of union == union of sketches, bit for bit.
+    assert merged.est_distinct == direct.est_distinct
+    assert merged.n_registers == direct.n_registers
+    # And the estimate tracks the true union cardinality (1500).
+    assert abs(merged.est_distinct - 1500) / 1500 < 0.20
