@@ -50,6 +50,7 @@ def main() -> None:
         # methods costs ~2s of JVM compilation otherwise).
         QUERIES["embedding_norms"](spark, sf_dir).collect()
         QUERIES["minhash_lsh"](spark, "/root/testdata/sf0.001").count()
+        QUERIES["exact_dedup"](spark, "/root/testdata/sf0.001").count()
     except Exception as exc:
         print(f"# warmup failed: {exc}", file=sys.stderr)
 
