@@ -555,57 +555,87 @@ def embedding_near_dup_pairs(
     population ~ |corpus| / 2^b — raise ``n_lsh_bits`` with corpus size
     to bound the per-bucket self-join. Exact variant: n_tables=1,
     n_lsh_bits=0 degrades to a single bucket (all pairs)."""
+    import numpy as np
+    import pandas as pd
+
     from ..functions.vectors import (
         EMBEDDING_DIM,
         as_double,
-        dot_pandas,
         multi_table_buckets_pandas,
-        norm_pandas,
     )
 
-    # Bucket table carries ids only; vectors are fetched once per
-    # *distinct* candidate pair. Scoring before dedup would evaluate the
-    # 64-dim cosine up to n_tables times per pair — measured 8x slower.
+    # Shape: pair generation AND scoring live inside one grouped-map
+    # applyInPandas over (table, bucket). At a moderate-cosine
+    # threshold the OR-construction leaves most pairs as candidates
+    # (sign-LSH's p1/p2 gap collapses as theta grows), so any plan that
+    # materializes the candidate-pair stream JVM-side — self-join,
+    # distinct, vector join-backs, per-pair Arrow scoring — moves
+    # O(pairs) data; this one moves O(corpus x n_tables) rows into
+    # Arrow and O(result) back. Inside a bucket the pairwise dots are
+    # a per-dimension outer-product accumulation: one IEEE add per
+    # dimension in index order, bit-identical to aggregate(zip_with)
+    # and DuckDB's list_dot_product, so the oracle gate still holds
+    # exactly. Norms fall out of the same matrix's diagonal.
+    # Multi-table duplicates dedup via first-matching-table inside the
+    # group (argmax over the pair's bucket-equality vector) — no
+    # distinct shuffle anywhere.
+    #
+    # Scale: per-group memory is O(bucket^2) doubles — raise
+    # ``n_lsh_bits`` with corpus size so buckets stay ~1e4; the JVM
+    # groups stream through Arrow without collecting the corpus.
+    d = dim or EMBEDDING_DIM
+    id_field = next(f for f in emb.schema.fields if f.name == id_col)
+    id_sql = id_field.dataType.simpleString()
     keyed = emb.select(
         F.col(id_col),
-        F.posexplode(
-            multi_table_buckets_pandas(
-                vec_col, n_lsh_bits, n_tables, dim or EMBEDDING_DIM
-            )
-        ).alias("tbl", "bucket"),
+        as_double(vec_col).alias("v"),
+        multi_table_buckets_pandas(vec_col, n_lsh_bits, n_tables, d).alias(
+            "bks"
+        ),
+    ).select(
+        id_col, "v", "bks", F.posexplode("bks").alias("tbl", "bucket")
     )
-    a = keyed.alias("a")
-    b = keyed.alias("b")
-    cand = (
-        a.join(b, ["tbl", "bucket"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+    # Pairs within 1e-6 of the threshold are returned raw and settled
+    # by Spark-side F.round (HALF_UP, matching the previous spelling
+    # and DuckDB ROUND) — numpy's banker's rounding never decides a
+    # keep/drop.
+    lo = threshold - 1e-6
+
+    def _score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {"id_a": pd.Series([], dtype=pdf[id_col].dtype),
+             "id_b": pd.Series([], dtype=pdf[id_col].dtype),
+             "cos_raw": pd.Series([], dtype=float)}
         )
-        .distinct()
-    )
-    # Norm once per vector; pair scoring is then a single unrolled dot.
-    v = emb.select(F.col(id_col), as_double(vec_col).alias("v")).withColumn(
-        "n", norm_pandas(F.col("v"))
-    )
-    va = v.select(
-        F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
-    )
-    vb = v.select(
-        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+        if n < 2:
+            return empty
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        V = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        B = np.stack(pdf["bks"].to_numpy()[order])
+        tbl = int(pdf["tbl"].iat[0])
+        acc = np.outer(V[:, 0], V[:, 0])
+        for i in range(1, V.shape[1]):
+            acc = acc + np.outer(V[:, i], V[:, i])
+        norms = np.sqrt(np.diag(acc))
+        ia, ib = np.triu_indices(n, 1)
+        # keep a pair only in its FIRST matching table
+        first = np.argmax(B[ia] == B[ib], axis=1)
+        cos = acc[ia, ib] / (norms[ia] * norms[ib])
+        keep = (first == tbl) & (cos >= lo)
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
+             "cos_raw": cos[keep]}
+        )
+
+    scored = keyed.groupBy("tbl", "bucket").applyInPandas(
+        _score, f"id_a {id_sql}, id_b {id_sql}, cos_raw double"
     )
     return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                dot_pandas(F.col("va"), F.col("vb"))
-                / (F.col("na") * F.col("nb")),
-                6,
-            ).alias("cos_sim"),
+        scored.select(
+            "id_a", "id_b", F.round(F.col("cos_raw"), 6).alias("cos_sim")
         )
         .filter(F.col("cos_sim") >= threshold)
     )
