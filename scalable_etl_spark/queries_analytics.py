@@ -308,3 +308,48 @@ def cube_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@query(
+    "gapfill_user_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS epoch_day,
+             ROUND(SUM(value), 2) AS day_value
+      FROM events WHERE event_type = 'purchase' AND user_id < 40
+      GROUP BY 1, 2),
+    span AS (SELECT user_id, min(epoch_day) AS d0, max(epoch_day) AS d1
+             FROM daily GROUP BY 1),
+    scaffold AS (SELECT user_id, unnest(generate_series(d0, d1)) AS epoch_day
+                 FROM span),
+    dense AS (SELECT s.user_id, s.epoch_day, d.day_value
+              FROM scaffold s
+              LEFT JOIN daily d USING (user_id, epoch_day))
+    SELECT user_id, epoch_day, day_value,
+           last_value(day_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY epoch_day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+           day_value IS NULL AS is_gap
+    FROM dense
+    """,
+)
+def gapfill_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped gap-fill: densify each user's purchase-value series to a
+    contiguous daily scaffold (per-group span, sequence + explode) and
+    forward-fill gaps with a running last(ignorenulls) frame — the
+    feature-table densification op (see operators/timeseries.py for the
+    scale shape)."""
+    from .operators.timeseries import gap_fill_daily
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") < 40))
+        .withColumn(
+            "epoch_day",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")),
+        )
+    )
+    return gap_fill_daily(
+        e, ["user_id"], "epoch_day", F.round(F.sum("value"), 2)
+    )

@@ -901,3 +901,163 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+# ------------------------------------------------ dedup components
+
+
+@query(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_SIG_SQL},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b USING (band, bucket)
+      WHERE a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM hashed GROUP BY 1),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS nc
+      FROM cand c
+      JOIN hashed a ON a.doc_id = c.id_a
+      JOIN hashed b ON b.doc_id = c.id_b AND b.base = a.base
+      GROUP BY 1, 2),
+    mh AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE ROUND(nc / (sa.sz + sb.sz - nc), 4) >= 0.8),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM mh
+              UNION ALL
+              SELECT id_b, id_a FROM mh),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT re.node, e.dst FROM reach re JOIN edges e ON e.src = re.r)
+    SELECT node AS doc_id, MIN(r) AS component
+    FROM reach GROUP BY 1
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup pair graph —
+    pair output becomes dedup GROUPS (chains a-b, b-c collapse to one
+    component) via iterative min-label propagation
+    (operators/graph.py: one equi-join + one min-agg per round,
+    localCheckpoint lineage truncation, LIMIT-1 convergence probe).
+    The oracle replays the same fixpoint as a recursive CTE."""
+    from .operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, num_perms=16, bands=4, threshold=0.8)
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
+# --------------------------------------- deterministic train/test split
+
+
+@query(
+    "deterministic_split",
+    oracle=f"""
+    WITH b AS (
+      SELECT source, n_chars,
+             {_SQL_H64.format(expr="doc_id::VARCHAR")} % 100 AS bucket
+      FROM documents)
+    SELECT source,
+           CASE WHEN bucket < 10 THEN 'test'
+                WHEN bucket < 20 THEN 'valid'
+                ELSE 'train' END AS split,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 2) AS avg_chars
+    FROM b GROUP BY 1, 2
+    """,
+)
+def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based train/valid/test assignment — the reproducible
+    alternative to rand() sampling for training corpora: membership is
+    a pure function of the id, so re-runs, backfills, and engines all
+    agree (the oracle replays the same md5 buckets). Zero shuffle for
+    the assignment itself; one hash aggregation for the audit counts.
+    At 100 TB the CASE is a codegen'd scan-level expression — sampling
+    never materializes an intermediate."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = portable_hash64(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 10, "test")
+        .when(bucket < 20, "valid")
+        .otherwise("train")
+    )
+    return d.groupBy("source", split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+
+
+# ----------------------------------------------------------- TF-IDF
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH dt AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS tok FROM dt),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT tok, COUNT(*) AS dfr FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, tok,
+             ROUND(tf * (ln((n_docs + 1.0) / (dfr + 1.0)) + 1.0), 4)
+               AS tfidf
+      FROM tf JOIN dfreq USING (tok) CROSS JOIN n)
+    SELECT doc_id, tok, tfidf
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf =
+    ln((N+1)/(df+1)) + 1, the sklearn formula). Shape: one
+    (doc, token) count aggregation feeds BOTH tf and df (df = row
+    count of tf — no second pass over raw tokens), the
+    vocabulary-sized df table broadcasts, and top-3 is a per-doc
+    window on the already-aggregated rows. Document frequency is
+    corpus-wide but vocabulary-bounded — the broadcast holds at 100 TB
+    (vocab grows sublinearly); everything else keys on doc_id."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("dfr"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.lit(float(n_docs)) + 1.0) / (F.col("dfr") + 1.0)
+                    )
+                    + 1.0
+                ),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "tok", "tfidf")
+    )
