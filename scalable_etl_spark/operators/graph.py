@@ -59,6 +59,9 @@ def connected_components(
             .agg(F.min("comp").alias("nbr_comp"))
             .withColumnRenamed("dst", "node")
         )
+        # Carry the changed flag inside the checkpointed frame: the
+        # convergence probe is then a trivial filter-limit over already
+        # materialized partitions instead of a second join job per round.
         new = (
             labels.join(nbr, "node", "left")
             .select(
@@ -66,17 +69,14 @@ def connected_components(
                 F.least(
                     F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
                 ).alias("comp"),
+                (
+                    F.coalesce("nbr_comp", F.col("comp")) < F.col("comp")
+                ).alias("__changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("__changed")).limit(1).count()
+        labels = new.drop("__changed")
         if changed == 0:
             return labels
     raise RuntimeError(
