@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 import scalable_etl_spark.queries  # noqa: F401
 import scalable_etl_spark.queries_analytics  # noqa: F401
 import scalable_etl_spark.queries_llm  # noqa: F401
+import scalable_etl_spark.queries_pipeline  # noqa: F401
 import scalable_etl_spark.queries_sinks  # noqa: F401
 import scalable_etl_spark.queries_sources  # noqa: F401
 import scalable_etl_spark.queries_sql  # noqa: F401

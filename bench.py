@@ -20,13 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from scalable_etl_spark.session import get_spark  # noqa: E402
 
-import scalable_etl_spark.queries  # noqa: F401,E402
-import scalable_etl_spark.queries_analytics  # noqa: F401
-import scalable_etl_spark.queries_llm  # noqa: F401,E402
-import scalable_etl_spark.queries_sinks  # noqa: F401,E402
-import scalable_etl_spark.queries_sources  # noqa: F401
-import scalable_etl_spark.queries_sql  # noqa: F401,E402
-import scalable_etl_spark.queries_streaming  # noqa: F401,E402
+# Import the driver contract module so the benched set is exactly the
+# graded set (new query modules only need wiring in __spark_entry__).
+import __spark_entry__  # noqa: F401,E402
 from scalable_etl_spark.registry import QUERIES  # noqa: E402
 
 

@@ -215,6 +215,82 @@ def cosine_pandas(a: Column, b: Column) -> Column:
     return dot_pandas(a, b) / (norm_pandas(a) * norm_pandas(b))
 
 
+CENTROID_PLANE_OFFSET = 1000  # plane family disjoint from LSH tables
+
+
+def centroid(k: int, dim: int = EMBEDDING_DIM) -> list[float]:
+    """Deterministic synthetic centroid k — the ``hyperplane`` family
+    shifted to a disjoint offset so clustering and LSH never share
+    planes. Real pipelines would load trained centroids; the assignment
+    operator below is identical either way."""
+    return hyperplane(CENTROID_PLANE_OFFSET + k, dim)
+
+
+def centroid_sql(k: int, dim: int = EMBEDDING_DIM) -> str:
+    return hyperplane_sql(CENTROID_PLANE_OFFSET + k, dim)
+
+
+def nearest_centroid_pandas(
+    col: str | Column, n_clusters: int = 8, dim: int = EMBEDDING_DIM
+) -> Column:
+    """Argmax-affinity cluster id in one Arrow batch: cluster =
+    first k maximizing dot(v, centroid_k) (ties -> lowest k, matching
+    a ``d_k >= d_j for all j > k`` CASE ladder in SQL). Dots use the
+    left-to-right accumulation (``_lr_dot_np``), so the DuckDB oracle
+    (list_dot_product against ``centroid_sql`` literals) sees the
+    bit-identical affinities.
+
+    Scale shape: centroid matrix is a closure constant broadcast with
+    the UDF; assignment is a pure map — no shuffle, linear in rows.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    cents = np.array(
+        [centroid(k, dim) for k in range(n_clusters)], dtype=np.float64
+    )  # (k, dim)
+
+    def _assign(s: "pd.Series") -> "pd.Series":
+        if len(s) == 0:
+            return pd.Series([], dtype="int32")
+        v = np.stack(s.to_numpy()).astype(np.float64)  # (n, dim)
+        dots = np.empty((v.shape[0], cents.shape[0]), dtype=np.float64)
+        for k in range(cents.shape[0]):
+            dots[:, k] = _lr_dot_np(v, np.broadcast_to(cents[k], v.shape))
+        return pd.Series(np.argmax(dots, axis=1).astype(np.int32))
+
+    udf = pandas_udf(_assign, "int", PandasUDFType.SCALAR)
+    c = F.col(col) if isinstance(col, str) else col
+    return udf(c.cast("array<double>"))
+
+
+def centroid_affinity_pandas(
+    col: str | Column, cluster: Column, n_clusters: int = 8, dim: int = EMBEDDING_DIM
+) -> Column:
+    """dot(v, centroid_{cluster}) in one Arrow batch — the affinity of a
+    vector to its (already assigned) centroid, same accumulation order
+    as ``nearest_centroid_pandas``."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    cents = np.array(
+        [centroid(k, dim) for k in range(n_clusters)], dtype=np.float64
+    )
+
+    def _aff(s: "pd.Series", ks: "pd.Series") -> "pd.Series":
+        if len(s) == 0:
+            return pd.Series([], dtype=float)
+        v = np.stack(s.to_numpy()).astype(np.float64)
+        w = cents[ks.to_numpy().astype(np.int64)]
+        return pd.Series(_lr_dot_np(v, w))
+
+    udf = pandas_udf(_aff, "double", PandasUDFType.SCALAR)
+    c = F.col(col) if isinstance(col, str) else col
+    return udf(c.cast("array<double>"), cluster)
+
+
 def multi_table_buckets(
     col: str | Column,
     n_bits: int = 2,

@@ -1,0 +1,388 @@
+"""Training-corpus curation queries — the operations a 100 TB
+LLM-data pipeline runs AFTER dedup: repetition-based quality filtering
+(Gopher-style), deterministic stratified sampling, sequence packing
+(concat-and-chunk into fixed token windows), centroid assignment for
+cluster-balanced curation, and token-length histograms for batch
+planning.
+
+Same discipline as queries_llm.py: JVM-side expressions on the hot
+path; Arrow-batched pandas only where expressions can't express the
+work (centroid argmax); every query carries a bit-exact DuckDB oracle
+(ratios rounded THEN compared/flagged on both engines, aggregates over
+exact integers or order-independent MIN/MAX — never raw float SUM/AVG
+across engine-dependent orders).
+
+Reference parity: the reference engine (ivanemoje/scalable-etl) has no
+corpus-curation surface at all — these extend it per the build brief;
+scale notes inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.text import portable_hash64, token_count, tokens
+from .functions.vectors import (
+    EMBEDDING_DIM,
+    centroid_affinity_pandas,
+    centroid_sql,
+    nearest_centroid_pandas,
+)
+from .registry import query
+from .tables import load_table
+
+_SQL_TOKS = (
+    "CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[] "
+    "ELSE regexp_split_to_array(trim(coalesce(text, '')), '\\s+') END"
+)
+_SQL_H64 = "CAST(('0x' || substr(md5('0:' || {expr}), 1, 15)) AS BIGINT)"
+
+
+# ------------------------------------------- repetition quality filter
+
+
+@query(
+    "doc_repetition",
+    oracle=f"""
+    WITH dt AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    bg AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(t) >= 2
+             THEN list_transform(generate_series(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i + 1])
+             ELSE []::VARCHAR[] END) AS g
+      FROM dt),
+    bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    bga AS (SELECT doc_id, MAX(c) AS top_cnt, SUM(c) AS total_bg
+            FROM bgc GROUP BY 1),
+    tg AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(generate_series(1, len(t) - 2),
+                                 i -> array_to_string(t[i:i+2], ' '))
+             ELSE []::VARCHAR[] END) AS g
+      FROM dt),
+    tga AS (SELECT doc_id, COUNT(DISTINCT g) AS nd, COUNT(*) AS total_tg
+            FROM tg GROUP BY 1),
+    m AS (
+      SELECT d.doc_id,
+             ROUND(COALESCE(top_cnt * 1.0 / total_bg, 0.0), 4)
+               AS top_bigram_frac,
+             ROUND(COALESCE(1.0 - nd * 1.0 / total_tg, 0.0), 4)
+               AS dup_trigram_frac
+      FROM documents d
+      LEFT JOIN bga ON bga.doc_id = d.doc_id
+      LEFT JOIN tga ON tga.doc_id = d.doc_id)
+    SELECT doc_id, top_bigram_frac, dup_trigram_frac,
+           CAST(top_bigram_frac >= 0.1 OR dup_trigram_frac >= 0.2 AS INT)
+             AS repetitive
+    FROM m
+    """,
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics (Rae et al. 2021, public): the
+    fraction of all word bigrams taken by the single most frequent one,
+    and the fraction of duplicate trigrams. High values flag boilerplate
+    / degenerate text for corpus filtering.
+
+    Scale shape: explode -> two-level hash aggregation — the wordcount
+    shape with map-side partial aggregation, no windows, no per-doc
+    quadratic HOF scans. The doc join-back is on the (small) per-doc
+    aggregate, AQE-broadcast at any realistic doc count per partition.
+    The flag is computed from the ROUNDED ratios on both engines, so
+    threshold comparisons can't straddle float noise.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    empty = F.array().cast("array<string>")
+    bg = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(empty)
+    tg = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        ),
+    ).otherwise(empty)
+
+    bg_rows = d.select("doc_id", F.explode(bg).alias("g"))
+    bga = (
+        bg_rows.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_cnt"), F.sum("c").alias("total_bg"))
+    )
+    tga = (
+        d.select("doc_id", F.explode(tg).alias("g"))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("nd"), F.count("*").alias("total_tg")
+        )
+    )
+    m = (
+        d.select("doc_id")
+        .join(bga, "doc_id", "left")
+        .join(tga, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(
+                    F.col("top_cnt") * 1.0 / F.col("total_bg"), F.lit(0.0)
+                ),
+                4,
+            ).alias("top_bigram_frac"),
+            F.round(
+                F.coalesce(
+                    1.0 - F.col("nd") * 1.0 / F.col("total_tg"), F.lit(0.0)
+                ),
+                4,
+            ).alias("dup_trigram_frac"),
+        )
+    )
+    return m.select(
+        "doc_id",
+        "top_bigram_frac",
+        "dup_trigram_frac",
+        (
+            (F.col("top_bigram_frac") >= 0.1)
+            | (F.col("dup_trigram_frac") >= 0.2)
+        )
+        .cast("int")
+        .alias("repetitive"),
+    )
+
+
+# ------------------------------------------ deterministic stratified sample
+
+
+@query(
+    "stratified_sample",
+    oracle=f"""
+    WITH b AS (
+      SELECT lang, n_chars,
+             CASE WHEN ({_SQL_H64.format(
+                 expr="'strat:' || CAST(doc_id AS VARCHAR)")} % 10000)
+                  < (CASE WHEN lang = 'en' THEN 3500 ELSE 10000 END)
+                  THEN 1 ELSE 0 END AS kept
+      FROM documents)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(kept) AS n_kept,
+           SUM(CASE WHEN kept = 1 THEN n_chars ELSE 0 END) AS kept_chars
+    FROM b GROUP BY 1
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum downsampling — rebalance a corpus
+    dominated by one language (en here) by hashing the doc id against a
+    per-stratum keep threshold. Membership is a pure function of the id
+    (portable md5 hash), so backfills/re-runs/engines agree exactly —
+    the reproducibility property rand() sampling can't give.
+
+    Scale shape: the keep decision is a scan-level codegen'd expression
+    (zero shuffle); only the audit aggregation shuffles 5 rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = portable_hash64(
+        F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))
+    )
+    thresh = F.when(F.col("lang") == "en", F.lit(3500)).otherwise(F.lit(10000))
+    kept = ((h % 10000) < thresh).cast("int")
+    return (
+        d.select("lang", "n_chars", kept.alias("kept"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+            F.sum(
+                F.when(F.col("kept") == 1, F.col("n_chars")).otherwise(0)
+            ).alias("kept_chars"),
+        )
+    )
+
+
+# ----------------------------------------------------- sequence packing
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+    WITH dt AS (
+      SELECT source, doc_id, len({_SQL_TOKS}) AS n_tokens FROM documents),
+    c AS (
+      SELECT source, doc_id, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM dt)
+    SELECT source,
+           CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS bin_tokens
+    FROM c GROUP BY 1, 2
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: within each source shard,
+    documents are concatenated in deterministic (doc_id) order and cut
+    into 512-token training windows; a document's bin is the window its
+    first token lands in. The per-bin audit (docs per window, token
+    fill) is what batch planners read.
+
+    Scale shape: one hash partition per source shard + an in-partition
+    sort — the same layout the downstream tokenizer job wants, so the
+    sort is not wasted; no global ordering anywhere. At 100 TB, sources
+    are thousands of shards, each windowed independently.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.select(
+        "source", "doc_id", token_count("text").alias("n_tokens")
+    ).withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        c.groupBy(
+            "source",
+            F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(512.0))
+            .cast("bigint")
+            .alias("bin"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+    )
+
+
+# ------------------------------------- centroid assignment (clustering)
+
+
+def _cluster_case_sql(n: int) -> str:
+    whens = []
+    for k in range(n - 1):
+        geq = " AND ".join(f"d{k} >= d{j}" for j in range(k + 1, n))
+        whens.append(f"WHEN {geq} THEN {k}")
+    return "CASE " + " ".join(whens) + f" ELSE {n - 1} END"
+
+
+def _affinity_case_sql(n: int) -> str:
+    whens = " ".join(f"WHEN cluster = {k} THEN d{k}" for k in range(n))
+    return f"CASE {whens} END"
+
+
+_N_CLUSTERS = 8
+
+@query(
+    "embedding_clusters",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dots AS (
+      SELECT vec_id,
+             {", ".join(
+                 f"list_dot_product(v, {centroid_sql(k)}) AS d{k}"
+                 for k in range(_N_CLUSTERS))}
+      FROM e),
+    asg AS (
+      SELECT vec_id, {_cluster_case_sql(_N_CLUSTERS)} AS cluster,
+             {", ".join(f"d{k}" for k in range(_N_CLUSTERS))}
+      FROM dots),
+    aff AS (
+      SELECT vec_id, cluster,
+             {_affinity_case_sql(_N_CLUSTERS)} AS affinity
+      FROM asg)
+    SELECT CAST(cluster AS INT) AS cluster,
+           COUNT(*) AS n_vecs,
+           ROUND(MIN(affinity), 4) AS min_aff,
+           ROUND(MAX(affinity), 4) AS max_aff
+    FROM aff GROUP BY 1
+    """,
+)
+def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment over the embedding corpus — the
+    building block of cluster-balanced curation (sample evenly across
+    semantic clusters) and of IVF index construction. Centroids are
+    deterministic literals here (functions/vectors.py ``centroid``);
+    swapping in trained centroids changes nothing structurally.
+
+    Scale shape: the centroid matrix rides inside the Arrow UDF closure
+    (one broadcast), assignment is a pure map stage over the corpus —
+    no shuffle until the 8-row audit agg. MIN/MAX affinities are
+    order-independent, so the oracle comparison is exact (no float-sum
+    drift); the argmax tie-breaks to the lowest cluster id on both
+    engines.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    asg = e.select(
+        "vec_id",
+        "embedding",
+        nearest_centroid_pandas(
+            "embedding", _N_CLUSTERS, EMBEDDING_DIM
+        ).alias("cluster"),
+    )
+    aff = asg.select(
+        "cluster",
+        centroid_affinity_pandas(
+            "embedding", F.col("cluster"), _N_CLUSTERS, EMBEDDING_DIM
+        ).alias("affinity"),
+    )
+    return aff.groupBy("cluster").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.min("affinity"), 4).alias("min_aff"),
+        F.round(F.max("affinity"), 4).alias("max_aff"),
+    )
+
+
+# ------------------------------------------------ token length histogram
+
+
+_LEN_BUCKETS = [16, 32, 64, 128, 256]
+
+
+def _len_bucket_sql(col: str) -> str:
+    whens = [f"WHEN {col} < {b} THEN '<{b}'" for b in _LEN_BUCKETS]
+    return (
+        "CASE "
+        + " ".join(whens)
+        + f" ELSE '>={_LEN_BUCKETS[-1]}' END"
+    )
+
+
+@query(
+    "token_len_histogram",
+    oracle=f"""
+    WITH dt AS (
+      SELECT lang, len({_SQL_TOKS}) AS n_tokens FROM documents)
+    SELECT lang, {_len_bucket_sql("n_tokens")} AS len_bucket,
+           COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens
+    FROM dt GROUP BY 1, 2
+    """,
+)
+def token_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram per language — the distribution batch
+    planners and packers read to pick window sizes (pairs with
+    ``sequence_packing``). Pure scan-level bucketing + one small
+    aggregation; exact integer outputs."""
+    d = load_table(spark, sf_dir, "documents")
+    n = token_count("text")
+    bucket = F.lit(f">={_LEN_BUCKETS[-1]}")
+    for b in reversed(_LEN_BUCKETS):
+        bucket = F.when(n < b, F.lit(f"<{b}")).otherwise(bucket)
+    return (
+        d.select("lang", n.alias("n_tokens"), bucket.alias("len_bucket"))
+        .groupBy("lang", "len_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+    )

@@ -1,0 +1,145 @@
+"""Corpus-curation query tests (queries_pipeline.py): repetition
+metrics, deterministic stratified sampling, sequence packing, centroid
+assignment, and token-length histograms — hand-reasoned fixtures plus
+numpy ground truth for the Arrow-batched centroid argmax.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from scalable_etl_spark.functions.vectors import (
+    centroid,
+    nearest_centroid_pandas,
+)
+from scalable_etl_spark.queries_pipeline import (
+    doc_repetition,
+    sequence_packing,
+    stratified_sample,
+    token_len_histogram,
+)
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_doc_repetition_degenerate_doc_flagged(spark, tmp_path):
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            # "a a a a a": bigrams = ['a a'] x 4 -> top frac 1.0;
+            # trigrams = ['a a a'] x 3 -> dup frac 1 - 1/3 = 0.6667.
+            (1, "a a a a a", "en", "s", 9),
+            # All-distinct tokens: top bigram frac 1/4, dup trigrams 0.
+            (2, "one two three four five", "en", "s", 23),
+            # Single token: no bigrams/trigrams -> 0.0 / 0.0, not null.
+            (3, "solo", "en", "s", 4),
+        ],
+    )
+    out = {r.doc_id: r for r in doc_repetition(spark, sf).collect()}
+    assert out[1].top_bigram_frac == pytest.approx(1.0)
+    assert out[1].dup_trigram_frac == pytest.approx(0.6667, abs=1e-4)
+    assert out[1].repetitive == 1
+    assert out[2].top_bigram_frac == pytest.approx(0.25)
+    assert out[2].dup_trigram_frac == 0.0
+    assert out[2].repetitive == 1  # 0.25 >= 0.1 top-bigram threshold
+    assert out[3].top_bigram_frac == 0.0
+    assert out[3].dup_trigram_frac == 0.0
+    assert out[3].repetitive == 0
+
+
+def test_sequence_packing_hand_computed_bins(spark, tmp_path):
+    # Three 300-token docs in one source: start offsets 0/300/600 ->
+    # bins 0, 0, 1 for 512-token windows. Second source: one doc.
+    t300 = " ".join(f"w{i}" for i in range(300))
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, t300, "en", "sA", len(t300)),
+            (2, t300, "en", "sA", len(t300)),
+            (3, t300, "en", "sA", len(t300)),
+            (4, "x y z", "en", "sB", 5),
+        ],
+    )
+    out = {
+        (r.source, r.bin): (r.n_docs, r.bin_tokens)
+        for r in sequence_packing(spark, sf).collect()
+    }
+    assert out == {
+        ("sA", 0): (2, 600),
+        ("sA", 1): (1, 300),
+        ("sB", 0): (1, 3),
+    }
+
+
+def test_stratified_sample_deterministic_and_en_only_downsampled(spark):
+    a = {r.lang: r for r in stratified_sample(spark, SF001).collect()}
+    b = {r.lang: r for r in stratified_sample(spark, SF001).collect()}
+    assert {k: (v.n_docs, v.n_kept) for k, v in a.items()} == {
+        k: (v.n_docs, v.n_kept) for k, v in b.items()
+    }
+    for lang, r in a.items():
+        if lang == "en":
+            assert r.n_kept < r.n_docs  # ~35% keep rate
+        else:
+            assert r.n_kept == r.n_docs  # non-dominant strata untouched
+
+
+def test_token_len_histogram_buckets(spark, tmp_path):
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, " ".join(["t"] * 10), "en", "s", 1),  # <16
+            (2, " ".join(["t"] * 16), "en", "s", 1),  # <32
+            (3, " ".join(["t"] * 300), "de", "s", 1),  # >=256
+        ],
+    )
+    out = {
+        (r.lang, r.len_bucket): (r.n_docs, r.sum_tokens)
+        for r in token_len_histogram(spark, sf).collect()
+    }
+    assert out == {
+        ("en", "<16"): (1, 10),
+        ("en", "<32"): (1, 16),
+        ("de", ">=256"): (1, 300),
+    }
+
+
+def test_nearest_centroid_matches_numpy_argmax(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 64)).astype(np.float64)
+    cents = np.array([centroid(k) for k in range(8)])
+    expected = np.argmax(vecs @ cents.T, axis=1)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    )
+    got = {
+        r.vec_id: r.cluster
+        for r in df.select(
+            "vec_id",
+            nearest_centroid_pandas("embedding", 8, 64).alias("cluster"),
+        ).collect()
+    }
+    assert got == {i: int(expected[i]) for i in range(40)}
+
+
+def test_nearest_centroid_tie_breaks_low(spark):
+    # The zero vector has dot 0 with every centroid -> ties across all
+    # eight clusters must resolve to cluster 0 (matches the SQL ladder).
+    df = spark.createDataFrame([(0, [0.0] * 64)], ["vec_id", "embedding"])
+    [row] = df.select(
+        nearest_centroid_pandas("embedding", 8, 64).alias("cluster")
+    ).collect()
+    assert row.cluster == 0

@@ -15,13 +15,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
-import scalable_etl_spark.queries  # noqa: F401
-import scalable_etl_spark.queries_analytics  # noqa: F401
-import scalable_etl_spark.queries_llm  # noqa: F401
-import scalable_etl_spark.queries_sinks  # noqa: F401
-import scalable_etl_spark.queries_sources  # noqa: F401
-import scalable_etl_spark.queries_sql  # noqa: F401
-import scalable_etl_spark.queries_streaming  # noqa: F401
+# Import the driver contract module itself so the query set checked
+# here is exactly the set the driver sees (new query modules only need
+# wiring in __spark_entry__).
+import __spark_entry__  # noqa: F401
 from scalable_etl_spark.registry import ORACLE_SQL, QUERIES
 from scalable_etl_spark.session import get_spark
 
