@@ -125,8 +125,15 @@ def ngram_jaccard_pairs(
     if prefix_filter:
         # Document frequency and per-doc size/rank as WINDOW functions:
         # one shuffle on shingle hash, one on doc (size + rank share
-        # the doc exchange) — versus four (two aggs + two join-backs)
-        # in the groupBy/join spelling.
+        # the doc exchange). MEASURED ALTERNATIVES (sf0.1, local[32]):
+        # groupBy("h")+join-back 2x slower (4.4s vs 2.2s median — the
+        # extra two-stage agg + join outweighs the missing map-side
+        # combine at ~260k rows), explicit broadcast(dfreq) 2-8x slower
+        # (driver collect + rebroadcast of a ~260k-row table beats the
+        # shuffle it saves only at much larger shingle cardinality).
+        # Shingle hashes are near-unique (md5-derived), so the h-window
+        # has no skew; at truly hot-key scales flip to the groupBy
+        # spelling, which is skew-safe under AQE.
         w_sh = Window.partitionBy("h")
         w_doc = Window.partitionBy(id_col)
         w_rank = Window.partitionBy(id_col).orderBy(
