@@ -343,6 +343,116 @@ def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------- benchmark decontamination
+
+
+_SQL_SHINGLES5 = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len(t) - 4, 1)), "
+    "i -> array_to_string(t[i:i+4], ' ')))"
+)
+
+
+@query(
+    "benchmark_contamination",
+    oracle=f"""
+    WITH dt AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    hs AS (
+      SELECT doc_id, {_SQL_H64.format(expr="s")} AS h
+      FROM (SELECT doc_id, unnest({_SQL_SHINGLES5}) AS s FROM dt)),
+    b AS (SELECT doc_id AS bench_id, h FROM hs WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id, h FROM hs WHERE doc_id % 97 <> 0),
+    pair AS (
+      SELECT bench_id, doc_id, COUNT(*) AS shared
+      FROM b JOIN tr USING (h) GROUP BY 1, 2)
+    SELECT bench_id,
+           COUNT(*) AS n_contaminated,
+           MAX(shared) AS max_overlap,
+           SUM(shared) AS total_overlap
+    FROM pair GROUP BY 1
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/benchmark decontamination scan: for each held-out
+    (benchmark) document, the training documents sharing at least one
+    5-word shingle, with max and total overlap counts — the check every
+    LLM pipeline runs so eval sets don't leak into training data
+    (5-gram stand-in for the usual 13-gram at these doc lengths).
+
+    Scale shape: the benchmark side is tiny by construction, so its
+    hashed shingle set BROADCASTS while the 100 TB training corpus
+    streams through one narrow join stage — the corpus is never
+    shuffled. Joins move (long, long) hash rows, never shingle text.
+    """
+    from .operators.dedup import shingle_hash_table
+
+    d = load_table(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 97 == 0
+    bs = shingle_hash_table(d.filter(is_bench), k=5).withColumnRenamed(
+        "doc_id", "bench_id"
+    )
+    ts = shingle_hash_table(d.filter(~is_bench), k=5)
+    pair = (
+        ts.join(F.broadcast(bs), "h")
+        .groupBy("bench_id", "doc_id")
+        .agg(F.count("*").alias("shared"))
+    )
+    return pair.groupBy("bench_id").agg(
+        F.count("*").alias("n_contaminated"),
+        F.max("shared").alias("max_overlap"),
+        F.sum("shared").alias("total_overlap"),
+    )
+
+
+# --------------------------------------------- exact-k hash-rank sample
+
+
+@query(
+    "hash_rank_sample",
+    oracle=f"""
+    WITH r AS (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {_SQL_H64.format(
+                   expr="'rank:' || CAST(doc_id AS VARCHAR)")} ASC,
+                        doc_id ASC) AS rk
+      FROM documents)
+    SELECT lang, CAST(rk AS INT) AS rk, doc_id
+    FROM r WHERE rk <= 25
+    """,
+)
+def hash_rank_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample: rank documents by a
+    portable hash of their id and keep the 25 smallest per language —
+    the reproducible replacement for reservoir sampling when the sample
+    size must be EXACT (rate-hash sampling like ``stratified_sample``
+    only hits k in expectation).
+
+    Scale shape: at 100 TB, pre-filter by a conservative hash threshold
+    (keep rate ~10x k/N, a scan-level predicate that prunes ~99.9% of
+    rows) before the per-stratum window — the sort then runs on a
+    vanishing fraction of the corpus. At test scale the window alone is
+    the whole plan; the pre-filter composes without changing results.
+    """
+    from .operators.topk import top_k_per_group
+
+    d = load_table(spark, sf_dir, "documents")
+    h = portable_hash64(
+        F.concat(F.lit("rank:"), F.col("doc_id").cast("string"))
+    )
+    ranked = top_k_per_group(
+        d.select("lang", "doc_id", h.alias("__h")),
+        ["lang"],
+        [F.col("__h").asc(), F.col("doc_id").asc()],
+        k=25,
+        rank_col="rk",
+    )
+    return ranked.select(
+        "lang", F.col("rk").cast("int").alias("rk"), "doc_id"
+    )
+
+
 # ------------------------------------------------ token length histogram
 
 

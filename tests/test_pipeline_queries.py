@@ -15,7 +15,9 @@ from scalable_etl_spark.functions.vectors import (
     nearest_centroid_pandas,
 )
 from scalable_etl_spark.queries_pipeline import (
+    benchmark_contamination,
     doc_repetition,
+    hash_rank_sample,
     sequence_packing,
     stratified_sample,
     token_len_histogram,
@@ -115,6 +117,43 @@ def test_token_len_histogram_buckets(spark, tmp_path):
         ("en", "<32"): (1, 16),
         ("de", ">=256"): (1, 300),
     }
+
+
+def test_benchmark_contamination_detects_copy(spark, tmp_path):
+    # doc 0 (bench: 0 % 97 == 0) is a verbatim copy of train doc 1 ->
+    # every one of its 4 distinct 5-gram shingles (8 tokens) is shared.
+    # Train doc 2 shares no shingle; doc 97 is bench with no match.
+    leaked = "alpha beta gamma delta epsilon zeta eta theta"
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, leaked, "en", "s", len(leaked)),
+            (1, leaked, "en", "s", len(leaked)),
+            (2, "totally unrelated words here", "en", "s", 28),
+            (97, "isolated benchmark document text", "en", "s", 32),
+        ],
+    )
+    out = {r.bench_id: r for r in benchmark_contamination(spark, sf).collect()}
+    assert set(out) == {0}  # doc 97 clean -> absent
+    assert out[0].n_contaminated == 1
+    assert out[0].max_overlap == 4
+    assert out[0].total_overlap == 4
+
+
+def test_hash_rank_sample_exact_k_and_deterministic(spark):
+    a = hash_rank_sample(spark, SF001).collect()
+    b = hash_rank_sample(spark, SF001).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    from collections import Counter
+
+    per_lang = Counter(r.lang for r in a)
+    # sf0.001 has ~50 docs across 5 langs; every stratum with >= 25
+    # docs yields exactly 25, smaller strata yield all their docs.
+    for lang, n in per_lang.items():
+        assert n <= 25
+        ranks = sorted(r.rk for r in a if r.lang == lang)
+        assert ranks == list(range(1, n + 1))
 
 
 def test_nearest_centroid_matches_numpy_argmax(spark):
