@@ -186,3 +186,62 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(qname)
+
+
+@query(
+    "streaming_enriched_counts",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    WHERE user_id < 40
+    GROUP BY 1
+    """,
+)
+def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join: the event stream is enriched against the
+    static customer dimension mid-flight, then aggregated per market
+    segment — the standard streaming-ETL enrichment shape (facts arrive
+    continuously, dims are slowly-changing tables).
+
+    Scale shape: Spark broadcasts the static side into every micro-batch
+    task (re-planned per batch, so dim refreshes are picked up) — the
+    unbounded stream side is never shuffled before the join; only the
+    5-row segment aggregate shuffles. Same spool -> readStream ->
+    availableNow drain protocol as the other streaming queries; the
+    drained complete-mode result is plain batch SQL, full value-hash
+    oracle."""
+    src = tempfile.mkdtemp(prefix="enrich_src_")
+    ckpt = tempfile.mkdtemp(prefix="enrich_ckpt_")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 40)
+        .select("event_id", "user_id", "value")
+    )
+    ev.coalesce(4).write.mode("overwrite").json(src)
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    stream = spark.readStream.schema(
+        "event_id BIGINT, user_id BIGINT, value DOUBLE"
+    ).json(src)
+    enriched = stream.join(
+        F.broadcast(dim), stream["user_id"] == dim["c_custkey"]
+    )
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    qname = "streaming_enriched_counts_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)

@@ -151,3 +151,28 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
         if r.user_id not in latest or r.n_events > latest[r.user_id][0]:
             latest[r.user_id] = (r.n_events, r.total_value)
     assert latest == {1: (3, 17.5), 2: (1, 1.0)}
+
+
+def test_streaming_enriched_counts_matches_batch(spark):
+    """Stream-static join drain equals the equivalent batch join."""
+    from scalable_etl_spark.queries_streaming import streaming_enriched_counts
+    from scalable_etl_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.c_mktsegment: (r.n_events, r.total_value)
+        for r in streaming_enriched_counts(spark, sf).collect()
+    }
+    ev = load_table(spark, sf, "events").filter(F.col("user_id") < 40)
+    dim = load_table(spark, sf, "customer")
+    exp = {
+        r.c_mktsegment: (r.n_events, r.total_value)
+        for r in ev.join(dim, ev["user_id"] == dim["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == exp
