@@ -353,3 +353,240 @@ def gapfill_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_fill_daily(
         e, ["user_id"], "epoch_day", F.round(F.sum("value"), 2)
     )
+
+
+# ----------------------------------------------------- funnel analysis
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+    SELECT 1 AS step, 'view' AS event_type, COUNT(*) AS n_users FROM v
+    UNION ALL
+    SELECT 2, 'click', COUNT(*) FROM c
+    UNION ALL
+    SELECT 3, 'purchase', COUNT(*) FROM p
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: a user
+    counts at step N only with an event strictly AFTER their step-N-1
+    time (ordering matters, not mere presence — the thing a naive
+    INTERSECT of user sets gets wrong).
+
+    Scale shape: three user-keyed aggregations co-partitioned on the
+    same key — AQE reuses the user_id exchange across steps; each step
+    joins to the (always smaller) previous-step frontier. No windows,
+    no self-join over raw events.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def step(df: DataFrame, n: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(n).alias("step"),
+            F.lit(name).alias("event_type"),
+            F.count("*").alias("n_users"),
+        )
+
+    return (
+        step(v, 1, "view")
+        .unionAll(step(c, 2, "click"))
+        .unionAll(step(p, 3, "purchase"))
+    )
+
+
+# ---------------------------------------------------- cohort retention
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY 1),
+    act AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_diff('day', f.cohort_week,
+                            date_trunc('week', e.ts)) / 7 AS BIGINT)
+               AS week_n
+      FROM events e JOIN first f ON f.user_id = e.user_id)
+    SELECT CAST(cohort_week AS DATE) AS cohort_week, week_n,
+           COUNT(*) AS n_users
+    FROM act GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix: users grouped by the ISO week of
+    their first event; cell (cohort, N) = distinct users of that cohort
+    active in week N after it. Both engines truncate weeks to Monday and
+    count whole-day differences, so the matrix is exact.
+
+    Scale shape: one user-keyed min-aggregation, an AQE-broadcastable
+    join-back of the (users-sized) cohort table, then a distinct +
+    count over (cohort, week) — the classic two-shuffle retention plan;
+    nothing quadratic, no per-cohort scans.
+    """
+    e = load_table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = (
+        e.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_n"),
+        )
+        .distinct()
+    )
+    return act.groupBy(
+        F.col("cohort_week").cast("date").alias("cohort_week"), "week_n"
+    ).agg(F.count("*").alias("n_users"))
+
+
+# ------------------------------------------------- FK integrity audit
+
+
+@query(
+    "fk_integrity_audit",
+    oracle="""
+    SELECT 'orders->customer' AS relation,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_custkey) AS n_keys,
+           COUNT(*) FILTER (c_custkey IS NULL) AS n_orphans
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    UNION ALL
+    SELECT 'lineitem->orders', COUNT(*), COUNT(DISTINCT l_orderkey),
+           COUNT(*) FILTER (o_orderkey IS NULL)
+    FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+    UNION ALL
+    SELECT 'customer->nation', COUNT(*), COUNT(DISTINCT c_nationkey),
+           COUNT(*) FILTER (n_nationkey IS NULL)
+    FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: per FK
+    relation, total rows, distinct keys, and orphans (fact keys with no
+    dim row). Zero orphans is the healthy steady state — the query is
+    the gate that PROVES it before a join-heavy pipeline runs on the
+    assumption.
+
+    Scale shape: each relation is one left join against the dim's key
+    column only (pruned scan, broadcast where the dim is small) feeding
+    a single-row aggregate; relations union trivially. The fact table
+    is scanned once per relation and never shuffled beyond its join.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    na = load_table(spark, sf_dir, "nation")
+
+    def audit(fact, fk, dim, pk, name):
+        j = fact.select(fk).join(
+            dim.select(pk), fact[fk] == dim[pk], "left"
+        )
+        return j.agg(
+            F.lit(name).alias("relation"),
+            F.count("*").alias("n_rows"),
+            F.countDistinct(fk).alias("n_keys"),
+            F.count(F.when(F.col(pk).isNull(), 1)).alias("n_orphans"),
+        )
+
+    return (
+        audit(o, "o_custkey", cu, "c_custkey", "orders->customer")
+        .unionAll(audit(li, "l_orderkey", o, "o_orderkey", "lineitem->orders"))
+        .unionAll(audit(cu, "c_nationkey", na, "n_nationkey", "customer->nation"))
+    )
+
+
+# -------------------------------------- state intervals (temporal RLE)
+
+
+@query(
+    "event_state_intervals",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events WHERE user_id < 20
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    r AS (
+      SELECT user_id, event_type, ts,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM o)
+    SELECT user_id, CAST(run_id AS INT) AS run_id, event_type,
+           MIN(ts) AS valid_from, MAX(ts) AS valid_to,
+           COUNT(*) AS n_events
+    FROM r GROUP BY 1, 2, 3
+    """,
+)
+def event_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal run-length encoding — collapse each user's event stream
+    into maximal constant-state intervals (the change-detection +
+    validity-range construction that builds SCD-2 style history tables
+    from change logs): LAG marks state changes, a running sum numbers
+    runs, one aggregate emits [valid_from, valid_to] per run.
+
+    Scale shape: both windows share ONE user-keyed sort exchange
+    (same partition + order spec), then a hash aggregate on the run
+    key; linear, no self-joins. The (ts, event_id) order key is a
+    total order, so run numbering is deterministic on both engines.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type"))
+    ).cast("int")
+    r = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum(chg)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("run_id"),
+    )
+    return r.groupBy(
+        "user_id", F.col("run_id").cast("int").alias("run_id"), "event_type"
+    ).agg(
+        F.min("ts").alias("valid_from"),
+        F.max("ts").alias("valid_to"),
+        F.count("*").alias("n_events"),
+    )
