@@ -46,10 +46,15 @@ def connected_components(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     sym = sym.localCheckpoint(eager=False)
+    # Round 0 as a bare aggregation: label(n) = min(n, min(neighbors)).
+    # Every node appears as dst in the symmetric edge table, so one
+    # groupBy replaces the identity-label initialization AND the first
+    # join round — pair/star components (the bulk of a near-dup graph)
+    # converge here, leaving the loop a single confirming pass.
     labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
+        sym.groupBy("dst")
+        .agg(F.least(F.col("dst"), F.min("src")).alias("comp"))
+        .select(F.col("dst").alias("node"), "comp")
         .localCheckpoint(eager=False)
     )
     for _ in range(max_iters):
