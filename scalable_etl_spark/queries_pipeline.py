@@ -343,6 +343,122 @@ def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- data-mixing weights
+
+
+@query(
+    "mixture_weights",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(len({_SQL_TOKS})) AS n_tokens
+      FROM documents GROUP BY 1),
+    t AS (SELECT SUM(n_tokens) AS total FROM s),
+    w AS (
+      SELECT source, n_docs, n_tokens,
+             POW(n_tokens * 1.0 / total, 0.7) AS raw_w
+      FROM s CROSS JOIN t)
+    SELECT source, n_docs, n_tokens,
+           ROUND(raw_w / SUM(raw_w) OVER (), 4) AS mix_weight
+    FROM w
+    """,
+)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data-mixing weights (alpha = 0.7): each
+    source's training weight is its token share raised to alpha,
+    renormalized — the standard recipe for upweighting small
+    high-quality sources in a multi-corpus LLM mix without drowning in
+    the largest crawl.
+
+    Scale shape: one aggregation to per-source token counts (20 rows),
+    then scalar math on the tiny aggregate (broadcast total, empty-frame
+    window over 20 rows). The 100 TB corpus is touched once, for the
+    token count. POW on float64 is IEEE-identical across engines for
+    these magnitudes; the weight is rounded before hashing.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens("text"))).alias("n_tokens"),
+    )
+    t = s.agg(F.sum("n_tokens").alias("total"))
+    w = s.crossJoin(F.broadcast(t)).withColumn(
+        "raw_w", F.pow(F.col("n_tokens") * 1.0 / F.col("total"), 0.7)
+    )
+    win = Window.partitionBy()
+    return w.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("raw_w") / F.sum("raw_w").over(win), 4).alias(
+            "mix_weight"
+        ),
+    )
+
+
+# ---------------------------------------------------- vocab coverage
+
+
+@query(
+    "vocab_coverage",
+    oracle=f"""
+    WITH dt AS (SELECT doc_id, lang, {_SQL_TOKS} AS t FROM documents),
+    tok AS (SELECT doc_id, lang, unnest(t) AS w FROM dt),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, row_number() OVER (
+                 ORDER BY COUNT(*) DESC, w ASC) AS rk
+        FROM tok GROUP BY w) v
+      WHERE rk <= 64),
+    cov AS (
+      SELECT doc_id, lang, COUNT(*) AS n_tokens,
+             COUNT(*) FILTER (w IN (SELECT w FROM vocab)) AS in_vocab
+      FROM tok GROUP BY 1, 2)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           SUM(in_vocab) AS covered_tokens,
+           ROUND(SUM(in_vocab) * 1.0 / SUM(n_tokens), 4) AS coverage
+    FROM cov GROUP BY 1
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage audit: build the top-64 corpus vocabulary
+    (count-desc, token-asc tiebreak — deterministic), then measure per
+    language what fraction of running tokens the vocab covers — the
+    out-of-vocabulary-rate check run before committing to a tokenizer
+    vocab size.
+
+    Scale shape: wordcount aggregation for the vocab (map-side
+    combine), TakeOrderedAndProject for the top-k (no full sort), then
+    the vocab BROADCASTS into a second corpus pass (left-semi-style
+    membership flag) feeding exact integer aggregates. Two linear
+    passes, one tiny broadcast — nothing pairwise.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(tokens("text")).alias("w"))
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(64)
+        .select("w", F.lit(1).alias("__in_vocab"))
+    )
+    flagged = tok.join(F.broadcast(vocab), "w", "left")
+    cov = flagged.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_tokens"),
+        F.count("__in_vocab").alias("in_vocab"),
+    )
+    return cov.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("in_vocab").alias("covered_tokens"),
+        F.round(
+            F.sum("in_vocab") * 1.0 / F.sum("n_tokens"), 4
+        ).alias("coverage"),
+    )
+
+
 # ---------------------------------------- benchmark decontamination
 
 

@@ -156,6 +156,40 @@ def test_hash_rank_sample_exact_k_and_deterministic(spark):
         assert ranks == list(range(1, n + 1))
 
 
+def test_mixture_weights_sum_to_one_and_favor_small(spark):
+    from scalable_etl_spark.queries_pipeline import mixture_weights
+
+    rows = mixture_weights(spark, SF001).collect()
+    assert sum(r.mix_weight for r in rows) == pytest.approx(1.0, abs=2e-3)
+    # alpha < 1 compresses the range: every source's weight share must
+    # sit closer to uniform than its raw token share.
+    total = sum(r.n_tokens for r in rows)
+    uniform = 1.0 / len(rows)
+    for r in rows:
+        share = r.n_tokens / total
+        assert (
+            min(share, uniform) - 1e-9
+            <= r.mix_weight
+            <= max(share, uniform) + 1e-9
+        )
+
+
+def test_vocab_coverage_bounds(spark, tmp_path):
+    from scalable_etl_spark.queries_pipeline import vocab_coverage
+
+    # 2-word vocab corpus: every token is in the top-64 vocab.
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, "a b a b a", "en", "s", 9), (2, "b a b", "de", "s", 5)],
+    )
+    out = {r.lang: r for r in vocab_coverage(spark, sf).collect()}
+    assert out["en"].total_tokens == 5
+    assert out["en"].covered_tokens == 5
+    assert out["en"].coverage == 1.0
+    assert out["de"].coverage == 1.0
+
+
 def test_nearest_centroid_matches_numpy_argmax(spark):
     rng = np.random.default_rng(7)
     vecs = rng.normal(size=(40, 64)).astype(np.float64)
