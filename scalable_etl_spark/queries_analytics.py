@@ -590,3 +590,51 @@ def event_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("valid_to"),
         F.count("*").alias("n_events"),
     )
+
+
+# -------------------------------------- incremental view maintenance
+
+
+@query(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value,
+           MAX(ts) AS last_seen
+    FROM events GROUP BY 1
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate-view maintenance: the standing view (90%
+    of history) and a late-arriving delta batch are BOTH reduced to
+    mergeable partial states (count, sum, max), then merged by re-
+    aggregation — the update path that never rescans history. The
+    oracle is the full recompute: merged partials must equal it
+    exactly, which is precisely the algebraic-aggregate property
+    (commutative monoid) this query pins down.
+
+    Scale shape: the delta aggregation touches only delta rows; the
+    merge shuffles per-key partial states (5 rows here, |keys| in
+    general), never raw events. Same mechanics as the streaming
+    complete-mode state updates and the HLL register merge
+    (`hll_union_users`), spelled for batch."""
+    e = load_table(spark, sf_dir, "events")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("pn"),
+            F.sum("value").alias("pv"),
+            F.max("ts").alias("pt"),
+        )
+
+    base = partials(e.filter(F.col("event_id") % 10 != 0))
+    delta = partials(e.filter(F.col("event_id") % 10 == 0))
+    return (
+        base.unionAll(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.round(F.sum("pv"), 2).alias("total_value"),
+            F.max("pt").alias("last_seen"),
+        )
+    )

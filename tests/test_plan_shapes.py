@@ -70,3 +70,49 @@ def test_pricing_summary_stays_in_codegen(spark):
     # "*(n)" prefixes mark whole-stage-codegen stages in the final plan.
     assert "*(" in plan
     assert "EvalPython" not in plan
+
+
+# New curation/analytics queries: pin the scale-critical properties.
+
+
+def test_benchmark_contamination_broadcasts_bench_side(spark):
+    import scalable_etl_spark.queries_pipeline  # noqa: F401
+
+    plan = _plan(QUERIES["benchmark_contamination"](spark, SF_DIR))
+    # The benchmark shingle set must broadcast; the training corpus
+    # must never be the build side of anything.
+    assert "BroadcastHashJoin" in plan
+    for op in NESTED:
+        assert op not in plan
+
+
+def test_vocab_coverage_broadcasts_vocab(spark):
+    import scalable_etl_spark.queries_pipeline  # noqa: F401
+
+    plan = _plan(QUERIES["vocab_coverage"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # Top-k vocab must be TakeOrderedAndProject, not a global sort.
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan  # pure JVM path
+
+
+def test_stratified_and_packing_stay_in_codegen(spark):
+    import scalable_etl_spark.queries_pipeline  # noqa: F401
+
+    for name in ("stratified_sample", "token_len_histogram",
+                 "deterministic_split"):
+        df = QUERIES[name](spark, SF_DIR)
+        df.collect()
+        plan = _plan(df)
+        assert "*(" in plan, f"{name}: no whole-stage codegen"
+        assert "EvalPython" not in plan, f"{name}: Python in hot path"
+
+
+def test_funnel_no_nested_loop(spark):
+    import scalable_etl_spark.queries_analytics  # noqa: F401
+
+    for name in ("funnel_view_click_purchase", "cohort_retention",
+                 "fk_integrity_audit", "event_state_intervals"):
+        plan = _plan(QUERIES[name](spark, SF_DIR))
+        for op in NESTED:
+            assert op not in plan, f"{name}: {op} in physical plan"
