@@ -93,7 +93,15 @@ def save_as_table(
     mode: str = "overwrite",
     partition_cols: Sequence[str] = (),
 ) -> None:
-    """K2 (V1 spelling): saveAsTable for catalogs without V2 support."""
+    """K2 (V1 spelling): saveAsTable for catalogs without V2 support.
+
+    A crashed prior session can leave managed files at the table's
+    location while the (in-memory) catalog forgets the table; Spark then
+    refuses the CREATE with LOCATION_ALREADY_EXISTS. Clear the orphan
+    first — same guard ``create_or_replace_table`` applies."""
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(table):
+        drop_table_and_location(spark, table)
     w = df.write.mode(mode)
     if partition_cols:
         w = w.partitionBy(*partition_cols)
