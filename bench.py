@@ -63,17 +63,51 @@ def main() -> None:
             print(f"# {name}: FAILED {exc}", file=sys.stderr)
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
-    print(
-        json.dumps(
+
+    # Full per-query detail for BASELINE.md regression tracking.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
+        "w",
+    ) as fh:
+        json.dump(
             {
                 "metric": "total_query_sec",
                 "value": total,
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
-            }
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
         )
-    )
+
+    # The driver keeps only the LAST 2000 bytes of output and parses the
+    # JSON line from that tail — a line longer than the buffer records
+    # "parsed": null and the whole bench run is lost. Emit the most
+    # expensive queries first (failures pinned at the top, then by
+    # descending wall time) and stop adding entries once the line would
+    # blow the budget; the full dict is in bench_full.json.
+    budget = 1800
+    payload = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {},
+        "sf": sf,
+        "n_queries": len(times),
+        "omitted": 0,
+    }
+    ordered = sorted(times.items(), key=lambda kv: (kv[1] >= 0, -kv[1]))
+    for qname, sec in ordered:
+        trial = dict(payload)
+        trial["queries"] = {**payload["queries"], qname: sec}
+        trial["omitted"] = len(times) - len(trial["queries"])
+        if len(json.dumps(trial, separators=(",", ":"))) > budget:
+            continue
+        payload = trial
+    payload["omitted"] = len(times) - len(payload["queries"])
+    print(json.dumps(payload, separators=(",", ":")))
     spark.stop()
 
 

@@ -182,8 +182,14 @@ def histogram_quantiles_sql(
     """The identical histogram-quantile estimate as a DuckDB query."""
     g = ", ".join(group_cols)
     w = float(bin_width)
+    # CAST before the arithmetic: DuckDB parses the {w!r} literal as
+    # DECIMAL, and BIGINT*DECIMAL yields DECIMAL128 — which the driver's
+    # pandas fetch renders as float-with-.0 / object, hash-mismatching
+    # Spark's DOUBLE. Same reason for the BIGINT cast on n_rows below
+    # (SUM(BIGINT) window -> HUGEINT).
     qcols = ", ".join(
-        f"ROUND(MIN(CASE WHEN cum >= {q!r} * total THEN bin END) * {w!r}, 4)"
+        f"ROUND(CAST(MIN(CASE WHEN cum >= {q!r} * total THEN bin END)"
+        f" AS DOUBLE) * {w!r}, 4)"
         f" AS p{int(q * 100)}"
         for q in quantiles
     )
@@ -198,7 +204,7 @@ def histogram_quantiles_sql(
                           ROWS UNBOUNDED PRECEDING) AS cum,
              SUM(n) OVER (PARTITION BY {g}) AS total
       FROM binned)
-    SELECT {g}, MAX(total) AS n_rows, {qcols}
+    SELECT {g}, CAST(MAX(total) AS BIGINT) AS n_rows, {qcols}
     FROM cum GROUP BY {g}
     """
 

@@ -941,10 +941,10 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "priority_line_counts",
     oracle="""
     SELECT l.l_linestatus,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY 1
     """,
@@ -970,22 +970,24 @@ def priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "profile_events_columns",
     oracle="""
     SELECT 'event_id' AS column_name, COUNT(*) AS n_rows,
-           SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+           CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null,
            COUNT(DISTINCT event_id) AS n_distinct
     FROM events
     UNION ALL
     SELECT 'user_id', COUNT(*),
-           SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT user_id)
     FROM events
     UNION ALL
     SELECT 'event_type', COUNT(*),
-           SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
            COUNT(DISTINCT event_type)
     FROM events
     UNION ALL
     SELECT 'value', COUNT(*),
-           SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT value)
     FROM events
     """,

@@ -175,8 +175,9 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents)
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(kept) AS n_kept,
-           SUM(CASE WHEN kept = 1 THEN n_chars ELSE 0 END) AS kept_chars
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN kept = 1 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
     FROM b GROUP BY 1
     """,
 )
@@ -226,7 +227,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS bin,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS bin_tokens
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
     FROM c GROUP BY 1, 2
     """,
 )
@@ -351,7 +352,7 @@ def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH s AS (
       SELECT source, COUNT(*) AS n_docs,
-             SUM(len({_SQL_TOKS})) AS n_tokens
+             CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS n_tokens
       FROM documents GROUP BY 1),
     t AS (SELECT SUM(n_tokens) AS total FROM s),
     w AS (
@@ -416,8 +417,8 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tok GROUP BY 1, 2)
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
-           SUM(in_vocab) AS covered_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(in_vocab) AS BIGINT) AS covered_tokens,
            ROUND(SUM(in_vocab) * 1.0 / SUM(n_tokens), 4) AS coverage
     FROM cov GROUP BY 1
     """,
@@ -484,7 +485,7 @@ _SQL_SHINGLES5 = (
     SELECT bench_id,
            COUNT(*) AS n_contaminated,
            MAX(shared) AS max_overlap,
-           SUM(shared) AS total_overlap
+           CAST(SUM(shared) AS BIGINT) AS total_overlap
     FROM pair GROUP BY 1
     """,
 )
@@ -590,7 +591,7 @@ def _len_bucket_sql(col: str) -> str:
     WITH dt AS (
       SELECT lang, len({_SQL_TOKS}) AS n_tokens FROM documents)
     SELECT lang, {_len_bucket_sql("n_tokens")} AS len_bucket,
-           COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
     FROM dt GROUP BY 1, 2
     """,
 )

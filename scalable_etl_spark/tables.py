@@ -37,9 +37,21 @@ _TS_NANOS_COLS: dict[str, tuple[str, ...]] = {
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table, normalizing nanos timestamps."""
+    """Read one testdata table, normalizing timestamp physical types.
+
+    The driver has shipped the same logical tables under two parquet
+    spellings across rounds: TIMESTAMP(NANOS) (arrives as BIGINT nanos
+    under ``nanosAsLong``) and plain micros TIMESTAMP with
+    isAdjustedToUTC=false (arrives as TIMESTAMP_NTZ under Spark 4's NTZ
+    inference). Both are normalized to session-zoned TimestampType; with
+    the session pinned to UTC the NTZ->TZ cast is value-identical to how
+    the DuckDB oracle reads the same column.
+    """
     tune_session(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     dtypes = dict(df.dtypes)
     for c in _TS_NANOS_COLS.get(name, ()):
         if dtypes.get(c) == "bigint":

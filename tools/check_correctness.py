@@ -78,6 +78,25 @@ def main() -> None:
             n_fail += 1
             continue
 
+        # Driver-parity guard: the driver fetches oracle results through
+        # pandas, where DuckDB HUGEINT (SUM over int) and DECIMAL128
+        # (int*decimal-literal arithmetic) render as floats/objects and
+        # hash-mismatch Spark's BIGINT/DOUBLE even when values are equal.
+        # Any such output type is a fail here even if values compare OK.
+        try:
+            oschema = con.execute(ORACLE_SQL[name]).fetch_arrow_table().schema
+            bad_types = [
+                (f.name, str(f.type))
+                for f in oschema
+                if str(f.type).startswith("decimal")
+            ]
+            if bad_types:
+                print(f"FAIL {name}: oracle emits decimal/hugeint {bad_types}")
+                n_fail += 1
+                continue
+        except Exception:
+            pass  # arrow fetch unsupported for this shape — values still checked
+
         if sorted(scols) != sorted(ocols):
             print(f"FAIL {name}: columns {sorted(scols)} vs {sorted(ocols)}")
             n_fail += 1
