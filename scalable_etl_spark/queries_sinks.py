@@ -30,17 +30,25 @@ from .tables import load_table
     """,
 )
 def sink_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K2/K7 through the gate: aggregate -> writeTo(...).createOrReplace
-    on the session catalog -> read back via spark.table. The returned
-    data must survive the table round-trip bit-for-bit."""
+    """K2/K7 through the gate: aggregate -> DataFrameWriterV2
+    ``writeTo(...).partitionedBy(event_date).createOrReplace()`` on the
+    session catalog (the reference's write shape — src/jobs/
+    transform_job.py:60-64 partitions its Iceberg table the same way)
+    -> read back via spark.table. The returned data must survive the
+    partitioned-table round-trip bit-for-bit, partition values
+    included."""
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy(F.to_date("ts").alias("event_date")).agg(
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
     create_namespace(spark, "etl_gate")
-    create_or_replace_table(daily, "etl_gate.daily_events")
-    return spark.table("etl_gate.daily_events")
+    create_or_replace_table(
+        daily, "etl_gate.daily_events", partition_cols=["event_date"]
+    )
+    return spark.table("etl_gate.daily_events").select(
+        "event_date", "n_events", "n_users"
+    )
 
 
 @query(

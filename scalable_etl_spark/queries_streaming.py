@@ -20,6 +20,44 @@ from .operators.sessions import tumbling_counts
 from .registry import query
 from .tables import load_table
 
+# State-store task count is pinned by spark.sql.shuffle.partitions at the
+# FIRST micro-batch and written into the checkpoint. These drains produce
+# tiny keyed state (tens-hundreds of keys), so 32 state-store tasks per
+# batch is pure scheduling overhead — and with applyInPandasWithState it
+# is 32 Python workers per batch, which made streaming_stateful_totals
+# hypersensitive to box contention (BENCH_r04). On a real cluster the
+# same knob would be sized to keyspace/executor count, not defaulted.
+_STREAM_SHUFFLE_PARTITIONS = "8"
+
+
+def _drain_to_df(spark: SparkSession, writer_df: DataFrame, qname: str,
+                 ckpt: str, output_mode: str) -> DataFrame:
+    """Drain a streaming aggregation into a memory sink with availableNow,
+    return the drained result, and clean up.
+
+    The memory-sink temp view is dropped before returning: ``spark.table``
+    analyzes eagerly, so the returned DataFrame keeps its resolved plan
+    over the (driver-resident) sink while the catalog stays free of
+    leftover temp views (they crashed SHOW TABLES-driven introspection,
+    see sinks.describe_tables)."""
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", _STREAM_SHUFFLE_PARTITIONS)
+    try:
+        q = (
+            writer_df.writeStream.format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(qname)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    spark.catalog.dropTempView(qname)
+    return out
+
 
 @query(
     "streaming_event_counts",
@@ -58,17 +96,10 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("ts", "1 minute")
     )
     agg = tumbling_counts(stream, ts_col="ts", key_col="event_type")
-    qname = "streaming_event_counts_sink"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(qname)
-        .option("checkpointLocation", ckpt)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    out = _drain_to_df(
+        spark, agg, "streaming_event_counts_sink", ckpt, "complete"
     )
-    q.awaitTermination()
-    return spark.table(qname).select("event_type", "window_start", "n_events")
+    return out.select("event_type", "window_start", "n_events")
 
 
 @query(
@@ -97,7 +128,7 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") < 30)
         .select("user_id", "value")
     )
-    ev.coalesce(3).write.mode("overwrite").json(src)
+    ev.coalesce(2).write.mode("overwrite").json(src)
 
     stream = (
         spark.readStream.schema("user_id BIGINT, value DOUBLE")
@@ -105,18 +136,11 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(src)
     )
     totals = running_user_totals(stream)
-    qname = "streaming_stateful_totals_sink"
-    q = (
-        totals.writeStream.format("memory")
-        .queryName(qname)
-        .option("checkpointLocation", ckpt)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+    drained = _drain_to_df(
+        spark, totals, "streaming_stateful_totals_sink", ckpt, "update"
     )
-    q.awaitTermination()
     final = (
-        spark.table(qname)
+        drained
         .groupBy("user_id")
         .agg(F.max(F.struct("n_events", "total_value")).alias("m"))
     )
@@ -175,17 +199,9 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    qname = "streaming_sliding_counts_sink"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(qname)
-        .option("checkpointLocation", ckpt)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    return _drain_to_df(
+        spark, agg, "streaming_sliding_counts_sink", ckpt, "complete"
     )
-    q.awaitTermination()
-    return spark.table(qname)
 
 
 @query(
@@ -234,14 +250,6 @@ def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
-    qname = "streaming_enriched_counts_sink"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(qname)
-        .option("checkpointLocation", ckpt)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    return _drain_to_df(
+        spark, agg, "streaming_enriched_counts_sink", ckpt, "complete"
     )
-    q.awaitTermination()
-    return spark.table(qname)

@@ -162,6 +162,11 @@ def describe_tables(spark: SparkSession, namespace: str) -> dict[str, DataFrame]
     tables = spark.sql(f"SHOW TABLES IN {namespace}")
     out: dict[str, DataFrame] = {}
     for row in tables.collect():
+        # SHOW TABLES also lists session temp views (isTemporary=true,
+        # empty namespace); DESCRIBE ns.<view> on those raises
+        # TABLE_OR_VIEW_NOT_FOUND, so only describe real catalog tables.
+        if row.isTemporary:
+            continue
         name = f"{namespace}.{row.tableName}"
         out[name] = spark.sql(f"DESCRIBE TABLE {name}")
     return out

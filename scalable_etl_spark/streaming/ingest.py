@@ -25,6 +25,8 @@ are handled downstream by watermarked dedup (``dedup_in_stream``).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -62,6 +64,34 @@ def dedup_in_stream(
     )
 
 
+def dedup_content_hash(
+    df: DataFrame, cols: Sequence[str] | None = None
+) -> DataFrame:
+    """S10 content-hash variant of exactly-once: the reference keys its
+    processed-files ledger by sha256 of file CONTENT (reference
+    notebooks/analysis.ipynb:95-110), so a renamed copy of an already-
+    ingested file is skipped even though its path is new. Spark's
+    file-source checkpoint is path-keyed and would re-admit that file —
+    this stage closes the gap at row granularity: sha256 over the
+    serialized row, deduped against streaming state persisted in the
+    checkpoint. Every row of a renamed duplicate file hashes to an
+    already-seen key and is dropped; row granularity is strictly
+    stronger than the reference's file granularity (it also drops
+    duplicate rows shared between otherwise-distinct files).
+
+    Scale: state is one 32-byte key per ingested row in the state store
+    (RocksDB-backed on a real cluster); the dropDuplicates shuffle per
+    micro-batch is the ledger's lookup cost. Bound state with a
+    watermarked variant (``dedup_in_stream``) when the duplicate-arrival
+    horizon is known."""
+    src_cols = list(cols or df.columns)
+    hashed = df.withColumn(
+        "_content_sha",
+        F.sha2(F.to_json(F.struct(*[F.col(c) for c in src_cols])), 256),
+    )
+    return hashed.dropDuplicates(["_content_sha"]).drop("_content_sha")
+
+
 def start_bronze_ingest(
     spark: SparkSession,
     in_dir: str,
@@ -70,6 +100,7 @@ def start_bronze_ingest(
     available_now: bool = True,
     processing_time: str = "30 seconds",
     max_files_per_trigger: int | None = None,
+    content_dedup: bool = False,
 ) -> StreamingQuery:
     """Continuous bronze ingest (S8/S9/S10 + K1).
 
@@ -78,10 +109,15 @@ def start_bronze_ingest(
     ``False`` runs the reference's 30 s cadence forever via
     ``Trigger.ProcessingTime`` — but as one declarative query instead of
     three coordinating threads (reference src/jobs/ingest_job.py:209-229).
-    """
+    ``content_dedup=True`` adds the sha256 content ledger
+    (``dedup_content_hash``) so renamed duplicate input files commit
+    nothing — full parity with the reference's content-keyed
+    processed-files table."""
     flat = flatten_listens(
         read_listen_stream(spark, in_dir, max_files_per_trigger)
     )
+    if content_dedup:
+        flat = dedup_content_hash(flat)
     writer = (
         flat.writeStream.format("parquet")
         .option("path", bronze_dir)

@@ -111,3 +111,28 @@ def test_streaming_dedup_with_watermark(spark, dirs):
     assert {(r.user_name, r.listened_at) for r in rows} == {
         ("alice", 1000), ("bob", 2000)
     }
+
+
+def test_content_hash_dedup_renamed_file(spark, dirs):
+    src, bronze, ckpt = dirs
+    from scalable_etl_spark.streaming.ingest import start_bronze_ingest
+
+    recs = [_listen(1000, "m1", "alice"), _listen(2000, "m2", "bob")]
+    _write_jsonl(src / "f1.jsonl", recs)
+    q = start_bronze_ingest(spark, str(src), bronze, ckpt, content_dedup=True)
+    q.awaitTermination()
+    assert spark.read.parquet(bronze).count() == 2
+
+    # A renamed byte-identical copy: the path-keyed checkpoint re-admits
+    # the file, the sha256 content ledger drops every row (reference's
+    # content-keyed processed_files semantics, analysis.ipynb:95-110).
+    _write_jsonl(src / "f1_renamed_copy.jsonl", recs)
+    q = start_bronze_ingest(spark, str(src), bronze, ckpt, content_dedup=True)
+    q.awaitTermination()
+    assert spark.read.parquet(bronze).count() == 2
+
+    # Genuinely new content still lands.
+    _write_jsonl(src / "f2.jsonl", [_listen(3000, "m3", "carol")])
+    q = start_bronze_ingest(spark, str(src), bronze, ckpt, content_dedup=True)
+    q.awaitTermination()
+    assert spark.read.parquet(bronze).count() == 3
