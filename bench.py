@@ -7,6 +7,13 @@
 Each query is timed as plan-build + full execution; results are
 materialized via a count-style action (collect on aggregates is tiny —
 every registered query returns an aggregate/top-k-sized result).
+
+BASELINE.md re-pin protocol (the regression gate): run this 3 times at
+sf0.1, record 1-min loadavg before each run, take per-query MEDIANS
+from bench_full.json (NOT the truncated stdout line). This box carries
+background load — single runs swing +-50% on cheap queries; medians of
+3 are stable. Flag any query whose median exceeds 1.5x its pinned
+value before merging.
 """
 
 from __future__ import annotations
@@ -47,6 +54,11 @@ def main() -> None:
         QUERIES["embedding_norms"](spark, sf_dir).collect()
         QUERIES["minhash_lsh"](spark, "/root/testdata/sf0.001").count()
         QUERIES["exact_dedup"](spark, "/root/testdata/sf0.001").count()
+        # Window-function and 60-column-aggregate codegen paths: their
+        # first execution costs seconds of JVM compilation that would
+        # otherwise be attributed to whichever heavy query runs first.
+        QUERIES["ngram_jaccard"](spark, "/root/testdata/sf0.001").count()
+        QUERIES["simhash_near_dup"](spark, "/root/testdata/sf0.001").count()
     except Exception as exc:
         print(f"# warmup failed: {exc}", file=sys.stderr)
 
@@ -86,8 +98,11 @@ def main() -> None:
     # JSON line from that tail — a line longer than the buffer records
     # "parsed": null and the whole bench run is lost. Emit the most
     # expensive queries first (failures pinned at the top, then by
-    # descending wall time) and stop adding entries once the line would
-    # blow the budget; the full dict is in bench_full.json.
+    # descending wall time); an entry that would blow the budget is
+    # skipped INDIVIDUALLY (later, shorter-named entries may still fit —
+    # coverage over strict prefix order). The full dict is always in
+    # bench_full.json; BASELINE.md tracking reads bench_full.json, not
+    # this truncated stdout line.
     budget = 1800
     payload = {
         "metric": "total_query_sec",

@@ -495,7 +495,15 @@ def simhash_near_pairs(
 
     Banding on 4 x 15-bit slices: any pair within hamming 3 must agree
     on >= 1 band (pigeonhole), so the join stays equi-key; the xor
-    popcount then verifies exactly. Returns (id_a, id_b, hamming)."""
+    popcount then verifies exactly. Returns (id_a, id_b, hamming).
+
+    Measured density (sf0.1 corpus, round 5): 5,000 docs -> 2,840 band
+    buckets (max bucket 1,924), 4.7M candidate pairs, 475,278 true
+    pairs at hamming<=3 — a 10:1 candidate:true ratio. The output is
+    inherently quadratic in near-dup cluster size; on a corpus with
+    million-doc duplicate clusters, consume pairs via a
+    connected-components/keeper reduction (see dedup_components /
+    drop_near_duplicates) rather than materializing the pair list."""
     sig = simhash_signatures(df, text_col, id_col)
     band_idx = F.explode(
         F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))

@@ -60,3 +60,21 @@ def test_stream_ingest_cli(spark, listens_dir, tmp_path, capsys):
     out = _run(capsys, "ingest", "--in", listens_dir, "--warehouse", wh,
                "--stream")
     assert out == {"bronze_rows": 6}
+
+
+def test_registry_contract():
+    """Driver-contract invariants: every registered query has a full
+    value-hash oracle, and the driver-graded window (first 50 entries,
+    dict insertion order) spans every SURVEY §2 family — core, SQL
+    text, sources, sinks, streaming. COVERAGE.md's counts must match."""
+    import __spark_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    assert len(q) == 98, f"registry has {len(q)} queries; update COVERAGE.md"
+    assert set(o) == set(q), "every query needs an oracle (none rows-only)"
+    graded = list(q)[:50]
+    for prefix in ("sql_", "source_", "sink_", "streaming_"):
+        assert any(n.startswith(prefix) for n in graded), (
+            f"driver-graded window lost the {prefix}* family"
+        )

@@ -70,9 +70,9 @@ def main() -> None:
             n_fail += 1
             continue
         try:
-            ores = con.execute(ORACLE_SQL[name])
-            ocols = [d[0] for d in ores.description]
-            orows = ores.fetchall()
+            otbl = con.execute(ORACLE_SQL[name]).fetch_arrow_table()
+            ocols = otbl.column_names
+            orows = list(zip(*(c.to_pylist() for c in otbl.columns)))
         except Exception as exc:
             print(f"FAIL {name}: oracle error: {exc}")
             n_fail += 1
@@ -83,19 +83,17 @@ def main() -> None:
         # (int*decimal-literal arithmetic) render as floats/objects and
         # hash-mismatch Spark's BIGINT/DOUBLE even when values are equal.
         # Any such output type is a fail here even if values compare OK.
-        try:
-            oschema = con.execute(ORACLE_SQL[name]).fetch_arrow_table().schema
-            bad_types = [
-                (f.name, str(f.type))
-                for f in oschema
-                if str(f.type).startswith("decimal")
-            ]
-            if bad_types:
-                print(f"FAIL {name}: oracle emits decimal/hugeint {bad_types}")
-                n_fail += 1
-                continue
-        except Exception:
-            pass  # arrow fetch unsupported for this shape — values still checked
+        # The schema comes from the SAME arrow fetch as the rows — no
+        # second oracle execution, no silently-skipped guard.
+        bad_types = [
+            (f.name, str(f.type))
+            for f in otbl.schema
+            if str(f.type).startswith("decimal")
+        ]
+        if bad_types:
+            print(f"FAIL {name}: oracle emits decimal/hugeint {bad_types}")
+            n_fail += 1
+            continue
 
         if sorted(scols) != sorted(ocols):
             print(f"FAIL {name}: columns {sorted(scols)} vs {sorted(ocols)}")
