@@ -613,3 +613,171 @@ def token_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("sum_tokens"),
         )
     )
+
+
+# ------------------------------------------------------ PII redaction
+
+# ASCII-only, no lookarounds/backrefs: Java (Spark) and RE2 (DuckDB)
+# regex engines agree byte-for-byte on these.
+_PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE_RE = r"555-[0-9]+"
+
+
+@query(
+    "pii_redaction",
+    oracle=f"""
+    WITH injected AS (
+      SELECT source,
+             coalesce(text, '')
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' call 555-' || CAST(doc_id % 10000 AS VARCHAR)
+                       ELSE '' END AS t
+      FROM documents),
+    red AS (
+      SELECT source, t,
+             regexp_replace(
+               regexp_replace(t, '{_PII_EMAIL_RE}', '[EMAIL]', 'g'),
+               '{_PII_PHONE_RE}', '[PHONE]', 'g') AS r
+      FROM injected)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(t, '{_PII_EMAIL_RE}'))) AS BIGINT)
+             AS n_emails,
+           CAST(SUM(len(regexp_extract_all(t, '{_PII_PHONE_RE}'))) AS BIGINT)
+             AS n_phones,
+           CAST(SUM(CASE WHEN len(regexp_extract_all(r, '{_PII_EMAIL_RE}'))
+                         + len(regexp_extract_all(r, '{_PII_PHONE_RE}')) = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_after,
+           CAST(SUM(length(r)) AS BIGINT) AS redacted_chars
+    FROM red GROUP BY 1
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every training-data pipeline
+    runs before packing (emails, phone numbers -> typed placeholder
+    tokens). The synthetic corpus carries no PII, so the query first
+    INJECTS deterministic emails/phones keyed on doc_id (both engines
+    replay the same injection), then redacts with pure JVM
+    ``regexp_replace`` and proves completeness: ``n_clean_after`` must
+    equal ``n_docs`` (zero pattern hits survive redaction) and
+    ``redacted_chars`` pins the redacted text bit-for-bit.
+
+    Scale: regexp_replace/regexp_count are codegen'd JVM expressions —
+    a pure map stage, no shuffle until the tiny per-source aggregate;
+    linear in corpus bytes and embarrassingly parallel."""
+    d = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" call 555-"), (F.col("doc_id") % 10000).cast("string")
+            ),
+        ).otherwise(F.lit("")),
+    )
+    t = d.select("source", injected.alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("t"), F.lit(_PII_EMAIL_RE), F.lit("[EMAIL]")),
+        F.lit(_PII_PHONE_RE),
+        F.lit("[PHONE]"),
+    )
+    red = t.withColumn("r", redacted)
+    residual = F.regexp_count(F.col("r"), F.lit(_PII_EMAIL_RE)) + F.regexp_count(
+        F.col("r"), F.lit(_PII_PHONE_RE)
+    )
+    return red.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.regexp_count(F.col("t"), F.lit(_PII_EMAIL_RE))).alias(
+            "n_emails"
+        ),
+        F.sum(F.regexp_count(F.col("t"), F.lit(_PII_PHONE_RE))).alias(
+            "n_phones"
+        ),
+        F.sum(F.when(residual == 0, 1).otherwise(0)).alias("n_clean_after"),
+        F.sum(F.length("r")).alias("redacted_chars"),
+    )
+
+
+# ------------------------------------------- passage-level exact dedup
+
+_PASSAGE_WORDS = 20
+
+
+@query(
+    "passage_dedup",
+    oracle=f"""
+    WITH dt AS (SELECT source, {_SQL_TOKS} AS t FROM documents),
+    ch AS (
+      SELECT source,
+             unnest(CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+               ELSE list_transform(
+                 generate_series(0,
+                   CAST(ceil(len(t) / {_PASSAGE_WORDS}.0) AS INT) - 1),
+                 i -> array_to_string(
+                   t[i * {_PASSAGE_WORDS} + 1 : i * {_PASSAGE_WORDS}
+                     + {_PASSAGE_WORDS}], ' '))
+               END) AS chunk
+      FROM dt)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT md5(chunk)) AS BIGINT) AS n_distinct_chunks,
+           ROUND(100 * (1 - COUNT(DISTINCT md5(chunk))
+                 / CAST(COUNT(*) AS DOUBLE)), 2) AS dup_chunk_pct
+    FROM ch GROUP BY 1
+    """,
+)
+def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup audit — Common-Crawl-style pipelines
+    dedup at sub-document granularity (paragraphs / fixed word
+    windows) because boilerplate repeats across otherwise-distinct
+    pages. Docs are chunked into {n}-word passages JVM-side
+    (sequence + transform + slice higher-order expressions — no
+    explode-regroup, which would need an order-preserving aggregation),
+    then each passage is md5-keyed and counted per source.
+
+    Scale: chunking is a map-only stage; the only shuffle is the
+    per-source distinct-count of 128-bit keys (partial agg map-side).
+    At 100 TB swap COUNT(DISTINCT md5) for approx_count_distinct or an
+    HLL sketch (functions/sketches.py) if exactness isn't required;
+    the md5 keying (not raw passage strings) keeps shuffle bytes
+    fixed-width either way.""".format(n=_PASSAGE_WORDS)
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    w = _PASSAGE_WORDS
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(w))).cast("int")
+    chunks = F.when(
+        F.size(toks) == 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * w + 1, F.lit(w))),
+        )
+    )
+    ch = d.select("source", F.explode(chunks).alias("chunk"))
+    return (
+        ch.groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.countDistinct(F.md5("chunk")).alias("n_distinct_chunks"),
+        )
+        .withColumn(
+            "dup_chunk_pct",
+            F.round(
+                100
+                * (1 - F.col("n_distinct_chunks") / F.col("n_chunks")),
+                2,
+            ),
+        )
+    )

@@ -216,3 +216,49 @@ def test_nearest_centroid_tie_breaks_low(spark):
         nearest_centroid_pandas("embedding", 8, 64).alias("cluster")
     ).collect()
     assert row.cluster == 0
+
+
+def test_pii_redaction_scrubs_completely(spark):
+    from scalable_etl_spark.queries_pipeline import pii_redaction
+
+    rows = pii_redaction(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "expected per-source output"
+    for r in rows:
+        # Completeness proof: zero residual pattern hits post-redaction.
+        assert r.n_clean_after == r.n_docs
+        # doc_id % 3 / % 5 injection -> both PII kinds must appear.
+    assert sum(r.n_emails for r in rows) > 0
+    assert sum(r.n_phones for r in rows) > 0
+
+
+def test_passage_dedup_invariants(spark):
+    from scalable_etl_spark.queries_pipeline import passage_dedup
+
+    rows = passage_dedup(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_distinct_chunks <= r.n_chunks
+        assert 0.0 <= r.dup_chunk_pct <= 100.0
+
+
+def test_passage_chunking_exact(spark):
+    """45 tokens at 20 words/passage -> chunks of 20/20/5; a repeated
+    20-token block across two docs dedups to one distinct chunk."""
+    from scalable_etl_spark.queries_pipeline import passage_dedup
+    import tempfile
+
+    block = " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [
+            (1, block + " " + block + " tail1 tail2 tail3 tail4 tail5",
+             "en", "s1", 0),
+            (2, block, "en", "s1", 0),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    d = tempfile.mkdtemp(prefix="passage_")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    [r] = passage_dedup(spark, d).collect()
+    # doc1 -> [block, block, 5-word tail], doc2 -> [block]
+    assert r.n_chunks == 4
+    assert r.n_distinct_chunks == 2
