@@ -58,6 +58,17 @@ def tune_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-settable on this build — keep going
+    # spark.sql.shuffle.partitions is runtime-settable: an externally
+    # built session carries Spark's default (200), which costs 200-task
+    # stages per shuffle on a local[N] box. Match the core count — AQE
+    # coalescing still shrinks it further per-query; on a real cluster
+    # this would be sized to executors x cores instead.
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(default_parallelism())
+        )
+    except Exception:
+        pass
     return spark
 
 

@@ -21,6 +21,16 @@ at object-store scale keep per-directory file counts bounded (date
 partitdirs) and set ``maxFilesPerTrigger`` to bound micro-batch size;
 ``cleanSource``/``maxFileAge`` manage retention. Late/duplicate events
 are handled downstream by watermarked dedup (``dedup_in_stream``).
+
+S8 (object-store listing) mapping: the reference polls S3 with boto3
+``list_objects_v2`` every 30 s (ingest_job.py:114-156). On Spark the
+SAME ``readStream`` works unchanged against ``s3a://bucket/prefix`` —
+the file source's directory listing goes through the Hadoop FileSystem
+API, so local FS, HDFS, and S3A differ only in the URI scheme; no
+boto3 analog is needed. For high-file-rate buckets swap the listing
+for notification-driven discovery (S3 event -> SQS -> a file-index
+table) while keeping this query shape; this sandbox has no object
+store, so the file:// path carries the tested semantics.
 """
 
 from __future__ import annotations
