@@ -116,3 +116,43 @@ def test_funnel_no_nested_loop(spark):
         plan = _plan(QUERIES[name](spark, SF_DIR))
         for op in NESTED:
             assert op not in plan, f"{name}: {op} in physical plan"
+
+
+# ---------------------------------------------------------------------
+# Sweeping audit: EVERY registered batch query. The curated tests above
+# pin named rewrites; this sweep catches a forbidden operator sneaking
+# into any future query. Sink/streaming/source queries are excluded —
+# building their DataFrame executes real writes/drains (they're plan-
+# audited via their own tests and the oracle gate).
+
+# BroadcastNestedLoopJoin is allowed ONLY where the build side is a
+# bounded broadcast by construction:
+#   active_user_pct / sql_rolling_band_cte / mixture_weights: 1-row
+#     scalar-subquery cross joins;
+#   ann_brute_force / ann_ivf: the <=10-row query-vector set crossed
+#     against the corpus / centroid probes (operators/similarity.py
+#     documents why that product is the right plan).
+BNLJ_ALLOWED = {
+    "active_user_pct",
+    "sql_rolling_band_cte",
+    "ann_brute_force",
+    "ann_ivf",
+    "mixture_weights",
+}
+
+
+def test_all_batch_plans_free_of_scale_hazards(spark):
+    import __spark_entry__ as entry
+
+    failures = []
+    for name, fn in entry.queries().items():
+        if name.startswith(("sink_", "streaming_", "source_")):
+            continue
+        plan = _plan(fn(spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct (unbounded product)")
+        if "BatchEvalPython" in plan:
+            failures.append(f"{name}: BatchEvalPython (row-at-a-time UDF)")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+            failures.append(f"{name}: BroadcastNestedLoopJoin not allow-listed")
+    assert not failures, "\n".join(failures)
