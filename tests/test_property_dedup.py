@@ -1,0 +1,120 @@
+"""Hypothesis equivalence tests for the EXACT dedup operators: the
+PPJoin prefix/positional-filter pipeline (ngram_jaccard_pairs) claims
+losslessness vs naive all-pairs Jaccard, and the 4x15-bit SimHash
+banding claims full recall for hamming <= 3 (pigeonhole). Both claims
+are proved in docstrings; these tests search random corpora for a
+counterexample.
+
+Brute-force references replicate the operators' exact arithmetic:
+shingle fallback for <k-token docs, the md5-derived portable 60-bit
+hash, and Spark's HALF_UP rounding of the Jaccard value.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from decimal import ROUND_HALF_UP, Decimal
+from fractions import Fraction
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from scalable_etl_spark.operators.dedup import (
+    SIMHASH_BITS,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+
+SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+
+VOCAB = ["red", "blue", "fox", "jump", "key", "scan", "row", "agg"]
+DOC = st.lists(st.sampled_from(VOCAB), min_size=0, max_size=12).map(" ".join)
+CORPUS = st.lists(DOC, min_size=2, max_size=10)
+
+
+def _shingles(text: str, k: int = 3) -> frozenset[str]:
+    """Replicates word_shingles_text: distinct k-word windows; docs with
+    fewer than k tokens fall back to the whole collapsed text ('' for
+    empty docs)."""
+    toks = text.split()
+    if len(toks) < k:
+        return frozenset({" ".join(toks)})
+    return frozenset(
+        " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+    )
+
+
+def _round4_half_up(fr: Fraction) -> float:
+    # Spark's F.round is HALF_UP; Python's round() is banker's.
+    return float(
+        (Decimal(fr.numerator) / Decimal(fr.denominator)).quantize(
+            Decimal("0.0001"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+@given(corpus=CORPUS, threshold=st.sampled_from([0.5, 0.8]))
+@settings(**SETTINGS)
+def test_ngram_jaccard_prefix_filter_is_lossless(spark, corpus, threshold):
+    df = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id INT, text STRING"
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, threshold=threshold, k=3
+        ).collect()
+    }
+    expect = {}
+    sh = {i: _shingles(t) for i, t in enumerate(corpus)}
+    for a in range(len(corpus)):
+        for b in range(a + 1, len(corpus)):
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            j = _round4_half_up(Fraction(inter, union))
+            if j >= threshold:
+                expect[(a, b)] = j
+    assert got == expect
+
+
+def _p64(s: str) -> int:
+    return int(hashlib.md5(f"0:{s}".encode()).hexdigest()[:15], 16)
+
+
+def _simhash(text: str) -> int | None:
+    toks = set(text.split())
+    if not toks:
+        return None  # tokenless docs never enter the signature table
+    sig = 0
+    for b in range(SIMHASH_BITS):
+        votes = sum(1 if (_p64(t) >> b) & 1 else -1 for t in toks)
+        if votes > 0:
+            sig |= 1 << b
+    return sig
+
+
+@given(corpus=CORPUS, max_hamming=st.sampled_from([0, 1, 3]))
+@settings(**SETTINGS)
+def test_simhash_banding_full_recall(spark, corpus, max_hamming):
+    df = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id INT, text STRING"
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_pairs(df, max_hamming=max_hamming).collect()
+    }
+    sigs = {i: _simhash(t) for i, t in enumerate(corpus)}
+    expect = {}
+    for a in range(len(corpus)):
+        for b in range(a + 1, len(corpus)):
+            if sigs[a] is None or sigs[b] is None:
+                continue
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= max_hamming:
+                expect[(a, b)] = h
+    assert got == expect
