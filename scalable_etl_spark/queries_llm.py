@@ -1061,3 +1061,50 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "tok", "tfidf")
     )
+
+
+@query(
+    "media_pixel_stats",
+    oracle="""
+    WITH j AS (SELECT unnest(generate_series(0, 47)) AS j),
+    px AS (
+      SELECT d.source, d.doc_id,
+             CAST(SUM((d.doc_id * 7 + j.j * 13) % 256) AS BIGINT) AS psum
+      FROM documents d, j GROUP BY 1, 2)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(MIN(4) AS INT) AS width,
+           CAST(MIN(4) AS INT) AS height,
+           CAST(SUM(psum) AS BIGINT) AS sum_pixels,
+           ROUND(SUM(psum) / (48.0 * COUNT(*)), 4) AS avg_pixel
+    FROM px GROUP BY 1
+    """,
+)
+def media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode under the gate: per doc a genuine binary P6
+    (netpbm) payload is materialized whose 48 pixel bytes follow the
+    closed form (doc_id*7 + j*13) % 256, then DECODED by the pure-numpy
+    netpbm codec (operators/multimodal.py decode_image) inside an
+    Arrow-batched mapInPandas stage. The oracle never decodes — it
+    evaluates the closed form directly — so any header-parse, offset,
+    or shape bug in the decoder corrupts sum_pixels/width/height and
+    fails the value hash. Two Python stages (encode, decode+reduce),
+    zero shuffles before the tiny per-source aggregate."""
+    from .operators.multimodal import attach_synthetic_ppm, decode_image_stats
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    stats = decode_image_stats(attach_synthetic_ppm(d))
+    joined = stats.join(d, "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.min("width").alias("width"),
+            F.min("height").alias("height"),
+            F.sum("pixel_sum").alias("sum_pixels"),
+        )
+        .withColumn(
+            "avg_pixel",
+            F.round(F.col("sum_pixels") / (48.0 * F.col("n_images")), 4),
+        )
+    )

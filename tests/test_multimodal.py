@@ -96,3 +96,50 @@ def test_resize_media_fixed_size(media):
     assert rows[1] == bytes(b[len(b) * j // 6] for j in range(6))
     assert len(rows[1]) == 6 and len(rows[3]) == 6
     assert rows[2] == b""  # empty payload stays empty
+
+
+# ---------------------------------------------- real netpbm decoding
+
+
+def test_decode_p6_roundtrip():
+    import numpy as np
+    from scalable_etl_spark.operators.multimodal import (
+        decode_image, synthetic_ppm, SYN_W, SYN_H,
+    )
+
+    img = decode_image(synthetic_ppm(42))
+    assert img.shape == (SYN_H, SYN_W, 3)
+    expect = np.array(
+        [(42 * 7 + j * 13) % 256 for j in range(48)], dtype=np.uint8
+    ).reshape(SYN_H, SYN_W, 3)
+    assert (img == expect).all()
+
+
+def test_decode_p5_grayscale_and_comments():
+    from scalable_etl_spark.operators.multimodal import decode_image
+
+    payload = b"P5\n# a comment\n# another\n 3  2 \n255\n" + bytes(range(6))
+    img = decode_image(payload)
+    assert img.shape == (2, 3)
+    assert list(img.flat) == [0, 1, 2, 3, 4, 5]
+
+
+def test_decode_rejects_unknown_magic_and_truncation():
+    import pytest
+    from scalable_etl_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg bytes")
+    with pytest.raises(ValueError):
+        decode_image(b"P6\n4 4\n255\n\x00\x01")  # pixel data cut short
+
+
+def test_media_pixel_stats_decodes_for_real(spark):
+    from scalable_etl_spark.queries_llm import media_pixel_stats
+
+    rows = media_pixel_stats(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert (r.width, r.height) == (4, 4)
+        # closed-form bound: 48 bytes each in [0, 255]
+        assert 0 <= r.avg_pixel <= 255
