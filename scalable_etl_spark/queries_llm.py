@@ -1108,3 +1108,44 @@ def media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("sum_pixels") / (48.0 * F.col("n_images")), 4),
         )
     )
+
+
+@query(
+    "audio_energy_stats",
+    oracle="""
+    WITH i AS (SELECT unnest(generate_series(0, 63)) AS i),
+    sq AS (
+      SELECT d.source, d.doc_id,
+             CAST(SUM(POWER((d.doc_id * 31 + i.i * 17) % 65536 - 32768, 2))
+                  AS BIGINT) AS ssq
+      FROM documents d, i GROUP BY 1, 2)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_clips,
+           CAST(MIN(8000) AS INT) AS sample_rate,
+           CAST(MIN(64) AS INT) AS n_samples,
+           CAST(SUM(ssq) AS BIGINT) AS total_energy
+    FROM sq GROUP BY 1
+    """,
+)
+def audio_energy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode under the gate: per doc a genuine RIFF/WAVE
+    16-bit PCM payload (samples = closed form on doc_id), decoded by
+    the pure-numpy WAV chunk walker (operators/multimodal.py
+    decode_audio) in an Arrow-batched mapInPandas stage; energy = exact
+    integer sum of squared samples. The oracle evaluates the closed
+    form without decoding — chunk-walk, endianness, or reshape bugs
+    corrupt total_energy and fail the value hash."""
+    from .operators.multimodal import attach_synthetic_wav, decode_audio_stats
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    stats = decode_audio_stats(attach_synthetic_wav(d))
+    return (
+        stats.join(d, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.min("sample_rate").alias("sample_rate"),
+            F.min("n_samples").alias("n_samples"),
+            F.sum("sum_sq").alias("total_energy"),
+        )
+    )

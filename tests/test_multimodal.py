@@ -143,3 +143,37 @@ def test_media_pixel_stats_decodes_for_real(spark):
         assert (r.width, r.height) == (4, 4)
         # closed-form bound: 48 bytes each in [0, 255]
         assert 0 <= r.avg_pixel <= 255
+
+
+def test_decode_wav_roundtrip_and_chunk_walk():
+    import numpy as np
+    import pytest
+    from scalable_etl_spark.operators.multimodal import (
+        decode_audio, synthetic_wav,
+    )
+
+    sr, s = decode_audio(synthetic_wav(7))
+    assert sr == 8000 and s.shape == (64, 1)
+    expect = (7 * 31 + np.arange(64) * 17) % 65536 - 32768
+    assert (s[:, 0] == expect).all()
+
+    # Extra chunk before fmt/data must be skipped (word-aligned walk).
+    wav = synthetic_wav(7)
+    extra = b"LIST" + (5).to_bytes(4, "little") + b"INFO\x00" + b"\x00"
+    patched = wav[:12] + extra + wav[12:]
+    patched = patched[:4] + (len(patched) - 8).to_bytes(4, "little") + patched[8:]
+    sr2, s2 = decode_audio(patched)
+    assert sr2 == 8000 and (s2 == s).all()
+
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x04 mp3 bytes here")
+
+
+def test_audio_energy_stats_decodes_for_real(spark):
+    from scalable_etl_spark.queries_llm import audio_energy_stats
+
+    rows = audio_energy_stats(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert (r.sample_rate, r.n_samples) == (8000, 64)
+        assert r.total_energy > 0
