@@ -118,3 +118,30 @@ def test_simhash_banding_full_recall(spark, corpus, max_hamming):
             if h <= max_hamming:
                 expect[(a, b)] = h
     assert got == expect
+
+
+@given(corpus=CORPUS)
+@settings(**SETTINGS)
+def test_minhash_lsh_invariants(spark, corpus):
+    """MinHash LSH is approximate by DESIGN (recall < 1 for borderline
+    pairs), so the property is one-sided: (a) NO false positives —
+    every emitted pair's Jaccard (replayed exactly) clears the
+    threshold; (b) exact duplicates are ALWAYS found — identical
+    shingle sets minhash identically, so they collide in every band."""
+    from scalable_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id INT, text STRING"
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(df, threshold=0.5).collect()
+    }
+    sh = {i: _shingles(t) for i, t in enumerate(corpus)}
+    for (a, b), j in got.items():
+        inter, union = len(sh[a] & sh[b]), len(sh[a] | sh[b])
+        assert _round4_half_up(Fraction(inter, union)) == j >= 0.5
+    for a in range(len(corpus)):
+        for b in range(a + 1, len(corpus)):
+            if sh[a] == sh[b]:
+                assert (a, b) in got, "exact duplicate missed by LSH"
