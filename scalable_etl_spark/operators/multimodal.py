@@ -366,14 +366,14 @@ def sample_frames(
 # ------------------------------------------------- real WAV decoding
 
 SYN_SR = 8000
-SYN_NSAMples = 64  # per synthetic clip
+SYN_NSAMPLES = 64  # per synthetic clip
 
 
 def _le32(n: int) -> bytes:
     return n.to_bytes(4, "little")
 
 
-def synthetic_wav(doc_id: int, n_samples: int = SYN_NSAMples) -> bytes:
+def synthetic_wav(doc_id: int, n_samples: int = SYN_NSAMPLES) -> bytes:
     """Real RIFF/WAVE container, mono 16-bit PCM @ 8 kHz, whose samples
     follow the closed form ((doc_id*31 + i*17) % 65536) - 32768 — so an
     oracle can verify DECODED sample statistics by arithmetic alone."""
