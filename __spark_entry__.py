@@ -59,17 +59,62 @@ _MODULE_ORDER = (
     "queries_pipeline",
 )
 
+# LLM-pipeline headliners promoted into the driver-graded first-50 window
+# (round-6 rotation): the dedup / similarity-search / quality family gets
+# driver-verified status instead of local-oracle-only.  Order within the
+# tuple is the order they appear after the §2 core.
+_PROMOTED = (
+    "doc_quality",
+    "exact_dedup",
+    "ngram_jaccard",
+    "minhash_lsh",
+    "simhash_near_dup",
+    "embedding_near_dup",
+    "ann_brute_force",
+    "ann_lsh",
+    "ann_ivf",
+    "dedup_components",
+)
+
+# Beyond-reference §2 extras rotated out of the graded window to make room
+# (every §2 operator family stays represented — see tests/test_cli.py
+# test_registry_contract).  These remain fully value-hash oracle-checked
+# locally via tools/check_correctness.py; only the driver-window slot moves.
+_DEMOTED = (
+    "hll_distinct_users",
+    "hll_union_users",
+    "value_quantiles_by_type",
+    "customer_order_gaps",
+    "profile_events_columns",
+    "brand_promo_share",
+    "purchase_asof_view",
+    "nation_customer_stats",
+    "mktsegment_order_priority",
+    "top_supplier_revenue",
+)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2, in the
-    canonical module order (first 50 = the driver-graded §2 window)."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordering contract (the driver grades the first 50 entries):
+    §2 core (module order, minus the demoted extras) -> the 10 promoted
+    LLM-pipeline headliners -> everything else in module order.
+    """
     prio = {
         f"scalable_etl_spark.{m}": i for i, m in enumerate(_MODULE_ORDER)
     }
-    names = sorted(
-        QUERIES,
-        key=lambda n: prio.get(QUERIES[n].__module__, len(_MODULE_ORDER)),
-    )
+    promoted_rank = {n: i for i, n in enumerate(_PROMOTED)}
+    n_core = 5  # queries..queries_streaming = the §2 core modules
+
+    def key(n: str) -> tuple[int, int]:
+        if n in promoted_rank:
+            return (1, promoted_rank[n])
+        mod_prio = prio.get(QUERIES[n].__module__, len(_MODULE_ORDER))
+        tier = 0 if mod_prio < n_core and n not in _DEMOTED else 2
+        return (tier, mod_prio)
+
+    names = sorted(QUERIES, key=key)
     return {n: QUERIES[n] for n in names}
 
 

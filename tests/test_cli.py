@@ -78,3 +78,10 @@ def test_registry_contract():
         assert any(n.startswith(prefix) for n in graded), (
             f"driver-graded window lost the {prefix}* family"
         )
+    # Round-6 rotation: the LLM-pipeline headliners must be driver-graded.
+    for name in e._PROMOTED:
+        assert name in graded, f"promoted headliner {name} fell out of window"
+    for name in e._DEMOTED:
+        assert name in q and name not in graded, (
+            f"demoted extra {name} must stay registered, outside the window"
+        )
