@@ -59,6 +59,13 @@ def main() -> None:
         # otherwise be attributed to whichever heavy query runs first.
         QUERIES["ngram_jaccard"](spark, "/root/testdata/sf0.001").count()
         QUERIES["simhash_near_dup"](spark, "/root/testdata/sf0.001").count()
+        # ANN family: first execution pays Arrow-batch UDF worker spin-up
+        # plus window/broadcast codegen (~1-2s measured at sf0.1 — the
+        # round-5 "regression" was exactly this warmup landing on the
+        # timed run). Warm each strategy once at the smallest SF.
+        QUERIES["ann_brute_force"](spark, "/root/testdata/sf0.001").count()
+        QUERIES["ann_lsh"](spark, "/root/testdata/sf0.001").count()
+        QUERIES["ann_ivf"](spark, "/root/testdata/sf0.001").count()
     except Exception as exc:
         print(f"# warmup failed: {exc}", file=sys.stderr)
 
