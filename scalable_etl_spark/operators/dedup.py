@@ -91,6 +91,58 @@ def shingle_hash_table(
 # ------------------------------------------------- n-gram Jaccard (exact)
 
 
+def _suffix_ham_lb(x, y, xl, xr, yl, yr, depth):
+    """Lower bound on |X Δ Y| (hamming distance between sets) for the
+    sorted slices x[xl:xr], y[yl:yr] — the divide-and-conquer probe of
+    the PPJoin+ suffix filter (Xiao et al. 2008 §4, public algorithm).
+
+    Partition both sets at y's median w: the symmetric difference
+    decomposes exactly into (<w) + (w itself) + (>w) parts, so bounds
+    on the parts ADD. At depth 0 the bound is abs(size difference) —
+    always <= the true hamming distance, hence pruning on it is
+    LOSSLESS. Cost per pair is O(2^depth * log n), constant-bounded;
+    tests/test_dedup_properties.py proves lb <= true hamming by
+    hypothesis."""
+    from bisect import bisect_left
+
+    nx, ny = xr - xl, yr - yl
+    if nx == 0 or ny == 0:
+        return nx + ny
+    if depth == 0:
+        return abs(nx - ny)
+    mid = yl + ny // 2
+    w = y[mid]
+    i = bisect_left(x, w, xl, xr)
+    found = 1 if (i < xr and x[i] == w) else 0
+    return (
+        _suffix_ham_lb(x, y, xl, i, yl, mid, depth - 1)
+        + _suffix_ham_lb(x, y, i + found, xr, mid + 1, yr, depth - 1)
+        + (1 - found)
+    )
+
+
+def suffix_ham_lb_pandas(a, b, depth: int = 4):
+    """Arrow-batched suffix-filter probe: per pair of sorted hash
+    arrays, a lower bound on their set-hamming distance (see
+    ``_suffix_ham_lb``). Rows are candidate PAIRS (already prefix- and
+    positionally-filtered), so the batch is small; the probe replaces a
+    full O(n) intersection with an O(2^depth log n) touch for the pairs
+    it prunes."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _lb(sa: "pd.Series", sb: "pd.Series") -> "pd.Series":
+        out = np.empty(len(sa), dtype=np.int32)
+        for i, (x, y) in enumerate(zip(sa, sb)):
+            xs, ys = list(x), list(y)
+            out[i] = _suffix_ham_lb(xs, ys, 0, len(xs), 0, len(ys), depth)
+        return pd.Series(out)
+
+    udf = pandas_udf(_lb, "int", PandasUDFType.SCALAR)
+    return udf(a, b)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -99,6 +151,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     max_shingle_fanout: int | None = None,
     prefix_filter: bool = True,
+    suffix_filter: bool = True,
 ) -> DataFrame:
     """EXACT Jaccard >= threshold pairs over distinct k-word shingle
     sets, with prefix filtering (ALL-Pairs / PPJoin, Xiao et al. 2008,
@@ -109,6 +162,11 @@ def ngram_jaccard_pairs(
     generation cost collapses from sum(df^2) over ALL shingles to the
     rare tail, with zero recall loss. A size-ratio filter
     (t*max <= min) prunes further before exact verification.
+
+    ``suffix_filter`` (default on) adds the PPJoin+ suffix probe on the
+    surviving candidates: a depth-bounded divide-and-conquer lower
+    bound on set-hamming distance, pruning pairs before the exact
+    intersection — see ``_suffix_ham_lb``. Both filters are LOSSLESS.
 
     ``prefix_filter=False`` falls back to the plain inverted-index
     self-join; ``max_shingle_fanout`` optionally drops ultra-hot
@@ -153,23 +211,21 @@ def ngram_jaccard_pairs(
         )
         a = ranked.alias("a")
         b = ranked.alias("b")
-        # Positional filter (PPJoin): both docs' shingles are sorted by
-        # the SAME global rarity order, so a match at ranks (rk_a, rk_b)
-        # bounds the true overlap by min(|a|-rk_a, |b|-rk_b) + 1. If
-        # that bound misses the overlap threshold alpha =
-        # t/(1+t) * (|a|+|b|), the true overlap does too — dropping the
-        # match row is LOSSLESS (the pair survives iff some match
-        # passes). Cuts candidates well below the plain prefix join.
-        overlap_bound = (
-            F.least(
-                F.col("a.set_size") - F.col("a.__rk"),
-                F.col("b.set_size") - F.col("b.__rk"),
-            )
-            + 1
-        )
+        # GROUP-LEVEL positional filter (PPJoin): both docs' shingles
+        # are sorted by the SAME global rarity order, so every
+        # intersection element <= the pair's LARGEST prefix match is
+        # itself a prefix match of both docs (anything smaller than a
+        # prefix member ranks earlier, hence inside both prefixes).
+        # With m = count of prefix matches and (rka, rkb) the ranks of
+        # the largest one, true overlap <= m + min(|a|-rka, |b|-rkb);
+        # if that misses alpha = ceil(t/(1+t) * (|a|+|b|)) the pair
+        # cannot reach Jaccard >= t — dropping it is LOSSLESS, and the
+        # bound is strictly tighter than the classic per-match
+        # min(|a|-rk, |b|-rk)+1 form. The groupBy replaces the
+        # .distinct() the per-match spelling needed — same shuffle.
         alpha = F.ceil(
             F.lit(threshold / (1.0 + threshold))
-            * (F.col("a.set_size") + F.col("b.set_size"))
+            * (F.col("size_a") + F.col("size_b"))
         )
         cand = (
             a.join(b, "h")
@@ -179,25 +235,70 @@ def ngram_jaccard_pairs(
                 * F.greatest(F.col("a.set_size"), F.col("b.set_size"))
                 <= F.least(F.col("a.set_size"), F.col("b.set_size"))
             )
-            .filter(overlap_bound >= alpha)
-            .select(
+            .groupBy(
                 F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.set_size").alias("size_a"),
+                F.col("b.set_size").alias("size_b"),
             )
-            .distinct()
+            .agg(
+                F.count("*").alias("__m"),
+                F.max("a.__rk").alias("__rka"),
+                F.max("b.__rk").alias("__rkb"),
+            )
+            .filter(
+                F.col("__m")
+                + F.least(
+                    F.col("size_a") - F.col("__rka"),
+                    F.col("size_b") - F.col("__rkb"),
+                )
+                >= alpha
+            )
+            .select("id_a", "id_b", "size_a", "size_b")
         )
-        # Same shape as minhash_lsh_pairs: cache the (tiny) candidate
-        # pair set, then verify over candidate docs only — the full
-        # corpus is never re-exploded for verification.
+        # Cache the (tiny) candidate pair set, then pack sorted shingle
+        # arrays for CANDIDATE docs only — the full corpus is never
+        # re-exploded for verification.
         cand = cand.cache()
         cand_ids = (
             cand.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
             .distinct()
         )
         df_cand = df.join(F.broadcast(cand_ids), id_col, "left_semi")
-        return verify_jaccard(
-            shingle_hash_table(df_cand, text_col, id_col, k), cand, id_col
-        ).filter(F.col("jaccard") >= threshold)
+        sets = (
+            shingle_hash_table(df_cand, text_col, id_col, k)
+            .groupBy(id_col)
+            .agg(F.sort_array(F.collect_list("h")).alias("hs"))
+        )
+        pa = sets.select(F.col(id_col).alias("id_a"), F.col("hs").alias("ha"))
+        pb = sets.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hb"))
+        joined = cand.join(pa, "id_a").join(pb, "id_b")
+        if suffix_filter:
+            # Suffix filter (Xiao et al. 2008 §4): Jaccard >= t needs
+            # overlap >= alpha, i.e. set-hamming <= |a|+|b|-2*alpha.
+            # The depth-bounded partition probe lower-bounds that
+            # hamming; pairs whose LOWER bound already exceeds the
+            # allowance are pruned before paying the exact
+            # array_intersect. Lossless (lb <= true hamming).
+            hmax = F.col("size_a") + F.col("size_b") - F.lit(2) * alpha
+            joined = joined.filter(
+                suffix_ham_lb_pandas(F.col("ha"), F.col("hb")) <= hmax
+            )
+        return (
+            joined.withColumn(
+                "n_common", F.size(F.array_intersect("ha", "hb"))
+            )
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("n_common")
+                    / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                    4,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
 
     if max_shingle_fanout is not None:
         hot = (

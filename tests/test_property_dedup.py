@@ -82,6 +82,27 @@ def test_ngram_jaccard_prefix_filter_is_lossless(spark, corpus, threshold):
     assert got == expect
 
 
+@given(
+    xs=st.sets(st.integers(0, 50), max_size=30),
+    ys=st.sets(st.integers(0, 50), max_size=30),
+    depth=st.integers(0, 6),
+)
+@settings(max_examples=300, deadline=None, derandomize=True)
+def test_suffix_probe_lower_bounds_hamming(xs, ys, depth):
+    """The suffix-filter probe must NEVER exceed the true set-hamming
+    distance — that inequality is the whole losslessness argument for
+    pruning on it (ngram_jaccard_pairs suffix_filter=True). Pure-python
+    property over random sets at every probe depth."""
+    from scalable_etl_spark.operators.dedup import _suffix_ham_lb
+
+    x, y = sorted(xs), sorted(ys)
+    lb = _suffix_ham_lb(x, y, 0, len(x), 0, len(y), depth)
+    true_ham = len(xs ^ ys)
+    assert lb <= true_ham
+    if depth >= 6:  # deep probe on tiny sets resolves exactly
+        assert lb == true_ham
+
+
 def _p64(s: str) -> int:
     return int(hashlib.md5(f"0:{s}".encode()).hexdigest()[:15], 16)
 
