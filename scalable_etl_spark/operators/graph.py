@@ -37,10 +37,12 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``;
     ``component`` is the minimum node id reachable from the node
-    (undirected). Raises if ``max_iters`` rounds don't reach the
-    fixpoint — a diameter that large means the input is not a dedup
-    pair table and needs the alternating large-star/small-star
-    formulation instead."""
+    (undirected). Min-label propagation needs diameter-many rounds, the
+    right trade for dedup graphs (tiny dense cliques, diameter 2-4); if
+    ``max_iters`` rounds don't reach the fixpoint the graph is
+    long-diameter-shaped and the loop hands off to
+    ``star_contraction_components`` (O(log^2 n) rounds regardless of
+    diameter) instead of raising."""
     fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     sym = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -84,9 +86,120 @@ def connected_components(
         labels = new.drop("__changed")
         if changed == 0:
             return labels
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iters} rounds"
+    return star_contraction_components(edges, src, dst)
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al. 2014, public algorithm): for
+    each node u, attach every STRICTLY LARGER neighbor to the minimum
+    of u's closed neighborhood. One groupBy + one equi-join."""
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    mins = sym.groupBy("a").agg(
+        F.least(F.col("a"), F.min("b")).alias("m")
     )
+    return (
+        sym.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: direct each edge large->small; every node u
+    attaches its smaller neighbors AND ITSELF to the minimum of that
+    in-neighborhood. The self edge (u, m) is what contracts stars."""
+    d = e.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    mins = d.groupBy("a").agg(F.least(F.col("a"), F.min("b")).alias("m"))
+    nbrs = d.join(mins, "a").select(
+        F.col("b").alias("a"), F.col("m").alias("b")
+    )
+    self_edges = mins.select("a", F.col("m").alias("b"))
+    return (
+        nbrs.union(self_edges)
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def star_contraction_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii —
+    "Connected Components in MapReduce and Beyond", SoCC 2014):
+    converges in O(log^2 n) rounds on ANY graph, independent of
+    diameter — the scale fallback for long-chain graphs where
+    min-label propagation (rounds = diameter) stalls.
+
+    Each round is two groupBy-min + equi-join stages over the current
+    edge set (which only shrinks toward the star forest); lineage is
+    truncated per round with ``localCheckpoint`` like the min-label
+    loop. The convergence probe is a LIMIT-1 anti-join (any edge
+    changed?). At the fixpoint the edge set IS the component map:
+    every non-root points straight at its component's minimum id.
+
+    Output schema matches ``connected_components``: (node, comp),
+    one row per node appearing in ``edges`` (roots map to themselves).
+    """
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # Node universe BEFORE dropping self-loops: a node appearing only
+    # as (x, x) is still a (singleton) component.
+    nodes = (
+        raw.select(F.col("a").alias("node"))
+        .union(raw.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    e = (
+        raw.filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_rounds):
+        new = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        changed = (
+            new.join(e, ["a", "b"], "left_anti").limit(1).count()
+            + e.join(new, ["a", "b"], "left_anti").limit(1).count()
+        )
+        e = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_rounds} rounds"
+        )
+    comp = e.select(F.col("a").alias("node"), F.col("b").alias("comp"))
+    # Fail-loud audit: the fixpoint must be a star forest — every node
+    # has exactly one parent, and every parent is a root. Two LIMIT-1
+    # probes over node-sized data; a silent non-star fixpoint would
+    # otherwise emit wrong components.
+    multi_parent = (
+        comp.groupBy("node")
+        .agg(F.count_distinct("comp").alias("k"))
+        .filter(F.col("k") > 1)
+        .limit(1)
+        .count()
+    )
+    nonroot_parent = (
+        comp.alias("c")
+        .join(comp.alias("p"), F.col("c.comp") == F.col("p.node"))
+        .filter(F.col("p.comp") != F.col("p.node"))
+        .limit(1)
+        .count()
+    )
+    if multi_parent or nonroot_parent:
+        raise RuntimeError("star contraction fixpoint is not a star forest")
+    roots = nodes.join(
+        comp.select("node"), "node", "left_anti"
+    ).select("node", F.col("node").alias("comp"))
+    return comp.union(roots)
 
 
 def dedup_keep_per_component(

@@ -66,6 +66,94 @@ def test_connected_components_long_chain_converges(spark):
     assert len(comp) == n + 1
 
 
+def test_star_contraction_path_diameter_beyond_min_label_cap(spark):
+    """A 31-node path (diameter 30 > max_iters=25) exceeds min-label
+    propagation's round budget; connected_components must hand off to
+    star contraction and still return the exact components."""
+    n = 30
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
+    )
+    comp = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert set(comp.values()) == {0}
+    assert len(comp) == n + 1
+
+
+def test_star_contraction_direct(spark):
+    from scalable_etl_spark.operators.graph import (
+        star_contraction_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["id_a", "id_b"],
+    )
+    comp = {
+        r.node: r.comp
+        for r in star_contraction_components(edges).collect()
+    }
+    assert comp == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+
+
+def _union_find_components(edge_list):
+    """Reference components via union-find (pure python)."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_star_contraction_matches_union_find_property(spark):
+    """Hypothesis: star contraction == union-find on random graphs
+    (mixes chains, cliques, isolated pairs, self-loops)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from scalable_etl_spark.operators.graph import (
+        star_contraction_components,
+    )
+
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 30), st.integers(0, 30)),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+        derandomize=True,
+    )
+    def run(edges):
+        df = spark.createDataFrame(edges, "id_a INT, id_b INT")
+        got = {
+            r.node: r.comp
+            for r in star_contraction_components(df).collect()
+        }
+        # union-find reference ignores nothing: self-loops only add
+        # the node itself
+        expect = _union_find_components(edges)
+        assert got == expect
+
+    run()
+
+
 def test_dedup_keep_per_component(spark):
     df = spark.createDataFrame(
         [(i, f"doc{i}") for i in (1, 2, 3, 10, 11, 99)], ["doc_id", "text"]
