@@ -113,6 +113,76 @@ def test_streaming_dedup_with_watermark(spark, dirs):
     }
 
 
+def test_continuous_processing_time_trigger_soak(spark, dirs):
+    """The reference's daemon cadence (30 s poll loop,
+    ingest_job.py:209-229) = ``start_bronze_ingest(available_now=False,
+    processing_time=...)``: ONE long-running query discovering files as
+    they arrive. Soak: drop three files while the query runs on a 1 s
+    cadence, wait for each to commit, then stop gracefully. Asserts
+    >= 3 data-carrying micro-batches, per-batch exactly-once (no row
+    ever duplicated, each file's rows appear exactly once), and a clean
+    stop."""
+    import time
+
+    src, bronze, ckpt = dirs
+    from scalable_etl_spark.streaming.ingest import start_bronze_ingest
+
+    q = start_bronze_ingest(
+        spark, str(src), bronze, ckpt,
+        available_now=False, processing_time="1 second",
+    )
+    try:
+
+        def _bronze_count():
+            try:
+                return spark.read.parquet(bronze).count()
+            except Exception:  # sink dir not created until first commit
+                return 0
+
+        def _wait_rows(n, timeout=60.0):
+            deadline = time.monotonic() + timeout
+            while time.monotonic() < deadline:
+                if _bronze_count() == n:
+                    return
+                time.sleep(0.25)
+            raise AssertionError(
+                f"bronze never reached {n} rows (have {_bronze_count()})"
+            )
+
+        _write_jsonl(src / "f1.jsonl", [_listen(1000, "m1", "alice"),
+                                        _listen(2000, "m2", "bob")])
+        _wait_rows(2)
+        _write_jsonl(src / "f2.jsonl", [_listen(3000, "m3", "carol")])
+        _wait_rows(3)
+        _write_jsonl(src / "f3.jsonl", [_listen(4000, "m4", "dave")])
+        _wait_rows(4)
+
+        # >= 3 micro-batches actually carried data.
+        data_batches = [
+            p for p in q.recentProgress if p["numInputRows"] > 0
+        ]
+        assert len(data_batches) >= 3, (
+            f"expected >=3 data micro-batches, saw {len(data_batches)}"
+        )
+    finally:
+        q.stop()
+    # Graceful stop: the query terminates and reports no exception.
+    q.awaitTermination(30)
+    assert not q.isActive
+    assert q.exception() is None
+
+    # Exactly-once across the whole soak: every (user, ts) key once.
+    df = spark.read.parquet(bronze)
+    assert df.count() == 4
+    assert df.select("user_name", "listened_at").distinct().count() == 4
+
+    # And the checkpoint survives into a later availableNow drain:
+    # nothing reprocesses, new files still land (same ledger).
+    _write_jsonl(src / "f4.jsonl", [_listen(5000, "m5", "erin")])
+    ingest_available(spark, str(src), bronze, ckpt)
+    assert spark.read.parquet(bronze).count() == 5
+
+
 def test_content_hash_dedup_renamed_file(spark, dirs):
     src, bronze, ckpt = dirs
     from scalable_etl_spark.streaming.ingest import start_bronze_ingest
