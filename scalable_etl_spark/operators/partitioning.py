@@ -91,20 +91,24 @@ def salted_join(
     hot key's rows are spread over ``n_salts`` reducers instead of
     stalling one.
 
-    The big-side salt is ``xxhash64(all key cols + a marker) % n``:
-    deterministic (re-runs and retries land rows on the same reducer —
-    required for exactly-once sinks downstream) yet decorrelated from
-    the join key's own hash partitioning. Replication multiplies the
-    SMALL side only (n_salts x |small| rows) — use for skewed
-    big-to-modest joins; AQE's skew-join split covers the
-    big-to-big case at runtime.
+    The big-side salt is ``xxhash64(ALL big-side columns + a marker)
+    % n`` — per-ROW, so a hot key's rows genuinely spread over
+    ``n_salts`` reducers (a key-derived salt would assign the whole hot
+    key ONE salt and spread nothing — a defect tools/bench_skew.py's
+    straggler profile caught in round 6: max-task ratio stayed 184:1
+    until the salt became row-level). Still deterministic: re-runs and
+    retries land every row on the same reducer, as exactly-once sinks
+    downstream require; fully-identical rows sharing a salt is
+    harmless. Replication multiplies the SMALL side only (n_salts x
+    |small| rows) — use for skewed big-to-modest joins; AQE's
+    skew-join split covers the big-to-big case at runtime.
     """
     keys = list(key_cols)
     salted_big = big.withColumn(
         "__salt",
-        F.pmod(F.xxhash64(*keys, F.lit("__salt__")), F.lit(n_salts)).cast(
-            "int"
-        ),
+        F.pmod(
+            F.xxhash64(*big.columns, F.lit("__salt__")), F.lit(n_salts)
+        ).cast("int"),
     )
     salts = F.explode(
         F.sequence(F.lit(0), F.lit(n_salts - 1))
