@@ -76,6 +76,17 @@ def _netpbm_header(buf: bytes) -> tuple[bytes, int, int, int, int]:
         toks.append(buf[i:j])
         i = j
     # Exactly ONE whitespace byte separates maxval from pixel data.
+    # A CRLF here (nonconforming, but common from Windows tools) would
+    # silently shift the pixel offset by one byte and corrupt every
+    # decoded pixel — fail loudly instead.
+    sep = buf[i : i + 1]
+    if not sep.isspace():
+        raise ValueError("netpbm header: maxval not followed by whitespace")
+    if sep == b"\r" and buf[i + 1 : i + 2] == b"\n":
+        raise ValueError(
+            "netpbm header: CRLF after maxval (nonconforming; single "
+            "whitespace byte required before pixel data)"
+        )
     return toks[0], int(toks[1]), int(toks[2]), int(toks[3]), i + 1
 
 
@@ -414,6 +425,13 @@ def decode_audio(payload: bytes) -> tuple[int, "object"]:
         cid = payload[pos : pos + 4]
         size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
         body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            # Truncated chunk (declared size past EOF): slicing would
+            # silently shorten the data and corrupt n_samples/energy.
+            raise ValueError(
+                f"truncated WAVE chunk {cid!r}: declared {size} bytes, "
+                f"{len(body)} available"
+            )
         if cid == b"fmt ":
             fmt = body
         elif cid == b"data":
@@ -427,6 +445,13 @@ def decode_audio(payload: bytes) -> tuple[int, "object"]:
     bits = int.from_bytes(fmt[14:16], "little")
     if audio_format != 1 or bits != 16:
         raise NotImplementedError("only 16-bit PCM WAVE is decoded natively")
+    if n_channels == 0:
+        raise ValueError("WAVE fmt chunk declares 0 channels")
+    if len(data) % (2 * n_channels):
+        raise ValueError(
+            f"WAVE data length {len(data)} not a whole number of "
+            f"{n_channels}-channel 16-bit frames"
+        )
     samples = np.frombuffer(data, dtype="<i2")
     return sample_rate, samples.reshape(-1, n_channels)
 

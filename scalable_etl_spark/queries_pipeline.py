@@ -742,17 +742,18 @@ def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Passage-level exact dedup audit — Common-Crawl-style pipelines
     dedup at sub-document granularity (paragraphs / fixed word
     windows) because boilerplate repeats across otherwise-distinct
-    pages. Docs are chunked into {n}-word passages JVM-side
-    (sequence + transform + slice higher-order expressions — no
-    explode-regroup, which would need an order-preserving aggregation),
-    then each passage is md5-keyed and counted per source.
+    pages. Docs are chunked into 20-word (``_PASSAGE_WORDS``) passages
+    JVM-side (sequence + transform + slice higher-order expressions —
+    no explode-regroup, which would need an order-preserving
+    aggregation), then each passage is md5-keyed and counted per
+    source.
 
     Scale: chunking is a map-only stage; the only shuffle is the
     per-source distinct-count of 128-bit keys (partial agg map-side).
     At 100 TB swap COUNT(DISTINCT md5) for approx_count_distinct or an
     HLL sketch (functions/sketches.py) if exactness isn't required;
     the md5 keying (not raw passage strings) keeps shuffle bytes
-    fixed-width either way.""".format(n=_PASSAGE_WORDS)
+    fixed-width either way."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
     w = _PASSAGE_WORDS

@@ -89,11 +89,17 @@ def dedup_content_hash(
     stronger than the reference's file granularity (it also drops
     duplicate rows shared between otherwise-distinct files).
 
-    Scale: state is one 32-byte key per ingested row in the state store
-    (RocksDB-backed on a real cluster); the dropDuplicates shuffle per
-    micro-batch is the ledger's lookup cost. Bound state with a
-    watermarked variant (``dedup_in_stream``) when the duplicate-arrival
-    horizon is known."""
+    CAVEATS (production guidance): (1) dedup is at ROW granularity with
+    UNWATERMARKED state — two genuinely distinct events with identical
+    field values (plausible for listens lacking a unique id) collapse
+    to one; include a unique id column in ``cols`` when the source has
+    one, or hash per-file (``input_file_name()`` based) for exact
+    file-granularity parity with the reference ledger. (2) State grows
+    one 32-byte key per ingested row forever; PREFER the watermarked
+    variant (``dedup_in_stream``) whenever the duplicate-arrival
+    horizon is known — unbounded state is only right for bounded
+    backfills. The dropDuplicates shuffle per micro-batch is the
+    ledger's lookup cost (RocksDB-backed state store on a cluster)."""
     src_cols = list(cols or df.columns)
     hashed = df.withColumn(
         "_content_sha",

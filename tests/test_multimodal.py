@@ -134,6 +134,40 @@ def test_decode_rejects_unknown_magic_and_truncation():
         decode_image(b"P6\n4 4\n255\n\x00\x01")  # pixel data cut short
 
 
+def test_decode_rejects_crlf_after_maxval():
+    import pytest
+    from scalable_etl_spark.operators.multimodal import decode_image
+
+    # CRLF between maxval and pixel data would shift the pixel offset
+    # by one byte; the decoder must fail loudly, not decode garbage.
+    payload = b"P5\n3 2\n255\r\n" + bytes(range(6))
+    with pytest.raises(ValueError, match="CRLF"):
+        decode_image(payload)
+
+
+def test_decode_audio_rejects_malformed_wav():
+    import pytest
+    from scalable_etl_spark.operators.multimodal import (
+        decode_audio,
+        synthetic_wav,
+    )
+
+    wav = synthetic_wav(7)
+    # fmt chunk declaring 0 channels -> explicit error, not a numpy
+    # reshape crash.
+    zero_ch = wav.replace(
+        (1).to_bytes(2, "little") + (8000).to_bytes(4, "little"),
+        (0).to_bytes(2, "little") + (8000).to_bytes(4, "little"),
+        1,
+    )
+    with pytest.raises(ValueError, match="0 channels"):
+        decode_audio(zero_ch)
+    # data chunk declared longer than the payload -> truncation error,
+    # not a silently short sample count.
+    with pytest.raises(ValueError, match="truncated"):
+        decode_audio(wav[:-10])
+
+
 def test_media_pixel_stats_decodes_for_real(spark):
     from scalable_etl_spark.queries_llm import media_pixel_stats
 
