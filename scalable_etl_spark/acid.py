@@ -162,19 +162,30 @@ class SnapshotTable:
         see the old snapshot or the new one, never a mix, never a gap.
         Returns the committed version."""
         d = self._write_data(df, partition_cols)
-        manifest = {
-            "op": "overwrite",
-            "dirs": [d],
-            "schema": df.schema.json(),
-            "partition_cols": list(partition_cols),
-            "timestamp": time.time(),
-        }
         for _ in range(_COMMIT_RETRIES):
             v = self.latest_version()
+            manifest = {
+                "op": "overwrite",
+                "dirs": [d],
+                "schema": df.schema.json(),
+                "partition_cols": list(partition_cols),
+                # Streaming batch ledger survives every rewrite — a
+                # compact/overwrite between micro-batches must not let
+                # a replayed batch double-commit (write_stream_snapshot).
+                "txn": self._txn_of(v),
+                "timestamp": time.time(),
+            }
             nxt = 0 if v is None else v + 1
             if self._commit(nxt, manifest):
                 return nxt
         raise CommitConflict(f"overwrite lost {_COMMIT_RETRIES} races")
+
+    def _txn_of(self, version: int | None) -> dict:
+        """Streaming batch-id ledger carried by ``version`` ({} for a
+        fresh table)."""
+        if version is None:
+            return {}
+        return dict(self._manifest(version).get("txn", {}))
 
     def append(self, df: DataFrame) -> int:
         """Transactional append: the new dir joins the current
@@ -192,6 +203,7 @@ class SnapshotTable:
                 "dirs": [*dirs, d],
                 "schema": schema,
                 "partition_cols": pcols,
+                "txn": self._txn_of(v),
                 "timestamp": time.time(),
             }
             if self._commit(0 if v is None else v + 1, manifest):
@@ -237,6 +249,7 @@ class SnapshotTable:
                 "dirs": [*dirs, d],
                 "schema": schema,
                 "partition_cols": pcols,
+                "txn": self._txn_of(v),
                 "timestamp": time.time(),
             }
             if self._commit(0 if v is None else v + 1, manifest):
@@ -245,6 +258,68 @@ class SnapshotTable:
             # snapshot. The orphan dir stays until vacuum (same as
             # Delta's uncommitted files) and the loop rebases.
         raise CommitConflict(f"insert_ignore lost {_COMMIT_RETRIES} races")
+
+    def merge(
+        self,
+        df: DataFrame,
+        key_cols: Sequence[str],
+        when_matched: str = "update",
+    ) -> int:
+        """Full MERGE INTO semantics (Iceberg/Delta parity):
+
+        - ``when_matched="update"``: matched target rows are replaced
+          by the batch row (upsert); unmatched batch rows insert.
+        - ``when_matched="delete"``: matched target rows are deleted;
+          unmatched batch rows insert.
+
+        Implementation is the copy-on-write rewrite every file-based
+        format uses: survivors = target anti-join batch (one equi-join
+        shuffle), new snapshot = survivors + batch effect, committed as
+        one atomic overwrite. Serializable: a rival commit between the
+        snapshot read and the commit loses the version race and this
+        transaction rebases on the winner's snapshot. Returns the
+        committed version.
+
+        Scale: the rewrite touches the whole table (dir granularity);
+        partition-pruned / file-level copy-on-write — rewriting only
+        dirs containing matches — is the Delta/Iceberg refinement and
+        the natural next step if merge-heavy workloads appear."""
+        if when_matched not in ("update", "delete"):
+            raise ValueError(f"unsupported when_matched={when_matched!r}")
+        keys = list(key_cols)
+        batch = df.dropDuplicates(keys)
+        for _ in range(_COMMIT_RETRIES):
+            v = self.latest_version()
+            if v is None:
+                merged = batch  # nothing to match; all rows insert
+                pcols: list[str] = []
+            else:
+                m = self._manifest(v)
+                pcols = m["partition_cols"]
+                target = self.read(v)
+                survivors = target.join(batch, keys, "left_anti")
+                if when_matched == "update":
+                    merged = survivors.unionByName(
+                        batch.select(*target.columns)
+                    )
+                else:  # delete matched, insert the rest
+                    existing = target.select(*keys)
+                    novel = batch.join(existing, keys, "left_anti")
+                    merged = survivors.unionByName(
+                        novel.select(*target.columns)
+                    )
+            d = self._write_data(merged, pcols)
+            manifest = {
+                "op": f"merge_{when_matched}",
+                "dirs": [d],
+                "schema": merged.schema.json(),
+                "partition_cols": pcols,
+                "txn": self._txn_of(v),
+                "timestamp": time.time(),
+            }
+            if self._commit(0 if v is None else v + 1, manifest):
+                return 0 if v is None else v + 1
+        raise CommitConflict(f"merge lost {_COMMIT_RETRIES} races")
 
     # ---------------------------------------------------- maintenance
 
@@ -292,3 +367,69 @@ class SnapshotTable:
 
 def snapshot_table(spark: SparkSession, root: str) -> SnapshotTable:
     return SnapshotTable(spark, root)
+
+
+def write_stream_snapshot(
+    stream_df: DataFrame,
+    table: SnapshotTable,
+    checkpoint_dir: str,
+    query_id: str = "stream",
+    available_now: bool = True,
+    processing_time: str = "30 seconds",
+):
+    """Exactly-once streaming sink into a snapshot table via
+    ``foreachBatch`` + a per-query batch-id ledger — the published
+    Delta pattern (``txn`` action, Armbrust et al. VLDB 2020 §3.1;
+    Spark docs call this "foreachBatch idempotent writes").
+
+    Structured Streaming replays a micro-batch after a crash between
+    sink write and checkpoint commit; a plain append sink would then
+    double-write that batch. Here every commit manifest carries
+    ``txn = {query_id: last_batch_id}``; the replayed batch sees
+    ``batch_id <= txn[query_id]`` and SKIPS — append happens at most
+    once per (query, batch). The check and the append are the same
+    atomic manifest commit, so a concurrent writer can't interleave
+    between them (commit rebases re-check the ledger).
+
+    Returns the StreamingQuery (caller awaits/stops)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        for _ in range(_COMMIT_RETRIES):
+            v = table.latest_version()
+            if v is None:
+                dirs, pcols = [], []
+                schema = batch_df.schema.json()
+                txn: dict[str, int] = {}
+            else:
+                m = table._manifest(v)
+                dirs, pcols = m["dirs"], m["partition_cols"]
+                schema = m["schema"]
+                txn = dict(m.get("txn", {}))
+            if txn.get(query_id, -1) >= batch_id:
+                return  # replayed batch: already committed
+            d = table._write_data(batch_df, ())
+            txn[query_id] = batch_id
+            manifest = {
+                "op": "stream_append",
+                "dirs": [*dirs, d],
+                "schema": schema,
+                "partition_cols": pcols,
+                "txn": txn,
+                "timestamp": time.time(),
+            }
+            if table._commit(0 if v is None else v + 1, manifest):
+                return
+        raise CommitConflict(
+            f"stream batch {batch_id} lost {_COMMIT_RETRIES} races"
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

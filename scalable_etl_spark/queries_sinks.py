@@ -183,6 +183,58 @@ def sink_tx_atomic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_tx_merge_upsert",
+    oracle="""
+    WITH target AS (
+      SELECT event_id, event_type, value FROM events WHERE user_id < 75),
+    batch AS (
+      SELECT event_id, event_type, ROUND(COALESCE(value, 0) * 2, 2) AS value
+      FROM events WHERE user_id >= 50),
+    final AS (
+      SELECT * FROM batch
+      UNION ALL
+      SELECT * FROM target
+      WHERE event_id NOT IN (SELECT event_id FROM batch))
+    SELECT event_type, COUNT(*) AS n_rows,
+           ROUND(SUM(value), 2) AS total_value
+    FROM final GROUP BY 1
+    """,
+)
+def sink_tx_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE INTO ... WHEN MATCHED THEN UPDATE WHEN NOT MATCHED
+    THEN INSERT through the gate (acid.py SnapshotTable.merge): the
+    overlapping half of events arrives as an upsert batch with doubled
+    values — matched target rows must take the batch's values, novel
+    rows insert, untouched rows survive. The value hash proves the
+    copy-on-write rewrite row-exactly."""
+    e = load_table(spark, sf_dir, "events")
+    t = _tx_table(spark, "merge_upsert")
+    t.overwrite(
+        e.filter(F.col("user_id") < 75)
+        .select("event_id", "event_type", "value")
+    )
+    t.merge(
+        e.filter(F.col("user_id") >= 50).select(
+            "event_id",
+            "event_type",
+            F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 2, 2).alias(
+                "value"
+            ),
+        ),
+        ["event_id"],
+        when_matched="update",
+    )
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
     "sink_bucketed_join",
     oracle="""
     WITH e AS (

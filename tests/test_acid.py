@@ -101,6 +101,72 @@ def test_insert_ignore_serializable_under_commit_race(spark, tmp_path):
     assert t.read().filter("k = 2").count() == 1
 
 
+def test_merge_update_and_delete(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    # upsert: k=2 updated, k=4 inserted, k=1/3 untouched
+    t.merge(_df(spark, [(2, "B!"), (4, "d")]), ["k"], when_matched="update")
+    rows = {(r.k, r.v) for r in t.read().collect()}
+    assert rows == {(1, "a"), (2, "B!"), (3, "c"), (4, "d")}
+    # merge-delete: matched keys removed, unmatched batch keys insert
+    t.merge(_df(spark, [(1, "x"), (9, "z")]), ["k"], when_matched="delete")
+    rows = {(r.k, r.v) for r in t.read().collect()}
+    assert rows == {(2, "B!"), (3, "c"), (4, "d"), (9, "z")}
+    # previous snapshots still time-travel intact
+    assert {(r.k, r.v) for r in t.read(0).collect()} == {
+        (1, "a"), (2, "b"), (3, "c")
+    }
+
+
+def test_stream_sink_exactly_once_across_checkpoint_loss(spark, tmp_path):
+    """The crash window foreachBatch exists for: sink commit succeeded,
+    checkpoint commit lost -> Structured Streaming REPLAYS the batch.
+    Simulated by deleting the checkpoint outright (the worst case:
+    every batch replays). The manifest's txn ledger must skip the
+    replayed batches — zero duplicate rows."""
+    import json as _json
+    import shutil
+
+    from scalable_etl_spark.acid import write_stream_snapshot
+    from scalable_etl_spark.schemas import LISTEN_SCHEMA  # noqa: F401
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+
+    def _write(name, rows):
+        with open(src / name, "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+
+    _write("f1.jsonl", [{"k": 1, "v": "a"}, {"k": 2, "v": "b"}])
+    stream = spark.readStream.schema("k INT, v STRING").json(str(src))
+    q = write_stream_snapshot(stream, t, ckpt, query_id="q1")
+    q.awaitTermination()
+    assert t.read().count() == 2
+    ledger = t._manifest(t.latest_version())["txn"]
+    assert ledger["q1"] >= 0
+
+    # Lose the checkpoint; the same input replays from batch 0.
+    shutil.rmtree(ckpt)
+    q = write_stream_snapshot(stream, t, ckpt, query_id="q1")
+    q.awaitTermination()
+    assert t.read().count() == 2, "replayed batch must be skipped"
+
+    # New data still lands (new batch id beyond the ledger after the
+    # replayed ids catch up).
+    _write("f2.jsonl", [{"k": 3, "v": "c"}])
+    q = write_stream_snapshot(stream, t, ckpt, query_id="q1")
+    q.awaitTermination()
+    assert {r.k for r in t.read().collect()} == {1, 2, 3}
+
+    # The ledger survives a compact (otherwise a later replay would
+    # double-write).
+    t.compact()
+    assert t._manifest(t.latest_version())["txn"]["q1"] >= 0
+
+
 def test_time_travel_compact_vacuum(spark, tmp_path):
     import os
 
