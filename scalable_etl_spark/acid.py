@@ -125,23 +125,96 @@ class SnapshotTable:
 
     # ----------------------------------------------------------- read
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        where: tuple[str, object, object] | None = None,
+    ) -> DataFrame:
         """Snapshot read; ``version`` pins a historical snapshot (time
-        travel). The returned plan references only immutable dirs."""
+        travel). The returned plan references only immutable dirs.
+
+        ``where=(col, lo, hi)`` enables DATA SKIPPING (Delta paper
+        §3.3): dirs whose committed [min, max] stats for ``col``
+        cannot intersect [lo, hi] are dropped from the plan entirely —
+        at 100 TB that's the difference between listing/opening every
+        file and touching only the relevant ingest batches. The same
+        predicate is ALSO applied as a normal filter (so results are
+        correct whether or not stats exist; parquet row-group pruning
+        still applies underneath). Stats are recorded by mutators
+        called with ``stats_cols=[...]``; dirs without stats for
+        ``col`` are conservatively kept."""
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
         m = self._manifest(v)
         schema = StructType.fromJson(json.loads(m["schema"]))
-        if not m["dirs"]:
-            return self.spark.createDataFrame([], schema)
-        parts = [
-            self.spark.read.schema(schema)
-            .option("basePath", os.path.join(self.data_dir, d))
-            .parquet(os.path.join(self.data_dir, d))
-            for d in m["dirs"]
-        ]
-        return reduce(lambda a, b: a.unionByName(b), parts)
+        dirs = m["dirs"]
+        if where is not None:
+            dirs = self._prune_dirs(m, dirs, *where)
+        if not dirs:
+            out = self.spark.createDataFrame([], schema)
+        else:
+            parts = [
+                self.spark.read.schema(schema)
+                .option("basePath", os.path.join(self.data_dir, d))
+                .parquet(os.path.join(self.data_dir, d))
+                for d in dirs
+            ]
+            out = reduce(lambda a, b: a.unionByName(b), parts)
+        if where is not None:
+            col, lo, hi = where
+            out = out.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+        return out
+
+    @staticmethod
+    def _prune_dirs(m: dict, dirs: list[str], col: str, lo, hi) -> list[str]:
+        stats = m.get("stats", {})
+        kept = []
+        for d in dirs:
+            rng = stats.get(d, {}).get(col)
+            if rng is None:
+                kept.append(d)  # no stats -> cannot prune
+                continue
+            dmin, dmax = rng
+            if dmin is None or dmax is None:  # all-null column in dir
+                kept.append(d)
+                continue
+            if not (dmax < lo or dmin > hi):
+                kept.append(d)
+        return kept
+
+    def _collect_stats(
+        self, d: str, schema_json: str, stats_cols: Sequence[str]
+    ) -> dict:
+        """Per-dir [min, max] for ``stats_cols``, computed with one
+        tiny agg job over the just-written dir (Delta computes these
+        at write time from the writer; a follow-up scan of one fresh
+        dir is the Spark-first equivalent and touches only that dir).
+        Values are stored JSON-safe (dates/timestamps as ISO strings,
+        compared as strings — consistent because ISO order = time
+        order)."""
+        schema = StructType.fromJson(json.loads(schema_json))
+        part = self.spark.read.schema(schema).parquet(
+            os.path.join(self.data_dir, d)
+        )
+        aggs = []
+        for c in stats_cols:
+            aggs.append(F.min(c).alias(f"__min_{c}"))
+            aggs.append(F.max(c).alias(f"__max_{c}"))
+        row = part.agg(*aggs).collect()[0].asDict()
+
+        def js(v):
+            return v if v is None or isinstance(v, (int, float, str, bool)) else str(v)
+
+        return {
+            c: [js(row[f"__min_{c}"]), js(row[f"__max_{c}"])]
+            for c in stats_cols
+        }
+
+    def _stats_of(self, version: int | None) -> dict:
+        if version is None:
+            return {}
+        return dict(self._manifest(version).get("stats", {}))
 
     # ---------------------------------------------------------- write
 
@@ -156,19 +229,30 @@ class SnapshotTable:
         return d
 
     def overwrite(
-        self, df: DataFrame, partition_cols: Sequence[str] = ()
+        self,
+        df: DataFrame,
+        partition_cols: Sequence[str] = (),
+        stats_cols: Sequence[str] = (),
     ) -> int:
         """Atomic replace (the reference's ``createOrReplace``): readers
         see the old snapshot or the new one, never a mix, never a gap.
-        Returns the committed version."""
+        ``stats_cols`` records per-dir [min, max] in the manifest for
+        data-skipping reads. Returns the committed version."""
         d = self._write_data(df, partition_cols)
+        schema_json = df.schema.json()
+        stats = (
+            {d: self._collect_stats(d, schema_json, stats_cols)}
+            if stats_cols
+            else {}
+        )
         for _ in range(_COMMIT_RETRIES):
             v = self.latest_version()
             manifest = {
                 "op": "overwrite",
                 "dirs": [d],
-                "schema": df.schema.json(),
+                "schema": schema_json,
                 "partition_cols": list(partition_cols),
+                "stats": stats,
                 # Streaming batch ledger survives every rewrite — a
                 # compact/overwrite between micro-batches must not let
                 # a replayed batch double-commit (write_stream_snapshot).
@@ -187,28 +271,79 @@ class SnapshotTable:
             return {}
         return dict(self._manifest(version).get("txn", {}))
 
-    def append(self, df: DataFrame) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        stats_cols: Sequence[str] = (),
+        merge_schema: bool = False,
+    ) -> int:
         """Transactional append: the new dir joins the current
-        snapshot's dir list in one commit."""
+        snapshot's dir list in one commit.
+
+        ``merge_schema=True`` enables SCHEMA EVOLUTION (Delta/Iceberg
+        ``mergeSchema``): columns the batch adds extend the table
+        schema; rows in existing dirs read the new columns as null
+        (the parquet reader fills declared-but-absent columns).
+        Same-name columns must keep their type — a conflict raises
+        rather than silently coercing. Without the flag, a batch whose
+        columns stray from the table schema is rejected."""
         d = self._write_data(df, ())
+        stats = (
+            {d: self._collect_stats(d, df.schema.json(), stats_cols)}
+            if stats_cols
+            else {}
+        )
         for _ in range(_COMMIT_RETRIES):
             v = self.latest_version()
             if v is None:
                 dirs, pcols, schema = [], [], df.schema.json()
+                all_stats = stats
             else:
                 m = self._manifest(v)
-                dirs, pcols, schema = m["dirs"], m["partition_cols"], m["schema"]
+                dirs, pcols = m["dirs"], m["partition_cols"]
+                schema = self._evolve_schema(
+                    m["schema"], df.schema, merge_schema
+                )
+                all_stats = {**self._stats_of(v), **stats}
             manifest = {
                 "op": "append",
                 "dirs": [*dirs, d],
                 "schema": schema,
                 "partition_cols": pcols,
+                "stats": all_stats,
                 "txn": self._txn_of(v),
                 "timestamp": time.time(),
             }
             if self._commit(0 if v is None else v + 1, manifest):
                 return 0 if v is None else v + 1
         raise CommitConflict(f"append lost {_COMMIT_RETRIES} races")
+
+    @staticmethod
+    def _evolve_schema(
+        table_schema_json: str, batch_schema: StructType, merge: bool
+    ) -> str:
+        """Table schema after an append: unchanged unless ``merge``,
+        in which case batch-only fields are APPENDED. Type conflicts
+        and (without ``merge``) unknown batch columns raise."""
+        table = StructType.fromJson(json.loads(table_schema_json))
+        by_name = {f.name: f for f in table.fields}
+        extra = [f for f in batch_schema.fields if f.name not in by_name]
+        for f in batch_schema.fields:
+            have = by_name.get(f.name)
+            if have is not None and have.dataType != f.dataType:
+                raise ValueError(
+                    f"schema conflict on {f.name!r}: table "
+                    f"{have.dataType.simpleString()} vs batch "
+                    f"{f.dataType.simpleString()}"
+                )
+        if not extra:
+            return table_schema_json
+        if not merge:
+            raise ValueError(
+                f"batch adds columns {[f.name for f in extra]}; pass "
+                "merge_schema=True to evolve the table schema"
+            )
+        return StructType(table.fields + extra).json()
 
     def insert_ignore(
         self, df: DataFrame, key_cols: Sequence[str]
@@ -249,6 +384,7 @@ class SnapshotTable:
                 "dirs": [*dirs, d],
                 "schema": schema,
                 "partition_cols": pcols,
+                "stats": self._stats_of(v),
                 "txn": self._txn_of(v),
                 "timestamp": time.time(),
             }
@@ -314,6 +450,7 @@ class SnapshotTable:
                 "dirs": [d],
                 "schema": merged.schema.json(),
                 "partition_cols": pcols,
+                "stats": {},  # rewrite invalidates old per-dir stats
                 "txn": self._txn_of(v),
                 "timestamp": time.time(),
             }
@@ -414,6 +551,7 @@ def write_stream_snapshot(
                 "dirs": [*dirs, d],
                 "schema": schema,
                 "partition_cols": pcols,
+                "stats": table._stats_of(v),
                 "txn": txn,
                 "timestamp": time.time(),
             }

@@ -188,6 +188,52 @@ def test_time_travel_compact_vacuum(spark, tmp_path):
     assert len(os.listdir(t.data_dir)) == 1
 
 
+def test_data_skipping_prunes_dirs(spark, tmp_path):
+    """Three appends with disjoint key ranges + stats -> a ranged read
+    must plan only the matching dir (dir-level data skipping), while
+    results stay correct, and dirs WITHOUT stats are conservatively
+    kept."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(_df(spark, [(i, "a") for i in range(0, 10)]),
+                stats_cols=["k"])
+    t.append(_df(spark, [(i, "b") for i in range(100, 110)]),
+             stats_cols=["k"])
+    t.append(_df(spark, [(i, "c") for i in range(200, 210)]),
+             stats_cols=["k"])
+    m = t._manifest(t.latest_version())
+    assert len(m["dirs"]) == 3 and len(m["stats"]) == 3
+    # pruning: only the middle dir can contain [100, 109]
+    kept = t._prune_dirs(m, m["dirs"], "k", 100, 109)
+    assert len(kept) == 1
+    rows = t.read(where=("k", 100, 109)).collect()
+    assert sorted(r.k for r in rows) == list(range(100, 110))
+    assert {r.v for r in rows} == {"b"}
+    # stat-less dir is kept and the residual filter still applies
+    t.append(_df(spark, [(105, "late")]))  # no stats_cols
+    rows = t.read(where=("k", 100, 109)).collect()
+    assert sorted(r.k for r in rows) == sorted(
+        list(range(100, 110)) + [105]
+    )
+
+
+def test_schema_evolution_on_append(spark, tmp_path):
+    import pytest
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(_df(spark, [(1, "a")]))
+    wide = spark.createDataFrame([(2, "b", 9.5)], "k INT, v STRING, w DOUBLE")
+    # without the flag: rejected loudly
+    with pytest.raises(ValueError, match="merge_schema"):
+        t.append(wide)
+    t.append(wide, merge_schema=True)
+    rows = {(r.k, r.v, r.w) for r in t.read().collect()}
+    assert rows == {(1, "a", None), (2, "b", 9.5)}
+    # type conflict on an existing column: always an error
+    bad = spark.createDataFrame([(3, 7)], "k INT, v INT")
+    with pytest.raises(ValueError, match="schema conflict"):
+        t.append(bad, merge_schema=True)
+
+
 def test_partitioned_overwrite_preserves_partition_values(spark, tmp_path):
     t = SnapshotTable(spark, str(tmp_path / "t"))
     df = spark.createDataFrame(
