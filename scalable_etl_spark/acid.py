@@ -416,23 +416,46 @@ class SnapshotTable:
         transaction rebases on the winner's snapshot. Returns the
         committed version.
 
-        Scale: the rewrite touches the whole table (dir granularity);
-        partition-pruned / file-level copy-on-write — rewriting only
-        dirs containing matches — is the Delta/Iceberg refinement and
-        the natural next step if merge-heavy workloads appear."""
+        Scale — PRUNED copy-on-write: when the snapshot carries
+        [min, max] stats for the (single-column) merge key, dirs whose
+        key range cannot intersect the batch's key range are CARRIED
+        OVER untouched — only dirs that might contain matches are
+        rewritten (the Delta/Iceberg file-pruned MERGE shape, at dir
+        granularity). Stat-less dirs are conservatively rewritten;
+        results are identical either way."""
         if when_matched not in ("update", "delete"):
             raise ValueError(f"unsupported when_matched={when_matched!r}")
         keys = list(key_cols)
         batch = df.dropDuplicates(keys)
+        key_lo = key_hi = None
+        if len(keys) == 1:
+            r = batch.agg(
+                F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
+            ).collect()[0]
+            key_lo, key_hi = r["lo"], r["hi"]
         for _ in range(_COMMIT_RETRIES):
             v = self.latest_version()
             if v is None:
                 merged = batch  # nothing to match; all rows insert
                 pcols: list[str] = []
+                untouched: list[str] = []
+                kept_stats: dict = {}
             else:
                 m = self._manifest(v)
                 pcols = m["partition_cols"]
-                target = self.read(v)
+                untouched, rewrite = [], list(m["dirs"])
+                if key_lo is not None and key_hi is not None:
+                    hit = set(
+                        self._prune_dirs(m, m["dirs"], keys[0], key_lo, key_hi)
+                    )
+                    untouched = [d for d in m["dirs"] if d not in hit]
+                    rewrite = [d for d in m["dirs"] if d in hit]
+                kept_stats = {
+                    d: s
+                    for d, s in self._stats_of(v).items()
+                    if d in untouched
+                }
+                target = self._read_dirs(m, rewrite)
                 survivors = target.join(batch, keys, "left_anti")
                 if when_matched == "update":
                     merged = survivors.unionByName(
@@ -447,16 +470,32 @@ class SnapshotTable:
             d = self._write_data(merged, pcols)
             manifest = {
                 "op": f"merge_{when_matched}",
-                "dirs": [d],
+                "dirs": [*untouched, d],
                 "schema": merged.schema.json(),
                 "partition_cols": pcols,
-                "stats": {},  # rewrite invalidates old per-dir stats
+                # untouched dirs keep their stats; the rewritten dir
+                # has none until the next stats-collecting write
+                "stats": kept_stats,
                 "txn": self._txn_of(v),
                 "timestamp": time.time(),
             }
             if self._commit(0 if v is None else v + 1, manifest):
                 return 0 if v is None else v + 1
         raise CommitConflict(f"merge lost {_COMMIT_RETRIES} races")
+
+    def _read_dirs(self, m: dict, dirs: list[str]) -> DataFrame:
+        """DataFrame over an explicit dir subset of a manifest (empty
+        subset -> empty frame with the manifest schema)."""
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        if not dirs:
+            return self.spark.createDataFrame([], schema)
+        parts = [
+            self.spark.read.schema(schema)
+            .option("basePath", os.path.join(self.data_dir, d))
+            .parquet(os.path.join(self.data_dir, d))
+            for d in dirs
+        ]
+        return reduce(lambda a, b: a.unionByName(b), parts)
 
     # ---------------------------------------------------- maintenance
 

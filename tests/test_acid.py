@@ -188,6 +188,33 @@ def test_time_travel_compact_vacuum(spark, tmp_path):
     assert len(os.listdir(t.data_dir)) == 1
 
 
+def test_merge_prunes_untouched_dirs_via_stats(spark, tmp_path):
+    """Pruned copy-on-write: a merge whose batch keys fall entirely in
+    one dir's range must carry the other dirs over UNREWRITTEN (same
+    dir names, stats preserved), rewrite only the hit dir, and still
+    produce exact results."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(_df(spark, [(i, "lo") for i in range(0, 10)]),
+                stats_cols=["k"])
+    t.append(_df(spark, [(i, "mid") for i in range(100, 110)]),
+             stats_cols=["k"])
+    t.append(_df(spark, [(i, "hi") for i in range(200, 210)]),
+             stats_cols=["k"])
+    before = t._manifest(t.latest_version())
+    t.merge(_df(spark, [(105, "UPD"), (150, "NEW")]), ["k"])
+    after = t._manifest(t.latest_version())
+    untouched = set(before["dirs"]) & set(after["dirs"])
+    assert len(untouched) == 2, "lo/hi dirs must be carried over"
+    assert len(after["dirs"]) == 3  # 2 carried + 1 rewritten
+    assert set(after["stats"]) == untouched
+    rows = {(r.k, r.v) for r in t.read().collect()}
+    expect = {(i, "lo") for i in range(0, 10)}
+    expect |= {(i, "mid") for i in range(100, 110) if i != 105}
+    expect |= {(105, "UPD"), (150, "NEW")}
+    expect |= {(i, "hi") for i in range(200, 210)}
+    assert rows == expect
+
+
 def test_data_skipping_prunes_dirs(spark, tmp_path):
     """Three appends with disjoint key ranges + stats -> a ranged read
     must plan only the matching dir (dir-level data skipping), while
