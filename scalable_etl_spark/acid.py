@@ -13,9 +13,14 @@ Stores", VLDB 2020 — public paper):
     <root>/data/<uuid>/...      immutable data dirs, one per write job
 
 - A manifest lists the data DIRS composing that version (dir
-  granularity: every write lands in a fresh uuid dir, so commits never
-  mutate existing files; Delta's file-granularity + stats-based skipping
-  is the finer refinement, noted, not needed here).
+  granularity is the COMMIT unit: every write lands in a fresh uuid
+  dir, so commits never mutate existing files). STATS are kept at two
+  granularities: per-dir [min, max] (prunes whole ingest batches) and
+  per-FILE [min, max] read from the parquet footers at write time
+  (prunes files within a dir — combined with ``cluster_by`` range-
+  clustered writes this is the Delta/Iceberg data-skipping shape: at
+  100 TB a ranged read plans only the files whose footer range
+  intersects the predicate, without listing or opening the rest).
 - Commit = write manifest to a temp name, fsync, then hard-LINK it to
   ``_log/{version:08d}.json``. ``os.link`` fails with EEXIST if that
   version was already committed — the loser rebases and retries
@@ -134,37 +139,75 @@ class SnapshotTable:
         travel). The returned plan references only immutable dirs.
 
         ``where=(col, lo, hi)`` enables DATA SKIPPING (Delta paper
-        §3.3): dirs whose committed [min, max] stats for ``col``
-        cannot intersect [lo, hi] are dropped from the plan entirely —
-        at 100 TB that's the difference between listing/opening every
-        file and touching only the relevant ingest batches. The same
+        §3.3) at both granularities: dirs whose committed [min, max]
+        stats for ``col`` cannot intersect [lo, hi] are dropped from
+        the plan entirely, and within surviving dirs, FILES whose
+        footer-derived range cannot intersect are dropped too — at
+        100 TB that's the difference between listing/opening every
+        file and touching only the relevant key ranges. The same
         predicate is ALSO applied as a normal filter (so results are
         correct whether or not stats exist; parquet row-group pruning
         still applies underneath). Stats are recorded by mutators
-        called with ``stats_cols=[...]``; dirs without stats for
-        ``col`` are conservatively kept."""
+        called with ``stats_cols=[...]`` / ``cluster_by=[...]``; dirs
+        and files without stats for ``col`` are conservatively kept."""
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
         m = self._manifest(v)
         schema = StructType.fromJson(json.loads(m["schema"]))
         dirs = m["dirs"]
+        norm = None
         if where is not None:
-            dirs = self._prune_dirs(m, dirs, *where)
-        if not dirs:
+            col, lo, hi = where
+            nlo, nhi = self._js(lo), self._js(hi)
+            if nlo is not None and nhi is not None:
+                norm = (col, nlo, nhi)
+                dirs = self._prune_dirs(m, dirs, *norm)
+        all_fstats = m.get("file_stats", {})
+        parts = []
+        for d in dirs:
+            base = os.path.join(self.data_dir, d)
+            fstats = all_fstats.get(d)
+            if norm is not None and fstats:
+                files = self._prune_files(fstats, *norm)
+                if not files:
+                    continue
+                # whole dir survives -> one dir-level scan (cheaper
+                # listing than enumerating every path)
+                if len(files) == len(fstats):
+                    paths = [base]
+                else:
+                    paths = [os.path.join(base, f) for f in files]
+            else:
+                paths = [base]
+            parts.append(
+                self.spark.read.schema(schema)
+                .option("basePath", base)
+                .parquet(*paths)
+            )
+        if not parts:
             out = self.spark.createDataFrame([], schema)
         else:
-            parts = [
-                self.spark.read.schema(schema)
-                .option("basePath", os.path.join(self.data_dir, d))
-                .parquet(os.path.join(self.data_dir, d))
-                for d in dirs
-            ]
             out = reduce(lambda a, b: a.unionByName(b), parts)
         if where is not None:
             col, lo, hi = where
             out = out.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
         return out
+
+    @staticmethod
+    def _js(v):
+        """JSON-safe stat value. Primitives pass through; date /
+        datetime become strings whose lexicographic order equals time
+        order; anything else (Decimal, bytes — string compare would
+        mis-order them) maps to None, which every pruning path treats
+        as "no stat, keep conservatively"."""
+        import datetime
+
+        if v is None or isinstance(v, (bool, int, float, str)):
+            return v
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return str(v)
+        return None
 
     @staticmethod
     def _prune_dirs(m: dict, dirs: list[str], col: str, lo, hi) -> list[str]:
@@ -183,38 +226,98 @@ class SnapshotTable:
                 kept.append(d)
         return kept
 
-    def _collect_stats(
-        self, d: str, schema_json: str, stats_cols: Sequence[str]
-    ) -> dict:
-        """Per-dir [min, max] for ``stats_cols``, computed with one
-        tiny agg job over the just-written dir (Delta computes these
-        at write time from the writer; a follow-up scan of one fresh
-        dir is the Spark-first equivalent and touches only that dir).
-        Values are stored JSON-safe (dates/timestamps as ISO strings,
-        compared as strings — consistent because ISO order = time
-        order)."""
-        schema = StructType.fromJson(json.loads(schema_json))
-        part = self.spark.read.schema(schema).parquet(
-            os.path.join(self.data_dir, d)
-        )
-        aggs = []
-        for c in stats_cols:
-            aggs.append(F.min(c).alias(f"__min_{c}"))
-            aggs.append(F.max(c).alias(f"__max_{c}"))
-        row = part.agg(*aggs).collect()[0].asDict()
+    @staticmethod
+    def _prune_files(fstats: dict, col: str, lo, hi) -> list[str]:
+        """File-level skipping within one dir: ``fstats`` maps every
+        parquet file (relative path) to its footer-derived per-column
+        ranges; files whose range cannot intersect [lo, hi] drop out.
+        Files without a usable stat for ``col`` are kept."""
+        kept = []
+        for f, per in fstats.items():
+            rng = per.get(col)
+            if rng is None or rng[0] is None or rng[1] is None:
+                kept.append(f)
+                continue
+            if not (rng[1] < lo or rng[0] > hi):
+                kept.append(f)
+        return kept
 
-        def js(v):
-            return v if v is None or isinstance(v, (int, float, str, bool)) else str(v)
+    def _footer_stats(
+        self, d: str, stats_cols: Sequence[str]
+    ) -> tuple[dict, dict]:
+        """(dir_stats, file_stats) for a just-written dir, read from
+        the parquet FOOTERS — the write-time statistics Delta/Iceberg
+        writers record, obtained here with zero additional Spark jobs
+        (pyarrow reads only each footer, never data pages).
 
-        return {
-            c: [js(row[f"__min_{c}"]), js(row[f"__max_{c}"])]
-            for c in stats_cols
-        }
+        ``file_stats`` maps every data file (path relative to the dir,
+        so partitioned layouts keep their partition path components)
+        to ``{col: [min, max]}``; a column loses its stat for a file
+        when any row group lacks trustworthy min/max (all-null chunk,
+        stats-less writer, or an order-unsafe type per ``_js``).
+        ``dir_stats`` has a column only when EVERY file carries it —
+        anything less would under-cover the dir. Partition columns
+        never appear in footers, so they get no stats; Spark's own
+        partition pruning covers them."""
+        import pyarrow.parquet as pq
+
+        cols = set(stats_cols)
+        base = os.path.join(self.data_dir, d)
+        file_stats: dict[str, dict] = {}
+        for walk_root, _subdirs, files in os.walk(base):
+            for fn in sorted(files):
+                if not fn.endswith(".parquet"):
+                    continue
+                path = os.path.join(walk_root, fn)
+                md = pq.ParquetFile(path).metadata
+                if md.num_rows == 0:
+                    # zero-row file (empty task partition): contributes
+                    # no values; leaving it out of file_stats both
+                    # keeps the dir rollup tight and lets ranged reads
+                    # skip opening it at all
+                    continue
+                per: dict[str, list] = {}
+                bad: set[str] = set()
+                for rg_i in range(md.num_row_groups):
+                    rg = md.row_group(rg_i)
+                    for ci in range(rg.num_columns):
+                        cmeta = rg.column(ci)
+                        name = cmeta.path_in_schema
+                        if name not in cols or name in bad:
+                            continue
+                        st = cmeta.statistics
+                        lo = hi = None
+                        if st is not None and st.has_min_max:
+                            lo, hi = self._js(st.min), self._js(st.max)
+                        if lo is None or hi is None:
+                            bad.add(name)
+                            per.pop(name, None)
+                            continue
+                        if name in per:
+                            per[name][0] = min(per[name][0], lo)
+                            per[name][1] = max(per[name][1], hi)
+                        else:
+                            per[name] = [lo, hi]
+                file_stats[os.path.relpath(path, base)] = per
+        dir_stats = {}
+        for c in cols:
+            ranges = [per[c] for per in file_stats.values() if c in per]
+            if file_stats and len(ranges) == len(file_stats):
+                dir_stats[c] = [
+                    min(r[0] for r in ranges),
+                    max(r[1] for r in ranges),
+                ]
+        return dir_stats, file_stats
 
     def _stats_of(self, version: int | None) -> dict:
         if version is None:
             return {}
         return dict(self._manifest(version).get("stats", {}))
+
+    def _file_stats_of(self, version: int | None) -> dict:
+        if version is None:
+            return {}
+        return dict(self._manifest(version).get("file_stats", {}))
 
     # ---------------------------------------------------------- write
 
@@ -228,22 +331,41 @@ class SnapshotTable:
         w.parquet(os.path.join(self.data_dir, d))
         return d
 
+    @staticmethod
+    def _cluster(df: DataFrame, cluster_by: Sequence[str], n_files) -> DataFrame:
+        """Range-cluster a batch so each output file covers a narrow,
+        near-disjoint key range (repartitionByRange samples the key
+        distribution, so skew spreads instead of hot-spotting) — this
+        is what makes per-file stats selective, the jar-free spelling
+        of Delta OPTIMIZE ZORDER's single-column case."""
+        if n_files:
+            df = df.repartitionByRange(int(n_files), *cluster_by)
+        else:
+            df = df.repartitionByRange(*cluster_by)
+        return df.sortWithinPartitions(*cluster_by)
+
     def overwrite(
         self,
         df: DataFrame,
         partition_cols: Sequence[str] = (),
         stats_cols: Sequence[str] = (),
+        cluster_by: Sequence[str] = (),
+        n_files: int | None = None,
     ) -> int:
         """Atomic replace (the reference's ``createOrReplace``): readers
         see the old snapshot or the new one, never a mix, never a gap.
-        ``stats_cols`` records per-dir [min, max] in the manifest for
-        data-skipping reads. Returns the committed version."""
+        ``stats_cols`` records per-dir AND per-file [min, max] in the
+        manifest for data-skipping reads; ``cluster_by`` additionally
+        range-clusters the batch on those columns first (``n_files``
+        caps the file count) and implies stats on them. Returns the
+        committed version."""
+        if cluster_by:
+            df = self._cluster(df, cluster_by, n_files)
+        scols = tuple(stats_cols) or tuple(cluster_by)
         d = self._write_data(df, partition_cols)
         schema_json = df.schema.json()
-        stats = (
-            {d: self._collect_stats(d, schema_json, stats_cols)}
-            if stats_cols
-            else {}
+        dstats, fstats = (
+            self._footer_stats(d, scols) if scols else ({}, {})
         )
         for _ in range(_COMMIT_RETRIES):
             v = self.latest_version()
@@ -252,7 +374,8 @@ class SnapshotTable:
                 "dirs": [d],
                 "schema": schema_json,
                 "partition_cols": list(partition_cols),
-                "stats": stats,
+                "stats": {d: dstats} if dstats else {},
+                "file_stats": {d: fstats} if fstats else {},
                 # Streaming batch ledger survives every rewrite — a
                 # compact/overwrite between micro-batches must not let
                 # a replayed batch double-commit (write_stream_snapshot).
@@ -276,9 +399,12 @@ class SnapshotTable:
         df: DataFrame,
         stats_cols: Sequence[str] = (),
         merge_schema: bool = False,
+        cluster_by: Sequence[str] = (),
+        n_files: int | None = None,
     ) -> int:
         """Transactional append: the new dir joins the current
-        snapshot's dir list in one commit.
+        snapshot's dir list in one commit. ``stats_cols`` /
+        ``cluster_by`` behave as in :meth:`overwrite`.
 
         ``merge_schema=True`` enables SCHEMA EVOLUTION (Delta/Iceberg
         ``mergeSchema``): columns the batch adds extend the table
@@ -287,30 +413,38 @@ class SnapshotTable:
         Same-name columns must keep their type — a conflict raises
         rather than silently coercing. Without the flag, a batch whose
         columns stray from the table schema is rejected."""
+        if cluster_by:
+            df = self._cluster(df, cluster_by, n_files)
+        scols = tuple(stats_cols) or tuple(cluster_by)
         d = self._write_data(df, ())
-        stats = (
-            {d: self._collect_stats(d, df.schema.json(), stats_cols)}
-            if stats_cols
-            else {}
+        dstats, fstats = (
+            self._footer_stats(d, scols) if scols else ({}, {})
         )
         for _ in range(_COMMIT_RETRIES):
             v = self.latest_version()
             if v is None:
                 dirs, pcols, schema = [], [], df.schema.json()
-                all_stats = stats
+                all_stats = {d: dstats} if dstats else {}
+                all_fstats = {d: fstats} if fstats else {}
             else:
                 m = self._manifest(v)
                 dirs, pcols = m["dirs"], m["partition_cols"]
                 schema = self._evolve_schema(
                     m["schema"], df.schema, merge_schema
                 )
-                all_stats = {**self._stats_of(v), **stats}
+                all_stats = {**self._stats_of(v)}
+                if dstats:
+                    all_stats[d] = dstats
+                all_fstats = {**self._file_stats_of(v)}
+                if fstats:
+                    all_fstats[d] = fstats
             manifest = {
                 "op": "append",
                 "dirs": [*dirs, d],
                 "schema": schema,
                 "partition_cols": pcols,
                 "stats": all_stats,
+                "file_stats": all_fstats,
                 "txn": self._txn_of(v),
                 "timestamp": time.time(),
             }
@@ -373,18 +507,28 @@ class SnapshotTable:
                 d = self._write_data(novel, ())
             finally:
                 novel.unpersist()
+            # key stats come free from the footers and keep later
+            # merges/reads prunable against this dir
+            dstats, fstats = self._footer_stats(d, keys)
             if v is None:
                 dirs, schema = [], batch.schema.json()
                 pcols: list[str] = []
             else:
                 m = self._manifest(v)
                 dirs, pcols, schema = m["dirs"], m["partition_cols"], m["schema"]
+            all_stats = {**self._stats_of(v)}
+            if dstats:
+                all_stats[d] = dstats
+            all_fstats = {**self._file_stats_of(v)}
+            if fstats:
+                all_fstats[d] = fstats
             manifest = {
                 "op": "insert_ignore",
                 "dirs": [*dirs, d],
                 "schema": schema,
                 "partition_cols": pcols,
-                "stats": self._stats_of(v),
+                "stats": all_stats,
+                "file_stats": all_fstats,
                 "txn": self._txn_of(v),
                 "timestamp": time.time(),
             }
@@ -432,7 +576,7 @@ class SnapshotTable:
             r = batch.agg(
                 F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
             ).collect()[0]
-            key_lo, key_hi = r["lo"], r["hi"]
+            key_lo, key_hi = self._js(r["lo"]), self._js(r["hi"])
         for _ in range(_COMMIT_RETRIES):
             v = self.latest_version()
             if v is None:
@@ -440,6 +584,7 @@ class SnapshotTable:
                 pcols: list[str] = []
                 untouched: list[str] = []
                 kept_stats: dict = {}
+                kept_fstats: dict = {}
             else:
                 m = self._manifest(v)
                 pcols = m["partition_cols"]
@@ -455,6 +600,11 @@ class SnapshotTable:
                     for d, s in self._stats_of(v).items()
                     if d in untouched
                 }
+                kept_fstats = {
+                    d: s
+                    for d, s in self._file_stats_of(v).items()
+                    if d in untouched
+                }
                 target = self._read_dirs(m, rewrite)
                 survivors = target.join(batch, keys, "left_anti")
                 if when_matched == "update":
@@ -468,14 +618,20 @@ class SnapshotTable:
                         novel.select(*target.columns)
                     )
             d = self._write_data(merged, pcols)
+            # untouched dirs keep their stats; the rewritten dir gets
+            # fresh key stats from its footers (free, no scan job)
+            dstats, fstats = self._footer_stats(d, keys)
+            if dstats:
+                kept_stats = {**kept_stats, d: dstats}
+            if fstats:
+                kept_fstats = {**kept_fstats, d: fstats}
             manifest = {
                 "op": f"merge_{when_matched}",
                 "dirs": [*untouched, d],
                 "schema": merged.schema.json(),
                 "partition_cols": pcols,
-                # untouched dirs keep their stats; the rewritten dir
-                # has none until the next stats-collecting write
                 "stats": kept_stats,
+                "file_stats": kept_fstats,
                 "txn": self._txn_of(v),
                 "timestamp": time.time(),
             }
@@ -552,6 +708,7 @@ def write_stream_snapshot(
     query_id: str = "stream",
     available_now: bool = True,
     processing_time: str = "30 seconds",
+    stats_cols: Sequence[str] = (),
 ):
     """Exactly-once streaming sink into a snapshot table via
     ``foreachBatch`` + a per-query batch-id ledger — the published
@@ -566,6 +723,11 @@ def write_stream_snapshot(
     once per (query, batch). The check and the append are the same
     atomic manifest commit, so a concurrent writer can't interleave
     between them (commit rebases re-check the ledger).
+
+    ``stats_cols`` records per-dir/per-file [min, max] for each
+    micro-batch dir (footer-derived, no extra job) so ranged reads
+    skip batches outside the predicate — the natural fit for
+    time-keyed ingest where each micro-batch covers a narrow window.
 
     Returns the StreamingQuery (caller awaits/stops)."""
 
@@ -585,12 +747,22 @@ def write_stream_snapshot(
                 return  # replayed batch: already committed
             d = table._write_data(batch_df, ())
             txn[query_id] = batch_id
+            dstats, fstats = (
+                table._footer_stats(d, stats_cols) if stats_cols else ({}, {})
+            )
+            all_stats = {**table._stats_of(v)}
+            if dstats:
+                all_stats[d] = dstats
+            all_fstats = {**table._file_stats_of(v)}
+            if fstats:
+                all_fstats[d] = fstats
             manifest = {
                 "op": "stream_append",
                 "dirs": [*dirs, d],
                 "schema": schema,
                 "partition_cols": pcols,
-                "stats": table._stats_of(v),
+                "stats": all_stats,
+                "file_stats": all_fstats,
                 "txn": txn,
                 "timestamp": time.time(),
             }

@@ -782,3 +782,82 @@ def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "incremental_corpus_dedup",
+    oracle="""
+    WITH b1 AS (
+      SELECT arg_min(doc_id, doc_id) AS doc_id,
+             arg_min(lang, doc_id) AS lang,
+             arg_min(n_chars, doc_id) AS n_chars, text
+      FROM documents
+      WHERE doc_id % 10 <= 5 AND text IS NOT NULL GROUP BY text),
+    b2 AS (
+      SELECT arg_min(doc_id, doc_id) AS doc_id,
+             arg_min(lang, doc_id) AS lang,
+             arg_min(n_chars, doc_id) AS n_chars, text
+      FROM documents
+      WHERE doc_id % 10 BETWEEN 4 AND 7 AND text IS NOT NULL GROUP BY text),
+    final AS (
+      SELECT doc_id, lang, n_chars FROM b1
+      UNION ALL
+      SELECT doc_id, lang, n_chars FROM b2
+      WHERE text NOT IN (SELECT text FROM b1))
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM final GROUP BY 1
+    """,
+)
+def incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch EXACT dedup for a growing corpus — the shape every
+    re-crawl pipeline needs: batch 2 overlaps batch 1 (re-crawled
+    URLs), and only content never seen before may land. Content
+    addressing is sha256(text) (fixed-width shuffle keys instead of
+    full documents); the corpus lives in a snapshot table (acid.py)
+    whose serializable ``insert_ignore`` IS the dedup gate — the
+    anti-join runs against the exact snapshot the commit targets, so
+    two concurrent crawl loaders cannot both land the same fingerprint
+    (the commit-race test in tests/test_acid.py pins this).
+
+    At 100 TB: one hash-agg per batch (fingerprint is computed
+    map-side, shuffle carries 32-byte keys), one anti-join against the
+    fingerprint column of the live snapshot, and the snapshot table's
+    per-dir key stats keep that anti-join prunable. Within a batch the
+    representative row is min-doc_id (``min_by``), so results are
+    deterministic even when duplicate texts disagree on metadata (they
+    do at sf0.1).
+
+    Beyond-reference: extends exact_dedup (operators/dedup.py) from
+    one-shot to INCREMENTAL, per the build brief's training-data
+    pipeline mandate."""
+    from .queries_sinks import _tx_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+
+    def batch(pred):
+        return (
+            docs.filter(pred)
+            .withColumn("fp", F.sha2(F.col("text"), 256))
+            .groupBy("fp")
+            .agg(
+                F.min("doc_id").alias("doc_id"),
+                F.min_by("lang", "doc_id").alias("lang"),
+                F.min_by("n_chars", "doc_id").alias("n_chars"),
+            )
+        )
+
+    mod = F.col("doc_id") % 10
+    t = _tx_table(spark, "corpus_dedup")
+    t.insert_ignore(batch(mod <= 5), ["fp"])
+    t.insert_ignore(batch((mod >= 4) & (mod <= 7)), ["fp"])
+    return (
+        t.read()
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

@@ -206,7 +206,12 @@ def test_merge_prunes_untouched_dirs_via_stats(spark, tmp_path):
     untouched = set(before["dirs"]) & set(after["dirs"])
     assert len(untouched) == 2, "lo/hi dirs must be carried over"
     assert len(after["dirs"]) == 3  # 2 carried + 1 rewritten
-    assert set(after["stats"]) == untouched
+    # carried dirs keep their stats; the rewritten dir gets fresh key
+    # stats from its parquet footers (so the NEXT merge can prune it)
+    assert set(after["stats"]) == set(after["dirs"])
+    (rewritten,) = set(after["dirs"]) - untouched
+    lo, hi = after["stats"][rewritten]["k"]
+    assert lo == 100 and hi == 150
     rows = {(r.k, r.v) for r in t.read().collect()}
     expect = {(i, "lo") for i in range(0, 10)}
     expect |= {(i, "mid") for i in range(100, 110) if i != 105}
@@ -241,6 +246,60 @@ def test_data_skipping_prunes_dirs(spark, tmp_path):
     assert sorted(r.k for r in rows) == sorted(
         list(range(100, 110)) + [105]
     )
+
+
+def test_file_level_skipping_with_cluster_by(spark, tmp_path):
+    """``cluster_by`` range-clusters one write into many files with
+    near-disjoint footer-derived ranges; a ranged read must plan only
+    the intersecting FILES (file-level skipping within a single dir —
+    the Delta/Iceberg data-skipping shape) while results stay exact."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn(
+        "v", F.col("k") % 7
+    )
+    t.overwrite(df, cluster_by=["k"], n_files=8)
+    m = t._manifest(0)
+    (d,) = m["dirs"]
+    fstats = m["file_stats"][d]
+    assert len(fstats) == 8
+    # footer stats, not a scan job: every file carries a [min, max]
+    assert all("k" in per for per in fstats.values())
+    kept = t._prune_files(fstats, "k", 100, 149)
+    assert 0 < len(kept) < 8, "a 5% range must not need every file"
+    pruned = t.read(where=("k", 100, 149))
+    assert sorted(r.k for r in pruned.collect()) == list(range(100, 150))
+    # the planned scan references exactly the kept files, not the dir
+    assert len(pruned.inputFiles()) == len(kept)
+
+
+def test_skipping_never_loses_rows_property(spark, tmp_path):
+    """Property: for ANY mix of clustered/unclustered/stat-less/
+    null-bearing commits, read(where=(k, lo, hi)) returns exactly the
+    rows the plain filter returns. Deterministic multi-case sweep
+    (a full hypothesis loop would rebuild Spark tables per example;
+    the commit mix IS the example space here)."""
+    rows_a = [(i, "a") for i in range(0, 50)]
+    rows_b = [(i, "b") for i in range(40, 90)]  # overlapping range
+    rows_n = [(None, "n"), (45, "n2")]  # null keys in a stat-less dir
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(rows_a, "k INT, v STRING"),
+        cluster_by=["k"],
+        n_files=4,
+    )
+    t.append(spark.createDataFrame(rows_b, "k INT, v STRING"),
+             stats_cols=["k"])
+    t.append(spark.createDataFrame(rows_n, "k INT, v STRING"))  # no stats
+    full = t.read()
+    for lo, hi in [(0, 89), (10, 20), (40, 45), (60, 200), (-5, -1),
+                   (85, 90)]:
+        expect = sorted(
+            (r.k, r.v)
+            for r in full.collect()
+            if r.k is not None and lo <= r.k <= hi
+        )
+        got = sorted((r.k, r.v) for r in t.read(where=("k", lo, hi)).collect())
+        assert got == expect, f"range [{lo}, {hi}] diverged"
 
 
 def test_schema_evolution_on_append(spark, tmp_path):
