@@ -79,7 +79,8 @@ _PROMOTED = (
 # test_registry_contract).  These remain fully value-hash oracle-checked
 # locally via tools/check_correctness.py; only the driver-window slot moves.
 _DEMOTED = (
-    "sink_tx_skipping",  # round-6 addition; keeps the pinned window stable
+    "sink_tx_skipping",  # round-6 additions; keep the pinned window stable
+    "sink_tx_zorder",
     "priority_line_counts",
     "salted_value_by_type",
     "hll_distinct_users",

@@ -332,12 +332,23 @@ class SnapshotTable:
         return d
 
     @staticmethod
-    def _cluster(df: DataFrame, cluster_by: Sequence[str], n_files) -> DataFrame:
+    def _cluster(
+        df: DataFrame,
+        cluster_by: Sequence[str],
+        n_files,
+        zorder: bool = False,
+    ) -> DataFrame:
         """Range-cluster a batch so each output file covers a narrow,
         near-disjoint key range (repartitionByRange samples the key
         distribution, so skew spreads instead of hot-spotting) — this
-        is what makes per-file stats selective, the jar-free spelling
-        of Delta OPTIMIZE ZORDER's single-column case."""
+        is what makes per-file stats selective. ``zorder=True`` with
+        2+ columns clusters on a Morton key instead so per-file stats
+        prune on EVERY clustered column (operators/partitioning.py
+        zorder_cluster)."""
+        if zorder and len(cluster_by) > 1:
+            from .operators.partitioning import zorder_cluster
+
+            return zorder_cluster(df, cluster_by, n_files or 32)
         if n_files:
             df = df.repartitionByRange(int(n_files), *cluster_by)
         else:
@@ -351,16 +362,18 @@ class SnapshotTable:
         stats_cols: Sequence[str] = (),
         cluster_by: Sequence[str] = (),
         n_files: int | None = None,
+        zorder: bool = False,
     ) -> int:
         """Atomic replace (the reference's ``createOrReplace``): readers
         see the old snapshot or the new one, never a mix, never a gap.
         ``stats_cols`` records per-dir AND per-file [min, max] in the
         manifest for data-skipping reads; ``cluster_by`` additionally
         range-clusters the batch on those columns first (``n_files``
-        caps the file count) and implies stats on them. Returns the
-        committed version."""
+        caps the file count, ``zorder=True`` Morton-interleaves 2+
+        columns for multi-dimension skipping) and implies stats on
+        them. Returns the committed version."""
         if cluster_by:
-            df = self._cluster(df, cluster_by, n_files)
+            df = self._cluster(df, cluster_by, n_files, zorder)
         scols = tuple(stats_cols) or tuple(cluster_by)
         d = self._write_data(df, partition_cols)
         schema_json = df.schema.json()
@@ -401,10 +414,11 @@ class SnapshotTable:
         merge_schema: bool = False,
         cluster_by: Sequence[str] = (),
         n_files: int | None = None,
+        zorder: bool = False,
     ) -> int:
         """Transactional append: the new dir joins the current
         snapshot's dir list in one commit. ``stats_cols`` /
-        ``cluster_by`` behave as in :meth:`overwrite`.
+        ``cluster_by`` / ``zorder`` behave as in :meth:`overwrite`.
 
         ``merge_schema=True`` enables SCHEMA EVOLUTION (Delta/Iceberg
         ``mergeSchema``): columns the batch adds extend the table
@@ -414,7 +428,7 @@ class SnapshotTable:
         rather than silently coercing. Without the flag, a batch whose
         columns stray from the table schema is rejected."""
         if cluster_by:
-            df = self._cluster(df, cluster_by, n_files)
+            df = self._cluster(df, cluster_by, n_files, zorder)
         scols = tuple(stats_cols) or tuple(cluster_by)
         d = self._write_data(df, ())
         dstats, fstats = (

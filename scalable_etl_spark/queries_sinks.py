@@ -270,6 +270,39 @@ def sink_tx_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_tx_zorder",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events WHERE value BETWEEN 50 AND 150 GROUP BY 1
+    """,
+)
+def sink_tx_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimension data skipping: events are written Z-ORDER
+    clustered on (user_id, value) (Morton-interleaved rank buckets —
+    operators/partitioning.py zorder_cluster, the jar-free spelling of
+    Delta OPTIMIZE ZORDER), then read with a range predicate on the
+    SECOND dimension. A layout clustered only by user_id would keep
+    every file for this read (pinned by contrast in tests/test_acid.py
+    test_zorder_prunes_on_both_dimensions); the z-layout's per-file
+    footer stats exclude most files on either column. The value hash
+    proves the curve loses no rows."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t = _tx_table(spark, "zorder")
+    t.overwrite(e, cluster_by=["user_id", "value"], n_files=16, zorder=True)
+    return (
+        t.read(where=("value", 50.0, 150.0))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@query(
     "sink_bucketed_join",
     oracle="""
     WITH e AS (

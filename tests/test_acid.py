@@ -272,6 +272,49 @@ def test_file_level_skipping_with_cluster_by(spark, tmp_path):
     assert len(pruned.inputFiles()) == len(kept)
 
 
+def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
+    """Z-order clustering must let a ranged read skip files on EITHER
+    clustered column, where single-column clustering skips only on its
+    own column — the reason multi-dimension layouts exist. Exactness
+    is asserted on every read."""
+    df = (
+        spark.range(0, 4096)
+        .withColumn("x", (F.col("id") % 64).cast("int"))
+        .withColumn("y", (F.col("id") / 64).cast("int"))
+        .drop("id")
+    )
+
+    zt = SnapshotTable(spark, str(tmp_path / "z"))
+    zt.overwrite(df, cluster_by=["x", "y"], n_files=16, zorder=True)
+    m = zt._manifest(0)
+    (d,) = m["dirs"]
+    fstats = m["file_stats"][d]
+    assert len(fstats) > 1
+    kept_x = zt._prune_files(fstats, "x", 0, 7)
+    kept_y = zt._prune_files(fstats, "y", 0, 7)
+    assert len(kept_x) < len(fstats), "zorder must prune on x"
+    assert len(kept_y) < len(fstats), "zorder must prune on y"
+
+    # single-column clustering on x: y reads keep every file
+    xt = SnapshotTable(spark, str(tmp_path / "x"))
+    xt.overwrite(df, cluster_by=["x"], stats_cols=["x", "y"], n_files=16)
+    mx = xt._manifest(0)
+    (dx,) = mx["dirs"]
+    assert len(xt._prune_files(mx["file_stats"][dx], "y", 0, 7)) == len(
+        mx["file_stats"][dx]
+    ), "x-clustered layout cannot prune on y (this is the contrast)"
+
+    for col, lo, hi in [("x", 0, 7), ("y", 0, 7), ("x", 60, 63)]:
+        got = sorted(
+            (r.x, r.y) for r in zt.read(where=(col, lo, hi)).collect()
+        )
+        expect = sorted(
+            (r.x, r.y)
+            for r in df.filter(F.col(col).between(lo, hi)).collect()
+        )
+        assert got == expect, f"zorder read diverged on {col}"
+
+
 def test_skipping_never_loses_rows_property(spark, tmp_path):
     """Property: for ANY mix of clustered/unclustered/stat-less/
     null-bearing commits, read(where=(k, lo, hi)) returns exactly the
