@@ -669,19 +669,39 @@ class SnapshotTable:
 
     # ---------------------------------------------------- maintenance
 
-    def compact(self) -> int:
+    def compact(
+        self,
+        cluster_by: Sequence[str] = (),
+        n_files: int | None = None,
+        zorder: bool = False,
+    ) -> int:
         """Rewrite the live snapshot into one dir (many-append cleanup;
-        readers of old versions are unaffected)."""
+        readers of old versions are unaffected). With ``cluster_by``
+        this is OPTIMIZE parity: bin-pack AND re-cluster the
+        accumulated small append dirs into a skipping-friendly layout
+        (``zorder=True`` for multi-dimension), re-collecting stats."""
         live = self.read()
         v = self.latest_version()
         pcols = self._manifest(v)["partition_cols"] if v is not None else []
-        return self.overwrite(live, pcols)
+        return self.overwrite(
+            live, pcols, cluster_by=cluster_by, n_files=n_files, zorder=zorder
+        )
 
-    def vacuum(self, retain_versions: int = 1) -> list[str]:
+    def vacuum(
+        self, retain_versions: int = 1, min_age_seconds: float = 3600.0
+    ) -> list[str]:
         """Delete data dirs unreferenced by the newest
         ``retain_versions`` manifests (and drop older manifests).
         Destructive — readers pinned to vacuumed versions break, which
-        is the documented Delta/Iceberg contract too."""
+        is the documented Delta/Iceberg contract too.
+
+        ``min_age_seconds`` spares unreferenced dirs younger than the
+        window: an optimistic writer writes its data dir BEFORE its
+        manifest commits, so a zero-window vacuum racing that writer
+        would delete the dir its commit is about to reference —
+        exactly why Delta's VACUUM has a retention check (paper §3.2;
+        its default is 7 days). Pass 0 only when no writers can be
+        in flight."""
         import shutil
 
         latest = self.latest_version()
@@ -699,10 +719,18 @@ class SnapshotTable:
             on_disk = os.listdir(self.data_dir)
         except FileNotFoundError:
             on_disk = []
+        now = time.time()
         for d in on_disk:
-            if d not in referenced:
-                shutil.rmtree(os.path.join(self.data_dir, d))
-                removed.append(d)
+            if d in referenced:
+                continue
+            path = os.path.join(self.data_dir, d)
+            try:
+                if now - os.path.getmtime(path) < min_age_seconds:
+                    continue  # possibly an in-flight writer's dir
+            except FileNotFoundError:
+                continue
+            shutil.rmtree(path)
+            removed.append(d)
         for v in range(0, keep_versions.start):
             try:
                 os.unlink(self._manifest_path(v))

@@ -239,7 +239,7 @@ def sink_tx_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type, COUNT(*) AS n_events,
            ROUND(SUM(value), 2) AS total_value
-    FROM events WHERE user_id BETWEEN 25 AND 49 GROUP BY 1
+    FROM events WHERE user_id BETWEEN 3 AND 7 GROUP BY 1
     """,
 )
 def sink_tx_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -250,17 +250,18 @@ def sink_tx_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     FOOTERS (write-time stats, no extra scan job — the Delta/Iceberg
     data-skipping design, Armbrust et al. VLDB 2020 §3.3). The ranged
     read then plans ONLY the files whose footer range intersects
-    [25, 49] — at 100 TB that's the difference between scanning the
-    table and scanning ~a sixth of it, before row-group pruning even
-    starts. The value hash proves pruning loses no rows; the pruned
-    plan shape itself is pinned in tests/test_acid.py."""
+    [3, 7] (a range that exists at every scale factor — the user-id
+    domain grows with sf) — at 100 TB that's the difference between
+    scanning the table and scanning a sliver of it, before row-group
+    pruning even starts. The value hash proves pruning loses no rows;
+    the pruned plan shape itself is pinned in tests/test_acid.py."""
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
     t = _tx_table(spark, "skipping")
     t.overwrite(e, cluster_by=["user_id"], n_files=8)
     return (
-        t.read(where=("user_id", 25, 49))
+        t.read(where=("user_id", 3, 7))
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),

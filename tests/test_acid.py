@@ -181,8 +181,12 @@ def test_time_travel_compact_vacuum(spark, tmp_path):
     v = t.compact()
     assert t._manifest(v)["dirs"] and len(t._manifest(v)["dirs"]) == 1
     assert {r.k for r in t.read().collect()} == {1, 2, 3}
-    # vacuum(1): only the compacted dir survives; old versions gone
-    removed = t.vacuum(retain_versions=1)
+    # default vacuum spares young unreferenced dirs (an in-flight
+    # writer's data lands before its manifest; deleting it would break
+    # the commit) — everything here is seconds old, so nothing goes
+    assert t.vacuum(retain_versions=1) == []
+    # explicit zero window: only the compacted dir survives
+    removed = t.vacuum(retain_versions=1, min_age_seconds=0)
     assert len(removed) == 3  # the three pre-compaction dirs
     assert {r.k for r in t.read().collect()} == {1, 2, 3}
     assert len(os.listdir(t.data_dir)) == 1
@@ -270,6 +274,26 @@ def test_file_level_skipping_with_cluster_by(spark, tmp_path):
     assert sorted(r.k for r in pruned.collect()) == list(range(100, 150))
     # the planned scan references exactly the kept files, not the dir
     assert len(pruned.inputFiles()) == len(kept)
+
+
+def test_compact_with_cluster_by_restores_skipping(spark, tmp_path):
+    """OPTIMIZE parity: unclustered appends accumulate stat-less dirs;
+    compact(cluster_by=...) must bin-pack them into one clustered,
+    fully-stated dir so ranged reads prune again."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    for lo in (0, 100, 200):
+        t.append(spark.createDataFrame(
+            [(i, "v") for i in range(lo, lo + 50)], "k INT, v STRING"
+        ))
+    assert t._manifest(t.latest_version()).get("file_stats", {}) == {}
+    v = t.compact(cluster_by=["k"], n_files=6)
+    m = t._manifest(v)
+    (d,) = m["dirs"]
+    assert len(m["file_stats"][d]) == 6
+    kept = t._prune_files(m["file_stats"][d], "k", 100, 120)
+    assert 0 < len(kept) < 6
+    got = sorted(r.k for r in t.read(where=("k", 100, 120)).collect())
+    assert got == list(range(100, 121))
 
 
 def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
