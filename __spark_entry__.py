@@ -81,6 +81,7 @@ _PROMOTED = (
 _DEMOTED = (
     "sink_tx_skipping",  # round-6 additions; keep the pinned window stable
     "sink_tx_zorder",
+    "sink_tx_changes",
     "priority_line_counts",
     "salted_value_by_type",
     "hll_distinct_users",

@@ -209,6 +209,65 @@ class SnapshotTable:
             return str(v)
         return None
 
+    def table_changes(
+        self,
+        since_version: int,
+        to_version: int | None = None,
+        ignore_changes: bool = False,
+    ) -> DataFrame:
+        """Rows ADDED after ``since_version`` (exclusive) up to
+        ``to_version`` (inclusive; default latest), each tagged with
+        the ``_commit_version`` that introduced it — the incremental-
+        consumption primitive (Delta CDF's append path / Iceberg
+        incremental scan): a downstream job that processed version N
+        reads ONLY the dirs later commits added, never rescanning the
+        table. At 100 TB this is the difference between a daily
+        pipeline that reads a day and one that reads the archive.
+
+        Append-shaped commits (append / insert_ignore / stream_append)
+        are exact: their one new dir holds precisely the added rows.
+        A rewrite commit (overwrite / merge / compact) in the range
+        raises by default — its new dirs mix pre-existing rows in,
+        so "what changed" is no longer derivable from dirs alone;
+        ``ignore_changes=True`` emits those dirs' rows anyway
+        (re-delivering rewritten rows — the documented contract of
+        Delta's ``ignoreChanges`` option, for consumers that dedup
+        downstream). Consumers needing row-level update/delete images
+        should read the two snapshots and diff."""
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        end = latest if to_version is None else to_version
+        append_ops = {"append", "insert_ignore", "stream_append"}
+        frames = []
+        prev = set(self._manifest(since_version)["dirs"])
+        for v in range(since_version + 1, end + 1):
+            m = self._manifest(v)
+            if m["op"] not in append_ops and not ignore_changes:
+                raise ValueError(
+                    f"version {v} is op={m['op']!r} (a rewrite, not an "
+                    "append); pass ignore_changes=True to re-deliver "
+                    "its rows, or diff the snapshots"
+                )
+            new_dirs = [d for d in m["dirs"] if d not in prev]
+            if new_dirs:
+                frames.append(
+                    self._read_dirs(m, new_dirs).withColumn(
+                        "_commit_version", F.lit(v)
+                    )
+                )
+            prev = set(m["dirs"])
+        if not frames:
+            from pyspark.sql.types import IntegerType
+
+            schema = StructType.fromJson(
+                json.loads(self._manifest(end)["schema"])
+            ).add("_commit_version", IntegerType(), False)
+            return self.spark.createDataFrame([], schema)
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+        )
+
     @staticmethod
     def _prune_dirs(m: dict, dirs: list[str], col: str, lo, hi) -> list[str]:
         stats = m.get("stats", {})
@@ -574,23 +633,29 @@ class SnapshotTable:
         transaction rebases on the winner's snapshot. Returns the
         committed version.
 
-        Scale — PRUNED copy-on-write: when the snapshot carries
-        [min, max] stats for the (single-column) merge key, dirs whose
-        key range cannot intersect the batch's key range are CARRIED
-        OVER untouched — only dirs that might contain matches are
-        rewritten (the Delta/Iceberg file-pruned MERGE shape, at dir
-        granularity). Stat-less dirs are conservatively rewritten;
-        results are identical either way."""
+        Scale — PRUNED copy-on-write: dirs whose committed [min, max]
+        stats cannot intersect the batch's range on SOME key column
+        are CARRIED OVER untouched — only dirs that might contain
+        matches are rewritten (the Delta/Iceberg file-pruned MERGE
+        shape, at dir granularity). Composite keys prune by
+        intersecting every key column's range independently (a match
+        requires equality on ALL of them, so disjointness on any one
+        proves absence). Stat-less dirs/columns are conservatively
+        rewritten; results are identical either way."""
         if when_matched not in ("update", "delete"):
             raise ValueError(f"unsupported when_matched={when_matched!r}")
         keys = list(key_cols)
         batch = df.dropDuplicates(keys)
-        key_lo = key_hi = None
-        if len(keys) == 1:
-            r = batch.agg(
-                F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
-            ).collect()[0]
-            key_lo, key_hi = self._js(r["lo"]), self._js(r["hi"])
+        aggs = []
+        for k in keys:
+            aggs.append(F.min(k).alias(f"__lo_{k}"))
+            aggs.append(F.max(k).alias(f"__hi_{k}"))
+        r = batch.agg(*aggs).collect()[0]
+        key_ranges: dict[str, tuple] = {}
+        for k in keys:
+            lo, hi = self._js(r[f"__lo_{k}"]), self._js(r[f"__hi_{k}"])
+            if lo is not None and hi is not None:
+                key_ranges[k] = (lo, hi)
         for _ in range(_COMMIT_RETRIES):
             v = self.latest_version()
             if v is None:
@@ -603,10 +668,11 @@ class SnapshotTable:
                 m = self._manifest(v)
                 pcols = m["partition_cols"]
                 untouched, rewrite = [], list(m["dirs"])
-                if key_lo is not None and key_hi is not None:
-                    hit = set(
-                        self._prune_dirs(m, m["dirs"], keys[0], key_lo, key_hi)
-                    )
+                if key_ranges:
+                    hit_list = list(m["dirs"])
+                    for k, (lo, hi) in key_ranges.items():
+                        hit_list = self._prune_dirs(m, hit_list, k, lo, hi)
+                    hit = set(hit_list)
                     untouched = [d for d in m["dirs"] if d not in hit]
                     rewrite = [d for d in m["dirs"] if d in hit]
                 kept_stats = {

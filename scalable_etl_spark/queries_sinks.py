@@ -304,6 +304,45 @@ def sink_tx_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_tx_changes",
+    oracle="""
+    SELECT 1 AS _commit_version, COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events WHERE user_id % 4 = 2
+    UNION ALL
+    SELECT 2 AS _commit_version, COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events WHERE user_id % 4 = 3
+    """,
+)
+def sink_tx_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental consumption (CDF / incremental-scan parity): a base
+    snapshot takes two appends; a consumer that already processed
+    version 0 asks for table_changes(0) and must receive EXACTLY the
+    appended rows, tagged with the commit version that introduced them
+    — reading only the two appended dirs, never rescanning the base
+    (acid.py table_changes; the raise-on-rewrite contract is pinned in
+    tests/test_acid.py). At 100 TB this is how downstream jobs stay
+    O(new data) instead of O(table)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    t = _tx_table(spark, "changes")
+    mod = F.col("user_id") % 4
+    t.overwrite(e.filter(mod <= 1))
+    t.append(e.filter(mod == 2))
+    t.append(e.filter(mod == 3))
+    return (
+        t.table_changes(0)
+        .groupBy("_commit_version")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+    )
+
+
+@query(
     "sink_bucketed_join",
     oracle="""
     WITH e AS (

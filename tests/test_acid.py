@@ -276,6 +276,62 @@ def test_file_level_skipping_with_cluster_by(spark, tmp_path):
     assert len(pruned.inputFiles()) == len(kept)
 
 
+def test_table_changes_incremental_reads(spark, tmp_path):
+    """CDF-style incremental consumption: changes after version N are
+    exactly the rows later appends added (tagged with their commit
+    version); rewrite commits in the range fail loudly unless the
+    consumer opts into re-delivery."""
+    import pytest
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(_df(spark, [(1, "base")]))                    # v0
+    t.append(_df(spark, [(2, "b"), (3, "c")]))                # v1
+    t.insert_ignore(_df(spark, [(3, "dup"), (4, "d")]), ["k"])  # v2
+    ch = t.table_changes(0)
+    got = {(r.k, r.v, r._commit_version) for r in ch.collect()}
+    assert got == {(2, "b", 1), (3, "c", 1), (4, "d", 2)}
+    # bounded range + empty range
+    assert {r.k for r in t.table_changes(1).collect()} == {4}
+    assert t.table_changes(2).count() == 0
+    # a rewrite in the range: loud by default, re-delivery on opt-in
+    t.merge(_df(spark, [(2, "B!")]), ["k"])                   # v3
+    with pytest.raises(ValueError, match="rewrite"):
+        t.table_changes(2)
+    redelivered = t.table_changes(2, ignore_changes=True)
+    assert redelivered.count() > 0  # rewritten dir rows reappear
+    # schema evolution across the range: old rows null-fill new cols
+    t.append(
+        spark.createDataFrame([(9, "z", 1.5)], "k INT, v STRING, w DOUBLE"),
+        merge_schema=True,
+    )                                                          # v4
+    ch = t.table_changes(3)
+    assert {(r.k, r.w) for r in ch.collect()} == {(9, 1.5)}
+
+
+def test_merge_composite_key_prunes_on_any_column(spark, tmp_path):
+    """Composite-key MERGE must carry over a dir when ANY key column's
+    committed range is disjoint from the batch's (equality on all keys
+    is required for a match, so one disjoint column proves absence) —
+    and results stay exact."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = lambda rows: spark.createDataFrame(rows, "a INT, b INT, v STRING")  # noqa: E731
+    t.overwrite(df([(i, i + 1000, "x") for i in range(10)]),
+                stats_cols=["a", "b"])
+    t.append(df([(i, i + 2000, "y") for i in range(10)]),
+             stats_cols=["a", "b"])  # same a-range, disjoint b-range
+    before = t._manifest(t.latest_version())
+    # batch overlaps BOTH dirs on a, but only the first dir on b
+    t.merge(df([(5, 1005, "UPD"), (99, 1099, "NEW")]), ["a", "b"])
+    after = t._manifest(t.latest_version())
+    carried = set(before["dirs"]) & set(after["dirs"])
+    assert len(carried) == 1, "b-disjoint dir must be carried over"
+    rows = {(r.a, r.b, r.v) for r in t.read().collect()}
+    expect = {(i, i + 1000, "x") for i in range(10) if i != 5}
+    expect |= {(5, 1005, "UPD"), (99, 1099, "NEW")}
+    expect |= {(i, i + 2000, "y") for i in range(10)}
+    assert rows == expect
+
+
 def test_compact_with_cluster_by_restores_skipping(spark, tmp_path):
     """OPTIMIZE parity: unclustered appends accumulate stat-less dirs;
     compact(cluster_by=...) must bin-pack them into one clustered,
