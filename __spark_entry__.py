@@ -82,6 +82,7 @@ _DEMOTED = (
     "sink_tx_skipping",  # round-6 additions; keep the pinned window stable
     "sink_tx_zorder",
     "sink_tx_changes",
+    "sink_tx_sync",
     "priority_line_counts",
     "salted_value_by_type",
     "hll_distinct_users",

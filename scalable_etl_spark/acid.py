@@ -238,7 +238,8 @@ class SnapshotTable:
         if latest is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
         end = latest if to_version is None else to_version
-        append_ops = {"append", "insert_ignore", "stream_append"}
+        # "sync" is itself append-shaped, so materialized pipelines chain
+        append_ops = {"append", "insert_ignore", "stream_append", "sync"}
         frames = []
         prev = set(self._manifest(since_version)["dirs"])
         for v in range(since_version + 1, end + 1):
@@ -807,6 +808,79 @@ class SnapshotTable:
 
 def snapshot_table(spark: SparkSession, root: str) -> SnapshotTable:
     return SnapshotTable(spark, root)
+
+
+def sync_incremental(
+    src: SnapshotTable,
+    dst: SnapshotTable,
+    transform=None,
+    sync_id: str = "default",
+) -> tuple[int, int]:
+    """EXACTLY-ONCE incremental materialization from one snapshot
+    table into another — the batch spelling of a streaming pipeline:
+    each call appends to ``dst`` the (optionally ``transform``-ed)
+    rows ``src`` gained since the last call, reading only those dirs
+    (``table_changes``), and records the synced src version in the
+    SAME atomic commit via the txn ledger (``sync:<sync_id>``). A
+    crash between runs, a re-run, or a concurrent duplicate sync
+    cannot double-apply: the commit loop re-reads the ledger on every
+    rebase and aborts if a rival already advanced it — the same
+    idempotent-writer design as ``write_stream_snapshot``.
+
+    First call on an empty ledger loads the full current snapshot
+    (the backfill); later calls are strictly incremental, so ``src``'s
+    commits after the backfill must be append-shaped (rewrites raise,
+    per ``table_changes``). Rows carry ``_src_version`` provenance.
+    ``transform`` must be append-composable (row-wise select/filter/
+    derive — per-batch aggregation would need restatement semantics).
+
+    Returns ``(dst_version, synced_src_version)``; a no-op (nothing
+    new) returns the current pair without committing."""
+    key = f"sync:{sync_id}"
+    for _ in range(_COMMIT_RETRIES):
+        v_dst = dst.latest_version()
+        txn = dst._txn_of(v_dst)
+        last = int(txn.get(key, -1))
+        src_v = src.latest_version()
+        if src_v is None or src_v <= last:
+            return (-1 if v_dst is None else v_dst, last)
+        if last < 0:
+            batch = src.read(src_v).withColumn(
+                "_src_version", F.lit(src_v)
+            )
+        else:
+            batch = src.table_changes(last, to_version=src_v)
+            batch = batch.withColumnRenamed("_commit_version", "_src_version")
+        if transform is not None:
+            batch = transform(batch)
+        d = dst._write_data(batch, ())
+        if v_dst is None:
+            dirs, pcols = [], []
+            schema = batch.schema.json()
+        else:
+            m = dst._manifest(v_dst)
+            dirs, pcols = m["dirs"], m["partition_cols"]
+            schema = SnapshotTable._evolve_schema(
+                m["schema"], batch.schema, merge=False
+            )
+        txn = dict(txn)
+        txn[key] = src_v
+        manifest = {
+            "op": "sync",
+            "dirs": [*dirs, d],
+            "schema": schema,
+            "partition_cols": pcols,
+            "stats": dst._stats_of(v_dst),
+            "file_stats": dst._file_stats_of(v_dst),
+            "txn": txn,
+            "timestamp": time.time(),
+        }
+        if dst._commit(0 if v_dst is None else v_dst + 1, manifest):
+            return (0 if v_dst is None else v_dst + 1, src_v)
+        # Lost the commit race — rebase re-reads the ledger; if the
+        # rival WAS a duplicate sync, the guard at the top returns
+        # without re-applying. The orphan dir waits for vacuum.
+    raise CommitConflict(f"sync {sync_id!r} lost {_COMMIT_RETRIES} races")
 
 
 def write_stream_snapshot(

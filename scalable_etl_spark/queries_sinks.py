@@ -343,6 +343,53 @@ def sink_tx_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_tx_sync",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events WHERE value IS NOT NULL GROUP BY 1
+    """,
+)
+def sink_tx_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once incremental pipeline between snapshot tables
+    (acid.py sync_incremental): the source takes a base load and two
+    appends; TWO sync calls materialize a transformed copy — the first
+    backfills, the second moves ONLY the rows the source gained since
+    (table_changes reads just the appended dirs), and each sync's
+    watermark rides in the same atomic commit as its data, so re-runs
+    and racing syncs cannot double-apply (pinned in tests/test_acid.py
+    test_sync_incremental_exactly_once). The value hash proves the
+    two-phase incremental materialization equals the one-shot
+    transform of the whole source — the invariant every incremental
+    ETL pipeline at 100 TB depends on."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    from .acid import sync_incremental
+
+    src = _tx_table(spark, "sync_src")
+    dst = _tx_table(spark, "sync_dst")
+    mod = F.col("user_id") % 4
+    src.overwrite(e.filter(mod <= 1))
+    src.append(e.filter(mod == 2))
+    sync_incremental(src, dst, transform=lambda d: d.filter(
+        F.col("value").isNotNull()
+    ))
+    src.append(e.filter(mod == 3))
+    sync_incremental(src, dst, transform=lambda d: d.filter(
+        F.col("value").isNotNull()
+    ))
+    return (
+        dst.read()
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
     "sink_bucketed_join",
     oracle="""
     WITH e AS (

@@ -308,6 +308,56 @@ def test_table_changes_incremental_reads(spark, tmp_path):
     assert {(r.k, r.w) for r in ch.collect()} == {(9, 1.5)}
 
 
+def test_sync_incremental_exactly_once(spark, tmp_path):
+    """Incremental materialization: backfill, then strictly the new
+    rows; re-running with no source change is a no-op; a rival sync
+    racing the commit cannot double-apply (ledger re-check on rebase)."""
+    from pyspark.sql import functions as SF
+
+    from scalable_etl_spark.acid import sync_incremental
+
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    dst = SnapshotTable(spark, str(tmp_path / "dst"))
+    keep_even = lambda df: df.filter(SF.col("k") % 2 == 0)  # noqa: E731
+
+    src.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    v, synced = sync_incremental(src, dst, transform=keep_even)
+    assert (v, synced) == (0, 0)
+    assert {(r.k, r._src_version) for r in dst.read().collect()} == {(2, 0)}
+
+    src.append(_df(spark, [(3, "c"), (4, "d")]))
+    v, synced = sync_incremental(src, dst, transform=keep_even)
+    assert synced == 1
+    assert {(r.k, r._src_version) for r in dst.read().collect()} == {
+        (2, 0), (4, 1),
+    }
+    # no source change -> no commit
+    before = dst.latest_version()
+    assert sync_incremental(src, dst, transform=keep_even) == (before, 1)
+    assert dst.latest_version() == before
+
+    # rival sync fires between our ledger read and our commit: the
+    # loser's rebase re-reads the ledger and must NOT re-apply
+    src.append(_df(spark, [(6, "e")]))
+    real_commit = dst._commit
+    fired = {"done": False}
+
+    def racing_commit(version, manifest):
+        if not fired["done"]:
+            fired["done"] = True
+            sync_incremental(
+                src,
+                SnapshotTable(spark, str(tmp_path / "dst")),
+                transform=keep_even,
+            )
+        return real_commit(version, manifest)
+
+    dst._commit = racing_commit  # type: ignore[method-assign]
+    sync_incremental(src, dst, transform=keep_even)
+    rows = [r.k for r in dst.read().collect()]
+    assert sorted(rows) == [2, 4, 6], "rival + loser must not double-apply"
+
+
 def test_merge_composite_key_prunes_on_any_column(spark, tmp_path):
     """Composite-key MERGE must carry over a dir when ANY key column's
     committed range is disjoint from the batch's (equality on all keys
