@@ -166,6 +166,20 @@ def test_stream_sink_exactly_once_across_checkpoint_loss(spark, tmp_path):
     t.compact()
     assert t._manifest(t.latest_version())["txn"]["q1"] >= 0
 
+    # stats_cols on the stream sink: the micro-batch dir gets footer
+    # stats, so ranged reads skip batches outside the predicate
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"))
+    q = write_stream_snapshot(
+        stream, t2, str(tmp_path / "ckpt2"), query_id="q2",
+        stats_cols=["k"],
+    )
+    q.awaitTermination()
+    m = t2._manifest(t2.latest_version())
+    (d,) = m["dirs"]
+    assert m["stats"][d]["k"] == [1, 3]
+    assert m["file_stats"][d]
+    assert t2.read(where=("k", 5, 9)).count() == 0
+
 
 def test_time_travel_compact_vacuum(spark, tmp_path):
     import os
