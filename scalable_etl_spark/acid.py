@@ -850,6 +850,10 @@ def sync_incremental(
             )
         else:
             batch = src.table_changes(last, to_version=src_v)
+            if "_src_version" in batch.columns:
+                # chained pipelines: src is itself a sync target; its
+                # upstream provenance is superseded by this hop's
+                batch = batch.drop("_src_version")
             batch = batch.withColumnRenamed("_commit_version", "_src_version")
         if transform is not None:
             batch = transform(batch)

@@ -372,6 +372,29 @@ def test_sync_incremental_exactly_once(spark, tmp_path):
     assert sorted(rows) == [2, 4, 6], "rival + loser must not double-apply"
 
 
+def test_sync_chains_across_three_tables(spark, tmp_path):
+    """Pipelines chain: sync commits are append-shaped, so a second
+    hop consumes the first hop's appends incrementally; each hop's
+    _src_version reflects ITS upstream (no duplicate provenance
+    columns)."""
+    from scalable_etl_spark.acid import sync_incremental
+
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    mid = SnapshotTable(spark, str(tmp_path / "mid"))
+    out = SnapshotTable(spark, str(tmp_path / "out"))
+    src.overwrite(_df(spark, [(1, "a")]))
+    sync_incremental(src, mid, sync_id="hop1")
+    sync_incremental(mid, out, sync_id="hop2")
+    src.append(_df(spark, [(2, "b")]))
+    sync_incremental(src, mid, sync_id="hop1")
+    sync_incremental(mid, out, sync_id="hop2")
+    rows = {(r.k, r.v) for r in out.read().collect()}
+    assert rows == {(1, "a"), (2, "b")}
+    assert out.read().columns.count("_src_version") == 1
+    # second hop saw mid's versions (0 backfill, then the append)
+    assert {r._src_version for r in out.read().collect()} == {0, 1}
+
+
 def test_merge_composite_key_prunes_on_any_column(spark, tmp_path):
     """Composite-key MERGE must carry over a dir when ANY key column's
     committed range is disjoint from the batch's (equality on all keys
