@@ -194,20 +194,53 @@ class SnapshotTable:
             out = out.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
         return out
 
-    @staticmethod
-    def _js(v):
+    def _js(self, v):
         """JSON-safe stat value. Primitives pass through; date /
         datetime become strings whose lexicographic order equals time
         order; anything else (Decimal, bytes — string compare would
         mis-order them) maps to None, which every pruning path treats
-        as "no stat, keep conservatively"."""
+        as "no stat, keep conservatively".
+
+        Every datetime is canonicalized into ONE frame — the Spark
+        session timezone, naive — before stringifying. The two sides
+        of a pruning compare arrive in different frames: pyarrow
+        returns footer stats tz-AWARE (UTC instants, when
+        ``outputTimestampType=TIMESTAMP_MICROS``) while ``read(where=)``
+        predicates and ``merge`` key bounds are naive session-local
+        values. Stringifying them as-is would compare '...+00:00'
+        against a suffix-free local string and silently prune files
+        whose range actually intersects. If the session tz cannot be
+        resolved, tz-aware values degrade to None (conservative keep)."""
         import datetime
 
         if v is None or isinstance(v, (bool, int, float, str)):
             return v
-        if isinstance(v, (datetime.date, datetime.datetime)):
+        if isinstance(v, datetime.datetime):
+            if v.tzinfo is not None:
+                tz = self._session_zoneinfo()
+                if tz is None:
+                    return None
+                v = v.astimezone(tz).replace(tzinfo=None)
+            return str(v)
+        if isinstance(v, datetime.date):
             return str(v)
         return None
+
+    def _session_zoneinfo(self):
+        """``spark.sql.session.timeZone`` as a tzinfo (None when the
+        name is unresolvable — callers then keep conservatively)."""
+        import datetime
+        import zoneinfo
+
+        name = self.spark.conf.get(
+            "spark.sql.session.timeZone", "UTC"
+        )
+        if name in ("UTC", "Z", "GMT", "Etc/UTC"):
+            return datetime.timezone.utc
+        try:
+            return zoneinfo.ZoneInfo(name)
+        except (KeyError, ValueError, zoneinfo.ZoneInfoNotFoundError):
+            return None
 
     def table_changes(
         self,
@@ -434,7 +467,10 @@ class SnapshotTable:
         them. Returns the committed version."""
         if cluster_by:
             df = self._cluster(df, cluster_by, n_files, zorder)
-        scols = tuple(stats_cols) or tuple(cluster_by)
+        # union, not either/or: cluster_by columns ALWAYS get stats
+        # (the clustered layout is useless for skipping without them),
+        # even when the caller also asks for stats on other columns
+        scols = tuple(dict.fromkeys([*stats_cols, *cluster_by]))
         d = self._write_data(df, partition_cols)
         schema_json = df.schema.json()
         dstats, fstats = (
@@ -489,7 +525,10 @@ class SnapshotTable:
         columns stray from the table schema is rejected."""
         if cluster_by:
             df = self._cluster(df, cluster_by, n_files, zorder)
-        scols = tuple(stats_cols) or tuple(cluster_by)
+        # union, not either/or: cluster_by columns ALWAYS get stats
+        # (the clustered layout is useless for skipping without them),
+        # even when the caller also asks for stats on other columns
+        scols = tuple(dict.fromkeys([*stats_cols, *cluster_by]))
         d = self._write_data(df, ())
         dstats, fstats = (
             self._footer_stats(d, scols) if scols else ({}, {})
@@ -767,8 +806,14 @@ class SnapshotTable:
         manifest commits, so a zero-window vacuum racing that writer
         would delete the dir its commit is about to reference —
         exactly why Delta's VACUUM has a retention check (paper §3.2;
-        its default is 7 days). Pass 0 only when no writers can be
-        in flight."""
+        its default is 7 days). Age is the NEWEST mtime anywhere under
+        the dir (a partitioned write creates subdirs early; the
+        top-level mtime would under-report how recently files landed).
+        Residual race: a writer that finished its files long ago but is
+        still inside a commit-retry storm can exceed any finite window
+        — the age gate narrows the race, only a Delta-style
+        transaction-log check could close it. Pass 0 only when no
+        writers can be in flight."""
         import shutil
 
         latest = self.latest_version()
@@ -792,7 +837,16 @@ class SnapshotTable:
                 continue
             path = os.path.join(self.data_dir, d)
             try:
-                if now - os.path.getmtime(path) < min_age_seconds:
+                newest = os.path.getmtime(path)
+                for walk_root, subdirs, files in os.walk(path):
+                    for name in (*subdirs, *files):
+                        newest = max(
+                            newest,
+                            os.path.getmtime(
+                                os.path.join(walk_root, name)
+                            ),
+                        )
+                if now - newest < min_age_seconds:
                     continue  # possibly an in-flight writer's dir
             except FileNotFoundError:
                 continue
@@ -815,6 +869,7 @@ def sync_incremental(
     dst: SnapshotTable,
     transform=None,
     sync_id: str = "default",
+    merge_schema: bool = False,
 ) -> tuple[int, int]:
     """EXACTLY-ONCE incremental materialization from one snapshot
     table into another — the batch spelling of a streaming pipeline:
@@ -833,6 +888,13 @@ def sync_incremental(
     per ``table_changes``). Rows carry ``_src_version`` provenance.
     ``transform`` must be append-composable (row-wise select/filter/
     derive — per-batch aggregation would need restatement semantics).
+
+    ``merge_schema=True`` lets ``dst`` follow ADDITIVE source schema
+    evolution (a src append with ``merge_schema=True`` adds columns):
+    the batch's new columns extend dst's schema, old dst rows read
+    them as null. Without it the first evolved batch raises — and,
+    because the sync ledger only advances on commit, every later call
+    re-raises until dst is rebuilt or the flag is passed.
 
     Returns ``(dst_version, synced_src_version)``; a no-op (nothing
     new) returns the current pair without committing."""
@@ -865,7 +927,7 @@ def sync_incremental(
             m = dst._manifest(v_dst)
             dirs, pcols = m["dirs"], m["partition_cols"]
             schema = SnapshotTable._evolve_schema(
-                m["schema"], batch.schema, merge=False
+                m["schema"], batch.schema, merge_schema
             )
         txn = dict(txn)
         txn[key] = src_v

@@ -543,3 +543,110 @@ def test_partitioned_overwrite_preserves_partition_values(spark, tmp_path):
         (2, "2024-01-02"),
         (3, "2024-01-01"),
     }
+
+
+def test_timestamp_skipping_safe_across_timezone_frames(spark, tmp_path):
+    """Footer stats for TIMESTAMP_MICROS columns come back from pyarrow
+    tz-AWARE (UTC instants) while ``read(where=)`` predicates are naive
+    session-local datetimes. ``_js`` must put BOTH in the session-tz
+    naive frame before the lexicographic compare — otherwise a file
+    whose footer min equals the predicate's upper bound is wrongly
+    pruned (the '+00:00' suffix sorts it past the bound). Regression
+    for the round-6 advisor finding (acid.py ``_js``)."""
+    import datetime
+
+    old_tt = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        t = SnapshotTable(spark, str(tmp_path / "t"))
+        base = datetime.datetime(2024, 3, 1)
+        rows = [
+            (i, base + datetime.timedelta(hours=i)) for i in range(96)
+        ]
+        df = spark.createDataFrame(rows, "i INT, ts TIMESTAMP")
+        t.overwrite(df, cluster_by=["ts"], n_files=4)
+        m = t._manifest(0)
+        (d,) = m["dirs"]
+        fstats = m["file_stats"][d]
+        # stats survive canonicalization (not degraded to keep-all)
+        assert all("ts" in per for per in fstats.values())
+        lo = base + datetime.timedelta(hours=24)
+        hi = base + datetime.timedelta(hours=47)
+        got = sorted(r.i for r in t.read(where=("ts", lo, hi)).collect())
+        want = sorted(
+            r.i
+            for r in t.read()
+            .filter(F.col("ts").between(F.lit(lo), F.lit(hi)))
+            .collect()
+        )
+        assert got == want and len(want) == 24
+        # and skipping still WORKS: a 25% range must not need all files
+        kept = t._prune_files(fstats, "ts", t._js(lo), t._js(hi))
+        assert 0 < len(kept) < 4
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", old_tt)
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_stats_cols_union_cluster_by(spark, tmp_path):
+    """Passing stats_cols must not silently drop stats on the
+    cluster_by key (round-6 advisor finding): the manifest records
+    [min,max] for the UNION of both lists, so the clustered layout
+    keeps skipping on its own key."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.range(0, 400).select(
+        F.col("id").alias("x"), (F.col("id") % 20).alias("y")
+    )
+    t.overwrite(df, cluster_by=["x"], stats_cols=["y"], n_files=4)
+    m = t._manifest(0)
+    (d,) = m["dirs"]
+    for per in m["file_stats"][d].values():
+        assert "x" in per and "y" in per
+    kept = t._prune_files(m["file_stats"][d], "x", 0, 99)
+    assert 0 < len(kept) < 4, "cluster key skipping must still engage"
+    # append path takes the same union
+    t.append(
+        spark.range(400, 500).select(
+            F.col("id").alias("x"), (F.col("id") % 20).alias("y")
+        ),
+        cluster_by=["x"],
+        stats_cols=["y"],
+    )
+    m = t._manifest(1)
+    new_d = [d2 for d2 in m["dirs"] if d2 != d][0]
+    for per in m["file_stats"][new_d].values():
+        assert "x" in per and "y" in per
+
+
+def test_sync_incremental_follows_source_schema_evolution(
+    spark, tmp_path
+):
+    """A src-side additive schema evolution must not permanently wedge
+    the sync pipeline (round-6 advisor finding): without the flag the
+    evolved batch raises; with ``merge_schema=True`` dst's schema
+    follows and earlier dst rows read the new column as null."""
+    import pytest
+
+    from scalable_etl_spark.acid import sync_incremental
+
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    dst = SnapshotTable(spark, str(tmp_path / "dst"))
+    src.overwrite(_df(spark, [(1, "a")]))
+    sync_incremental(src, dst, sync_id="s")
+    wide = spark.createDataFrame(
+        [(2, "b", 9.5)], "k INT, v STRING, w DOUBLE"
+    )
+    src.append(wide, merge_schema=True)
+    with pytest.raises(ValueError, match="merge_schema"):
+        sync_incremental(src, dst, sync_id="s")
+    # the failed attempt must not have advanced the ledger
+    v, synced = sync_incremental(
+        src, dst, sync_id="s", merge_schema=True
+    )
+    assert synced == src.latest_version()
+    rows = {(r.k, r.v, r.w) for r in dst.read().drop("_src_version").collect()}
+    assert rows == {(1, "a", None), (2, "b", 9.5)}
