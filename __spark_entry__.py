@@ -57,32 +57,36 @@ _MODULE_ORDER = (
     "queries_pipeline",
 )
 
-# LLM-pipeline headliners promoted into the driver-graded first-50 window
-# (round-6 rotation): the dedup / similarity-search / quality family gets
-# driver-verified status instead of local-oracle-only.  Order within the
-# tuple is the order they appear after the §2 core.
+# Queries promoted into the driver-graded first-50 window (round-7
+# rotation, per the round-6 verdict's "Next round" #1): the ACID
+# transaction family + the curation/pipeline surface get driver-verified
+# status this round; the round-6 headliners (dedup/ANN/quality family)
+# went driver-green in CORRECTNESS_r06.json and rotate back to
+# local-oracle checking.  Order within the tuple is the order they
+# appear after the §2 core.
 _PROMOTED = (
-    "doc_quality",
-    "exact_dedup",
-    "ngram_jaccard",
-    "minhash_lsh",
-    "simhash_near_dup",
-    "embedding_near_dup",
-    "ann_brute_force",
-    "ann_lsh",
-    "ann_ivf",
-    "dedup_components",
+    "sink_tx_skipping",
+    "sink_tx_zorder",
+    "sink_tx_changes",
+    "sink_tx_sync",
+    "ngram_jaccard_gated",
+    "pii_redaction",
+    "benchmark_contamination",
+    "sequence_packing",
+    "stratified_sample",
+    "incremental_corpus_dedup",
+    "passage_dedup",
+    "media_pixel_stats",
 )
 
 # Beyond-reference §2 extras rotated out of the graded window to make room
 # (every §2 operator family stays represented — see tests/test_cli.py
 # test_registry_contract).  These remain fully value-hash oracle-checked
-# locally via tools/check_correctness.py; only the driver-window slot moves.
+# locally via tools/check_correctness.py; only the driver-window slot
+# moves. recent_events / monthly_trends joined in round 7: their O1-O4
+# sort/limit shapes stayed driver-green for two straight rounds and are
+# also covered by top_users / shipping_priority.
 _DEMOTED = (
-    "sink_tx_skipping",  # round-6 additions; keep the pinned window stable
-    "sink_tx_zorder",
-    "sink_tx_changes",
-    "sink_tx_sync",
     "priority_line_counts",
     "salted_value_by_type",
     "hll_distinct_users",
@@ -95,6 +99,8 @@ _DEMOTED = (
     "nation_customer_stats",
     "mktsegment_order_priority",
     "top_supplier_revenue",
+    "recent_events",
+    "monthly_trends",
 )
 
 

@@ -266,8 +266,11 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard pairs >= 0.8 via inverted shingle index —
-    the *verification* primitive (quadratic within hot shingles; the
-    full-corpus path is minhash_lsh below)."""
+    the *verification* primitive. PPJoin+ filters bound candidates, but
+    a skewed hot shingle surviving the prefix filter is still quadratic
+    in that bucket, so corpus-wide runs at 100 TB should use the gated
+    composition (``ngram_jaccard_gated`` below) and keep this one for
+    bounded candidate sets."""
     d = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(d, threshold=0.8)
 
@@ -283,27 +286,73 @@ def _band_bucket_sql(band: int, rows_per_band: int = 4) -> str:
 
 
 # MinHash signatures + band buckets. One md5 per shingle -> 60-bit base,
-# then 16 multiply-shift permutations (functions/text.py mix_hash /
-# mix_hash_sql — kept in lockstep) aggregated MIN per doc.
-_MINHASH_SIG_SQL = (
-    f"""
+# then num_perms multiply-shift permutations (functions/text.py
+# mix_hash / mix_hash_sql — kept in lockstep) aggregated MIN per doc.
+def _minhash_sig_sql(num_perms: int, bands: int) -> str:
+    rows = num_perms // bands
+    return (
+        f"""
     toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
     sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM toks),
     hashed AS (
       SELECT doc_id, {_SQL_H64.format(expr="shingle")} AS base FROM sh),
     mh_wide AS (
       SELECT doc_id, """
-    + ", ".join(f"MIN({mix_hash_sql('base', p)}) AS h{p}" for p in range(16))
-    + """
+        + ", ".join(
+            f"MIN({mix_hash_sql('base', p)}) AS h{p}"
+            for p in range(num_perms)
+        )
+        + """
       FROM hashed GROUP BY 1),
     banded AS ("""
-    + " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, {_band_bucket_sql(b)} AS bucket "
-        "FROM mh_wide"
-        for b in range(4)
+        + " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, "
+            f"{_band_bucket_sql(b, rows)} AS bucket FROM mh_wide"
+            for b in range(bands)
+        )
+        + ")"
     )
-    + ")"
+
+
+_MINHASH_SIG_SQL = _minhash_sig_sql(16, 4)
+
+
+@query(
+    "ngram_jaccard_gated",
+    oracle=f"""
+    WITH {_minhash_sig_sql(24, 8)},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b USING (band, bucket)
+      WHERE a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM hashed GROUP BY 1),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS nc
+      FROM cand c
+      JOIN hashed a ON a.doc_id = c.id_a
+      JOIN hashed b ON b.doc_id = c.id_b AND b.base = a.base
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, ROUND(nc / (sa.sz + sb.sz - nc), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(nc / (sa.sz + sb.sz - nc), 4) >= 0.8
+    """,
 )
+def ngram_jaccard_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CORPUS-SCALE spelling of exact n-gram Jaccard >= 0.8
+    (round-6 verdict "Next round" #2): a MinHash band gate tuned for
+    the 0.8 operating point — 24 perms as 8 bands x 3 rows, candidate
+    probability 1-(1-J^3)^8 = 0.997 at J=0.8 (vs 0.878 for the generic
+    16/4 config) and ~1.0 for the J ~ 1 pairs dedup actually targets —
+    then EXACT Jaccard verification on candidate pairs only. Cost is
+    one equi-shuffle on band keys + O(candidates); no shingle bucket is
+    ever self-joined, so a hot shingle cannot go quadratic — the
+    exposure ``ngram_jaccard`` (the unconditioned verification
+    primitive) retains by design. The oracle replays the identical
+    md5-derived signatures, so the gate is checked bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, num_perms=24, bands=8, threshold=0.8)
 
 
 @query(
