@@ -5,11 +5,13 @@ Arrow-batched ``mapInPandas`` stages.
 The Spark-side architecture here is the real thing — schema contracts,
 batch iteration, partition-preserving feature extraction. The codecs
 are REAL for binary netpbm images (P5/P6, pure numpy — header parse,
-comments, offset math, shape; ``decode_image``) and RIFF/WAVE 16-bit
-PCM audio (chunk walk, endianness, channel reshape; ``decode_audio``),
-and stubbed only for formats whose codecs this container doesn't ship
-(JPEG/PNG need PIL/libjpeg; MP3/video need ffmpeg) — those raise
-NotImplementedError.
+comments, offset math, shape; ``decode_image``), non-interlaced 8-bit
+PNG (stdlib zlib inflate + all five scanline unfilters;
+``decode_png`` / ``encode_png``), and RIFF/WAVE 16-bit PCM audio
+(chunk walk, endianness, channel reshape; ``decode_audio``), and
+stubbed only for formats whose codecs this container genuinely
+doesn't ship (JPEG needs libjpeg's DCT; MP3/video need ffmpeg) —
+those raise NotImplementedError.
 The deterministic byte-level feature stages below remain for
 format-agnostic plumbing tests; swapping PIL in changes one function
 body, not the pipeline.
@@ -92,17 +94,21 @@ def _netpbm_header(buf: bytes) -> tuple[bytes, int, int, int, int]:
 
 def decode_image(payload: bytes) -> "object":
     """REAL image decode for binary netpbm (P6 RGB -> (h, w, 3) uint8
-    array, P5 grayscale -> (h, w)) — pure numpy, no external codec.
-    Formats that need external libraries (JPEG/PNG/WebP: libjpeg, PIL)
-    raise NotImplementedError in this container; swapping in PIL
-    changes only this function, not the pipeline contract."""
+    array, P5 grayscale -> (h, w)) and non-interlaced 8-bit PNG
+    (``decode_png``) — pure numpy + stdlib zlib, no external codec.
+    Formats that genuinely need external libraries (JPEG: libjpeg DCT;
+    WebP: libwebp) raise NotImplementedError in this container;
+    swapping in PIL changes only this function, not the pipeline
+    contract."""
     import numpy as np
 
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     magic = payload[:2]
     if magic not in (b"P6", b"P5"):
         raise NotImplementedError(
             f"codec for magic {magic!r} not available in this environment "
-            "(netpbm P5/P6 decode natively)"
+            "(netpbm P5/P6 and 8-bit PNG decode natively)"
         )
     _, w, h, maxval, off = _netpbm_header(payload)
     if maxval > 255:
@@ -113,6 +119,190 @@ def decode_image(payload: bytes) -> "object":
     if data.size < n:
         raise ValueError("truncated netpbm pixel data")
     return data.reshape((h, w, 3)) if ch == 3 else data.reshape((h, w))
+
+
+# ------------------------------------------------------------------ PNG
+# Pure stdlib-zlib + numpy PNG codec (RFC 2083): signature, chunk walk,
+# IDAT inflate, scanline unfilter (all five filter types), reshape.
+# Covers non-interlaced 8-bit gray / RGB / gray+alpha / RGBA — the
+# formats a training pipeline's screenshots and rasters overwhelmingly
+# use. Palette (PLTE indirection), 16-bit, and Adam7 interlace raise.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, data) for each chunk; stops at IEND. CRCs are
+    trusted (a flipped bit surfaces as a zlib error or a wrong pixel
+    sum under the value-hash gate anyway)."""
+    import struct
+
+    i = 8
+    while i + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[i : i + 4])
+        typ = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("truncated PNG chunk")
+        yield typ, data
+        i += 12 + ln
+        if typ == b"IEND":
+            return
+    raise ValueError("PNG missing IEND")
+
+
+def decode_png(payload: bytes) -> "object":
+    """Decode a non-interlaced 8-bit-depth PNG to a uint8 array —
+    (h, w) for grayscale, (h, w, ch) otherwise. Pure zlib + numpy.
+
+    Unfiltering (the part codecs get wrong): each scanline is prefixed
+    by a filter byte; Sub/Up/Average/Paeth reconstruct each byte from
+    the RECONSTRUCTED left/up/up-left neighbors, so rows decode
+    sequentially with Up vectorized and the left-dependent filters
+    walked per byte (scanline-length loop — fine for the thumbnail
+    sizes that flow through mapInPandas here; a hot path would jit or
+    buffer rows in C order)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    ihdr = None
+    idat: list[bytes] = []
+    for typ, data in _png_chunks(payload):
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"PLTE":
+            raise NotImplementedError("palette PNG not supported")
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
+    if interlace:
+        raise NotImplementedError("Adam7 interlaced PNG not supported")
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    ch = _PNG_CHANNELS.get(ctype)
+    if ch is None:
+        raise NotImplementedError(f"PNG color type {ctype}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG data length mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        pos += 1
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=pos
+        ).copy()
+        pos += stride
+        if f == 0:
+            pass
+        elif f == 1:  # Sub: + reconstructed left
+            for x in range(ch, stride):
+                line[x] = (int(line[x]) + int(line[x - ch])) & 0xFF
+        elif f == 2:  # Up: + reconstructed above (uint8 wraps mod 256)
+            line += prev
+        elif f == 3:  # Average: + floor((left + up) / 2)
+            for x in range(stride):
+                left = int(line[x - ch]) if x >= ch else 0
+                line[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth predictor
+            for x in range(stride):
+                a = int(line[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {f} out of range")
+        out[y] = line
+        prev = line
+    img = out.reshape((h, w, ch))
+    return img[:, :, 0] if ch == 1 else img
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data))
+    )
+
+
+def encode_png(img: "object") -> bytes:
+    """Encode a uint8 array ((h, w) gray or (h, w, ch)) as a real PNG,
+    choosing the scanline filter by ROW INDEX y % 5 — so any image with
+    >= 5 rows exercises every filter type (None/Sub/Up/Average/Paeth)
+    and a decoder bug in any one of them corrupts the roundtrip."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.ascontiguousarray(img, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    flat = a.reshape(h, w * ch).astype(np.int16)
+    stride = w * ch
+    lines = bytearray()
+    for y in range(h):
+        f = y % 5
+        cur = flat[y]
+        up = flat[y - 1] if y > 0 else np.zeros(stride, dtype=np.int16)
+        left = np.zeros(stride, dtype=np.int16)
+        left[ch:] = cur[:-ch]
+        upleft = np.zeros(stride, dtype=np.int16)
+        upleft[ch:] = up[:-ch]
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - up
+        elif f == 3:
+            enc = cur - ((left + up) >> 1)
+        else:
+            p = left + up - upleft
+            pa, pb, pc = (
+                np.abs(p - left),
+                np.abs(p - up),
+                np.abs(p - upleft),
+            )
+            pred = np.where(
+                (pa <= pb) & (pa <= pc),
+                left,
+                np.where(pb <= pc, up, upleft),
+            )
+            enc = cur - pred
+        lines.append(f)
+        lines.extend((enc % 256).astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
 
 
 # Synthetic-image contract shared by the encoder, the graded query, and
@@ -138,6 +328,40 @@ def attach_synthetic_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     @pandas_udf("binary")
     def make(ids: pd.Series) -> pd.Series:
         return ids.map(lambda d: synthetic_ppm(int(d)))
+
+    return df.withColumn("payload", make(F.col(id_col)))
+
+
+# Synthetic-PNG contract: 4x5 RGB, pixel byte j = (doc_id*11 + j*19)
+# % 256 for j in 0..59 (row-major RGB). Five rows -> the row-indexed
+# filter choice in ``encode_png`` applies EVERY PNG filter type once
+# per image, so the graded query exercises the full unfilter path and
+# the DuckDB oracle still verifies the decoded sum in closed form
+# (PNG is lossless: decoded pixels == source pixels).
+SYN_PNG_W, SYN_PNG_H = 4, 5
+_SYN_PNG_N = SYN_PNG_W * SYN_PNG_H * 3
+
+
+def synthetic_png(doc_id: int) -> bytes:
+    import numpy as np
+
+    px = np.array(
+        [(doc_id * 11 + j * 19) % 256 for j in range(_SYN_PNG_N)],
+        dtype=np.uint8,
+    ).reshape((SYN_PNG_H, SYN_PNG_W, 3))
+    return encode_png(px)
+
+
+def attach_synthetic_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Materialize a real (zlib-deflated, filtered, CRC-chunked) PNG
+    payload per row — same Arrow-batched binary-column contract as
+    ``attach_synthetic_ppm``."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda d: synthetic_png(int(d)))
 
     return df.withColumn("payload", make(F.col(id_col)))
 

@@ -1136,37 +1136,57 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "media_pixel_stats",
     oracle="""
-    WITH j AS (SELECT unnest(generate_series(0, 47)) AS j),
-    px AS (
-      SELECT d.source, d.doc_id,
-             CAST(SUM((d.doc_id * 7 + j.j * 13) % 256) AS BIGINT) AS psum
-      FROM documents d, j GROUP BY 1, 2)
-    SELECT source,
+    WITH jp AS (SELECT unnest(generate_series(0, 47)) AS j),
+    jg AS (SELECT unnest(generate_series(0, 59)) AS j),
+    ppm AS (
+      SELECT d.source, d.doc_id, 'ppm' AS fmt, 4 AS w, 4 AS h,
+             CAST(SUM((d.doc_id * 7 + jp.j * 13) % 256) AS BIGINT) AS psum
+      FROM documents d, jp GROUP BY 1, 2),
+    png AS (
+      SELECT d.source, d.doc_id, 'png' AS fmt, 4 AS w, 5 AS h,
+             CAST(SUM((d.doc_id * 11 + jg.j * 19) % 256) AS BIGINT) AS psum
+      FROM documents d, jg GROUP BY 1, 2),
+    px AS (SELECT * FROM ppm UNION ALL SELECT * FROM png)
+    SELECT source, fmt,
            CAST(COUNT(*) AS BIGINT) AS n_images,
-           CAST(MIN(4) AS INT) AS width,
-           CAST(MIN(4) AS INT) AS height,
+           CAST(MIN(w) AS INT) AS width,
+           CAST(MIN(h) AS INT) AS height,
            CAST(SUM(psum) AS BIGINT) AS sum_pixels,
-           ROUND(SUM(psum) / (48.0 * COUNT(*)), 4) AS avg_pixel
-    FROM px GROUP BY 1
+           ROUND(SUM(psum) / (3.0 * MIN(w) * MIN(h) * COUNT(*)), 4)
+             AS avg_pixel
+    FROM px GROUP BY 1, 2
     """,
 )
 def media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode under the gate: per doc a genuine binary P6
-    (netpbm) payload is materialized whose 48 pixel bytes follow the
-    closed form (doc_id*7 + j*13) % 256, then DECODED by the pure-numpy
-    netpbm codec (operators/multimodal.py decode_image) inside an
-    Arrow-batched mapInPandas stage. The oracle never decodes — it
-    evaluates the closed form directly — so any header-parse, offset,
-    or shape bug in the decoder corrupts sum_pixels/width/height and
-    fails the value hash. Two Python stages (encode, decode+reduce),
-    zero shuffles before the tiny per-source aggregate."""
-    from .operators.multimodal import attach_synthetic_ppm, decode_image_stats
+    """REAL image decode under the gate, BOTH native codecs: per doc a
+    genuine binary P6 (netpbm) payload (48 pixel bytes = closed form
+    (doc_id*7 + j*13) % 256) AND a genuine PNG (zlib-deflated, CRC
+    chunks, 4x5 RGB = (doc_id*11 + j*19) % 256, one scanline per PNG
+    filter type) are materialized, then DECODED by the pure-numpy
+    codecs (operators/multimodal.py decode_image / decode_png) inside
+    Arrow-batched mapInPandas stages. The oracle never decodes — it
+    evaluates the closed forms directly — so any header-parse, offset,
+    inflate, or unfilter bug corrupts sum_pixels and fails the value
+    hash (PNG is lossless, so decoded pixels == closed-form pixels).
+    Python stages only encode/decode; zero shuffles before the tiny
+    per-(source, fmt) aggregate."""
+    from .operators.multimodal import (
+        attach_synthetic_png,
+        attach_synthetic_ppm,
+        decode_image_stats,
+    )
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    stats = decode_image_stats(attach_synthetic_ppm(d))
+    stats = decode_image_stats(attach_synthetic_ppm(d)).withColumn(
+        "fmt", F.lit("ppm")
+    ).unionByName(
+        decode_image_stats(attach_synthetic_png(d)).withColumn(
+            "fmt", F.lit("png")
+        )
+    )
     joined = stats.join(d, "doc_id")
     return (
-        joined.groupBy("source")
+        joined.groupBy("source", "fmt")
         .agg(
             F.count("*").alias("n_images"),
             F.min("width").alias("width"),
@@ -1175,7 +1195,11 @@ def media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "avg_pixel",
-            F.round(F.col("sum_pixels") / (48.0 * F.col("n_images")), 4),
+            F.round(
+                F.col("sum_pixels")
+                / (3.0 * F.col("width") * F.col("height") * F.col("n_images")),
+                4,
+            ),
         )
     )
 

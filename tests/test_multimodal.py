@@ -46,8 +46,9 @@ def test_sample_frames_shape(media):
 
 
 def test_decode_stub_raises():
+    # JPEG (SOI marker): genuinely environment-blocked (libjpeg DCT)
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
 
 
 def test_grouped_zscore(spark):
@@ -173,9 +174,11 @@ def test_media_pixel_stats_decodes_for_real(spark):
 
     rows = media_pixel_stats(spark, "/root/testdata/sf0.001").collect()
     assert rows
+    fmts = {r.fmt for r in rows}
+    assert fmts == {"ppm", "png"}, "both native codecs must be exercised"
     for r in rows:
-        assert (r.width, r.height) == (4, 4)
-        # closed-form bound: 48 bytes each in [0, 255]
+        want = (4, 4) if r.fmt == "ppm" else (4, 5)
+        assert (r.width, r.height) == want
         assert 0 <= r.avg_pixel <= 255
 
 
@@ -211,3 +214,69 @@ def test_audio_energy_stats_decodes_for_real(spark):
     for r in rows:
         assert (r.sample_rate, r.n_samples) == (8000, 64)
         assert r.total_energy > 0
+
+
+def test_decode_png_every_filter_and_shape():
+    """encode_png assigns filter y%5, so a 5+-row image exercises
+    None/Sub/Up/Average/Paeth; roundtrip must be bit-exact for every
+    channel count, and the synthetic contract must match its closed
+    form."""
+    import numpy as np
+
+    from scalable_etl_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        synthetic_png,
+    )
+
+    rng = np.random.default_rng(7)
+    for ch in (1, 2, 3, 4):
+        for h, w in ((1, 1), (5, 3), (9, 17)):
+            a = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+            a = a[:, :, 0] if ch == 1 else a
+            out = decode_png(encode_png(a))
+            assert out.shape == a.shape and (out == a).all()
+    img = decode_image(synthetic_png(123))
+    want = np.array(
+        [(123 * 11 + j * 19) % 256 for j in range(60)], dtype=np.uint8
+    ).reshape((5, 4, 3))
+    assert (img == want).all()
+
+
+def test_decode_png_rejects_unsupported():
+    """Palette, 16-bit, interlace, truncation: loud errors, not wrong
+    pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from scalable_etl_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    def png_with_ihdr(w, h, depth, ctype, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+        idat = zlib.compress(b"\x00" * ((w + 1) * h))
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat)
+            + _png_chunk(b"IEND", b"")
+        )
+
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        decode_png(png_with_ihdr(2, 2, 16, 0))
+    with pytest.raises(NotImplementedError, match="color type"):
+        decode_png(png_with_ihdr(2, 2, 8, 3))
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_png(png_with_ihdr(2, 2, 8, 0, interlace=1))
+    good = encode_png(np.zeros((3, 3), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        decode_png(good[:-8])  # truncated: IEND gone
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"\x89PNG\r\n\x1a\x00" + good[8:])
