@@ -69,6 +69,7 @@ _PROMOTED = (
     "sink_tx_zorder",
     "sink_tx_changes",
     "sink_tx_sync",
+    "sink_tx_interop",
     "ngram_jaccard_gated",
     "pii_redaction",
     "benchmark_contamination",
@@ -101,6 +102,7 @@ _DEMOTED = (
     "top_supplier_revenue",
     "recent_events",
     "monthly_trends",
+    "value_by_type",
 )
 
 

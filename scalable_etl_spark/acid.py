@@ -50,6 +50,61 @@ from pyspark.sql.types import StructType
 
 _COMMIT_RETRIES = 20
 
+# Every Nth manifest is written FULL (a checkpoint); the rest are
+# deltas against their predecessor. Delta's equivalent knob is
+# checkpointInterval = 10 (the protocol's default).
+_CHECKPOINT_EVERY = 10
+
+# Manifest keys the delta representation rewrites; everything else
+# (op, schema, partition_cols, txn, timestamp, future keys) is carried
+# verbatim in the delta entry — those are O(1)-ish, only the dir/stats
+# maps grow with table size.
+_DELTA_KEYS = ("dirs", "stats", "file_stats")
+
+
+def _make_manifest_delta(prev: dict, full: dict) -> dict | None:
+    """Delta log entry reproducing ``full`` from ``prev``, or None when
+    the diff cannot (caller then writes ``full`` verbatim). Always
+    self-verified by replay, so a None here is a fallback, never a
+    correctness risk."""
+    prev_dirs, new_dirs = prev.get("dirs", []), full.get("dirs", [])
+    prev_set, new_set = set(prev_dirs), set(new_dirs)
+    delta = {k: v for k, v in full.items() if k not in _DELTA_KEYS}
+    delta["format"] = "delta"
+    delta["add_dirs"] = [d for d in new_dirs if d not in prev_set]
+    delta["drop_dirs"] = [d for d in prev_dirs if d not in new_set]
+    for key in ("stats", "file_stats"):
+        ps, ns = prev.get(key, {}), full.get(key, {})
+        delta[f"add_{key}"] = {
+            d: s for d, s in ns.items() if ps.get(d) != s
+        }
+    if _apply_manifest_delta(prev, delta) != full:
+        return None
+    return delta
+
+
+def _apply_manifest_delta(prev: dict, delta: dict) -> dict:
+    """Replay a delta entry on the previous resolved manifest."""
+    drop = set(delta["drop_dirs"])
+    out = {
+        k: v
+        for k, v in delta.items()
+        if k != "format"
+        and not k.startswith(("add_", "drop_"))
+    }
+    out["dirs"] = [d for d in prev.get("dirs", []) if d not in drop] + delta[
+        "add_dirs"
+    ]
+    for key in ("stats", "file_stats"):
+        merged = {
+            d: s
+            for d, s in prev.get(key, {}).items()
+            if d not in drop
+        }
+        merged.update(delta[f"add_{key}"])
+        out[key] = merged
+    return out
+
 
 class CommitConflict(RuntimeError):
     """Another writer committed the version this transaction targeted
@@ -71,6 +126,10 @@ class SnapshotTable:
         self.root = root
         self.log_dir = os.path.join(root, "_log")
         self.data_dir = os.path.join(root, "data")
+        # resolved-manifest memo; committed manifests are immutable, so
+        # entries never need invalidation (vacuum only deletes versions
+        # nothing retained resolves through)
+        self._mcache: dict[int, dict] = {}
 
     # ------------------------------------------------------------ log
 
@@ -90,9 +149,26 @@ class SnapshotTable:
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self.log_dir, f"{version:08d}.json")
 
-    def _manifest(self, version: int) -> dict:
+    def _manifest_raw(self, version: int) -> dict:
         with open(self._manifest_path(version)) as fh:
             return json.load(fh)
+
+    def _manifest(self, version: int) -> dict:
+        """RESOLVED manifest for ``version``: delta log entries
+        (``format: "delta"``) are applied on top of the previous
+        resolved state, recursing at most ``_CHECKPOINT_EVERY - 1``
+        hops back to the nearest full (checkpoint) manifest. Full
+        manifests — every 10th version, version 0, legacy tables, and
+        any commit whose delta failed self-verification — resolve to
+        themselves."""
+        cached = self._mcache.get(version)
+        if cached is not None:
+            return cached
+        m = self._manifest_raw(version)
+        if m.get("format") == "delta":
+            m = _apply_manifest_delta(self._manifest(version - 1), m)
+        self._mcache[version] = m
+        return m
 
     def history(self) -> list[dict]:
         """Commit metadata, newest first (op, version, dir count)."""
@@ -113,15 +189,44 @@ class SnapshotTable:
 
     def _commit(self, version: int, manifest: dict) -> bool:
         """Atomically publish ``manifest`` as ``version``. False on
-        lost race (that version now exists)."""
+        lost race (that version now exists).
+
+        LOG SCALING (Delta paper §3.1's delta-log + checkpoint design):
+        ``manifest`` arrives fully materialized, but most commits are
+        persisted as a DELTA against the previous version — only the
+        dirs/stats the commit added or dropped — so commit IO is
+        O(batch), not O(table): a 10^5-file table no longer rewrites
+        every file's stats into every manifest. Every
+        ``_CHECKPOINT_EVERY``-th version (and version 0) is written
+        FULL, bounding reader resolution to one checkpoint + <= 9
+        deltas. The delta is SELF-VERIFYING: it is applied back onto
+        the previous resolved state and compared to ``manifest``; any
+        mismatch (an op whose dir ordering the diff cannot reproduce)
+        falls back to a full manifest — correctness never depends on
+        the diff covering every mutator shape."""
         os.makedirs(self.log_dir, exist_ok=True)
+        # normalize through json so the delta diff and the memo cache
+        # see exactly what a reader would load from disk (tuples ->
+        # lists etc.)
+        manifest = json.loads(json.dumps(manifest))
+        payload = manifest
+        if version > 0 and version % _CHECKPOINT_EVERY != 0:
+            try:
+                prev = self._manifest(version - 1)
+            except FileNotFoundError:
+                prev = None
+            if prev is not None:
+                delta = _make_manifest_delta(prev, manifest)
+                if delta is not None:
+                    payload = delta
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
+            json.dump(payload, fh)
             fh.flush()
             os.fsync(fh.fileno())
         try:
             os.link(tmp, self._manifest_path(version))
+            self._mcache[version] = manifest
             return True
         except FileExistsError:
             return False
@@ -193,6 +298,51 @@ class SnapshotTable:
             col, lo, hi = where
             out = out.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
         return out
+
+    def committed_files(self, version: int | None = None) -> list[str]:
+        """Absolute paths of every data file composing snapshot
+        ``version`` (default latest) — the ENGINE-INTEROP contract the
+        reference satisfies through Iceberg metadata (its DuckDB
+        notebooks read what Spark committed, notebooks/
+        analysis-minio.ipynb:52-65): any parquet reader given exactly
+        this list replays exactly the committed snapshot. A naive glob
+        of ``data/`` instead would also read dirs a rewrite superseded
+        and dirs of in-flight writers — wrong rows both ways."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        out: list[str] = []
+        for d in self._manifest(v)["dirs"]:
+            base = os.path.join(self.data_dir, d)
+            for walk_root, _sub, files in os.walk(base):
+                for fn in sorted(files):
+                    if fn.endswith(".parquet"):
+                        out.append(os.path.join(walk_root, fn))
+        return out
+
+    def export_symlink_manifest(
+        self, out_dir: str, version: int | None = None
+    ) -> list[str]:
+        """Materialize snapshot ``version`` for engines that can't read
+        the commit log: a flat dir of SYMLINKS to exactly the committed
+        parquet files plus a ``manifest.json`` listing the real paths —
+        the published Delta ``symlink_format_manifest`` pattern
+        (GENERATE symlink_format_manifest; how Presto/Athena/DuckDB
+        consume Delta tables without the protocol). ``read_parquet(
+        '<out_dir>/*.parquet')`` in DuckDB then sees the snapshot and
+        nothing else. Zero data copies; re-export after new commits
+        (the export pins one immutable version, like any reader).
+        Returns the linked real file paths."""
+        import shutil
+
+        files = self.committed_files(version)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.makedirs(out_dir)
+        for i, path in enumerate(files):
+            os.symlink(path, os.path.join(out_dir, f"{i:06d}.parquet"))
+        with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
+            json.dump({"files": files}, fh)
+        return files
 
     def _js(self, v):
         """JSON-safe stat value. Primitives pass through; date /
@@ -852,7 +1002,19 @@ class SnapshotTable:
                 continue
             shutil.rmtree(path)
             removed.append(d)
-        for v in range(0, keep_versions.start):
+        # A retained delta manifest resolves through its predecessors:
+        # keep every log entry back to the checkpoint (full manifest)
+        # the oldest retained version chains to (<= _CHECKPOINT_EVERY-1
+        # extra entries), delete strictly older ones.
+        anchor = keep_versions.start
+        while anchor > 0:
+            try:
+                if self._manifest_raw(anchor).get("format") != "delta":
+                    break
+            except FileNotFoundError:
+                break
+            anchor -= 1
+        for v in range(0, anchor):
             try:
                 os.unlink(self._manifest_path(v))
             except FileNotFoundError:

@@ -434,3 +434,47 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("etl_gate.bk_events").join(
         spark.table("etl_gate.bk_orders"), "user_id"
     )
+
+
+@query(
+    "sink_tx_interop",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY 1
+    """,
+)
+def sink_tx_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE-INTEROP export of a committed snapshot (the reference's
+    notebook contract — notebooks/analysis-minio.ipynb:52-65: DuckDB
+    reads what Spark committed through Iceberg metadata): the table
+    takes a partial load, an append, then a full-rewrite overwrite, so
+    the data dir holds BOTH the live snapshot and the superseded dirs.
+    ``export_symlink_manifest`` (acid.py; the published Delta
+    symlink_format_manifest pattern) materializes exactly the committed
+    file list, and the result is computed by reading the EXPORT back —
+    so a stale or over-inclusive file list double-counts the partial
+    loads and fails the value hash. DuckDB consuming the same export is
+    pinned in tests/test_acid.py
+    test_export_symlink_manifest_duckdb_replays_snapshot."""
+    import os
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    t = _tx_table(spark, "interop")
+    half = F.col("o_orderkey") % 2
+    t.overwrite(o.filter(half == 0))
+    t.append(o.filter(half == 1))
+    t.overwrite(o)  # rewrite: previous dirs stay on disk until vacuum
+    exp = os.path.join(os.path.dirname(t.root), "interop_export")
+    t.export_symlink_manifest(exp)
+    return (
+        spark.read.option("pathGlobFilter", "*.parquet")
+        .parquet(exp)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )

@@ -650,3 +650,135 @@ def test_sync_incremental_follows_source_schema_evolution(
     assert synced == src.latest_version()
     rows = {(r.k, r.v, r.w) for r in dst.read().drop("_src_version").collect()}
     assert rows == {(1, "a", None), (2, "b", 9.5)}
+
+
+def test_manifest_checkpointing_bounds_log_resolution(spark, tmp_path):
+    """Delta-log + checkpoint protocol (Delta paper §3.1): most commits
+    persist as O(batch) deltas; every 10th is a full checkpoint; a
+    reader resolves any version by loading one checkpoint + its <= 9
+    trailing deltas, never the whole history — the 10^3-commit table's
+    read cost stays flat."""
+    import json
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    for i in range(100):
+        t.append(_df(spark, [(i, f"v{i}")]), stats_cols=["k"])
+    # log shape: checkpoints at multiples of 10, deltas elsewhere
+    for v in (0, 10, 50, 90):
+        assert t._manifest_raw(v).get("format") != "delta", v
+    for v in (1, 9, 55, 99):
+        raw = t._manifest_raw(v)
+        assert raw["format"] == "delta", v
+        # delta carries ONLY the commit's own dir + stats
+        assert len(raw["add_dirs"]) == 1 and not raw["drop_dirs"]
+        assert len(raw["add_file_stats"]) == 1
+    # a delta entry stays O(batch) while the checkpoint grows O(table)
+    raw99 = len(json.dumps(t._manifest_raw(99)))
+    raw90 = len(json.dumps(t._manifest_raw(90)))
+    assert raw99 < raw90 / 5
+    # resolution IO: a FRESH reader (cold cache) loads checkpoint+tail
+    t2 = SnapshotTable(spark, str(tmp_path / "t"))
+    opens = []
+    orig = SnapshotTable._manifest_raw
+    t2._manifest_raw = lambda v: (opens.append(v), orig(t2, v))[1]
+    m = t2._manifest(99)
+    assert sorted(opens) == list(range(90, 100))
+    assert len(m["dirs"]) == 100 and len(m["file_stats"]) == 100
+    # end-to-end: resolved snapshot reads every committed row, and
+    # data skipping still prunes through delta-carried stats
+    assert t2.read().count() == 100
+    rows = t2.read(where=("k", 42, 44)).collect()
+    assert sorted(r.k for r in rows) == [42, 43, 44]
+    # time travel through a delta chain
+    assert t2.read(57).count() == 58
+
+
+def test_vacuum_preserves_delta_chain(spark, tmp_path):
+    """vacuum must keep the log entries a retained delta resolves
+    through (back to its checkpoint), while still dropping strictly
+    older manifests."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    for i in range(25):
+        t.append(_df(spark, [(i, "x")]))
+    t.vacuum(retain_versions=1, min_age_seconds=0.0)
+    t2 = SnapshotTable(spark, str(tmp_path / "t"))
+    assert t2.read().count() == 25  # v24 resolves via checkpoint v20
+    import os
+
+    kept = sorted(
+        int(n[:-5]) for n in os.listdir(t.log_dir) if n.endswith(".json")
+    )
+    assert kept == list(range(20, 25))
+
+
+def test_export_symlink_manifest_duckdb_replays_snapshot(spark, tmp_path):
+    """Engine interop (reference notebooks/analysis-minio.ipynb:52-65:
+    DuckDB reads what Spark committed): the symlink-manifest export of
+    version v lets DuckDB replay EXACTLY that snapshot — while a naive
+    glob of data/ also sees dirs a rewrite superseded and returns wrong
+    rows."""
+    import duckdb
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    t.append(_df(spark, [(3, "c")]))
+    t.overwrite(_df(spark, [(10, "x"), (11, "y")]))  # stale dirs remain
+    exp = str(tmp_path / "exp")
+    files = t.export_symlink_manifest(exp)
+    assert files == t.committed_files()
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT k, v FROM read_parquet('{exp}/*.parquet') ORDER BY k"
+    ).fetchall()
+    assert got == [(10, "x"), (11, "y")]
+    # naive glob over the data dir reads superseded dirs too
+    naive = con.execute(
+        "SELECT COUNT(*) FROM read_parquet("
+        f"'{t.data_dir}/*/*.parquet')"
+    ).fetchone()[0]
+    assert naive == 5  # 2 + 1 + 2: why the manifest list is the contract
+    # historical snapshot: version 1 replays pre-rewrite state
+    files_v1 = t.export_symlink_manifest(str(tmp_path / "exp1"), version=1)
+    got1 = con.execute(
+        f"SELECT k FROM read_parquet('{tmp_path / 'exp1'}/*.parquet') "
+        "ORDER BY k"
+    ).fetchall()
+    assert [r[0] for r in got1] == [1, 2, 3]
+
+
+def test_concurrent_writers_serializable_no_lost_updates(spark, tmp_path):
+    """Multi-writer stress (round-6 verdict "Next round" #7): N threads
+    race insert_ignore batches with OVERLAPPING key ranges plus
+    appends; optimistic commits must serialize into N+M distinct
+    versions with no lost update — every thread's keys present exactly
+    once, first-writer-wins on overlaps."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(_df(spark, [(0, "seed")]))
+    n_writers = 6
+
+    def ignore_batch(w: int):
+        # each writer inserts [w*10, w*10+14] — overlaps its neighbor
+        rows = [(k, f"w{w}") for k in range(w * 10, w * 10 + 15)]
+        return t.insert_ignore(_df(spark, rows), ["k"])
+
+    with ThreadPoolExecutor(max_workers=n_writers) as ex:
+        inserted = list(ex.map(ignore_batch, range(n_writers)))
+    # serializable: the 6 racing commits landed as versions 1..6, and
+    # the inserted counts sum to exactly the novel-key total (64: keys
+    # 0..64 minus the seeded 0) — any lost update would under-count,
+    # any double-apply would over-count
+    assert t.latest_version() == n_writers
+    assert sum(inserted) == 64
+    rows = t.read().collect()
+    keys = sorted(r.k for r in rows)
+    assert keys == list(range(65)), "keys lost or duplicated"
+    # first-writer-wins: each overlap key has exactly one writer's tag
+    by_key: dict[int, str] = {}
+    for r in rows:
+        assert r.k not in by_key, f"duplicate key {r.k}"
+        by_key[r.k] = r.v
+    assert by_key[0] == "seed"
+    ops = [h["op"] for h in t.history()]
+    assert ops.count("insert_ignore") == n_writers
