@@ -90,3 +90,53 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark
+
+
+def configure_object_store(
+    spark: SparkSession,
+    endpoint: str | None = None,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    path_style_access: bool | None = None,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    """Object-store (S3/MinIO) configuration surface — SURVEY §2 S8
+    parity with the reference's boto3 client against MinIO (reference
+    src/jobs/ingest_job.py:114-156 polls ``list_objects_v2``;
+    docker-compose.yaml provisions MinIO with endpoint + key pair).
+
+    Applies ``fs.s3a.*`` settings to the LIVE session's Hadoop
+    configuration, which every FileSystem instantiation — batch scans,
+    streaming file sources (streaming/ingest.py), parquet sinks,
+    snapshot-table paths — reads. After this, the SAME code paths that
+    ingest ``file:///landing`` work against ``s3a://bucket/prefix``
+    unchanged: the streaming file source's directory listing goes
+    through the Hadoop FileSystem API, so no boto3 analog is needed.
+
+    ``endpoint`` points s3a at a MinIO/custom gateway (path-style
+    access defaults ON for custom endpoints — MinIO serves buckets by
+    path, not virtual host); credentials fall back to the standard
+    provider chain (env vars, instance profile) when not given.
+    ``extra`` passes any further ``fs.s3a.*`` keys verbatim
+    (e.g. ``fs.s3a.connection.ssl.enabled``, committer tuning).
+
+    This sandbox ships no hadoop-aws jar and no network, so tests
+    assert the conf plumbing (tests/test_streaming_ingest.py), not
+    object-store IO; on a real cluster (EMR/Dataproc/k8s images bundle
+    hadoop-aws) this function is the only extra call required."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    settings: dict[str, str] = {}
+    if endpoint is not None:
+        settings["fs.s3a.endpoint"] = endpoint
+        if path_style_access is None:
+            path_style_access = True
+    if access_key is not None:
+        settings["fs.s3a.access.key"] = access_key
+    if secret_key is not None:
+        settings["fs.s3a.secret.key"] = secret_key
+    if path_style_access is not None:
+        settings["fs.s3a.path.style.access"] = str(path_style_access).lower()
+    settings.update(extra or {})
+    for k, v in settings.items():
+        hconf.set(k, v)
+    return spark

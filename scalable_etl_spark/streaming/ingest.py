@@ -27,10 +27,12 @@ S8 (object-store listing) mapping: the reference polls S3 with boto3
 SAME ``readStream`` works unchanged against ``s3a://bucket/prefix`` —
 the file source's directory listing goes through the Hadoop FileSystem
 API, so local FS, HDFS, and S3A differ only in the URI scheme; no
-boto3 analog is needed. For high-file-rate buckets swap the listing
-for notification-driven discovery (S3 event -> SQS -> a file-index
-table) while keeping this query shape; this sandbox has no object
-store, so the file:// path carries the tested semantics.
+boto3 analog is needed. ``session.configure_object_store`` is the
+endpoint/credential surface (MinIO parity with the reference's
+docker-compose + boto3 client). For high-file-rate buckets swap the
+listing for notification-driven discovery (S3 event -> SQS -> a
+file-index table) while keeping this query shape; this sandbox has no
+object store, so the file:// path carries the tested semantics.
 """
 
 from __future__ import annotations

@@ -206,3 +206,24 @@ def test_content_hash_dedup_renamed_file(spark, dirs):
     q = start_bronze_ingest(spark, str(src), bronze, ckpt, content_dedup=True)
     q.awaitTermination()
     assert spark.read.parquet(bronze).count() == 3
+
+
+def test_configure_object_store_sets_s3a_conf(spark):
+    """S8 conf surface: the MinIO/S3 settings land in the live Hadoop
+    configuration every FileSystem instantiation reads (no network in
+    this sandbox - the jar-backed IO itself is a cluster concern)."""
+    from scalable_etl_spark.session import configure_object_store
+
+    configure_object_store(
+        spark,
+        endpoint="http://minio:9000",
+        access_key="minioadmin",
+        secret_key="minioadmin",
+        extra={"fs.s3a.connection.ssl.enabled": "false"},
+    )
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.endpoint") == "http://minio:9000"
+    assert hconf.get("fs.s3a.access.key") == "minioadmin"
+    # MinIO serves buckets by path: custom endpoint implies path-style
+    assert hconf.get("fs.s3a.path.style.access") == "true"
+    assert hconf.get("fs.s3a.connection.ssl.enabled") == "false"
