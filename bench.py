@@ -66,6 +66,11 @@ def main() -> None:
         QUERIES["ann_brute_force"](spark, "/root/testdata/sf0.001").count()
         QUERIES["ann_lsh"](spark, "/root/testdata/sf0.001").count()
         QUERIES["ann_ivf"](spark, "/root/testdata/sf0.001").count()
+        # The gated-Jaccard signature (24 perms / 8 bands) is a distinct
+        # codegen shape from minhash_lsh's 16/4 — its first execution
+        # pays ~3.5s of JVM compilation (measured: 5.8s cold vs 2.1s
+        # steady at sf0.1) that belongs to warmup, not the query.
+        QUERIES["ngram_jaccard_gated"](spark, "/root/testdata/sf0.001").count()
     except Exception as exc:
         print(f"# warmup failed: {exc}", file=sys.stderr)
 

@@ -35,6 +35,15 @@ def _drain_to_df(spark: SparkSession, writer_df: DataFrame, qname: str,
     """Drain a streaming aggregation into a memory sink with availableNow,
     return the drained result, and clean up.
 
+    WARNING — TEST-HARNESS HELPER, NOT A PRODUCTION PATTERN. The
+    ``memory`` sink materializes the ENTIRE result on the driver; it
+    exists so the correctness gate can hash a drained stream's final
+    state (tiny keyed aggregates here, by construction). A production
+    stream writes to parquet / a snapshot table
+    (``acid.write_stream_snapshot``, ``ingest.start_bronze_ingest``) —
+    never copy this helper into a pipeline, where an unbounded result
+    would OOM the driver.
+
     The memory-sink temp view is dropped before returning: ``spark.table``
     analyzes eagerly, so the returned DataFrame keeps its resolved plan
     over the (driver-resident) sink while the catalog stays free of
