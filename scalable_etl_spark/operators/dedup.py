@@ -809,3 +809,95 @@ def winnowing_fingerprints(
     return picked.select(
         F.col(id_col), F.col("minh").alias("fingerprint")
     ).distinct()
+
+
+def cluster_scoped_near_pairs(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.99,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style cluster-scoped near-duplicate pairs (Abbas et
+    al., "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication", 2023 — public arXiv 2303.09540): assign
+    every vector to its nearest centroid, then score pairs ONLY within
+    a cluster. The published scale argument, implemented literally:
+    all-pairs work is bounded per cluster (grow ``n_clusters`` with the
+    corpus so cluster sizes stay ~1e4), and the cross-cluster product —
+    the quadratic term — is never formed. Returns
+    (cluster, id_a, id_b, cos_sim) with id_a < id_b, cos_sim rounded
+    to 6 then thresholded.
+
+    Shape: one Arrow map for assignment (broadcast centroid matrix, no
+    shuffle), ONE shuffle on cluster id into a grouped-map
+    ``applyInPandas`` whose per-dimension outer-product accumulation
+    matches ``list_dot_product``'s IEEE add order — the same
+    engine-exact scoring contract as ``embedding_near_dup_pairs``.
+    Cosine differs from centroid-bucketed LSH in that clusters
+    partition the space: a true pair straddling a cluster boundary is
+    missed by design (SemDeDup accepts this; the paper measures the
+    effect) — use ``embedding_near_dup_pairs`` when cross-boundary
+    recall matters."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.vectors import (
+        EMBEDDING_DIM,
+        as_double,
+        nearest_centroid_pandas,
+    )
+
+    d = dim or EMBEDDING_DIM
+    id_field = next(f for f in emb.schema.fields if f.name == id_col)
+    id_sql = id_field.dataType.simpleString()
+    asg = emb.select(
+        F.col(id_col),
+        as_double(vec_col).alias("v"),
+        nearest_centroid_pandas(vec_col, n_clusters, d).alias("cluster"),
+    )
+    lo = threshold - 1e-6
+
+    def _score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "cluster": pd.Series([], dtype="int32"),
+                "id_a": pd.Series([], dtype=pdf[id_col].dtype),
+                "id_b": pd.Series([], dtype=pdf[id_col].dtype),
+                "cos_raw": pd.Series([], dtype=float),
+            }
+        )
+        if n < 2:
+            return empty
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        V = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        acc = np.outer(V[:, 0], V[:, 0])
+        for i in range(1, V.shape[1]):
+            acc = acc + np.outer(V[:, i], V[:, i])
+        norms = np.sqrt(np.diag(acc))
+        ia, ib = np.triu_indices(n, 1)
+        cos = acc[ia, ib] / (norms[ia] * norms[ib])
+        keep = cos >= lo
+        return pd.DataFrame(
+            {
+                "cluster": np.full(int(keep.sum()), pdf["cluster"].iat[0],
+                                   dtype=np.int32),
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "cos_raw": cos[keep],
+            }
+        )
+
+    scored = asg.groupBy("cluster").applyInPandas(
+        _score, f"cluster int, id_a {id_sql}, id_b {id_sql}, cos_raw double"
+    )
+    return scored.select(
+        "cluster",
+        "id_a",
+        "id_b",
+        F.round(F.col("cos_raw"), 6).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)

@@ -861,3 +861,81 @@ def incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+# ------------------------------------------------------ semantic dedup
+
+_SEMDEDUP_TAU = 0.40
+
+
+@query(
+    "semantic_dedup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dots AS (
+      SELECT vec_id, v,
+             {", ".join(
+                 f"list_dot_product(v, {centroid_sql(k)}) AS d{k}"
+                 for k in range(_N_CLUSTERS))}
+      FROM e),
+    asg AS (
+      SELECT vec_id, v, {_cluster_case_sql(_N_CLUSTERS)} AS cluster
+      FROM dots),
+    pairs AS (
+      SELECT a.cluster, b.vec_id AS id_b,
+             ROUND(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 6) AS cs
+      FROM asg a JOIN asg b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+    dropped AS (
+      SELECT DISTINCT cluster, id_b FROM pairs WHERE cs >= {_SEMDEDUP_TAU})
+    SELECT CAST(a.cluster AS INT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(d.id_b) AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) - COUNT(d.id_b) AS BIGINT) AS n_kept
+    FROM asg a
+    LEFT JOIN dropped d ON d.cluster = a.cluster AND d.id_b = a.vec_id
+    GROUP BY 1
+    """,
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv 2303.09540): semantic
+    deduplication by nearest-centroid clustering + within-cluster
+    cosine pruning with a greedy min-id keeper — the published recipe
+    for shrinking web-scale training corpora with negligible quality
+    loss. Per cluster: total vectors, how many the tau = 0.40 prune
+    drops, how many survive.
+
+    Scale shape (the paper's own argument, kept literally): centroid
+    assignment is a broadcast-closure Arrow map (no shuffle); pairs
+    form ONLY within a cluster (one shuffle on cluster id into a
+    grouped-map scorer, operators/dedup.py cluster_scoped_near_pairs);
+    the cross-cluster quadratic term is never formed. n_clusters grows
+    with the corpus so per-cluster work stays bounded. The oracle
+    replays the identical centroid literals, argmax tie-break, and
+    IEEE dot-accumulation order, so the approximate method is checked
+    exactly."""
+    from .operators.dedup import cluster_scoped_near_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = cluster_scoped_near_pairs(
+        e, n_clusters=_N_CLUSTERS, threshold=_SEMDEDUP_TAU
+    )
+    dropped = pairs.select(
+        "cluster", F.col("id_b").alias("vec_id")
+    ).distinct()
+    asg = e.select(
+        "vec_id",
+        nearest_centroid_pandas(
+            "embedding", _N_CLUSTERS, EMBEDDING_DIM
+        ).alias("cluster"),
+    )
+    marked = asg.join(
+        dropped.withColumn("_d", F.lit(1)), ["cluster", "vec_id"], "left"
+    )
+    return marked.groupBy("cluster").agg(
+        F.count("*").alias("n_vecs"),
+        F.count("_d").alias("n_dropped"),
+        (F.count("*") - F.count("_d")).alias("n_kept"),
+    )
