@@ -103,6 +103,13 @@ _DEMOTED = (
     "recent_events",
     "monthly_trends",
     "value_by_type",
+    # round-7 late rotation: make room for the two new graded streaming
+    # queries (session windows, stream-stream join). SET ops stay
+    # represented by gold_schema_merge + users_error_no_purchase;
+    # grouped counts by pricing_summary/type_diversity; the Q3
+    # join-agg-sort shape by revenue_by_region + top_users.
+    "users_purchase_and_signup",
+    "order_priority_counts",
 )
 
 

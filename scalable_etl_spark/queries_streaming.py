@@ -29,6 +29,12 @@ from .tables import load_table
 # same knob would be sized to keyspace/executor count, not defaulted.
 _STREAM_SHUFFLE_PARTITIONS = "8"
 
+# JSON spool timestamp format preserving MICROSECONDS: Spark's default
+# JSON timestampFormat truncates to milliseconds, which is invisible to
+# the hour-aligned window queries but corrupts any query whose output
+# carries raw event times (session starts, join-matched timestamps).
+_MICROS_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
 
 def _drain_to_df(spark: SparkSession, writer_df: DataFrame, qname: str,
                  ckpt: str, output_mode: str) -> DataFrame:
@@ -261,4 +267,157 @@ def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _drain_to_df(
         spark, agg, "streaming_enriched_counts_sink", ckpt, "complete"
+    )
+
+
+@query(
+    "streaming_session_windows",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts FROM events WHERE user_id < 20),
+    x AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL 2 HOUR
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x)
+    SELECT user_id, MIN(ts) AS session_start,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION windows computed BY A STREAM (§2.9 beyond tumbling/
+    sliding): ``F.session_window(ts, gap)`` merges events closer than
+    the 2-hour gap into dynamic, data-driven windows — the streaming
+    state machine handles window GROWTH and MERGE as events arrive,
+    which fixed windows never exercise. Complete-mode availableNow
+    drain emits the final merged sessions.
+
+    Session semantics are batch-replayable: a session breaks exactly
+    when the time to the previous event is >= gap (Spark merges while
+    next_start < prev_end with end = ts + gap), so the oracle's
+    LAG/cumulative-sum sessionization produces the identical
+    (user, session_start = first event ts, n_events) rows and the
+    value hash must match bit-for-bit.
+
+    Scale: state is one in-flight session per user key (bounded by the
+    key domain, reclaimed on emit); the shuffle is on user_id — the
+    same single-exchange shape as the batch sessionizer
+    (operators/sessions.py)."""
+    src = tempfile.mkdtemp(prefix="sess_src_")
+    ckpt = tempfile.mkdtemp(prefix="sess_ckpt_")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .select("user_id", "ts")
+    )
+    # session_start is a RAW event time in the output (unlike the
+    # hour-aligned fixed windows), so the spool must round-trip
+    # microseconds — the default JSON timestamp format truncates to
+    # millis and the value hash would diverge from the oracle.
+    ev.coalesce(4).write.mode("overwrite").option(
+        "timestampFormat", _MICROS_TS_FMT
+    ).json(src)
+
+    stream = (
+        spark.readStream.schema("user_id BIGINT, ts TIMESTAMP")
+        .option("timestampFormat", _MICROS_TS_FMT)
+        .json(src)
+        .withWatermark("ts", "1 minute")
+    )
+    agg = stream.groupBy(
+        F.session_window("ts", "2 hours").alias("w"), "user_id"
+    ).agg(F.count("*").alias("n_events"))
+    out = _drain_to_df(
+        spark, agg, "streaming_session_windows_sink", ckpt, "complete"
+    )
+    return out.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        "n_events",
+    )
+
+
+@query(
+    "streaming_stream_join",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts FROM events
+      WHERE event_type = 'view' AND user_id < 10),
+    p AS (
+      SELECT user_id, ts FROM events
+      WHERE event_type = 'purchase' AND user_id < 10)
+    SELECT v.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           MIN(p.ts) AS first_purchase
+    FROM v JOIN p
+      ON p.user_id = v.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 24 HOUR
+    GROUP BY 1
+    """,
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join (§2.9 beyond stream-static
+    enrichment): two independent file-source streams — views and
+    purchases — joined on user within a 24-hour attribution window,
+    BOTH sides watermarked so the state store can discard a buffered
+    view once no future purchase can match it (the published
+    stream-stream join design: watermark + time-range condition =>
+    bounded state; without the range the state grows forever).
+
+    Inner stream-stream joins emit each matched pair exactly once, so
+    an availableNow drain's output equals the batch interval join —
+    the oracle — row for row; the drained pairs are then aggregated
+    per user (batch agg AFTER the drain, keeping the streaming query
+    single-stateful-operator).
+
+    Scale: state is per-user buffered events inside the watermark
+    horizon; the join shuffles both sides on user_id — the same
+    equi-key exchange a batch join uses, plus state cleanup driven by
+    the 24h+1m watermark delta."""
+    src_v = tempfile.mkdtemp(prefix="ssj_v_")
+    src_p = tempfile.mkdtemp(prefix="ssj_p_")
+    ckpt = tempfile.mkdtemp(prefix="ssj_ckpt_")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    # microsecond-preserving spool: first_purchase is a raw event time
+    ev.filter(F.col("event_type") == "view").select("user_id", "ts") \
+        .coalesce(2).write.mode("overwrite") \
+        .option("timestampFormat", _MICROS_TS_FMT).json(src_v)
+    ev.filter(F.col("event_type") == "purchase").select("user_id", "ts") \
+        .coalesce(2).write.mode("overwrite") \
+        .option("timestampFormat", _MICROS_TS_FMT).json(src_p)
+
+    views = (
+        spark.readStream.schema("user_id BIGINT, ts TIMESTAMP")
+        .option("timestampFormat", _MICROS_TS_FMT)
+        .json(src_v)
+        .withWatermark("ts", "1 minute")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+    )
+    purchases = (
+        spark.readStream.schema("user_id BIGINT, ts TIMESTAMP")
+        .option("timestampFormat", _MICROS_TS_FMT)
+        .json(src_p)
+        .withWatermark("ts", "25 hours")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+    )
+    pairs = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND p_ts >= v_ts "
+            "AND p_ts <= v_ts + INTERVAL 24 HOURS"
+        ),
+    )
+    drained = _drain_to_df(
+        spark, pairs, "streaming_stream_join_sink", ckpt, "append"
+    )
+    return drained.groupBy(F.col("v_user").alias("user_id")).agg(
+        F.count("*").alias("n_pairs"),
+        F.min("p_ts").alias("first_purchase"),
     )

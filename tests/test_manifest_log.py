@@ -1,0 +1,112 @@
+"""Property tests for the delta-log + checkpoint manifest protocol
+(acid.py _commit/_manifest/_make_manifest_delta/_apply_manifest_delta):
+for ANY sequence of commit shapes — append-like (add a dir),
+overwrite-like (replace all dirs), merge-like (drop some, add one),
+with or without stats — every version must resolve from disk to
+exactly the manifest the writer committed, from a cold cache, in any
+access order. The log layer is pure Python (no Spark jobs), so these
+run the full hypothesis engine cheaply."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from scalable_etl_spark.acid import _CHECKPOINT_EVERY, SnapshotTable
+
+
+def _table(tmp_path) -> SnapshotTable:
+    # The log layer never touches the SparkSession.
+    return SnapshotTable(None, str(tmp_path / "t"))
+
+
+# One synthetic commit: op shape + whether the new dir carries stats.
+_op = st.sampled_from(["append", "overwrite", "merge"])
+_commit_s = st.tuples(_op, st.booleans())
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_commit_s, min_size=1, max_size=35), st.randoms())
+def test_any_commit_sequence_resolves_exactly(tmp_path_factory, seq, rnd):
+    tmp_path = tmp_path_factory.mktemp("log")
+    t = _table(tmp_path)
+    expected: list[dict] = []
+    dirs: list[str] = []
+    stats: dict = {}
+    fstats: dict = {}
+    for v, (op, with_stats) in enumerate(seq):
+        d = f"d{v:04d}"
+        if op == "overwrite":
+            dirs, stats, fstats = [d], {}, {}
+        elif op == "merge" and dirs:
+            # drop a random subset of existing dirs, keep the rest
+            keep = [x for x in dirs if rnd.random() < 0.5]
+            dirs = [*keep, d]
+            stats = {k: s for k, s in stats.items() if k in keep}
+            fstats = {k: s for k, s in fstats.items() if k in keep}
+        else:
+            dirs = [*dirs, d]
+        if with_stats:
+            stats = {**stats, d: {"k": [v, v + 10]}}
+            fstats = {**fstats, d: {"f.parquet": {"k": [v, v + 10]}}}
+        manifest = {
+            "op": op,
+            "dirs": list(dirs),
+            "schema": '{"type":"struct","fields":[]}',
+            "partition_cols": [],
+            "stats": dict(stats),
+            "file_stats": dict(fstats),
+            "txn": {"q": v},
+            "timestamp": 1.0 + v,
+        }
+        assert t._commit(v, manifest)
+        expected.append(json.loads(json.dumps(manifest)))
+    # cold reader, random access order: every version resolves exactly
+    t2 = _table(tmp_path)
+    order = list(range(len(seq)))
+    rnd.shuffle(order)
+    for v in order:
+        assert t2._manifest(v) == expected[v], f"version {v} mismatch"
+    # log shape: checkpoints full, and at least one delta exists in any
+    # run long enough to contain a non-checkpoint version
+    for v in range(len(seq)):
+        raw = t2._manifest_raw(v)
+        if v % _CHECKPOINT_EVERY == 0:
+            assert raw.get("format") != "delta", f"v{v} must be full"
+
+
+def test_lost_race_leaves_no_stale_cache(tmp_path):
+    """A _commit that loses the version race must not poison the memo
+    cache with the loser's manifest."""
+    t = _table(tmp_path)
+    m1 = {"op": "append", "dirs": ["a"], "schema": "{}",
+          "partition_cols": [], "stats": {}, "file_stats": {},
+          "txn": {}, "timestamp": 1.0}
+    m2 = {**m1, "dirs": ["b"]}
+    assert t._commit(0, m1)
+    assert not t._commit(0, m2)  # lost race
+    assert t._manifest(0)["dirs"] == ["a"]
+    t2 = _table(tmp_path)
+    assert t2._manifest(0)["dirs"] == ["a"]
+
+
+def test_corrupt_delta_chain_fails_loudly(tmp_path):
+    """A missing predecessor under a delta entry must raise, never
+    resolve to partial state."""
+    import pytest
+
+    t = _table(tmp_path)
+    base = {"op": "append", "schema": "{}", "partition_cols": [],
+            "txn": {}, "timestamp": 1.0}
+    for v in range(3):
+        m = {**base, "dirs": [f"d{i}" for i in range(v + 1)],
+             "stats": {}, "file_stats": {}}
+        assert t._commit(v, m)
+    assert t._manifest_raw(2).get("format") == "delta"
+    os.unlink(t._manifest_path(1))
+    t2 = _table(tmp_path)
+    with pytest.raises(FileNotFoundError):
+        t2._manifest(2)
