@@ -110,6 +110,7 @@ _DEMOTED = (
     # join-agg-sort shape by revenue_by_region + top_users.
     "users_purchase_and_signup",
     "order_priority_counts",
+    "sql_type_share_cte",  # S7 stays represented by 3 other sql_ queries
 )
 
 

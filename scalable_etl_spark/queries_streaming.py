@@ -421,3 +421,52 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
         F.min("p_ts").alias("first_purchase"),
     )
+
+
+@query(
+    "streaming_dedup_counts",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_events
+    FROM events WHERE user_id < 25
+    GROUP BY 1
+    """,
+)
+def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARKED STREAM DEDUP under the gate (§2.9's remaining
+    concern; production path streaming/ingest.py dedup_in_stream): the
+    spool is written TWICE (every event is a duplicate pair), the
+    stream drops duplicates on event_id with a watermark bounding the
+    dedup state, and the drained row set must equal the DISTINCT set —
+    each duplicate admitted exactly once no matter which micro-batch
+    it lands in. The per-type aggregation runs batch-side AFTER the
+    drain (keeping the streaming query single-stateful-operator); the
+    oracle is the plain COUNT(DISTINCT) the dedup must reproduce.
+
+    Scale: dedup state is one entry per key inside the watermark
+    horizon — the watermark is what makes stream dedup viable at all
+    at 100 TB (unbounded dedup state is a leak, see
+    dedup_content_hash's caveats)."""
+    src = tempfile.mkdtemp(prefix="sdedup_src_")
+    ckpt = tempfile.mkdtemp(prefix="sdedup_ckpt_")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 25)
+        .select("event_id", "ts", "event_type")
+    )
+    ev.unionAll(ev).coalesce(4).write.mode("overwrite").json(src)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP, event_type STRING"
+        )
+        .json(src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+    )
+    drained = _drain_to_df(
+        spark, stream, "streaming_dedup_counts_sink", ckpt, "append"
+    )
+    return drained.groupBy("event_type").agg(
+        F.count("*").alias("n_events")
+    )
