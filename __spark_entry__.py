@@ -111,6 +111,8 @@ _DEMOTED = (
     "users_purchase_and_signup",
     "order_priority_counts",
     "sql_type_share_cte",  # S7 stays represented by 3 other sql_ queries
+    "sql_correlated_subquery",  # ditto (driver-green r6; decorrelation
+    # is additionally pinned by the plan-shape suite)
 )
 
 

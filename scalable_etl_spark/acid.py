@@ -614,9 +614,13 @@ class SnapshotTable:
         range-clusters the batch on those columns first (``n_files``
         caps the file count, ``zorder=True`` Morton-interleaves 2+
         columns for multi-dimension skipping) and implies stats on
-        them. Returns the committed version."""
+        them. ``n_files`` without ``cluster_by`` bin-packs via
+        coalesce (no shuffle) — the plain small-files compaction
+        shape. Returns the committed version."""
         if cluster_by:
             df = self._cluster(df, cluster_by, n_files, zorder)
+        elif n_files is not None:
+            df = df.coalesce(n_files)
         # union, not either/or: cluster_by columns ALWAYS get stats
         # (the clustered layout is useless for skipping without them),
         # even when the caller also asks for stats on other columns
@@ -675,6 +679,8 @@ class SnapshotTable:
         columns stray from the table schema is rejected."""
         if cluster_by:
             df = self._cluster(df, cluster_by, n_files, zorder)
+        elif n_files is not None:
+            df = df.coalesce(n_files)
         # union, not either/or: cluster_by columns ALWAYS get stats
         # (the clustered layout is useless for skipping without them),
         # even when the caller also asks for stats on other columns
@@ -941,6 +947,35 @@ class SnapshotTable:
         pcols = self._manifest(v)["partition_cols"] if v is not None else []
         return self.overwrite(
             live, pcols, cluster_by=cluster_by, n_files=n_files, zorder=zorder
+        )
+
+    def maybe_compact(
+        self,
+        max_files: int = 64,
+        cluster_by: Sequence[str] = (),
+        n_files: int | None = None,
+        zorder: bool = False,
+    ) -> int | None:
+        """AUTO-COMPACT policy (Delta's optimizeWrite/autoCompact idea,
+        expressed as an explicit post-commit hook a writer or scheduler
+        calls): compact ONLY when the live snapshot references more
+        than ``max_files`` data files — the small-files pathology
+        streaming appends and frequent micro-batches create, where scan
+        planning and open() overhead start dominating the read. Returns
+        the compacted version or None for the (cheap, common) no-op.
+
+        The threshold check costs one manifest resolve + dir listings —
+        no Spark job — so calling it after every append is fine. At
+        100 TB, file-count ceilings per partition are how tables stay
+        readable under continuous ingestion; the compact itself rewrites
+        once per ceiling breach rather than per append (amortized
+        O(table/max_files) rewrites over a table's lifetime)."""
+        if self.latest_version() is None:
+            return None
+        if len(self.committed_files()) <= max_files:
+            return None
+        return self.compact(
+            cluster_by=cluster_by, n_files=n_files, zorder=zorder
         )
 
     def vacuum(

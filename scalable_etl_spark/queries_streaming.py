@@ -470,3 +470,94 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drained.groupBy("event_type").agg(
         F.count("*").alias("n_events")
     )
+
+
+@query(
+    "streaming_join_windowed",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts FROM events
+      WHERE event_type = 'view' AND user_id < 10),
+    p AS (
+      SELECT user_id, ts FROM events
+      WHERE event_type = 'purchase' AND user_id < 10),
+    pairs AS (
+      SELECT v.user_id, p.ts AS p_ts
+      FROM v JOIN p
+        ON p.user_id = v.user_id
+       AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 24 HOUR),
+    wm AS (
+      SELECT LEAST((SELECT MAX(ts) FROM v), (SELECT MAX(ts) FROM p))
+             - INTERVAL 1 MINUTE - INTERVAL 24 HOUR AS w)
+    SELECT CAST(date_trunc('day', p_ts) AS TIMESTAMP) AS window_start,
+           user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs
+    GROUP BY 1, 2
+    HAVING window_start + INTERVAL 1 DAY <= (SELECT w FROM wm)
+    """,
+)
+def streaming_join_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED STATEFUL OPERATORS in one streaming query (supported
+    since Spark 3.4): a watermarked stream-stream interval join feeding
+    a tumbling-window aggregation — two state stores in one pipeline,
+    no intermediate sink. This is the production spelling the separate
+    drain-then-batch-agg queries approximate.
+
+    Emission semantics, made oracle-exact: append mode emits only
+    windows FINALIZED by the watermark the AGGREGATION sees — which is
+    the global input watermark (min(max view ts, max purchase ts) -
+    1 minute; multipleWatermarkPolicy = min) DELAYED a further 24 hours
+    by the upstream join: a joined row's p_ts can trail the view-side
+    watermark by up to the time-range span, so Spark propagates
+    watermark - 24h downstream (verified empirically: the emitted set
+    cuts off exactly one extra day). The oracle's HAVING clause encodes
+    precisely that bound; the trailing (unfinalized) windows are
+    withheld by DESIGN on both sides of the comparison.
+
+    Scale: join state retention is derived from the time-range
+    condition (views persist only while a future purchase could still
+    match), agg state is one row per open (window, user) — both
+    bounded by watermarks; the two exchanges are both on user keys."""
+    src_v = tempfile.mkdtemp(prefix="sjw_v_")
+    src_p = tempfile.mkdtemp(prefix="sjw_p_")
+    ckpt = tempfile.mkdtemp(prefix="sjw_ckpt_")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    ev.filter(F.col("event_type") == "view").select("user_id", "ts") \
+        .coalesce(2).write.mode("overwrite") \
+        .option("timestampFormat", _MICROS_TS_FMT).json(src_v)
+    ev.filter(F.col("event_type") == "purchase").select("user_id", "ts") \
+        .coalesce(2).write.mode("overwrite") \
+        .option("timestampFormat", _MICROS_TS_FMT).json(src_p)
+
+    views = (
+        spark.readStream.schema("user_id BIGINT, ts TIMESTAMP")
+        .option("timestampFormat", _MICROS_TS_FMT)
+        .json(src_v)
+        .withWatermark("ts", "1 minute")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+    )
+    purchases = (
+        spark.readStream.schema("user_id BIGINT, ts TIMESTAMP")
+        .option("timestampFormat", _MICROS_TS_FMT)
+        .json(src_p)
+        .withWatermark("ts", "1 minute")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+    )
+    pairs = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND p_ts >= v_ts "
+            "AND p_ts <= v_ts + INTERVAL 24 HOURS"
+        ),
+    )
+    agg = pairs.groupBy(
+        F.window("p_ts", "1 day").alias("w"),
+        F.col("v_user").alias("user_id"),
+    ).agg(F.count("*").alias("n_pairs"))
+    out = _drain_to_df(
+        spark, agg, "streaming_join_windowed_sink", ckpt, "append"
+    )
+    return out.select(
+        F.col("w.start").alias("window_start"), "user_id", "n_pairs"
+    )

@@ -782,3 +782,24 @@ def test_concurrent_writers_serializable_no_lost_updates(spark, tmp_path):
     assert by_key[0] == "seed"
     ops = [h["op"] for h in t.history()]
     assert ops.count("insert_ignore") == n_writers
+
+
+def test_maybe_compact_policy(spark, tmp_path):
+    """Auto-compact fires only past the file-count ceiling, restores a
+    small-file table to a bounded layout, and is a cheap no-op below
+    threshold (no new version committed)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    for i in range(6):
+        t.append(_df(spark, [(i, "x")]))
+    v_before = t.latest_version()
+    assert t.maybe_compact(max_files=100) is None
+    assert t.latest_version() == v_before, "below ceiling: must not commit"
+    n_files_before = len(t.committed_files())
+    assert n_files_before >= 6
+    v = t.maybe_compact(max_files=4, n_files=2)
+    assert v == v_before + 1
+    assert len(t.committed_files()) <= 2
+    rows = sorted(r.k for r in t.read().collect())
+    assert rows == list(range(6))
+    # compacted layout is now under the ceiling: next call no-ops
+    assert t.maybe_compact(max_files=4) is None
