@@ -7,10 +7,11 @@ batch iteration, partition-preserving feature extraction. The codecs
 are REAL for binary netpbm images (P5/P6, pure numpy — header parse,
 comments, offset math, shape; ``decode_image``), non-interlaced 8-bit
 PNG (stdlib zlib inflate + all five scanline unfilters;
-``decode_png`` / ``encode_png``), and RIFF/WAVE 16-bit PCM audio
-(chunk walk, endianness, channel reshape; ``decode_audio``), and
-stubbed only for formats whose codecs this container genuinely
-doesn't ship (JPEG needs libjpeg's DCT; MP3/video need ffmpeg) —
+``decode_png`` / ``encode_png``), baseline JPEG (marker parse, Huffman
+entropy coding, dequant, 8x8 IDCT, YCbCr; ``operators/jpeg.py``), and
+RIFF/WAVE 16-bit PCM audio (chunk walk, endianness, channel reshape;
+``decode_audio``), and stubbed only for formats whose codecs this
+container genuinely doesn't ship (WebP: libwebp; MP3/video: ffmpeg) —
 those raise NotImplementedError.
 The deterministic byte-level feature stages below remain for
 format-agnostic plumbing tests; swapping PIL in changes one function
@@ -94,21 +95,25 @@ def _netpbm_header(buf: bytes) -> tuple[bytes, int, int, int, int]:
 
 def decode_image(payload: bytes) -> "object":
     """REAL image decode for binary netpbm (P6 RGB -> (h, w, 3) uint8
-    array, P5 grayscale -> (h, w)) and non-interlaced 8-bit PNG
-    (``decode_png``) — pure numpy + stdlib zlib, no external codec.
-    Formats that genuinely need external libraries (JPEG: libjpeg DCT;
-    WebP: libwebp) raise NotImplementedError in this container;
-    swapping in PIL changes only this function, not the pipeline
-    contract."""
+    array, P5 grayscale -> (h, w)), non-interlaced 8-bit PNG
+    (``decode_png``), and baseline JPEG (grayscale / 4:4:4 color —
+    ``operators/jpeg.py``) — pure numpy + stdlib zlib, no external
+    codec. Remaining formats (WebP, progressive/subsampled JPEG,
+    video) raise NotImplementedError; swapping in PIL/ffmpeg changes
+    only this function, not the pipeline contract."""
     import numpy as np
 
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     magic = payload[:2]
     if magic not in (b"P6", b"P5"):
         raise NotImplementedError(
             f"codec for magic {magic!r} not available in this environment "
-            "(netpbm P5/P6 and 8-bit PNG decode natively)"
+            "(netpbm P5/P6, 8-bit PNG, and baseline JPEG decode natively)"
         )
     _, w, h, maxval, off = _netpbm_header(payload)
     if maxval > 255:
@@ -362,6 +367,23 @@ def attach_synthetic_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     @pandas_udf("binary")
     def make(ids: pd.Series) -> pd.Series:
         return ids.map(lambda d: synthetic_png(int(d)))
+
+    return df.withColumn("payload", make(F.col(id_col)))
+
+
+def attach_synthetic_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Materialize a real baseline JPEG payload per row (full marker
+    structure, Annex K tables, Huffman entropy coding) whose constant
+    gray value makes the lossy codec bit-exact — see
+    ``operators/jpeg.py synthetic_jpeg``."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from .jpeg import synthetic_jpeg
+
+    @pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda d: synthetic_jpeg(int(d)))
 
     return df.withColumn("payload", make(F.col(id_col)))
 

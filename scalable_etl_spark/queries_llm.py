@@ -1139,49 +1139,66 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH jp AS (SELECT unnest(generate_series(0, 47)) AS j),
     jg AS (SELECT unnest(generate_series(0, 59)) AS j),
     ppm AS (
-      SELECT d.source, d.doc_id, 'ppm' AS fmt, 4 AS w, 4 AS h,
+      SELECT d.source, d.doc_id, 'ppm' AS fmt, 4 AS w, 4 AS h, 3 AS ch,
              CAST(SUM((d.doc_id * 7 + jp.j * 13) % 256) AS BIGINT) AS psum
       FROM documents d, jp GROUP BY 1, 2),
     png AS (
-      SELECT d.source, d.doc_id, 'png' AS fmt, 4 AS w, 5 AS h,
+      SELECT d.source, d.doc_id, 'png' AS fmt, 4 AS w, 5 AS h, 3 AS ch,
              CAST(SUM((d.doc_id * 11 + jg.j * 19) % 256) AS BIGINT) AS psum
       FROM documents d, jg GROUP BY 1, 2),
-    px AS (SELECT * FROM ppm UNION ALL SELECT * FROM png)
+    jpg AS (
+      SELECT d.source, d.doc_id, 'jpeg' AS fmt, 16 AS w, 16 AS h, 1 AS ch,
+             CAST(256 * (104 + 2 * (d.doc_id % 25)) AS BIGINT) AS psum
+      FROM documents d),
+    px AS (SELECT * FROM ppm UNION ALL SELECT * FROM png
+           UNION ALL SELECT * FROM jpg)
     SELECT source, fmt,
            CAST(COUNT(*) AS BIGINT) AS n_images,
            CAST(MIN(w) AS INT) AS width,
            CAST(MIN(h) AS INT) AS height,
+           CAST(MIN(ch) AS INT) AS n_channels,
            CAST(SUM(psum) AS BIGINT) AS sum_pixels,
-           ROUND(SUM(psum) / (3.0 * MIN(w) * MIN(h) * COUNT(*)), 4)
+           ROUND(SUM(psum)
+                 / (1.0 * MIN(ch) * MIN(w) * MIN(h) * COUNT(*)), 4)
              AS avg_pixel
     FROM px GROUP BY 1, 2
     """,
 )
 def media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode under the gate, BOTH native codecs: per doc a
-    genuine binary P6 (netpbm) payload (48 pixel bytes = closed form
-    (doc_id*7 + j*13) % 256) AND a genuine PNG (zlib-deflated, CRC
+    """REAL image decode under the gate, ALL THREE native codecs: per
+    doc a genuine binary P6 (netpbm) payload (48 pixel bytes = closed
+    form (doc_id*7 + j*13) % 256), a genuine PNG (zlib-deflated, CRC
     chunks, 4x5 RGB = (doc_id*11 + j*19) % 256, one scanline per PNG
-    filter type) are materialized, then DECODED by the pure-numpy
-    codecs (operators/multimodal.py decode_image / decode_png) inside
-    Arrow-batched mapInPandas stages. The oracle never decodes — it
-    evaluates the closed forms directly — so any header-parse, offset,
-    inflate, or unfilter bug corrupts sum_pixels and fails the value
-    hash (PNG is lossless, so decoded pixels == closed-form pixels).
+    filter type), AND a genuine baseline JPEG (full marker structure,
+    Annex K tables, Huffman entropy coding; constant gray
+    104 + 2*(doc_id % 25), the value class the lossy pipeline
+    reconstructs BIT-EXACTLY — operators/jpeg.py) are materialized,
+    then DECODED by the pure-numpy codecs inside Arrow-batched
+    mapInPandas stages. The oracle never decodes — it evaluates the
+    closed forms — so any header-parse, inflate, unfilter, Huffman,
+    dequant, or IDCT bug corrupts sum_pixels and fails the value hash.
     Python stages only encode/decode; zero shuffles before the tiny
     per-(source, fmt) aggregate."""
     from .operators.multimodal import (
+        attach_synthetic_jpeg,
         attach_synthetic_png,
         attach_synthetic_ppm,
         decode_image_stats,
     )
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    stats = decode_image_stats(attach_synthetic_ppm(d)).withColumn(
-        "fmt", F.lit("ppm")
-    ).unionByName(
-        decode_image_stats(attach_synthetic_png(d)).withColumn(
-            "fmt", F.lit("png")
+    stats = (
+        decode_image_stats(attach_synthetic_ppm(d))
+        .withColumn("fmt", F.lit("ppm"))
+        .unionByName(
+            decode_image_stats(attach_synthetic_png(d)).withColumn(
+                "fmt", F.lit("png")
+            )
+        )
+        .unionByName(
+            decode_image_stats(attach_synthetic_jpeg(d)).withColumn(
+                "fmt", F.lit("jpeg")
+            )
         )
     )
     joined = stats.join(d, "doc_id")
@@ -1191,13 +1208,20 @@ def media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_images"),
             F.min("width").alias("width"),
             F.min("height").alias("height"),
+            F.min("n_channels").alias("n_channels"),
             F.sum("pixel_sum").alias("sum_pixels"),
         )
         .withColumn(
             "avg_pixel",
             F.round(
                 F.col("sum_pixels")
-                / (3.0 * F.col("width") * F.col("height") * F.col("n_images")),
+                / (
+                    1.0
+                    * F.col("n_channels")
+                    * F.col("width")
+                    * F.col("height")
+                    * F.col("n_images")
+                ),
                 4,
             ),
         )

@@ -46,9 +46,9 @@ def test_sample_frames_shape(media):
 
 
 def test_decode_stub_raises():
-    # JPEG (SOI marker): genuinely environment-blocked (libjpeg DCT)
+    # WebP (RIFF container): genuinely environment-blocked (libwebp)
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 " + b"\x00" * 8)
 
 
 def test_grouped_zscore(spark):
@@ -129,7 +129,9 @@ def test_decode_rejects_unknown_magic_and_truncation():
     import pytest
     from scalable_etl_spark.operators.multimodal import decode_image
 
-    with pytest.raises(NotImplementedError):
+    # JPEG magic now dispatches to the native decoder; a malformed
+    # stream (no SOF/SOS) must fail loudly, not decode garbage
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg bytes")
     with pytest.raises(ValueError):
         decode_image(b"P6\n4 4\n255\n\x00\x01")  # pixel data cut short
@@ -175,10 +177,12 @@ def test_media_pixel_stats_decodes_for_real(spark):
     rows = media_pixel_stats(spark, "/root/testdata/sf0.001").collect()
     assert rows
     fmts = {r.fmt for r in rows}
-    assert fmts == {"ppm", "png"}, "both native codecs must be exercised"
+    assert fmts == {"ppm", "png", "jpeg"}, (
+        "all three native codecs must be exercised"
+    )
+    dims = {"ppm": (4, 4, 3), "png": (4, 5, 3), "jpeg": (16, 16, 1)}
     for r in rows:
-        want = (4, 4) if r.fmt == "ppm" else (4, 5)
-        assert (r.width, r.height) == want
+        assert (r.width, r.height, r.n_channels) == dims[r.fmt]
         assert 0 <= r.avg_pixel <= 255
 
 
