@@ -544,10 +544,20 @@ def jpeg_const_value(doc_id: int) -> int:
     return 104 + 2 * (doc_id % 25)
 
 
-def synthetic_jpeg(doc_id: int) -> bytes:
+def _const_jpeg(val: int) -> bytes:
     import numpy as np
 
-    val = jpeg_const_value(doc_id)
-    return encode_jpeg(
-        np.full((JPEG_H, JPEG_W), val, dtype=np.uint8)
-    )
+    return encode_jpeg(np.full((JPEG_H, JPEG_W), val, dtype=np.uint8))
+
+
+def synthetic_jpeg(doc_id: int) -> bytes:
+    """Payload for ``doc_id``'s value class. Only 25 distinct images
+    exist by construction, so the ENCODER memoizes per class (per
+    executor worker); the DECODE side stays per-row — that is the path
+    the gate exercises."""
+    import functools
+
+    global _const_jpeg
+    if not hasattr(_const_jpeg, "cache_info"):
+        _const_jpeg = functools.lru_cache(maxsize=64)(_const_jpeg)
+    return _const_jpeg(jpeg_const_value(doc_id))
