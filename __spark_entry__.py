@@ -113,6 +113,8 @@ _DEMOTED = (
     "sql_type_share_cte",  # S7 stays represented by 3 other sql_ queries
     "sql_correlated_subquery",  # ditto (driver-green r6; decorrelation
     # is additionally pinned by the plan-shape suite)
+    "user_stats",  # A2 stays repped by gold_user_peaks; makes room for
+    # the graded row-level DELETE (sink_tx_delete)
 )
 
 

@@ -929,6 +929,76 @@ class SnapshotTable:
         ]
         return reduce(lambda a, b: a.unionByName(b), parts)
 
+    def delete(self, predicate, prune: tuple | None = None) -> int:
+        """Row-level DELETE with copy-on-write (Delta ``DELETE FROM``):
+        rows where ``predicate`` is TRUE are removed; rows where it is
+        false or NULL are kept (SQL DELETE semantics). ``predicate`` is
+        a Column or SQL string.
+
+        ``prune=(col, lo, hi)`` declares the predicate's selective
+        range so dirs whose committed [min, max] stats cannot intersect
+        are left UNTOUCHED — only candidate dirs are read and
+        rewritten, the file-pruned copy-on-write shape Delta/Iceberg
+        use (at 100 TB a targeted delete rewrites a sliver, not the
+        table). A no-match delete returns the current version without
+        committing. Serializable like every mutator: a lost commit
+        race re-reads the new snapshot and re-applies."""
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        match_true = pred.eqNullSafe(F.lit(True))
+        for _ in range(_COMMIT_RETRIES):
+            v = self.latest_version()
+            if v is None:
+                raise FileNotFoundError(
+                    f"no committed version at {self.root}"
+                )
+            m = self._manifest(v)
+            pcols = m["partition_cols"]
+            untouched: list[str] = []
+            rewrite = list(m["dirs"])
+            if prune is not None:
+                col, lo, hi = prune
+                nlo, nhi = self._js(lo), self._js(hi)
+                if nlo is not None and nhi is not None:
+                    hit = set(self._prune_dirs(m, rewrite, col, nlo, nhi))
+                    untouched = [d for d in m["dirs"] if d not in hit]
+                    rewrite = [d for d in m["dirs"] if d in hit]
+            if not rewrite:
+                return v  # stats prove nothing can match
+            target = self._read_dirs(m, rewrite)
+            if target.filter(match_true).limit(1).count() == 0:
+                return v  # no matching rows: commit nothing
+            survivors = target.filter(~match_true)
+            d = self._write_data(survivors, pcols)
+            kept_stats = {
+                d2: s
+                for d2, s in self._stats_of(v).items()
+                if d2 in untouched
+            }
+            kept_fstats = {
+                d2: s
+                for d2, s in self._file_stats_of(v).items()
+                if d2 in untouched
+            }
+            if prune is not None:
+                dstats, fstats = self._footer_stats(d, [prune[0]])
+                if dstats:
+                    kept_stats = {**kept_stats, d: dstats}
+                if fstats:
+                    kept_fstats = {**kept_fstats, d: fstats}
+            manifest = {
+                "op": "delete",
+                "dirs": [*untouched, d],
+                "schema": m["schema"],
+                "partition_cols": pcols,
+                "stats": kept_stats,
+                "file_stats": kept_fstats,
+                "txn": self._txn_of(v),
+                "timestamp": time.time(),
+            }
+            if self._commit(v + 1, manifest):
+                return v + 1
+        raise CommitConflict(f"delete lost {_COMMIT_RETRIES} races")
+
     # ---------------------------------------------------- maintenance
 
     def compact(

@@ -478,3 +478,40 @@ def sink_tx_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+@query(
+    "sink_tx_delete",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE value IS NULL OR value < 400 OR value > 600
+    GROUP BY 1
+    """,
+)
+def sink_tx_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE on the snapshot-table layer (Delta
+    ``DELETE FROM`` parity, acid.py delete): events land CLUSTERED by
+    value, then a targeted range delete removes value in [400, 600] —
+    the stats-pruned copy-on-write rewrites ONLY the dirs whose
+    committed [min, max] intersect the range (pinned structurally in
+    tests/test_acid.py test_delete_rewrites_only_candidate_dirs), and
+    NULL-valued rows survive per SQL DELETE semantics (only
+    predicate-TRUE rows are removed). The value hash proves the
+    surviving snapshot equals the source minus exactly the deleted
+    range."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t = _tx_table(spark, "delete")
+    t.overwrite(e, cluster_by=["value"], n_files=8)
+    t.delete(F.col("value").between(400, 600), prune=("value", 400, 600))
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

@@ -803,3 +803,46 @@ def test_maybe_compact_policy(spark, tmp_path):
     assert rows == list(range(6))
     # compacted layout is now under the ceiling: next call no-ops
     assert t.maybe_compact(max_files=4) is None
+
+
+def test_delete_rewrites_only_candidate_dirs(spark, tmp_path):
+    """Row-level DELETE (copy-on-write): dirs whose stats prove no
+    match survive UNREWRITTEN; matching rows vanish; false-and-NULL
+    predicate rows are kept (SQL DELETE semantics); a no-match delete
+    commits nothing; prior snapshots time-travel intact."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(_df(spark, [(i, "a") for i in range(0, 10)]),
+                stats_cols=["k"])
+    t.append(_df(spark, [(i, "b") for i in range(100, 110)]),
+             stats_cols=["k"])
+    t.append(_df(spark, [(i, "c") for i in range(200, 210)]),
+             stats_cols=["k"])
+    dirs_before = t._manifest(2)["dirs"]
+    v = t.delete(F.col("k").between(103, 106), prune=("k", 103, 106))
+    assert v == 3
+    m = t._manifest(3)
+    # first and third dirs untouched (same names), middle rewritten
+    assert dirs_before[0] in m["dirs"] and dirs_before[2] in m["dirs"]
+    assert dirs_before[1] not in m["dirs"]
+    keys = sorted(r.k for r in t.read().collect())
+    assert keys == list(range(0, 10)) + [100, 101, 102, 107, 108, 109] \
+        + list(range(200, 210))
+    assert t.read(2).count() == 30  # time travel pre-delete
+    # fresh stats on the rewritten dir keep skipping alive
+    rows = t.read(where=("k", 100, 109)).collect()
+    assert sorted(r.k for r in rows) == [100, 101, 102, 107, 108, 109]
+    # no-match delete: no new version
+    assert t.delete(F.col("k") > 10_000, prune=("k", 10_001, 10**9)) == 3
+    assert t.latest_version() == 3
+    # NULL predicate rows are kept (SQL DELETE deletes only TRUE)
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"))
+    t2.overwrite(_df(spark, [(1, "x"), (2, None), (3, "y")]))
+    t2.delete(F.col("v") == "x")
+    assert {(r.k, r.v) for r in t2.read().collect()} == {
+        (2, None), (3, "y")
+    }
+    # SQL-string predicate spelling
+    t2.delete("k = 3")
+    assert {r.k for r in t2.read().collect()} == {2}
+    ops = [h["op"] for h in t2.history()]
+    assert ops[:2] == ["delete", "delete"]

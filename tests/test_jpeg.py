@@ -126,3 +126,52 @@ def test_rejects_unsupported_variants():
     # truncated entropy stream
     with pytest.raises(ValueError):
         decode_jpeg(good[:-4] + b"\xff\xd9")
+
+
+def test_png_jpeg_property_roundtrips():
+    """Hypothesis sweep: PNG roundtrips BIT-EXACTLY for arbitrary
+    shapes/channels; JPEG constant blocks decode exactly for every
+    even-offset value; JPEG stays within the quantization envelope on
+    random content."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from scalable_etl_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.integers(1, 24),
+        st.integers(1, 24),
+        st.sampled_from([1, 2, 3, 4]),
+        st.integers(0, 2**32 - 1),
+    )
+    def png_roundtrip(h, w, ch, seed):
+        rng = np.random.default_rng(seed)
+        a = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        a = a[:, :, 0] if ch == 1 else a
+        out = decode_png(encode_png(a))
+        assert out.shape == a.shape and (out == a).all()
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.integers(-12, 12), st.integers(1, 3), st.integers(1, 3))
+    def jpeg_constant_exact(k, bh, bw):
+        val = 128 + 2 * k
+        img = np.full((bh * 8, bw * 8), val, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img))
+        assert (out == val).all()
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.integers(8, 40), st.integers(8, 40), st.integers(0, 2**32 - 1))
+    def jpeg_bounded(h, w, seed):
+        rng = np.random.default_rng(seed)
+        a = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(a))
+        assert out.shape == a.shape
+        assert np.abs(out.astype(int) - a.astype(int)).max() <= 130
+
+    png_roundtrip()
+    jpeg_constant_exact()
+    jpeg_bounded()
