@@ -999,6 +999,98 @@ class SnapshotTable:
                 return v + 1
         raise CommitConflict(f"delete lost {_COMMIT_RETRIES} races")
 
+    def update(
+        self,
+        predicate,
+        assignments: dict,
+        prune: tuple | None = None,
+    ) -> int:
+        """Predicate-based UPDATE with copy-on-write (Delta ``UPDATE
+        ... SET``): rows where ``predicate`` is TRUE get each
+        ``assignments`` column replaced (values are Columns or SQL
+        strings; types must match the table schema — this op never
+        evolves schema); false/NULL rows pass through untouched.
+        ``prune=(col, lo, hi)`` keeps non-intersecting dirs unrewritten
+        exactly as in :meth:`delete`. Completes the DML triad
+        (merge = keyed upsert, delete, update). Returns the committed
+        version; a no-match update commits nothing."""
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        match_true = pred.eqNullSafe(F.lit(True))
+        exprs = {
+            c: (F.expr(e) if isinstance(e, str) else e)
+            for c, e in assignments.items()
+        }
+        for _ in range(_COMMIT_RETRIES):
+            v = self.latest_version()
+            if v is None:
+                raise FileNotFoundError(
+                    f"no committed version at {self.root}"
+                )
+            m = self._manifest(v)
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            known = {f.name for f in schema.fields}
+            unknown = set(exprs) - known
+            if unknown:
+                raise ValueError(f"UPDATE of unknown columns {unknown}")
+            pcols = m["partition_cols"]
+            untouched: list[str] = []
+            rewrite = list(m["dirs"])
+            if prune is not None:
+                col, lo, hi = prune
+                nlo, nhi = self._js(lo), self._js(hi)
+                if nlo is not None and nhi is not None:
+                    hit = set(self._prune_dirs(m, rewrite, col, nlo, nhi))
+                    untouched = [d for d in m["dirs"] if d not in hit]
+                    rewrite = [d for d in m["dirs"] if d in hit]
+            if not rewrite:
+                return v
+            target = self._read_dirs(m, rewrite)
+            if target.filter(match_true).limit(1).count() == 0:
+                return v
+            updated = target.select(
+                *[
+                    (
+                        F.when(match_true, exprs[c].cast(f.dataType))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                        if c in exprs
+                        else F.col(c)
+                    )
+                    for f in schema.fields
+                    for c in [f.name]
+                ]
+            )
+            d = self._write_data(updated, pcols)
+            kept_stats = {
+                d2: s
+                for d2, s in self._stats_of(v).items()
+                if d2 in untouched
+            }
+            kept_fstats = {
+                d2: s
+                for d2, s in self._file_stats_of(v).items()
+                if d2 in untouched
+            }
+            if prune is not None:
+                dstats, fstats = self._footer_stats(d, [prune[0]])
+                if dstats:
+                    kept_stats = {**kept_stats, d: dstats}
+                if fstats:
+                    kept_fstats = {**kept_fstats, d: fstats}
+            manifest = {
+                "op": "update",
+                "dirs": [*untouched, d],
+                "schema": m["schema"],
+                "partition_cols": pcols,
+                "stats": kept_stats,
+                "file_stats": kept_fstats,
+                "txn": self._txn_of(v),
+                "timestamp": time.time(),
+            }
+            if self._commit(v + 1, manifest):
+                return v + 1
+        raise CommitConflict(f"update lost {_COMMIT_RETRIES} races")
+
     # ---------------------------------------------------- maintenance
 
     def compact(

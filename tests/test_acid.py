@@ -846,3 +846,37 @@ def test_delete_rewrites_only_candidate_dirs(spark, tmp_path):
     assert {r.k for r in t2.read().collect()} == {2}
     ops = [h["op"] for h in t2.history()]
     assert ops[:2] == ["delete", "delete"]
+
+
+def test_update_predicate_assignments(spark, tmp_path):
+    """Predicate UPDATE: only TRUE rows change, assignments can
+    reference existing columns, pruned dirs stay unrewritten, unknown
+    columns raise, no-match commits nothing."""
+    import pytest
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(_df(spark, [(i, "a") for i in range(0, 10)]),
+                stats_cols=["k"])
+    t.append(_df(spark, [(i, "b") for i in range(100, 110)]),
+             stats_cols=["k"])
+    dirs_before = t._manifest(1)["dirs"]
+    v = t.update(
+        F.col("k") >= 105,
+        {"v": F.concat(F.col("v"), F.lit("!")), "k": F.col("k") + 1000},
+        prune=("k", 105, 10**9),
+    )
+    assert v == 2
+    m = t._manifest(2)
+    assert dirs_before[0] in m["dirs"]      # first dir untouched
+    assert dirs_before[1] not in m["dirs"]  # second rewritten
+    rows = {(r.k, r.v) for r in t.read().collect()}
+    assert rows == {(i, "a") for i in range(10)} | {
+        (i, "b") for i in range(100, 105)
+    } | {(i + 1000, "b!") for i in range(105, 110)}
+    # no-match: no commit
+    assert t.update(F.col("k") < 0, {"v": F.lit("x")}) == 2
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.update(F.col("k") == 0, {"nope": F.lit(1)})
+    # SQL-string spellings
+    t.update("k = 0", {"v": "'zero'"})
+    assert t.read().filter("k = 0").collect()[0].v == "zero"
