@@ -324,22 +324,46 @@ class SnapshotTable:
         self, out_dir: str, version: int | None = None
     ) -> list[str]:
         """Materialize snapshot ``version`` for engines that can't read
-        the commit log: a flat dir of SYMLINKS to exactly the committed
+        the commit log: a dir of SYMLINKS to exactly the committed
         parquet files plus a ``manifest.json`` listing the real paths —
         the published Delta ``symlink_format_manifest`` pattern
         (GENERATE symlink_format_manifest; how Presto/Athena/DuckDB
-        consume Delta tables without the protocol). ``read_parquet(
-        '<out_dir>/*.parquet')`` in DuckDB then sees the snapshot and
-        nothing else. Zero data copies; re-export after new commits
-        (the export pins one immutable version, like any reader).
-        Returns the linked real file paths."""
+        consume Delta tables without the protocol).
+
+        PARTITIONED layouts keep their hive path components: each
+        file's path relative to its commit dir is mirrored under a
+        numbered per-commit subdir, so ``day=X/`` stays in the symlink
+        path and readers recover the partition column from it — for an
+        unpartitioned table the links are flat inside those subdirs.
+        DuckDB: ``read_parquet('<out_dir>/**/*.parquet',
+        hive_partitioning=true)`` (hive flag only needed when
+        partitioned); Spark: ``spark.read.option('pathGlobFilter',
+        '*.parquet').option('recursiveFileLookup', 'true')`` plus a
+        per-subdir read with basePath when partition columns matter.
+        Zero data copies; re-export after new commits (the export pins
+        one immutable version, like any reader). Returns the linked
+        real file paths."""
         import shutil
 
-        files = self.committed_files(version)
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
         shutil.rmtree(out_dir, ignore_errors=True)
         os.makedirs(out_dir)
-        for i, path in enumerate(files):
-            os.symlink(path, os.path.join(out_dir, f"{i:06d}.parquet"))
+        files: list[str] = []
+        for i, d in enumerate(self._manifest(v)["dirs"]):
+            base = os.path.join(self.data_dir, d)
+            sub = os.path.join(out_dir, f"{i:04d}")
+            for walk_root, _subdirs, names in os.walk(base):
+                for fn in sorted(names):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    path = os.path.join(walk_root, fn)
+                    rel = os.path.relpath(path, base)
+                    dst = os.path.join(sub, rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    os.symlink(path, dst)
+                    files.append(path)
         with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
             json.dump({"files": files}, fh)
         return files
@@ -929,22 +953,15 @@ class SnapshotTable:
         ]
         return reduce(lambda a, b: a.unionByName(b), parts)
 
-    def delete(self, predicate, prune: tuple | None = None) -> int:
-        """Row-level DELETE with copy-on-write (Delta ``DELETE FROM``):
-        rows where ``predicate`` is TRUE are removed; rows where it is
-        false or NULL are kept (SQL DELETE semantics). ``predicate`` is
-        a Column or SQL string.
-
-        ``prune=(col, lo, hi)`` declares the predicate's selective
-        range so dirs whose committed [min, max] stats cannot intersect
-        are left UNTOUCHED — only candidate dirs are read and
-        rewritten, the file-pruned copy-on-write shape Delta/Iceberg
-        use (at 100 TB a targeted delete rewrites a sliver, not the
-        table). A no-match delete returns the current version without
-        committing. Serializable like every mutator: a lost commit
-        race re-reads the new snapshot and re-applies."""
-        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
-        match_true = pred.eqNullSafe(F.lit(True))
+    def _rewrite_commit(self, op, match_true, transform, prune) -> int:
+        """Shared copy-on-write loop behind predicate DML (delete /
+        update): stats-prune the dir list, bail without committing when
+        nothing can/does match, rewrite the candidate dirs through
+        ``transform``, and commit serializably. The rewritten dir
+        RE-COLLECTS footer stats for every column the rewritten dirs
+        previously carried stats on (plus the prune column), so data
+        skipping survives DML instead of silently degrading until the
+        next stats-bearing overwrite."""
         for _ in range(_COMMIT_RETRIES):
             v = self.latest_version()
             if v is None:
@@ -967,8 +984,7 @@ class SnapshotTable:
             target = self._read_dirs(m, rewrite)
             if target.filter(match_true).limit(1).count() == 0:
                 return v  # no matching rows: commit nothing
-            survivors = target.filter(~match_true)
-            d = self._write_data(survivors, pcols)
+            d = self._write_data(transform(target), pcols)
             kept_stats = {
                 d2: s
                 for d2, s in self._stats_of(v).items()
@@ -979,14 +995,24 @@ class SnapshotTable:
                 for d2, s in self._file_stats_of(v).items()
                 if d2 in untouched
             }
+            # preserve skipping: every column the rewritten dirs had
+            # stats for gets fresh footer stats on the new dir
+            stat_cols: set[str] = set()
+            all_stats, all_fstats = self._stats_of(v), self._file_stats_of(v)
+            for d2 in rewrite:
+                stat_cols.update(all_stats.get(d2, {}).keys())
+                for per in all_fstats.get(d2, {}).values():
+                    stat_cols.update(per.keys())
             if prune is not None:
-                dstats, fstats = self._footer_stats(d, [prune[0]])
+                stat_cols.add(prune[0])
+            if stat_cols:
+                dstats, fstats = self._footer_stats(d, sorted(stat_cols))
                 if dstats:
                     kept_stats = {**kept_stats, d: dstats}
                 if fstats:
                     kept_fstats = {**kept_fstats, d: fstats}
             manifest = {
-                "op": "delete",
+                "op": op,
                 "dirs": [*untouched, d],
                 "schema": m["schema"],
                 "partition_cols": pcols,
@@ -997,7 +1023,31 @@ class SnapshotTable:
             }
             if self._commit(v + 1, manifest):
                 return v + 1
-        raise CommitConflict(f"delete lost {_COMMIT_RETRIES} races")
+        raise CommitConflict(f"{op} lost {_COMMIT_RETRIES} races")
+
+    def delete(self, predicate, prune: tuple | None = None) -> int:
+        """Row-level DELETE with copy-on-write (Delta ``DELETE FROM``):
+        rows where ``predicate`` is TRUE are removed; rows where it is
+        false or NULL are kept (SQL DELETE semantics). ``predicate`` is
+        a Column or SQL string.
+
+        ``prune=(col, lo, hi)`` declares the predicate's selective
+        range so dirs whose committed [min, max] stats cannot intersect
+        are left UNTOUCHED — only candidate dirs are read and
+        rewritten, the file-pruned copy-on-write shape Delta/Iceberg
+        use (at 100 TB a targeted delete rewrites a sliver, not the
+        table). The rewritten dir keeps fresh stats on every previously
+        stats'd column. A no-match delete returns the current version
+        without committing. Serializable like every mutator: a lost
+        commit race re-reads the new snapshot and re-applies."""
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        match_true = pred.eqNullSafe(F.lit(True))
+        return self._rewrite_commit(
+            "delete",
+            match_true,
+            lambda target: target.filter(~match_true),
+            prune,
+        )
 
     def update(
         self,
@@ -1020,76 +1070,29 @@ class SnapshotTable:
             c: (F.expr(e) if isinstance(e, str) else e)
             for c, e in assignments.items()
         }
-        for _ in range(_COMMIT_RETRIES):
-            v = self.latest_version()
-            if v is None:
-                raise FileNotFoundError(
-                    f"no committed version at {self.root}"
-                )
-            m = self._manifest(v)
-            schema = StructType.fromJson(json.loads(m["schema"]))
+
+        def apply_updates(target: DataFrame) -> DataFrame:
+            schema = target.schema
             known = {f.name for f in schema.fields}
             unknown = set(exprs) - known
             if unknown:
                 raise ValueError(f"UPDATE of unknown columns {unknown}")
-            pcols = m["partition_cols"]
-            untouched: list[str] = []
-            rewrite = list(m["dirs"])
-            if prune is not None:
-                col, lo, hi = prune
-                nlo, nhi = self._js(lo), self._js(hi)
-                if nlo is not None and nhi is not None:
-                    hit = set(self._prune_dirs(m, rewrite, col, nlo, nhi))
-                    untouched = [d for d in m["dirs"] if d not in hit]
-                    rewrite = [d for d in m["dirs"] if d in hit]
-            if not rewrite:
-                return v
-            target = self._read_dirs(m, rewrite)
-            if target.filter(match_true).limit(1).count() == 0:
-                return v
-            updated = target.select(
+            return target.select(
                 *[
                     (
-                        F.when(match_true, exprs[c].cast(f.dataType))
-                        .otherwise(F.col(c))
-                        .alias(c)
-                        if c in exprs
-                        else F.col(c)
+                        F.when(match_true, exprs[f.name].cast(f.dataType))
+                        .otherwise(F.col(f.name))
+                        .alias(f.name)
+                        if f.name in exprs
+                        else F.col(f.name)
                     )
                     for f in schema.fields
-                    for c in [f.name]
                 ]
             )
-            d = self._write_data(updated, pcols)
-            kept_stats = {
-                d2: s
-                for d2, s in self._stats_of(v).items()
-                if d2 in untouched
-            }
-            kept_fstats = {
-                d2: s
-                for d2, s in self._file_stats_of(v).items()
-                if d2 in untouched
-            }
-            if prune is not None:
-                dstats, fstats = self._footer_stats(d, [prune[0]])
-                if dstats:
-                    kept_stats = {**kept_stats, d: dstats}
-                if fstats:
-                    kept_fstats = {**kept_fstats, d: fstats}
-            manifest = {
-                "op": "update",
-                "dirs": [*untouched, d],
-                "schema": m["schema"],
-                "partition_cols": pcols,
-                "stats": kept_stats,
-                "file_stats": kept_fstats,
-                "txn": self._txn_of(v),
-                "timestamp": time.time(),
-            }
-            if self._commit(v + 1, manifest):
-                return v + 1
-        raise CommitConflict(f"update lost {_COMMIT_RETRIES} races")
+
+        return self._rewrite_commit(
+            "update", match_true, apply_updates, prune
+        )
 
     # ---------------------------------------------------- maintenance
 
@@ -1131,11 +1134,29 @@ class SnapshotTable:
         100 TB, file-count ceilings per partition are how tables stay
         readable under continuous ingestion; the compact itself rewrites
         once per ceiling breach rather than per append (amortized
-        O(table/max_files) rewrites over a table's lifetime)."""
-        if self.latest_version() is None:
+        O(table/max_files) rewrites over a table's lifetime).
+
+        PROGRESS GUARD: when the live snapshot is already a single
+        compacted dir, another compact with the same knobs cannot
+        reduce the file count — returning None instead of re-rewriting
+        the whole table on every call (the failure mode for a
+        partitioned or very large table whose natural file count
+        exceeds ``max_files``; raise the ceiling or pass ``n_files``
+        for those). ``n_files`` defaults to max_files // 2 so an
+        unpartitioned compact always lands under the ceiling."""
+        v = self.latest_version()
+        if v is None:
             return None
         if len(self.committed_files()) <= max_files:
             return None
+        if len(self._manifest(v)["dirs"]) <= 1 and self._manifest(v)[
+            "op"
+        ] in ("overwrite",):
+            # already one compacted dir: the same compact cannot shrink
+            # it further — avoid a full-table rewrite per call
+            return None
+        if n_files is None and not cluster_by:
+            n_files = max(1, max_files // 2)
         return self.compact(
             cluster_by=cluster_by, n_files=n_files, zorder=zorder
         )

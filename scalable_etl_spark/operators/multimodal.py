@@ -177,13 +177,17 @@ def decode_png(payload: bytes) -> "object":
         raise ValueError("not a PNG (bad signature)")
     ihdr = None
     idat: list[bytes] = []
+    has_plte = False
     for typ, data in _png_chunks(payload):
         if typ == b"IHDR":
             ihdr = data
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"PLTE":
-            raise NotImplementedError("palette PNG not supported")
+            # legal as a SUGGESTED palette for truecolor (ctype 2/6);
+            # only color type 3 actually indexes through it — gate on
+            # the color type below, not on mere chunk presence
+            has_plte = True
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, ctype, comp, filt, interlace = struct.unpack(
@@ -195,6 +199,11 @@ def decode_png(payload: bytes) -> "object":
         raise NotImplementedError("Adam7 interlaced PNG not supported")
     if comp != 0 or filt != 0:
         raise ValueError("nonstandard PNG compression/filter method")
+    if ctype == 3:
+        raise NotImplementedError(
+            "palette-indexed PNG (color type 3) not supported"
+        )
+    del has_plte  # suggested palettes on truecolor are simply ignored
     ch = _PNG_CHANNELS.get(ctype)
     if ch is None:
         raise NotImplementedError(f"PNG color type {ctype}")

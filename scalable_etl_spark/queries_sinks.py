@@ -471,6 +471,7 @@ def sink_tx_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.export_symlink_manifest(exp)
     return (
         spark.read.option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
         .parquet(exp)
         .groupBy("o_orderpriority")
         .agg(

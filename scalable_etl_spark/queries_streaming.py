@@ -436,17 +436,18 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WATERMARKED STREAM DEDUP under the gate (§2.9's remaining
     concern; production path streaming/ingest.py dedup_in_stream): the
     spool is written TWICE (every event is a duplicate pair), the
-    stream drops duplicates on event_id with a watermark bounding the
-    dedup state, and the drained row set must equal the DISTINCT set —
-    each duplicate admitted exactly once no matter which micro-batch
-    it lands in. The per-type aggregation runs batch-side AFTER the
-    drain (keeping the streaming query single-stateful-operator); the
-    oracle is the plain COUNT(DISTINCT) the dedup must reproduce.
-
-    Scale: dedup state is one entry per key inside the watermark
-    horizon — the watermark is what makes stream dedup viable at all
-    at 100 TB (unbounded dedup state is a leak, see
-    dedup_content_hash's caveats)."""
+    stream drops duplicates on event_id via
+    ``dropDuplicatesWithinWatermark`` — the operator whose state the
+    watermark ACTUALLY reclaims (plain ``dropDuplicates`` on a
+    non-event-time subset keeps one state entry per key forever, even
+    under a watermark — the 100 TB leak dedup_content_hash's caveats
+    describe). Each duplicate is admitted exactly once provided its
+    copies arrive within the watermark delay of each other — true here
+    by construction (copies carry identical event times) and the
+    contract real ingest duplicates (retries, re-delivered files)
+    satisfy. The per-type aggregation runs batch-side AFTER the drain
+    (keeping the streaming query single-stateful-operator); the oracle
+    is the plain COUNT(DISTINCT) the dedup must reproduce."""
     src = tempfile.mkdtemp(prefix="sdedup_src_")
     ckpt = tempfile.mkdtemp(prefix="sdedup_ckpt_")
     ev = (
@@ -462,7 +463,7 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .json(src)
         .withWatermark("ts", "1 hour")
-        .dropDuplicates(["event_id"])
+        .dropDuplicatesWithinWatermark(["event_id"])
     )
     drained = _drain_to_df(
         spark, stream, "streaming_dedup_counts_sink", ckpt, "append"

@@ -728,7 +728,7 @@ def test_export_symlink_manifest_duckdb_replays_snapshot(spark, tmp_path):
     assert files == t.committed_files()
     con = duckdb.connect()
     got = con.execute(
-        f"SELECT k, v FROM read_parquet('{exp}/*.parquet') ORDER BY k"
+        f"SELECT k, v FROM read_parquet('{exp}/**/*.parquet') ORDER BY k"
     ).fetchall()
     assert got == [(10, "x"), (11, "y")]
     # naive glob over the data dir reads superseded dirs too
@@ -740,10 +740,24 @@ def test_export_symlink_manifest_duckdb_replays_snapshot(spark, tmp_path):
     # historical snapshot: version 1 replays pre-rewrite state
     files_v1 = t.export_symlink_manifest(str(tmp_path / "exp1"), version=1)
     got1 = con.execute(
-        f"SELECT k FROM read_parquet('{tmp_path / 'exp1'}/*.parquet') "
+        f"SELECT k FROM read_parquet('{tmp_path / 'exp1'}/**/*.parquet') "
         "ORDER BY k"
     ).fetchall()
     assert [r[0] for r in got1] == [1, 2, 3]
+    # PARTITIONED snapshot: hive path components survive the export and
+    # DuckDB recovers the partition column from the symlink paths
+    tp = SnapshotTable(spark, str(tmp_path / "tp"))
+    pdf = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "k INT, day STRING"
+    )
+    tp.overwrite(pdf, partition_cols=["day"])
+    expp = str(tmp_path / "expp")
+    tp.export_symlink_manifest(expp)
+    gotp = con.execute(
+        f"SELECT k, day FROM read_parquet('{expp}/**/*.parquet', "
+        "hive_partitioning=true) ORDER BY k"
+    ).fetchall()
+    assert gotp == [(1, "a"), (2, "b"), (3, "a")]
 
 
 def test_concurrent_writers_serializable_no_lost_updates(spark, tmp_path):

@@ -284,3 +284,25 @@ def test_decode_png_rejects_unsupported():
         decode_png(good[:-8])  # truncated: IEND gone
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"\x89PNG\r\n\x1a\x00" + good[8:])
+
+
+def test_decode_png_ignores_suggested_palette():
+    """A PLTE chunk on a TRUECOLOR PNG is a legal suggested palette
+    (mandatory only for color type 3) and must not block decoding."""
+    import numpy as np
+
+    from scalable_etl_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    a = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    good = encode_png(a)
+    # splice a suggested palette between IHDR and IDAT
+    idat_at = good.index(b"IDAT") - 4
+    plte = _png_chunk(b"PLTE", bytes(range(12)))
+    patched = good[:idat_at] + plte + good[idat_at:]
+    out = decode_png(patched)
+    assert (out == a).all()

@@ -37,15 +37,21 @@ def main() -> int:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark-graft-landing"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 200
     os.makedirs(out_dir, exist_ok=True)
-    per_file = max(1, n // 4)
+    n_files = min(4, n) or 1
     written = 0
-    for f in range(4):
+    for f in range(n_files):
+        # contiguous slices covering ALL n rows (remainder spread over
+        # the first files), so every requested row is written
+        start = f * n // n_files
+        stop = (f + 1) * n // n_files
         path = os.path.join(out_dir, f"listens-{f:02d}.jsonl")
         with open(path, "w") as fh:
-            for i in range(f * per_file, min((f + 1) * per_file, n)):
+            for i in range(start, stop):
                 fh.write(json.dumps(listen(i)) + "\n")
                 written += 1
-    print(json.dumps({"out_dir": out_dir, "rows": written, "files": 4}))
+    print(json.dumps(
+        {"out_dir": out_dir, "rows": written, "files": n_files}
+    ))
     return 0
 
 
