@@ -249,7 +249,8 @@ def monthly_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT event_type) AS n_types,
            epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS first_us,
            epoch_us(CAST(MAX(ts) AS TIMESTAMP)) AS last_us,
-           ROUND(AVG(value), 4) AS avg_value,
+           CAST(CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) * 10000
+                // NULLIF(COUNT(value), 0) AS BIGINT) AS avg_ucents,
            ROUND(SUM(value), 2) AS total_value
     FROM events GROUP BY user_id
     """,
@@ -263,7 +264,19 @@ def user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_type").alias("n_types"),
         F.unix_micros(F.min("ts")).alias("first_us"),
         F.unix_micros(F.max("ts")).alias("last_us"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        # mean emitted as INTEGER MICRO-CENTS via integer division:
+        # any float spelling of the mean is cross-engine
+        # nondeterministic here, because money-like 2-decimal values
+        # make per-user means land EXACTLY on rounding boundaries,
+        # where each engine's accumulation order decides the final
+        # digit (observed at sf0.1 AND sf0.001 through two rounding
+        # schemes). The total in cents is boundary-safe (true value is
+        # an integer, float-sum error ~1e-8), and bigint floor
+        # division is exact on both engines.
+        F.expr(
+            "CAST(CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) * 10000"
+            " DIV NULLIF(COUNT(value), 0) AS BIGINT)"
+        ).alias("avg_ucents"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
 

@@ -105,7 +105,8 @@ def sql_catalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1),
     total AS (SELECT SUM(cnt) AS total_cnt FROM by_type)
     SELECT event_type, cnt,
-           ROUND(cnt * 100.0 / (SELECT total_cnt FROM total), 2) AS pct
+           ROUND(CAST(cnt AS DOUBLE) * 100.0
+                 / (SELECT CAST(total_cnt AS DOUBLE) FROM total), 2) AS pct
     FROM by_type
     """,
 )
@@ -119,7 +120,13 @@ def sql_type_share_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT event_type, COUNT(*) AS cnt FROM events_v GROUP BY 1),
         total AS (SELECT SUM(cnt) AS total_cnt FROM by_type)
         SELECT event_type, cnt,
-               ROUND(cnt * 100.0 / (SELECT total_cnt FROM total), 2) AS pct
+               -- DOUBLE on both engines: Spark parses 100.0 as DECIMAL,
+               -- whose ROUND renders trailing zeros ('18.80') while the
+               -- oracle's double renders '18.8' - same number, different
+               -- string under the value hash
+               ROUND(CAST(cnt AS DOUBLE) * 100.0
+                     / (SELECT CAST(total_cnt AS DOUBLE) FROM total), 2)
+                 AS pct
         FROM by_type
         """
     )
