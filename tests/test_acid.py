@@ -894,3 +894,55 @@ def test_update_predicate_assignments(spark, tmp_path):
     # SQL-string spellings
     t.update("k = 0", {"v": "'zero'"})
     assert t.read().filter("k = 0").collect()[0].v == "zero"
+
+
+def test_dangling_uncommitted_dir_is_invisible_then_vacuumed(
+    spark, tmp_path
+):
+    """Crash simulation: a writer that died AFTER writing its data dir
+    but BEFORE committing leaves an orphan. Readers never see it (the
+    manifest is the source of truth), exports don't list it, and an
+    aged vacuum reclaims it without touching live data."""
+    import os
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    # simulate the dead writer: data lands, no commit follows
+    orphan = t._write_data(_df(spark, [(99, "ghost")]), ())
+    assert os.path.isdir(os.path.join(t.data_dir, orphan))
+    assert {r.k for r in t.read().collect()} == {1, 2}
+    assert not any(orphan in p for p in t.committed_files())
+    # young orphan is spared (in-flight writer protection)...
+    assert t.vacuum(retain_versions=1, min_age_seconds=3600) == []
+    # ...an aged one is reclaimed, live data untouched
+    removed = t.vacuum(retain_versions=1, min_age_seconds=0.0)
+    assert removed == [orphan]
+    assert {r.k for r in t.read().collect()} == {1, 2}
+
+
+def test_concurrent_appends_during_vacuum(spark, tmp_path):
+    """Writers racing a vacuum: the age guard keeps vacuum from eating
+    any dir an in-flight append is about to commit; every appended row
+    survives and the final history is a clean serial chain."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(_df(spark, [(0, "seed")]))
+    t.overwrite(_df(spark, [(0, "seed2")]))  # v0's dir now unreferenced
+
+    def appender(i: int):
+        return t.append(_df(spark, [(i, f"w{i}")]))
+
+    def vacuumer(_):
+        # production-shaped window: in-flight writers' dirs are young
+        return t.vacuum(retain_versions=1, min_age_seconds=3600)
+
+    with ThreadPoolExecutor(max_workers=5) as ex:
+        futs = [ex.submit(appender, i) for i in range(1, 5)]
+        vfut = ex.submit(vacuumer, 0)
+        versions = [f.result() for f in futs]
+        removed = vfut.result()
+    assert removed == [], "young dirs must never be vacuumed"
+    assert sorted(versions) == [2, 3, 4, 5]
+    keys = sorted(r.k for r in t.read().collect())
+    assert keys == [0, 1, 2, 3, 4]
