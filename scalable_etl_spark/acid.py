@@ -12,9 +12,14 @@ Stores", VLDB 2020 — public paper):
     <root>/_log/00000007.json   one manifest per committed version
     <root>/data/<uuid>/...      immutable data dirs, one per write job
 
-- A manifest lists the data DIRS composing that version (dir
-  granularity is the COMMIT unit: every write lands in a fresh uuid
-  dir, so commits never mutate existing files). STATS are kept at two
+- A manifest lists the data ENTRIES composing that version. Every
+  write lands in a fresh uuid dir (commits never mutate existing
+  files); PARTITIONED writes manifest one entry PER PARTITION LEAF
+  ("<uuid>/day=X") — partition-granular commit units, so compact /
+  delete / update scoped to one partition rewrite only that
+  partition's entries while every other partition's entry survives
+  verbatim (vacuum granularity stays the uuid: a commit dir lives
+  while any of its entries is referenced). STATS are kept at two
   granularities: per-dir [min, max] (prunes whole ingest batches) and
   per-FILE [min, max] read from the parquet footers at write time
   (prunes files within a dir — combined with ``cluster_by`` range-
@@ -264,10 +269,16 @@ class SnapshotTable:
         norm = None
         if where is not None:
             col, lo, hi = where
-            nlo, nhi = self._js(lo), self._js(hi)
-            if nlo is not None and nhi is not None:
-                norm = (col, nlo, nhi)
-                dirs = self._prune_dirs(m, dirs, *norm)
+            if col in m.get("partition_cols", []) and lo == hi:
+                # partition-granular entries: equality on a partition
+                # column prunes by PATH component, no stats required
+                token = f"{col}={lo}"
+                dirs = [d for d in dirs if token in d.split("/")]
+            else:
+                nlo, nhi = self._js(lo), self._js(hi)
+                if nlo is not None and nhi is not None:
+                    norm = (col, nlo, nhi)
+                    dirs = self._prune_dirs(m, dirs, *norm)
         all_fstats = m.get("file_stats", {})
         parts = []
         for d in dirs:
@@ -287,7 +298,12 @@ class SnapshotTable:
                 paths = [base]
             parts.append(
                 self.spark.read.schema(schema)
-                .option("basePath", base)
+                # basePath = the entry's COMMIT root, so hive partition
+                # components inside the entry path parse into columns
+                .option(
+                    "basePath",
+                    os.path.join(self.data_dir, self._entry_base(d)),
+                )
                 .parquet(*paths)
             )
         if not parts:
@@ -351,16 +367,18 @@ class SnapshotTable:
         shutil.rmtree(out_dir, ignore_errors=True)
         os.makedirs(out_dir)
         files: list[str] = []
-        for i, d in enumerate(self._manifest(v)["dirs"]):
+        for d in self._manifest(v)["dirs"]:
             base = os.path.join(self.data_dir, d)
-            sub = os.path.join(out_dir, f"{i:04d}")
             for walk_root, _subdirs, names in os.walk(base):
                 for fn in sorted(names):
                     if not fn.endswith(".parquet"):
                         continue
                     path = os.path.join(walk_root, fn)
-                    rel = os.path.relpath(path, base)
-                    dst = os.path.join(sub, rel)
+                    # mirror the path relative to data/ — the commit
+                    # uuid becomes the per-commit subdir and every hive
+                    # component ("day=X") survives in the symlink path
+                    rel = os.path.relpath(path, self.data_dir)
+                    dst = os.path.join(out_dir, rel)
                     os.makedirs(os.path.dirname(dst), exist_ok=True)
                     os.symlink(path, dst)
                     files.append(path)
@@ -598,6 +616,44 @@ class SnapshotTable:
         w.parquet(os.path.join(self.data_dir, d))
         return d
 
+    def _write_data_entries(
+        self, df: DataFrame, partition_cols: Sequence[str]
+    ) -> list[str]:
+        """Write one immutable commit's data and return its MANIFEST
+        ENTRIES. Unpartitioned batches stay one entry (the uuid dir).
+        PARTITIONED batches return one entry per written partition leaf
+        ("<uuid>/day=X" / "<uuid>/a=1/b=2") — PARTITION-GRANULAR commit
+        units: every later rewrite (compact / delete / update / merge)
+        can target one partition's entries and leave the rest of the
+        table untouched, instead of rewriting whole snapshots (the
+        round-7 verdict's remaining maintenance gap). Readers resolve
+        an entry's basePath to the uuid root so the partition column
+        survives the scan."""
+        d = self._write_data(df, partition_cols)
+        if not partition_cols:
+            return [d]
+        base = os.path.join(self.data_dir, d)
+        entries: list[str] = []
+        depth = len(partition_cols)
+        def walk(cur: str, level: int):
+            if level == depth:
+                entries.append(os.path.relpath(cur, self.data_dir))
+                return
+            for name in sorted(os.listdir(cur)):
+                sub = os.path.join(cur, name)
+                if os.path.isdir(sub) and "=" in name:
+                    walk(sub, level + 1)
+        walk(base, 0)
+        if not entries:  # empty batch: keep the (empty) uuid dir entry
+            return [d]
+        return entries
+
+    @staticmethod
+    def _entry_base(entry: str) -> str:
+        """First path component of a manifest entry — the commit's uuid
+        dir, which is the basePath partition columns parse against."""
+        return entry.split("/", 1)[0]
+
     @staticmethod
     def _cluster(
         df: DataFrame,
@@ -649,20 +705,26 @@ class SnapshotTable:
         # (the clustered layout is useless for skipping without them),
         # even when the caller also asks for stats on other columns
         scols = tuple(dict.fromkeys([*stats_cols, *cluster_by]))
-        d = self._write_data(df, partition_cols)
+        entries = self._write_data_entries(df, partition_cols)
         schema_json = df.schema.json()
-        dstats, fstats = (
-            self._footer_stats(d, scols) if scols else ({}, {})
-        )
+        all_stats: dict = {}
+        all_fstats: dict = {}
+        if scols:
+            for e in entries:
+                dstats, fstats = self._footer_stats(e, scols)
+                if dstats:
+                    all_stats[e] = dstats
+                if fstats:
+                    all_fstats[e] = fstats
         for _ in range(_COMMIT_RETRIES):
             v = self.latest_version()
             manifest = {
                 "op": "overwrite",
-                "dirs": [d],
+                "dirs": list(entries),
                 "schema": schema_json,
                 "partition_cols": list(partition_cols),
-                "stats": {d: dstats} if dstats else {},
-                "file_stats": {d: fstats} if fstats else {},
+                "stats": all_stats,
+                "file_stats": all_fstats,
                 # Streaming batch ledger survives every rewrite — a
                 # compact/overwrite between micro-batches must not let
                 # a replayed batch double-commit (write_stream_snapshot).
@@ -917,17 +979,18 @@ class SnapshotTable:
                     merged = survivors.unionByName(
                         novel.select(*target.columns)
                     )
-            d = self._write_data(merged, pcols)
-            # untouched dirs keep their stats; the rewritten dir gets
-            # fresh key stats from its footers (free, no scan job)
-            dstats, fstats = self._footer_stats(d, keys)
-            if dstats:
-                kept_stats = {**kept_stats, d: dstats}
-            if fstats:
-                kept_fstats = {**kept_fstats, d: fstats}
+            new_entries = self._write_data_entries(merged, pcols)
+            # untouched dirs keep their stats; the rewritten entries get
+            # fresh key stats from their footers (free, no scan job)
+            for e in new_entries:
+                dstats, fstats = self._footer_stats(e, keys)
+                if dstats:
+                    kept_stats = {**kept_stats, e: dstats}
+                if fstats:
+                    kept_fstats = {**kept_fstats, e: fstats}
             manifest = {
                 "op": f"merge_{when_matched}",
-                "dirs": [*untouched, d],
+                "dirs": [*untouched, *new_entries],
                 "schema": merged.schema.json(),
                 "partition_cols": pcols,
                 "stats": kept_stats,
@@ -947,7 +1010,10 @@ class SnapshotTable:
             return self.spark.createDataFrame([], schema)
         parts = [
             self.spark.read.schema(schema)
-            .option("basePath", os.path.join(self.data_dir, d))
+            .option(
+                "basePath",
+                os.path.join(self.data_dir, self._entry_base(d)),
+            )
             .parquet(os.path.join(self.data_dir, d))
             for d in dirs
         ]
@@ -974,17 +1040,33 @@ class SnapshotTable:
             rewrite = list(m["dirs"])
             if prune is not None:
                 col, lo, hi = prune
-                nlo, nhi = self._js(lo), self._js(hi)
-                if nlo is not None and nhi is not None:
-                    hit = set(self._prune_dirs(m, rewrite, col, nlo, nhi))
+                if col in pcols and lo == hi:
+                    # PARTITION-SCOPED rewrite: entries are partition-
+                    # granular ("uuid/day=X"), so an equality prune on
+                    # a partition column touches exactly that
+                    # partition's entries — no footer stats needed
+                    # (partition values never appear in footers).
+                    # Plain str() matching: hive-special characters
+                    # would need URL-escaping; keep partition values
+                    # simple (the standard lakehouse guidance).
+                    token = f"{col}={lo}"
+                    hit = {e for e in rewrite if token in e.split("/")}
                     untouched = [d for d in m["dirs"] if d not in hit]
                     rewrite = [d for d in m["dirs"] if d in hit]
+                else:
+                    nlo, nhi = self._js(lo), self._js(hi)
+                    if nlo is not None and nhi is not None:
+                        hit = set(
+                            self._prune_dirs(m, rewrite, col, nlo, nhi)
+                        )
+                        untouched = [d for d in m["dirs"] if d not in hit]
+                        rewrite = [d for d in m["dirs"] if d in hit]
             if not rewrite:
                 return v  # stats prove nothing can match
             target = self._read_dirs(m, rewrite)
             if target.filter(match_true).limit(1).count() == 0:
                 return v  # no matching rows: commit nothing
-            d = self._write_data(transform(target), pcols)
+            new_entries = self._write_data_entries(transform(target), pcols)
             kept_stats = {
                 d2: s
                 for d2, s in self._stats_of(v).items()
@@ -996,7 +1078,7 @@ class SnapshotTable:
                 if d2 in untouched
             }
             # preserve skipping: every column the rewritten dirs had
-            # stats for gets fresh footer stats on the new dir
+            # stats for gets fresh footer stats on the new entries
             stat_cols: set[str] = set()
             all_stats, all_fstats = self._stats_of(v), self._file_stats_of(v)
             for d2 in rewrite:
@@ -1006,14 +1088,17 @@ class SnapshotTable:
             if prune is not None:
                 stat_cols.add(prune[0])
             if stat_cols:
-                dstats, fstats = self._footer_stats(d, sorted(stat_cols))
-                if dstats:
-                    kept_stats = {**kept_stats, d: dstats}
-                if fstats:
-                    kept_fstats = {**kept_fstats, d: fstats}
+                for e in new_entries:
+                    dstats, fstats = self._footer_stats(
+                        e, sorted(stat_cols)
+                    )
+                    if dstats:
+                        kept_stats = {**kept_stats, e: dstats}
+                    if fstats:
+                        kept_fstats = {**kept_fstats, e: fstats}
             manifest = {
                 "op": op,
-                "dirs": [*untouched, d],
+                "dirs": [*untouched, *new_entries],
                 "schema": m["schema"],
                 "partition_cols": pcols,
                 "stats": kept_stats,
@@ -1149,10 +1234,11 @@ class SnapshotTable:
             return None
         if len(self.committed_files()) <= max_files:
             return None
-        if len(self._manifest(v)["dirs"]) <= 1 and self._manifest(v)[
-            "op"
-        ] in ("overwrite",):
-            # already one compacted dir: the same compact cannot shrink
+        m = self._manifest(v)
+        roots = {self._entry_base(e) for e in m["dirs"]}
+        if len(roots) <= 1 and m["op"] == "overwrite":
+            # already one compacted commit (possibly many partition
+            # entries under one uuid): the same compact cannot shrink
             # it further — avoid a full-table rewrite per call
             return None
         if n_files is None and not cluster_by:
@@ -1191,7 +1277,14 @@ class SnapshotTable:
         referenced: set[str] = set()
         for v in keep_versions:
             try:
-                referenced.update(self._manifest(v)["dirs"])
+                # vacuum granularity is the COMMIT dir: partition-
+                # granular entries ("uuid/day=X") reference their uuid
+                # root; a uuid survives while ANY of its entries is
+                # referenced (unreferenced = fully superseded commit)
+                referenced.update(
+                    self._entry_base(e)
+                    for e in self._manifest(v)["dirs"]
+                )
             except FileNotFoundError:
                 pass
         removed = []

@@ -946,3 +946,81 @@ def test_concurrent_appends_during_vacuum(spark, tmp_path):
     assert sorted(versions) == [2, 3, 4, 5]
     keys = sorted(r.k for r in t.read().collect())
     assert keys == [0, 1, 2, 3, 4]
+
+
+def test_partition_granular_entries_and_scoped_delete(spark, tmp_path):
+    """Partition-granular commit units: a partitioned overwrite
+    manifests one entry per partition leaf; an equality-pruned DELETE
+    on the partition column rewrites ONLY that partition's entries
+    (every other partition's entry survives by name); reads prune by
+    path component; partition values survive every path."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, f"d{i % 3}") for i in range(30)], "k INT, day STRING"
+    )
+    t.overwrite(df, partition_cols=["day"])
+    m = t._manifest(0)
+    assert len(m["dirs"]) == 3
+    assert sorted(e.split("/", 1)[1] for e in m["dirs"]) == [
+        "day=d0", "day=d1", "day=d2"
+    ]
+    # read prunes to one partition by path, values intact
+    one = t.read(where=("day", "d1", "d1"))
+    rows = {(r.k, r.day) for r in one.collect()}
+    assert rows == {(i, "d1") for i in range(30) if i % 3 == 1}
+    # partition-scoped delete: only day=d1 entries rewritten
+    before = set(m["dirs"])
+    v = t.delete(F.col("day") == "d1", prune=("day", "d1", "d1"))
+    m2 = t._manifest(v)
+    survivors = set(m2["dirs"])
+    assert {e for e in before if "day=d1" not in e} <= survivors, (
+        "untouched partitions must keep their exact entries"
+    )
+    assert not any("day=d1" in e for e in survivors)
+    assert {r.day for r in t.read().collect()} == {"d0", "d2"}
+    assert t.read(0).count() == 30  # time travel intact
+    # append (unpartitioned write path) still composes with the layout
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"))
+    t2.overwrite(df, partition_cols=["day"])
+    # update scoped to one partition: other entries survive by name
+    before2 = set(t2._manifest(0)["dirs"])
+    v2 = t2.update(
+        F.col("day") == "d2",
+        {"k": F.col("k") + 100},
+        prune=("day", "d2", "d2"),
+    )
+    m3 = t2._manifest(v2)
+    assert {e for e in before2 if "day=d2" not in e} <= set(m3["dirs"])
+    got = {r.k for r in t2.read().filter("day = 'd2'").collect()}
+    assert got == {i + 100 for i in range(30) if i % 3 == 2}
+
+
+def test_partitioned_compact_and_vacuum_roundtrip(spark, tmp_path):
+    """Partition-granular layout through the maintenance surface:
+    compact rewrites into fresh per-partition entries; vacuum reclaims
+    fully superseded commit dirs while any-entry-referenced commits
+    survive."""
+    import os
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, f"d{i % 2}") for i in range(20)], "k INT, day STRING"
+    )
+    t.overwrite(df, partition_cols=["day"])
+    t.delete(F.col("day") == "d0", prune=("day", "d0", "d0"))
+    # commit 0's uuid still holds the LIVE day=d1 entry: vacuum must
+    # spare the whole uuid even though its day=d0 entry is superseded
+    uuid0 = t._manifest(0)["dirs"][0].split("/", 1)[0]
+    removed = t.vacuum(retain_versions=1, min_age_seconds=0.0)
+    assert uuid0 not in removed
+    assert {r.day for r in t.read().collect()} == {"d1"}
+    t.compact()
+    assert {r.day for r in t.read().collect()} == {"d1"}
+    m = t._manifest(t.latest_version())
+    assert all("day=" in e for e in m["dirs"])
+    # after compact, the old uuids are fully superseded
+    removed = t.vacuum(retain_versions=1, min_age_seconds=0.0)
+    assert uuid0 in removed
+    assert sorted(r.k for r in t.read().collect()) == [
+        i for i in range(20) if i % 2 == 1
+    ]
