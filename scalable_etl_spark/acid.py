@@ -66,6 +66,40 @@ _CHECKPOINT_EVERY = 10
 # maps grow with table size.
 _DELTA_KEYS = ("dirs", "stats", "file_stats")
 
+# Characters Spark/Hive URL-escape when writing a partition VALUE into
+# a directory name (Hive's FileUtils.escapePathName, mirrored by
+# Spark's ExternalCatalogUtils): control chars, the path/query specials
+# below, and DEL. A partition value like "2024-01-01 00:00:00" lands on
+# disk as "ts=2024-01-01 00%3A00%3A00", so matching the RAW value
+# against path components silently misses every such partition.
+_HIVE_PATH_SPECIALS = (
+    {chr(c) for c in range(1, 32)} | {chr(127)} | set('"#%\'*/:=?\\{[]^')
+)
+
+
+def _hive_escape_path(value: str) -> str:
+    """Escape a partition value exactly as Spark does when it builds
+    the ``col=value`` directory component (uppercase %XX, same
+    character set as Hive's escapePathName)."""
+    return "".join(
+        f"%{ord(c):02X}" if c in _HIVE_PATH_SPECIALS else c
+        for c in value
+    )
+
+
+def _partition_component(entry: str, col: str) -> str | None:
+    """The (still-escaped) value of the ``col=...`` path component in a
+    manifest entry, or None when the entry carries NO component for
+    ``col`` — bare-uuid entries from append/insert_ignore on a table
+    that was partitioned later, or pre-partition-granular legacy
+    entries. Callers must treat None as "may contain any partition":
+    pruning such an entry away would silently drop rows."""
+    prefix = col + "="
+    for seg in entry.split("/"):
+        if seg.startswith(prefix):
+            return seg[len(prefix):]
+    return None
+
 
 def _make_manifest_delta(prev: dict, full: dict) -> dict | None:
     """Delta log entry reproducing ``full`` from ``prev``, or None when
@@ -271,9 +305,20 @@ class SnapshotTable:
             col, lo, hi = where
             if col in m.get("partition_cols", []) and lo == hi:
                 # partition-granular entries: equality on a partition
-                # column prunes by PATH component, no stats required
-                token = f"{col}={lo}"
-                dirs = [d for d in dirs if token in d.split("/")]
+                # column prunes by PATH component, no stats required.
+                # CONSERVATIVE: an entry is dropped only when it
+                # carries a CONFLICTING `col=` component — entries with
+                # no component for `col` (bare-uuid appends, legacy
+                # snapshots) may hold rows of any partition and are
+                # kept (the trailing filter below makes them correct).
+                # The value is hive-escaped the way Spark escapes it on
+                # disk, so timestamps/colons/etc. match their dirs.
+                want = _hive_escape_path(str(lo))
+                dirs = [
+                    d
+                    for d in dirs
+                    if _partition_component(d, col) in (None, want)
+                ]
             else:
                 nlo, nhi = self._js(lo), self._js(hi)
                 if nlo is not None and nhi is not None:
@@ -771,31 +816,44 @@ class SnapshotTable:
         # (the clustered layout is useless for skipping without them),
         # even when the caller also asks for stats on other columns
         scols = tuple(dict.fromkeys([*stats_cols, *cluster_by]))
-        d = self._write_data(df, ())
-        dstats, fstats = (
-            self._footer_stats(d, scols) if scols else ({}, {})
+        # Appends to a PARTITIONED table lay out hive partition dirs and
+        # manifest one entry per leaf, same as overwrite — so partition-
+        # equality reads/DML prune appended data too instead of leaning
+        # on the conservative keep-bare-entries fallback. pcols is
+        # peeked outside the retry loop (the data write must precede
+        # it); a concurrent re-partitioning overwrite is still correct
+        # because readers treat component-less entries conservatively.
+        v0 = self.latest_version()
+        write_pcols = (
+            [] if v0 is None else self._manifest(v0)["partition_cols"]
         )
+        entries = self._write_data_entries(df, write_pcols)
+        estats: dict[str, dict] = {}
+        efstats: dict[str, dict] = {}
+        if scols:
+            for e in entries:
+                dstats, fstats = self._footer_stats(e, scols)
+                if dstats:
+                    estats[e] = dstats
+                if fstats:
+                    efstats[e] = fstats
         for _ in range(_COMMIT_RETRIES):
             v = self.latest_version()
             if v is None:
                 dirs, pcols, schema = [], [], df.schema.json()
-                all_stats = {d: dstats} if dstats else {}
-                all_fstats = {d: fstats} if fstats else {}
+                all_stats = dict(estats)
+                all_fstats = dict(efstats)
             else:
                 m = self._manifest(v)
                 dirs, pcols = m["dirs"], m["partition_cols"]
                 schema = self._evolve_schema(
                     m["schema"], df.schema, merge_schema
                 )
-                all_stats = {**self._stats_of(v)}
-                if dstats:
-                    all_stats[d] = dstats
-                all_fstats = {**self._file_stats_of(v)}
-                if fstats:
-                    all_fstats[d] = fstats
+                all_stats = {**self._stats_of(v), **estats}
+                all_fstats = {**self._file_stats_of(v), **efstats}
             manifest = {
                 "op": "append",
-                "dirs": [*dirs, d],
+                "dirs": [*dirs, *entries],
                 "schema": schema,
                 "partition_cols": pcols,
                 "stats": all_stats,
@@ -851,7 +909,11 @@ class SnapshotTable:
             v = self.latest_version()
             if v is None:
                 novel = batch
+                dirs, schema = [], batch.schema.json()
+                pcols: list[str] = []
             else:
+                m = self._manifest(v)
+                dirs, pcols, schema = m["dirs"], m["partition_cols"], m["schema"]
                 existing = self.read(v).select(*keys)
                 novel = batch.join(existing, keys, "left_anti")
             novel = novel.cache()
@@ -859,27 +921,24 @@ class SnapshotTable:
                 n = novel.count()
                 if n == 0:
                     return 0
-                d = self._write_data(novel, ())
+                # partitioned tables get partition-granular entries so
+                # the inserted rows stay prunable by partition equality
+                entries = self._write_data_entries(novel, pcols)
             finally:
                 novel.unpersist()
             # key stats come free from the footers and keep later
-            # merges/reads prunable against this dir
-            dstats, fstats = self._footer_stats(d, keys)
-            if v is None:
-                dirs, schema = [], batch.schema.json()
-                pcols: list[str] = []
-            else:
-                m = self._manifest(v)
-                dirs, pcols, schema = m["dirs"], m["partition_cols"], m["schema"]
+            # merges/reads prunable against these entries
             all_stats = {**self._stats_of(v)}
-            if dstats:
-                all_stats[d] = dstats
             all_fstats = {**self._file_stats_of(v)}
-            if fstats:
-                all_fstats[d] = fstats
+            for e in entries:
+                dstats, fstats = self._footer_stats(e, keys)
+                if dstats:
+                    all_stats[e] = dstats
+                if fstats:
+                    all_fstats[e] = fstats
             manifest = {
                 "op": "insert_ignore",
-                "dirs": [*dirs, d],
+                "dirs": [*dirs, *entries],
                 "schema": schema,
                 "partition_cols": pcols,
                 "stats": all_stats,
@@ -1046,11 +1105,18 @@ class SnapshotTable:
                     # a partition column touches exactly that
                     # partition's entries — no footer stats needed
                     # (partition values never appear in footers).
-                    # Plain str() matching: hive-special characters
-                    # would need URL-escaping; keep partition values
-                    # simple (the standard lakehouse guidance).
-                    token = f"{col}={lo}"
-                    hit = {e for e in rewrite if token in e.split("/")}
+                    # CONSERVATIVE: entries with NO `col=` component
+                    # (bare-uuid appends, legacy snapshots) may hold
+                    # matching rows, so they join the rewrite set —
+                    # skipping them would silently leave rows
+                    # undeleted/unupdated. Values are hive-escaped to
+                    # match what Spark wrote on disk.
+                    want = _hive_escape_path(str(lo))
+                    hit = {
+                        e
+                        for e in rewrite
+                        if _partition_component(e, col) in (None, want)
+                    }
                     untouched = [d for d in m["dirs"] if d not in hit]
                     rewrite = [d for d in m["dirs"] if d in hit]
                 else:
@@ -1392,7 +1458,6 @@ def sync_incremental(
             batch = batch.withColumnRenamed("_commit_version", "_src_version")
         if transform is not None:
             batch = transform(batch)
-        d = dst._write_data(batch, ())
         if v_dst is None:
             dirs, pcols = [], []
             schema = batch.schema.json()
@@ -1402,11 +1467,14 @@ def sync_incremental(
             schema = SnapshotTable._evolve_schema(
                 m["schema"], batch.schema, merge_schema
             )
+        # partitioned dst gets partition-granular entries (same
+        # contract as append/overwrite) so synced rows stay prunable
+        entries = dst._write_data_entries(batch, pcols)
         txn = dict(txn)
         txn[key] = src_v
         manifest = {
             "op": "sync",
-            "dirs": [*dirs, d],
+            "dirs": [*dirs, *entries],
             "schema": schema,
             "partition_cols": pcols,
             "stats": dst._stats_of(v_dst),
@@ -1466,20 +1534,22 @@ def write_stream_snapshot(
                 txn = dict(m.get("txn", {}))
             if txn.get(query_id, -1) >= batch_id:
                 return  # replayed batch: already committed
-            d = table._write_data(batch_df, ())
+            # partitioned tables get partition-granular entries (same
+            # contract as append) so micro-batches stay prunable
+            entries = table._write_data_entries(batch_df, pcols)
             txn[query_id] = batch_id
-            dstats, fstats = (
-                table._footer_stats(d, stats_cols) if stats_cols else ({}, {})
-            )
             all_stats = {**table._stats_of(v)}
-            if dstats:
-                all_stats[d] = dstats
             all_fstats = {**table._file_stats_of(v)}
-            if fstats:
-                all_fstats[d] = fstats
+            if stats_cols:
+                for e in entries:
+                    dstats, fstats = table._footer_stats(e, stats_cols)
+                    if dstats:
+                        all_stats[e] = dstats
+                    if fstats:
+                        all_fstats[e] = fstats
             manifest = {
                 "op": "stream_append",
-                "dirs": [*dirs, d],
+                "dirs": [*dirs, *entries],
                 "schema": schema,
                 "partition_cols": pcols,
                 "stats": all_stats,

@@ -249,8 +249,9 @@ def monthly_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT event_type) AS n_types,
            epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS first_us,
            epoch_us(CAST(MAX(ts) AS TIMESTAMP)) AS last_us,
-           CAST(CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) * 10000
-                // NULLIF(COUNT(value), 0) AS BIGINT) AS avg_ucents,
+           CAST(FLOOR(CAST(CAST(ROUND(SUM(value) * 100, 0) AS BIGINT)
+                * 10000 AS DOUBLE) / NULLIF(COUNT(value), 0))
+                AS BIGINT) AS avg_ucents,
            ROUND(SUM(value), 2) AS total_value
     FROM events GROUP BY user_id
     """,
@@ -271,11 +272,14 @@ def user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # where each engine's accumulation order decides the final
         # digit (observed at sf0.1 AND sf0.001 through two rounding
         # schemes). The total in cents is boundary-safe (true value is
-        # an integer, float-sum error ~1e-8), and bigint floor
-        # division is exact on both engines.
+        # an integer, float-sum error ~1e-8). FLOOR(x/y) rather than
+        # integral division because Spark's DIV truncates toward zero
+        # while DuckDB's // floors — they diverge on negative sums;
+        # FLOOR over double is exact here (numerator < 2^53) and
+        # floor-consistent on both engines.
         F.expr(
-            "CAST(CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) * 10000"
-            " DIV NULLIF(COUNT(value), 0) AS BIGINT)"
+            "CAST(FLOOR(CAST(CAST(ROUND(SUM(value) * 100, 0) AS BIGINT)"
+            " * 10000 AS DOUBLE) / NULLIF(COUNT(value), 0)) AS BIGINT)"
         ).alias("avg_ucents"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )

@@ -1024,3 +1024,98 @@ def test_partitioned_compact_and_vacuum_roundtrip(spark, tmp_path):
     assert sorted(r.k for r in t.read().collect()) == [
         i for i in range(20) if i % 2 == 1
     ]
+
+
+def test_partition_prune_keeps_componentless_entries(spark, tmp_path):
+    """ADVICE r7 (high): append/insert_ignore/sync on a partitioned
+    table now manifest partition-granular entries, AND the partition-
+    equality prune in read()/DML treats entries WITHOUT a `col=` path
+    component (legacy bare-uuid snapshots) conservatively — they may
+    hold rows of any partition, so dropping them silently loses rows
+    (reproduced pre-fix: 5 of 6 rows returned)."""
+    import time as _time
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, f"d{i % 2}") for i in range(10)], "k INT, day STRING"
+    )
+    t.overwrite(df, partition_cols=["day"])
+    # append now lands partition-granular entries on partitioned tables
+    t.append(spark.createDataFrame([(100, "d1")], "k INT, day STRING"))
+    m = t._manifest(t.latest_version())
+    assert all("day=" in e for e in m["dirs"]), m["dirs"]
+    got = {r.k for r in t.read(where=("day", "d1", "d1")).collect()}
+    assert got == {1, 3, 5, 7, 9, 100}
+    # craft a LEGACY bare-uuid entry (pre-partition-granular snapshot)
+    legacy = spark.createDataFrame([(200, "d1")], "k INT, day STRING")
+    d = t._write_data(legacy, ())
+    v = t.latest_version()
+    m = t._manifest(v)
+    assert t._commit(
+        v + 1,
+        {**m, "op": "append", "dirs": [*m["dirs"], d],
+         "timestamp": _time.time()},
+    )
+    # read: the componentless entry is conservatively scanned
+    got = {r.k for r in t.read(where=("day", "d1", "d1")).collect()}
+    assert got == {1, 3, 5, 7, 9, 100, 200}
+    # DML: the componentless entry joins the rewrite set — no row of
+    # day=d1 survives the partition-scoped delete
+    t.delete(F.col("day") == "d1", prune=("day", "d1", "d1"))
+    assert t.read().filter("day = 'd1'").count() == 0
+    assert t.read().count() == 5  # day=d0 untouched
+
+
+def test_partition_prune_hive_escaped_values(spark, tmp_path):
+    """ADVICE r7 (medium): Spark hive-escapes special characters in
+    partition dir names (':' -> '%3A' etc.), so the equality prune
+    must compare against the ESCAPED component or it silently matches
+    nothing. Timestamps-as-strings are the canonical victim."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    ts0, ts1 = "2024-01-01 00:00:00", "2024-01-02 12:30:00"
+    df = spark.createDataFrame(
+        [(1, ts0), (2, ts0), (3, ts1)], "k INT, hr STRING"
+    )
+    t.overwrite(df, partition_cols=["hr"])
+    m = t._manifest(0)
+    assert any("%3A" in e for e in m["dirs"]), m["dirs"]
+    got = {r.k for r in t.read(where=("hr", ts0, ts0)).collect()}
+    assert got == {1, 2}
+    # and the read really pruned: only ts0's entries are in the plan
+    v = t.delete(F.col("hr") == ts1, prune=("hr", ts1, ts1))
+    m2 = t._manifest(v)
+    before = set(m["dirs"])
+    kept = {e for e in before if "hr=2024-01-01" in e}
+    assert kept <= set(m2["dirs"]), "ts0 partition must survive by name"
+    assert {r.k for r in t.read().collect()} == {1, 2}
+
+
+def test_insert_ignore_and_stream_sink_partition_granular(spark, tmp_path):
+    """insert_ignore and sync_incremental on partitioned tables land
+    partition-granular entries too, so partition-equality reads prune
+    appended data instead of falling back to conservative keeps."""
+    from scalable_etl_spark.acid import sync_incremental
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, f"d{i % 2}") for i in range(6)], "k INT, day STRING"
+    )
+    t.overwrite(df, partition_cols=["day"])
+    t.insert_ignore(
+        spark.createDataFrame([(50, "d0"), (1, "d1")], "k INT, day STRING"),
+        key_cols=["k"],
+    )
+    m = t._manifest(t.latest_version())
+    assert all("day=" in e for e in m["dirs"]), m["dirs"]
+    got = {r.k for r in t.read(where=("day", "d0", "d0")).collect()}
+    assert got == {0, 2, 4, 50}
+    # sync into a partitioned destination
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    src.append(spark.createDataFrame([(9, "d1")], "k INT, day STRING"))
+    dst = SnapshotTable(spark, str(tmp_path / "dst"))
+    dst.overwrite(df, partition_cols=["day"])
+    sync_incremental(src, dst, merge_schema=True)  # adds _src_version
+    m2 = dst._manifest(dst.latest_version())
+    assert all("day=" in e for e in m2["dirs"]), m2["dirs"]
+    got = {r.k for r in dst.read(where=("day", "d1", "d1")).collect()}
+    assert got == {1, 3, 5, 9}
