@@ -57,27 +57,35 @@ _MODULE_ORDER = (
     "queries_pipeline",
 )
 
-# Queries promoted into the driver-graded first-50 window (round-7
-# rotation, per the round-6 verdict's "Next round" #1): the ACID
-# transaction family + the curation/pipeline surface get driver-verified
-# status this round; the round-6 headliners (dedup/ANN/quality family)
-# went driver-green in CORRECTNESS_r06.json and rotate back to
-# local-oracle checking.  Order within the tuple is the order they
-# appear after the §2 core.
+# Queries promoted into the driver-graded first-50 window (round-8
+# rotation, per the round-7 verdict's "Next round" #1): the ENTIRE
+# analytics family (rollup/cube/pivot/unpivot/funnel/cohort/gapfill/
+# state-intervals/incremental-merge/fk-audit/deciles/asof-rolling/
+# salted join) had only ever been local-oracle checked — it gets
+# driver-verified status this round, alongside the four pipeline/LLM
+# entries the verdict named. The round-7 headliners (tx family +
+# curation + media_pixel_stats) went driver-green in
+# CORRECTNESS_r07.json and rotate back to local-oracle checking.
+# Order within the tuple is the order they appear after the §2 core.
 _PROMOTED = (
-    "sink_tx_skipping",
-    "sink_tx_zorder",
-    "sink_tx_changes",
-    "sink_tx_sync",
-    "sink_tx_interop",
-    "ngram_jaccard_gated",
-    "pii_redaction",
-    "benchmark_contamination",
-    "sequence_packing",
-    "stratified_sample",
-    "incremental_corpus_dedup",
-    "passage_dedup",
-    "media_pixel_stats",
+    "rollup_revenue",
+    "cube_type_daily",
+    "pivot_event_values",
+    "unpivot_daily_values",
+    "rolling_weekly_value",
+    "session_event_join",
+    "salted_segment_revenue",
+    "gapfill_user_daily",
+    "funnel_view_click_purchase",
+    "cohort_retention",
+    "fk_integrity_audit",
+    "event_state_intervals",
+    "incremental_agg_merge",
+    "user_value_deciles",
+    "semantic_dedup",
+    "embedding_clusters",
+    "dedup_components_star",
+    "hash_rank_sample",
 )
 
 # Beyond-reference §2 extras rotated out of the graded window to make room
@@ -115,6 +123,31 @@ _DEMOTED = (
     # is additionally pinned by the plan-shape suite)
     "user_stats",  # A2 stays repped by gold_user_peaks; makes room for
     # the graded row-level DELETE (sink_tx_delete)
+    # --- round-8 rotation: bank the r7-graded tx family (all five went
+    # driver-green in CORRECTNESS_r07.json; the K-family stays repped in
+    # the window by sink_table_roundtrip/sink_tx_merge_upsert/
+    # sink_tx_delete/sink_tx_partition_ops/sink_bucketed_join) ...
+    "sink_tx_skipping",
+    "sink_tx_zorder",
+    "sink_tx_changes",
+    "sink_tx_sync",
+    "sink_tx_interop",
+    # ... and free seven more tier-0 slots for the analytics promotion.
+    # Each demotee is driver-green (r6 and/or r7) and its §2 family
+    # keeps another window representative: Q5/Q3 join-agg shapes ->
+    # top_customers + promoted salted_segment_revenue/session_event_join;
+    # K6 insert-ignore -> sink_tx_merge_upsert; K2 atomic ->
+    # sink_table_roundtrip + sink_tx_partition_ops; tumbling/sliding
+    # stream windows -> streaming_session_windows +
+    # streaming_join_windowed; stream-static enrich ->
+    # streaming_stream_join.
+    "revenue_by_region",
+    "shipping_priority",
+    "sink_insert_ignore",
+    "sink_tx_atomic_overwrite",
+    "streaming_event_counts",
+    "streaming_enriched_counts",
+    "streaming_sliding_counts",
 )
 
 

@@ -516,3 +516,80 @@ def sink_tx_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@query(
+    "sink_tx_partition_ops",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, event_type, value FROM events
+    ),
+    after_delete AS (
+      SELECT * FROM base
+      WHERE NOT (event_type = 'purchase' AND value > 500)
+    ),
+    after_update AS (
+      SELECT event_id, user_id, event_type,
+             CASE WHEN event_type = 'error' THEN value * 2
+                  ELSE value END AS value
+      FROM after_delete
+    )
+    SELECT event_type, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS value_cents
+    FROM after_update
+    WHERE event_type IN ('purchase', 'error')
+    GROUP BY 1
+    """,
+)
+def sink_tx_partition_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-granular commit units end-to-end (the reference's
+    hive-partition contract — ingest_job.py:85, transform_job.py:63 —
+    lifted onto the ACID layer): a hive-PARTITIONED snapshot table is
+    built from an overwrite PLUS a partitioned append (the append lands
+    partition-granular entries too), then mutated with two
+    PARTITION-SCOPED DML statements — a range DELETE pruned to the
+    'purchase' partition and an UPDATE pruned to the 'error' partition.
+    Each rewrite touches only its partition's manifest entries; every
+    other partition's entries (and bytes — pinned by
+    tests/test_acid.py::test_partition_dml_leaves_other_partitions_byte_identical)
+    survive verbatim. The returned frame reads BOTH mutated partitions
+    through the partition-equality path prune, so the value hash proves
+    pruned reads see exactly the post-DML contents."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t = _tx_table(spark, "partition_ops")
+    # overwrite everything EXCEPT purchases, then append the purchases:
+    # the table converges to the full source while exercising both
+    # partition-granular write paths (overwrite leaves + append leaves)
+    t.overwrite(
+        e.filter(F.col("event_type") != "purchase"),
+        partition_cols=["event_type"],
+    )
+    t.append(e.filter(F.col("event_type") == "purchase"))
+    # partition-scoped DELETE: only purchase entries rewrite
+    t.delete(
+        (F.col("event_type") == "purchase") & (F.col("value") > 500),
+        prune=("event_type", "purchase", "purchase"),
+    )
+    # partition-scoped UPDATE: only error entries rewrite
+    t.update(
+        F.col("event_type") == "error",
+        {"value": F.col("value") * 2},
+        prune=("event_type", "error", "error"),
+    )
+    # read each mutated partition through the path-component prune
+    purchases = t.read(where=("event_type", "purchase", "purchase"))
+    errors = t.read(where=("event_type", "error", "error"))
+    return (
+        purchases.unionByName(errors)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.expr(
+                "CAST(ROUND(SUM(value) * 100, 0) AS BIGINT)"
+            ).alias("value_cents"),
+        )
+    )

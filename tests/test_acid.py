@@ -1119,3 +1119,48 @@ def test_insert_ignore_and_stream_sink_partition_granular(spark, tmp_path):
     assert all("day=" in e for e in m2["dirs"]), m2["dirs"]
     got = {r.k for r in dst.read(where=("day", "d1", "d1")).collect()}
     assert got == {1, 3, 5, 9}
+
+
+def test_partition_dml_leaves_other_partitions_byte_identical(
+    spark, tmp_path
+):
+    """Partition-granular isolation at the BYTE level: a partition-
+    scoped DELETE in partition A must leave every data file of every
+    other partition untouched on disk — same paths, same bytes, same
+    mtimes. (Entry-name survival alone wouldn't catch an in-place
+    rewrite.)"""
+    import hashlib
+    import os
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, f"d{i % 3}") for i in range(30)], "k INT, day STRING"
+    )
+    t.overwrite(df, partition_cols=["day"])
+    t.append(spark.createDataFrame([(100, "d1")], "k INT, day STRING"))
+
+    def snapshot_bytes(part: str) -> dict[str, tuple]:
+        out = {}
+        for root, _d, files in os.walk(t.data_dir):
+            if f"day={part}" not in root:
+                continue
+            for fn in files:
+                p = os.path.join(root, fn)
+                st = os.stat(p)
+                with open(p, "rb") as fh:
+                    digest = hashlib.sha256(fh.read()).hexdigest()
+                out[p] = (st.st_size, st.st_mtime_ns, digest)
+        return out
+
+    before_d0 = snapshot_bytes("d0")
+    before_d2 = snapshot_bytes("d2")
+    assert before_d0 and before_d2
+    t.delete(F.col("day") == "d1", prune=("day", "d1", "d1"))
+    t.update(
+        F.col("day") == "d1",  # no-op partition now; still scoped
+        {"k": F.col("k") + 1},
+        prune=("day", "d1", "d1"),
+    )
+    assert snapshot_bytes("d0") == before_d0
+    assert snapshot_bytes("d2") == before_d2
+    assert t.read().filter("day = 'd1'").count() == 0
