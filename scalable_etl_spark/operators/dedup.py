@@ -143,6 +143,17 @@ def suffix_ham_lb_pandas(a, b, depth: int = 4):
     return udf(a, b)
 
 
+# Skew heuristics for ngram_jaccard_pairs' auto mode: estimated
+# document frequency of the hottest shingle, and mean rows per distinct
+# shingle, above which the window-on-h document-frequency spelling is
+# abandoned for the AQE-skew-safe groupBy+join spelling. Windows never
+# partially aggregate — every row of a hot key lands in ONE task — while
+# groupBy collapses hot keys map-side and a skewed equi-join is split by
+# AQE at runtime.
+_SKEW_MAX_DF = 4096
+_SKEW_AVG_FANOUT = 64.0
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -152,6 +163,7 @@ def ngram_jaccard_pairs(
     max_shingle_fanout: int | None = None,
     prefix_filter: bool = True,
     suffix_filter: bool = True,
+    skew_safe: bool | None = None,
 ) -> DataFrame:
     """EXACT Jaccard >= threshold pairs over distinct k-word shingle
     sets, with prefix filtering (ALL-Pairs / PPJoin, Xiao et al. 2008,
@@ -173,6 +185,19 @@ def ngram_jaccard_pairs(
     shingles there (LOSSY — only sane for verification of LSH
     candidates where the hot shingle carries no signal).
 
+    ``skew_safe`` selects the document-frequency spelling: ``False`` =
+    window over the shingle hash (fastest when hashes are near-unique;
+    a window never partially aggregates, so a hot shingle serializes
+    into one task), ``True`` = groupBy + equi-join back (hot keys
+    collapse map-side; AQE splits the skewed join at runtime — the
+    100 TB-safe spelling, measured 2x slower at sf0.1 where no skew
+    exists). ``None`` (default) AUTO-SELECTS: a single-pass
+    count/approx-distinct probe plus a bounded-sample max-frequency
+    estimate flips to the groupBy spelling when the hottest shingle's
+    estimated document frequency exceeds ``_SKEW_MAX_DF`` or mean
+    fanout exceeds ``_SKEW_AVG_FANOUT``. Both spellings return
+    identical rows.
+
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     from pyspark.sql import Window
@@ -181,25 +206,54 @@ def ngram_jaccard_pairs(
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
 
     if prefix_filter:
-        # Document frequency and per-doc size/rank as WINDOW functions:
-        # one shuffle on shingle hash, one on doc (size + rank share
-        # the doc exchange). MEASURED ALTERNATIVES (sf0.1, local[32]):
-        # groupBy("h")+join-back 2x slower (4.4s vs 2.2s median — the
-        # extra two-stage agg + join outweighs the missing map-side
-        # combine at ~260k rows), explicit broadcast(dfreq) 2-8x slower
-        # (driver collect + rebroadcast of a ~260k-row table beats the
-        # shuffle it saves only at much larger shingle cardinality).
-        # Shingle hashes are near-unique (md5-derived), so the h-window
-        # has no skew; at truly hot-key scales flip to the groupBy
-        # spelling, which is skew-safe under AQE.
-        w_sh = Window.partitionBy("h")
+        if skew_safe is None:
+            # Cheap skew probe: one partial-agg pass for total rows +
+            # HLL distinct shingles (mergeable, no wide shuffle), then
+            # a ~200k-row sample groupBy to estimate the hottest
+            # shingle's frequency. A hot key in the sample groupBy is
+            # harmless — partial aggregation collapses it map-side.
+            stats = sh.agg(
+                F.count("*").alias("tot"),
+                F.approx_count_distinct("h").alias("nh"),
+            ).first()
+            tot = stats["tot"] or 0
+            avg = tot / max(stats["nh"] or 1, 1)
+            est_max = 0.0
+            if tot:
+                frac = min(1.0, 200_000.0 / tot)
+                mx = (
+                    sh.sample(fraction=frac, seed=7)
+                    .groupBy("h")
+                    .agg(F.count("*").alias("__c"))
+                    .agg(F.max("__c"))
+                    .first()[0]
+                ) or 0
+                est_max = mx / frac
+            skew_safe = avg > _SKEW_AVG_FANOUT or est_max > _SKEW_MAX_DF
+        # Document frequency: window over h, or groupBy+join when skew-
+        # safe. Per-doc size/rank stay windows either way (keyed by doc
+        # id — bounded by a document's shingle count, never corpus-hot).
+        # MEASURED ALTERNATIVES (sf0.1, local[32]): groupBy("h")+join-
+        # back 2x slower (4.4s vs 2.2s median — the extra two-stage agg
+        # + join outweighs the missing map-side combine at ~260k rows),
+        # explicit broadcast(dfreq) 2-8x slower (driver collect +
+        # rebroadcast of a ~260k-row table beats the shuffle it saves
+        # only at much larger shingle cardinality). Shingle hashes are
+        # md5-derived and near-unique in healthy corpora, so the window
+        # wins there; the auto probe exists for the degenerate corpus
+        # where it wouldn't.
+        if skew_safe:
+            dfreq = sh.groupBy("h").agg(F.count("*").alias("__df"))
+            based = sh.join(dfreq, "h")
+        else:
+            w_sh = Window.partitionBy("h")
+            based = sh.withColumn("__df", F.count("*").over(w_sh))
         w_doc = Window.partitionBy(id_col)
         w_rank = Window.partitionBy(id_col).orderBy(
             F.col("__df").asc(), F.col("h").asc()
         )
         ranked = (
-            sh.withColumn("__df", F.count("*").over(w_sh))
-            .withColumn("set_size", F.count("*").over(w_doc))
+            based.withColumn("set_size", F.count("*").over(w_doc))
             .withColumn("__rk", F.row_number().over(w_rank))
             .filter(
                 F.col("__rk")

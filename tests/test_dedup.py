@@ -159,3 +159,47 @@ def test_winnowing_shared_run_guarantee(spark):
     # Winnowing compresses: far fewer fingerprints than shingles.
     n_shingles = 7 + 4 - 2  # tokens per doc minus k-1
     assert all(len(v) < n_shingles for v in by_doc.values())
+
+
+def test_ngram_jaccard_skew_safe_spelling(spark, docs):
+    """The skew-safe document-frequency spelling (groupBy + join) must
+    return exactly the window spelling's rows, its physical plan must
+    carry NO window partitioned by the shingle hash (the serialize-one-
+    task exposure), and AUTO mode must select it on a degenerate corpus
+    whose hottest shingle hits every document."""
+
+    def pairs(**kw):
+        return {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in ngram_jaccard_pairs(docs, threshold=0.3, **kw).collect()
+        }
+
+    assert pairs(skew_safe=True) == pairs(skew_safe=False)
+
+    plan_safe = ngram_jaccard_pairs(
+        docs, threshold=0.3, skew_safe=True, suffix_filter=False
+    )._jdf.queryExecution().executedPlan().toString()
+    plan_win = ngram_jaccard_pairs(
+        docs, threshold=0.3, skew_safe=False, suffix_filter=False
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(h#" not in plan_safe
+    assert "windowspecdefinition(h#" in plan_win
+
+    # degenerate corpus: one shared sentence in every doc -> hottest
+    # shingle df == n_docs; the auto probe must flip to skew-safe
+    from scalable_etl_spark.operators import dedup as dd
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    degen = spark.createDataFrame(
+        [(i, f"{shared} unique{i} tail{i}") for i in range(50)],
+        ["doc_id", "text"],
+    )
+    old = dd._SKEW_MAX_DF
+    dd._SKEW_MAX_DF = 10  # 50-doc corpus: hot df=50 > 10 triggers
+    try:
+        auto_plan = ngram_jaccard_pairs(
+            degen, threshold=0.9, suffix_filter=False
+        )._jdf.queryExecution().executedPlan().toString()
+    finally:
+        dd._SKEW_MAX_DF = old
+    assert "windowspecdefinition(h#" not in auto_plan
