@@ -110,3 +110,64 @@ def test_corrupt_delta_chain_fails_loudly(tmp_path):
     t2 = _table(tmp_path)
     with pytest.raises(FileNotFoundError):
         t2._manifest(2)
+
+
+def test_hundred_commit_history_bounded_resolution_and_vacuum(
+    spark, tmp_path
+):
+    """Long-history stress (Delta paper §3.1 checkpointing): after 100+
+    commits, a COLD reader resolving the latest snapshot may open at
+    most one checkpoint + (_CHECKPOINT_EVERY - 1) delta manifests —
+    never the whole log — and vacuum of the long table reclaims every
+    superseded commit dir while the live snapshot and a retained
+    time-travel window keep working."""
+    from scalable_etl_spark import acid as acid_mod
+    from scalable_etl_spark.acid import _CHECKPOINT_EVERY, SnapshotTable
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    df = spark.createDataFrame([(i, "x") for i in range(4)], "k INT, v STRING")
+    t.overwrite(df)
+    n_commits = 103
+    for i in range(1, n_commits):
+        t.append(
+            spark.createDataFrame([(1000 + i, "a")], "k INT, v STRING")
+        )
+    latest = t.latest_version()
+    assert latest == n_commits - 1
+
+    # cold reader: fresh table object, count manifest files opened
+    cold = SnapshotTable(spark, root)
+    opened: list[int] = []
+    real_raw = SnapshotTable._manifest_raw
+
+    def counting_raw(self, version):
+        opened.append(version)
+        return real_raw(self, version)
+
+    acid_mod.SnapshotTable._manifest_raw = counting_raw
+    try:
+        m = cold._manifest(latest)
+    finally:
+        acid_mod.SnapshotTable._manifest_raw = real_raw
+    assert len(m["dirs"]) == n_commits
+    assert len(opened) <= _CHECKPOINT_EVERY, (
+        f"cold resolve opened {len(opened)} manifests: {sorted(opened)}"
+    )
+    # and they are exactly the tail back to the nearest checkpoint
+    ckpt = (latest // _CHECKPOINT_EVERY) * _CHECKPOINT_EVERY
+    assert sorted(opened) == list(range(ckpt, latest + 1))
+
+    # retaining a window keeps every dir those versions reference:
+    # versions latest-2..latest still span the pre-compact snapshots
+    t.compact()
+    import os
+
+    assert t.vacuum(retain_versions=3, min_age_seconds=0.0) == []
+    # retain only the compacted snapshot: all 103 pre-compact commit
+    # dirs (1 overwrite + 102 appends) are now fully superseded
+    n_data_dirs = len(os.listdir(t.data_dir))
+    removed = t.vacuum(retain_versions=1, min_age_seconds=0.0)
+    assert len(removed) == n_commits
+    assert len(os.listdir(t.data_dir)) == n_data_dirs - n_commits
+    assert t.read().count() == 4 + (n_commits - 1)
