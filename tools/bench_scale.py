@@ -1,0 +1,62 @@
+"""Scale-sweep evidence for the dedup/ANN family: time each query at
+sf0.01 and sf0.1 (10x the rows) and report the scaling ratio.
+
+A scale-correct bucketed/banded plan should grow ~linearly in the input
+(ratio ~= 10 for compute-bound ops, below 10 while fixed per-query
+overhead — session, planning, Python worker pools — still dominates).
+A quadratic corpus-wide self-join would show ratios far above 10.
+
+Protocol (BASELINE.md re-pin rules apply): run SOLO — concurrent Spark
+work poisons the medians; check /proc/loadavg first. Each query is
+warmed once at each scale (AQE picks different physical plans per
+scale, so a small-scale warmup does not compile the large-scale code),
+then timed 3x; medians are reported.
+
+Usage: python tools/bench_scale.py [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__  # noqa: F401  (registers the query registry)
+from scalable_etl_spark.registry import QUERIES
+from scalable_etl_spark.session import get_spark
+
+DEFAULT = ("minhash_lsh", "ngram_jaccard_gated", "ann_ivf", "dedup_components")
+SCALES = ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    names = sys.argv[1:] or list(DEFAULT)
+    with open("/proc/loadavg") as fh:
+        load1 = float(fh.read().split()[0])
+    spark = get_spark(app_name="bench-scale")
+    out: dict[str, dict] = {}
+    for name in names:
+        fn = QUERIES[name]
+        per_scale: dict[str, float] = {}
+        for sf_dir in SCALES:
+            fn(spark, sf_dir).count()  # warm THIS scale's plan/codegen
+            times = []
+            for _ in range(3):
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                times.append(time.time() - t0)
+            per_scale[sf_dir.rsplit("/", 1)[-1]] = round(
+                statistics.median(times), 3
+            )
+        ratio = round(per_scale["sf0.1"] / max(per_scale["sf0.01"], 1e-9), 2)
+        out[name] = {**per_scale, "ratio": ratio}
+        print(f"# {name}: {out[name]}", file=sys.stderr)
+    print(json.dumps({"loadavg_at_start": load1, "queries": out}))
+
+
+if __name__ == "__main__":
+    main()
