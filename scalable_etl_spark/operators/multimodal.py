@@ -8,11 +8,14 @@ are REAL for binary netpbm images (P5/P6, pure numpy — header parse,
 comments, offset math, shape; ``decode_image``), non-interlaced 8-bit
 PNG (stdlib zlib inflate + all five scanline unfilters;
 ``decode_png`` / ``encode_png``), baseline JPEG (marker parse, Huffman
-entropy coding, dequant, 8x8 IDCT, YCbCr; ``operators/jpeg.py``), and
-RIFF/WAVE 16-bit PCM audio (chunk walk, endianness, channel reshape;
-``decode_audio``), and stubbed only for formats whose codecs this
-container genuinely doesn't ship (WebP: libwebp; MP3/video: ffmpeg) —
-those raise NotImplementedError.
+entropy coding, dequant, 8x8 IDCT, YCbCr; ``operators/jpeg.py``),
+lossless WebP (full VP8L bitstream — prefix codes, LZ77 + 2D distance
+map, color cache, meta codes, all four transforms;
+``operators/vp8l.py``, validated against a real libwebp-encoded
+stream), and RIFF/WAVE 16-bit PCM audio (chunk walk, endianness,
+channel reshape; ``decode_audio``), and stubbed only for formats whose
+codecs this container genuinely doesn't ship (lossy-VP8 WebP: libwebp;
+MP3/video: ffmpeg) — those raise NotImplementedError.
 The deterministic byte-level feature stages below remain for
 format-agnostic plumbing tests; swapping PIL in changes one function
 body, not the pipeline.
@@ -96,11 +99,14 @@ def _netpbm_header(buf: bytes) -> tuple[bytes, int, int, int, int]:
 def decode_image(payload: bytes) -> "object":
     """REAL image decode for binary netpbm (P6 RGB -> (h, w, 3) uint8
     array, P5 grayscale -> (h, w)), non-interlaced 8-bit PNG
-    (``decode_png``), and baseline JPEG (grayscale / 4:4:4 color —
-    ``operators/jpeg.py``) — pure numpy + stdlib zlib, no external
-    codec. Remaining formats (WebP, progressive/subsampled JPEG,
-    video) raise NotImplementedError; swapping in PIL/ffmpeg changes
-    only this function, not the pipeline contract."""
+    (``decode_png``), baseline JPEG (grayscale / 4:4:4 color —
+    ``operators/jpeg.py``), and lossless WebP (VP8L: prefix codes,
+    LZ77 + 2D distance map, color cache, meta codes, all four
+    transforms — ``operators/vp8l.py``) — pure numpy + stdlib zlib, no
+    external codec. Remaining formats (lossy-VP8 WebP,
+    progressive/subsampled JPEG, video) raise NotImplementedError;
+    swapping in PIL/ffmpeg changes only this function, not the
+    pipeline contract."""
     import numpy as np
 
     if payload[:8] == _PNG_SIG:
@@ -109,11 +115,16 @@ def decode_image(payload: bytes) -> "object":
         from .jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .vp8l import decode_webp
+
+        return decode_webp(payload)
     magic = payload[:2]
     if magic not in (b"P6", b"P5"):
         raise NotImplementedError(
             f"codec for magic {magic!r} not available in this environment "
-            "(netpbm P5/P6, 8-bit PNG, and baseline JPEG decode natively)"
+            "(netpbm P5/P6, 8-bit PNG, baseline JPEG, and lossless WebP "
+            "decode natively)"
         )
     _, w, h, maxval, off = _netpbm_header(payload)
     if maxval > 255:
@@ -376,6 +387,46 @@ def attach_synthetic_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     @pandas_udf("binary")
     def make(ids: pd.Series) -> pd.Series:
         return ids.map(lambda d: synthetic_png(int(d)))
+
+    return df.withColumn("payload", make(F.col(id_col)))
+
+
+# Synthetic WebP fixture: 4x6 RGB, adjacent pixels repeat in runs of 4
+# so the encoder emits REAL LZ77 backreferences (2D distance code for
+# the left neighbor), and subtract-green is applied — decode exercises
+# the transform inverse, the prefix machinery AND the distance map.
+# Closed form (oracle-stated): byte j (0..71), pixel p = j//3, channel
+# c = j%3 -> (doc_id*5 + (p - p%4)*17 + c*29) % 256.
+SYN_WEBP_W, SYN_WEBP_H = 4, 6
+_SYN_WEBP_N = SYN_WEBP_W * SYN_WEBP_H * 3
+
+
+def synthetic_webp(doc_id: int) -> bytes:
+    import numpy as np
+
+    from .vp8l import encode_vp8l
+
+    px = np.array(
+        [
+            (doc_id * 5 + ((j // 3) - (j // 3) % 4) * 17 + (j % 3) * 29)
+            % 256
+            for j in range(_SYN_WEBP_N)
+        ],
+        dtype=np.uint8,
+    ).reshape((SYN_WEBP_H, SYN_WEBP_W, 3))
+    return encode_vp8l(px, subtract_green=True, use_lz77=True)
+
+
+def attach_synthetic_webp(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Materialize a real lossless WebP (VP8L) payload per row —
+    RIFF-wrapped bitstream with a subtract-green transform and LZ77
+    backreferences; see ``operators/vp8l.py``."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda d: synthetic_webp(int(d)))
 
     return df.withColumn("payload", make(F.col(id_col)))
 

@@ -1150,8 +1150,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT d.source, d.doc_id, 'jpeg' AS fmt, 16 AS w, 16 AS h, 1 AS ch,
              CAST(256 * (104 + 2 * (d.doc_id % 25)) AS BIGINT) AS psum
       FROM documents d),
+    jw AS (SELECT unnest(generate_series(0, 71)) AS j),
+    webp AS (
+      SELECT d.source, d.doc_id, 'webp' AS fmt, 4 AS w, 6 AS h, 3 AS ch,
+             CAST(SUM((d.doc_id * 5 + ((jw.j // 3) - (jw.j // 3) % 4) * 17
+                       + (jw.j % 3) * 29) % 256) AS BIGINT) AS psum
+      FROM documents d, jw GROUP BY 1, 2),
     px AS (SELECT * FROM ppm UNION ALL SELECT * FROM png
-           UNION ALL SELECT * FROM jpg)
+           UNION ALL SELECT * FROM jpg UNION ALL SELECT * FROM webp)
     SELECT source, fmt,
            CAST(COUNT(*) AS BIGINT) AS n_images,
            CAST(MIN(w) AS INT) AS width,
@@ -1165,28 +1171,39 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode under the gate, ALL THREE native codecs: per
+    """REAL image decode under the gate, ALL FOUR native codecs: per
     doc a genuine binary P6 (netpbm) payload (48 pixel bytes = closed
     form (doc_id*7 + j*13) % 256), a genuine PNG (zlib-deflated, CRC
     chunks, 4x5 RGB = (doc_id*11 + j*19) % 256, one scanline per PNG
-    filter type), AND a genuine baseline JPEG (full marker structure,
+    filter type), a genuine baseline JPEG (full marker structure,
     Annex K tables, Huffman entropy coding; constant gray
     104 + 2*(doc_id % 25), the value class the lossy pipeline
-    reconstructs BIT-EXACTLY — operators/jpeg.py) are materialized,
-    then DECODED by the pure-numpy codecs inside Arrow-batched
-    mapInPandas stages. The oracle never decodes — it evaluates the
-    closed forms — so any header-parse, inflate, unfilter, Huffman,
-    dequant, or IDCT bug corrupts sum_pixels and fails the value hash.
+    reconstructs BIT-EXACTLY — operators/jpeg.py), AND a genuine
+    lossless WebP (RIFF + VP8L bitstream with a subtract-green
+    transform and LZ77 backreferences through the 2D distance map,
+    4x6 RGB closed form over pixel runs — operators/vp8l.py) are
+    materialized, then DECODED by the pure-numpy codecs inside
+    Arrow-batched mapInPandas stages. The oracle never decodes — it
+    evaluates the closed forms — so any header-parse, inflate,
+    unfilter, Huffman, dequant, IDCT, prefix-code, backref, or
+    transform-inverse bug corrupts sum_pixels and fails the value hash.
     Python stages only encode/decode; zero shuffles before the tiny
     per-(source, fmt) aggregate."""
     from .operators.multimodal import (
         attach_synthetic_jpeg,
         attach_synthetic_png,
         attach_synthetic_ppm,
+        attach_synthetic_webp,
         decode_image_stats,
     )
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    # The codec stages are Python-compute-bound over a tiny id frame;
+    # the parquet scan yields only a few partitions at bench scale, so
+    # spread the rows across the executor cores first — one cheap
+    # 2-column shuffle buys full parallelism for all four decode legs
+    # (on a real cluster the scan itself would already be wide).
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     stats = (
         decode_image_stats(attach_synthetic_ppm(d))
         .withColumn("fmt", F.lit("ppm"))
@@ -1198,6 +1215,13 @@ def media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             decode_image_stats(attach_synthetic_jpeg(d)).withColumn(
                 "fmt", F.lit("jpeg")
+            )
+        )
+        .unionByName(
+            # lossless WebP: VP8L stream with subtract-green + LZ77
+            # backrefs, decoded by the pure-numpy operators/vp8l.py
+            decode_image_stats(attach_synthetic_webp(d)).withColumn(
+                "fmt", F.lit("webp")
             )
         )
     )

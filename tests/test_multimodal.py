@@ -177,10 +177,15 @@ def test_media_pixel_stats_decodes_for_real(spark):
     rows = media_pixel_stats(spark, "/root/testdata/sf0.001").collect()
     assert rows
     fmts = {r.fmt for r in rows}
-    assert fmts == {"ppm", "png", "jpeg"}, (
-        "all three native codecs must be exercised"
+    assert fmts == {"ppm", "png", "jpeg", "webp"}, (
+        "all four native codecs must be exercised"
     )
-    dims = {"ppm": (4, 4, 3), "png": (4, 5, 3), "jpeg": (16, 16, 1)}
+    dims = {
+        "ppm": (4, 4, 3),
+        "png": (4, 5, 3),
+        "jpeg": (16, 16, 1),
+        "webp": (4, 6, 3),
+    }
     for r in rows:
         assert (r.width, r.height, r.n_channels) == dims[r.fmt]
         assert 0 <= r.avg_pixel <= 255
