@@ -87,6 +87,29 @@ def _hive_escape_path(value: str) -> str:
     )
 
 
+def _partition_value_str(value) -> str | None:
+    """Render a partition VALUE the way Spark renders it into the
+    ``col=value`` dir component, or None when the rendering is not
+    faithfully reproducible from Python (floats and timestamps go
+    through Java/session-timezone formatting; Python's str() disagrees
+    — e.g. str(True) is 'True' but Spark writes 'true'). Callers must
+    treat None as "cannot prune by path": the read path keeps every
+    entry (the trailing filter preserves correctness) and the DML path
+    rewrites every candidate entry — silently matching nothing would
+    lose rows."""
+    import datetime as _dt
+
+    if isinstance(value, bool):  # before int: bool is an int subclass
+        return "true" if value else "false"
+    if isinstance(value, (int, str)):
+        return str(value)
+    if isinstance(value, _dt.datetime):  # before date: datetime ⊂ date
+        return None  # session-tz + format dependent
+    if isinstance(value, _dt.date):
+        return value.isoformat()  # Spark renders dates as yyyy-MM-dd
+    return None
+
+
 def _partition_component(entry: str, col: str) -> str | None:
     """The (still-escaped) value of the ``col=...`` path component in a
     manifest entry, or None when the entry carries NO component for
@@ -311,14 +334,19 @@ class SnapshotTable:
                 # no component for `col` (bare-uuid appends, legacy
                 # snapshots) may hold rows of any partition and are
                 # kept (the trailing filter below makes them correct).
-                # The value is hive-escaped the way Spark escapes it on
-                # disk, so timestamps/colons/etc. match their dirs.
-                want = _hive_escape_path(str(lo))
-                dirs = [
-                    d
-                    for d in dirs
-                    if _partition_component(d, col) in (None, want)
-                ]
+                # The value is rendered and hive-escaped the way Spark
+                # writes it on disk (booleans lowercase, dates ISO,
+                # specials %XX-escaped); unrenderable types (floats,
+                # timestamps) skip the path prune entirely rather than
+                # matching nothing.
+                rendered = _partition_value_str(lo)
+                if rendered is not None:
+                    want = _hive_escape_path(rendered)
+                    dirs = [
+                        d
+                        for d in dirs
+                        if _partition_component(d, col) in (None, want)
+                    ]
             else:
                 nlo, nhi = self._js(lo), self._js(hi)
                 if nlo is not None and nhi is not None:
@@ -1109,16 +1137,21 @@ class SnapshotTable:
                     # (bare-uuid appends, legacy snapshots) may hold
                     # matching rows, so they join the rewrite set —
                     # skipping them would silently leave rows
-                    # undeleted/unupdated. Values are hive-escaped to
-                    # match what Spark wrote on disk.
-                    want = _hive_escape_path(str(lo))
-                    hit = {
-                        e
-                        for e in rewrite
-                        if _partition_component(e, col) in (None, want)
-                    }
-                    untouched = [d for d in m["dirs"] if d not in hit]
-                    rewrite = [d for d in m["dirs"] if d in hit]
+                    # undeleted/unupdated. Values are rendered +
+                    # hive-escaped to match what Spark wrote on disk;
+                    # unrenderable types (floats, timestamps) rewrite
+                    # EVERY entry rather than silently matching none.
+                    rendered = _partition_value_str(lo)
+                    if rendered is not None:
+                        want = _hive_escape_path(rendered)
+                        hit = {
+                            e
+                            for e in rewrite
+                            if _partition_component(e, col)
+                            in (None, want)
+                        }
+                        untouched = [d for d in m["dirs"] if d not in hit]
+                        rewrite = [d for d in m["dirs"] if d in hit]
                 else:
                     nlo, nhi = self._js(lo), self._js(hi)
                     if nlo is not None and nhi is not None:

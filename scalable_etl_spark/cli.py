@@ -122,10 +122,9 @@ def cmd_stream_sink(spark: SparkSession, args: argparse.Namespace) -> dict:
         processing_time=args.interval,
         stats_cols=("listened_at",),
     )
-    if args.follow:
-        q.awaitTermination()  # run until externally stopped
-    else:
-        q.awaitTermination()
+    # availableNow drains terminate on their own; --follow blocks here
+    # until the query is stopped externally (SIGINT / q.stop())
+    q.awaitTermination()
     v = t.latest_version()
     return {
         "table_version": -1 if v is None else v,

@@ -191,12 +191,13 @@ def ngram_jaccard_pairs(
     into one task), ``True`` = groupBy + equi-join back (hot keys
     collapse map-side; AQE splits the skewed join at runtime — the
     100 TB-safe spelling, measured 2x slower at sf0.1 where no skew
-    exists). ``None`` (default) AUTO-SELECTS: a single-pass
-    count/approx-distinct probe plus a bounded-sample max-frequency
-    estimate flips to the groupBy spelling when the hottest shingle's
-    estimated document frequency exceeds ``_SKEW_MAX_DF`` or mean
-    fanout exceeds ``_SKEW_AVG_FANOUT``. Both spellings return
-    identical rows.
+    exists). ``None`` (default) AUTO-SELECTS via one exact groupBy
+    probe (itself skew-safe through partial aggregation): flips to the
+    groupBy spelling when the hottest shingle's document frequency
+    exceeds ``_SKEW_MAX_DF`` or mean fanout exceeds
+    ``_SKEW_AVG_FANOUT``. The probe runs one Spark job at plan-build
+    time — pass ``skew_safe`` explicitly to keep plan construction
+    lazy. Both spellings return identical rows.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
@@ -207,29 +208,29 @@ def ngram_jaccard_pairs(
 
     if prefix_filter:
         if skew_safe is None:
-            # Cheap skew probe: one partial-agg pass for total rows +
-            # HLL distinct shingles (mergeable, no wide shuffle), then
-            # a ~200k-row sample groupBy to estimate the hottest
-            # shingle's frequency. A hot key in the sample groupBy is
-            # harmless — partial aggregation collapses it map-side.
-            stats = sh.agg(
-                F.count("*").alias("tot"),
-                F.approx_count_distinct("h").alias("nh"),
-            ).first()
-            tot = stats["tot"] or 0
-            avg = tot / max(stats["nh"] or 1, 1)
-            est_max = 0.0
-            if tot:
-                frac = min(1.0, 200_000.0 / tot)
-                mx = (
-                    sh.sample(fraction=frac, seed=7)
-                    .groupBy("h")
-                    .agg(F.count("*").alias("__c"))
-                    .agg(F.max("__c"))
-                    .first()[0]
-                ) or 0
-                est_max = mx / frac
-            skew_safe = avg > _SKEW_AVG_FANOUT or est_max > _SKEW_MAX_DF
+            # Skew probe: ONE exact aggregation pass — groupBy the
+            # shingle hash (itself skew-safe: partial aggregation
+            # collapses hot keys map-side, so the probe cannot hit the
+            # problem it is detecting) and reduce to (max df, total,
+            # distinct). Exact, so no sampling-estimator pitfalls (a
+            # sampled max does NOT scale by 1/fraction — the earlier
+            # spelling falsely flagged any large healthy corpus).
+            # Cost: one extra job over the shingle table at plan-build
+            # time; callers that know their corpus pass skew_safe
+            # explicitly and skip it.
+            stats = (
+                sh.groupBy("h")
+                .agg(F.count("*").alias("__c"))
+                .agg(
+                    F.max("__c").alias("mx"),
+                    F.sum("__c").alias("tot"),
+                    F.count("*").alias("nh"),
+                )
+                .first()
+            )
+            mx = stats["mx"] or 0
+            avg = (stats["tot"] or 0) / max(stats["nh"] or 1, 1)
+            skew_safe = mx > _SKEW_MAX_DF or avg > _SKEW_AVG_FANOUT
         # Document frequency: window over h, or groupBy+join when skew-
         # safe. Per-doc size/rank stay windows either way (keyed by doc
         # id — bounded by a document's shingle count, never corpus-hot).

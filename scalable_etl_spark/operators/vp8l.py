@@ -47,17 +47,20 @@ _CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 
 # Two-dimensional distance mapping (spec §4.2.2): distance codes 1..120
 # name pixels in a close scan-order neighborhood. The spec's explicit
-# table follows a closed form — all offsets (dx, dy) with dy >= 0,
-# |dx| <= 8, dy <= 8, (dy > 0 or dx > 0), ordered by squared euclidean
-# distance, then |dx|, then positive dx first — which this
-# comprehension reproduces; correctness is validated empirically in
-# tests by decoding a real libwebp-encoded stream (backreferences
-# through a wrong table would corrupt the plane).
+# table follows a closed form — all offsets (dx, dy) with dy in 0..7,
+# dx in -7..8, (dy > 0 or dx > 0), ordered by squared euclidean
+# distance, then |dx|, then positive dx first. The domain bounds
+# matter: a dy<=8 / |dx|<=8 domain reproduces only codes 1..96 and
+# diverges from libwebp's plane_to_code_lut at code 97 ((0,8) instead
+# of (8,0)) — caught by cross-checking against libwebp's table in
+# review; tests pin the head rows, code 97, and the domain extremes,
+# and the real libwebp-encoded ALPH fixture exercises live
+# backreferences through the map.
 _DIST_MAP: list[tuple[int, int]] = sorted(
     (
         (dx, dy)
-        for dy in range(0, 9)
-        for dx in range(-8, 9)
+        for dy in range(0, 8)
+        for dx in range(-7, 9)
         if (dy > 0 or dx > 0)
     ),
     key=lambda p: (p[0] * p[0] + p[1] * p[1], abs(p[0]), p[0] < 0),
@@ -394,8 +397,13 @@ def _predict(mode: int, flat: np.ndarray, pos: int, w: int) -> int:
     if mode == 12:  # ClampAddSubtractFull
         return _channels_px(lc + tc - tlc)
     if mode == 13:  # ClampAddSubtractHalf
+        # (ave - TL) / 2 with C semantics: truncation toward ZERO
+        # (libwebp AddSubtractComponentHalf), not Python floor — they
+        # differ by one for negative odd deltas
         ave = _avg2(lc, tc)
-        return _channels_px(ave + (ave - tlc) // 2)
+        delta = ave - tlc
+        half = np.sign(delta) * (np.abs(delta) // 2)
+        return _channels_px(ave + half)
     raise ValueError(f"VP8L: predictor mode {mode}")
 
 

@@ -1164,3 +1164,43 @@ def test_partition_dml_leaves_other_partitions_byte_identical(
     assert snapshot_bytes("d0") == before_d0
     assert snapshot_bytes("d2") == before_d2
     assert t.read().filter("day = 'd1'").count() == 0
+
+
+def test_partition_prune_nonstring_value_rendering(spark, tmp_path):
+    """Code-review regression: Python str() disagrees with Spark's
+    on-disk rendering for non-string partition types (str(True) vs
+    'true'), which silently pruned EVERY entry. Booleans and dates
+    render faithfully now; unrenderable types (floats) skip the path
+    prune instead of matching nothing."""
+    import datetime
+
+    t = SnapshotTable(spark, str(tmp_path / "tb"))
+    df = spark.createDataFrame(
+        [(1, True), (2, True), (3, False)], "k INT, flag BOOLEAN"
+    )
+    t.overwrite(df, partition_cols=["flag"])
+    assert {r.k for r in t.read(where=("flag", True, True)).collect()} == {
+        1, 2,
+    }
+    v = t.delete(F.col("flag"), prune=("flag", True, True))
+    m = t._manifest(v)
+    assert all("flag=true" not in e for e in m["dirs"])
+    assert {r.k for r in t.read().collect()} == {3}
+
+    td = SnapshotTable(spark, str(tmp_path / "td"))
+    d1, d2 = datetime.date(2024, 1, 1), datetime.date(2024, 1, 2)
+    td.overwrite(
+        spark.createDataFrame([(1, d1), (2, d2)], "k INT, day DATE"),
+        partition_cols=["day"],
+    )
+    assert {r.k for r in td.read(where=("day", d1, d1)).collect()} == {1}
+
+    # float partition value: unrenderable -> prune skipped, rows kept
+    tf = SnapshotTable(spark, str(tmp_path / "tf"))
+    tf.overwrite(
+        spark.createDataFrame([(1, 0.5), (2, 1.5)], "k INT, f DOUBLE"),
+        partition_cols=["f"],
+    )
+    assert {r.k for r in tf.read(where=("f", 0.5, 0.5)).collect()} == {1}
+    tf.delete(F.col("f") == 1.5, prune=("f", 1.5, 1.5))
+    assert {r.k for r in tf.read().collect()} == {1}

@@ -58,7 +58,7 @@ def test_kraft_violations_rejected():
     assert PrefixCode([0, 5, 0]).read(BitReader(b"")) == 1  # single: 0 bits
 
 
-def test_dist_map_head_matches_spec_table():
+def test_dist_map_matches_spec_table():
     # the first rows of the spec's explicit 120-entry table
     assert _DIST_MAP[:12] == [
         (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0),
@@ -66,6 +66,33 @@ def test_dist_map_head_matches_spec_table():
     ]
     assert len(_DIST_MAP) == 120
     assert len(set(_DIST_MAP)) == 120
+    # domain bounds (code-review regression: a dy<=8 / |dx|<=8 domain
+    # diverges from libwebp's plane_to_code_lut at code 97, which must
+    # be (8, 0), not (0, 8)); the dy 0..7 x dx -7..8 domain holds
+    # EXACTLY 120 offsets, so the closed form IS the whole table
+    assert _DIST_MAP[96] == (8, 0)
+    assert max(dy for _, dy in _DIST_MAP) == 7
+    assert min(dx for dx, _ in _DIST_MAP) == -7
+    assert max(dx for dx, _ in _DIST_MAP) == 8
+    assert _DIST_MAP[-1] == (8, 7)
+
+
+def test_clamp_add_subtract_half_truncates_toward_zero():
+    """Predictor mode 13 (code-review regression): C division truncates
+    toward zero; Python floor would predict one less for negative odd
+    deltas (L=0, T=20, TL=15 -> ave=10, delta=-5 -> 10 + (-2) = 8,
+    not 10 + (-3) = 7)."""
+    from scalable_etl_spark.operators.vp8l import _predict
+
+    flat = np.zeros(8, dtype=np.uint32)
+    w = 4
+    flat[0] = 0xFF0F0F0F  # TL: channels 15 (alpha 255)
+    flat[1] = 0xFF141414  # T: channels 20
+    flat[4] = 0xFF000000  # L: channels 0
+    pred = _predict(13, flat, 5, w)
+    assert (pred >> 16) & 0xFF == 8
+    assert (pred >> 8) & 0xFF == 8
+    assert pred & 0xFF == 8
 
 
 @pytest.mark.parametrize("subtract_green", [False, True])
