@@ -661,6 +661,64 @@ def decode_alpha_chunk(alph: bytes, w: int, h: int) -> np.ndarray:
 # ------------------------------------------------------------- encoder
 
 
+def write_prefix_code(
+    bw: BitWriter, lengths: list[int]
+) -> dict[int, tuple[int, int]]:
+    """Emit a 'normal' prefix code declaring exactly ``lengths`` (one
+    per alphabet symbol; zeros = absent) and return the symbol ->
+    (code, bits) map for emitting data. Fixture/test helper: the
+    length sequence is written symbol-by-symbol without run
+    compression, and the code-length code is a balanced (complete)
+    code over the distinct length values present. Lengths must form a
+    complete prefix code themselves (PrefixCode validates Kraft)."""
+    import math
+
+    used = sorted({ln for ln in lengths})
+    if len(used) == 1:
+        cl_len = {used[0]: 1}  # reader: single-symbol CL, 0-bit reads
+    else:
+        bits = math.ceil(math.log2(len(used)))
+        n_short = (1 << bits) - len(used)
+        cl_len = {
+            s: (bits - 1) if i < n_short else bits
+            for i, s in enumerate(used)
+        }
+    order_idx = {sym: i for i, sym in enumerate(_CL_ORDER)}
+    num_cl = max(4, max(order_idx[s] for s in cl_len) + 1)
+    bw.write(0, 1)  # not simple
+    bw.write(num_cl - 4, 4)
+    for i in range(num_cl):
+        bw.write(cl_len.get(_CL_ORDER[i], 0), 3)
+    bw.write(0, 1)  # no max_symbol shortcut
+    cl19 = [0] * 19
+    for s, ln in cl_len.items():
+        cl19[s] = ln
+    cl_enc = PrefixCode(cl19).encode_map()
+    for ln in lengths:
+        c, n = cl_enc[ln]
+        bw.write_code(c, n)
+    return PrefixCode(lengths).encode_map()
+
+
+def balanced_lengths(symbols: list[int], alphabet_size: int) -> list[int]:
+    """Complete (Kraft = 1) code lengths over ``symbols`` inside an
+    alphabet: k symbols get lengths ceil(log2 k) with the first
+    2^ceil - k shortened by one (all length 0 elsewhere). Fixture
+    helper for handcrafting decoder-path tests."""
+    import math
+
+    lengths = [0] * alphabet_size
+    k = len(symbols)
+    if k == 1:
+        lengths[symbols[0]] = 1  # PrefixCode single-symbol: 0-bit
+        return lengths
+    bits = math.ceil(math.log2(k))
+    n_short = (1 << bits) - k
+    for i, s in enumerate(sorted(symbols)):
+        lengths[s] = (bits - 1) if i < n_short else bits
+    return lengths
+
+
 def _write_flat_green_code(bw: BitWriter) -> None:
     """Normal prefix code for the green/length alphabet (280 symbols):
     256 literals at length 8, the 24 length symbols absent — a complete

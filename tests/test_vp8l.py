@@ -181,3 +181,220 @@ def test_decode_image_dispatches_webp():
         dtype=np.uint8,
     ).reshape(6, 4, 3)
     assert (img == expect).all()
+
+
+def _stream_header(bw, w, h):
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+
+
+def _simple_two(bw, s0, s1):
+    """Simple prefix code with two symbols (1 bit each, read order)."""
+    bw.write(1, 1)
+    bw.write(1, 1)  # two symbols
+    bw.write(1, 1)  # first is 8-bit
+    bw.write(s0, 8)
+    bw.write(s1, 8)
+
+
+def _simple_one(bw, s):
+    bw.write(1, 1)
+    bw.write(0, 1)
+    if s < 2:
+        bw.write(0, 1)
+        bw.write(s, 1)
+    else:
+        bw.write(1, 1)
+        bw.write(s, 8)
+
+
+def _emit_literal_trees(bw, pixels, cache_size=0):
+    """Write the five prefix codes for a literal-only pixel list and
+    return per-channel encode maps. pixels = list of (a, r, g, b)."""
+    from scalable_etl_spark.operators.vp8l import (
+        balanced_lengths,
+        write_prefix_code,
+    )
+
+    chans = list(zip(*pixels))  # a, r, g, b
+    g_syms = sorted(set(chans[3 - 1]))  # greens
+    enc = {}
+    enc["g"] = write_prefix_code(
+        bw, balanced_lengths(g_syms, 256 + 24 + cache_size)
+    )
+    enc["r"] = write_prefix_code(
+        bw, balanced_lengths(sorted(set(chans[1])), 256)
+    )
+    enc["b"] = write_prefix_code(
+        bw, balanced_lengths(sorted(set(chans[3])), 256)
+    )
+    enc["a"] = write_prefix_code(
+        bw, balanced_lengths(sorted(set(chans[0])), 256)
+    )
+    _simple_one(bw, 0)  # distance tree (unused)
+    return enc
+
+
+def _emit_literal_pixels(bw, pixels, enc):
+    for a, r, g, b in pixels:
+        for ch, v in (("g", g), ("r", r), ("b", b), ("a", a)):
+            c, n = enc[ch][v]
+            bw.write_code(c, n)
+
+
+def test_color_cache_stream_handcrafted():
+    """Handcrafted VP8L stream exercising the COLOR-CACHE decode path
+    (no fixture reaches it): two literal pixels populate a 2-slot
+    cache, then a cache-reference symbol must reproduce the pixel
+    whose hash landed in the referenced slot."""
+    from scalable_etl_spark.operators.vp8l import (
+        _cache_key,
+        balanced_lengths,
+        decode_vp8l_chunk,
+        write_prefix_code,
+    )
+
+    a_px = (255 << 24) | (10 << 8)   # slot 0
+    b_px = (255 << 24) | (21 << 8)   # slot 1
+    ka, kb = _cache_key(a_px, 1), _cache_key(b_px, 1)
+    assert ka != kb, "pick greens hashing to distinct slots"
+    bw = BitWriter()
+    _stream_header(bw, 3, 1)
+    bw.write(0, 1)  # no transforms
+    bw.write(1, 1)  # color cache present
+    bw.write(1, 4)  # cache_bits = 1 -> 2 slots
+    bw.write(0, 1)  # no meta
+    cache_ref = 280 + ka  # references pixel A's slot
+    g_enc = write_prefix_code(
+        bw, balanced_lengths(sorted({10, 21, cache_ref}), 282)
+    )
+    r_enc = write_prefix_code(bw, balanced_lengths([0], 256))
+    b_enc = write_prefix_code(bw, balanced_lengths([0], 256))
+    a_enc = write_prefix_code(bw, balanced_lengths([255], 256))
+    _simple_one(bw, 0)  # distance tree
+    for sym in (10, 21, cache_ref):
+        c, n = g_enc[sym]
+        bw.write_code(c, n)
+        if sym < 256:  # literals carry r/b/a; cache refs don't
+            for m in (r_enc[0], b_enc[0], a_enc[255]):
+                bw.write_code(*m)
+    chunk = bytes([0x2F]) + bw.tobytes()
+    argb, w, h = decode_vp8l_chunk(chunk)
+    assert (w, h) == (3, 1)
+    assert list(argb) == [a_px, b_px, a_px]
+
+
+def test_predictor_transform_stream_handcrafted():
+    """Handcrafted stream with the PREDICTOR transform (mode 2 = top,
+    one block covering the image): residuals must be reconstructed in
+    scan order against the fixed edge rules (corner = opaque black,
+    top row = left, left col = top)."""
+    from scalable_etl_spark.operators.vp8l import decode_vp8l_chunk
+
+    w, h = 2, 2
+    target = [
+        0xFF102030, 0xFF112233,  # row 0
+        0xFF405060, 0xFF516273,  # row 1
+    ]
+
+    def sub(a, b):  # per-channel (a - b) mod 256
+        out = 0
+        for s in (24, 16, 8, 0):
+            out |= ((((a >> s) & 0xFF) - ((b >> s) & 0xFF)) & 0xFF) << s
+        return out
+
+    residuals = [
+        sub(target[0], 0xFF000000),       # corner: opaque black
+        sub(target[1], target[0]),        # top row: left
+        sub(target[2], target[0]),        # left col: top
+        sub(target[3], target[1]),        # mode 2: top
+    ]
+    bw = BitWriter()
+    _stream_header(bw, w, h)
+    bw.write(1, 1)  # a transform follows
+    bw.write(0, 2)  # predictor transform
+    bw.write(0, 3)  # size_bits = 2 -> 4x4 blocks -> 1x1 sub-image
+    # sub-image: one pixel, green = mode 2; 0-bit single-symbol trees
+    bw.write(0, 1)  # sub-image: no color cache
+    _simple_one(bw, 2)  # green = predictor mode 2 (top)
+    _simple_one(bw, 0)  # red
+    _simple_one(bw, 0)  # blue
+    _simple_one(bw, 0)  # alpha
+    _simple_one(bw, 0)  # distance
+    bw.write(0, 1)  # end of transforms
+    bw.write(0, 1)  # main: no color cache
+    bw.write(0, 1)  # no meta
+    pixels = [
+        (
+            (p >> 24) & 0xFF,
+            (p >> 16) & 0xFF,
+            (p >> 8) & 0xFF,
+            p & 0xFF,
+        )
+        for p in residuals
+    ]
+    enc = _emit_literal_trees(bw, pixels)
+    _emit_literal_pixels(bw, pixels, enc)
+    chunk = bytes([0x2F]) + bw.tobytes()
+    argb, dw, dh = decode_vp8l_chunk(chunk)
+    assert (dw, dh) == (w, h)
+    assert [int(p) for p in argb] == target
+
+
+def test_color_transform_stream_handcrafted():
+    """Handcrafted stream with the cross-channel COLOR transform: the
+    element's channel mapping (blue=green_to_red, green=green_to_blue,
+    red=red_to_blue) and the 3.5-bit signed delta must reconstruct the
+    original red/blue channels."""
+    from scalable_etl_spark.operators.vp8l import (
+        _ct_delta,
+        decode_vp8l_chunk,
+    )
+
+    # pin the signed fixed-point semantics directly first
+    assert _ct_delta(np.array([64]), np.array([64]))[0] == (64 * 64) >> 5
+    assert _ct_delta(np.array([0xFF]), np.array([2]))[0] == -1 * 2 >> 5
+
+    g2r, g2b, r2b = 64, 32, 16
+    w, h = 2, 1
+    target = [(255, 100, 50, 200), (255, 7, 129, 9)]  # (a, r, g, b)
+    stored = []
+    for a, r, g, b in target:
+        sr = (r - int(_ct_delta(np.array([g2r]), np.array([g]))[0])) & 0xFF
+        sb = (
+            b
+            - int(_ct_delta(np.array([g2b]), np.array([g]))[0])
+            - int(_ct_delta(np.array([r2b]), np.array([r]))[0])
+        ) & 0xFF
+        stored.append((a, sr, g, sb))
+    bw = BitWriter()
+    _stream_header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(1, 2)  # color transform
+    bw.write(0, 3)  # size_bits = 2 -> one element for the image
+    # element pixel: blue=g2r, green=g2b, red=r2b
+    bw.write(0, 1)  # sub-image: no cache
+    _simple_one(bw, g2b)  # green channel
+    _simple_one(bw, r2b)  # red channel
+    _simple_one(bw, g2r)  # blue channel
+    _simple_one(bw, 0)  # alpha
+    _simple_one(bw, 0)  # distance
+    bw.write(0, 1)  # end transforms
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    enc = _emit_literal_trees(bw, stored)
+    _emit_literal_pixels(bw, stored, enc)
+    chunk = bytes([0x2F]) + bw.tobytes()
+    argb, _, _ = decode_vp8l_chunk(chunk)
+    got = [
+        (
+            (int(p) >> 24) & 0xFF,
+            (int(p) >> 16) & 0xFF,
+            (int(p) >> 8) & 0xFF,
+            int(p) & 0xFF,
+        )
+        for p in argb
+    ]
+    assert got == target
