@@ -87,6 +87,25 @@ def _hive_escape_path(value: str) -> str:
     )
 
 
+def _hive_unescape_path(component: str) -> str:
+    """Inverse of :func:`_hive_escape_path` for a partition-value dir
+    component (%XX sequences back to their characters)."""
+    out = []
+    i = 0
+    while i < len(component):
+        c = component[i]
+        if c == "%" and i + 2 < len(component) + 1:
+            try:
+                out.append(chr(int(component[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def _partition_value_str(value) -> str | None:
     """Render a partition VALUE the way Spark renders it into the
     ``col=value`` dir component, or None when the rendering is not
@@ -1298,12 +1317,49 @@ class SnapshotTable:
             live, pcols, cluster_by=cluster_by, n_files=n_files, zorder=zorder
         )
 
+    def compact_partition(
+        self,
+        col: str,
+        value,
+        cluster_by: Sequence[str] = (),
+        n_files: int | None = None,
+        zorder: bool = False,
+    ) -> int:
+        """PARTITION-SCOPED compaction: rewrite only the entries that
+        can hold partition ``col=value`` (that partition's leaves plus
+        any component-less legacy/append entries, whose rows are
+        redistributed into proper partition-granular leaves by the
+        rewrite) — every other partition's entries survive verbatim,
+        byte-identical. This is the OPTIMIZE ... WHERE partition
+        predicate shape: under continuous per-partition ingest the
+        small-files cleanup cost is O(hot partition), never O(table).
+        Default layout is one file per rewritten partition leaf
+        (``coalesce(1)``); ``cluster_by``/``n_files``/``zorder``
+        select a skipping-friendly layout instead, with stats
+        re-collected by the shared rewrite loop."""
+
+        def transform(df: DataFrame) -> DataFrame:
+            if cluster_by:
+                return self._cluster(df, cluster_by, n_files, zorder)
+            return df.coalesce(n_files or 1)
+
+        return self._rewrite_commit(
+            "compact_partition", F.lit(True), transform, (col, value, value)
+        )
+
+    def _entry_file_count(self, entry: str) -> int:
+        n = 0
+        for _root, _sub, files in os.walk(os.path.join(self.data_dir, entry)):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
     def maybe_compact(
         self,
         max_files: int = 64,
         cluster_by: Sequence[str] = (),
         n_files: int | None = None,
         zorder: bool = False,
+        partition_max_files: int | None = None,
     ) -> int | None:
         """AUTO-COMPACT policy (Delta's optimizeWrite/autoCompact idea,
         expressed as an explicit post-commit hook a writer or scheduler
@@ -1327,10 +1383,60 @@ class SnapshotTable:
         partitioned or very large table whose natural file count
         exceeds ``max_files``; raise the ceiling or pass ``n_files``
         for those). ``n_files`` defaults to max_files // 2 so an
-        unpartitioned compact always lands under the ceiling."""
+        unpartitioned compact always lands under the ceiling.
+
+        ``partition_max_files`` switches to PER-PARTITION ceilings on
+        a partitioned table (the 100 TB spelling — whole-table file
+        counts are meaningless when one hot partition takes all the
+        appends): each first-level partition whose file count exceeds
+        the ceiling is compacted via :meth:`compact_partition`,
+        rewriting only that partition's entries; cold partitions are
+        never touched. Per-partition progress guard: a partition
+        already collapsed to a single commit entry is skipped."""
         v = self.latest_version()
         if v is None:
             return None
+        if partition_max_files is not None:
+            m = self._manifest(v)
+            pcols = m["partition_cols"]
+            if not pcols:
+                raise ValueError(
+                    "partition_max_files needs a partitioned table"
+                )
+            col = pcols[0]
+            last: int | None = None
+            # each pass compacts one over-ceiling partition against a
+            # fresh manifest (the rewrite may re-home component-less
+            # entries' rows into several partitions' leaves)
+            for _ in range(64):
+                m = self._manifest(self.latest_version())
+                files: dict[str | None, int] = {}
+                n_entries: dict[str | None, int] = {}
+                for e in m["dirs"]:
+                    comp = _partition_component(e, col)
+                    files[comp] = files.get(comp, 0) + self._entry_file_count(e)
+                    n_entries[comp] = n_entries.get(comp, 0) + 1
+                bare_files = files.pop(None, 0)
+                bare_entries = n_entries.pop(None, 0)
+                target = next(
+                    (
+                        comp
+                        for comp, nf in sorted(files.items())
+                        if nf + bare_files > partition_max_files
+                        and n_entries[comp] + bare_entries >= 2
+                    ),
+                    None,
+                )
+                if target is None:
+                    break
+                last = self.compact_partition(
+                    col,
+                    _hive_unescape_path(target),
+                    cluster_by=cluster_by,
+                    n_files=n_files,
+                    zorder=zorder,
+                )
+            return last
         if len(self.committed_files()) <= max_files:
             return None
         m = self._manifest(v)

@@ -1204,3 +1204,70 @@ def test_partition_prune_nonstring_value_rendering(spark, tmp_path):
     assert {r.k for r in tf.read(where=("f", 0.5, 0.5)).collect()} == {1}
     tf.delete(F.col("f") == 1.5, prune=("f", 1.5, 1.5))
     assert {r.k for r in tf.read().collect()} == {1}
+
+
+def test_compact_partition_scoped(spark, tmp_path):
+    """Partition-scoped compaction: many appends into one hot partition
+    compact into a single leaf entry while cold partitions' bytes are
+    untouched; per-partition maybe_compact ceilings trigger it and the
+    progress guard stops re-rewrites."""
+    import hashlib
+    import os
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    base = spark.createDataFrame(
+        [(i, f"d{i % 2}") for i in range(8)], "k INT, day STRING"
+    )
+    t.overwrite(base, partition_cols=["day"])
+    for i in range(5):  # hot partition d1 accumulates small entries
+        t.append(
+            spark.createDataFrame([(100 + i, "d1")], "k INT, day STRING")
+        )
+
+    def files_of(part):
+        out = {}
+        for root, _s, files in os.walk(t.data_dir):
+            if f"day={part}" not in root:
+                continue
+            for f in files:
+                p = os.path.join(root, f)
+                with open(p, "rb") as fh:
+                    out[p] = hashlib.sha256(fh.read()).hexdigest()
+        return out
+
+    d0_before = files_of("d0")
+    m = t._manifest(t.latest_version())
+    assert sum("day=d1" in e for e in m["dirs"]) == 6
+    v = t.compact_partition("day", "d1")
+    m2 = t._manifest(v)
+    d1_entries = [e for e in m2["dirs"] if "day=d1" in e]
+    assert len(d1_entries) == 1
+    assert t._entry_file_count(d1_entries[0]) == 1  # coalesce(1)
+    assert files_of("d0") == d0_before, "cold partition must not move"
+    rows = {r.k for r in t.read(where=("day", "d1", "d1")).collect()}
+    assert rows == {1, 3, 5, 7} | {100 + i for i in range(5)}
+    assert t.read().count() == 13
+
+    # per-partition ceiling: d0 is under, d1 is already compacted ->
+    # no-op; new appends over the ceiling re-trigger only d1
+    assert t.maybe_compact(partition_max_files=3) is None
+    for i in range(4):
+        t.append(
+            spark.createDataFrame([(200 + i, "d1")], "k INT, day STRING")
+        )
+    d0_before = files_of("d0")
+    v2 = t.maybe_compact(partition_max_files=3)
+    assert v2 is not None
+    m3 = t._manifest(v2)
+    assert sum("day=d1" in e for e in m3["dirs"]) == 1
+    assert files_of("d0") == d0_before
+    assert t.read().count() == 17
+    # progress guard: immediate re-call is a no-op
+    assert t.maybe_compact(partition_max_files=3) is None
+    # unpartitioned table: per-partition ceilings are a usage error
+    tu = SnapshotTable(spark, str(tmp_path / "tu"))
+    tu.overwrite(spark.createDataFrame([(1,)], "k INT"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        tu.maybe_compact(partition_max_files=3)
