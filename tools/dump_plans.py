@@ -89,6 +89,29 @@ HEADLINERS = {
         "pruned the rest before Spark listed anything), plus the "
         "residual Filter and a partial/final hash aggregate."
     ),
+    "sink_tx_partition_ops": (
+        "Partition-scoped DML read-back (round 8). Expect: the two "
+        "pruned reads each scan ONLY their partition's manifest "
+        "entries (the union lists two narrow InMemoryFileIndex path "
+        "sets, not the whole table), partition values parsed from the "
+        "hive components via basePath, then one partial/final hash "
+        "aggregate; zero Python."
+    ),
+    "rollup_revenue": (
+        "ROLLUP aggregate (round-8 promoted analytics family). "
+        "Expect: a single Expand feeding partial_ then final "
+        "HashAggregate — grouping sets share one scan and one "
+        "exchange; no per-level re-scan."
+    ),
+    "media_pixel_stats": (
+        "Four-codec media decode (round 8). Expect: one narrow "
+        "round-robin exchange spreading the id frame across cores, "
+        "four parallel ArrowEvalPython/MapInPandas legs (the "
+        "pure-Python codecs are the deliberate exception to the "
+        "no-Python rule — plumbing is Arrow-batched, partition-"
+        "preserving), a union, broadcast join back to sources, and "
+        "one tiny aggregate."
+    ),
     "streaming_ingest_exactly_once": None,  # streaming: skip explain
 }
 
