@@ -549,8 +549,11 @@ def sink_tx_partition_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     built from an overwrite PLUS a partitioned append (the append lands
     partition-granular entries too), then mutated with two
     PARTITION-SCOPED DML statements — a range DELETE pruned to the
-    'purchase' partition and an UPDATE pruned to the 'error' partition.
-    Each rewrite touches only its partition's manifest entries; every
+    'purchase' partition, an UPDATE pruned to the 'error' partition —
+    and finally a PARTITION-SCOPED COMPACTION of the purchase
+    partition (its maintenance rewrite must preserve contents exactly
+    under the value hash). Each rewrite touches only its partition's
+    manifest entries; every
     other partition's entries (and bytes — pinned by
     tests/test_acid.py::test_partition_dml_leaves_other_partitions_byte_identical)
     survive verbatim. The returned frame reads BOTH mutated partitions
@@ -579,6 +582,11 @@ def sink_tx_partition_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"value": F.col("value") * 2},
         prune=("event_type", "error", "error"),
     )
+    # partition-scoped COMPACTION: the purchase partition (overwrite
+    # leaf + appended leaf + post-delete rewrite) collapses to one
+    # entry; contents must be hash-identical through the maintenance
+    # op or the oracle fails
+    t.compact_partition("event_type", "purchase")
     # read each mutated partition through the path-component prune
     purchases = t.read(where=("event_type", "purchase", "purchase"))
     errors = t.read(where=("event_type", "error", "error"))
