@@ -148,6 +148,10 @@ _DEMOTED = (
     "streaming_event_counts",
     "streaming_enriched_counts",
     "streaming_sliding_counts",
+    # registered late in round 8 (zero-copy CONVERT parity) AFTER the
+    # round's 50-window was finalized; holds local-oracle status now
+    # and is first in line for the round-9 rotation
+    "sink_tx_convert",
 )
 
 

@@ -601,3 +601,58 @@ def sink_tx_partition_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value_cents"),
         )
     )
+
+
+@query(
+    "sink_tx_convert",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS value_cents
+    FROM events
+    WHERE event_type IN ('view', 'click')
+    GROUP BY 1
+    """,
+)
+def sink_tx_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZERO-COPY table-format adoption (Delta's public CONVERT TO
+    DELTA semantics — acid.convert_to_snapshot): events land first as
+    a PLAIN hive-partitioned parquet dataset (the layout a reference
+    user already has on disk), then the dataset is converted in place
+    — files hardlinked, never rewritten — into a snapshot table with
+    partition-granular entries and footer stats. The result reads two
+    partitions through the partition-equality path prune of the
+    CONVERTED table, so the value hash proves conversion preserved
+    every row, partition values included, without any data movement.
+    At 100 TB this is the migration path: metadata-only adoption vs a
+    full-lake rewrite."""
+    import os
+    import shutil
+    import tempfile
+
+    from .acid import convert_to_snapshot
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    legacy = tempfile.mkdtemp(prefix="legacy_events_")
+    shutil.rmtree(legacy)
+    e.write.partitionBy("event_type").parquet(legacy)
+    root = os.path.join(tempfile.gettempdir(), f"conv_{os.path.basename(legacy)}")
+    t = convert_to_snapshot(
+        spark, legacy, root,
+        partition_cols=["event_type"], stats_cols=["value"],
+    )
+    views = t.read(where=("event_type", "view", "view"))
+    clicks = t.read(where=("event_type", "click", "click"))
+    return (
+        views.unionByName(clicks)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.expr(
+                "CAST(ROUND(SUM(value) * 100, 0) AS BIGINT)"
+            ).alias("value_cents"),
+        )
+    )
