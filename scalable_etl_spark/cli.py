@@ -132,6 +132,26 @@ def cmd_stream_sink(spark: SparkSession, args: argparse.Namespace) -> dict:
     }
 
 
+def cmd_convert(spark: SparkSession, args: argparse.Namespace) -> dict:
+    """Zero-copy adoption of an existing parquet dataset as an ACID
+    snapshot table (acid.convert_to_snapshot — Delta's CONVERT TO
+    DELTA semantics): files are hardlinked, never rewritten; partition
+    layout and footer stats become prunable metadata immediately."""
+    from .acid import convert_to_snapshot
+
+    pcols = args.partition_cols.split(",") if args.partition_cols else []
+    scols = args.stats_cols.split(",") if args.stats_cols else []
+    t = convert_to_snapshot(
+        spark, args.src, args.table,
+        partition_cols=pcols, stats_cols=scols,
+    )
+    return {
+        "table_version": t.latest_version(),
+        "rows": t.read().count(),
+        "entries": len(t._manifest(t.latest_version())["dirs"]),
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="scalable_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -168,6 +188,19 @@ def main(argv: list[str] | None = None) -> int:
     ss.add_argument("--interval", default="30 seconds",
                     help="micro-batch trigger interval with --follow")
 
+    cv = sub.add_parser(
+        "convert",
+        help="adopt an existing parquet dataset as an ACID snapshot "
+        "table (zero-copy: hardlinks, no rewrite)",
+    )
+    cv.add_argument("--src", required=True)
+    cv.add_argument("--table", required=True)
+    cv.add_argument("--partition-cols", default="",
+                    help="comma-separated hive partition columns of src")
+    cv.add_argument("--stats-cols", default="",
+                    help="comma-separated columns to collect footer "
+                    "[min,max] skipping stats for")
+
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"scalable-etl-{args.cmd}")
     handlers = {
@@ -177,6 +210,7 @@ def main(argv: list[str] | None = None) -> int:
         "report": cmd_report,
         "pipeline": cmd_pipeline,
         "stream-sink": cmd_stream_sink,
+        "convert": cmd_convert,
     }
     out = handlers[args.cmd](spark, args)
     print(json.dumps(out))

@@ -105,3 +105,14 @@ def test_stream_sink_cli(spark, listens_dir, tmp_path, capsys):
     out = _run(capsys, "stream-sink", "--in", listens_dir,
                "--warehouse", wh)
     assert out["rows"] == 6, "replayed batches must be ledger-skipped"
+
+
+def test_convert_cli(spark, tmp_path, capsys):
+    src = str(tmp_path / "legacy")
+    spark.createDataFrame(
+        [(i, f"d{i % 2}") for i in range(8)], "k INT, day STRING"
+    ).write.partitionBy("day").parquet(src)
+    out = _run(capsys, "convert", "--src", src,
+               "--table", str(tmp_path / "t"),
+               "--partition-cols", "day", "--stats-cols", "k")
+    assert out == {"table_version": 0, "rows": 8, "entries": 2}
