@@ -939,3 +939,112 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("_d").alias("n_dropped"),
         (F.count("*") - F.count("_d")).alias("n_kept"),
     )
+
+
+# ------------------------------------------- Gopher-rule quality gate
+
+
+@query(
+    "doc_gopher_rules",
+    oracle=f"""
+    WITH dt AS (SELECT doc_id, source, {_SQL_TOKS} AS t FROM documents),
+    s AS (SELECT doc_id, source,
+                 CAST(len(t) AS BIGINT) AS n_tokens,
+                 CAST(coalesce(list_sum(list_transform(t, x -> length(x))),
+                               0) AS BIGINT) AS sum_len,
+                 CAST(len(list_filter(t, x ->
+                      regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+                   AS alpha_words,
+                 CAST(len(list_filter(t, x -> x IN
+                      ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')))
+                   AS BIGINT) AS n_stops,
+                 CAST(len(list_filter(t, x -> x LIKE '%#%'
+                      OR x LIKE '%...%')) AS BIGINT) AS sym_words
+          FROM dt),
+    verdicts AS (
+      SELECT source,
+             CASE
+               WHEN n_tokens < 50 OR n_tokens > 100000
+                 THEN 'word_count'
+               WHEN 3 * n_tokens > sum_len OR sum_len > 10 * n_tokens
+                 THEN 'mean_word_length'
+               WHEN 10 * sym_words >= n_tokens THEN 'symbol_ratio'
+               WHEN 5 * alpha_words < 4 * n_tokens THEN 'alpha_ratio'
+               WHEN n_stops < 2 THEN 'stopwords'
+               ELSE 'kept'
+             END AS verdict
+      FROM s)
+    SELECT source, verdict, COUNT(*) AS n_docs
+    FROM verdicts GROUP BY 1, 2
+    """,
+)
+def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate (Rae et al. 2021 §A1.1, public rule
+    set) as a FIRST-FAILING-RULE audit: word-count bounds [50, 1e5],
+    mean word length in [3, 10], #/ellipsis symbol-to-word ratio
+    < 0.1, >= 80% of words containing an alphabetic character, and a
+    minimum of 2 stopwords. Every comparison is INTEGER-exact (ratio
+    thresholds are cross-multiplied: ``3*n <= sum_len <= 10*n`` rather
+    than a float mean), so the verdict — and the value hash — cannot
+    drift between engines. The line-shape rules (bullet/ellipsis line
+    fractions) are omitted: the synthetic corpus carries no line
+    structure to gate on. Everything runs in codegen expressions over
+    one scan + one tiny aggregate — the 100 TB shape for a corpus
+    gate: no shuffle before the per-(source, verdict) counts."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    s = d.select(
+        "doc_id",
+        "source",
+        token_count("text").cast("long").alias("n_tokens"),
+        F.coalesce(
+            F.aggregate(
+                F.transform(toks, lambda x: F.length(x).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+            F.lit(0).cast("long"),
+        ).alias("sum_len"),
+        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+        .cast("long")
+        .alias("alpha_words"),
+        F.size(
+            F.filter(
+                toks,
+                lambda x: x.isin("the", "a", "of", "and", "to", "in",
+                                 "is", "it"),
+            )
+        )
+        .cast("long")
+        .alias("n_stops"),
+        F.size(
+            F.filter(
+                toks,
+                lambda x: x.contains("#") | x.contains("..."),
+            )
+        )
+        .cast("long")
+        .alias("sym_words"),
+    )
+    verdict = (
+        F.when(
+            (F.col("n_tokens") < 50) | (F.col("n_tokens") > 100000),
+            F.lit("word_count"),
+        )
+        .when(
+            (3 * F.col("n_tokens") > F.col("sum_len"))
+            | (F.col("sum_len") > 10 * F.col("n_tokens")),
+            F.lit("mean_word_length"),
+        )
+        .when(10 * F.col("sym_words") >= F.col("n_tokens"),
+              F.lit("symbol_ratio"))
+        .when(5 * F.col("alpha_words") < 4 * F.col("n_tokens"),
+              F.lit("alpha_ratio"))
+        .when(F.col("n_stops") < 2, F.lit("stopwords"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        s.withColumn("verdict", verdict)
+        .groupBy("source", "verdict")
+        .agg(F.count("*").alias("n_docs"))
+    )
