@@ -1317,6 +1317,45 @@ class SnapshotTable:
             live, pcols, cluster_by=cluster_by, n_files=n_files, zorder=zorder
         )
 
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE ... TO VERSION (Delta parity): commit a NEW
+        version whose contents are exactly snapshot ``version`` —
+        rollback as a forward commit, so the mistake and the recovery
+        both stay in history (time travel still reaches the undone
+        versions until vacuum). Metadata-only: the restored snapshot's
+        immutable dirs are re-referenced, no data moves. Fails if the
+        target version's dirs were already vacuumed (their absence
+        would surface on read) or the version never existed."""
+        for _ in range(_COMMIT_RETRIES):
+            v = self.latest_version()
+            if v is None:
+                raise FileNotFoundError(
+                    f"no committed version at {self.root}"
+                )
+            m = self._manifest(version)  # raises if version unknown
+            for e in m["dirs"]:
+                if not os.path.isdir(
+                    os.path.join(self.data_dir, self._entry_base(e))
+                ):
+                    raise FileNotFoundError(
+                        f"cannot restore v{version}: data dir for "
+                        f"entry {e!r} was vacuumed"
+                    )
+            manifest = {
+                "op": f"restore_v{version}",
+                "dirs": list(m["dirs"]),
+                "schema": m["schema"],
+                "partition_cols": m["partition_cols"],
+                "stats": m.get("stats", {}),
+                "file_stats": m.get("file_stats", {}),
+                "txn": self._txn_of(v),  # ledgers are NOT rolled back:
+                # replayed stream batches / syncs stay deduplicated
+                "timestamp": time.time(),
+            }
+            if self._commit(v + 1, manifest):
+                return v + 1
+        raise CommitConflict(f"restore lost {_COMMIT_RETRIES} races")
+
     def compact_partition(
         self,
         col: str,

@@ -1338,3 +1338,53 @@ def test_convert_to_snapshot_zero_copy(spark, tmp_path):
         convert_to_snapshot(
             spark, flat, str(tmp_path / "t3"), partition_cols=["day"]
         )
+
+
+def test_restore_to_version(spark, tmp_path):
+    """RESTORE parity: rollback is a forward commit referencing the
+    restored snapshot's dirs (metadata-only); history keeps both the
+    mistake and the recovery; stream/sync ledgers survive the restore
+    so replayed batches stay deduplicated; restoring a vacuumed
+    version refuses loudly."""
+    import pytest as _pytest
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    t.append(_df(spark, [(3, "c")]))
+    t.delete(F.col("k") == 1)  # the "mistake"
+    assert {r.k for r in t.read().collect()} == {2, 3}
+    v = t.restore(1)
+    assert {r.k for r in t.read().collect()} == {1, 2, 3}
+    assert t._manifest(v)["op"] == "restore_v1"
+    # the undone version is still reachable until vacuum
+    assert {r.k for r in t.read(2).collect()} == {2, 3}
+    # metadata-only: restored entries ARE version 1's entries
+    assert t._manifest(v)["dirs"] == t._manifest(1)["dirs"]
+    with _pytest.raises(FileNotFoundError):
+        t.restore(99)
+    # vacuumed target refuses: compact supersedes, vacuum reclaims
+    t.compact()
+    t.vacuum(retain_versions=1, min_age_seconds=0.0)
+    with _pytest.raises(FileNotFoundError):
+        t.restore(1)
+
+
+def test_hive_escape_roundtrip_property(spark):
+    """Escape/unescape are inverse over arbitrary partition values,
+    and escaped components never contain path-breaking characters."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from scalable_etl_spark.acid import (
+        _hive_escape_path,
+        _hive_unescape_path,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(min_size=0, max_size=40))
+    def check(s):
+        esc = _hive_escape_path(s)
+        assert "/" not in esc and "=" not in esc
+        assert _hive_unescape_path(esc) == s
+
+    check()
