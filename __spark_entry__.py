@@ -148,10 +148,12 @@ _DEMOTED = (
     "streaming_event_counts",
     "streaming_enriched_counts",
     "streaming_sliding_counts",
-    # registered late in round 8 (zero-copy CONVERT parity) AFTER the
-    # round's 50-window was finalized; holds local-oracle status now
-    # and is first in line for the round-9 rotation
+    # registered late in round 8 (zero-copy CONVERT parity + RESTORE
+    # rollback) AFTER the round's 50-window was finalized; they hold
+    # local-oracle status now and are first in line for the round-9
+    # rotation
     "sink_tx_convert",
+    "sink_tx_restore",
 )
 
 

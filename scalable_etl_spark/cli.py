@@ -152,6 +152,39 @@ def cmd_convert(spark: SparkSession, args: argparse.Namespace) -> dict:
     }
 
 
+def cmd_table(spark: SparkSession, args: argparse.Namespace) -> dict:
+    """Snapshot-table admin surface: history / restore / compact /
+    vacuum — the maintenance loop a scheduler runs against the ACID
+    layer (acid.py)."""
+    from .acid import SnapshotTable
+
+    t = SnapshotTable(spark, args.root)
+    if args.action == "history":
+        return {"history": t.history()}
+    if args.action == "restore":
+        if args.version is None:
+            raise SystemExit("restore needs --version")
+        v = t.restore(args.version)
+        return {"restored_to": args.version, "committed_version": v}
+    if args.action == "compact":
+        if args.partition:
+            col, _, value = args.partition.partition("=")
+            v = t.compact_partition(col, value)
+        elif args.max_files is not None:
+            v = t.maybe_compact(max_files=args.max_files)
+            if v is None:
+                return {"compacted": False}
+        else:
+            v = t.compact()
+        return {"compacted": True, "version": v}
+    if args.action == "vacuum":
+        removed = t.vacuum(
+            retain_versions=args.retain, min_age_seconds=args.min_age
+        )
+        return {"removed_dirs": len(removed)}
+    raise SystemExit(f"unknown table action {args.action!r}")
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="scalable_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -201,6 +234,26 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated columns to collect footer "
                     "[min,max] skipping stats for")
 
+    tb = sub.add_parser(
+        "table",
+        help="ACID table admin: history / restore / compact / vacuum",
+    )
+    tb.add_argument("action",
+                    choices=["history", "restore", "compact", "vacuum"])
+    tb.add_argument("--root", required=True)
+    tb.add_argument("--version", type=int, default=None,
+                    help="target version for restore")
+    tb.add_argument("--partition", default="",
+                    help="col=value: partition-scoped compact")
+    tb.add_argument("--max-files", type=int, default=None,
+                    help="compact only when the snapshot exceeds this "
+                    "file count (maybe_compact)")
+    tb.add_argument("--retain", type=int, default=2,
+                    help="versions to retain on vacuum")
+    tb.add_argument("--min-age", type=float, default=3600.0,
+                    help="seconds an unreferenced dir must age before "
+                    "vacuum deletes it (in-flight-writer guard)")
+
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"scalable-etl-{args.cmd}")
     handlers = {
@@ -211,6 +264,7 @@ def main(argv: list[str] | None = None) -> int:
         "pipeline": cmd_pipeline,
         "stream-sink": cmd_stream_sink,
         "convert": cmd_convert,
+        "table": cmd_table,
     }
     out = handlers[args.cmd](spark, args)
     print(json.dumps(out))

@@ -656,3 +656,50 @@ def sink_tx_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value_cents"),
         )
     )
+
+
+@query(
+    "sink_tx_restore",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS value_cents,
+           'restored' AS state
+    FROM events WHERE user_id < 60
+    GROUP BY 1
+    UNION ALL
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS value_cents,
+           'pre_restore' AS state
+    FROM events WHERE user_id < 60 AND NOT (value > 300)
+    GROUP BY 1
+    """,
+)
+def sink_tx_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE ... TO VERSION through the gate (Delta parity —
+    acid.py SnapshotTable.restore): load a snapshot, run a destructive
+    DELETE (the 'mistake'), then restore version 0 as a FORWARD commit
+    and read BOTH states back — the live (restored) table must equal
+    the original bit-for-bit, and the undone post-delete snapshot must
+    still time-travel (rollback never erases history). Metadata-only:
+    the restore re-references version 0's immutable dirs."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < 60
+    ).select("event_id", "user_id", "event_type", "value")
+    t = _tx_table(spark, "restore")
+    t.overwrite(e, cluster_by=["value"], n_files=4)
+    t.delete(F.col("value") > 300, prune=("value", 300, 10**9))
+    v_mistake = t.latest_version()
+    t.restore(0)
+    restored = t.read().withColumn("state", F.lit("restored"))
+    pre = t.read(v_mistake).withColumn("state", F.lit("pre_restore"))
+    return (
+        restored.unionByName(pre)
+        .groupBy("event_type", "state")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(
+                "CAST(ROUND(SUM(value) * 100, 0) AS BIGINT)"
+            ).alias("value_cents"),
+        )
+        .select("event_type", "n_events", "value_cents", "state")
+    )

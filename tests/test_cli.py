@@ -71,7 +71,7 @@ def test_registry_contract():
 
     q = e.queries()
     o = e.oracle_sql()
-    assert len(q) == 122, f"registry has {len(q)} queries; update COVERAGE.md"
+    assert len(q) == 123, f"registry has {len(q)} queries; update COVERAGE.md"
     assert set(o) == set(q), "every query needs an oracle (none rows-only)"
     graded = list(q)[:50]
     for prefix in ("sql_", "source_", "sink_", "streaming_"):
@@ -116,3 +116,34 @@ def test_convert_cli(spark, tmp_path, capsys):
                "--table", str(tmp_path / "t"),
                "--partition-cols", "day", "--stats-cols", "k")
     assert out == {"table_version": 0, "rows": 8, "entries": 2}
+
+
+def test_table_admin_cli(spark, tmp_path, capsys):
+    """table admin loop: convert -> history -> mistake -> restore ->
+    partition-scoped compact -> vacuum, all through the CLI."""
+    src = str(tmp_path / "legacy")
+    spark.createDataFrame(
+        [(i, f"d{i % 2}") for i in range(8)], "k INT, day STRING"
+    ).write.partitionBy("day").parquet(src)
+    root = str(tmp_path / "t")
+    _run(capsys, "convert", "--src", src, "--table", root,
+         "--partition-cols", "day")
+    from scalable_etl_spark.acid import SnapshotTable
+
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(spark, root)
+    t.delete(F.col("day") == "d1")
+    out = _run(capsys, "table", "history", "--root", root)
+    assert [h["op"] for h in out["history"]] == ["delete", "convert"]
+    out = _run(capsys, "table", "restore", "--root", root,
+               "--version", "0")
+    assert out == {"restored_to": 0, "committed_version": 2}
+    assert t.read().count() == 8
+    out = _run(capsys, "table", "compact", "--root", root,
+               "--partition", "day=d1")
+    assert out["compacted"] is True
+    out = _run(capsys, "table", "vacuum", "--root", root,
+               "--retain", "1", "--min-age", "0")
+    assert out["removed_dirs"] >= 1
+    assert t.read().count() == 8
