@@ -1583,6 +1583,7 @@ def convert_to_snapshot(
     root: str,
     partition_cols: Sequence[str] = (),
     stats_cols: Sequence[str] = (),
+    partition_types: dict[str, str] | None = None,
 ) -> SnapshotTable:
     """ZERO-COPY migration of an existing plain-parquet dataset (flat
     or hive-partitioned) into a snapshot table — Delta's public
@@ -1602,6 +1603,15 @@ def convert_to_snapshot(
     this is the migration path that matters — rewriting the dataset to
     adopt a table format would cost a full read+write of the lake;
     linking costs metadata only.
+
+    Partition-column TYPES are pinned, not inferred: dir-name
+    inference would happily read ``hr=2024-01-01 00:00:00`` as a
+    TIMESTAMP, and the first copy-on-write rewrite would then
+    silently change the column's type and rendering. Default is
+    STRING (the hive-literal identity — exactly the bytes in the dir
+    names); ``partition_types`` declares DDL types per column for
+    datasets whose partition values are genuinely typed (the same
+    contract as Delta CONVERT's explicit partition schema).
 
     Raises if ``root`` already holds a committed table (convert never
     clobbers) or if no parquet files are found."""
@@ -1652,9 +1662,21 @@ def convert_to_snapshot(
             )
     else:
         entries = [d]
-    schema = (
-        spark.read.option("basePath", base).parquet(base).schema.json()
-    )
+    inferred = spark.read.option("basePath", base).parquet(base).schema
+    if partition_cols:
+        from pyspark.sql.types import _parse_datatype_string
+
+        fields = []
+        for f in inferred.fields:
+            if f.name in partition_cols:
+                ddl = (partition_types or {}).get(f.name, "string")
+                fields.append(
+                    type(f)(f.name, _parse_datatype_string(ddl), True)
+                )
+            else:
+                fields.append(f)
+        inferred = StructType(fields)
+    schema = inferred.json()
     all_stats: dict[str, dict] = {}
     all_fstats: dict[str, dict] = {}
     if stats_cols:

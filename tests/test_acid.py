@@ -1388,3 +1388,24 @@ def test_hive_escape_roundtrip_property(spark):
         assert _hive_unescape_path(esc) == s
 
     check()
+
+
+def test_convert_preserves_escaped_partition_values(spark, tmp_path):
+    """Converted datasets whose partition values carry hive-escaped
+    characters (':' -> '%3A' on disk) must stay prunable and readable
+    through the path-component machinery."""
+    from scalable_etl_spark.acid import convert_to_snapshot
+
+    src = str(tmp_path / "legacy")
+    ts0, ts1 = "2024-01-01 00:00:00", "2024-01-02 12:30:00"
+    spark.createDataFrame(
+        [(1, ts0), (2, ts0), (3, ts1)], "k INT, hr STRING"
+    ).write.partitionBy("hr").parquet(src)
+    t = convert_to_snapshot(
+        spark, src, str(tmp_path / "t"), partition_cols=["hr"]
+    )
+    m = t._manifest(0)
+    assert any("%3A" in e for e in m["dirs"]), m["dirs"]
+    assert {r.k for r in t.read(where=("hr", ts0, ts0)).collect()} == {1, 2}
+    t.delete(F.col("hr") == ts1, prune=("hr", ts1, ts1))
+    assert {(r.k, r.hr) for r in t.read().collect()} == {(1, ts0), (2, ts0)}
