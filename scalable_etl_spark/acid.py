@@ -87,20 +87,30 @@ def _hive_escape_path(value: str) -> str:
     )
 
 
+_HEX_DIGITS = set("0123456789abcdefABCDEF")
+
+
 def _hive_unescape_path(component: str) -> str:
     """Inverse of :func:`_hive_escape_path` for a partition-value dir
-    component (%XX sequences back to their characters)."""
+    component (%XX back to its character). STRICT: exactly two hex
+    digits must follow the '%' or it is passed through literally —
+    foreign datasets (convert targets) may contain raw '%' that was
+    never hive-escaped, and int()'s tolerance of whitespace/sign would
+    otherwise misdecode components like '% 4' or '100%4'."""
     out = []
     i = 0
-    while i < len(component):
+    n = len(component)
+    while i < n:
         c = component[i]
-        if c == "%" and i + 2 < len(component) + 1:
-            try:
-                out.append(chr(int(component[i + 1 : i + 3], 16)))
-                i += 3
-                continue
-            except ValueError:
-                pass
+        if (
+            c == "%"
+            and i + 3 <= n
+            and component[i + 1] in _HEX_DIGITS
+            and component[i + 2] in _HEX_DIGITS
+        ):
+            out.append(chr(int(component[i + 1 : i + 3], 16)))
+            i += 3
+            continue
         out.append(c)
         i += 1
     return "".join(out)
@@ -1375,7 +1385,21 @@ class SnapshotTable:
         Default layout is one file per rewritten partition leaf
         (``coalesce(1)``); ``cluster_by``/``n_files``/``zorder``
         select a skipping-friendly layout instead, with stats
-        re-collected by the shared rewrite loop."""
+        re-collected by the shared rewrite loop.
+
+        ``value`` must be path-renderable (string/int/bool/date): an
+        unrenderable type (float, timestamp) would disable the
+        partition prune and silently degrade this maintenance op into
+        a FULL-TABLE rewrite — predicate DML accepts that degradation
+        for correctness, but compaction raises instead."""
+        if _partition_value_str(value) is None:
+            raise ValueError(
+                f"compact_partition value {value!r} "
+                f"({type(value).__name__}) has no faithful path "
+                "rendering; a conservative prune would rewrite the "
+                "whole table — pass the partition value as the string "
+                "Spark wrote into the dir name"
+            )
 
         def transform(df: DataFrame) -> DataFrame:
             if cluster_by:
@@ -1430,8 +1454,11 @@ class SnapshotTable:
         appends): each first-level partition whose file count exceeds
         the ceiling is compacted via :meth:`compact_partition`,
         rewriting only that partition's entries; cold partitions are
-        never touched. Per-partition progress guard: a partition
-        already collapsed to a single commit entry is skipped."""
+        never touched. Per-partition progress guard: a partition is
+        skipped when compacting cannot shrink it — single entry AND no
+        more files than the rewrite's target count (a compacted
+        partition is not re-rewritten, while a converted hive leaf
+        holding many small files in one entry still qualifies)."""
         v = self.latest_version()
         if v is None:
             return None
@@ -1444,10 +1471,16 @@ class SnapshotTable:
                 )
             col = pcols[0]
             last: int | None = None
+            handled: set[str] = set()
             # each pass compacts one over-ceiling partition against a
             # fresh manifest (the rewrite may re-home component-less
-            # entries' rows into several partitions' leaves)
-            for _ in range(64):
+            # entries' rows into several partitions' leaves). Each
+            # component is targeted AT MOST ONCE per call — that
+            # bounds the loop at the partition count, prevents
+            # re-rewriting a partition whose natural layout stays over
+            # the ceiling (e.g. n_files above it), and means a
+            # no-progress compact (nothing matched) cannot spin.
+            while True:
                 m = self._manifest(self.latest_version())
                 files: dict[str | None, int] = {}
                 n_entries: dict[str | None, int] = {}
@@ -1461,13 +1494,22 @@ class SnapshotTable:
                     (
                         comp
                         for comp, nf in sorted(files.items())
-                        if nf + bare_files > partition_max_files
-                        and n_entries[comp] + bare_entries >= 2
+                        if comp not in handled
+                        and nf + bare_files > partition_max_files
+                        # progress guard: compacting must be able to
+                        # shrink — either several entries merge, or a
+                        # single entry (a converted hive leaf) holds
+                        # more files than the rewrite's target count
+                        and (
+                            n_entries[comp] + bare_entries >= 2
+                            or nf > (n_files or 1)
+                        )
                     ),
                     None,
                 )
                 if target is None:
-                    break
+                    return last
+                handled.add(target)
                 last = self.compact_partition(
                     col,
                     _hive_unescape_path(target),
@@ -1475,7 +1517,6 @@ class SnapshotTable:
                     n_files=n_files,
                     zorder=zorder,
                 )
-            return last
         if len(self.committed_files()) <= max_files:
             return None
         m = self._manifest(v)

@@ -145,10 +145,13 @@ def cmd_convert(spark: SparkSession, args: argparse.Namespace) -> dict:
         spark, args.src, args.table,
         partition_cols=pcols, stats_cols=scols,
     )
+    v = t.latest_version()
+    # metadata-only report: conversion must stay O(metadata), so no
+    # full-table count here — files/entries come from the manifest
     return {
-        "table_version": t.latest_version(),
-        "rows": t.read().count(),
-        "entries": len(t._manifest(t.latest_version())["dirs"]),
+        "table_version": v,
+        "entries": len(t._manifest(v)["dirs"]),
+        "files": len(t.committed_files()),
     }
 
 

@@ -628,17 +628,19 @@ def sink_tx_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-lake rewrite."""
     import os
     import shutil
-    import tempfile
 
     from .acid import convert_to_snapshot
 
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "value", "event_type"
     )
-    legacy = tempfile.mkdtemp(prefix="legacy_events_")
-    shutil.rmtree(legacy)
+    # warehouse-scheme roots (same wipe-first convention as _tx_table):
+    # driver/bench re-runs overwrite the SAME paths instead of leaking
+    # a dataset-sized copy into /tmp per invocation
+    root = _tx_table(spark, "convert").root
+    legacy = os.path.join(os.path.dirname(root), "convert_legacy")
+    shutil.rmtree(legacy, ignore_errors=True)
     e.write.partitionBy("event_type").parquet(legacy)
-    root = os.path.join(tempfile.gettempdir(), f"conv_{os.path.basename(legacy)}")
     t = convert_to_snapshot(
         spark, legacy, root,
         partition_cols=["event_type"], stats_cols=["value"],

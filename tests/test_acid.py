@@ -1248,9 +1248,13 @@ def test_compact_partition_scoped(spark, tmp_path):
     assert rows == {1, 3, 5, 7} | {100 + i for i in range(5)}
     assert t.read().count() == 13
 
-    # per-partition ceiling: d0 is under, d1 is already compacted ->
-    # no-op; new appends over the ceiling re-trigger only d1
+    # per-partition ceiling: d1 is already compacted; d0's original
+    # multi-file overwrite leaf may still exceed the ceiling (the
+    # fixed guard sweeps single-entry multi-file leaves too) — after
+    # at most one sweep the table is quiescent
+    t.maybe_compact(partition_max_files=3)
     assert t.maybe_compact(partition_max_files=3) is None
+    assert t.read().count() == 13
     for i in range(4):
         t.append(
             spark.createDataFrame([(200 + i, "d1")], "k INT, day STRING")
@@ -1262,8 +1266,12 @@ def test_compact_partition_scoped(spark, tmp_path):
     assert sum("day=d1" in e for e in m3["dirs"]) == 1
     assert files_of("d0") == d0_before
     assert t.read().count() == 17
-    # progress guard: immediate re-call is a no-op
+    # the fixed guard also sweeps any remaining single-entry
+    # multi-file leaf (e.g. the original d0 overwrite leaf); after at
+    # most one more pass the table is quiescent and re-calls no-op
+    t.maybe_compact(partition_max_files=3)
     assert t.maybe_compact(partition_max_files=3) is None
+    assert t.read().count() == 17
     # unpartitioned table: per-partition ceilings are a usage error
     tu = SnapshotTable(spark, str(tmp_path / "tu"))
     tu.overwrite(spark.createDataFrame([(1,)], "k INT"))
@@ -1409,3 +1417,53 @@ def test_convert_preserves_escaped_partition_values(spark, tmp_path):
     assert {r.k for r in t.read(where=("hr", ts0, ts0)).collect()} == {1, 2}
     t.delete(F.col("hr") == ts1, prune=("hr", ts1, ts1))
     assert {(r.k, r.hr) for r in t.read().collect()} == {(1, ts0), (2, ts0)}
+
+
+def test_partition_compact_review_regressions(spark, tmp_path):
+    """Code-review regressions: (a) per-partition maybe_compact must
+    fire on a CONVERTED table whose hot partition is one multi-file
+    entry; (b) compact_partition refuses unrenderable partition
+    values instead of silently rewriting the whole table; (c) strict
+    %XX unescaping passes raw '%' through untouched."""
+    import pytest as _pytest
+
+    from scalable_etl_spark.acid import (
+        _hive_unescape_path,
+        convert_to_snapshot,
+    )
+
+    # (a) converted hive leaf: one entry, many files
+    src = str(tmp_path / "legacy")
+    df = spark.createDataFrame(
+        [(i, f"d{i % 2}") for i in range(40)], "k INT, day STRING"
+    )
+    df.repartition(10).write.partitionBy("day").parquet(src)
+    t = convert_to_snapshot(
+        spark, src, str(tmp_path / "t"), partition_cols=["day"]
+    )
+    m = t._manifest(0)
+    assert len(m["dirs"]) == 2
+    assert max(t._entry_file_count(e) for e in m["dirs"]) >= 5
+    v = t.maybe_compact(partition_max_files=3)
+    assert v is not None, "single multi-file entry must still compact"
+    m2 = t._manifest(t.latest_version())
+    assert all(t._entry_file_count(e) == 1 for e in m2["dirs"])
+    assert t.read().count() == 40
+    assert t.maybe_compact(partition_max_files=3) is None  # progress
+
+    # (b) unrenderable value refuses
+    tf = SnapshotTable(spark, str(tmp_path / "tf"))
+    tf.overwrite(
+        spark.createDataFrame([(1, 0.5), (2, 1.5)], "k INT, f DOUBLE"),
+        partition_cols=["f"],
+    )
+    with _pytest.raises(ValueError, match="path rendering"):
+        tf.compact_partition("f", 0.5)
+    tf.compact_partition("f", "0.5")  # the dir-name string works
+    assert tf.read().count() == 2
+
+    # (c) strict unescape
+    assert _hive_unescape_path("100%4") == "100%4"
+    assert _hive_unescape_path("%(4)") == "%(4)"
+    assert _hive_unescape_path("a%3Ab") == "a:b"
+    assert _hive_unescape_path("%3") == "%3"

@@ -115,7 +115,8 @@ def test_convert_cli(spark, tmp_path, capsys):
     out = _run(capsys, "convert", "--src", src,
                "--table", str(tmp_path / "t"),
                "--partition-cols", "day", "--stats-cols", "k")
-    assert out == {"table_version": 0, "rows": 8, "entries": 2}
+    assert out["table_version"] == 0 and out["entries"] == 2
+    assert out["files"] >= 2
 
 
 def test_table_admin_cli(spark, tmp_path, capsys):
