@@ -154,6 +154,7 @@ _DEMOTED = (
     # rotation
     "sink_tx_convert",
     "sink_tx_restore",
+    "streaming_outer_join",
 )
 
 

@@ -633,3 +633,96 @@ def streaming_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value_cents"),
         )
     )
+
+
+@query(
+    "streaming_outer_join",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts FROM events
+      WHERE event_type = 'view' AND user_id < 10),
+    p AS (
+      SELECT user_id, ts FROM events
+      WHERE event_type = 'purchase' AND user_id < 10)
+    SELECT v.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(p.ts) AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN p.ts IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unmatched_views
+    FROM v LEFT JOIN p
+      ON p.user_id = v.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 24 HOUR
+    GROUP BY 1
+    """,
+)
+def streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER interval join — the semantically hard
+    variant: an unmatched view can only be emitted (with nulls) once
+    the GLOBAL watermark proves no future purchase can ever match it,
+    i.e. has passed ``v_ts + 24h``. An availableNow drain would
+    otherwise never finalize the tail of the data (the watermark stops
+    at max_ts - delay), silently swallowing the last day of unmatched
+    views — so both spools carry a far-future SENTINEL row that pushes
+    the final watermark beyond every legitimate view's finalization
+    bound, and sentinels are filtered from the drained output. The
+    oracle is the plain batch LEFT JOIN: matched pairs must agree AND
+    every unmatched view must surface exactly once with a null — a
+    drain that loses (or double-emits) null rows fails the value hash.
+
+    Scale: same bounded per-user state as the inner join (watermark +
+    time-range condition); the null-emission path adds no state, only
+    eviction-time output."""
+    import datetime
+
+    src_v = tempfile.mkdtemp(prefix="soj_v_")
+    src_p = tempfile.mkdtemp(prefix="soj_p_")
+    ckpt = tempfile.mkdtemp(prefix="soj_ckpt_")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts + datetime.timedelta(days=40))],
+        "user_id BIGINT, ts TIMESTAMP",
+    )
+    ev.filter(F.col("event_type") == "view").select("user_id", "ts") \
+        .unionByName(sentinel).coalesce(2).write.mode("overwrite") \
+        .option("timestampFormat", _MICROS_TS_FMT).json(src_v)
+    ev.filter(F.col("event_type") == "purchase").select("user_id", "ts") \
+        .unionByName(sentinel).coalesce(2).write.mode("overwrite") \
+        .option("timestampFormat", _MICROS_TS_FMT).json(src_p)
+
+    views = (
+        spark.readStream.schema("user_id BIGINT, ts TIMESTAMP")
+        .option("timestampFormat", _MICROS_TS_FMT)
+        .json(src_v)
+        .withWatermark("ts", "1 minute")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+    )
+    purchases = (
+        spark.readStream.schema("user_id BIGINT, ts TIMESTAMP")
+        .option("timestampFormat", _MICROS_TS_FMT)
+        .json(src_p)
+        .withWatermark("ts", "25 hours")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND p_ts >= v_ts "
+            "AND p_ts <= v_ts + INTERVAL 24 HOURS"
+        ),
+        "leftOuter",
+    )
+    drained = _drain_to_df(
+        spark, joined, "streaming_outer_join_sink", ckpt, "append"
+    )
+    return (
+        drained.filter(F.col("v_user") >= 0)  # drop watermark sentinels
+        .groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("p_ts").alias("n_matched"),
+            F.sum(
+                F.when(F.col("p_ts").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_unmatched_views"),
+        )
+    )
