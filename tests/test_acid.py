@@ -1467,3 +1467,98 @@ def test_partition_compact_review_regressions(spark, tmp_path):
     assert _hive_unescape_path("%(4)") == "%(4)"
     assert _hive_unescape_path("a%3Ab") == "a:b"
     assert _hive_unescape_path("%3") == "%3"
+
+
+def test_acid_random_walk_against_model(spark, tmp_path):
+    """Model-based invariant check: a seeded random walk over the full
+    mutation surface (overwrite / append / insert_ignore / merge /
+    delete / update / compact / compact_partition / restore) is
+    mirrored in a plain Python dict model keyed by k; after EVERY step
+    the table's contents must equal the model, and a version snapshot
+    taken mid-walk must stay byte-stable to the end (snapshot
+    isolation under arbitrary later mutation)."""
+    import random
+
+    def run_walk(seed: int) -> None:
+        rng = random.Random(seed)
+        t = SnapshotTable(spark, str(tmp_path / f"w{seed}"))
+        model: dict[int, tuple[str, int]] = {}  # k -> (day, v)
+
+        def mk_df(rows):
+            return spark.createDataFrame(
+                [(k, d, v) for k, (d, v) in rows.items()],
+                "k INT, day STRING, v INT",
+            )
+
+        def rand_rows(n):
+            return {
+                rng.randrange(40): (f"d{rng.randrange(3)}", rng.randrange(100))
+                for _ in range(n)
+            }
+
+        # seed the table
+        model = rand_rows(8)
+        t.overwrite(mk_df(model), partition_cols=["day"])
+        pinned_version = None
+        pinned_model: dict | None = None
+        for step in range(14):
+            op = rng.choice(
+                ["append", "insert_ignore", "merge", "delete",
+                 "update", "compact", "compact_partition", "restore"]
+            )
+            if op == "append":
+                batch = rand_rows(3)
+                # append adds rows verbatim (duplicate keys allowed in
+                # the table; keep the model simple: avoid key overlap)
+                batch = {k: x for k, x in batch.items() if k not in model}
+                if batch:
+                    t.append(mk_df(batch))
+                    model.update(batch)
+            elif op == "insert_ignore":
+                batch = rand_rows(3)
+                t.insert_ignore(mk_df(batch), ["k"])
+                for k, x in batch.items():
+                    model.setdefault(k, x)
+            elif op == "merge":
+                batch = rand_rows(3)
+                t.merge(mk_df(batch), ["k"], when_matched="update")
+                model.update(batch)
+            elif op == "delete":
+                cut = rng.randrange(100)
+                t.delete(F.col("v") < cut, prune=("v", 0, cut - 1))
+                model = {k: x for k, x in model.items() if x[1] >= cut}
+            elif op == "update":
+                day = f"d{rng.randrange(3)}"
+                t.update(
+                    F.col("day") == day,
+                    {"v": F.col("v") + 1000},
+                    prune=("day", day, day),
+                )
+                model = {
+                    k: (d, v + 1000 if d == day else v)
+                    for k, (d, v) in model.items()
+                }
+            elif op == "compact":
+                t.compact()
+            elif op == "compact_partition":
+                t.compact_partition("day", f"d{rng.randrange(3)}")
+            elif op == "restore" and pinned_version is not None:
+                t.restore(pinned_version)
+                model = dict(pinned_model)
+            got = {(r.k, r.day, r.v) for r in t.read().collect()}
+            want = {(k, d, v) for k, (d, v) in model.items()}
+            assert got == want, (seed, step, op)
+            if step == 5:
+                pinned_version = t.latest_version()
+                pinned_model = dict(model)
+            if pinned_version is not None:
+                pinned = {
+                    (r.k, r.day, r.v)
+                    for r in t.read(pinned_version).collect()
+                }
+                assert pinned == {
+                    (k, d, v) for k, (d, v) in pinned_model.items()
+                }, (seed, step, "snapshot drifted")
+
+    for seed in (7, 23):
+        run_walk(seed)
