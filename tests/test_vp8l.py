@@ -398,3 +398,56 @@ def test_color_transform_stream_handcrafted():
         for p in argb
     ]
     assert got == target
+
+
+def test_alpha_filters_and_raw_compression():
+    """ALPH decode paths beyond the real fixture: raw (uncompressed)
+    alpha with each filtering mode 1-3 must invert the prediction
+    chain exactly (horizontal = left, vertical = top, gradient =
+    clamp(L + T - TL)), with the spec's edge rules."""
+    rng = np.random.default_rng(11)
+    h, w = 5, 4
+    plane = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    for mode in (1, 2, 3):
+        # forward-filter the plane the way an encoder would
+        stored = np.zeros_like(plane, dtype=np.int32)
+        p = plane.astype(np.int32)
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    pred = 0
+                elif y == 0:
+                    pred = p[0, x - 1]
+                elif x == 0:
+                    pred = p[y - 1, 0]
+                elif mode == 1:
+                    pred = p[y, x - 1]
+                elif mode == 2:
+                    pred = p[y - 1, x]
+                else:
+                    pred = int(np.clip(
+                        p[y, x - 1] + p[y - 1, x] - p[y - 1, x - 1],
+                        0, 255,
+                    ))
+                stored[y, x] = (p[y, x] - pred) & 0xFF
+        header = bytes([(mode << 2) | 0])  # compression=0 (raw)
+        alph = header + stored.astype(np.uint8).tobytes()
+        out = decode_alpha_chunk(alph, w, h)
+        assert (out == plane).all(), mode
+
+
+def test_vp8x_container_with_vp8l_chunk_and_odd_padding():
+    """decode_webp must find the VP8L chunk inside an extended (VP8X)
+    container and walk odd-sized chunks with their RIFF padding byte."""
+    import struct
+
+    img = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    plain = encode_vp8l(img)
+    vp8l_chunk = plain[12:]  # 'VP8L' + size + payload (+pad)
+    vp8x = b"VP8X" + struct.pack("<I", 10) + bytes(4) \
+        + (1).to_bytes(3, "little") + (1).to_bytes(3, "little")
+    odd = b"XMP " + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded
+    body = b"WEBP" + vp8x + odd + vp8l_chunk
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    out = decode_webp(payload)
+    assert (out == img).all()
