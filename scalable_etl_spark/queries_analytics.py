@@ -638,3 +638,43 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("pt").alias("last_seen"),
         )
     )
+
+
+@query(
+    "grouping_sets_activity",
+    oracle="""
+    SELECT event_type, CAST(ts AS DATE) AS event_date,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           GROUPING(event_type) AS g_type,
+           GROUPING(CAST(ts AS DATE)) AS g_date
+    FROM events
+    GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)),
+                            (event_type), (CAST(ts AS DATE)))
+    """,
+)
+def grouping_sets_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form ROLLUP/CUBE are sugar
+    for, with a set list neither of them produces ((type, date),
+    (type), (date): no grand total, no empty set). Spark plans the
+    same single Expand + shared exchange as ROLLUP (one scan, one
+    shuffle, all levels); GROUPING() flags disambiguate a NULL group
+    key from a subtotal row — the standard cube-consumer contract.
+    SQL text modality (GROUPING SETS has no DataFrame sugar)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "gs_events"
+    )
+    out = spark.sql(
+        """
+        SELECT event_type, CAST(ts AS DATE) AS event_date,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               GROUPING(event_type) AS g_type,
+               GROUPING(CAST(ts AS DATE)) AS g_date
+        FROM gs_events
+        GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)),
+                                (event_type), (CAST(ts AS DATE)))
+        """
+    )
+    spark.catalog.dropTempView("gs_events")
+    return out
