@@ -155,6 +155,7 @@ _DEMOTED = (
     "sink_tx_convert",
     "sink_tx_restore",
     "streaming_outer_join",
+    "sink_tx_bloom",
 )
 
 

@@ -153,6 +153,51 @@ def _partition_component(entry: str, col: str) -> str | None:
     return None
 
 
+# Per-file BLOOM FILTERS ride inside ``file_stats`` under pseudo-column
+# keys ("__bloom__<col>"), so they inherit the delta-log diffing,
+# rewrite carry-over, and vacuum story of ordinary stats for free.
+# Design follows Delta's public bloom-filter-index feature: min/max
+# skipping is useless for POINT lookups on high-cardinality columns
+# whose per-file ranges all overlap; a small per-file bloom prunes
+# those files instead (false positives keep a file — safe; false
+# negatives are impossible because write and probe share the md5 hash
+# family below).
+_BLOOM_PREFIX = "__bloom__"
+_BLOOM_M = 8192  # bits per file per column (1 KiB raw)
+_BLOOM_K = 4
+
+
+def _bloom_positions(value, m: int = _BLOOM_M, k: int = _BLOOM_K):
+    """The k bit positions for ``value`` — hashlib.md5 over
+    ``f"{i}:{value}"``, matching the Spark-side SQL spelling in
+    ``_file_blooms`` (int and string values render identically under
+    Python str() and Spark CAST(... AS STRING))."""
+    import hashlib
+
+    for i in range(k):
+        h = hashlib.md5(f"{i}:{value}".encode()).hexdigest()
+        yield int(h[:15], 16) % m
+
+
+def _bloom_b64(positions, m: int = _BLOOM_M) -> str:
+    import base64
+
+    bits = bytearray(m // 8)
+    for p in positions:
+        bits[p >> 3] |= 1 << (p & 7)
+    return base64.b64encode(bytes(bits)).decode()
+
+
+def _bloom_might_contain(spec: dict, value) -> bool:
+    import base64
+
+    bits = base64.b64decode(spec["b"])
+    return all(
+        (bits[p >> 3] >> (p & 7)) & 1
+        for p in _bloom_positions(value, spec["m"], spec["k"])
+    )
+
+
 def _make_manifest_delta(prev: dict, full: dict) -> dict | None:
     """Delta log entry reproducing ``full`` from ``prev``, or None when
     the diff cannot (caller then writes ``full`` verbatim). Always
@@ -382,12 +427,37 @@ class SnapshotTable:
                     norm = (col, nlo, nhi)
                     dirs = self._prune_dirs(m, dirs, *norm)
         all_fstats = m.get("file_stats", {})
+        # POINT lookups additionally probe per-file bloom filters when
+        # present: min/max ranges on a high-cardinality key overlap
+        # across every file, but the bloom excludes the files that
+        # cannot hold the value (false positives only keep extras).
+        # Only int/str values probe — their str() rendering matches the
+        # Spark-side hash input; other types skip (conservative).
+        bloom_key = None
+        if (
+            where is not None
+            and where[1] == where[2]
+            and isinstance(where[1], (int, str))
+            and not isinstance(where[1], bool)
+        ):
+            bloom_key = (_BLOOM_PREFIX + where[0], where[1])
         parts = []
         for d in dirs:
             base = os.path.join(self.data_dir, d)
             fstats = all_fstats.get(d)
-            if norm is not None and fstats:
-                files = self._prune_files(fstats, *norm)
+            if fstats and (norm is not None or bloom_key is not None):
+                if norm is not None:
+                    files = self._prune_files(fstats, *norm)
+                else:
+                    files = list(fstats)
+                if bloom_key is not None:
+                    pseudo, needle = bloom_key
+                    files = [
+                        f
+                        for f in files
+                        if (spec := fstats[f].get(pseudo)) is None
+                        or _bloom_might_contain(spec, needle)
+                    ]
                 if not files:
                     continue
                 # whole dir survives -> one dir-level scan (cheaper
@@ -708,6 +778,112 @@ class SnapshotTable:
 
     # ---------------------------------------------------------- write
 
+    def _file_blooms(
+        self,
+        entry: str,
+        cols: Sequence[str],
+        m: int = _BLOOM_M,
+        k: int = _BLOOM_K,
+    ) -> dict[str, dict]:
+        """Per-file bloom filters for ``cols`` over one manifest entry:
+        ONE distributed job per column — each row contributes its k bit
+        positions, positions dedupe per file BEFORE collection (the
+        per-file set is bounded by m regardless of cardinality, so the
+        driver transfer is O(files * m/row) at any scale), and the
+        driver packs bitsets. Returns {relative_file: {pseudo_col:
+        spec}} ready to merge into ``file_stats``. Column types must
+        render identically under Python str() and Spark CAST AS STRING
+        — int/long/string (the point-lookup types); callers gate."""
+        base = os.path.join(self.data_dir, entry)
+        out: dict[str, dict] = {}
+        for col in cols:
+            pos_exprs = [
+                F.expr(
+                    f"CAST(conv(substr(md5(concat('{i}:', "
+                    f"CAST(`{col}` AS STRING))), 1, 15), 16, 10) "
+                    f"AS BIGINT) % {m}"
+                )
+                for i in range(k)
+            ]
+            rows = (
+                self.spark.read.parquet(base)
+                .where(F.col(col).isNotNull())
+                .select(
+                    F.input_file_name().alias("__f"),
+                    F.explode(F.array(*pos_exprs)).alias("__p"),
+                )
+                .distinct()
+                .groupBy("__f")
+                .agg(F.collect_set("__p").alias("__ps"))
+                .collect()
+            )
+            for r in rows:
+                fname = r["__f"]
+                for prefix in ("file://", "file:"):
+                    if fname.startswith(prefix):
+                        fname = fname[len(prefix):]
+                        break
+                rel = os.path.relpath(fname, base)
+                out.setdefault(rel, {})[_BLOOM_PREFIX + col] = {
+                    "m": m,
+                    "k": k,
+                    "b": _bloom_b64((int(p) for p in r["__ps"]), m),
+                }
+        return out
+
+    @staticmethod
+    def _merge_blooms(fstats: dict, blooms: dict) -> dict:
+        """file_stats for one entry with bloom pseudo-columns merged in
+        (files absent from fstats — e.g. no stats_cols requested — get
+        bloom-only records)."""
+        merged = {f: dict(per) for f, per in fstats.items()}
+        for f, per in blooms.items():
+            merged.setdefault(f, {}).update(per)
+        return merged
+
+    def add_bloom_filters(self, cols: Sequence[str]) -> int:
+        """Maintenance op: commit a new version whose file_stats carry
+        bloom filters for ``cols`` on every entry that lacks them —
+        the catch-up path after merges (which drop blooms on rewritten
+        entries) or for tables created before blooms were requested.
+        Data files are untouched; one scan job per entry per column."""
+        for _ in range(_COMMIT_RETRIES):
+            v = self.latest_version()
+            if v is None:
+                raise FileNotFoundError(
+                    f"no committed version at {self.root}"
+                )
+            m = self._manifest(v)
+            all_fstats = {**self._file_stats_of(v)}
+            for e in m["dirs"]:
+                have = all_fstats.get(e, {})
+                missing = [
+                    c
+                    for c in cols
+                    if not any(
+                        _BLOOM_PREFIX + c in per for per in have.values()
+                    )
+                ]
+                if missing:
+                    all_fstats[e] = self._merge_blooms(
+                        have, self._file_blooms(e, missing)
+                    )
+            manifest = {
+                "op": "add_bloom_filters",
+                "dirs": m["dirs"],
+                "schema": m["schema"],
+                "partition_cols": m["partition_cols"],
+                "stats": self._stats_of(v),
+                "file_stats": all_fstats,
+                "txn": self._txn_of(v),
+                "timestamp": time.time(),
+            }
+            if self._commit(v + 1, manifest):
+                return v + 1
+        raise CommitConflict(
+            f"add_bloom_filters lost {_COMMIT_RETRIES} races"
+        )
+
     def _write_data(self, df: DataFrame, partition_cols: Sequence[str]) -> str:
         """Write one immutable data dir; returns its name. Nothing is
         visible to readers until a manifest referencing it commits."""
@@ -788,6 +964,7 @@ class SnapshotTable:
         cluster_by: Sequence[str] = (),
         n_files: int | None = None,
         zorder: bool = False,
+        bloom_cols: Sequence[str] = (),
     ) -> int:
         """Atomic replace (the reference's ``createOrReplace``): readers
         see the old snapshot or the new one, never a mix, never a gap.
@@ -818,6 +995,14 @@ class SnapshotTable:
                     all_stats[e] = dstats
                 if fstats:
                     all_fstats[e] = fstats
+        if bloom_cols:
+            # per-file bloom filters for POINT-lookup skipping ride in
+            # file_stats under pseudo-column keys (see _BLOOM_PREFIX)
+            for e in entries:
+                all_fstats[e] = self._merge_blooms(
+                    all_fstats.get(e, {}),
+                    self._file_blooms(e, bloom_cols),
+                )
         for _ in range(_COMMIT_RETRIES):
             v = self.latest_version()
             manifest = {
@@ -853,6 +1038,7 @@ class SnapshotTable:
         cluster_by: Sequence[str] = (),
         n_files: int | None = None,
         zorder: bool = False,
+        bloom_cols: Sequence[str] = (),
     ) -> int:
         """Transactional append: the new dir joins the current
         snapshot's dir list in one commit. ``stats_cols`` /
@@ -894,6 +1080,12 @@ class SnapshotTable:
                     estats[e] = dstats
                 if fstats:
                     efstats[e] = fstats
+        if bloom_cols:
+            for e in entries:
+                efstats[e] = self._merge_blooms(
+                    efstats.get(e, {}),
+                    self._file_blooms(e, bloom_cols),
+                )
         for _ in range(_COMMIT_RETRIES):
             v = self.latest_version()
             if v is None:
@@ -1206,20 +1398,34 @@ class SnapshotTable:
                 if d2 in untouched
             }
             # preserve skipping: every column the rewritten dirs had
-            # stats for gets fresh footer stats on the new entries
+            # stats for gets fresh footer stats on the new entries;
+            # bloom pseudo-columns are split out and REGENERATED (a
+            # scan job, not a footer read) so point-lookup skipping
+            # survives DML the same way range skipping does
             stat_cols: set[str] = set()
+            bloom_cols: set[str] = set()
             all_stats, all_fstats = self._stats_of(v), self._file_stats_of(v)
             for d2 in rewrite:
                 stat_cols.update(all_stats.get(d2, {}).keys())
                 for per in all_fstats.get(d2, {}).values():
-                    stat_cols.update(per.keys())
+                    for key in per:
+                        if key.startswith(_BLOOM_PREFIX):
+                            bloom_cols.add(key[len(_BLOOM_PREFIX):])
+                        else:
+                            stat_cols.add(key)
             if prune is not None:
                 stat_cols.add(prune[0])
-            if stat_cols:
+            if stat_cols or bloom_cols:
                 for e in new_entries:
-                    dstats, fstats = self._footer_stats(
-                        e, sorted(stat_cols)
+                    dstats, fstats = (
+                        self._footer_stats(e, sorted(stat_cols))
+                        if stat_cols
+                        else ({}, {})
                     )
+                    if bloom_cols:
+                        fstats = self._merge_blooms(
+                            fstats, self._file_blooms(e, sorted(bloom_cols))
+                        )
                     if dstats:
                         kept_stats = {**kept_stats, e: dstats}
                     if fstats:

@@ -705,3 +705,52 @@ def sink_tx_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n_events", "value_cents", "state")
     )
+
+
+@query(
+    "sink_tx_bloom",
+    oracle="""
+    WITH targets AS (
+      SELECT MIN(event_id) AS event_id FROM events
+      WHERE user_id < 5 GROUP BY user_id)
+    SELECT e.event_type, COUNT(*) AS n_rows,
+           CAST(SUM(e.user_id) AS BIGINT) AS user_sum
+    FROM events e
+    WHERE e.event_id IN (SELECT event_id FROM targets)
+    GROUP BY 1
+    """,
+)
+def sink_tx_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file BLOOM-FILTER point lookups through the gate (Delta's
+    public bloom-filter-index design, acid.py ``bloom_cols``): events
+    land SHUFFLED across 8 files — every file's [min, max] range on
+    event_id spans the whole domain, so range skipping prunes NOTHING
+    — then five point lookups (each user<5's earliest event_id) read
+    through ``where=`` equality: the per-file blooms must exclude the
+    files that cannot hold each id while never excluding the one that
+    does. A false negative loses a row and fails the value hash; the
+    pruning itself is plan-asserted in tests/test_acid.py
+    test_bloom_filter_point_lookup_skipping."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    t = _tx_table(spark, "bloom")
+    t.overwrite(
+        e.repartition(8), stats_cols=["event_id"],
+        bloom_cols=["event_id"],
+    )
+    ids = [
+        r["id"]
+        for r in e.filter(F.col("user_id") < 5)
+        .groupBy("user_id")
+        .agg(F.min("event_id").alias("id"))
+        .collect()
+    ]
+    hits = None
+    for i in sorted(ids):
+        part = t.read(where=("event_id", int(i), int(i)))
+        hits = part if hits is None else hits.unionByName(part)
+    return hits.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("user_id").cast("long").alias("user_sum"),
+    )

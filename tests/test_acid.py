@@ -1562,3 +1562,70 @@ def test_acid_random_walk_against_model(spark, tmp_path):
 
     for seed in (7, 23):
         run_walk(seed)
+
+
+def test_bloom_filter_point_lookup_skipping(spark, tmp_path):
+    """Per-file bloom filters (Delta bloom-index design): min/max
+    ranges on a shuffled high-cardinality key overlap on every file,
+    so range stats prune nothing — the bloom must prune most files on
+    a point lookup, with zero false negatives, and survive predicate
+    DML via regeneration."""
+    from scalable_etl_spark.acid import _BLOOM_PREFIX
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    # shuffled ids -> every file's [min, max] spans ~the whole domain
+    df = spark.createDataFrame(
+        [((i * 7919) % 4000, i) for i in range(4000)], "id INT, v INT"
+    ).repartition(8)
+    t.overwrite(df, stats_cols=["id"], bloom_cols=["id"])
+    m = t._manifest(0)
+    (entry,) = m["dirs"]
+    fstats = m["file_stats"][entry]
+    assert all(_BLOOM_PREFIX + "id" in per for per in fstats.values())
+    n_files = len(fstats)
+    assert n_files == 8
+
+    import re
+
+    def files_scanned(val):
+        plan = t.read(where=("id", val, val))._jdf.queryExecution() \
+            .executedPlan().toString()
+        m_ = re.search(r"InMemoryFileIndex\((\d+) paths\)", plan)
+        if m_ is None:  # every file bloom-excluded -> empty local scan
+            return 0
+        return int(m_.group(1))
+
+    # no false negatives: every present id is found
+    for probe in (0, 1, 777, 3999, 2500):
+        got = t.read(where=("id", probe, probe)).collect()
+        assert len(got) == 1 and got[0].id == probe
+    # real pruning: a point lookup opens fewer files than the dir holds
+    # (ranges don't prune at all here — the bloom does the work)
+    pruned_counts = [files_scanned(v) for v in (0, 777, 3999)]
+    assert all(1 <= c < n_files for c in pruned_counts), pruned_counts
+    # absent key: typically every file excluded -> empty plan allowed
+    assert t.read(where=("id", 99999, 99999)).count() == 0
+
+    # DML regenerates blooms on rewritten entries
+    t.delete(F.col("v") < 100)
+    m2 = t._manifest(t.latest_version())
+    for e in m2["dirs"]:
+        assert all(
+            _BLOOM_PREFIX + "id" in per
+            for per in m2["file_stats"][e].values()
+        )
+    got = t.read(where=("id", (150 * 7919) % 4000, (150 * 7919) % 4000))
+    assert got.count() == 1
+
+    # catch-up maintenance: a bloom-less table gains filters in place
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"))
+    t2.overwrite(df, stats_cols=["id"])
+    t2.append(spark.createDataFrame([(9999, -1)], "id INT, v INT"))
+    t2.add_bloom_filters(["id"])
+    m3 = t2._manifest(t2.latest_version())
+    assert all(
+        any(_BLOOM_PREFIX + "id" in per for per in m3["file_stats"][e].values())
+        for e in m3["dirs"]
+    )
+    assert t2.read(where=("id", 9999, 9999)).count() == 1
+    assert t2.read().count() == 4001
