@@ -635,8 +635,14 @@ class SnapshotTable:
         if latest is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
         end = latest if to_version is None else to_version
-        # "sync" is itself append-shaped, so materialized pipelines chain
-        append_ops = {"append", "insert_ignore", "stream_append", "sync"}
+        # "sync" is itself append-shaped, so materialized pipelines
+        # chain; "add_bloom_filters" is metadata-only (dirs unchanged,
+        # zero new rows) — treating it as a rewrite would permanently
+        # wedge incremental consumers after a maintenance run
+        append_ops = {
+            "append", "insert_ignore", "stream_append", "sync",
+            "add_bloom_filters",
+        }
         frames = []
         prev = set(self._manifest(since_version)["dirs"])
         for v in range(since_version + 1, end + 1):
@@ -794,31 +800,54 @@ class SnapshotTable:
         spec}} ready to merge into ``file_stats``. Column types must
         render identically under Python str() and Spark CAST AS STRING
         — int/long/string (the point-lookup types); callers gate."""
+        from urllib.parse import unquote
+
+        from .functions.text import portable_hash64
+
         base = os.path.join(self.data_dir, entry)
+        df0 = self.spark.read.parquet(base)
+        dtypes = dict(df0.dtypes)
+        for col in cols:
+            dt = dtypes.get(col)
+            if dt not in (
+                "tinyint", "smallint", "int", "bigint", "string",
+            ):
+                raise ValueError(
+                    f"bloom filter on {col!r} ({dt}): only integral "
+                    "and string columns render identically under "
+                    "Python str() and Spark CAST AS STRING — a bloom "
+                    "built on another type would silently never match "
+                    "its probes"
+                )
         out: dict[str, dict] = {}
         for col in cols:
+            # the SAME portable md5 hash family the oracle-replayable
+            # MinHash/SimHash signatures use (functions/text.py
+            # portable_hash64); _bloom_positions is its Python mirror
             pos_exprs = [
-                F.expr(
-                    f"CAST(conv(substr(md5(concat('{i}:', "
-                    f"CAST(`{col}` AS STRING))), 1, 15), 16, 10) "
-                    f"AS BIGINT) % {m}"
-                )
+                portable_hash64(F.col(col).cast("string"), seed=i)
+                % F.lit(m)
                 for i in range(k)
             ]
             rows = (
-                self.spark.read.parquet(base)
-                .where(F.col(col).isNotNull())
+                df0.where(F.col(col).isNotNull())
                 .select(
                     F.input_file_name().alias("__f"),
                     F.explode(F.array(*pos_exprs)).alias("__p"),
                 )
-                .distinct()
+                # no .distinct(): collect_set dedupes with map-side
+                # partial aggregation, and the per-file set is bounded
+                # by m — one shuffle, not two
                 .groupBy("__f")
                 .agg(F.collect_set("__p").alias("__ps"))
                 .collect()
             )
             for r in rows:
-                fname = r["__f"]
+                # input_file_name() returns a URI: strip the scheme AND
+                # percent-decode, or hive-escaped dir components
+                # ('day=a%3Ab' arrives as 'day=a%253Ab') commit phantom
+                # file keys that crash every pruned read
+                fname = unquote(r["__f"])
                 for prefix in ("file://", "file:"):
                     if fname.startswith(prefix):
                         fname = fname[len(prefix):]

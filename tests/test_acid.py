@@ -1629,3 +1629,49 @@ def test_bloom_filter_point_lookup_skipping(spark, tmp_path):
     )
     assert t2.read(where=("id", 9999, 9999)).count() == 1
     assert t2.read().count() == 4001
+
+
+def test_bloom_review_regressions(spark, tmp_path):
+    """Code-review regressions: (a) blooms on hive-escaped partitioned
+    entries must key REAL file paths (input_file_name() returns
+    URI-encoded paths — un-decoded they committed phantom keys that
+    crashed every pruned read); (b) bloom_cols on a non-int/string
+    column raises at write time instead of silently never matching;
+    (c) add_bloom_filters is metadata-only and must NOT wedge
+    table_changes/sync_incremental consumers."""
+    import pytest as _pytest
+
+    from scalable_etl_spark.acid import sync_incremental
+
+    # (a) hive-escaped partition value + bloom
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, "a:b" if i % 2 else "plain") for i in range(20)],
+        "id INT, day STRING",
+    )
+    t.overwrite(
+        df, partition_cols=["day"], stats_cols=["id"], bloom_cols=["id"]
+    )
+    m = t._manifest(0)
+    for e in m["dirs"]:
+        for f in m["file_stats"].get(e, {}):
+            assert not f.startswith(".."), f"phantom key {f!r}"
+    assert t.read(where=("id", 7, 7)).count() == 1
+    assert t.read(where=("id", 8, 8)).count() == 1
+
+    # (b) unsupported bloom column type refuses loudly
+    td = SnapshotTable(spark, str(tmp_path / "td"))
+    ddf = spark.createDataFrame([(1, 0.5)], "id INT, score DOUBLE")
+    with _pytest.raises(ValueError, match="bloom filter"):
+        td.overwrite(ddf, bloom_cols=["score"])
+
+    # (c) maintenance op stays consumable incrementally
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    src.append(spark.createDataFrame([(1, "a")], "id INT, v STRING"))
+    dst = SnapshotTable(spark, str(tmp_path / "dst"))
+    sync_incremental(src, dst)
+    src.add_bloom_filters(["id"])
+    src.append(spark.createDataFrame([(2, "b")], "id INT, v STRING"))
+    assert src.table_changes(0).count() == 1  # only the new append row
+    sync_incremental(src, dst)
+    assert dst.read().count() == 2
