@@ -57,35 +57,42 @@ _MODULE_ORDER = (
     "queries_pipeline",
 )
 
-# Queries promoted into the driver-graded first-50 window (round-8
-# rotation, per the round-7 verdict's "Next round" #1): the ENTIRE
-# analytics family (rollup/cube/pivot/unpivot/funnel/cohort/gapfill/
-# state-intervals/incremental-merge/fk-audit/deciles/asof-rolling/
-# salted join) had only ever been local-oracle checked — it gets
-# driver-verified status this round, alongside the four pipeline/LLM
-# entries the verdict named. The round-7 headliners (tx family +
-# curation + media_pixel_stats) went driver-green in
-# CORRECTNESS_r07.json and rotate back to local-oracle checking.
-# Order within the tuple is the order they appear after the §2 core.
+# Queries promoted into the driver-graded first-50 window (round-9
+# rotation, per the round-8 verdict's "Next round" #1): ALL 20
+# never-driver-graded tier-2 queries — the text/doc/media analysis
+# family (tfidf/pmi/winnowing/bpe/gopher/repetition/fingerprints/
+# zscore), curation (mixture_weights/vocab_coverage/deterministic_split/
+# token_len_histogram/top_tokens), media (features/frame_sample/
+# audio_energy), near_dedup_corpus, user_sessions, embedding_norms and
+# grouping_sets_activity. Together with the four un-demoted late-r8
+# core queries (sink_tx_convert/restore/bloom, streaming_outer_join),
+# every query that had never been driver-graded is in the r9 window.
+# The round-8 headliners (the analytics family + semantic_dedup/
+# embedding_clusters/dedup_components_star/hash_rank_sample) went
+# driver-green in CORRECTNESS_r08.json and rotate back to local-oracle
+# checking. Order within the tuple is the order they appear after the
+# §2 core.
 _PROMOTED = (
-    "rollup_revenue",
-    "cube_type_daily",
-    "pivot_event_values",
-    "unpivot_daily_values",
-    "rolling_weekly_value",
-    "session_event_join",
-    "salted_segment_revenue",
-    "gapfill_user_daily",
-    "funnel_view_click_purchase",
-    "cohort_retention",
-    "fk_integrity_audit",
-    "event_state_intervals",
-    "incremental_agg_merge",
-    "user_value_deciles",
-    "semantic_dedup",
-    "embedding_clusters",
-    "dedup_components_star",
-    "hash_rank_sample",
+    "grouping_sets_activity",
+    "doc_gopher_rules",
+    "tfidf_top_terms",
+    "bigram_pmi",
+    "winnowing_fingerprints",
+    "bpe_token_stats",
+    "doc_repetition",
+    "doc_fingerprints",
+    "doc_len_zscore_by_lang",
+    "top_tokens",
+    "token_len_histogram",
+    "mixture_weights",
+    "vocab_coverage",
+    "deterministic_split",
+    "user_sessions",
+    "near_dedup_corpus",
+    "embedding_norms",
+    "audio_energy_stats",
+    "media_features",
+    "media_frame_sample",
 )
 
 # Beyond-reference §2 extras rotated out of the graded window to make room
@@ -148,14 +155,21 @@ _DEMOTED = (
     "streaming_event_counts",
     "streaming_enriched_counts",
     "streaming_sliding_counts",
-    # registered late in round 8 (zero-copy CONVERT parity + RESTORE
-    # rollback) AFTER the round's 50-window was finalized; they hold
-    # local-oracle status now and are first in line for the round-9
-    # rotation
-    "sink_tx_convert",
-    "sink_tx_restore",
-    "streaming_outer_join",
-    "sink_tx_bloom",
+    # --- round-9 rotation: the four late-r8 registrations left this
+    # list (driver-graded for the first time this round), and six
+    # r8-driver-green core queries take their parked slots so the
+    # 20-wide tier-1 promotion fits. Family coverage after the swap:
+    # O1 sort-limit -> top_customers (+ nulls_last_ranking for O2);
+    # J1 band join -> sql_rolling_band_cte; K6 upsert/DML ->
+    # sink_tx_partition_ops + sink_tx_convert/restore/bloom;
+    # stream-stream joins -> streaming_outer_join (the interval LEFT
+    # OUTER superset of the inner/windowed shapes).
+    "top_users",
+    "rolling_active_users",
+    "sink_tx_merge_upsert",
+    "sink_tx_delete",
+    "streaming_stream_join",
+    "streaming_join_windowed",
 )
 
 

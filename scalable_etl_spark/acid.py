@@ -793,13 +793,33 @@ class SnapshotTable:
     ) -> dict[str, dict]:
         """Per-file bloom filters for ``cols`` over one manifest entry:
         ONE distributed job per column — each row contributes its k bit
-        positions, positions dedupe per file BEFORE collection (the
-        per-file set is bounded by m regardless of cardinality, so the
-        driver transfer is O(files * m/row) at any scale), and the
-        driver packs bitsets. Returns {relative_file: {pseudo_col:
-        spec}} ready to merge into ``file_stats``. Column types must
-        render identically under Python str() and Spark CAST AS STRING
-        — int/long/string (the point-lookup types); callers gate."""
+        positions, positions dedupe per file BEFORE collection via
+        collect_set's map-side partial aggregation, and the bitmap is
+        PACKED EXECUTOR-SIDE (an Arrow-batched pandas UDF over the
+        per-file position array), so the driver collects one base64
+        blob of m/8 bytes per file per column — never the up-to-m boxed
+        positions, which at 100k files would be ~64x the transfer.
+        Returns {relative_file: {pseudo_col: spec}} ready to merge into
+        ``file_stats``.
+
+        Column-type contract: values must render identically under
+        Python str() and Spark CAST AS STRING — int/long/string (the
+        point-lookup types). A requested column ABSENT from this
+        entry's schema (committed before a merge_schema append added
+        it) is all-NULL here, so no probe value can ever match its
+        rows: it gets the all-zero bloom below instead of a raised
+        error, keeping add_bloom_filters usable as the documented
+        catch-up path on schema-evolved tables. The loud ValueError
+        stays for present-but-unsupported types.
+
+        Inventory contract (mirrors ``_footer_stats``): the returned
+        dict covers EVERY non-empty data file in the entry. A file
+        whose bloom column is entirely NULL (or absent) produces no
+        aggregation row, so it is back-filled with an all-zero bloom —
+        semantically exact, since a point probe ``col = v`` can never
+        match an all-NULL column, and it keeps ``file_stats`` a
+        complete file inventory for consumers that treat its keys as
+        the entry's file list."""
         from urllib.parse import unquote
 
         from .functions.text import portable_hash64
@@ -807,8 +827,11 @@ class SnapshotTable:
         base = os.path.join(self.data_dir, entry)
         df0 = self.spark.read.parquet(base)
         dtypes = dict(df0.dtypes)
+        present: list[str] = []
         for col in cols:
             dt = dtypes.get(col)
+            if dt is None:
+                continue  # absent => all-NULL: zero bloom back-fill
             if dt not in (
                 "tinyint", "smallint", "int", "bigint", "string",
             ):
@@ -819,8 +842,37 @@ class SnapshotTable:
                     "built on another type would silently never match "
                     "its probes"
                 )
+            present.append(col)
+
+        # NB: `from __future__ import annotations` stringifies hints —
+        # pandas_udf cannot introspect them, so the eval type is passed
+        # explicitly (same pattern as functions/vectors.py).
+        def _pack_fn(ps):
+            import base64
+
+            import numpy as np
+            import pandas as pd
+
+            out = []
+            for arr in ps:
+                bits = np.zeros(m // 8, dtype=np.uint8)
+                idx = np.asarray(arr, dtype=np.int64)
+                np.bitwise_or.at(
+                    bits,
+                    idx >> 3,
+                    np.left_shift(
+                        np.uint8(1), (idx & 7).astype(np.uint8)
+                    ),
+                )
+                out.append(base64.b64encode(bits.tobytes()).decode())
+            return pd.Series(out)
+
+        from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+        _pack = pandas_udf(_pack_fn, "string", PandasUDFType.SCALAR)
+
         out: dict[str, dict] = {}
-        for col in cols:
+        for col in present:
             # the SAME portable md5 hash family the oracle-replayable
             # MinHash/SimHash signatures use (functions/text.py
             # portable_hash64); _bloom_positions is its Python mirror
@@ -840,6 +892,7 @@ class SnapshotTable:
                 # by m — one shuffle, not two
                 .groupBy("__f")
                 .agg(F.collect_set("__p").alias("__ps"))
+                .select("__f", _pack("__ps").alias("__b"))
                 .collect()
             )
             for r in rows:
@@ -856,8 +909,24 @@ class SnapshotTable:
                 out.setdefault(rel, {})[_BLOOM_PREFIX + col] = {
                     "m": m,
                     "k": k,
-                    "b": _bloom_b64((int(p) for p in r["__ps"]), m),
+                    "b": r["__b"],
                 }
+        # Inventory back-fill: every non-empty parquet file gets a spec
+        # for every requested column (all-zero bloom when the column is
+        # absent or all-NULL in that file — prunes it on point probes).
+        zero_spec = {"m": m, "k": k, "b": _bloom_b64((), m)}
+        import pyarrow.parquet as pq
+
+        for walk_root, _sub, files in os.walk(base):
+            for fn in sorted(files):
+                if not fn.endswith(".parquet"):
+                    continue
+                path = os.path.join(walk_root, fn)
+                if pq.ParquetFile(path).metadata.num_rows == 0:
+                    continue  # same zero-row rule as _footer_stats
+                per = out.setdefault(os.path.relpath(path, base), {})
+                for col in cols:
+                    per.setdefault(_BLOOM_PREFIX + col, dict(zero_spec))
         return out
 
     @staticmethod

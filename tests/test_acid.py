@@ -1675,3 +1675,116 @@ def test_bloom_review_regressions(spark, tmp_path):
     assert src.table_changes(0).count() == 1  # only the new append row
     sync_incremental(src, dst)
     assert dst.read().count() == 2
+
+
+def test_bloom_r9_schema_evolution_inventory_and_packing(
+    spark, tmp_path, monkeypatch
+):
+    """Round-9 bloom hardening (ADVICE r8 + verdict watch-list #1):
+
+    (a) add_bloom_filters on a schema-evolved table must not wedge:
+        entries committed BEFORE a merge_schema append lack the new
+        column — they are all-NULL there, so they get all-zero blooms
+        (pruning the whole entry on point probes) instead of raising;
+    (b) file-inventory contract: a data file whose bloom column is
+        entirely NULL still appears in file_stats (with the all-zero
+        bloom), matching _footer_stats' every-non-empty-file coverage;
+    (c) executor-side packing: the rows collected while building
+        blooms carry the packed base64 blob (string), never the boxed
+        bit positions — and the blob is bit-identical to the Python
+        mirror (_bloom_positions/_bloom_b64).
+    """
+    import pyspark.sql.classic.dataframe as _dfm
+
+    from scalable_etl_spark.acid import (
+        _BLOOM_PREFIX,
+        _bloom_b64,
+        _bloom_positions,
+    )
+
+    # --- (a) schema evolution catch-up
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1,), (2,)], "id INT"))
+    t.append(
+        spark.createDataFrame([(3, 30), (4, 40)], "id INT, k INT"),
+        merge_schema=True,
+    )
+    collected_schemas = []
+    orig_collect = _dfm.DataFrame.collect
+
+    def spy_collect(self):
+        collected_schemas.append(self.schema)
+        return orig_collect(self)
+
+    monkeypatch.setattr(_dfm.DataFrame, "collect", spy_collect)
+    t.add_bloom_filters(["k"])  # must NOT raise on the pre-evolution entry
+    monkeypatch.setattr(_dfm.DataFrame, "collect", orig_collect)
+
+    m = t._manifest(t.latest_version())
+    # every entry now carries a k-bloom on every file
+    for e in m["dirs"]:
+        fstats = m["file_stats"][e]
+        assert fstats, e
+        assert all(_BLOOM_PREFIX + "k" in per for per in fstats.values())
+    # pre-evolution entry: all-zero bloom -> point probe prunes it but
+    # still returns the right rows
+    zero_b = _bloom_b64((), 8192)
+    old_entry = m["dirs"][0]
+    assert all(
+        per[_BLOOM_PREFIX + "k"]["b"] == zero_b
+        for per in m["file_stats"][old_entry].values()
+    )
+    got = t.read(where=("k", 30, 30)).collect()
+    assert len(got) == 1 and got[0].id == 3
+    assert t.read().count() == 4
+
+    # --- (c) collected payload is the packed blob, not positions
+    bloom_schemas = [
+        s for s in collected_schemas if "__f" in s.fieldNames()
+    ]
+    assert bloom_schemas, "bloom build collected nothing"
+    for s in bloom_schemas:
+        assert s["__b"].dataType.typeName() == "string"
+        assert "__ps" not in s.fieldNames()
+    # bit-identical to the Python mirror: the new entry holds k=30,40
+    new_entry = m["dirs"][1]
+    expect_pos = set()
+    for v in (30, 40):
+        expect_pos.update(_bloom_positions(v))
+    specs = [
+        per[_BLOOM_PREFIX + "k"]
+        for per in m["file_stats"][new_entry].values()
+        if per[_BLOOM_PREFIX + "k"]["b"] != zero_b
+    ]
+    import base64
+
+    got_bits = bytearray(8192 // 8)
+    for spec in specs:
+        for i, byte in enumerate(base64.b64decode(spec["b"])):
+            got_bits[i] |= byte
+    assert bytes(got_bits) == base64.b64decode(_bloom_b64(expect_pos))
+
+    # --- (b) all-NULL bloom column file still inventoried
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"))
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "y"), (3, "b", None), (4, "b", None)],
+        "id INT, day STRING, v STRING",
+    )
+    t2.overwrite(df, partition_cols=["day"], bloom_cols=["v"])
+    m2 = t2._manifest(t2.latest_version())
+    # partitioned overwrite commits partition-granular entries
+    days = {e.split("/")[-1] for e in m2["dirs"]}
+    assert days == {"day=a", "day=b"}, m2["dirs"]
+    null_files = [
+        (e, f)
+        for e in m2["dirs"]
+        if e.endswith("day=b")
+        for f in m2["file_stats"][e]
+    ]
+    assert null_files and all(
+        m2["file_stats"][e][f][_BLOOM_PREFIX + "v"]["b"] == zero_b
+        for e, f in null_files
+    )
+    # the all-NULL files are pruned on a point probe yet reads stay right
+    assert t2.read(where=("v", "x", "x")).count() == 1
+    assert t2.read().count() == 4
