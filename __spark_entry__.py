@@ -170,6 +170,10 @@ _DEMOTED = (
     "sink_tx_delete",
     "streaming_stream_join",
     "streaming_join_windowed",
+    # registered mid-round-9 (write-side ALTER TABLE evolution) AFTER
+    # the round's 50-window was finalized; local-oracle status now,
+    # first in line for the round-10 rotation
+    "sink_tx_evolve",
 )
 
 

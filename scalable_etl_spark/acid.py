@@ -58,6 +58,22 @@ _COMMIT_RETRIES = 20
 # Every Nth manifest is written FULL (a checkpoint); the rest are
 # deltas against their predecessor. Delta's equivalent knob is
 # checkpointInterval = 10 (the protocol's default).
+#
+# METADATA-SCALE BOUND (measured, tests/test_manifest_log.py
+# test_metadata_scale_bound_5k_entries): the checkpoint holds every
+# live file's stats in ONE JSON document parsed on the driver —
+# ~1.6 KB/file with range stats + a 1 KiB bloom blob, ~150 B/file
+# stats-only. Measured at 5,000 entries: 8 MB checkpoint, 35 ms cold
+# parse, <1 ms driver-side dir pruning; resolution IO is always
+# O(checkpoint + <=9 deltas) regardless of history length. Linear
+# extrapolation: O(100k) files => ~160 MB / sub-second parse (usable),
+# O(1M+) files with blooms => multi-GB JSON and multi-second parses —
+# the regime where this design must graduate to a Spark-readable
+# PARQUET checkpoint (exactly Delta's published evolution: JSON log ->
+# parquet checkpoint read as a distributed table). Not implemented
+# here: at sandbox scale the JSON checkpoint is orders of magnitude
+# inside the bound, and the delta/checkpoint split already isolates
+# the change to _commit/_manifest when it becomes necessary.
 _CHECKPOINT_EVERY = 10
 
 # Manifest keys the delta representation rewrites; everything else
@@ -468,8 +484,11 @@ class SnapshotTable:
                     paths = [os.path.join(base, f) for f in files]
             else:
                 paths = [base]
-            parts.append(
-                self.spark.read.schema(schema)
+            part = (
+                # per-entry physical schema: identical to the logical
+                # schema except for entries predating a rename (see
+                # _physical_schema / ALTER TABLE)
+                self.spark.read.schema(self._physical_schema(m, d))
                 # basePath = the entry's COMMIT root, so hive partition
                 # components inside the entry path parse into columns
                 .option(
@@ -478,6 +497,7 @@ class SnapshotTable:
                 )
                 .parquet(*paths)
             )
+            parts.append(self._apply_evolution(part, m, d))
         if not parts:
             out = self.spark.createDataFrame([], schema)
         else:
@@ -641,7 +661,8 @@ class SnapshotTable:
         # wedge incremental consumers after a maintenance run
         append_ops = {
             "append", "insert_ignore", "stream_append", "sync",
-            "add_bloom_filters",
+            "add_bloom_filters", "alter_add_column",
+            "alter_rename_column",
         }
         frames = []
         prev = set(self._manifest(since_version)["dirs"])
@@ -790,6 +811,7 @@ class SnapshotTable:
         cols: Sequence[str],
         m: int = _BLOOM_M,
         k: int = _BLOOM_K,
+        rename_map: dict | None = None,
     ) -> dict[str, dict]:
         """Per-file bloom filters for ``cols`` over one manifest entry:
         ONE distributed job per column — each row contributes its k bit
@@ -827,9 +849,14 @@ class SnapshotTable:
         base = os.path.join(self.data_dir, entry)
         df0 = self.spark.read.parquet(base)
         dtypes = dict(df0.dtypes)
+        # ``rename_map`` (logical -> physical, from ALTER TABLE rename
+        # records) points at the on-disk name for pre-rename entries;
+        # the bloom hashes VALUES, so only the lookup name changes —
+        # the pseudo-column key stays logical.
+        phys = {c: (rename_map or {}).get(c, c) for c in cols}
         present: list[str] = []
         for col in cols:
-            dt = dtypes.get(col)
+            dt = dtypes.get(phys[col])
             if dt is None:
                 continue  # absent => all-NULL: zero bloom back-fill
             if dt not in (
@@ -877,12 +904,14 @@ class SnapshotTable:
             # MinHash/SimHash signatures use (functions/text.py
             # portable_hash64); _bloom_positions is its Python mirror
             pos_exprs = [
-                portable_hash64(F.col(col).cast("string"), seed=i)
+                portable_hash64(
+                    F.col(phys[col]).cast("string"), seed=i
+                )
                 % F.lit(m)
                 for i in range(k)
             ]
             rows = (
-                df0.where(F.col(col).isNotNull())
+                df0.where(F.col(phys[col]).isNotNull())
                 .select(
                     F.input_file_name().alias("__f"),
                     F.explode(F.array(*pos_exprs)).alias("__p"),
@@ -964,7 +993,15 @@ class SnapshotTable:
                 ]
                 if missing:
                     all_fstats[e] = self._merge_blooms(
-                        have, self._file_blooms(e, missing)
+                        have,
+                        self._file_blooms(
+                            e,
+                            missing,
+                            rename_map={
+                                c: self._physical_name(m, e, c)
+                                for c in missing
+                            },
+                        ),
                     )
             manifest = {
                 "op": "add_bloom_filters",
@@ -974,12 +1011,266 @@ class SnapshotTable:
                 "stats": self._stats_of(v),
                 "file_stats": all_fstats,
                 "txn": self._txn_of(v),
+                "evolution": self._evolution_of(v),
                 "timestamp": time.time(),
             }
             if self._commit(v + 1, manifest):
                 return v + 1
         raise CommitConflict(
             f"add_bloom_filters lost {_COMMIT_RETRIES} races"
+        )
+
+    # ---------------------------------------------------- ALTER TABLE
+
+    def _evolution_of(self, version: int | None) -> list:
+        """Schema-evolution records carried by ``version`` ([] for a
+        fresh table). Each record names the entries that PREDATE it:
+
+        ``{"op": "add_column", "col", "type", "default", "entries"}``
+        — files in ``entries`` physically lack ``col``; reads fill
+        ``default`` (NULL when None) for exactly those entries.
+
+        ``{"op": "rename_column", "from", "to", "entries"}`` — files
+        in ``entries`` physically carry ``from``; reads declare the
+        physical name and rename forward. Entries written after the
+        record carry the logical name physically and are untouched.
+
+        Records are metadata-only (Delta/Iceberg ALTER TABLE parity —
+        no data rewrite at any table size); every rewrite op (merge /
+        delete / update / compact) reads through the canonicalizing
+        `_read_dirs`, so rewritten entries materialize logical names +
+        defaults and simply drop out of the records' entry lists."""
+        if version is None:
+            return []
+        return [
+            dict(r, entries=list(r.get("entries", ())))
+            for r in self._manifest(version).get("evolution", [])
+        ]
+
+    def _physical_schema(self, m: dict, d: str) -> StructType:
+        """Declared read schema for entry ``d``: the logical table
+        schema with every rename that postdates the entry unapplied,
+        so declared names match what the entry's files carry. Columns
+        added after the entry keep their logical name — parquet fills
+        declared-but-absent columns with NULL."""
+        from pyspark.sql.types import StructField
+
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        evo = [
+            r
+            for r in m.get("evolution", [])
+            if d in set(r.get("entries", ()))
+        ]
+        if not evo:
+            return schema
+        names = [f.name for f in schema.fields]
+        for rec in reversed(evo):
+            if rec["op"] == "rename_column":
+                names = [
+                    rec["from"] if n == rec["to"] else n for n in names
+                ]
+        return StructType(
+            [
+                StructField(n, f.dataType, f.nullable, f.metadata)
+                for n, f in zip(names, schema.fields)
+            ]
+        )
+
+    def _apply_evolution(self, df: DataFrame, m: dict, d: str) -> DataFrame:
+        """Logical view of entry ``d``'s physical frame: renames applied
+        forward (chronological record order) and added-column defaults
+        filled for entries that predate them."""
+        for rec in m.get("evolution", []):
+            if d not in set(rec.get("entries", ())):
+                continue
+            if rec["op"] == "rename_column":
+                df = df.withColumnRenamed(rec["from"], rec["to"])
+            elif (
+                rec["op"] == "add_column"
+                and rec.get("default") is not None
+            ):
+                # the entry predates the column -> physically all-NULL,
+                # so a plain lit IS the per-row coalesce
+                df = df.withColumn(
+                    rec["col"], F.lit(rec["default"]).cast(rec["type"])
+                )
+        return df
+
+    def _physical_name(self, m: dict, d: str, col: str) -> str:
+        """Name entry ``d``'s files physically carry for logical column
+        ``col`` (reverse-walks the rename records that postdate the
+        entry; identical when none apply)."""
+        name = col
+        for rec in reversed(m.get("evolution", [])):
+            if (
+                rec["op"] == "rename_column"
+                and rec["to"] == name
+                and d in set(rec.get("entries", ()))
+            ):
+                name = rec["from"]
+        return name
+
+    def _reused_physical_names(self, m: dict) -> set[str]:
+        """Physical names still referenced by live entries via rename
+        records — reusing one as a new logical column would declare a
+        duplicate field when reading those entries (Delta avoids this
+        with column-mapping IDs; we refuse instead)."""
+        live = set(m["dirs"])
+        return {
+            r["from"]
+            for r in m.get("evolution", [])
+            if r["op"] == "rename_column"
+            and live & set(r.get("entries", ()))
+        }
+
+    def alter_add_column(
+        self, name: str, dtype: str, default=None
+    ) -> int:
+        """ALTER TABLE ADD COLUMN — metadata-only (no data rewrite at
+        any table size, the Delta/Iceberg design): existing entries
+        read the column as ``default`` (NULL when omitted); appends
+        after the alter must carry it (schema check as usual). The
+        write-side half of schema evolution — the read-side half
+        (merge_schema append) already existed; the two compose:
+        a merge_schema append that ADDS this same column is a no-op
+        name match, and sync_incremental(merge_schema=True) replays
+        evolved tables additively."""
+        for _ in range(_COMMIT_RETRIES):
+            v = self.latest_version()
+            if v is None:
+                raise FileNotFoundError(
+                    f"no committed version at {self.root}"
+                )
+            m = self._manifest(v)
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            if name in schema.fieldNames():
+                raise ValueError(f"column {name!r} already exists")
+            if name in self._reused_physical_names(m):
+                raise ValueError(
+                    f"column name {name!r} was renamed away while "
+                    "entries still carry it physically; reuse is "
+                    "unsupported (no column-mapping IDs)"
+                )
+            added = StructType.fromDDL(f"`{name}` {dtype}")
+            new_schema = StructType(
+                [*schema.fields, *added.fields]
+            )
+            evolution = self._evolution_of(v)
+            evolution.append(
+                {
+                    "op": "add_column",
+                    "col": name,
+                    "type": dtype,
+                    "default": default,
+                    "entries": list(m["dirs"]),
+                }
+            )
+            manifest = {
+                "op": "alter_add_column",
+                "dirs": m["dirs"],
+                "schema": new_schema.json(),
+                "partition_cols": m["partition_cols"],
+                "stats": self._stats_of(v),
+                "file_stats": self._file_stats_of(v),
+                "txn": self._txn_of(v),
+                "evolution": evolution,
+                "timestamp": time.time(),
+            }
+            if self._commit(v + 1, manifest):
+                return v + 1
+        raise CommitConflict(
+            f"alter_add_column lost {_COMMIT_RETRIES} races"
+        )
+
+    def alter_rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN — metadata-only: existing entries
+        keep the physical name on disk; reads declare it and rename
+        forward. Stats / file-stats / bloom keys are remapped in the
+        same commit so data skipping keeps working on pre-rename
+        entries. Partition columns refuse (their name is baked into
+        every directory path). NOTE the engine-interop caveat shared
+        with Delta column mapping: an external reader consuming raw
+        committed files sees the physical (old) name for pre-rename
+        entries."""
+        for _ in range(_COMMIT_RETRIES):
+            v = self.latest_version()
+            if v is None:
+                raise FileNotFoundError(
+                    f"no committed version at {self.root}"
+                )
+            m = self._manifest(v)
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            if old not in schema.fieldNames():
+                raise ValueError(f"no such column {old!r}")
+            if new in schema.fieldNames():
+                raise ValueError(f"column {new!r} already exists")
+            if old in m.get("partition_cols", []):
+                raise ValueError(
+                    f"{old!r} is a partition column: its name is part "
+                    "of every data path; rename requires a rewrite"
+                )
+            if new in self._reused_physical_names(m):
+                raise ValueError(
+                    f"column name {new!r} was renamed away while "
+                    "entries still carry it physically; reuse is "
+                    "unsupported (no column-mapping IDs)"
+                )
+            from pyspark.sql.types import StructField
+
+            new_schema = StructType(
+                [
+                    StructField(
+                        new if f.name == old else f.name,
+                        f.dataType,
+                        f.nullable,
+                        f.metadata,
+                    )
+                    for f in schema.fields
+                ]
+            )
+
+            def remap(per: dict) -> dict:
+                out = {}
+                for c, s in per.items():
+                    if c == old:
+                        out[new] = s
+                    elif c == _BLOOM_PREFIX + old:
+                        out[_BLOOM_PREFIX + new] = s
+                    else:
+                        out[c] = s
+                return out
+
+            stats = {
+                e: remap(per) for e, per in self._stats_of(v).items()
+            }
+            fstats = {
+                e: {f: remap(per) for f, per in fs.items()}
+                for e, fs in self._file_stats_of(v).items()
+            }
+            evolution = self._evolution_of(v)
+            evolution.append(
+                {
+                    "op": "rename_column",
+                    "from": old,
+                    "to": new,
+                    "entries": list(m["dirs"]),
+                }
+            )
+            manifest = {
+                "op": "alter_rename_column",
+                "dirs": m["dirs"],
+                "schema": new_schema.json(),
+                "partition_cols": m["partition_cols"],
+                "stats": stats,
+                "file_stats": fstats,
+                "txn": self._txn_of(v),
+                "evolution": evolution,
+                "timestamp": time.time(),
+            }
+            if self._commit(v + 1, manifest):
+                return v + 1
+        raise CommitConflict(
+            f"alter_rename_column lost {_COMMIT_RETRIES} races"
         )
 
     def _write_data(self, df: DataFrame, partition_cols: Sequence[str]) -> str:
@@ -1206,6 +1497,7 @@ class SnapshotTable:
                 "stats": all_stats,
                 "file_stats": all_fstats,
                 "txn": self._txn_of(v),
+                "evolution": self._evolution_of(v),
                 "timestamp": time.time(),
             }
             if self._commit(0 if v is None else v + 1, manifest):
@@ -1291,6 +1583,7 @@ class SnapshotTable:
                 "stats": all_stats,
                 "file_stats": all_fstats,
                 "txn": self._txn_of(v),
+                "evolution": self._evolution_of(v),
                 "timestamp": time.time(),
             }
             if self._commit(0 if v is None else v + 1, manifest):
@@ -1402,6 +1695,7 @@ class SnapshotTable:
                 "stats": kept_stats,
                 "file_stats": kept_fstats,
                 "txn": self._txn_of(v),
+                "evolution": self._evolution_of(v),
                 "timestamp": time.time(),
             }
             if self._commit(0 if v is None else v + 1, manifest):
@@ -1410,17 +1704,25 @@ class SnapshotTable:
 
     def _read_dirs(self, m: dict, dirs: list[str]) -> DataFrame:
         """DataFrame over an explicit dir subset of a manifest (empty
-        subset -> empty frame with the manifest schema)."""
+        subset -> empty frame with the manifest schema). Canonicalizes
+        ALTER TABLE evolution per entry (physical names -> logical,
+        defaults filled), so every rewrite op reading through here
+        MATERIALIZES the logical schema into its new files — rewritten
+        entries drop out of the evolution records by construction."""
         schema = StructType.fromJson(json.loads(m["schema"]))
         if not dirs:
             return self.spark.createDataFrame([], schema)
         parts = [
-            self.spark.read.schema(schema)
-            .option(
-                "basePath",
-                os.path.join(self.data_dir, self._entry_base(d)),
+            self._apply_evolution(
+                self.spark.read.schema(self._physical_schema(m, d))
+                .option(
+                    "basePath",
+                    os.path.join(self.data_dir, self._entry_base(d)),
+                )
+                .parquet(os.path.join(self.data_dir, d)),
+                m,
+                d,
             )
-            .parquet(os.path.join(self.data_dir, d))
             for d in dirs
         ]
         return reduce(lambda a, b: a.unionByName(b), parts)
@@ -1536,6 +1838,7 @@ class SnapshotTable:
                 "stats": kept_stats,
                 "file_stats": kept_fstats,
                 "txn": self._txn_of(v),
+                "evolution": self._evolution_of(v),
                 "timestamp": time.time(),
             }
             if self._commit(v + 1, manifest):
@@ -1662,6 +1965,7 @@ class SnapshotTable:
                 "partition_cols": m["partition_cols"],
                 "stats": m.get("stats", {}),
                 "file_stats": m.get("file_stats", {}),
+                "evolution": m.get("evolution", []),
                 "txn": self._txn_of(v),  # ledgers are NOT rolled back:
                 # replayed stream batches / syncs stay deduplicated
                 "timestamp": time.time(),
@@ -2127,6 +2431,7 @@ def sync_incremental(
             "stats": dst._stats_of(v_dst),
             "file_stats": dst._file_stats_of(v_dst),
             "txn": txn,
+            "evolution": dst._evolution_of(v_dst),
             "timestamp": time.time(),
         }
         if dst._commit(0 if v_dst is None else v_dst + 1, manifest):
@@ -2202,6 +2507,7 @@ def write_stream_snapshot(
                 "stats": all_stats,
                 "file_stats": all_fstats,
                 "txn": txn,
+                "evolution": table._evolution_of(v),
                 "timestamp": time.time(),
             }
             if table._commit(0 if v is None else v + 1, manifest):

@@ -185,6 +185,21 @@ def cmd_table(spark: SparkSession, args: argparse.Namespace) -> dict:
             retain_versions=args.retain, min_age_seconds=args.min_age
         )
         return {"removed_dirs": len(removed)}
+    if args.action == "add-column":
+        if not args.column or not args.type:
+            raise SystemExit("add-column needs --column and --type")
+        v = t.alter_add_column(
+            args.column, args.type, default=args.default
+        )
+        return {"added": args.column, "committed_version": v}
+    if args.action == "rename-column":
+        if not args.column or not args.to:
+            raise SystemExit("rename-column needs --column and --to")
+        v = t.alter_rename_column(args.column, args.to)
+        return {
+            "renamed": args.column, "to": args.to,
+            "committed_version": v,
+        }
     raise SystemExit(f"unknown table action {args.action!r}")
 
 
@@ -239,10 +254,12 @@ def main(argv: list[str] | None = None) -> int:
 
     tb = sub.add_parser(
         "table",
-        help="ACID table admin: history / restore / compact / vacuum",
+        help="ACID table admin: history / restore / compact / vacuum / "
+        "add-column / rename-column",
     )
     tb.add_argument("action",
-                    choices=["history", "restore", "compact", "vacuum"])
+                    choices=["history", "restore", "compact", "vacuum",
+                             "add-column", "rename-column"])
     tb.add_argument("--root", required=True)
     tb.add_argument("--version", type=int, default=None,
                     help="target version for restore")
@@ -256,6 +273,15 @@ def main(argv: list[str] | None = None) -> int:
     tb.add_argument("--min-age", type=float, default=3600.0,
                     help="seconds an unreferenced dir must age before "
                     "vacuum deletes it (in-flight-writer guard)")
+    tb.add_argument("--column", default="",
+                    help="column name for add-column / rename-column")
+    tb.add_argument("--type", default="",
+                    help="DDL type for add-column (e.g. 'bigint')")
+    tb.add_argument("--default", default=None,
+                    help="read-time default for add-column (string "
+                    "form; cast to --type)")
+    tb.add_argument("--to", default="",
+                    help="new name for rename-column")
 
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"scalable-etl-{args.cmd}")

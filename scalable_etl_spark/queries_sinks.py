@@ -754,3 +754,62 @@ def sink_tx_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum("user_id").cast("long").alias("user_sum"),
     )
+
+
+@query(
+    "sink_tx_evolve",
+    oracle="""
+    SELECT event_type AS etype, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN event_id % 2 = 1
+                         THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                         ELSE 42 END) AS BIGINT) AS cents
+    FROM events WHERE user_id < 50
+    GROUP BY 1
+    """,
+)
+def sink_tx_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side ALTER TABLE schema evolution through the gate
+    (round-9 verdict #6; Delta/Iceberg ALTER parity — acid.py
+    ``alter_add_column`` / ``alter_rename_column``, both
+    METADATA-ONLY: no data rewrite at any table size). The reference
+    covers only read-side merge evolution
+    (notebooks/analysis-minio.ipynb:251-262); this adds the write-side
+    half. Even-id events land FIRST without the cents column; ALTER
+    ADD COLUMN backfills default 42 for exactly those pre-alter
+    entries at read; ALTER RENAME swaps event_type -> etype without
+    touching files (pre-rename entries keep the physical name on disk
+    and canonicalize at read); odd-id events then append with REAL
+    cents values against the evolved schema. The final aggregate mixes
+    both entry generations, so a wrong default fill, a rename leak, or
+    a NULL-vs-default mixup each shifts the value hash."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    t = _tx_table(spark, "evolve")
+    t.append(
+        e.filter(F.col("event_id") % 2 == 0)
+        .select("event_id", "user_id", "event_type")
+    )
+    t.alter_add_column("cents", "bigint", default=42)
+    t.alter_rename_column("event_type", "etype")
+    t.append(
+        e.filter(F.col("event_id") % 2 == 1).select(
+            "event_id",
+            "user_id",
+            F.col("event_type").alias("etype"),
+            F.expr(
+                "CAST(ROUND(value * 100, 0) AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+    return (
+        t.read()
+        .groupBy("etype")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .select("etype", "n_rows", "cents")
+    )

@@ -447,9 +447,23 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract real ingest duplicates (retries, re-delivered files)
     satisfy. The per-type aggregation runs batch-side AFTER the drain
     (keeping the streaming query single-stateful-operator); the oracle
-    is the plain COUNT(DISTINCT) the dedup must reproduce."""
+    is the plain COUNT(DISTINCT) the dedup must reproduce.
+
+    Round 9 (verdict #5): drains through the PRODUCTION sink — the
+    deduped rows land in an on-disk ACID snapshot table via
+    ``acid.write_stream_snapshot`` (foreachBatch + per-query txn batch
+    ledger), generalizing the pattern ``streaming_snapshot_sink``
+    proved beyond one query; the memory sink stays confined to
+    ``_drain_to_df`` internals. The final aggregate reads the COMMITTED
+    table, never driver memory."""
+    import shutil
+
+    from .acid import SnapshotTable, write_stream_snapshot
+
     src = tempfile.mkdtemp(prefix="sdedup_src_")
     ckpt = tempfile.mkdtemp(prefix="sdedup_ckpt_")
+    tbl = tempfile.mkdtemp(prefix="sdedup_tbl_")
+    shutil.rmtree(tbl)  # SnapshotTable owns the dir; start absent
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id") < 25)
@@ -465,10 +479,12 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["event_id"])
     )
-    drained = _drain_to_df(
-        spark, stream, "streaming_dedup_counts_sink", ckpt, "append"
+    t = SnapshotTable(spark, tbl)
+    q = write_stream_snapshot(
+        stream, t, ckpt, query_id="dedup_counts_sink"
     )
-    return drained.groupBy("event_type").agg(
+    q.awaitTermination()
+    return t.read().groupBy("event_type").agg(
         F.count("*").alias("n_events")
     )
 

@@ -1788,3 +1788,112 @@ def test_bloom_r9_schema_evolution_inventory_and_packing(
     # the all-NULL files are pruned on a point probe yet reads stay right
     assert t2.read(where=("v", "x", "x")).count() == 1
     assert t2.read().count() == 4
+
+
+def test_alter_table_add_and_rename_column(spark, tmp_path):
+    """ALTER TABLE surface (round-9, verdict #6): metadata-only
+    add_column (default backfill at read) and rename_column (physical
+    name stays on disk; reads canonicalize), composing with appends,
+    DML rewrites, merge_schema, time travel, restore, and blooms."""
+    import pytest as _pytest
+
+    from scalable_etl_spark.acid import _BLOOM_PREFIX, sync_incremental
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id INT, v STRING"),
+        stats_cols=["id"],
+    )
+    # --- add_column with default: old rows read the default
+    t.alter_add_column("score", "int", default=5)
+    assert sorted(
+        (r.id, r.score) for r in t.read().collect()
+    ) == [(1, 5), (2, 5)]
+    # appends after the alter carry real values (NULL stays NULL)
+    t.append(
+        spark.createDataFrame(
+            [(3, "c", 30), (4, "d", None)], "id INT, v STRING, score INT"
+        ),
+        stats_cols=["id"],
+    )
+    got = {r.id: r.score for r in t.read().collect()}
+    assert got == {1: 5, 2: 5, 3: 30, 4: None}
+
+    # --- rename_column: both pre- and post-rename entries canonicalize
+    t.alter_rename_column("v", "label")
+    got = {r.id: r.label for r in t.read().collect()}
+    assert got == {1: "a", 2: "b", 3: "c", 4: "d"}
+    assert "v" not in t.read().columns
+    # stats were remapped: skipping by the OLD data still works via the
+    # logical name, and the trailing filter stays correct
+    assert t.read(where=("id", 2, 2)).collect()[0].label == "b"
+
+    # refusals: duplicate name, unknown column, physical-name reuse
+    with _pytest.raises(ValueError, match="already exists"):
+        t.alter_add_column("label", "string")
+    with _pytest.raises(ValueError, match="no such column"):
+        t.alter_rename_column("nope", "x")
+    with _pytest.raises(ValueError, match="renamed away"):
+        t.alter_add_column("v", "string")
+    with _pytest.raises(ValueError, match="renamed away"):
+        t.alter_rename_column("score", "v")
+
+    # --- DML rewrite materializes the logical schema
+    v_before_delete = t.latest_version()
+    t.delete(F.col("id") == 2)
+    got = {r.id: (r.label, r.score) for r in t.read().collect()}
+    assert got == {1: ("a", 5), 3: ("c", 30), 4: ("d", None)}
+    # time travel: pre-delete snapshot still canonicalizes
+    old = {r.id: r.label for r in t.read(v_before_delete).collect()}
+    assert old == {1: "a", 2: "b", 3: "c", 4: "d"}
+
+    # --- merge_schema append composes on the evolved table
+    t.append(
+        spark.createDataFrame(
+            [(5, "e", 50, "x")],
+            "id INT, label STRING, score INT, extra STRING",
+        ),
+        merge_schema=True,
+    )
+    got = {r.id: r.extra for r in t.read().collect()}
+    assert got == {1: None, 3: None, 4: None, 5: "x"}
+    # table_changes across alter versions: alters are metadata-only
+    # append-ops (no rows delivered, no rewrite error); the delete
+    # needs ignore_changes as usual
+    assert t.table_changes(0, ignore_changes=True).count() >= 1
+
+    # --- restore to the pre-alter world reverts schema AND defaults
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"))
+    t2.append(spark.createDataFrame([(1, "a")], "id INT, v STRING"))
+    t2.alter_add_column("k", "int", default=7)
+    assert t2.read().collect()[0].k == 7
+    t2.restore(0)
+    assert t2.read().columns == ["id", "v"]
+
+    # --- blooms on a renamed column: built from the PHYSICAL name on
+    # pre-rename entries, keyed by the logical pseudo-column, and the
+    # point probe has no false negatives
+    t3 = SnapshotTable(spark, str(tmp_path / "t3"))
+    t3.append(
+        spark.createDataFrame(
+            [(i, f"u{i}") for i in range(50)], "id INT, user STRING"
+        )
+    )
+    t3.alter_rename_column("user", "username")
+    t3.add_bloom_filters(["username"])
+    m3 = t3._manifest(t3.latest_version())
+    zero_b = __import__("base64").b64encode(bytes(1024)).decode()
+    specs = [
+        per[_BLOOM_PREFIX + "username"]
+        for e in m3["dirs"]
+        for per in m3["file_stats"][e].values()
+    ]
+    assert specs and any(s["b"] != zero_b for s in specs), (
+        "bloom built on the physical column must be non-empty"
+    )
+    assert t3.read(where=("username", "u7", "u7")).count() == 1
+
+    # --- sync_incremental replays an evolved source additively
+    dst = SnapshotTable(spark, str(tmp_path / "dst"))
+    sync_incremental(t, dst, merge_schema=True)
+    assert {r.id for r in dst.read().collect()} == {1, 3, 4, 5}

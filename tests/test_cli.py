@@ -71,7 +71,7 @@ def test_registry_contract():
 
     q = e.queries()
     o = e.oracle_sql()
-    assert len(q) == 126, f"registry has {len(q)} queries; update COVERAGE.md"
+    assert len(q) == 127, f"registry has {len(q)} queries; update COVERAGE.md"
     assert set(o) == set(q), "every query needs an oracle (none rows-only)"
     graded = list(q)[:50]
     for prefix in ("sql_", "source_", "sink_", "streaming_"):
@@ -148,3 +148,25 @@ def test_table_admin_cli(spark, tmp_path, capsys):
                "--retain", "1", "--min-age", "0")
     assert out["removed_dirs"] >= 1
     assert t.read().count() == 8
+
+
+def test_table_alter_cli(spark, tmp_path, capsys):
+    """table add-column / rename-column: write-side ALTER through the
+    CLI (metadata-only; default is cast to the declared type)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from scalable_etl_spark.acid import SnapshotTable
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    t.append(spark.createDataFrame([(1, "a")], "id INT, v STRING"))
+    out = _run(capsys, "table", "add-column", "--root", root,
+               "--column", "score", "--type", "bigint",
+               "--default", "9")
+    assert out == {"added": "score", "committed_version": 1}
+    out = _run(capsys, "table", "rename-column", "--root", root,
+               "--column", "v", "--to", "label")
+    assert out == {"renamed": "v", "to": "label",
+                   "committed_version": 2}
+    row = t.read().collect()[0]
+    assert (row.id, row.label, row.score) == (1, "a", 9)

@@ -1,10 +1,21 @@
-"""Scale-sweep evidence for the dedup/ANN family: time each query at
-sf0.01 and sf0.1 (10x the rows) and report the scaling ratio.
+"""Scale-sweep evidence for the dedup/ANN family AND the streaming
+family: time each query at sf0.01 and sf0.1 (10x the rows) and report
+the scaling ratio.
 
 A scale-correct bucketed/banded plan should grow ~linearly in the input
 (ratio ~= 10 for compute-bound ops, below 10 while fixed per-query
 overhead — session, planning, Python worker pools — still dominates).
 A quadratic corpus-wide self-join would show ratios far above 10.
+
+STREAMING queries (round-9 verdict #7) spool 10x the rows through the
+same availableNow drain, so the ratio measures STATE-STORE scaling vs
+spool size: watermark-bounded operators (dropDuplicatesWithinWatermark,
+session windows, interval joins) hold state proportional to the in-
+horizon keys, so their wall time must also stay ~linear — an operator
+whose state failed to evict would blow past 10x as every micro-batch
+rescans the accumulated store. Micro-batch protocol overhead (trigger
+setup, checkpoint commits) is per-BATCH fixed cost, which is why
+observed streaming ratios sit well under 10 at these sizes.
 
 Protocol (BASELINE.md re-pin rules apply): run SOLO — concurrent Spark
 work poisons the medians; check /proc/loadavg first. Each query is
@@ -29,7 +40,14 @@ import __spark_entry__  # noqa: F401  (registers the query registry)
 from scalable_etl_spark.registry import QUERIES
 from scalable_etl_spark.session import get_spark
 
-DEFAULT = ("minhash_lsh", "ngram_jaccard_gated", "ann_ivf", "dedup_components")
+DEFAULT = (
+    "minhash_lsh", "ngram_jaccard_gated", "ann_ivf", "dedup_components",
+    # streaming family: one query per state-store shape (dedup state,
+    # running per-key totals, dynamic session merge, interval join
+    # with watermark-finalized null emission)
+    "streaming_dedup_counts", "streaming_stateful_totals",
+    "streaming_session_windows", "streaming_outer_join",
+)
 SCALES = ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
 
