@@ -412,6 +412,7 @@ class SnapshotTable:
             raise FileNotFoundError(f"no committed version at {self.root}")
         m = self._manifest(v)
         schema = StructType.fromJson(json.loads(m["schema"]))
+        evo_ctx = self._evolution_ctx(m)
         dirs = m["dirs"]
         norm = None
         if where is not None:
@@ -455,6 +456,10 @@ class SnapshotTable:
             and where[1] == where[2]
             and isinstance(where[1], (int, str))
             and not isinstance(where[1], bool)
+            # partition columns never hold blooms (values live in
+            # paths, not files) — and must never be probed: a stray
+            # all-zero spec would falsely prune every file
+            and where[0] not in m.get("partition_cols", [])
         ):
             bloom_key = (_BLOOM_PREFIX + where[0], where[1])
         parts = []
@@ -488,7 +493,9 @@ class SnapshotTable:
                 # per-entry physical schema: identical to the logical
                 # schema except for entries predating a rename (see
                 # _physical_schema / ALTER TABLE)
-                self.spark.read.schema(self._physical_schema(m, d))
+                self.spark.read.schema(
+                    self._physical_schema(schema, evo_ctx, d)
+                )
                 # basePath = the entry's COMMIT root, so hive partition
                 # components inside the entry path parse into columns
                 .option(
@@ -497,7 +504,7 @@ class SnapshotTable:
                 )
                 .parquet(*paths)
             )
-            parts.append(self._apply_evolution(part, m, d))
+            parts.append(self._apply_evolution(part, evo_ctx, d))
         if not parts:
             out = self.spark.createDataFrame([], schema)
         else:
@@ -659,10 +666,15 @@ class SnapshotTable:
         # chain; "add_bloom_filters" is metadata-only (dirs unchanged,
         # zero new rows) — treating it as a rewrite would permanently
         # wedge incremental consumers after a maintenance run
+        # alter_add_column is additive (old frames read the column as
+        # NULL under allowMissingColumns; defaults are the DESTINATION
+        # table's concern, replayed by sync_incremental). A RENAME is
+        # not: frames delivered before and after it carry different
+        # column names and would union misaligned — it raises like a
+        # rewrite unless the caller opts into ignore_changes.
         append_ops = {
             "append", "insert_ignore", "stream_append", "sync",
             "add_bloom_filters", "alter_add_column",
-            "alter_rename_column",
         }
         frames = []
         prev = set(self._manifest(since_version)["dirs"])
@@ -804,6 +816,35 @@ class SnapshotTable:
         return dict(self._manifest(version).get("file_stats", {}))
 
     # ---------------------------------------------------------- write
+
+    @staticmethod
+    def _check_bloom_cols(
+        cols: Sequence[str],
+        col_names: Sequence[str],
+        partition_cols: Sequence[str],
+    ) -> None:
+        """Loud refusal for bloom columns that could only ever produce
+        a useless or HARMFUL filter. Partition columns live in
+        directory paths, not data files — a file-level bloom on one
+        would be all-zero and FALSELY prune every file on a point
+        lookup (partition pruning already covers those reads). Unknown
+        names are typos: the per-entry absent-column tolerance below
+        exists for schema evolution, not to let a misspelled column
+        commit silent zero blooms."""
+        for c in cols:
+            if c in partition_cols:
+                raise ValueError(
+                    f"bloom filter on partition column {c!r}: its "
+                    "values live in directory paths, not data files — "
+                    "partition pruning already covers equality reads, "
+                    "and a per-file bloom would be all-zero (falsely "
+                    "pruning every file)"
+                )
+            if c not in col_names:
+                raise ValueError(
+                    f"bloom filter on unknown column {c!r} "
+                    f"(table columns: {list(col_names)})"
+                )
 
     def _file_blooms(
         self,
@@ -981,6 +1022,11 @@ class SnapshotTable:
                     f"no committed version at {self.root}"
                 )
             m = self._manifest(v)
+            self._check_bloom_cols(
+                cols,
+                StructType.fromJson(json.loads(m["schema"])).fieldNames(),
+                m.get("partition_cols", []),
+            )
             all_fstats = {**self._file_stats_of(v)}
             for e in m["dirs"]:
                 have = all_fstats.get(e, {})
@@ -1047,7 +1093,61 @@ class SnapshotTable:
             for r in self._manifest(version).get("evolution", [])
         ]
 
-    def _physical_schema(self, m: dict, d: str) -> StructType:
+    @staticmethod
+    def _evolution_ctx(m: dict) -> list:
+        """``[(record, frozenset(entries))]`` built ONCE per read plan:
+        the per-entry helpers below then do O(records) membership tests
+        per entry instead of rebuilding an entry set per entry per
+        record — on a 5k-entry evolved table that is the difference
+        between ~5k and ~25M set operations at plan-build time."""
+        return [
+            (r, frozenset(r.get("entries", ())))
+            for r in m.get("evolution", [])
+        ]
+
+    @staticmethod
+    def _defaults_for_missing(
+        evolution: list, batch_names, new_entries: Sequence[str]
+    ) -> list:
+        """NEW add_column records covering ``new_entries`` for every
+        defaulted column the batch omitted. An appended batch may skip
+        trailing nullable columns (the files just lack them and reads
+        fill NULL) — but a column added by alter_add_column with a
+        DEFAULT must read as that default for physically-absent data
+        regardless of when the entry was committed, or two physically
+        identical files would read differently by commit time. Each
+        record fills under the column's CURRENT logical name (later
+        renames applied), so it composes with entries created after a
+        rename; a fresh record rather than growing the original keeps
+        the original's fill under its THEN-name for pre-rename
+        entries."""
+        batch_names = set(batch_names)
+        extra = []
+        for i, rec in enumerate(evolution):
+            if rec["op"] != "add_column" or rec.get("default") is None:
+                continue
+            name = rec["col"]
+            for later in evolution[i + 1:]:
+                if (
+                    later["op"] == "rename_column"
+                    and later["from"] == name
+                ):
+                    name = later["to"]
+            if name not in batch_names:
+                extra.append(
+                    {
+                        "op": "add_column",
+                        "col": name,
+                        "type": rec["type"],
+                        "default": rec["default"],
+                        "entries": list(new_entries),
+                    }
+                )
+        return extra
+
+    def _physical_schema(
+        self, schema: StructType, ctx: list, d: str
+    ) -> StructType:
         """Declared read schema for entry ``d``: the logical table
         schema with every rename that postdates the entry unapplied,
         so declared names match what the entry's files carry. Columns
@@ -1055,13 +1155,8 @@ class SnapshotTable:
         declared-but-absent columns with NULL."""
         from pyspark.sql.types import StructField
 
-        schema = StructType.fromJson(json.loads(m["schema"]))
-        evo = [
-            r
-            for r in m.get("evolution", [])
-            if d in set(r.get("entries", ()))
-        ]
-        if not evo:
+        evo = [rec for rec, ents in ctx if d in ents]
+        if not any(r["op"] == "rename_column" for r in evo):
             return schema
         names = [f.name for f in schema.fields]
         for rec in reversed(evo):
@@ -1076,12 +1171,14 @@ class SnapshotTable:
             ]
         )
 
-    def _apply_evolution(self, df: DataFrame, m: dict, d: str) -> DataFrame:
+    def _apply_evolution(
+        self, df: DataFrame, ctx: list, d: str
+    ) -> DataFrame:
         """Logical view of entry ``d``'s physical frame: renames applied
         forward (chronological record order) and added-column defaults
         filled for entries that predate them."""
-        for rec in m.get("evolution", []):
-            if d not in set(rec.get("entries", ())):
+        for rec, ents in ctx:
+            if d not in ents:
                 continue
             if rec["op"] == "rename_column":
                 df = df.withColumnRenamed(rec["from"], rec["to"])
@@ -1124,7 +1221,11 @@ class SnapshotTable:
         }
 
     def alter_add_column(
-        self, name: str, dtype: str, default=None
+        self,
+        name: str,
+        dtype: str,
+        default=None,
+        _txn_gate: tuple[str, int] | None = None,
     ) -> int:
         """ALTER TABLE ADD COLUMN — metadata-only (no data rewrite at
         any table size, the Delta/Iceberg design): existing entries
@@ -1133,8 +1234,19 @@ class SnapshotTable:
         write-side half of schema evolution — the read-side half
         (merge_schema append) already existed; the two compose:
         a merge_schema append that ADDS this same column is a no-op
-        name match, and sync_incremental(merge_schema=True) replays
-        evolved tables additively."""
+        name match, and sync_incremental replays the alter itself on
+        the destination (see its docstring).
+
+        Appends after the alter MAY omit the column like any other
+        nullable trailing column — the commit then records a fresh
+        default back-fill for exactly those entries
+        (``_defaults_for_missing``), so physically identical files
+        read identically regardless of commit time.
+
+        ``_txn_gate`` (internal, sync replay): ``(ledger_key,
+        target)`` — the commit atomically advances ``txn[ledger_key]``
+        to ``target``, and if a rival already advanced it that far the
+        call returns without committing (idempotent replay)."""
         for _ in range(_COMMIT_RETRIES):
             v = self.latest_version()
             if v is None:
@@ -1165,6 +1277,12 @@ class SnapshotTable:
                     "entries": list(m["dirs"]),
                 }
             )
+            txn = self._txn_of(v)
+            if _txn_gate is not None:
+                gate_key, gate_target = _txn_gate
+                if int(txn.get(gate_key, -1)) >= gate_target:
+                    return v  # rival sync already replayed this alter
+                txn[gate_key] = gate_target
             manifest = {
                 "op": "alter_add_column",
                 "dirs": m["dirs"],
@@ -1172,7 +1290,7 @@ class SnapshotTable:
                 "partition_cols": m["partition_cols"],
                 "stats": self._stats_of(v),
                 "file_stats": self._file_stats_of(v),
-                "txn": self._txn_of(v),
+                "txn": txn,
                 "evolution": evolution,
                 "timestamp": time.time(),
             }
@@ -1182,7 +1300,12 @@ class SnapshotTable:
             f"alter_add_column lost {_COMMIT_RETRIES} races"
         )
 
-    def alter_rename_column(self, old: str, new: str) -> int:
+    def alter_rename_column(
+        self,
+        old: str,
+        new: str,
+        _txn_gate: tuple[str, int] | None = None,
+    ) -> int:
         """ALTER TABLE RENAME COLUMN — metadata-only: existing entries
         keep the physical name on disk; reads declare it and rename
         forward. Stats / file-stats / bloom keys are remapped in the
@@ -1256,6 +1379,12 @@ class SnapshotTable:
                     "entries": list(m["dirs"]),
                 }
             )
+            txn = self._txn_of(v)
+            if _txn_gate is not None:
+                gate_key, gate_target = _txn_gate
+                if int(txn.get(gate_key, -1)) >= gate_target:
+                    return v  # rival sync already replayed this alter
+                txn[gate_key] = gate_target
             manifest = {
                 "op": "alter_rename_column",
                 "dirs": m["dirs"],
@@ -1263,7 +1392,7 @@ class SnapshotTable:
                 "partition_cols": m["partition_cols"],
                 "stats": stats,
                 "file_stats": fstats,
-                "txn": self._txn_of(v),
+                "txn": txn,
                 "evolution": evolution,
                 "timestamp": time.time(),
             }
@@ -1387,6 +1516,7 @@ class SnapshotTable:
         if bloom_cols:
             # per-file bloom filters for POINT-lookup skipping ride in
             # file_stats under pseudo-column keys (see _BLOOM_PREFIX)
+            self._check_bloom_cols(bloom_cols, df.columns, partition_cols)
             for e in entries:
                 all_fstats[e] = self._merge_blooms(
                     all_fstats.get(e, {}),
@@ -1470,6 +1600,7 @@ class SnapshotTable:
                 if fstats:
                     efstats[e] = fstats
         if bloom_cols:
+            self._check_bloom_cols(bloom_cols, df.columns, write_pcols)
             for e in entries:
                 efstats[e] = self._merge_blooms(
                     efstats.get(e, {}),
@@ -1485,10 +1616,15 @@ class SnapshotTable:
                 m = self._manifest(v)
                 dirs, pcols = m["dirs"], m["partition_cols"]
                 schema = self._evolve_schema(
-                    m["schema"], df.schema, merge_schema
+                    m["schema"], df.schema, merge_schema,
+                    frozenset(self._reused_physical_names(m)),
                 )
                 all_stats = {**self._stats_of(v), **estats}
                 all_fstats = {**self._file_stats_of(v), **efstats}
+            evolution = self._evolution_of(v)
+            evolution += self._defaults_for_missing(
+                evolution, df.schema.names, entries
+            )
             manifest = {
                 "op": "append",
                 "dirs": [*dirs, *entries],
@@ -1497,7 +1633,7 @@ class SnapshotTable:
                 "stats": all_stats,
                 "file_stats": all_fstats,
                 "txn": self._txn_of(v),
-                "evolution": self._evolution_of(v),
+                "evolution": evolution,
                 "timestamp": time.time(),
             }
             if self._commit(0 if v is None else v + 1, manifest):
@@ -1506,14 +1642,29 @@ class SnapshotTable:
 
     @staticmethod
     def _evolve_schema(
-        table_schema_json: str, batch_schema: StructType, merge: bool
+        table_schema_json: str,
+        batch_schema: StructType,
+        merge: bool,
+        reserved: frozenset = frozenset(),
     ) -> str:
         """Table schema after an append: unchanged unless ``merge``,
         in which case batch-only fields are APPENDED. Type conflicts
-        and (without ``merge``) unknown batch columns raise."""
+        and (without ``merge``) unknown batch columns raise.
+        ``reserved`` carries physical names live entries still hold
+        through rename records (``_reused_physical_names``): letting a
+        merge_schema batch re-add one would commit a schema whose
+        per-entry declared read duplicates the field and fail EVERY
+        subsequent read — the same guard the ALTER methods enforce."""
         table = StructType.fromJson(json.loads(table_schema_json))
         by_name = {f.name: f for f in table.fields}
         extra = [f for f in batch_schema.fields if f.name not in by_name]
+        for f in extra:
+            if f.name in reserved:
+                raise ValueError(
+                    f"column name {f.name!r} was renamed away while "
+                    "entries still carry it physically; reuse is "
+                    "unsupported (no column-mapping IDs)"
+                )
         for f in batch_schema.fields:
             have = by_name.get(f.name)
             if have is not None and have.dataType != f.dataType:
@@ -1575,6 +1726,10 @@ class SnapshotTable:
                     all_stats[e] = dstats
                 if fstats:
                     all_fstats[e] = fstats
+            evolution = self._evolution_of(v)
+            evolution += self._defaults_for_missing(
+                evolution, novel.schema.names, entries
+            )
             manifest = {
                 "op": "insert_ignore",
                 "dirs": [*dirs, *entries],
@@ -1583,7 +1738,7 @@ class SnapshotTable:
                 "stats": all_stats,
                 "file_stats": all_fstats,
                 "txn": self._txn_of(v),
-                "evolution": self._evolution_of(v),
+                "evolution": evolution,
                 "timestamp": time.time(),
             }
             if self._commit(0 if v is None else v + 1, manifest):
@@ -1712,15 +1867,18 @@ class SnapshotTable:
         schema = StructType.fromJson(json.loads(m["schema"]))
         if not dirs:
             return self.spark.createDataFrame([], schema)
+        evo_ctx = self._evolution_ctx(m)
         parts = [
             self._apply_evolution(
-                self.spark.read.schema(self._physical_schema(m, d))
+                self.spark.read.schema(
+                    self._physical_schema(schema, evo_ctx, d)
+                )
                 .option(
                     "basePath",
                     os.path.join(self.data_dir, self._entry_base(d)),
                 )
                 .parquet(os.path.join(self.data_dir, d)),
-                m,
+                evo_ctx,
                 d,
             )
             for d in dirs
@@ -2386,10 +2544,29 @@ def sync_incremental(
     because the sync ledger only advances on commit, every later call
     re-raises until dst is rebuilt or the flag is passed.
 
+    ALTER TABLE commits on ``src`` are REPLAYED on ``dst``, not read
+    across: pending versions are processed in SEGMENTS split at each
+    alter — rows up to the alter sync atomically as usual, then the
+    SAME alter (add_column with its default / rename) commits on
+    ``dst`` with the sync watermark advanced in that one atomic commit
+    (``_txn_gate``), then the next segment proceeds. Reading changes
+    straight across an alter instead would silently fork the schema:
+    old dst rows would keep the pre-rename column (or miss the
+    add-column default) while src reads the evolved one. A crash
+    between segments resumes exactly at the watermark; duplicate
+    replays are gated. A ``transform`` that drops or renames the
+    altered column will surface as a loud alter failure on dst rather
+    than silent divergence.
+
     Returns ``(dst_version, synced_src_version)``; a no-op (nothing
     new) returns the current pair without committing."""
     key = f"sync:{sync_id}"
-    for _ in range(_COMMIT_RETRIES):
+    _ALTER_OPS = ("alter_add_column", "alter_rename_column")
+    races = 0
+    # while-with-race-counter, not a bounded for: committed segments
+    # and alter replays are PROGRESS (the watermark advanced) and must
+    # not spend the rebase budget — only lost commit races do
+    while races < _COMMIT_RETRIES:
         v_dst = dst.latest_version()
         txn = dst._txn_of(v_dst)
         last = int(txn.get(key, -1))
@@ -2397,11 +2574,37 @@ def sync_incremental(
         if src_v is None or src_v <= last:
             return (-1 if v_dst is None else v_dst, last)
         if last < 0:
+            # backfill: alters before it are baked into the snapshot
+            to_v = src_v
             batch = src.read(src_v).withColumn(
                 "_src_version", F.lit(src_v)
             )
         else:
-            batch = src.table_changes(last, to_version=src_v)
+            # segment: replay one pending alter, or sync rows up to
+            # (never across) the next one
+            m_next = src._manifest(last + 1)
+            if m_next["op"] in _ALTER_OPS:
+                rec = m_next["evolution"][-1]
+                if m_next["op"] == "alter_add_column":
+                    dst.alter_add_column(
+                        rec["col"],
+                        rec["type"],
+                        default=rec.get("default"),
+                        _txn_gate=(key, last + 1),
+                    )
+                else:
+                    dst.alter_rename_column(
+                        rec["from"],
+                        rec["to"],
+                        _txn_gate=(key, last + 1),
+                    )
+                continue  # next segment (loop re-reads the ledger)
+            to_v = src_v
+            for vv in range(last + 1, src_v + 1):
+                if src._manifest(vv)["op"] in _ALTER_OPS:
+                    to_v = vv - 1
+                    break
+            batch = src.table_changes(last, to_version=to_v)
             if "_src_version" in batch.columns:
                 # chained pipelines: src is itself a sync target; its
                 # upstream provenance is superseded by this hop's
@@ -2416,13 +2619,18 @@ def sync_incremental(
             m = dst._manifest(v_dst)
             dirs, pcols = m["dirs"], m["partition_cols"]
             schema = SnapshotTable._evolve_schema(
-                m["schema"], batch.schema, merge_schema
+                m["schema"], batch.schema, merge_schema,
+                frozenset(dst._reused_physical_names(m)),
             )
         # partitioned dst gets partition-granular entries (same
         # contract as append/overwrite) so synced rows stay prunable
         entries = dst._write_data_entries(batch, pcols)
         txn = dict(txn)
-        txn[key] = src_v
+        txn[key] = to_v
+        evolution = dst._evolution_of(v_dst)
+        evolution += SnapshotTable._defaults_for_missing(
+            evolution, batch.schema.names, entries
+        )
         manifest = {
             "op": "sync",
             "dirs": [*dirs, *entries],
@@ -2431,14 +2639,17 @@ def sync_incremental(
             "stats": dst._stats_of(v_dst),
             "file_stats": dst._file_stats_of(v_dst),
             "txn": txn,
-            "evolution": dst._evolution_of(v_dst),
+            "evolution": evolution,
             "timestamp": time.time(),
         }
         if dst._commit(0 if v_dst is None else v_dst + 1, manifest):
-            return (0 if v_dst is None else v_dst + 1, src_v)
+            if to_v >= src_v:
+                return (0 if v_dst is None else v_dst + 1, to_v)
+            continue  # more segments pending beyond the alter
         # Lost the commit race — rebase re-reads the ledger; if the
         # rival WAS a duplicate sync, the guard at the top returns
         # without re-applying. The orphan dir waits for vacuum.
+        races += 1
     raise CommitConflict(f"sync {sync_id!r} lost {_COMMIT_RETRIES} races")
 
 
@@ -2499,6 +2710,10 @@ def write_stream_snapshot(
                         all_stats[e] = dstats
                     if fstats:
                         all_fstats[e] = fstats
+            evolution = table._evolution_of(v)
+            evolution += SnapshotTable._defaults_for_missing(
+                evolution, batch_df.schema.names, entries
+            )
             manifest = {
                 "op": "stream_append",
                 "dirs": [*dirs, *entries],
@@ -2507,7 +2722,7 @@ def write_stream_snapshot(
                 "stats": all_stats,
                 "file_stats": all_fstats,
                 "txn": txn,
-                "evolution": table._evolution_of(v),
+                "evolution": evolution,
                 "timestamp": time.time(),
             }
             if table._commit(0 if v is None else v + 1, manifest):

@@ -1897,3 +1897,95 @@ def test_alter_table_add_and_rename_column(spark, tmp_path):
     dst = SnapshotTable(spark, str(tmp_path / "dst"))
     sync_incremental(t, dst, merge_schema=True)
     assert {r.id for r in dst.read().collect()} == {1, 3, 4, 5}
+
+
+def test_alter_review_regressions(spark, tmp_path):
+    """Round-9 code-review regressions on the ALTER surface:
+
+    (1) a merge_schema append (or sync) re-adding a renamed-away
+        physical name is REFUSED — committing it would make every
+        subsequent read fail with a duplicate declared column;
+    (2) bloom filters on partition columns / unknown columns refuse
+        loudly at every entry point (a silent all-zero bloom on a
+        partition column FALSELY pruned every file), and the read-side
+        probe never consults blooms for partition columns;
+    (3) sync_incremental REPLAYS alters on the destination instead of
+        reading across them — dst mirrors src exactly (renamed column,
+        add-column default on pre-alter rows), no schema fork;
+    (4) appends after alter_add_column may omit the defaulted column:
+        the commit records a fresh back-fill, so the new rows read the
+        default, not NULL.
+    """
+    import pytest as _pytest
+
+    from scalable_etl_spark.acid import SnapshotTable, sync_incremental
+
+    # --- (1) renamed-away name cannot be re-added by merge_schema
+    t = SnapshotTable(spark, str(tmp_path / "t1"))
+    t.append(spark.createDataFrame([(1, "a")], "id INT, v STRING"))
+    t.alter_rename_column("v", "label")
+    with _pytest.raises(ValueError, match="renamed away"):
+        t.append(
+            spark.createDataFrame(
+                [(2, "b", "x")], "id INT, label STRING, v STRING"
+            ),
+            merge_schema=True,
+        )
+    assert {r.label for r in t.read().collect()} == {"a"}  # still readable
+
+    # --- (2) bloom guards at every entry point
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"))
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id INT, day STRING"
+    )
+    with _pytest.raises(ValueError, match="partition column"):
+        t2.overwrite(df, partition_cols=["day"], bloom_cols=["day"])
+    t2.overwrite(df, partition_cols=["day"])
+    with _pytest.raises(ValueError, match="partition column"):
+        t2.add_bloom_filters(["day"])
+    with _pytest.raises(ValueError, match="unknown column"):
+        t2.add_bloom_filters(["dya"])  # typo must not commit zero blooms
+    with _pytest.raises(ValueError, match="partition column"):
+        t2.append(df, bloom_cols=["day"])
+    # read-side defense: partition-equality reads never probe blooms
+    assert t2.read(where=("day", "a", "a")).count() == 1
+
+    # --- (3) sync replays alters; dst mirrors src
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    dst = SnapshotTable(spark, str(tmp_path / "dst"))
+    src.append(spark.createDataFrame([(1, "a")], "id INT, v STRING"))
+    sync_incremental(src, dst)  # backfill at v0
+    src.alter_add_column("score", "int", default=7)      # v1
+    src.alter_rename_column("v", "label")                # v2
+    src.append(
+        spark.createDataFrame(
+            [(2, "b", 20)], "id INT, label STRING, score INT"
+        )
+    )                                                    # v3
+    v_dst, synced = sync_incremental(src, dst)
+    assert synced == 3
+    got_src = {
+        r.id: (r.label, r.score) for r in src.read().collect()
+    }
+    got_dst = {
+        r.id: (r.label, r.score)
+        for r in dst.read().drop("_src_version").collect()
+    }
+    assert got_src == got_dst == {1: ("a", 7), 2: ("b", 20)}
+    assert "v" not in dst.read().columns
+    # idempotent: a re-run syncs nothing and changes nothing
+    assert sync_incremental(src, dst) == (v_dst, 3)
+
+    # --- (4) post-alter append omitting the defaulted column
+    t4 = SnapshotTable(spark, str(tmp_path / "t4"))
+    t4.append(spark.createDataFrame([(1,)], "id INT"))
+    t4.alter_add_column("score", "int", default=7)
+    t4.append(spark.createDataFrame([(2,)], "id INT"))  # omits score
+    got = {r.id: r.score for r in t4.read().collect()}
+    assert got == {1: 7, 2: 7}, got
+    # and after a rename of the added column, a still-omitting append
+    # back-fills under the CURRENT name
+    t4.alter_rename_column("score", "points")
+    t4.append(spark.createDataFrame([(3,)], "id INT"))
+    got = {r.id: r.points for r in t4.read().collect()}
+    assert got == {1: 7, 2: 7, 3: 7}, got

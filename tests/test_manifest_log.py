@@ -267,3 +267,25 @@ def test_metadata_scale_bound_5k_entries(tmp_path):
         "aaaabbbbccccdddd%08d/day=%d" % (3141, 3141)
     ]
     assert prune_s < 1.0, f"5k-entry prune took {prune_s:.2f}s"
+
+    # evolved-table plan-build cost: one rename record listing all 5k
+    # entries must not make per-entry schema resolution quadratic —
+    # _evolution_ctx builds ONE frozenset per record, so resolving all
+    # 5k declared schemas + forward renames is O(entries)
+    from pyspark.sql.types import StructType
+
+    m_evo = dict(m)
+    m_evo["schema"] = StructType.fromDDL("k INT, label STRING").json()
+    m_evo["evolution"] = [
+        {"op": "rename_column", "from": "v", "to": "label",
+         "entries": list(m["dirs"])}
+    ]
+    schema = StructType.fromJson(json.loads(m_evo["schema"]))
+    t0 = _time.perf_counter()
+    ctx = SnapshotTable._evolution_ctx(m_evo)
+    names = set()
+    for d in m_evo["dirs"]:
+        names.add(cold._physical_schema(schema, ctx, d).fieldNames()[1])
+    evo_s = _time.perf_counter() - t0
+    assert names == {"v"}  # every covered entry declares the old name
+    assert evo_s < 2.0, f"5k-entry evolved plan-build took {evo_s:.2f}s"
