@@ -853,6 +853,7 @@ class SnapshotTable:
         m: int = _BLOOM_M,
         k: int = _BLOOM_K,
         rename_map: dict | None = None,
+        defaults: dict | None = None,
     ) -> dict[str, dict]:
         """Per-file bloom filters for ``cols`` over one manifest entry:
         ONE distributed job per column — each row contributes its k bit
@@ -882,7 +883,17 @@ class SnapshotTable:
         semantically exact, since a point probe ``col = v`` can never
         match an all-NULL column, and it keeps ``file_stats`` a
         complete file inventory for consumers that treat its keys as
-        the entry's file list."""
+        the entry's file list.
+
+        ``defaults`` (logical col -> fill value) qualifies the absent
+        case: a column ABSENT here but covered by an alter_add_column
+        record with a non-NULL default does NOT read as all-NULL —
+        ``_apply_evolution`` fills the default for every row — so an
+        all-zero back-fill would falsely prune the entry on a point
+        probe for the default value. Such columns back-fill a bloom
+        containing exactly the default's k positions (int/str
+        defaults; any other type skips the spec entirely, and
+        ``read()`` keeps spec-less files conservatively)."""
         from urllib.parse import unquote
 
         from .functions.text import portable_hash64
@@ -896,10 +907,12 @@ class SnapshotTable:
         # the pseudo-column key stays logical.
         phys = {c: (rename_map or {}).get(c, c) for c in cols}
         present: list[str] = []
+        absent: set[str] = set()
         for col in cols:
             dt = dtypes.get(phys[col])
             if dt is None:
-                continue  # absent => all-NULL: zero bloom back-fill
+                absent.add(col)  # back-fill: zero OR default bloom
+                continue
             if dt not in (
                 "tinyint", "smallint", "int", "bigint", "string",
             ):
@@ -982,9 +995,28 @@ class SnapshotTable:
                     "b": r["__b"],
                 }
         # Inventory back-fill: every non-empty parquet file gets a spec
-        # for every requested column (all-zero bloom when the column is
-        # absent or all-NULL in that file — prunes it on point probes).
+        # for every requested column. Present-but-all-NULL files and
+        # absent-without-default columns take the all-zero bloom (no
+        # point probe can match a NULL); an absent column READ AS a
+        # non-NULL default takes a bloom of the default's positions so
+        # probes for the default keep the file. Non-int/str defaults
+        # get no spec at all (read() keeps spec-less files).
         zero_spec = {"m": m, "k": k, "b": _bloom_b64((), m)}
+        fill_spec: dict[str, dict | None] = {}
+        for col in cols:
+            dflt = (defaults or {}).get(col)
+            if col not in absent or dflt is None:
+                fill_spec[col] = zero_spec
+            elif isinstance(dflt, (int, str)) and not isinstance(
+                dflt, bool
+            ):
+                fill_spec[col] = {
+                    "m": m,
+                    "k": k,
+                    "b": _bloom_b64(_bloom_positions(dflt, m, k), m),
+                }
+            else:
+                fill_spec[col] = None  # unprobeable type: no spec
         import pyarrow.parquet as pq
 
         for walk_root, _sub, files in os.walk(base):
@@ -996,7 +1028,10 @@ class SnapshotTable:
                     continue  # same zero-row rule as _footer_stats
                 per = out.setdefault(os.path.relpath(path, base), {})
                 for col in cols:
-                    per.setdefault(_BLOOM_PREFIX + col, dict(zero_spec))
+                    if fill_spec[col] is not None:
+                        per.setdefault(
+                            _BLOOM_PREFIX + col, dict(fill_spec[col])
+                        )
         return out
 
     @staticmethod
@@ -1045,6 +1080,13 @@ class SnapshotTable:
                             missing,
                             rename_map={
                                 c: self._physical_name(m, e, c)
+                                for c in missing
+                            },
+                            # columns this entry reads as an ALTER
+                            # default must not back-fill zero blooms
+                            # (they would falsely prune default probes)
+                            defaults={
+                                c: self._default_fill(m, e, c)
                                 for c in missing
                             },
                         ),
@@ -1109,7 +1151,7 @@ class SnapshotTable:
     def _defaults_for_missing(
         evolution: list, batch_names, new_entries: Sequence[str]
     ) -> list:
-        """NEW add_column records covering ``new_entries`` for every
+        """Add_column records covering ``new_entries`` for every
         defaulted column the batch omitted. An appended batch may skip
         trailing nullable columns (the files just lack them and reads
         fill NULL) — but a column added by alter_add_column with a
@@ -1118,22 +1160,46 @@ class SnapshotTable:
         identical files would read differently by commit time. Each
         record fills under the column's CURRENT logical name (later
         renames applied), so it composes with entries created after a
-        rename; a fresh record rather than growing the original keeps
-        the original's fill under its THEN-name for pre-rename
-        entries."""
+        rename; a record under the current name rather than growing
+        the ORIGINAL keeps the original's fill under its THEN-name
+        for pre-rename entries.
+
+        COALESCES in place: when ``evolution`` already ends its
+        fill-chain for the column with an equivalent record (same
+        current name / type / default — i.e. written by a previous
+        omitting append, with no later rename touching it), that
+        record's entries list is EXTENDED (mutating the caller's
+        fresh ``_evolution_of`` copy) instead of appending a new
+        record per commit — otherwise a writer that habitually omits
+        the column would grow the manifest-carried evolution list
+        unboundedly with append count. New entries are in no existing
+        rename record, so extending is exact: the fill applies under
+        the record's literal col name. Returns only genuinely-new
+        records (callers ``evolution += ...``)."""
         batch_names = set(batch_names)
-        extra = []
+        fills: dict[str, dict] = {}
         for i, rec in enumerate(evolution):
             if rec["op"] != "add_column" or rec.get("default") is None:
                 continue
             name = rec["col"]
+            renamed = False
             for later in evolution[i + 1:]:
                 if (
                     later["op"] == "rename_column"
                     and later["from"] == name
                 ):
                     name = later["to"]
-            if name not in batch_names:
+                    renamed = True
+            # last record per current name wins; only a record whose
+            # literal col IS the current name can absorb new entries
+            fills[name] = rec if not renamed else dict(rec, _stale=True)
+        extra = []
+        for name, rec in fills.items():
+            if name in batch_names:
+                continue
+            if not rec.get("_stale") and rec["col"] == name:
+                rec["entries"].extend(new_entries)  # coalesce
+            else:
                 extra.append(
                     {
                         "op": "add_column",
@@ -1192,6 +1258,35 @@ class SnapshotTable:
                     rec["col"], F.lit(rec["default"]).cast(rec["type"])
                 )
         return df
+
+    @staticmethod
+    def _default_fill(m: dict, d: str, col: str):
+        """The non-NULL value logical column ``col`` reads as in entry
+        ``d`` via an alter_add_column default fill — None when the
+        entry carries the column physically (or reads plain NULL).
+        Mirrors ``_apply_evolution``: each add_column record fills
+        under its THEN-name; renames that postdate the record AND
+        cover ``d`` carry the fill forward to the current name."""
+        fill = None
+        evo = m.get("evolution", [])
+        for i, rec in enumerate(evo):
+            if (
+                rec["op"] != "add_column"
+                or rec.get("default") is None
+                or d not in set(rec.get("entries", ()))
+            ):
+                continue
+            name = rec["col"]
+            for later in evo[i + 1:]:
+                if (
+                    later["op"] == "rename_column"
+                    and later["from"] == name
+                    and d in set(later.get("entries", ()))
+                ):
+                    name = later["to"]
+            if name == col:
+                fill = rec["default"]
+        return fill
 
     def _physical_name(self, m: dict, d: str, col: str) -> str:
         """Name entry ``d``'s files physically carry for logical column
@@ -1254,6 +1349,16 @@ class SnapshotTable:
                     f"no committed version at {self.root}"
                 )
             m = self._manifest(v)
+            txn = self._txn_of(v)
+            if _txn_gate is not None:
+                # BEFORE schema validation: a rival sync that already
+                # replayed this alter leaves the column present, and
+                # the "already exists" error would crash the replay
+                # that is documented to no-op (sync_incremental's
+                # duplicate-replay contract)
+                gate_key, gate_target = _txn_gate
+                if int(txn.get(gate_key, -1)) >= gate_target:
+                    return v  # rival sync already replayed this alter
             schema = StructType.fromJson(json.loads(m["schema"]))
             if name in schema.fieldNames():
                 raise ValueError(f"column {name!r} already exists")
@@ -1277,11 +1382,7 @@ class SnapshotTable:
                     "entries": list(m["dirs"]),
                 }
             )
-            txn = self._txn_of(v)
             if _txn_gate is not None:
-                gate_key, gate_target = _txn_gate
-                if int(txn.get(gate_key, -1)) >= gate_target:
-                    return v  # rival sync already replayed this alter
                 txn[gate_key] = gate_target
             manifest = {
                 "op": "alter_add_column",
@@ -1322,6 +1423,15 @@ class SnapshotTable:
                     f"no committed version at {self.root}"
                 )
             m = self._manifest(v)
+            txn = self._txn_of(v)
+            if _txn_gate is not None:
+                # BEFORE schema validation (same duplicate-replay
+                # contract as alter_add_column): after a rival replay
+                # `old` is gone and `new` exists — both checks below
+                # would crash instead of no-opping
+                gate_key, gate_target = _txn_gate
+                if int(txn.get(gate_key, -1)) >= gate_target:
+                    return v  # rival sync already replayed this alter
             schema = StructType.fromJson(json.loads(m["schema"]))
             if old not in schema.fieldNames():
                 raise ValueError(f"no such column {old!r}")
@@ -1379,11 +1489,7 @@ class SnapshotTable:
                     "entries": list(m["dirs"]),
                 }
             )
-            txn = self._txn_of(v)
             if _txn_gate is not None:
-                gate_key, gate_target = _txn_gate
-                if int(txn.get(gate_key, -1)) >= gate_target:
-                    return v  # rival sync already replayed this alter
                 txn[gate_key] = gate_target
             manifest = {
                 "op": "alter_rename_column",

@@ -1989,3 +1989,90 @@ def test_alter_review_regressions(spark, tmp_path):
     t4.append(spark.createDataFrame([(3,)], "id INT"))
     got = {r.id: r.points for r in t4.read().collect()}
     assert got == {1: 7, 2: 7, 3: 7}, got
+
+
+def test_alter_advice_r9_regressions(spark, tmp_path):
+    """Round-10 fixes for the ADVICE r9 findings on the ALTER surface:
+
+    (1 — high) add_bloom_filters on a column added with a NON-NULL
+        default: pre-alter entries physically lack the column but
+        logically READ the default, so the back-fill bloom must
+        contain the default's positions — an all-zero bloom silently
+        dropped those rows from point reads of the default value;
+    (2 — medium) the _txn_gate idempotency check in alter_add_column /
+        alter_rename_column runs BEFORE schema validation: a rival
+        sync that already replayed the alter leaves a schema state the
+        validators reject, and the documented contract is to no-op,
+        not crash;
+    (3 — low) _defaults_for_missing coalesces: appends that habitually
+        omit a defaulted column extend the existing back-fill record
+        instead of growing the evolution list per commit.
+    """
+    from scalable_etl_spark.acid import _BLOOM_PREFIX, SnapshotTable
+
+    # --- (1) bloom back-fill honors the ALTER default
+    t = SnapshotTable(spark, str(tmp_path / "t1"))
+    t.append(spark.createDataFrame([(1,), (2,)], "id INT"))
+    t.alter_add_column("k", "int", default=7)
+    t.append(spark.createDataFrame([(3, 30)], "id INT, k INT"))
+    t.add_bloom_filters(["k"])
+    # point read of the DEFAULT must see the pre-alter rows
+    got = {r.id for r in t.read(where=("k", 7, 7)).collect()}
+    assert got == {1, 2}, got
+    # and a probe for a real value still prunes/returns correctly
+    assert {r.id for r in t.read(where=("k", 30, 30)).collect()} == {3}
+    assert t.read(where=("k", 999, 999)).count() == 0
+    # the same holds when the defaulted column was RENAMED after the
+    # alter (fill follows the rename; bloom keys are logical)
+    t.alter_rename_column("k", "kk")
+    t2v = t.add_bloom_filters(["kk"])
+    assert {r.id for r in t.read(where=("kk", 7, 7)).collect()} == {1, 2}
+    m = t._manifest(t2v)
+    # pre-alter entry's back-fill bloom is NON-zero (default hashed in)
+    from scalable_etl_spark.acid import _bloom_b64
+
+    old_entry = m["dirs"][0]
+    assert all(
+        per[_BLOOM_PREFIX + "kk"]["b"] != _bloom_b64((), 8192)
+        for per in m["file_stats"][old_entry].values()
+    )
+
+    # --- (2) gate check precedes schema validation (duplicate replay
+    # no-ops instead of raising "already exists" / "no such column")
+    g = SnapshotTable(spark, str(tmp_path / "t2"))
+    g.append(spark.createDataFrame([(1, "a")], "id INT, v STRING"))
+    v1 = g.alter_add_column("score", "int", _txn_gate=("sync:x", 3))
+    # rival replay of the SAME ledger segment: column already exists
+    assert g.alter_add_column("score", "int", _txn_gate=("sync:x", 3)) == v1
+    v2 = g.alter_rename_column("v", "label", _txn_gate=("sync:x", 4))
+    assert (
+        g.alter_rename_column("v", "label", _txn_gate=("sync:x", 4)) == v2
+    )
+    # un-gated duplicates still validate loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already exists"):
+        g.alter_add_column("score", "int")
+    with _pytest.raises(ValueError, match="no such column"):
+        g.alter_rename_column("v", "label2")
+
+    # --- (3) omitting appends coalesce into one back-fill record
+    c = SnapshotTable(spark, str(tmp_path / "t3"))
+    c.append(spark.createDataFrame([(1,)], "id INT"))
+    c.alter_add_column("score", "int", default=5)
+    for i in (2, 3, 4):
+        c.append(spark.createDataFrame([(i,)], "id INT"))
+    m = c._manifest(c.latest_version())
+    recs = [r for r in m["evolution"] if r["op"] == "add_column"]
+    assert len(recs) == 1, recs  # original record absorbed all three
+    assert {r.score for r in c.read().collect()} == {5}
+    # after a rename, ONE fresh record under the new name, then reuse
+    c.alter_rename_column("score", "points")
+    c.append(spark.createDataFrame([(5,)], "id INT"))
+    c.append(spark.createDataFrame([(6,)], "id INT"))
+    m = c._manifest(c.latest_version())
+    recs = [r for r in m["evolution"] if r["op"] == "add_column"]
+    assert len(recs) == 2, recs
+    assert {r["col"] for r in recs} == {"score", "points"}
+    got = {r.id: r.points for r in c.read().collect()}
+    assert got == {i: 5 for i in range(1, 7)}, got
