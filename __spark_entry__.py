@@ -89,10 +89,16 @@ _PROMOTED = (
     "deterministic_split",
     "user_sessions",
     "near_dedup_corpus",
-    "embedding_norms",
     "audio_energy_stats",
-    "media_features",
     "media_frame_sample",
+    # --- round-10 rotation: embedding_norms and media_features went
+    # driver-green in CORRECTNESS_r09.json and rotate back to
+    # local-oracle checking (embeddings stay repped in the window by
+    # near_dedup_corpus; media by media_frame_sample +
+    # audio_energy_stats + the new lossy leg). Their slots go to the
+    # round's new registration and the un-demoted sink_tx_evolve
+    # (see _DEMOTED).
+    "media_pixel_stats_lossy",
 )
 
 # Beyond-reference §2 extras rotated out of the graded window to make room
@@ -170,10 +176,9 @@ _DEMOTED = (
     "sink_tx_delete",
     "streaming_stream_join",
     "streaming_join_windowed",
-    # registered mid-round-9 (write-side ALTER TABLE evolution) AFTER
-    # the round's 50-window was finalized; local-oracle status now,
-    # first in line for the round-10 rotation
-    "sink_tx_evolve",
+    # (round-10: sink_tx_evolve — parked here through r9 — rotated INTO
+    # the window as planned: it left this list, taking the tier-0 slot
+    # freed by the media_features/embedding_norms promotion retirement.)
 )
 
 

@@ -9,13 +9,15 @@ comments, offset math, shape; ``decode_image``), non-interlaced 8-bit
 PNG (stdlib zlib inflate + all five scanline unfilters;
 ``decode_png`` / ``encode_png``), baseline JPEG (marker parse, Huffman
 entropy coding, dequant, 8x8 IDCT, YCbCr; ``operators/jpeg.py``),
-lossless WebP (full VP8L bitstream — prefix codes, LZ77 + 2D distance
-map, color cache, meta codes, all four transforms;
-``operators/vp8l.py``, validated against a real libwebp-encoded
-stream), and RIFF/WAVE 16-bit PCM audio (chunk walk, endianness,
-channel reshape; ``decode_audio``), and stubbed only for formats whose
-codecs this container genuinely doesn't ship (lossy-VP8 WebP: libwebp;
-MP3/video: ffmpeg) — those raise NotImplementedError.
+WebP both lossless (full VP8L bitstream — prefix codes, LZ77 + 2D
+distance map, color cache, meta codes, all four transforms;
+``operators/vp8l.py``) and lossy (full RFC 6386 VP8 keyframe decode —
+boolean decoder, intra prediction, dequant, IDCT/WHT, both loop
+filters; ``operators/vp8.py``, pinned BIT-EXACT against libwebp in
+tests/test_vp8.py), and RIFF/WAVE 16-bit PCM audio (chunk walk,
+endianness, channel reshape; ``decode_audio``), and stubbed only for
+formats whose codecs this container genuinely doesn't ship (MP3/video:
+ffmpeg) — those raise NotImplementedError.
 The deterministic byte-level feature stages below remain for
 format-agnostic plumbing tests; swapping PIL in changes one function
 body, not the pipeline.
@@ -100,13 +102,14 @@ def decode_image(payload: bytes) -> "object":
     """REAL image decode for binary netpbm (P6 RGB -> (h, w, 3) uint8
     array, P5 grayscale -> (h, w)), non-interlaced 8-bit PNG
     (``decode_png``), baseline JPEG (grayscale / 4:4:4 color —
-    ``operators/jpeg.py``), and lossless WebP (VP8L: prefix codes,
+    ``operators/jpeg.py``), and WebP — lossless (VP8L: prefix codes,
     LZ77 + 2D distance map, color cache, meta codes, all four
-    transforms — ``operators/vp8l.py``) — pure numpy + stdlib zlib, no
-    external codec. Remaining formats (lossy-VP8 WebP,
-    progressive/subsampled JPEG, video) raise NotImplementedError;
-    swapping in PIL/ffmpeg changes only this function, not the
-    pipeline contract."""
+    transforms — ``operators/vp8l.py``) AND lossy (RFC 6386 VP8
+    keyframe — ``operators/vp8.py``, bit-exact vs libwebp), incl.
+    VP8X/ALPH alpha — pure numpy + stdlib zlib, no external codec.
+    Remaining formats (progressive/subsampled JPEG, video) raise
+    NotImplementedError; swapping in PIL/ffmpeg changes only this
+    function, not the pipeline contract."""
     import numpy as np
 
     if payload[:8] == _PNG_SIG:
@@ -431,6 +434,101 @@ def attach_synthetic_webp(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.withColumn("payload", make(F.col(id_col)))
 
 
+def attach_lossy_webp(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL libwebp-encoded lossy ('VP8 ') WebP payload per
+    row from the committed fixture set (``operators/vp8_fixtures.py``,
+    payload = fixtures[doc_id % 8]). The fixtures were produced by
+    libwebp 1.2.4 over four content classes / five quality levels and
+    their normative YUV reconstructions are pinned bit-exact against
+    libwebp's own decoder (tests/test_vp8.py), so a DuckDB oracle can
+    evaluate the expected pixel sums arithmetically while the Spark
+    side performs the full RFC 6386 decode."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        from .vp8_fixtures import PAYLOADS
+
+        n = len(PAYLOADS)
+        return ids.map(lambda d: PAYLOADS[int(d) % n])
+
+    return df.withColumn("payload", make(F.col(id_col)))
+
+
+YUV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("yuv_sum", T.LongType()),
+    ]
+)
+
+
+def decode_yuv_stats(
+    media: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched REAL lossy-WebP decode to the spec's normative
+    output: each payload's 'VP8 ' chunk runs the full RFC 6386
+    keyframe pipeline (boolean decoder, intra prediction, dequant,
+    IDCT/WHT, loop filter — ``operators/vp8.py``) and is reduced to
+    the exact integer sum over the Y, U and V planes. Distinct
+    payloads are decoded ONCE per Python worker (content-hash memo) —
+    the scale-correct shape when payload cardinality is far below row
+    cardinality; with unique payloads the memo is a no-op and the
+    stage stays embarrassingly parallel, no shuffle either way."""
+
+    def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct as _struct
+
+        import pandas as pd
+
+        from .vp8 import decode_vp8_yuv
+
+        memo: dict[bytes, tuple[int, int, int]] = {}
+
+        def one(payload: bytes) -> tuple[int, int, int]:
+            key = payload  # small fixture payloads; bytes key is fine
+            got = memo.get(key)
+            if got is None:
+                i = 12
+                chunk = None
+                while i + 8 <= len(payload):
+                    tag = payload[i : i + 4]
+                    size = _struct.unpack(
+                        "<I", payload[i + 4 : i + 8]
+                    )[0]
+                    if tag == b"VP8 ":
+                        chunk = payload[i + 8 : i + 8 + size]
+                        break
+                    i += 8 + size + (size & 1)
+                if chunk is None:
+                    raise ValueError("no 'VP8 ' chunk in payload")
+                y, u, v = decode_vp8_yuv(chunk)
+                got = (
+                    y.shape[1],
+                    y.shape[0],
+                    int(y.sum()) + int(u.sum()) + int(v.sum()),
+                )
+                memo[key] = got
+            return got
+
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "yuv_sum": []}
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                w, h, s = one(bytes(b))
+                out["doc_id"].append(int(i))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["yuv_sum"].append(s)
+            yield pd.DataFrame(out)
+
+    return media.select(id_col, payload_col).mapInPandas(
+        stats, schema=YUV_STATS_SCHEMA
+    )
+
+
 def attach_synthetic_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Materialize a real baseline JPEG payload per row (full marker
     structure, Annex K tables, Huffman entropy coding) whose constant
@@ -460,22 +558,36 @@ IMAGE_STATS_SCHEMA = T.StructType(
 
 
 def decode_image_stats(
-    media: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    media: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decoder=None,
 ) -> DataFrame:
     """Arrow-batched REAL decode: each payload is parsed by
     ``decode_image`` and reduced to exact integer pixel statistics —
     wrong header parsing, wrong offset, or wrong shape all corrupt
     ``pixel_sum`` and fail the value-hash gate. No shuffle; partition-
-    preserving; memory bounded by Arrow batch size x payload size."""
+    preserving; memory bounded by Arrow batch size x payload size.
+
+    ``decoder`` (optional, ``bytes -> (h, w[, c]) uint8 ndarray``)
+    swaps in a native codec at the mapInPandas boundary — e.g.
+    ``webp_native.native_webp_decoder()`` when libwebp is loadable —
+    without touching the pipeline contract. The pure-python codecs
+    stay the hermetic default; where both paths exist they are
+    asserted output-identical (tests/test_vp8.py,
+    tests/test_multimodal.py). The callable must be importable/
+    picklable (module-level or a closure over picklable state) since
+    it ships to executors."""
 
     def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
+        decode = decoder if decoder is not None else decode_image
         for pdf in batches:
             out = {"doc_id": [], "width": [], "height": [],
                    "n_channels": [], "pixel_sum": []}
             for i, b in zip(pdf[id_col], pdf[payload_col]):
-                img = decode_image(bytes(b))
+                img = decode(bytes(b))
                 out["doc_id"].append(int(i))
                 out["height"].append(img.shape[0])
                 out["width"].append(img.shape[1])

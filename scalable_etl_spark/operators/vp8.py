@@ -230,6 +230,8 @@ class _Header:
 def _parse_headers(data: bytes):
     """Frame tag + first-partition headers (§9). Returns (hdr, bd,
     token_partitions)."""
+    if len(data) < 10:
+        raise ValueError("truncated VP8 chunk (no frame header)")
     tag = data[0] | (data[1] << 8) | (data[2] << 16)
     h = _Header()
     h.key_frame = not (tag & 1)
@@ -434,8 +436,12 @@ def _pred16_or_8(plane, y0, x0, n, mode, mb_y, mb_x):
             if left
             else np.full(n, 129, np.int32)
         )
+        # corner follows _pred4's border convention: the whole above
+        # row (incl. its [-1]) is the 127 top border whenever the MB
+        # is in the top row — even with a real left column — and 129
+        # (the left border column) when only the left is missing
         corner = int(plane[y0 - 1, x0 - 1]) if (up and left) else (
-            127 if up else 129 if left else 127
+            127 if not up else 129
         )
         pred = lcol[:, None] + above[None, :] - corner
         plane[y0:y0 + n, x0:x0 + n] = np.clip(pred, 0, 255).astype(
@@ -803,7 +809,7 @@ def _sb_filter(px, idx, int_lim, edge_lim, hev_thr):
     if not _normal_mask(px, idx, int_lim, edge_lim):
         return
     hv = _hev(px, idx, hev_thr)
-    a = _common_adjust(px, hv, *idx[1:7])
+    a = _common_adjust(px, hv, *idx[0:6])
     if not hv:
         a = (a + 1) >> 1
         px[idx[5]] = _clamp8(_u2s(int(px[idx[5]])) - a + 128)  # q1
@@ -814,7 +820,7 @@ def _mb_filter(px, idx, int_lim, edge_lim, hev_thr):
     if not _normal_mask(px, idx, int_lim, edge_lim):
         return
     if _hev(px, idx, hev_thr):
-        _common_adjust(px, True, *idx[1:7])
+        _common_adjust(px, True, *idx[0:6])
         return
     P2, P1, P0, Q0, Q1, Q2 = (
         _u2s(int(px[idx[1]])), _u2s(int(px[idx[2]])),
@@ -839,7 +845,7 @@ def _simple_filter(px, idx, edge_lim):
         int(px[idx[5]]),
     )
     if abs(p0 - q0) * 2 + abs(p1 - q1) // 2 <= edge_lim:
-        _common_adjust(px, True, *idx[1:7])
+        _common_adjust(px, True, *idx[0:6])
 
 
 def _col_idx(plane_w, y, x):

@@ -575,37 +575,51 @@ def decode_vp8l_chunk(chunk: bytes) -> tuple[np.ndarray, int, int]:
 
 
 def decode_webp(payload: bytes) -> np.ndarray:
-    """Decode a lossless WebP file to an (h, w, 3) RGB or (h, w, 4)
-    RGBA uint8 array (alpha kept only when not fully opaque). Lossy
-    ('VP8 ') files raise NotImplementedError — that codec needs
-    libwebp; the honest-stub policy of operators/multimodal.py."""
+    """Decode a WebP file — lossless ('VP8L', this module) OR lossy
+    ('VP8 ', the RFC 6386 keyframe decoder in ``operators/vp8.py``,
+    pinned bit-exact against libwebp in tests/test_vp8.py), including
+    extended ('VP8X') files whose alpha rides in an ALPH chunk — to an
+    (h, w, 3) RGB or (h, w, 4) RGBA uint8 array (alpha kept only when
+    not fully opaque). The lossy RGB conversion is the repo's
+    documented ``yuv420_to_rgb`` (the VP8 spec ends at YUV)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a WebP (RIFF/WEBP) payload")
     i = 12
-    vp8l = None
+    vp8l = vp8 = alph = None
     while i + 8 <= len(payload):
         tag = payload[i : i + 4]
         size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
         body = payload[i + 8 : i + 8 + size]
         if tag == b"VP8L":
             vp8l = body
-            break
+            break  # VP8L carries its own alpha; ALPH never follows
         if tag == b"VP8 ":
-            raise NotImplementedError(
-                "lossy WebP (VP8) requires libwebp; only lossless "
-                "(VP8L) decodes natively"
-            )
+            vp8 = body
+            break  # ALPH precedes the image chunk in extended files
+        if tag == b"ALPH":
+            alph = body
         i += 8 + size + (size & 1)
-    if vp8l is None:
-        raise ValueError("WebP: no VP8L chunk found")
-    argb, w, h = decode_vp8l_chunk(vp8l)
-    a = ((argb >> 24) & 0xFF).astype(np.uint8)
-    r = ((argb >> 16) & 0xFF).astype(np.uint8)
-    g = ((argb >> 8) & 0xFF).astype(np.uint8)
-    b = (argb & 0xFF).astype(np.uint8)
-    if bool((a == 255).all()):
-        return np.stack([r, g, b], axis=-1).reshape(h, w, 3)
-    return np.stack([r, g, b, a], axis=-1).reshape(h, w, 4)
+    if vp8l is not None:
+        argb, w, h = decode_vp8l_chunk(vp8l)
+        a = ((argb >> 24) & 0xFF).astype(np.uint8)
+        r = ((argb >> 16) & 0xFF).astype(np.uint8)
+        g = ((argb >> 8) & 0xFF).astype(np.uint8)
+        b = (argb & 0xFF).astype(np.uint8)
+        if bool((a == 255).all()):
+            return np.stack([r, g, b], axis=-1).reshape(h, w, 3)
+        return np.stack([r, g, b, a], axis=-1).reshape(h, w, 4)
+    if vp8 is None:
+        raise ValueError("WebP: no VP8/VP8L image chunk found")
+    from .vp8 import decode_vp8_yuv, yuv420_to_rgb
+
+    y, u, v = decode_vp8_yuv(vp8)
+    rgb = yuv420_to_rgb(y, u, v)
+    if alph is not None:
+        h, w = y.shape
+        a = decode_alpha_chunk(alph, w, h)
+        if not bool((a == 255).all()):
+            return np.dstack([rgb, a])
+    return rgb
 
 
 def decode_alpha_chunk(alph: bytes, w: int, h: int) -> np.ndarray:

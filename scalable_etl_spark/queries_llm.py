@@ -1257,6 +1257,67 @@ def media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lossy_webp_oracle() -> str:
+    """Oracle SQL for media_pixel_stats_lossy, built from the pinned
+    per-fixture YUV sums (operators/vp8_fixtures.py — values proven
+    bit-exact against libwebp's reference decoder in
+    tests/test_vp8.py). The oracle never decodes; it looks the sums
+    up by doc_id % n_fixtures, so any boolean-decoder, prediction,
+    dequant, IDCT or loop-filter bug in the Spark-side RFC 6386
+    decode corrupts sum_yuv and fails the value hash."""
+    from .operators.vp8_fixtures import YUV_SUMS
+
+    case = "CASE doc_id % {n} {whens} END".format(
+        n=len(YUV_SUMS),
+        whens=" ".join(
+            f"WHEN {i} THEN {s}" for i, s in enumerate(YUV_SUMS)
+        ),
+    )
+    return f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM({case}) AS BIGINT) AS sum_yuv
+    FROM documents
+    GROUP BY 1
+    """
+
+
+@query("media_pixel_stats_lossy", oracle=_lossy_webp_oracle())
+def media_pixel_stats_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy image decode under the gate: per doc a genuine
+    libwebp-encoded lossy WebP ('VP8 ') payload from the committed
+    fixture set (8 streams x 4 content classes x 5 quality levels,
+    operators/vp8_fixtures.py) runs the FULL RFC 6386 keyframe
+    pipeline — boolean arithmetic decoder, keyframe intra modes,
+    coefficient tokens, dequantization, inverse WHT/DCT, intra
+    prediction with the 127/129 edge conventions, and both in-loop
+    deblocking filters — inside an Arrow-batched mapInPandas stage
+    (operators/vp8.py; pinned bit-exact against libwebp's
+    WebPDecodeYUV in tests/test_vp8.py). The result is the exact
+    integer sum over the normative Y/U/V reconstruction. Scale shape:
+    zero shuffles before the tiny per-source aggregate; distinct
+    payloads decode once per worker (content memo).
+
+    Reference parity: the reference engine stores media as opaque
+    binaries and defers decode to external codec libraries; this repo
+    decodes lossy WebP in-process, hermetically."""
+    from .operators.multimodal import attach_lossy_webp, decode_yuv_stats
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    # Python-compute-bound over a tiny id frame: one cheap 2-column
+    # repartition buys full decode parallelism (see media_pixel_stats)
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    stats = decode_yuv_stats(attach_lossy_webp(d))
+    return (
+        stats.join(d, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("yuv_sum").alias("sum_yuv"),
+        )
+    )
+
+
 @query(
     "audio_energy_stats",
     oracle="""

@@ -46,9 +46,14 @@ def test_sample_frames_shape(media):
 
 
 def test_decode_stub_raises():
-    # WebP (RIFF container): genuinely environment-blocked (libwebp)
-    with pytest.raises(NotImplementedError):
+    # lossy WebP now decodes natively (operators/vp8.py); a corrupt
+    # VP8 chunk must still fail loudly with a codec error, not an
+    # arbitrary IndexError from deep in the bitstream machinery
+    with pytest.raises(ValueError, match="VP8"):
         decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 " + b"\x00" * 8)
+    # genuinely environment-blocked: unknown magic (e.g. video)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x00\x00\x00\x18ftypmp42 not an image")
 
 
 def test_grouped_zscore(spark):
@@ -189,6 +194,53 @@ def test_media_pixel_stats_decodes_for_real(spark):
     for r in rows:
         assert (r.width, r.height, r.n_channels) == dims[r.fmt]
         assert 0 <= r.avg_pixel <= 255
+
+
+def test_media_pixel_stats_lossy_decodes_for_real(spark):
+    from scalable_etl_spark.operators.vp8_fixtures import (
+        PAYLOADS,
+        YUV_SUMS,
+    )
+    from scalable_etl_spark.queries_llm import media_pixel_stats_lossy
+
+    rows = media_pixel_stats_lossy(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    # the per-source sums are combinations of the pinned fixture sums
+    n = len(PAYLOADS)
+    assert n == len(YUV_SUMS) == 8
+    total = sum(r.sum_yuv for r in rows)
+    docs = sum(r.n_images for r in rows)
+    assert docs > 0 and total > 0
+
+
+def test_native_decoder_seam_in_spark(spark):
+    """Task: pluggable native-codec swap-in. decode_image_stats with
+    decoder=webp_native.native_webp_decoder() must produce EXACTLY the
+    rows of the pure-python default over lossless WebP payloads (both
+    decoders are exact there). Skipped where libwebp is absent — the
+    pure-python path is the hermetic default either way."""
+    import pytest
+    from scalable_etl_spark.operators import webp_native
+    from scalable_etl_spark.operators.multimodal import (
+        attach_synthetic_webp,
+        decode_image_stats,
+    )
+
+    if not webp_native.available():
+        pytest.skip("libwebp not loadable")
+    d = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    media = attach_synthetic_webp(d)
+    pure = {
+        r.doc_id: (r.width, r.height, r.n_channels, r.pixel_sum)
+        for r in decode_image_stats(media).collect()
+    }
+    native = {
+        r.doc_id: (r.width, r.height, r.n_channels, r.pixel_sum)
+        for r in decode_image_stats(
+            media, decoder=webp_native.native_webp_decoder()
+        ).collect()
+    }
+    assert pure == native and len(pure) == 12
 
 
 def test_decode_wav_roundtrip_and_chunk_walk():

@@ -157,12 +157,18 @@ def test_real_libwebp_alpha_stream_decodes():
     assert plane[0, 6] > 128 and plane[0, 8] > 128
 
 
-def test_lossy_webp_raises_honestly():
+def test_lossy_webp_decodes_through_dispatch():
+    """Round 10: lossy 'VP8 ' chunks decode natively (operators/vp8.py,
+    pinned bit-exact vs libwebp in tests/test_vp8.py) — the full
+    VP8X+ALPH+VP8 fixture composes the lossy frame with its VP8L-coded
+    alpha plane into RGBA."""
     path = _find_real_webp()
     if path is None:
         pytest.skip("no real webp fixture on this system")
-    with pytest.raises(NotImplementedError):
-        decode_webp(open(path, "rb").read())
+    out = decode_webp(open(path, "rb").read())
+    assert out.shape == (16, 16, 4)
+    frac_extreme = float(np.mean((out[:, :, 3] == 0) | (out[:, :, 3] == 255)))
+    assert frac_extreme > 0.5, frac_extreme
 
 
 def test_decode_image_dispatches_webp():
