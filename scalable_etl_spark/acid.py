@@ -68,13 +68,31 @@ _COMMIT_RETRIES = 20
 # O(checkpoint + <=9 deltas) regardless of history length. Linear
 # extrapolation: O(100k) files => ~160 MB / sub-second parse (usable),
 # O(1M+) files with blooms => multi-GB JSON and multi-second parses —
-# the regime where this design must graduate to a Spark-readable
-# PARQUET checkpoint (exactly Delta's published evolution: JSON log ->
-# parquet checkpoint read as a distributed table). Not implemented
-# here: at sandbox scale the JSON checkpoint is orders of magnitude
-# inside the bound, and the delta/checkpoint split already isolates
-# the change to _commit/_manifest when it becomes necessary.
+# the regime where this design graduates to a Spark-readable PARQUET
+# checkpoint (exactly Delta's published evolution: JSON log -> parquet
+# checkpoint). IMPLEMENTED (round 10) behind the _commit/_manifest
+# seam: when a checkpoint-version commit's file inventory crosses
+# _PARQUET_CKPT_MIN_FILES (or the table opts in via
+# ``SnapshotTable(..., parquet_checkpoints=True)``), the dirs/stats/
+# file_stats maps land in ``_log/checkpoints/<v>-<uuid>.parquet`` and
+# the version's JSON log entry becomes an O(1) POINTER — the JSON
+# link stays the sole commit token, so atomicity and the version
+# listing are unchanged, and delta entries still apply on top of the
+# resolved state. Resolution loads the sidecar columnar via pyarrow
+# (no multi-GB JSON document, no monolithic parse); the file is plain
+# parquet, so at true 1M-file scale a reader can also consume the
+# stats DISTRIBUTED via spark.read.parquet instead of materializing
+# the driver-side dict (asserted Spark-readable in
+# tests/test_manifest_log.py) — that distributed-pruning read path is
+# the named next evolution, not needed at any scale this sandbox can
+# reach.
 _CHECKPOINT_EVERY = 10
+
+# Auto-graduation threshold: a checkpoint whose file inventory is at
+# least this many (entry, file) rows is written as a parquet sidecar.
+# ~20k files ~= a 30+ MB JSON checkpoint — still parseable, but past
+# the point where columnar beats a monolithic document.
+_PARQUET_CKPT_MIN_FILES = 20_000
 
 # Manifest keys the delta representation rewrites; everything else
 # (op, schema, partition_cols, txn, timestamp, future keys) is carried
@@ -273,7 +291,12 @@ class SnapshotTable:
     partial state.
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        parquet_checkpoints: bool | None = None,
+    ):
         self.spark = spark
         self.root = root
         self.log_dir = os.path.join(root, "_log")
@@ -282,6 +305,13 @@ class SnapshotTable:
         # entries never need invalidation (vacuum only deletes versions
         # nothing retained resolves through)
         self._mcache: dict[int, dict] = {}
+        # None = auto (parquet sidecar once a checkpoint's file
+        # inventory crosses _PARQUET_CKPT_MIN_FILES), True = every
+        # full-manifest version incl. v0 (tests / metadata-heavy
+        # tables), False = never. A WRITER-side knob only: readers
+        # resolve whatever format each log entry declares, so tables
+        # written by differently-configured writers stay readable.
+        self._parquet_ckpt = parquet_checkpoints
 
     # ------------------------------------------------------------ log
 
@@ -319,6 +349,8 @@ class SnapshotTable:
         m = self._manifest_raw(version)
         if m.get("format") == "delta":
             m = _apply_manifest_delta(self._manifest(version - 1), m)
+        elif m.get("format") == "checkpoint-parquet":
+            m = self._load_parquet_checkpoint(m)
         self._mcache[version] = m
         return m
 
@@ -338,6 +370,100 @@ class SnapshotTable:
             )
             v -= 1
         return out
+
+    def _write_parquet_checkpoint(
+        self, version: int, manifest: dict
+    ) -> str:
+        """Write ``manifest``'s O(table)-sized maps (dirs / stats /
+        file_stats) as one parquet sidecar and return its log-relative
+        path. Row model: kind='dir' rows carry the ordered entry list
+        (idx preserves commit ordering — reads union entries in
+        manifest order); kind='dstat' one row per entry with committed
+        dir-level stats; kind='fstat' one row per (entry, file) —
+        crucially file INVENTORY rows exist even for files with empty
+        stat dicts, preserving the file_stats-keys-are-the-file-list
+        contract. Values are JSON-encoded per-row payloads: columnar
+        row pruning + per-cell parse instead of one monolithic
+        document. The name embeds a uuid so racing committers of the
+        same version never collide — the JSON pointer names the
+        winner's file; a loser's orphan is swept by vacuum."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        kinds: list[str] = []
+        idxs: list[int | None] = []
+        entries: list[str] = []
+        files: list[str | None] = []
+        vals: list[str | None] = []
+        for i, d in enumerate(manifest.get("dirs", ())):
+            kinds.append("dir")
+            idxs.append(i)
+            entries.append(d)
+            files.append(None)
+            vals.append(None)
+        for d, per in manifest.get("stats", {}).items():
+            kinds.append("dstat")
+            idxs.append(None)
+            entries.append(d)
+            files.append(None)
+            vals.append(json.dumps(per))
+        for d, fs in manifest.get("file_stats", {}).items():
+            for f, per in fs.items():
+                kinds.append("fstat")
+                idxs.append(None)
+                entries.append(d)
+                files.append(f)
+                vals.append(json.dumps(per))
+        table = pa.table(
+            {
+                "kind": pa.array(kinds, pa.string()),
+                "idx": pa.array(idxs, pa.int64()),
+                "entry": pa.array(entries, pa.string()),
+                "file": pa.array(files, pa.string()),
+                "val": pa.array(vals, pa.string()),
+            }
+        )
+        ckpt_dir = os.path.join(self.log_dir, "checkpoints")
+        os.makedirs(ckpt_dir, exist_ok=True)
+        name = f"{version:08d}-{uuid.uuid4().hex}.parquet"
+        tmp = os.path.join(ckpt_dir, f".tmp-{name}")
+        pq.write_table(table, tmp)
+        os.rename(tmp, os.path.join(ckpt_dir, name))
+        return os.path.join("checkpoints", name)
+
+    def _load_parquet_checkpoint(self, pointer: dict) -> dict:
+        """Resolve a ``checkpoint-parquet`` log entry: columnar-load
+        the sidecar and rebuild the dirs/stats/file_stats maps; every
+        other key rides on the pointer itself (same O(1) key split as
+        the delta format)."""
+        import pyarrow.parquet as pq
+
+        path = os.path.join(self.log_dir, pointer["checkpoint"])
+        t = pq.read_table(path)
+        kind = t.column("kind").to_pylist()
+        idx = t.column("idx").to_pylist()
+        entry = t.column("entry").to_pylist()
+        file_ = t.column("file").to_pylist()
+        val = t.column("val").to_pylist()
+        dirs: list[tuple[int, str]] = []
+        stats: dict[str, dict] = {}
+        fstats: dict[str, dict] = {}
+        for k, i, d, f, v in zip(kind, idx, entry, file_, val):
+            if k == "dir":
+                dirs.append((i, d))
+            elif k == "dstat":
+                stats[d] = json.loads(v)
+            else:
+                fstats.setdefault(d, {})[f] = json.loads(v)
+        m = {
+            k: v
+            for k, v in pointer.items()
+            if k not in ("format", "checkpoint")
+        }
+        m["dirs"] = [d for _, d in sorted(dirs)]
+        m["stats"] = stats
+        m["file_stats"] = fstats
+        return m
 
     def _commit(self, version: int, manifest: dict) -> bool:
         """Atomically publish ``manifest`` as ``version``. False on
@@ -371,6 +497,29 @@ class SnapshotTable:
                 delta = _make_manifest_delta(prev, manifest)
                 if delta is not None:
                     payload = delta
+        elif self._parquet_ckpt is not False:
+            # scheduled checkpoint version (v0 or every Nth): graduate
+            # the O(table) maps to a parquet sidecar when forced or
+            # past the auto threshold; the JSON entry becomes an O(1)
+            # pointer but REMAINS the sole commit token (os.link below)
+            n_rows = max(
+                sum(
+                    len(fs)
+                    for fs in manifest.get("file_stats", {}).values()
+                ),
+                len(manifest.get("dirs", ())),
+            )
+            if self._parquet_ckpt is True or (
+                n_rows >= _PARQUET_CKPT_MIN_FILES
+            ):
+                rel = self._write_parquet_checkpoint(version, manifest)
+                payload = {
+                    k: v
+                    for k, v in manifest.items()
+                    if k not in _DELTA_KEYS
+                }
+                payload["format"] = "checkpoint-parquet"
+                payload["checkpoint"] = rel
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
             json.dump(payload, fh)
@@ -1190,6 +1339,14 @@ class SnapshotTable:
                 ):
                     name = later["to"]
                     renamed = True
+                elif (
+                    later["op"] == "drop_column"
+                    and later["col"] == name
+                ):
+                    name = None  # fill chain ends: column dropped
+                    break
+            if name is None:
+                continue
             # last record per current name wins; only a record whose
             # literal col IS the current name can absorb new entries
             fills[name] = rec if not renamed else dict(rec, _stale=True)
@@ -1241,8 +1398,13 @@ class SnapshotTable:
         self, df: DataFrame, ctx: list, d: str
     ) -> DataFrame:
         """Logical view of entry ``d``'s physical frame: renames applied
-        forward (chronological record order) and added-column defaults
-        filled for entries that predate them."""
+        forward (chronological record order), added-column defaults
+        filled for entries that predate them, and later-dropped fills
+        removed again. A PHYSICAL column that was dropped never enters
+        the frame (``_physical_schema`` stops declaring it — free
+        projection at the scan); the drop branch below only has to
+        undo default FILLS this loop itself created earlier in the
+        chain (add a with default -> rename a->b -> drop b)."""
         for rec, ents in ctx:
             if d not in ents:
                 continue
@@ -1257,6 +1419,8 @@ class SnapshotTable:
                 df = df.withColumn(
                     rec["col"], F.lit(rec["default"]).cast(rec["type"])
                 )
+            elif rec["op"] == "drop_column" and rec["col"] in df.columns:
+                df = df.drop(rec["col"])
         return df
 
     @staticmethod
@@ -1303,17 +1467,27 @@ class SnapshotTable:
         return name
 
     def _reused_physical_names(self, m: dict) -> set[str]:
-        """Physical names still referenced by live entries via rename
-        records — reusing one as a new logical column would declare a
-        duplicate field when reading those entries (Delta avoids this
-        with column-mapping IDs; we refuse instead)."""
+        """Physical names still carried by live entries but no longer
+        (or not under this name) in the logical schema: rename sources,
+        and DROPPED columns whose bytes live entries still hold.
+        Reusing one as a new logical column would either declare a
+        duplicate field or resurrect stale bytes when reading those
+        entries (Delta avoids this with column-mapping IDs; we refuse
+        instead)."""
         live = set(m["dirs"])
-        return {
+        out = {
             r["from"]
             for r in m.get("evolution", [])
             if r["op"] == "rename_column"
             and live & set(r.get("entries", ()))
         }
+        out |= {
+            r["col"]
+            for r in m.get("evolution", [])
+            if r["op"] == "drop_column"
+            and live & set(r.get("entries", ()))
+        }
+        return out
 
     def alter_add_column(
         self,
@@ -1506,6 +1680,115 @@ class SnapshotTable:
                 return v + 1
         raise CommitConflict(
             f"alter_rename_column lost {_COMMIT_RETRIES} races"
+        )
+
+    def alter_drop_column(
+        self,
+        name: str,
+        _txn_gate: tuple[str, int] | None = None,
+    ) -> int:
+        """ALTER TABLE DROP COLUMN — metadata-only (the Delta/Iceberg
+        design; the third verb beside add/rename): entries keep the
+        physical column on disk, reads simply stop DECLARING it — the
+        parquet scan projects it away for free, so dropping costs the
+        same at 100 TB as at 100 rows. Stats and bloom specs for the
+        column are purged in the same commit (they are keyed by
+        logical name; `where=`/point probes on the dropped column
+        become unresolvable, as they should). Appends after the drop
+        must not carry the column (ordinary schema check).
+
+        Composition rules:
+        - after renames: `name` is the CURRENT logical name; pre-rename
+          entries physically carry an older name, which the read path
+          never declares for them anyway (`_physical_schema` starts
+          from the post-drop logical schema).
+        - with defaults: an add_column default fill for this column
+          stops applying (the drop record postdates it and
+          `_apply_evolution`/_defaults_for_missing track the chain).
+        - name reuse is REFUSED while live entries still physically
+          carry the dropped column (same no-column-mapping-IDs rule as
+          rename — `_reused_physical_names`): re-adding the name would
+          resurrect stale bytes for old entries.
+
+        Reference anchor: the schema drift the reference's notebooks
+        paper over between gold revisions (analysis-minio.ipynb
+        add+drop in practice) — here an auditable, versioned commit.
+
+        ``_txn_gate``: same idempotent sync-replay contract as
+        alter_add_column."""
+        for _ in range(_COMMIT_RETRIES):
+            v = self.latest_version()
+            if v is None:
+                raise FileNotFoundError(
+                    f"no committed version at {self.root}"
+                )
+            m = self._manifest(v)
+            txn = self._txn_of(v)
+            if _txn_gate is not None:
+                # BEFORE schema validation (duplicate-replay contract):
+                # after a rival replay the column is gone and the
+                # existence check below would crash instead of no-op
+                gate_key, gate_target = _txn_gate
+                if int(txn.get(gate_key, -1)) >= gate_target:
+                    return v  # rival sync already replayed this alter
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            if name not in schema.fieldNames():
+                raise ValueError(f"no such column {name!r}")
+            if name in m.get("partition_cols", []):
+                raise ValueError(
+                    f"{name!r} is a partition column: its name is part "
+                    "of every data path; drop requires a rewrite"
+                )
+            if len(schema.fields) == 1:
+                raise ValueError("cannot drop the only column")
+            new_schema = StructType(
+                [f for f in schema.fields if f.name != name]
+            )
+
+            def purge(per: dict) -> dict:
+                return {
+                    c: s
+                    for c, s in per.items()
+                    if c != name and c != _BLOOM_PREFIX + name
+                }
+
+            stats = {
+                e: p
+                for e, p in (
+                    (e, purge(per))
+                    for e, per in self._stats_of(v).items()
+                )
+                if p
+            }
+            fstats = {
+                e: {f: purge(per) for f, per in fs.items()}
+                for e, fs in self._file_stats_of(v).items()
+            }
+            evolution = self._evolution_of(v)
+            evolution.append(
+                {
+                    "op": "drop_column",
+                    "col": name,
+                    "entries": list(m["dirs"]),
+                }
+            )
+            if _txn_gate is not None:
+                txn[gate_key] = gate_target
+            manifest = {
+                "op": "alter_drop_column",
+                "dirs": m["dirs"],
+                "schema": new_schema.json(),
+                "partition_cols": m["partition_cols"],
+                "stats": stats,
+                "file_stats": fstats,
+                "txn": txn,
+                "evolution": evolution,
+                "timestamp": time.time(),
+            }
+            if self._commit(v + 1, manifest):
+                return v + 1
+        raise CommitConflict(
+            f"alter_drop_column lost {_COMMIT_RETRIES} races"
         )
 
     def _write_data(self, df: DataFrame, partition_cols: Sequence[str]) -> str:
@@ -2487,6 +2770,21 @@ class SnapshotTable:
                 os.unlink(self._manifest_path(v))
             except FileNotFoundError:
                 pass
+        # parquet checkpoint sidecars of deleted log entries (and any
+        # commit-race loser orphans at those versions) go with them;
+        # sidecars of retained versions are never touched
+        ckpt_dir = os.path.join(self.log_dir, "checkpoints")
+        try:
+            sidecars = os.listdir(ckpt_dir)
+        except FileNotFoundError:
+            sidecars = []
+        for name in sidecars:
+            stem = name.split("-", 1)[0]
+            if stem.isdigit() and int(stem) < anchor:
+                try:
+                    os.unlink(os.path.join(ckpt_dir, name))
+                except FileNotFoundError:
+                    pass
         return removed
 
 
@@ -2667,7 +2965,9 @@ def sync_incremental(
     Returns ``(dst_version, synced_src_version)``; a no-op (nothing
     new) returns the current pair without committing."""
     key = f"sync:{sync_id}"
-    _ALTER_OPS = ("alter_add_column", "alter_rename_column")
+    _ALTER_OPS = (
+        "alter_add_column", "alter_rename_column", "alter_drop_column",
+    )
     races = 0
     # while-with-race-counter, not a bounded for: committed segments
     # and alter replays are PROGRESS (the watermark advanced) and must
@@ -2696,6 +2996,11 @@ def sync_incremental(
                         rec["col"],
                         rec["type"],
                         default=rec.get("default"),
+                        _txn_gate=(key, last + 1),
+                    )
+                elif m_next["op"] == "alter_drop_column":
+                    dst.alter_drop_column(
+                        rec["col"],
                         _txn_gate=(key, last + 1),
                     )
                 else:
@@ -2767,6 +3072,7 @@ def write_stream_snapshot(
     available_now: bool = True,
     processing_time: str = "30 seconds",
     stats_cols: Sequence[str] = (),
+    output_mode: str = "append",
 ):
     """Exactly-once streaming sink into a snapshot table via
     ``foreachBatch`` + a per-query batch-id ledger — the published
@@ -2787,7 +3093,16 @@ def write_stream_snapshot(
     skip batches outside the predicate — the natural fit for
     time-keyed ingest where each micro-batch covers a narrow window.
 
+    ``output_mode``: "append" (default — micro-batches accumulate, the
+    shape for raw/deduped row streams) or "complete" (each batch's
+    frame is the FULL result of a complete-mode aggregation, so the
+    commit REPLACES the table: last-batch-wins overwrite under the
+    same txn ledger — a replayed batch still skips, and a reader
+    always sees exactly one whole batch's result, never a mix).
+
     Returns the StreamingQuery (caller awaits/stops)."""
+    if output_mode not in ("append", "complete"):
+        raise ValueError(f"unsupported output_mode {output_mode!r}")
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         for _ in range(_COMMIT_RETRIES):
@@ -2802,13 +3117,31 @@ def write_stream_snapshot(
                 schema = m["schema"]
                 txn = dict(m.get("txn", {}))
             if txn.get(query_id, -1) >= batch_id:
-                return  # replayed batch: already committed
+                # Replayed batch: already committed — but the frame
+                # must still be CONSUMED, not just abandoned: for a
+                # stateful query (agg / dedup / stream-stream join)
+                # every state-store partition has to load-and-commit
+                # each micro-batch, and Spark 4's commit validation
+                # fails the batch if foreachBatch leaves partitions
+                # unprocessed. The built-in `noop` sink drains all
+                # partitions JVM-side (no Python round-trip, nothing
+                # written) — the replay costs one recompute of an
+                # already-skipped batch, which only happens on
+                # checkpoint loss / recovery, never steady-state.
+                batch_df.write.format("noop").mode("overwrite").save()
+                return
             # partitioned tables get partition-granular entries (same
             # contract as append) so micro-batches stay prunable
             entries = table._write_data_entries(batch_df, pcols)
             txn[query_id] = batch_id
-            all_stats = {**table._stats_of(v)}
-            all_fstats = {**table._file_stats_of(v)}
+            if output_mode == "complete":
+                # batch frame IS the whole result: replace, don't stack
+                dirs = []
+                all_stats = {}
+                all_fstats = {}
+            else:
+                all_stats = {**table._stats_of(v)}
+                all_fstats = {**table._file_stats_of(v)}
             if stats_cols:
                 for e in entries:
                     dstats, fstats = table._footer_stats(e, stats_cols)
@@ -2821,7 +3154,11 @@ def write_stream_snapshot(
                 evolution, batch_df.schema.names, entries
             )
             manifest = {
-                "op": "stream_append",
+                "op": (
+                    "stream_append"
+                    if output_mode == "append"
+                    else "stream_complete"
+                ),
                 "dirs": [*dirs, *entries],
                 "schema": schema,
                 "partition_cols": pcols,
@@ -2840,7 +3177,7 @@ def write_stream_snapshot(
     writer = (
         stream_df.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
+        .outputMode(output_mode)
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -21,9 +21,14 @@ from .sinks import (
 from .tables import load_table
 
 
-def _tx_table(spark: SparkSession, name: str) -> SnapshotTable:
+def _tx_table(
+    spark: SparkSession, name: str, **table_kwargs
+) -> SnapshotTable:
     """Fresh snapshot table under the warehouse dir (wiped first so
-    driver re-runs are idempotent — the gate grades final contents)."""
+    driver re-runs are idempotent — the gate grades final contents).
+    ``table_kwargs`` forward to SnapshotTable (e.g.
+    ``parquet_checkpoints=True`` to grade the parquet-sidecar
+    checkpoint representation under the oracle gate)."""
     import os
     import shutil
 
@@ -34,7 +39,7 @@ def _tx_table(spark: SparkSession, name: str) -> SnapshotTable:
             break
     root = os.path.join(wh, "tx_tables", name)
     shutil.rmtree(root, ignore_errors=True)
-    return SnapshotTable(spark, root)
+    return SnapshotTable(spark, root, **table_kwargs)
 
 
 @query(
@@ -762,7 +767,8 @@ def sink_tx_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type AS etype, COUNT(*) AS n_rows,
            CAST(SUM(CASE WHEN event_id % 2 = 1
                          THEN CAST(ROUND(value * 100, 0) AS BIGINT)
-                         ELSE 42 END) AS BIGINT) AS cents
+                         ELSE 42 END) AS BIGINT) AS cents,
+           1 AS dropped_ok
     FROM events WHERE user_id < 50
     GROUP BY 1
     """,
@@ -779,15 +785,23 @@ def sink_tx_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     entries at read; ALTER RENAME swaps event_type -> etype without
     touching files (pre-rename entries keep the physical name on disk
     and canonicalize at read); odd-id events then append with REAL
-    cents values against the evolved schema. The final aggregate mixes
-    both entry generations, so a wrong default fill, a rename leak, or
-    a NULL-vs-default mixup each shifts the value hash."""
+    cents values against the evolved schema; ALTER DROP COLUMN
+    (round-10: the third metadata-only verb) then removes user_id —
+    entries keep the bytes, the read stops declaring them — and the
+    final aggregate runs over the post-drop frame, so a wrong default
+    fill, a rename leak, a NULL-vs-default mixup, or a drop that
+    corrupts entry projection each shifts the value hash;
+    ``dropped_ok`` pins schema-side that the column is really gone."""
     e = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id") < 50)
         .select("event_id", "user_id", "event_type", "value")
     )
-    t = _tx_table(spark, "evolve")
+    # parquet_checkpoints=True: this graded query ALSO exercises the
+    # parquet-sidecar checkpoint representation (acid.py round 10) —
+    # v0 commits as an O(1) JSON pointer + columnar sidecar, and every
+    # read below resolves the alter chain through it
+    t = _tx_table(spark, "evolve", parquet_checkpoints=True)
     t.append(
         e.filter(F.col("event_id") % 2 == 0)
         .select("event_id", "user_id", "event_type")
@@ -804,12 +818,15 @@ def sink_tx_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents"),
         )
     )
+    t.alter_drop_column("user_id")
+    post = t.read()
+    dropped_ok = int("user_id" not in post.columns)
     return (
-        t.read()
-        .groupBy("etype")
+        post.groupBy("etype")
         .agg(
             F.count("*").alias("n_rows"),
             F.sum("cents").cast("long").alias("cents"),
         )
-        .select("etype", "n_rows", "cents")
+        .withColumn("dropped_ok", F.lit(dropped_ok))
+        .select("etype", "n_rows", "cents", "dropped_ok")
     )

@@ -95,9 +95,21 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow drain counts every spooled row exactly once, and 1-hour
     tumbling windows are epoch-aligned, so ``window.start`` equals
     ``date_trunc('hour', ts)`` — the oracle replays the aggregation as
-    plain batch SQL and the value hash must match bit-for-bit."""
+    plain batch SQL and the value hash must match bit-for-bit.
+
+    Round 10 (verdict #6): drains through the PRODUCTION sink —
+    ``acid.write_stream_snapshot(output_mode="complete")`` commits each
+    complete-mode batch as a whole-table replace under the per-query
+    txn batch ledger; the final aggregate reads the COMMITTED snapshot
+    table, and the memory sink stays confined to ``_drain_to_df``."""
+    import shutil
+
+    from .acid import SnapshotTable, write_stream_snapshot
+
     src = tempfile.mkdtemp(prefix="stream_src_")
     ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    tbl = tempfile.mkdtemp(prefix="stream_tbl_")
+    shutil.rmtree(tbl)  # SnapshotTable owns the dir; start absent
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id") < 40)
@@ -111,10 +123,13 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("ts", "1 minute")
     )
     agg = tumbling_counts(stream, ts_col="ts", key_col="event_type")
-    out = _drain_to_df(
-        spark, agg, "streaming_event_counts_sink", ckpt, "complete"
+    t = SnapshotTable(spark, tbl)
+    q = write_stream_snapshot(
+        agg, t, ckpt, query_id="event_counts_sink",
+        output_mode="complete",
     )
-    return out.select("event_type", "window_start", "n_events")
+    q.awaitTermination()
+    return t.read().select("event_type", "window_start", "n_events")
 
 
 @query(
@@ -187,9 +202,17 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark -> complete-mode drain protocol as the tumbling query;
     sliding windows are also epoch-aligned, so window_start enumerates
     as time_bucket(15 min, ts) - k*15 min for k in 0..3 — fully
-    SQL-expressible, full value-hash oracle."""
+    SQL-expressible, full value-hash oracle. Round 10: drains through
+    the production complete-mode ACID sink (see
+    streaming_event_counts); oracle unchanged."""
+    import shutil
+
+    from .acid import SnapshotTable, write_stream_snapshot
+
     src = tempfile.mkdtemp(prefix="slide_src_")
     ckpt = tempfile.mkdtemp(prefix="slide_ckpt_")
+    tbl = tempfile.mkdtemp(prefix="slide_tbl_")
+    shutil.rmtree(tbl)
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id") < 40)
@@ -214,9 +237,13 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return _drain_to_df(
-        spark, agg, "streaming_sliding_counts_sink", ckpt, "complete"
+    t = SnapshotTable(spark, tbl)
+    q = write_stream_snapshot(
+        agg, t, ckpt, query_id="sliding_counts_sink",
+        output_mode="complete",
     )
+    q.awaitTermination()
+    return t.read()
 
 
 @query(
@@ -242,9 +269,16 @@ def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-row segment aggregate shuffles. Same spool -> readStream ->
     availableNow drain protocol as the other streaming queries; the
     drained complete-mode result is plain batch SQL, full value-hash
-    oracle."""
+    oracle. Round 10: drains through the production complete-mode ACID
+    sink (see streaming_event_counts); oracle unchanged."""
+    import shutil
+
+    from .acid import SnapshotTable, write_stream_snapshot
+
     src = tempfile.mkdtemp(prefix="enrich_src_")
     ckpt = tempfile.mkdtemp(prefix="enrich_ckpt_")
+    tbl = tempfile.mkdtemp(prefix="enrich_tbl_")
+    shutil.rmtree(tbl)
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id") < 40)
@@ -265,9 +299,13 @@ def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
-    return _drain_to_df(
-        spark, agg, "streaming_enriched_counts_sink", ckpt, "complete"
+    t = SnapshotTable(spark, tbl)
+    q = write_stream_snapshot(
+        agg, t, ckpt, query_id="enriched_counts_sink",
+        output_mode="complete",
     )
+    q.awaitTermination()
+    return t.read()
 
 
 @query(

@@ -2076,3 +2076,200 @@ def test_alter_advice_r9_regressions(spark, tmp_path):
     assert {r["col"] for r in recs} == {"score", "points"}
     got = {r.id: r.points for r in c.read().collect()}
     assert got == {i: 5 for i in range(1, 7)}, got
+
+
+def test_alter_drop_column(spark, tmp_path):
+    """ALTER TABLE DROP COLUMN (round-10, verdict #5): metadata-only —
+    entries keep the physical column, reads stop declaring it (free
+    projection at the scan), stats/bloom keys purge in-commit, and the
+    record composes with add/rename, default fills, name-reuse
+    refusal, time travel, and sync replay."""
+    import pytest as _pytest
+
+    from scalable_etl_spark.acid import (
+        _BLOOM_PREFIX,
+        SnapshotTable,
+        sync_incremental,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "id INT, v STRING, x INT"
+        ),
+        stats_cols=["x"],
+    )
+    t.add_bloom_filters(["x"])
+    v_before = t.latest_version()
+    # --- basic drop: projection-only read, stats/bloom purged
+    t.alter_drop_column("x")
+    assert set(t.read().columns) == {"id", "v"}
+    m = t._manifest(t.latest_version())
+    for per in m["stats"].values():
+        assert "x" not in per
+    for fs in m["file_stats"].values():
+        for per in fs.values():
+            assert "x" not in per and _BLOOM_PREFIX + "x" not in per
+    # time travel: the pre-drop snapshot still reads the column
+    assert {r.x for r in t.read(v_before).collect()} == {10, 20}
+    # appends after the drop must not carry it
+    with _pytest.raises(Exception):
+        t.append(
+            spark.createDataFrame([(3, "c", 30)], "id INT, v STRING, x INT")
+        )
+    t.append(spark.createDataFrame([(3, "c")], "id INT, v STRING"))
+    assert {r.id for r in t.read().collect()} == {1, 2, 3}
+    # --- name reuse refused while live entries carry the bytes
+    with _pytest.raises(ValueError, match="reuse|physically"):
+        t.alter_add_column("x", "int")
+    with _pytest.raises(ValueError, match="reuse|physically"):
+        t.alter_rename_column("v", "x")
+    # validation
+    with _pytest.raises(ValueError, match="no such column"):
+        t.alter_drop_column("nope")
+    with _pytest.raises(ValueError, match="only column"):
+        t2 = SnapshotTable(spark, str(tmp_path / "one"))
+        t2.append(spark.createDataFrame([(1,)], "id INT"))
+        t2.alter_drop_column("id")
+
+    # --- drop after rename: pre-rename entries ignore their physical
+    # old-name bytes too
+    r = SnapshotTable(spark, str(tmp_path / "ren"))
+    r.append(spark.createDataFrame([(1, "a")], "id INT, v STRING"))
+    r.alter_rename_column("v", "label")
+    r.append(spark.createDataFrame([(2, "b")], "id INT, label STRING"))
+    r.alter_drop_column("label")
+    assert set(r.read().columns) == {"id"}
+    assert {row.id for row in r.read().collect()} == {1, 2}
+    # both physical spellings stay refused (rename-from AND drop name)
+    with _pytest.raises(ValueError, match="reuse|physically"):
+        r.alter_add_column("v", "string")
+    with _pytest.raises(ValueError, match="reuse|physically"):
+        r.alter_add_column("label", "string")
+
+    # --- drop of an added-with-default column: fills stop applying,
+    # omitting appends stop accruing back-fill records
+    d = SnapshotTable(spark, str(tmp_path / "dflt"))
+    d.append(spark.createDataFrame([(1,)], "id INT"))
+    d.alter_add_column("score", "int", default=7)
+    d.append(spark.createDataFrame([(2,)], "id INT"))  # omits -> fill
+    assert {r.score for r in d.read().collect()} == {7}
+    d.alter_drop_column("score")
+    assert set(d.read().columns) == {"id"}
+    d.append(spark.createDataFrame([(3,)], "id INT"))
+    m = d._manifest(d.latest_version())
+    fills = [
+        rec
+        for rec in m["evolution"]
+        if rec["op"] == "add_column"
+        and rec.get("entries")
+        and any(
+            e in rec["entries"]
+            for e in m["dirs"]
+        )
+    ]
+    # no NEW fill record was created for the post-drop append (the
+    # pre-drop records remain, inert behind the drop record)
+    post_drop_entries = set(m["dirs"]) - set(
+        next(
+            rec["entries"]
+            for rec in m["evolution"]
+            if rec["op"] == "drop_column"
+        )
+    )
+    for rec in m["evolution"]:
+        if rec["op"] == "add_column":
+            assert not (post_drop_entries & set(rec["entries"]))
+    assert {r.id for r in d.read().collect()} == {1, 2, 3}
+
+    # --- fill-then-rename-then-drop chain (the _apply_evolution drop
+    # branch: the fill is created, renamed forward, then dropped)
+    c = SnapshotTable(spark, str(tmp_path / "chain"))
+    c.append(spark.createDataFrame([(1,)], "id INT"))
+    c.alter_add_column("a", "int", default=3)
+    c.alter_rename_column("a", "b")
+    c.alter_drop_column("b")
+    assert set(c.read().columns) == {"id"}
+    assert {row.id for row in c.read().collect()} == {1}
+
+    # --- sync replay: the drop replays once on dst and duplicate
+    # replays no-op (gate precedes validation)
+    s = SnapshotTable(spark, str(tmp_path / "src"))
+    s.append(spark.createDataFrame([(1, "a")], "id INT, v STRING"))
+    dst = SnapshotTable(spark, str(tmp_path / "dst"))
+    sync_incremental(s, dst, sync_id="s1")
+    s.alter_drop_column("v")
+    s.append(spark.createDataFrame([(2,)], "id INT"))
+    sync_incremental(s, dst, sync_id="s1")
+    assert set(dst.read().columns) == {"id", "_src_version"}
+    assert {r.id for r in dst.read().collect()} == {1, 2}
+    # duplicate gated replay no-ops even though the column is gone
+    v_dst = dst.latest_version()
+    gate = int(dst._txn_of(v_dst)["sync:s1"])
+    assert (
+        dst.alter_drop_column("v", _txn_gate=("sync:s1", gate)) == v_dst
+    )
+
+
+def test_stream_sink_complete_mode_replaces(spark, tmp_path):
+    """``write_stream_snapshot(output_mode="complete")`` (round 10):
+    each complete-mode batch is the FULL aggregation result, so the
+    sink must REPLACE the table per batch (last-batch-wins overwrite)
+    under the same txn ledger — stacking batches would double-count,
+    and a replayed batch must still skip."""
+    import json as _json
+    import shutil
+
+    from scalable_etl_spark.acid import write_stream_snapshot
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+
+    def _write(name, rows):
+        with open(src / name, "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+
+    def _drain():
+        stream = spark.readStream.schema("k STRING").json(str(src))
+        agg = stream.groupBy("k").agg(F.count("*").alias("n"))
+        q = write_stream_snapshot(
+            agg, t, ckpt, query_id="c1", output_mode="complete"
+        )
+        q.awaitTermination()
+
+    _write("f1.jsonl", [{"k": "a"}, {"k": "a"}, {"k": "b"}])
+    _drain()
+    assert {(r.k, r.n) for r in t.read().collect()} == {("a", 2), ("b", 1)}
+
+    # more data -> the next complete batch REPLACES, never stacks
+    _write("f2.jsonl", [{"k": "a"}, {"k": "c"}])
+    _drain()
+    assert {(r.k, r.n) for r in t.read().collect()} == {
+        ("a", 3), ("b", 1), ("c", 1),
+    }
+    m = t._manifest(t.latest_version())
+    assert m["op"] == "stream_complete"
+    # exactly the latest batch's entries are live (no stacked dirs)
+    assert len(m["dirs"]) == 1
+
+    # checkpoint loss: the full input replays as batch 0, which the
+    # ledger has already seen -> skipped, result unchanged
+    shutil.rmtree(ckpt)
+    v_before = t.latest_version()
+    _drain()
+    assert t.latest_version() == v_before
+    assert {(r.k, r.n) for r in t.read().collect()} == {
+        ("a", 3), ("b", 1), ("c", 1),
+    }
+
+    # bad mode validates loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="output_mode"):
+        write_stream_snapshot(
+            spark.readStream.schema("k STRING").json(str(src)),
+            t, ckpt, output_mode="update",
+        )

@@ -289,3 +289,157 @@ def test_metadata_scale_bound_5k_entries(tmp_path):
     evo_s = _time.perf_counter() - t0
     assert names == {"v"}  # every covered entry declares the old name
     assert evo_s < 2.0, f"5k-entry evolved plan-build took {evo_s:.2f}s"
+
+
+def _commit_5k_state(t: SnapshotTable) -> dict:
+    """The 5k-entry heavy-metadata state used by the scale-bound test:
+    5,000 partition-granular entries, one file each with range stats +
+    a 1 KiB bloom blob, plus a 3-commit append tail."""
+    import base64
+
+    from scalable_etl_spark.acid import _BLOOM_PREFIX
+
+    os.makedirs(t.log_dir, exist_ok=True)
+    bloom_b = base64.b64encode(bytes(1024)).decode()
+    dirs, stats, fstats = [], {}, {}
+    for i in range(5000):
+        e = f"aaaabbbbccccdddd{i:08d}/day={i}"
+        dirs.append(e)
+        stats[e] = {"k": [i * 10, i * 10 + 9]}
+        fstats[e] = {
+            "part-00000.parquet": {
+                "k": [i * 10, i * 10 + 9],
+                _BLOOM_PREFIX + "k": {"m": 8192, "k": 4, "b": bloom_b},
+            }
+        }
+    base = {
+        "op": "overwrite", "dirs": dirs, "schema": "{}",
+        "partition_cols": ["day"], "stats": stats,
+        "file_stats": fstats, "txn": {}, "timestamp": 0.0,
+    }
+    assert t._commit(0, base)
+    for v in range(1, 4):
+        m = dict(base)
+        m["op"] = "append"
+        m["dirs"] = [*m["dirs"], f"tail{v:032d}"]
+        base = m
+        assert t._commit(v, m)
+    return base
+
+
+def test_parquet_checkpoint_5k_parity(tmp_path):
+    """Round-10 verdict #4: the JSON checkpoint's measured O(1M-files)
+    bound graduates to a parquet sidecar. Same 5k-entry heavy-metadata
+    state as test_metadata_scale_bound_5k_entries, committed with
+    parquet_checkpoints=True: the v0 log entry is an O(1) pointer, the
+    sidecar holds the maps columnar, and a COLD default-mode reader
+    resolves the identical manifest within the same timing pin as the
+    JSON mode (<5 s) — resolution semantics unchanged, only the
+    checkpoint representation moved."""
+    import time as _time
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable(None, root, parquet_checkpoints=True)
+    final = _commit_5k_state(t)
+
+    raw0 = t._manifest_raw(0)
+    assert raw0.get("format") == "checkpoint-parquet", raw0.keys()
+    # the pointer is O(1): no dirs/stats maps inline
+    assert "dirs" not in raw0 and "file_stats" not in raw0
+    ptr_bytes = os.path.getsize(t._manifest_path(0))
+    assert ptr_bytes < 4096, ptr_bytes
+    sidecar = os.path.join(t.log_dir, raw0["checkpoint"])
+    assert os.path.exists(sidecar)
+
+    cold = SnapshotTable(None, root)  # default mode reader
+    t0 = _time.perf_counter()
+    m = cold._manifest(3)
+    parse_s = _time.perf_counter() - t0
+    assert parse_s < 5.0, f"cold parquet 5k resolve took {parse_s:.2f}s"
+    assert m["dirs"] == final["dirs"]
+    assert m["stats"] == final["stats"]
+    assert m["file_stats"] == final["file_stats"]
+    assert m["op"] == "append"
+
+    # pruning over the parquet-resolved state behaves identically
+    kept = SnapshotTable._prune_dirs(m, m["dirs"], "k", 31415, 31418)
+    assert [d for d in kept if not d.startswith("tail")] == [
+        "aaaabbbbccccdddd%08d/day=%d" % (3141, 3141)
+    ]
+
+
+def test_parquet_checkpoint_auto_threshold(tmp_path):
+    """Auto mode (parquet_checkpoints=None) graduates exactly when the
+    checkpoint's file inventory crosses _PARQUET_CKPT_MIN_FILES; below
+    it the JSON checkpoint stays (no behavior change for small
+    tables), and a lowered threshold flips the format."""
+    from scalable_etl_spark import acid as acid_mod
+
+    root = str(tmp_path / "small")
+    t = SnapshotTable(None, root)
+    _commit_5k_state(t)  # 5000 < 20000 -> JSON
+    assert t._manifest_raw(0).get("format") is None
+
+    old = acid_mod._PARQUET_CKPT_MIN_FILES
+    acid_mod._PARQUET_CKPT_MIN_FILES = 1000
+    try:
+        root2 = str(tmp_path / "big")
+        t2 = SnapshotTable(None, root2)
+        _commit_5k_state(t2)
+        assert (
+            t2._manifest_raw(0).get("format") == "checkpoint-parquet"
+        )
+        m = SnapshotTable(None, root2)._manifest(3)
+        assert len(m["dirs"]) == 5003
+    finally:
+        acid_mod._PARQUET_CKPT_MIN_FILES = old
+
+
+def test_parquet_checkpoint_spark_readable_and_functional(spark, tmp_path):
+    """The sidecar is plain parquet a Spark cluster can consume
+    distributed (the named 1M-file evolution), and a forced-parquet
+    table behaves identically through the FULL ACID surface: appends
+    across the checkpoint cadence, data skipping, DML, time travel,
+    vacuum (which also sweeps sidecars of pruned log entries)."""
+    import glob as _glob
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root, parquet_checkpoints=True)
+    for i in range(12):
+        t.append(
+            spark.createDataFrame([(i, f"v{i}")], "id INT, v STRING"),
+            stats_cols=["id"],
+        )
+    assert t._manifest_raw(0).get("format") == "checkpoint-parquet"
+    assert t._manifest_raw(10).get("format") == "checkpoint-parquet"
+
+    # default-mode reader: full parity reads
+    r = SnapshotTable(spark, root)
+    assert {(x.id, x.v) for x in r.read().collect()} == {
+        (i, f"v{i}") for i in range(12)
+    }
+    assert r.read(where=("id", 3, 3)).collect()[0].v == "v3"
+    assert {x.id for x in r.read(5).collect()} == set(range(6))
+
+    # Spark-readable sidecar with the documented row model
+    sidecar = _glob.glob(
+        os.path.join(root, "_log", "checkpoints", "00000010-*.parquet")
+    )
+    df = spark.read.parquet(*sidecar)
+    assert set(df.columns) == {"kind", "idx", "entry", "file", "val"}
+    kinds = {r2.kind for r2 in df.select("kind").distinct().collect()}
+    assert kinds == {"dir", "dstat", "fstat"}
+    assert df.filter("kind = 'dir'").count() == 11
+
+    # DML + vacuum across parquet checkpoints
+    t.delete("id = 0", prune=("id", 0, 0))
+    assert {x.id for x in t.read().collect()} == set(range(1, 12))
+    removed = t.vacuum(min_age_seconds=0)
+    assert removed  # v<=? pruned data dirs
+    # v0's log entry was pruned along with its sidecar
+    if not os.path.exists(t._manifest_path(0)):
+        assert not _glob.glob(
+            os.path.join(root, "_log", "checkpoints", "00000000-*")
+        )
+    # table still fully readable after vacuum
+    assert {x.id for x in r.read().collect()} == set(range(1, 12))
