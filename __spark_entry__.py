@@ -179,6 +179,13 @@ _DEMOTED = (
     # (round-10: sink_tx_evolve — parked here through r9 — rotated INTO
     # the window as planned: it left this list, taking the tier-0 slot
     # freed by the media_features/embedding_norms promotion retirement.)
+    # Round-10 late registration, parked OUTSIDE the window (the 50
+    # slots are committed this round): the r11 rotation's first
+    # promotion candidate. K-family window coverage stays wide
+    # (roundtrip/describe/partition_ops/convert/restore/bloom/evolve),
+    # and the feature itself is pinned by
+    # tests/test_manifest_log.py::test_distributed_planning_matches_driver.
+    "sink_tx_distributed_scan",
 )
 
 

@@ -80,12 +80,11 @@ _COMMIT_RETRIES = 20
 # listing are unchanged, and delta entries still apply on top of the
 # resolved state. Resolution loads the sidecar columnar via pyarrow
 # (no multi-GB JSON document, no monolithic parse); the file is plain
-# parquet, so at true 1M-file scale a reader can also consume the
-# stats DISTRIBUTED via spark.read.parquet instead of materializing
-# the driver-side dict (asserted Spark-readable in
-# tests/test_manifest_log.py) — that distributed-pruning read path is
-# the named next evolution, not needed at any scale this sandbox can
-# reach.
+# parquet, so at true 1M-file scale a reader consumes the stats
+# DISTRIBUTED: ``read(..., planning="distributed")`` evaluates
+# per-file skipping as a Spark job over the sidecar
+# (``_distributed_file_plan``) and the driver holds only the entry
+# list and the surviving file names, never the full stats map.
 _CHECKPOINT_EVERY = 10
 
 # Auto-graduation threshold: a checkpoint whose file inventory is at
@@ -230,6 +229,36 @@ def _bloom_might_contain(spec: dict, value) -> bool:
         (bits[p >> 3] >> (p & 7)) & 1
         for p in _bloom_positions(value, spec["m"], spec["k"])
     )
+
+
+def _file_survives(
+    per: dict,
+    norm: tuple[str, object, object] | None,
+    bloom_key: tuple[str, object] | None,
+) -> bool:
+    """Single source of truth for per-file skipping: does a file with
+    per-column stats ``per`` possibly hold rows matching the
+    (normalized) range predicate and/or the point-lookup bloom probe?
+    Conservative by construction — a missing/unusable stat keeps the
+    file. Used by BOTH the driver-side prune loop in ``read()`` and
+    the executor-side distributed planning job (Arrow batches over the
+    parquet checkpoint sidecar), so the two plans cannot diverge."""
+    if norm is not None:
+        col, lo, hi = norm
+        rng = per.get(col)
+        if (
+            rng is not None
+            and rng[0] is not None
+            and rng[1] is not None
+            and (rng[1] < lo or rng[0] > hi)
+        ):
+            return False
+    if bloom_key is not None:
+        pseudo, needle = bloom_key
+        spec = per.get(pseudo)
+        if spec is not None and not _bloom_might_contain(spec, needle):
+            return False
+    return True
 
 
 def _make_manifest_delta(prev: dict, full: dict) -> dict | None:
@@ -536,10 +565,119 @@ class SnapshotTable:
 
     # ----------------------------------------------------------- read
 
+    def _normalize_predicate(
+        self, m: dict, where: tuple[str, object, object] | None
+    ) -> tuple[tuple | None, tuple | None]:
+        """(range-prune spec, bloom-probe spec) for a ``where``
+        predicate against manifest ``m`` — the one place the skipping
+        rules live, shared by the driver-side prune loop and the
+        distributed planning job. Partition-column EQUALITY prunes by
+        path component instead (handled in ``read``), so it yields
+        neither; unorderable bounds (per ``_js``) yield no range spec;
+        bloom probes only engage for non-bool int/str point lookups on
+        non-partition columns."""
+        if where is None:
+            return None, None
+        col, lo, hi = where
+        pcols = m.get("partition_cols", [])
+        norm = None
+        if not (col in pcols and lo == hi):
+            nlo, nhi = self._js(lo), self._js(hi)
+            if nlo is not None and nhi is not None:
+                norm = (col, nlo, nhi)
+        bloom_key = None
+        if (
+            lo == hi
+            and isinstance(lo, (int, str))
+            and not isinstance(lo, bool)
+            and col not in pcols
+        ):
+            bloom_key = (_BLOOM_PREFIX + col, lo)
+        return norm, bloom_key
+
+    def _distributed_file_plan(
+        self, version: int, where: tuple[str, object, object]
+    ) -> tuple[dict, dict] | None:
+        """DISTRIBUTED scan planning (Delta's state-reconstruction-as-
+        a-Spark-job design): when ``version``'s log entry is a
+        parquet-checkpoint pointer, evaluate per-file data skipping as
+        a Spark job OVER THE SIDECAR instead of materializing the
+        whole file inventory driver-side — at O(1M files) the driver
+        holds only the O(dirs) entry list, the O(dirs) dir stats, and
+        the SURVIVING file names, never the full stats map. Returns
+        ``(manifest_lite, {entry: (n_total, surviving_files)})`` —
+        entries absent from the plan carry no file stats and scan
+        whole-dir (same conservative rule as the driver path) — or
+        None when this version doesn't resolve through a parquet
+        checkpoint (delta / plain-JSON versions fall back to the
+        driver path; checkpoints recur every ``_CHECKPOINT_EVERY``
+        commits, so the fallback only ever walks a bounded delta
+        suffix). The survival predicate is ``_file_survives`` — the
+        SAME function the driver loop uses — applied in executors over
+        Arrow batches of the sidecar's per-file JSON stats."""
+        raw = self._manifest_raw(version)
+        if raw.get("format") != "checkpoint-parquet":
+            return None
+        from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+        path = os.path.join(self.log_dir, raw["checkpoint"])
+        m = {
+            k: v
+            for k, v in raw.items()
+            if k not in ("format", "checkpoint")
+        }
+        sdf = self.spark.read.parquet(path)
+        # dir list + dir-level stats are O(entries) — driver-side
+        small = sdf.filter(F.col("kind") != "fstat").collect()
+        m["dirs"] = [
+            r["entry"]
+            for r in sorted(
+                (r for r in small if r["kind"] == "dir"),
+                key=lambda r: r["idx"],
+            )
+        ]
+        m["stats"] = {
+            r["entry"]: json.loads(r["val"])
+            for r in small
+            if r["kind"] == "dstat"
+        }
+        norm, bloom_key = self._normalize_predicate(m, where)
+        if norm is None and bloom_key is None:
+            return m, {}  # nothing file-prunable: whole-dir scans
+
+        # explicit SCALAR form: this module's `from __future__ import
+        # annotations` stringifies type hints, which pandas_udf cannot
+        # introspect (same idiom as functions/vectors.py)
+        def _keep_fn(val):
+            return val.map(
+                lambda s: _file_survives(json.loads(s), norm, bloom_key)
+            )
+
+        _keep = pandas_udf(_keep_fn, "boolean", PandasUDFType.SCALAR)
+
+        plan_rows = (
+            sdf.filter(F.col("kind") == "fstat")
+            .withColumn("__keep", _keep(F.col("val")))
+            .groupBy("entry")
+            .agg(
+                F.count("*").alias("__total"),
+                F.collect_list(
+                    F.when(F.col("__keep"), F.col("file"))
+                ).alias("__kept"),
+            )
+            .collect()
+        )
+        plan = {
+            r["entry"]: (r["__total"], list(r["__kept"]))
+            for r in plan_rows
+        }
+        return m, plan
+
     def read(
         self,
         version: int | None = None,
         where: tuple[str, object, object] | None = None,
+        planning: str = "driver",
     ) -> DataFrame:
         """Snapshot read; ``version`` pins a historical snapshot (time
         travel). The returned plan references only immutable dirs.
@@ -555,15 +693,31 @@ class SnapshotTable:
         correct whether or not stats exist; parquet row-group pruning
         still applies underneath). Stats are recorded by mutators
         called with ``stats_cols=[...]`` / ``cluster_by=[...]``; dirs
-        and files without stats for ``col`` are conservatively kept."""
+        and files without stats for ``col`` are conservatively kept.
+
+        ``planning="distributed"`` evaluates the per-file skipping as
+        a Spark job over the version's parquet checkpoint sidecar
+        (``_distributed_file_plan``) instead of materializing the file
+        inventory driver-side — the scale path for million-file
+        tables. Falls back to driver planning (same results — the two
+        paths share ``_file_survives``) when the version isn't a
+        parquet-checkpoint one or there's no predicate."""
+        if planning not in ("driver", "distributed"):
+            raise ValueError(f"unsupported planning {planning!r}")
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
-        m = self._manifest(v)
+        m = dplan = None
+        if planning == "distributed" and where is not None:
+            got = self._distributed_file_plan(v, where)
+            if got is not None:
+                m, dplan = got
+        if m is None:
+            m = self._manifest(v)
         schema = StructType.fromJson(json.loads(m["schema"]))
         evo_ctx = self._evolution_ctx(m)
         dirs = m["dirs"]
-        norm = None
+        norm, bloom_key = self._normalize_predicate(m, where)
         if where is not None:
             col, lo, hi = where
             if col in m.get("partition_cols", []) and lo == hi:
@@ -587,57 +741,54 @@ class SnapshotTable:
                         for d in dirs
                         if _partition_component(d, col) in (None, want)
                     ]
-            else:
-                nlo, nhi = self._js(lo), self._js(hi)
-                if nlo is not None and nhi is not None:
-                    norm = (col, nlo, nhi)
-                    dirs = self._prune_dirs(m, dirs, *norm)
+            elif norm is not None:
+                dirs = self._prune_dirs(m, dirs, *norm)
         all_fstats = m.get("file_stats", {})
         # POINT lookups additionally probe per-file bloom filters when
-        # present: min/max ranges on a high-cardinality key overlap
-        # across every file, but the bloom excludes the files that
-        # cannot hold the value (false positives only keep extras).
-        # Only int/str values probe — their str() rendering matches the
-        # Spark-side hash input; other types skip (conservative).
-        bloom_key = None
-        if (
-            where is not None
-            and where[1] == where[2]
-            and isinstance(where[1], (int, str))
-            and not isinstance(where[1], bool)
-            # partition columns never hold blooms (values live in
-            # paths, not files) — and must never be probed: a stray
-            # all-zero spec would falsely prune every file
-            and where[0] not in m.get("partition_cols", [])
-        ):
-            bloom_key = (_BLOOM_PREFIX + where[0], where[1])
+        # present (see _normalize_predicate): min/max ranges on a
+        # high-cardinality key overlap across every file, but the
+        # bloom excludes the files that cannot hold the value (false
+        # positives only keep extras). Partition columns never hold
+        # blooms (values live in paths, not files) and must never be
+        # probed: a stray all-zero spec would falsely prune every file.
         parts = []
         for d in dirs:
             base = os.path.join(self.data_dir, d)
-            fstats = all_fstats.get(d)
-            if fstats and (norm is not None or bloom_key is not None):
-                if norm is not None:
-                    files = self._prune_files(fstats, *norm)
-                else:
-                    files = list(fstats)
-                if bloom_key is not None:
-                    pseudo, needle = bloom_key
-                    files = [
-                        f
-                        for f in files
-                        if (spec := fstats[f].get(pseudo)) is None
-                        or _bloom_might_contain(spec, needle)
-                    ]
-                if not files:
-                    continue
-                # whole dir survives -> one dir-level scan (cheaper
-                # listing than enumerating every path)
-                if len(files) == len(fstats):
+            if dplan is not None:
+                # distributed planning already evaluated per-file
+                # survival in executors; entries absent from the plan
+                # carry no file stats -> conservative whole-dir scan
+                got = dplan.get(d)
+                if got is None:
                     paths = [base]
                 else:
-                    paths = [os.path.join(base, f) for f in files]
+                    total, files = got
+                    if not files:
+                        continue
+                    # whole dir survives -> one dir-level scan
+                    # (cheaper listing than enumerating every path)
+                    if len(files) == total:
+                        paths = [base]
+                    else:
+                        paths = [os.path.join(base, f) for f in files]
             else:
-                paths = [base]
+                fstats = all_fstats.get(d)
+                if fstats and (norm is not None or bloom_key is not None):
+                    files = [
+                        f
+                        for f, per in fstats.items()
+                        if _file_survives(per, norm, bloom_key)
+                    ]
+                    if not files:
+                        continue
+                    # whole dir survives -> one dir-level scan (cheaper
+                    # listing than enumerating every path)
+                    if len(files) == len(fstats):
+                        paths = [base]
+                    else:
+                        paths = [os.path.join(base, f) for f in files]
+                else:
+                    paths = [base]
             part = (
                 # per-entry physical schema: identical to the logical
                 # schema except for entries predating a rename (see
@@ -873,19 +1024,15 @@ class SnapshotTable:
 
     @staticmethod
     def _prune_files(fstats: dict, col: str, lo, hi) -> list[str]:
-        """File-level skipping within one dir: ``fstats`` maps every
-        parquet file (relative path) to its footer-derived per-column
-        ranges; files whose range cannot intersect [lo, hi] drop out.
-        Files without a usable stat for ``col`` are kept."""
-        kept = []
-        for f, per in fstats.items():
-            rng = per.get(col)
-            if rng is None or rng[0] is None or rng[1] is None:
-                kept.append(f)
-                continue
-            if not (rng[1] < lo or rng[0] > hi):
-                kept.append(f)
-        return kept
+        """File-level skipping within one dir: files whose
+        footer-derived range cannot intersect [lo, hi] drop out —
+        a thin wrapper over ``_file_survives`` (the shared survival
+        predicate; see read()/_distributed_file_plan)."""
+        return [
+            f
+            for f, per in fstats.items()
+            if _file_survives(per, (col, lo, hi), None)
+        ]
 
     def _footer_stats(
         self, d: str, stats_cols: Sequence[str]

@@ -830,3 +830,52 @@ def sink_tx_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dropped_ok", F.lit(dropped_ok))
         .select("etype", "n_rows", "cents", "dropped_ok")
     )
+
+
+@query(
+    "sink_tx_distributed_scan",
+    oracle="""
+    SELECT event_type AS etype, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events WHERE user_id BETWEEN 10 AND 25
+    GROUP BY 1
+    """,
+)
+def sink_tx_distributed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed scan planning through the gate (round 10): a
+    user_id-clustered append commits v0 as a parquet-checkpoint
+    pointer + columnar sidecar; the range read then plans with
+    ``planning="distributed"`` — per-file data skipping runs as a
+    Spark job over the sidecar (acid._distributed_file_plan), the
+    driver holds only the surviving file names, and the result must
+    value-hash-match a plain batch aggregate. A survivor-selection bug
+    (dropped live file / resurrected pruned file) shifts n_rows and
+    cents; a planner that silently scans everything still passes —
+    pruning coverage is pinned by
+    tests/test_manifest_log.py::test_distributed_planning_matches_driver.
+
+    Reference anchor: the reference plans scans from Iceberg manifest
+    metadata (src/jobs/transform_job.py:20-33); this is the same
+    metadata-driven file pruning executed Spark-side at
+    million-file scale."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .withColumn(
+            "cents",
+            F.round(F.col("value") * 100, 0).cast("long"),
+        )
+        .drop("value")
+    )
+    t = _tx_table(spark, "distscan", parquet_checkpoints=True)
+    t.append(e, stats_cols=["user_id"], cluster_by=["user_id"], n_files=8)
+    return (
+        t.read(where=("user_id", 10, 25), planning="distributed")
+        .groupBy(F.col("event_type").alias("etype"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .select("etype", "n_rows", "cents")
+    )

@@ -443,3 +443,106 @@ def test_parquet_checkpoint_spark_readable_and_functional(spark, tmp_path):
         )
     # table still fully readable after vacuum
     assert {x.id for x in r.read().collect()} == set(range(1, 12))
+
+
+def test_distributed_planning_matches_driver(spark, tmp_path):
+    """``read(..., planning="distributed")`` (round 10): per-file data
+    skipping evaluated as a Spark job over the parquet checkpoint
+    sidecar must select EXACTLY the files the driver-side loop
+    selects (both paths share ``_file_survives``), return identical
+    rows, and actually prune; non-checkpoint versions fall back to
+    driver planning with identical results."""
+    from scalable_etl_spark.acid import _file_survives
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root, parquet_checkpoints=True)
+    # one clustered append -> v0 = parquet checkpoint whose entry has
+    # several files with disjoint id ranges (file-prunable)
+    df = spark.range(0, 400).selectExpr("id", "id % 7 AS g")
+    t.append(df, stats_cols=["id"], cluster_by=["id"], n_files=8)
+    assert t._manifest_raw(0).get("format") == "checkpoint-parquet"
+
+    where = ("id", 10, 60)
+    got = t._distributed_file_plan(0, where)
+    assert got is not None
+    m_lite, plan = got
+    # manifest-lite parity with full resolution (minus file_stats)
+    m_full = t._manifest(0)
+    assert m_lite["dirs"] == m_full["dirs"]
+    assert m_lite["stats"] == m_full["stats"]
+    assert m_lite["schema"] == m_full["schema"]
+    # file-selection parity: the Spark job's survivors ARE the driver
+    # loop's survivors, and pruning really dropped files
+    norm, bloom_key = t._normalize_predicate(m_full, where)
+    for d, fstats in m_full["file_stats"].items():
+        total, kept = plan[d]
+        assert total == len(fstats)
+        want = {
+            f
+            for f, per in fstats.items()
+            if _file_survives(per, norm, bloom_key)
+        }
+        assert set(kept) == want
+        assert 0 < len(want) < total
+    # row parity driver vs distributed
+    a = {r.id for r in t.read(where=where).collect()}
+    b = {
+        r.id
+        for r in t.read(where=where, planning="distributed").collect()
+    }
+    assert a == b == set(range(10, 61))
+
+    # delta version on top -> distributed silently falls back, still
+    # correct and still sees the new rows
+    t.append(
+        spark.range(1000, 1010).selectExpr("id", "id % 7 AS g"),
+        stats_cols=["id"],
+    )
+    assert t._distributed_file_plan(1, where) is None
+    c = {
+        r.id
+        for r in t.read(
+            where=("id", 1000, 2000), planning="distributed"
+        ).collect()
+    }
+    assert c == set(range(1000, 1010))
+
+    # bloom specs survive the sidecar JSON round-trip: a point lookup
+    # through the executor-side predicate keeps exactly the files the
+    # driver-side probe keeps (exercised at v10 = next checkpoint)
+    for i in range(9):
+        t.append(
+            spark.range(2000 + i, 2001 + i).selectExpr(
+                "id", "id % 7 AS g"
+            ),
+            stats_cols=["id"],
+            bloom_cols=["id"],
+        )
+    assert t._manifest_raw(10).get("format") == "checkpoint-parquet"
+    point = ("id", 2003, 2003)
+    got10 = t._distributed_file_plan(10, point)
+    assert got10 is not None
+    m10, plan10 = got10
+    f10 = t._file_stats_of(10)
+    norm10, bk10 = t._normalize_predicate(t._manifest(10), point)
+    assert bk10 is not None
+    for d, fstats in f10.items():
+        if d not in plan10:
+            continue
+        total, kept = plan10[d]
+        want = {
+            f
+            for f, per in fstats.items()
+            if _file_survives(per, norm10, bk10)
+        }
+        assert set(kept) == want
+    rows = t.read(
+        version=10, where=point, planning="distributed"
+    ).collect()
+    assert {r.id for r in rows} == {2003}
+
+    # unknown planning mode validates loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="planning"):
+        t.read(where=where, planning="magic")
