@@ -437,6 +437,17 @@ class SnapshotTable:
             files.append(None)
             vals.append(json.dumps(per))
         for d, fs in manifest.get("file_stats", {}).items():
+            if not fs:
+                # entry committed with an EMPTY file dict (e.g. a
+                # bloom catch-up over a fileless entry): a marker row
+                # with file=NULL keeps the entry key through the
+                # round-trip — dropping it would make the resolved
+                # manifest differ from the committed one
+                kinds.append("fstat")
+                idxs.append(None)
+                entries.append(d)
+                files.append(None)
+                vals.append(None)
             for f, per in fs.items():
                 kinds.append("fstat")
                 idxs.append(None)
@@ -482,6 +493,8 @@ class SnapshotTable:
                 dirs.append((i, d))
             elif k == "dstat":
                 stats[d] = json.loads(v)
+            elif f is None:
+                fstats.setdefault(d, {})  # empty-dict marker row
             else:
                 fstats.setdefault(d, {})[f] = json.loads(v)
         m = {
@@ -645,6 +658,22 @@ class SnapshotTable:
         if norm is None and bloom_key is None:
             return m, {}  # nothing file-prunable: whole-dir scans
 
+        # dir-level pruning FIRST (O(dirs), driver-side — the dstat
+        # rows are already here): the fstat job then evaluates only
+        # entries the read will actually scan, instead of shipping
+        # survivors of dead dirs back to the driver. The isin filter
+        # is skipped past 8192 surviving dirs (a giant In literal
+        # costs more to plan than the superset evaluation it saves;
+        # read() re-prunes the dir list either way, so extra plan
+        # entries are merely unused).
+        kept_dirs = self._dir_prune(m, m["dirs"], where, norm)
+        # file IS NULL rows are empty-dict markers, not files
+        fdf = sdf.filter(
+            (F.col("kind") == "fstat") & F.col("file").isNotNull()
+        )
+        if len(kept_dirs) < len(m["dirs"]) and len(kept_dirs) <= 8192:
+            fdf = fdf.filter(F.col("entry").isin(kept_dirs))
+
         # explicit SCALAR form: this module's `from __future__ import
         # annotations` stringifies type hints, which pandas_udf cannot
         # introspect (same idiom as functions/vectors.py)
@@ -656,8 +685,7 @@ class SnapshotTable:
         _keep = pandas_udf(_keep_fn, "boolean", PandasUDFType.SCALAR)
 
         plan_rows = (
-            sdf.filter(F.col("kind") == "fstat")
-            .withColumn("__keep", _keep(F.col("val")))
+            fdf.withColumn("__keep", _keep(F.col("val")))
             .groupBy("entry")
             .agg(
                 F.count("*").alias("__total"),
@@ -718,31 +746,7 @@ class SnapshotTable:
         evo_ctx = self._evolution_ctx(m)
         dirs = m["dirs"]
         norm, bloom_key = self._normalize_predicate(m, where)
-        if where is not None:
-            col, lo, hi = where
-            if col in m.get("partition_cols", []) and lo == hi:
-                # partition-granular entries: equality on a partition
-                # column prunes by PATH component, no stats required.
-                # CONSERVATIVE: an entry is dropped only when it
-                # carries a CONFLICTING `col=` component — entries with
-                # no component for `col` (bare-uuid appends, legacy
-                # snapshots) may hold rows of any partition and are
-                # kept (the trailing filter below makes them correct).
-                # The value is rendered and hive-escaped the way Spark
-                # writes it on disk (booleans lowercase, dates ISO,
-                # specials %XX-escaped); unrenderable types (floats,
-                # timestamps) skip the path prune entirely rather than
-                # matching nothing.
-                rendered = _partition_value_str(lo)
-                if rendered is not None:
-                    want = _hive_escape_path(rendered)
-                    dirs = [
-                        d
-                        for d in dirs
-                        if _partition_component(d, col) in (None, want)
-                    ]
-            elif norm is not None:
-                dirs = self._prune_dirs(m, dirs, *norm)
+        dirs = self._dir_prune(m, dirs, where, norm)
         all_fstats = m.get("file_stats", {})
         # POINT lookups additionally probe per-file bloom filters when
         # present (see _normalize_predicate): min/max ranges on a
@@ -1004,6 +1008,42 @@ class SnapshotTable:
         return reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
         )
+
+    def _dir_prune(
+        self,
+        m: dict,
+        dirs: list[str],
+        where: tuple[str, object, object] | None,
+        norm: tuple | None,
+    ) -> list[str]:
+        """Entry-level pruning for ``where`` — shared by ``read()``
+        and ``_distributed_file_plan`` (idempotent, so the latter's
+        pre-prune is safely re-applied by read()). Partition-column
+        EQUALITY prunes by PATH component, no stats required.
+        CONSERVATIVE: an entry is dropped only when it carries a
+        CONFLICTING ``col=`` component — entries with no component for
+        ``col`` (bare-uuid appends, legacy snapshots) may hold rows of
+        any partition and are kept (read()'s trailing filter makes
+        them correct). The value is rendered and hive-escaped the way
+        Spark writes it on disk (booleans lowercase, dates ISO,
+        specials %XX-escaped); unrenderable types (floats, timestamps)
+        skip the path prune entirely rather than matching nothing.
+        Everything else prunes on committed [min, max] dir stats."""
+        if where is None:
+            return dirs
+        col, lo, hi = where
+        if col in m.get("partition_cols", []) and lo == hi:
+            rendered = _partition_value_str(lo)
+            if rendered is not None:
+                want = _hive_escape_path(rendered)
+                dirs = [
+                    d
+                    for d in dirs
+                    if _partition_component(d, col) in (None, want)
+                ]
+        elif norm is not None:
+            dirs = self._prune_dirs(m, dirs, *norm)
+        return dirs
 
     @staticmethod
     def _prune_dirs(m: dict, dirs: list[str], col: str, lo, hi) -> list[str]:
@@ -1359,6 +1399,7 @@ class SnapshotTable:
                 m.get("partition_cols", []),
             )
             all_fstats = {**self._file_stats_of(v)}
+            evo_ctx = self._evolution_ctx(m)
             for e in m["dirs"]:
                 have = all_fstats.get(e, {})
                 missing = [
@@ -1382,7 +1423,7 @@ class SnapshotTable:
                             # default must not back-fill zero blooms
                             # (they would falsely prune default probes)
                             defaults={
-                                c: self._default_fill(m, e, c)
+                                c: self._default_fill(evo_ctx, e, c)
                                 for c in missing
                             },
                         ),
@@ -1571,28 +1612,30 @@ class SnapshotTable:
         return df
 
     @staticmethod
-    def _default_fill(m: dict, d: str, col: str):
+    def _default_fill(ctx: list, d: str, col: str):
         """The non-NULL value logical column ``col`` reads as in entry
         ``d`` via an alter_add_column default fill — None when the
         entry carries the column physically (or reads plain NULL).
         Mirrors ``_apply_evolution``: each add_column record fills
         under its THEN-name; renames that postdate the record AND
-        cover ``d`` carry the fill forward to the current name."""
+        cover ``d`` carry the fill forward to the current name.
+        ``ctx`` is the ``_evolution_ctx`` pair list, built ONCE per
+        maintenance commit — per-record entry sets are not rebuilt
+        here (the 5k-entry×5k-call blow-up _evolution_ctx documents)."""
         fill = None
-        evo = m.get("evolution", [])
-        for i, rec in enumerate(evo):
+        for i, (rec, ents) in enumerate(ctx):
             if (
                 rec["op"] != "add_column"
                 or rec.get("default") is None
-                or d not in set(rec.get("entries", ()))
+                or d not in ents
             ):
                 continue
             name = rec["col"]
-            for later in evo[i + 1:]:
+            for later, lents in ctx[i + 1:]:
                 if (
                     later["op"] == "rename_column"
                     and later["from"] == name
-                    and d in set(later.get("entries", ()))
+                    and d in lents
                 ):
                     name = later["to"]
             if name == col:
@@ -2926,6 +2969,20 @@ class SnapshotTable:
         except FileNotFoundError:
             sidecars = []
         for name in sidecars:
+            if name.startswith(".tmp-"):
+                # crash orphan: a writer died between pq.write_table
+                # and the rename that publishes the sidecar. Subject
+                # to the same age gate as data dirs — an in-flight
+                # checkpoint writer's tmp must not be swept mid-write.
+                path = os.path.join(ckpt_dir, name)
+                try:
+                    if time.time() - os.path.getmtime(path) > (
+                        min_age_seconds
+                    ):
+                        os.unlink(path)
+                except FileNotFoundError:
+                    pass
+                continue
             stem = name.split("-", 1)[0]
             if stem.isdigit() and int(stem) < anchor:
                 try:

@@ -200,6 +200,11 @@ def cmd_table(spark: SparkSession, args: argparse.Namespace) -> dict:
             "renamed": args.column, "to": args.to,
             "committed_version": v,
         }
+    if args.action == "drop-column":
+        if not args.column:
+            raise SystemExit("drop-column needs --column")
+        v = t.alter_drop_column(args.column)
+        return {"dropped": args.column, "committed_version": v}
     raise SystemExit(f"unknown table action {args.action!r}")
 
 
@@ -255,11 +260,12 @@ def main(argv: list[str] | None = None) -> int:
     tb = sub.add_parser(
         "table",
         help="ACID table admin: history / restore / compact / vacuum / "
-        "add-column / rename-column",
+        "add-column / rename-column / drop-column",
     )
     tb.add_argument("action",
                     choices=["history", "restore", "compact", "vacuum",
-                             "add-column", "rename-column"])
+                             "add-column", "rename-column",
+                             "drop-column"])
     tb.add_argument("--root", required=True)
     tb.add_argument("--version", type=int, default=None,
                     help="target version for restore")
@@ -274,7 +280,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="seconds an unreferenced dir must age before "
                     "vacuum deletes it (in-flight-writer guard)")
     tb.add_argument("--column", default="",
-                    help="column name for add-column / rename-column")
+                    help="column name for add-column / rename-column "
+                    "/ drop-column")
     tb.add_argument("--type", default="",
                     help="DDL type for add-column (e.g. 'bigint')")
     tb.add_argument("--default", default=None,

@@ -480,11 +480,10 @@ def decode_yuv_stats(
     stage stays embarrassingly parallel, no shuffle either way."""
 
     def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import struct as _struct
-
         import pandas as pd
 
         from .vp8 import decode_vp8_yuv
+        from .vp8l import riff_chunks
 
         memo: dict[bytes, tuple[int, int, int]] = {}
 
@@ -492,17 +491,14 @@ def decode_yuv_stats(
             key = payload  # small fixture payloads; bytes key is fine
             got = memo.get(key)
             if got is None:
-                i = 12
-                chunk = None
-                while i + 8 <= len(payload):
-                    tag = payload[i : i + 4]
-                    size = _struct.unpack(
-                        "<I", payload[i + 4 : i + 8]
-                    )[0]
-                    if tag == b"VP8 ":
-                        chunk = payload[i + 8 : i + 8 + size]
-                        break
-                    i += 8 + size + (size & 1)
+                chunk = next(
+                    (
+                        body
+                        for tag, body in riff_chunks(payload)
+                        if tag == b"VP8 "
+                    ),
+                    None,
+                )
                 if chunk is None:
                     raise ValueError("no 'VP8 ' chunk in payload")
                 y, u, v = decode_vp8_yuv(chunk)

@@ -574,6 +574,22 @@ def decode_vp8l_chunk(chunk: bytes) -> tuple[np.ndarray, int, int]:
     return decode_vp8l_stream(chunk, w, h, br=br), w, h
 
 
+def riff_chunks(payload: bytes):
+    """Yield ``(tag, body)`` for each chunk of a RIFF/WEBP container
+    (word-aligned per the RIFF spec; a size that overruns the payload
+    yields the truncated body, matching libwebp's tolerant parse).
+    The ONE chunk walk — decode_webp and the multimodal stats path
+    both iterate this, so padding/truncation fixes land once."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF/WEBP) payload")
+    i = 12
+    while i + 8 <= len(payload):
+        tag = payload[i : i + 4]
+        size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        yield tag, payload[i + 8 : i + 8 + size]
+        i += 8 + size + (size & 1)
+
+
 def decode_webp(payload: bytes) -> np.ndarray:
     """Decode a WebP file — lossless ('VP8L', this module) OR lossy
     ('VP8 ', the RFC 6386 keyframe decoder in ``operators/vp8.py``,
@@ -582,14 +598,8 @@ def decode_webp(payload: bytes) -> np.ndarray:
     (h, w, 3) RGB or (h, w, 4) RGBA uint8 array (alpha kept only when
     not fully opaque). The lossy RGB conversion is the repo's
     documented ``yuv420_to_rgb`` (the VP8 spec ends at YUV)."""
-    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
-        raise ValueError("not a WebP (RIFF/WEBP) payload")
-    i = 12
     vp8l = vp8 = alph = None
-    while i + 8 <= len(payload):
-        tag = payload[i : i + 4]
-        size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
-        body = payload[i + 8 : i + 8 + size]
+    for tag, body in riff_chunks(payload):
         if tag == b"VP8L":
             vp8l = body
             break  # VP8L carries its own alpha; ALPH never follows
@@ -598,7 +608,6 @@ def decode_webp(payload: bytes) -> np.ndarray:
             break  # ALPH precedes the image chunk in extended files
         if tag == b"ALPH":
             alph = body
-        i += 8 + size + (size & 1)
     if vp8l is not None:
         argb, w, h = decode_vp8l_chunk(vp8l)
         a = ((argb >> 24) & 0xFF).astype(np.uint8)

@@ -2158,16 +2158,6 @@ def test_alter_drop_column(spark, tmp_path):
     assert set(d.read().columns) == {"id"}
     d.append(spark.createDataFrame([(3,)], "id INT"))
     m = d._manifest(d.latest_version())
-    fills = [
-        rec
-        for rec in m["evolution"]
-        if rec["op"] == "add_column"
-        and rec.get("entries")
-        and any(
-            e in rec["entries"]
-            for e in m["dirs"]
-        )
-    ]
     # no NEW fill record was created for the post-drop append (the
     # pre-drop records remain, inert behind the drop record)
     post_drop_entries = set(m["dirs"]) - set(

@@ -170,3 +170,7 @@ def test_table_alter_cli(spark, tmp_path, capsys):
                    "committed_version": 2}
     row = t.read().collect()[0]
     assert (row.id, row.label, row.score) == (1, "a", 9)
+    out = _run(capsys, "table", "drop-column", "--root", root,
+               "--column", "label")
+    assert out == {"dropped": "label", "committed_version": 3}
+    assert set(t.read().columns) == {"id", "score"}

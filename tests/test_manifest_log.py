@@ -546,3 +546,65 @@ def test_distributed_planning_matches_driver(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="planning"):
         t.read(where=where, planning="magic")
+
+
+def test_parquet_checkpoint_empty_fstats_and_tmp_orphans(spark, tmp_path):
+    """Two review fixes: (1) an entry committed with an EMPTY file
+    dict keeps its file_stats key through the sidecar round-trip (a
+    marker row; dropping the key would make the resolved manifest
+    differ from the committed one), and (2) vacuum sweeps
+    crash-orphaned ``.tmp-`` sidecars past the age gate while leaving
+    fresh ones (a racing checkpoint writer) alone."""
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root, parquet_checkpoints=True)
+    t.append(
+        spark.createDataFrame([(1, "a")], "id INT, v STRING"),
+        stats_cols=["id"],
+    )
+
+    m = dict(t._manifest(0))
+    m["file_stats"] = {**m["file_stats"], "ghost-entry": {}}
+    rel = t._write_parquet_checkpoint(99, m)
+    pointer = {
+        k: v
+        for k, v in m.items()
+        if k not in ("dirs", "stats", "file_stats")
+    }
+    pointer["format"] = "checkpoint-parquet"
+    pointer["checkpoint"] = rel
+    back = t._load_parquet_checkpoint(pointer)
+    assert back["file_stats"] == m["file_stats"]  # incl. the empty dict
+    assert back["dirs"] == m["dirs"]
+    assert back["stats"] == m["stats"]
+
+    ckpt_dir = os.path.join(root, "_log", "checkpoints")
+    stale = os.path.join(ckpt_dir, ".tmp-stale.parquet")
+    fresh = os.path.join(ckpt_dir, ".tmp-fresh.parquet")
+    for p in (stale, fresh):
+        with open(p, "wb") as fh:
+            fh.write(b"x")
+    os.utime(stale, (1, 1))  # ancient mtime -> past any age gate
+    t.vacuum(min_age_seconds=3600)
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh)
+
+
+def test_distributed_plan_5k_ships_only_survivors(spark, tmp_path):
+    """Scale evidence for the distributed planner: on the 5k-entry
+    heavy-metadata state (parquet-checkpointed), a range read's plan
+    job dir-prunes driver-side FIRST (O(dirs) dstat rows), evaluates
+    per-file survival only over the surviving entries, and the driver
+    receives exactly those — 10 of 5,000 — never the full inventory."""
+    t = SnapshotTable(
+        spark, str(tmp_path / "t"), parquet_checkpoints=True
+    )
+    _commit_5k_state(t)
+    assert t._manifest_raw(0).get("format") == "checkpoint-parquet"
+    got = t._distributed_file_plan(0, ("k", 100, 199))
+    assert got is not None
+    m, plan = got
+    assert len(m["dirs"]) == 5000
+    # k ranges are [i*10, i*10+9] per entry -> i in 10..19 intersect
+    assert len(plan) == 10
+    for e, (total, kept) in plan.items():
+        assert total == 1 and kept == ["part-00000.parquet"]
