@@ -261,6 +261,26 @@ def _file_survives(
     return True
 
 
+def _current_defaults(evolution: list) -> dict:
+    """Read-time default per CURRENT logical column name implied by
+    the evolution records: add_column defaults chained through later
+    renames; dropped (or default-lessly re-added) names removed. Used
+    by ``merge`` to fill schema-drifted batches with the same value an
+    omitting append's rows would read back."""
+    cur: dict = {}
+    for rec in evolution:
+        if rec["op"] == "add_column":
+            if rec.get("default") is not None:
+                cur[rec["col"]] = rec["default"]
+            else:
+                cur.pop(rec["col"], None)
+        elif rec["op"] == "rename_column" and rec["from"] in cur:
+            cur[rec["to"]] = cur.pop(rec["from"])
+        elif rec["op"] == "drop_column":
+            cur.pop(rec["col"], None)
+    return cur
+
+
 def _make_manifest_delta(prev: dict, full: dict) -> dict | None:
     """Delta log entry reproducing ``full`` from ``prev``, or None when
     the diff cannot (caller then writes ``full`` verbatim). Always
@@ -2368,12 +2388,20 @@ class SnapshotTable:
         if when_matched not in ("update", "delete"):
             raise ValueError(f"unsupported when_matched={when_matched!r}")
         keys = list(key_cols)
+        # one row per key per batch; MULTIPLE source rows per key
+        # resolve to an ARBITRARY one (dropDuplicates) — callers with
+        # multi-row-per-key sources (CDC feeds, interim stateful
+        # emissions) must pre-reduce upstream. Delta's MERGE raises on
+        # multiple matches instead; erroring here would cost a
+        # count-distinct job per call, so the contract is documented
+        # rather than enforced.
         batch = df.dropDuplicates(keys)
-        aggs = []
+        aggs = [F.count(F.lit(1)).alias("__n")]
         for k in keys:
             aggs.append(F.min(k).alias(f"__lo_{k}"))
             aggs.append(F.max(k).alias(f"__hi_{k}"))
         r = batch.agg(*aggs).collect()[0]
+        batch_empty = r["__n"] == 0
         key_ranges: dict[str, tuple] = {}
         for k in keys:
             lo, hi = self._js(r[f"__lo_{k}"]), self._js(r[f"__hi_{k}"])
@@ -2388,6 +2416,25 @@ class SnapshotTable:
                     for k, b in txn_update.items()
                 ):
                     return v  # replayed streaming batch: no-op
+            if batch_empty and v is not None:
+                # idle micro-batch (watermark-only trigger): nothing
+                # to upsert — without this, key_ranges is empty, no
+                # dir prunes, and the WHOLE table is rewritten just to
+                # record a ledger entry. Commit a data-identical
+                # manifest carrying only the ledger advance (or do
+                # nothing at all when there's no ledger to advance).
+                if not txn_update:
+                    return v
+                m = self._manifest(v)
+                manifest = {
+                    **{k: val for k, val in m.items()},
+                    "op": f"merge_{when_matched}",
+                    "txn": self._merge_txn(v, txn_update),
+                    "timestamp": time.time(),
+                }
+                if self._commit(v + 1, manifest):
+                    return v + 1
+                continue
             if v is None:
                 merged = batch  # nothing to match; all rows insert
                 pcols: list[str] = []
@@ -2416,6 +2463,26 @@ class SnapshotTable:
                     if d in untouched
                 }
                 target = self._read_dirs(m, rewrite)
+                missing = [
+                    c for c in target.columns if c not in batch.columns
+                ]
+                if missing:
+                    # schema drift: the batch predates an ALTER ADD
+                    # COLUMN (e.g. a long-lived update-mode stream
+                    # into an evolving table). Fill each missing
+                    # column with its current read-time default (NULL
+                    # when none) — the value an omitting APPEND's rows
+                    # would read back — instead of crashing on the
+                    # select below.
+                    defaults = _current_defaults(self._evolution_of(v))
+                    tfields = {f.name: f for f in target.schema.fields}
+                    for c in missing:
+                        batch = batch.withColumn(
+                            c,
+                            F.lit(defaults.get(c)).cast(
+                                tfields[c].dataType
+                            ),
+                        )
                 survivors = target.join(batch, keys, "left_anti")
                 if when_matched == "update":
                     merged = survivors.unionByName(
@@ -2443,13 +2510,26 @@ class SnapshotTable:
                 "partition_cols": pcols,
                 "stats": kept_stats,
                 "file_stats": kept_fstats,
-                "txn": {**self._txn_of(v), **(txn_update or {})},
+                "txn": self._merge_txn(v, txn_update),
                 "evolution": self._evolution_of(v),
                 "timestamp": time.time(),
             }
             if self._commit(0 if v is None else v + 1, manifest):
                 return 0 if v is None else v + 1
         raise CommitConflict(f"merge lost {_COMMIT_RETRIES} races")
+
+    def _merge_txn(
+        self, version: int | None, txn_update: dict[str, int] | None
+    ) -> dict:
+        """Ledger for a merge commit: every ``txn_update`` key advances
+        MONOTONICALLY (max of committed and requested) — the gate in
+        ``merge`` passes when ANY key is behind, so a partial
+        multi-key update overlaying verbatim could REGRESS an
+        already-seen batch id and let its replay re-apply."""
+        txn = self._txn_of(version)
+        for k, b in (txn_update or {}).items():
+            txn[k] = max(int(txn.get(k, -1)), int(b))
+        return txn
 
     def _read_dirs(self, m: dict, dirs: list[str]) -> DataFrame:
         """DataFrame over an explicit dir subset of a manifest (empty
@@ -3334,6 +3414,12 @@ def write_stream_snapshot(
         raise ValueError('output_mode="update" requires merge_on keys')
     if merge_on and output_mode != "update":
         raise ValueError('merge_on only applies to output_mode="update"')
+    if stats_cols and output_mode == "update":
+        raise ValueError(
+            'stats_cols does not apply to output_mode="update" — the '
+            "MERGE path records footer stats for the merge keys (its "
+            "rewrites make other-column micro-batch stats meaningless)"
+        )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if output_mode == "update":

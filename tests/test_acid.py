@@ -2261,7 +2261,7 @@ def test_stream_sink_complete_mode_replaces(spark, tmp_path):
     with _pytest.raises(ValueError, match="output_mode"):
         write_stream_snapshot(
             spark.readStream.schema("k STRING").json(str(src)),
-            t, ckpt, output_mode="update",
+            t, ckpt, output_mode="sideways",
         )
 
 
@@ -2342,3 +2342,42 @@ def test_stream_sink_update_mode_merges(spark, tmp_path):
         write_stream_snapshot(
             stream, t, ckpt, output_mode="append", merge_on=("k",)
         )
+
+
+def test_merge_ledger_and_drift_edge_cases(spark, tmp_path):
+    """Review fixes on the merge/txn_update surface: (1) a partial
+    multi-key gate pass must never REGRESS an already-committed batch
+    id (ledger advances by max, not overlay); (2) an EMPTY batch
+    commits only the ledger advance — never a copy-on-write rewrite —
+    and is a pure no-op without one; (3) a batch predating an ALTER
+    ADD COLUMN merges with the column filled to its read-time default
+    instead of crashing."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+
+    def rows(*pairs):
+        return spark.createDataFrame(list(pairs), "k STRING, n LONG")
+
+    t.append(rows(("a", 1), ("b", 1)))
+    t.merge(rows(("a", 2)), ["k"], txn_update={"q1": 5})
+    v = t.merge(
+        rows(("b", 2)), ["k"], txn_update={"q1": 3, "q2": 1}
+    )
+    txn = t._txn_of(v)
+    assert txn["q1"] == 5, "partial multi-key update regressed q1"
+    assert txn["q2"] == 1
+
+    empty = spark.createDataFrame([], "k STRING, n LONG")
+    dirs_before = t._manifest(v)["dirs"]
+    v2 = t.merge(empty, ["k"], txn_update={"q2": 2})
+    assert v2 == v + 1
+    m2 = t._manifest(v2)
+    assert m2["dirs"] == dirs_before, "idle batch rewrote the table"
+    assert m2["txn"]["q2"] == 2
+    # no ledger to advance -> nothing to commit at all
+    assert t.merge(empty, ["k"]) == v2
+    assert t.latest_version() == v2
+
+    t.alter_add_column("score", "int", default=7)
+    t.merge(rows(("d", 9)), ["k"])  # batch lacks `score`
+    got = {(r.k, r.n, r.score) for r in t.read().collect()}
+    assert got == {("a", 2, 7), ("b", 2, 7), ("d", 9, 7)}
