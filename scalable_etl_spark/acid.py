@@ -261,6 +261,25 @@ def _file_survives(
     return True
 
 
+def _entries_empty(data_dir: str, entries: Sequence[str]) -> bool:
+    """True when the just-written ``entries`` hold zero rows — read
+    from the parquet footers (pyarrow metadata, driver-side file IO),
+    never by re-executing the plan that produced them."""
+    import pyarrow.parquet as pq
+
+    for e in entries:
+        base = os.path.join(data_dir, e)
+        for walk_root, _sub, files in os.walk(base):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    md = pq.ParquetFile(
+                        os.path.join(walk_root, fn)
+                    ).metadata
+                    if md.num_rows > 0:
+                        return False
+    return True
+
+
 def _current_defaults(evolution: list) -> dict:
     """Read-time default per CURRENT logical column name implied by
     the evolution records: add_column defaults chained through later
@@ -3466,6 +3485,30 @@ def write_stream_snapshot(
             # partitioned tables get partition-granular entries (same
             # contract as append) so micro-batches stay prunable
             entries = table._write_data_entries(batch_df, pcols)
+            if output_mode == "append" and _entries_empty(
+                table.data_dir, entries
+            ):
+                # idle micro-batch: appending it would commit an
+                # empty data dir + a new manifest version PER IDLE
+                # BATCH — pure metadata growth. Detected from the
+                # just-written parquet FOOTERS (no second plan
+                # execution — re-running the batch for an isEmpty()
+                # probe would double every stateful operator's work);
+                # the uncommitted dirs are deleted, the ledger stays
+                # put (a replayed empty batch is empty again), and
+                # the one write already consumed every partition, so
+                # state-store commit validation is satisfied.
+                # (Complete mode intentionally still commits empty:
+                # an empty aggregate legitimately replaces the table
+                # with nothing.)
+                import shutil
+
+                for e in entries:
+                    shutil.rmtree(
+                        os.path.join(table.data_dir, e),
+                        ignore_errors=True,
+                    )
+                return
             txn[query_id] = batch_id
             if output_mode == "complete":
                 # batch frame IS the whole result: replace, don't stack

@@ -2381,3 +2381,40 @@ def test_merge_ledger_and_drift_edge_cases(spark, tmp_path):
     t.merge(rows(("d", 9)), ["k"])  # batch lacks `score`
     got = {(r.k, r.n, r.score) for r in t.read().collect()}
     assert got == {("a", 2, 7), ("b", 2, 7), ("d", 9, 7)}
+
+
+def test_stream_sink_append_skips_idle_batches(spark, tmp_path):
+    """An empty append-mode micro-batch must not commit: no empty data
+    dir, no version growth — idle triggers otherwise inflate the
+    manifest forever. (Complete mode intentionally DOES commit empty —
+    an empty aggregate legitimately replaces the table with nothing.)"""
+    import json as _json
+
+    from scalable_etl_spark.acid import write_stream_snapshot
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+
+    with open(src / "f1.jsonl", "w") as fh:
+        fh.write(_json.dumps({"k": "a"}) + "\n")
+
+    def _drain(where):
+        stream = spark.readStream.schema("k STRING").json(str(src))
+        q = write_stream_snapshot(
+            stream.filter(where), t, ckpt, query_id="i1"
+        )
+        q.awaitTermination()
+
+    _drain("k IS NOT NULL")
+    v1 = t.latest_version()
+    n_dirs = len(t._manifest(v1)["dirs"])
+
+    # new file, but the filter empties the batch -> nothing commits
+    with open(src / "f2.jsonl", "w") as fh:
+        fh.write(_json.dumps({"k": None}) + "\n")
+    _drain("k IS NOT NULL")
+    assert t.latest_version() == v1
+    assert len(t._manifest(v1)["dirs"]) == n_dirs
+    assert {r.k for r in t.read().collect()} == {"a"}

@@ -47,6 +47,10 @@ DEFAULT = (
     # with watermark-finalized null emission)
     "streaming_dedup_counts", "streaming_stateful_totals",
     "streaming_session_windows", "streaming_outer_join",
+    # round-10: the distributed scan planner — the ratio measures the
+    # whole commit+plan+read cycle (sidecar write, Spark plan job over
+    # it, pruned scan, aggregate) against 10x the rows
+    "sink_tx_distributed_scan",
 )
 SCALES = ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
