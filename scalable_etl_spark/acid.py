@@ -281,18 +281,16 @@ def _entries_empty(data_dir: str, entries: Sequence[str]) -> bool:
 
 
 def _current_defaults(evolution: list) -> dict:
-    """Read-time default per CURRENT logical column name implied by
-    the evolution records: add_column defaults chained through later
-    renames; dropped (or default-lessly re-added) names removed. Used
-    by ``merge`` to fill schema-drifted batches with the same value an
-    omitting append's rows would read back."""
+    """CURRENT logical name -> read-time default (None when added
+    without one) for every column the evolution records INTRODUCED
+    (add_column, chained through later renames; dropped names
+    removed). Key presence doubles as "this column came from ALTER
+    ADD" — ``merge`` fills exactly these on a schema-drifted batch
+    and refuses to touch any other missing column."""
     cur: dict = {}
     for rec in evolution:
         if rec["op"] == "add_column":
-            if rec.get("default") is not None:
-                cur[rec["col"]] = rec["default"]
-            else:
-                cur.pop(rec["col"], None)
+            cur[rec["col"]] = rec.get("default")
         elif rec["op"] == "rename_column" and rec["from"] in cur:
             cur[rec["to"]] = cur.pop(rec["from"])
         elif rec["op"] == "drop_column":
@@ -2439,21 +2437,12 @@ class SnapshotTable:
                 # idle micro-batch (watermark-only trigger): nothing
                 # to upsert — without this, key_ranges is empty, no
                 # dir prunes, and the WHOLE table is rewritten just to
-                # record a ledger entry. Commit a data-identical
-                # manifest carrying only the ledger advance (or do
-                # nothing at all when there's no ledger to advance).
-                if not txn_update:
-                    return v
-                m = self._manifest(v)
-                manifest = {
-                    **{k: val for k, val in m.items()},
-                    "op": f"merge_{when_matched}",
-                    "txn": self._merge_txn(v, txn_update),
-                    "timestamp": time.time(),
-                }
-                if self._commit(v + 1, manifest):
-                    return v + 1
-                continue
+                # record a ledger entry. No commit at all, ledger
+                # included: an idle stream must not grow the log one
+                # version per trigger, and skipping the ledger advance
+                # is replay-safe (a replayed empty batch is empty
+                # again and no-ops here identically).
+                return v
             if v is None:
                 merged = batch  # nothing to match; all rows insert
                 pcols: list[str] = []
@@ -2488,19 +2477,28 @@ class SnapshotTable:
                 if missing:
                     # schema drift: the batch predates an ALTER ADD
                     # COLUMN (e.g. a long-lived update-mode stream
-                    # into an evolving table). Fill each missing
-                    # column with its current read-time default (NULL
-                    # when none) — the value an omitting APPEND's rows
-                    # would read back — instead of crashing on the
-                    # select below.
-                    defaults = _current_defaults(self._evolution_of(v))
+                    # into an evolving table). ONLY columns introduced
+                    # by add_column evolution records fill — with the
+                    # current read-time default (NULL when none), the
+                    # value an omitting APPEND's rows would read back.
+                    # A missing ORIGINAL column stays a loud error:
+                    # filling it would silently NULL every matched
+                    # row's stored values on a typo'd or
+                    # under-projected source.
+                    added = _current_defaults(self._evolution_of(v))
+                    alien = [c for c in missing if c not in added]
+                    if alien:
+                        raise ValueError(
+                            f"merge batch lacks column(s) {alien!r} "
+                            "that the target schema declares and no "
+                            "ALTER ADD COLUMN introduced; refusing "
+                            "to null them on rewrite"
+                        )
                     tfields = {f.name: f for f in target.schema.fields}
                     for c in missing:
                         batch = batch.withColumn(
                             c,
-                            F.lit(defaults.get(c)).cast(
-                                tfields[c].dataType
-                            ),
+                            F.lit(added[c]).cast(tfields[c].dataType),
                         )
                 survivors = target.join(batch, keys, "left_anti")
                 if when_matched == "update":
@@ -3485,8 +3483,13 @@ def write_stream_snapshot(
             # partitioned tables get partition-granular entries (same
             # contract as append) so micro-batches stay prunable
             entries = table._write_data_entries(batch_df, pcols)
-            if output_mode == "append" and _entries_empty(
-                table.data_dir, entries
+            # v is not None: an empty FIRST batch must still commit
+            # v0 — it establishes the table (schema included) so a
+            # post-drain read() finds a version instead of raising
+            if (
+                output_mode == "append"
+                and v is not None
+                and _entries_empty(table.data_dir, entries)
             ):
                 # idle micro-batch: appending it would commit an
                 # empty data dir + a new manifest version PER IDLE

@@ -2367,20 +2367,26 @@ def test_merge_ledger_and_drift_edge_cases(spark, tmp_path):
     assert txn["q2"] == 1
 
     empty = spark.createDataFrame([], "k STRING, n LONG")
-    dirs_before = t._manifest(v)["dirs"]
-    v2 = t.merge(empty, ["k"], txn_update={"q2": 2})
-    assert v2 == v + 1
-    m2 = t._manifest(v2)
-    assert m2["dirs"] == dirs_before, "idle batch rewrote the table"
-    assert m2["txn"]["q2"] == 2
-    # no ledger to advance -> nothing to commit at all
-    assert t.merge(empty, ["k"]) == v2
-    assert t.latest_version() == v2
+    # idle batch: NO commit at all — ledger advance included (an idle
+    # stream must not grow the log; skipping is replay-safe)
+    assert t.merge(empty, ["k"], txn_update={"q2": 2}) == v
+    assert t.merge(empty, ["k"]) == v
+    assert t.latest_version() == v
+    assert t._txn_of(v)["q2"] == 1
 
     t.alter_add_column("score", "int", default=7)
-    t.merge(rows(("d", 9)), ["k"])  # batch lacks `score`
+    t.merge(rows(("d", 9)), ["k"])  # batch lacks `score` -> fills 7
     got = {(r.k, r.n, r.score) for r in t.read().collect()}
     assert got == {("a", 2, 7), ("b", 2, 7), ("d", 9, 7)}
+
+    # a missing ORIGINAL column must stay a loud error, not a silent
+    # NULL rewrite of stored values
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="refusing"):
+        t.merge(
+            spark.createDataFrame([("e",)], "k STRING"), ["k"]
+        )
 
 
 def test_stream_sink_append_skips_idle_batches(spark, tmp_path):
@@ -2418,3 +2424,18 @@ def test_stream_sink_append_skips_idle_batches(spark, tmp_path):
     assert t.latest_version() == v1
     assert len(t._manifest(v1)["dirs"]) == n_dirs
     assert {r.k for r in t.read().collect()} == {"a"}
+
+    # an empty FIRST batch still creates the table (v0 carries the
+    # schema) — a post-drain read() must not raise FileNotFoundError
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"))
+    stream = spark.readStream.schema("k STRING").json(str(src))
+    from scalable_etl_spark.acid import write_stream_snapshot as _wss
+
+    q = _wss(
+        stream.filter("k = 'never-matches'"), t2,
+        str(tmp_path / "ckpt2"), query_id="i2",
+    )
+    q.awaitTermination()
+    assert t2.latest_version() == 0
+    assert t2.read().count() == 0
+    assert t2.read().columns == ["k"]
