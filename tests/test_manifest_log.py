@@ -608,3 +608,56 @@ def test_distributed_plan_5k_ships_only_survivors(spark, tmp_path):
     assert len(plan) == 10
     for e, (total, kept) in plan.items():
         assert total == 1 and kept == ["part-00000.parquet"]
+
+
+def test_distributed_plan_partitioned_and_vacuum_complete(spark, tmp_path):
+    """(a) Distributed planning on a PARTITIONED parquet-checkpointed
+    table: partition-column equality pre-prunes entries by PATH
+    component inside the plan job's dir prune, and results match the
+    driver path. (b) A complete-mode streaming table's superseded
+    batch dirs are unreferenced by the latest manifest and vacuum
+    reclaims them."""
+    from scalable_etl_spark.acid import write_stream_snapshot
+
+    root = str(tmp_path / "p")
+    t = SnapshotTable(spark, root, parquet_checkpoints=True)
+    df = spark.range(0, 200).selectExpr(
+        "id", "CAST(id % 4 AS STRING) AS day"
+    )
+    t.overwrite(df, partition_cols=["day"], stats_cols=["id"])
+    assert t._manifest_raw(0).get("format") == "checkpoint-parquet"
+    where = ("day", "2", "2")
+    got = t._distributed_file_plan(0, where)
+    assert got is not None
+    m, plan = got
+    # partition equality: no range/bloom prune -> empty plan, but the
+    # read still path-prunes and returns exactly day=2
+    a = {r.id for r in t.read(where=where).collect()}
+    b = {
+        r.id
+        for r in t.read(where=where, planning="distributed").collect()
+    }
+    assert a == b == {i for i in range(200) if i % 4 == 2}
+
+    # (b) complete-mode replace orphans the prior batch's dirs; vacuum
+    # sweeps them once they age out of retention
+    import json as _json
+
+    src = tmp_path / "in"
+    src.mkdir()
+    t2 = SnapshotTable(spark, str(tmp_path / "c"))
+    for i, name in enumerate(("f1", "f2")):
+        with open(src / f"{name}.jsonl", "w") as fh:
+            fh.write(_json.dumps({"k": f"x{i}"}) + "\n")
+        stream = spark.readStream.schema("k STRING").json(str(src))
+        q = write_stream_snapshot(
+            stream.groupBy("k").count(), t2,
+            str(tmp_path / "ckpt"), query_id="c1",
+            output_mode="complete",
+        )
+        q.awaitTermination()
+    latest_dirs = set(t2._manifest(t2.latest_version())["dirs"])
+    removed = t2.vacuum(retain_versions=1, min_age_seconds=0)
+    assert removed, "superseded complete-mode batch dirs must vacuum"
+    assert not latest_dirs & set(removed)
+    assert {r.k for r in t2.read().collect()} == {"x0", "x1"}
