@@ -104,9 +104,9 @@ def cmd_stream_sink(spark: SparkSession, args: argparse.Namespace) -> dict:
     stream -> flatten -> ``foreachBatch`` append into an ACID snapshot
     table with a per-query batch-id ledger (acid.write_stream_snapshot)
     — exactly-once across crash/replay, committed snapshots readable by
-    any SnapshotTable reader mid-stream. This is the supported
-    alternative to the memory-sink drain the graded streaming queries
-    use for hashing: state lives on disk, never on the driver."""
+    any SnapshotTable reader mid-stream. The same sink every graded
+    streaming query drains through (round 10 retired the memory sink
+    from the corpus): state lives on disk, never on the driver."""
     from .acid import SnapshotTable, write_stream_snapshot
     from .schemas import LISTEN_SCHEMA
 

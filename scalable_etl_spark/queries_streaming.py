@@ -604,8 +604,9 @@ def streaming_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``foreachBatch`` appending into an ACID snapshot table with a
     per-query batch-id ledger (the published Delta ``txn`` idempotent-
     sink pattern; reference anchor: the continuous ingest loop,
-    ingest_job.py:200-213) — instead of the memory sink the other
-    graded streams use for hashing. After the first drain the
+    ingest_job.py:200-213) — the first query graded through this sink,
+    and since round 10 the protocol every graded stream drains
+    through. After the first drain the
     CHECKPOINT IS DELETED and the stream re-drained: Structured
     Streaming replays every micro-batch from scratch, and the ledger
     must skip each one (``batch_id <= txn[query_id]``), so the value
