@@ -654,21 +654,30 @@ class SnapshotTable:
         a Spark job OVER THE SIDECAR instead of materializing the
         whole file inventory driver-side — at O(1M files) the driver
         holds only the O(dirs) entry list, the O(dirs) dir stats, and
-        the SURVIVING file names, never the full stats map. Returns
-        ``(manifest_lite, {entry: (n_total, surviving_files)})`` —
-        entries absent from the plan carry no file stats and scan
-        whole-dir (same conservative rule as the driver path) — or
-        None when this version doesn't resolve through a parquet
-        checkpoint (delta / plain-JSON versions fall back to the
-        driver path; checkpoints recur every ``_CHECKPOINT_EVERY``
-        commits, so the fallback only ever walks a bounded delta
-        suffix). The survival predicate is ``_file_survives`` — the
-        SAME function the driver loop uses — applied in executors over
-        Arrow batches of the sidecar's per-file JSON stats."""
+        the file names of PARTIALLY pruned entries, never the full
+        stats map. Returns ``(manifest_lite, {entry: (n_total,
+        surviving_files)})`` where ``surviving_files`` is ``None``
+        when EVERY file of the entry survives (whole-dir scan — the
+        executor-side ``when(nkept < total)`` drops the list before it
+        ever ships, so a weakly-pruned million-file read sends the
+        driver O(dirs) markers, not a million names), ``[]`` when none
+        do (entry skipped), and the explicit name list only for the
+        partially pruned middle — the one case the scan genuinely
+        needs per-file paths (Delta-OSS materializes exactly the same
+        thing for its file index). Entries absent from the plan carry
+        no file stats and scan whole-dir (same conservative rule as
+        the driver path). Returns None when this version doesn't
+        resolve through a parquet checkpoint (delta / plain-JSON
+        versions fall back to the driver path; checkpoints recur every
+        ``_CHECKPOINT_EVERY`` commits, so the fallback only ever walks
+        a bounded delta suffix). The survival predicate is
+        ``_file_survives`` — the SAME function the driver loop uses —
+        applied in executors over Arrow batches of the sidecar's
+        per-file JSON stats."""
         raw = self._manifest_raw(version)
         if raw.get("format") != "checkpoint-parquet":
             return None
-        from pyspark.sql.functions import PandasUDFType, pandas_udf
+        from .functions.arrow import arrow_udf
 
         path = os.path.join(self.log_dir, raw["checkpoint"])
         m = {
@@ -711,29 +720,44 @@ class SnapshotTable:
         if len(kept_dirs) < len(m["dirs"]) and len(kept_dirs) <= 8192:
             fdf = fdf.filter(F.col("entry").isin(kept_dirs))
 
-        # explicit SCALAR form: this module's `from __future__ import
-        # annotations` stringifies type hints, which pandas_udf cannot
-        # introspect (same idiom as functions/vectors.py)
+        # Arrow-batched survival probe (ArrowEvalPython, never
+        # row-at-a-time BatchEvalPython): one json.loads + the shared
+        # _file_survives per sidecar row, vectorized over the batch
         def _keep_fn(val):
             return val.map(
                 lambda s: _file_survives(json.loads(s), norm, bloom_key)
             )
 
-        _keep = pandas_udf(_keep_fn, "boolean", PandasUDFType.SCALAR)
+        _keep = arrow_udf(_keep_fn, "boolean")
 
         plan_rows = (
             fdf.withColumn("__keep", _keep(F.col("val")))
             .groupBy("entry")
             .agg(
                 F.count("*").alias("__total"),
+                F.sum(F.col("__keep").cast("long")).alias("__nkept"),
                 F.collect_list(
                     F.when(F.col("__keep"), F.col("file"))
+                ).alias("__kept"),
+            )
+            # fully-surviving entries drop their name list EXECUTOR-
+            # side: the scan reads those whole-dir, so shipping the
+            # names would be pure driver-memory cost — this bounds the
+            # collect to O(dirs) + O(files in partially pruned dirs)
+            .select(
+                "entry",
+                "__total",
+                F.when(
+                    F.col("__nkept") < F.col("__total"), F.col("__kept")
                 ).alias("__kept"),
             )
             .collect()
         )
         plan = {
-            r["entry"]: (r["__total"], list(r["__kept"]))
+            r["entry"]: (
+                r["__total"],
+                None if r["__kept"] is None else list(r["__kept"]),
+            )
             for r in plan_rows
         }
         return m, plan
@@ -804,12 +828,14 @@ class SnapshotTable:
                     paths = [base]
                 else:
                     total, files = got
-                    if not files:
-                        continue
-                    # whole dir survives -> one dir-level scan
-                    # (cheaper listing than enumerating every path)
-                    if len(files) == total:
+                    # files=None: every file survived — the plan job
+                    # dropped the name list executor-side; one
+                    # dir-level scan (cheaper listing than
+                    # enumerating every path)
+                    if files is None:
                         paths = [base]
+                    elif not files:
+                        continue
                     else:
                         paths = [os.path.join(base, f) for f in files]
             else:
@@ -1321,9 +1347,9 @@ class SnapshotTable:
                 out.append(base64.b64encode(bits.tobytes()).decode())
             return pd.Series(out)
 
-        from pyspark.sql.functions import PandasUDFType, pandas_udf
+        from .functions.arrow import arrow_udf
 
-        _pack = pandas_udf(_pack_fn, "string", PandasUDFType.SCALAR)
+        _pack = arrow_udf(_pack_fn, "string")
 
         out: dict[str, dict] = {}
         for col in present:
@@ -3073,8 +3099,12 @@ class SnapshotTable:
             except FileNotFoundError:
                 pass
         # parquet checkpoint sidecars of deleted log entries (and any
-        # commit-race loser orphans at those versions) go with them;
-        # sidecars of retained versions are never touched
+        # commit-race loser orphans) go with them. At RETAINED
+        # versions the committed JSON pointer names exactly one
+        # winner sidecar; any same-version sibling with a different
+        # uuid is a race loser's orphan and is swept under the same
+        # age gate (without this, a loser orphan at a retained
+        # version of a low-write table would linger indefinitely).
         ckpt_dir = os.path.join(self.log_dir, "checkpoints")
         try:
             sidecars = os.listdir(ckpt_dir)
@@ -3096,9 +3126,34 @@ class SnapshotTable:
                     pass
                 continue
             stem = name.split("-", 1)[0]
-            if stem.isdigit() and int(stem) < anchor:
+            if not stem.isdigit():
+                continue
+            if int(stem) < anchor:
                 try:
                     os.unlink(os.path.join(ckpt_dir, name))
+                except FileNotFoundError:
+                    pass
+                continue
+            # retained version: keep only the sidecar the committed
+            # pointer references. A missing/non-checkpoint manifest
+            # means the version is still in flight (or was committed
+            # in another format by the race winner) — in the latter
+            # case the sidecar is also orphaned, but only sweep when
+            # the log entry exists so an in-flight commit's freshly
+            # renamed sidecar is never raced; the age gate guards
+            # the window between rename and os.link.
+            try:
+                raw = self._manifest_raw(int(stem))
+            except FileNotFoundError:
+                continue
+            pointed = os.path.basename(raw.get("checkpoint", "") or "")
+            if name != pointed:
+                path = os.path.join(ckpt_dir, name)
+                try:
+                    if time.time() - os.path.getmtime(path) > (
+                        min_age_seconds
+                    ):
+                        os.unlink(path)
                 except FileNotFoundError:
                     pass
         return removed
@@ -3506,9 +3561,14 @@ def write_stream_snapshot(
                 # with nothing.)
                 import shutil
 
-                for e in entries:
+                # the whole uuid commit root is uncommitted here, so
+                # remove it — not just the partition-leaf entries —
+                # or a steadily idle partitioned stream accrues empty
+                # uuid dirs (+ _SUCCESS markers) that nothing
+                # references and only a later vacuum would reclaim
+                for root in {table._entry_base(e) for e in entries}:
                     shutil.rmtree(
-                        os.path.join(table.data_dir, e),
+                        os.path.join(table.data_dir, root),
                         ignore_errors=True,
                     )
                 return

@@ -28,11 +28,8 @@ def l2_norm_pandas(col: str | Column) -> Column:
     (both accumulate float64), so it sits under the oracle gate; use
     the JVM ``norm`` in hot paths, this form when the per-value logic
     outgrows SQL expressions (numpy/scipy per element)."""
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from .arrow import arrow_udf
 
-    # NB: this module uses `from __future__ import annotations`, which
-    # stringifies type hints — pandas_udf cannot introspect them
-    # (UNSUPPORTED_SIGNATURE), so the eval type is passed explicitly.
     def _norm_fn(v):
         import numpy as np
 
@@ -42,7 +39,7 @@ def l2_norm_pandas(col: str | Column) -> Column:
             else None
         )
 
-    _norm = pandas_udf(_norm_fn, "double", PandasUDFType.SCALAR)
+    _norm = arrow_udf(_norm_fn, "double")
 
     c = F.col(col) if isinstance(col, str) else col
     return _norm(c.cast("array<double>"))
@@ -159,7 +156,8 @@ def multi_table_buckets_pandas(
     bucket values (see ``_lr_dot_np``), ~100x less per-row cost."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from .arrow import arrow_udf
 
     planes = np.array(
         [
@@ -180,7 +178,7 @@ def multi_table_buckets_pandas(
                 out[:, t] |= (_lr_dot_np(v, w) >= 0).astype(np.int32) << p
         return pd.Series(list(out))
 
-    udf = pandas_udf(_buckets, "array<int>", PandasUDFType.SCALAR)
+    udf = arrow_udf(_buckets, "array<int>")
     c = F.col(col) if isinstance(col, str) else col
     return udf(c.cast("array<double>"))
 
@@ -190,7 +188,8 @@ def dot_pandas(a: Column, b: Column) -> Column:
     ``dot(a, b)`` (left-to-right accumulation, see ``_lr_dot_np``)."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from .arrow import arrow_udf
 
     def _dot(sa: "pd.Series", sb: "pd.Series") -> "pd.Series":
         if len(sa) == 0:
@@ -199,7 +198,7 @@ def dot_pandas(a: Column, b: Column) -> Column:
         vb = np.stack(sb.to_numpy()).astype(np.float64)
         return pd.Series(_lr_dot_np(va, vb))
 
-    udf = pandas_udf(_dot, "double", PandasUDFType.SCALAR)
+    udf = arrow_udf(_dot, "double")
     return udf(a.cast("array<double>"), b.cast("array<double>"))
 
 
@@ -245,7 +244,8 @@ def nearest_centroid_pandas(
     """
     import numpy as np
     import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from .arrow import arrow_udf
 
     cents = np.array(
         [centroid(k, dim) for k in range(n_clusters)], dtype=np.float64
@@ -260,7 +260,7 @@ def nearest_centroid_pandas(
             dots[:, k] = _lr_dot_np(v, np.broadcast_to(cents[k], v.shape))
         return pd.Series(np.argmax(dots, axis=1).astype(np.int32))
 
-    udf = pandas_udf(_assign, "int", PandasUDFType.SCALAR)
+    udf = arrow_udf(_assign, "int")
     c = F.col(col) if isinstance(col, str) else col
     return udf(c.cast("array<double>"))
 
@@ -273,7 +273,8 @@ def centroid_affinity_pandas(
     as ``nearest_centroid_pandas``."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from .arrow import arrow_udf
 
     cents = np.array(
         [centroid(k, dim) for k in range(n_clusters)], dtype=np.float64
@@ -286,7 +287,7 @@ def centroid_affinity_pandas(
         w = cents[ks.to_numpy().astype(np.int64)]
         return pd.Series(_lr_dot_np(v, w))
 
-    udf = pandas_udf(_aff, "double", PandasUDFType.SCALAR)
+    udf = arrow_udf(_aff, "double")
     c = F.col(col) if isinstance(col, str) else col
     return udf(c.cast("array<double>"), cluster)
 

@@ -130,7 +130,8 @@ def suffix_ham_lb_pandas(a, b, depth: int = 4):
     it prunes."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from ..functions.arrow import arrow_udf
 
     def _lb(sa: "pd.Series", sb: "pd.Series") -> "pd.Series":
         out = np.empty(len(sa), dtype=np.int32)
@@ -139,7 +140,7 @@ def suffix_ham_lb_pandas(a, b, depth: int = 4):
             out[i] = _suffix_ham_lb(xs, ys, 0, len(xs), 0, len(ys), depth)
         return pd.Series(out)
 
-    udf = pandas_udf(_lb, "int", PandasUDFType.SCALAR)
+    udf = arrow_udf(_lb, "int")
     return udf(a, b)
 
 

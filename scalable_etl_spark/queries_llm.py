@@ -1295,8 +1295,10 @@ def media_pixel_stats_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/vp8.py; pinned bit-exact against libwebp's
     WebPDecodeYUV in tests/test_vp8.py). The result is the exact
     integer sum over the normative Y/U/V reconstruction. Scale shape:
-    zero shuffles before the tiny per-source aggregate; distinct
-    payloads decode once per worker (content memo).
+    one cheap 2-column repartition buys full decode parallelism, a
+    small join carries ``source`` back onto the stats, and the
+    per-source aggregate is tiny; distinct payloads decode once per
+    worker (content memo).
 
     Reference parity: the reference engine stores media as opaque
     binaries and defers decode to external codec libraries; this repo

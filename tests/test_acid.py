@@ -2439,3 +2439,79 @@ def test_stream_sink_append_skips_idle_batches(spark, tmp_path):
     assert t2.latest_version() == 0
     assert t2.read().count() == 0
     assert t2.read().columns == ["k"]
+
+
+def test_stream_idle_batch_removes_partitioned_commit_root(
+    spark, tmp_path
+):
+    """Idle-batch skip on a PARTITIONED table must remove the whole
+    uncommitted uuid commit root, not just the partition-leaf entries —
+    otherwise a steadily idle stream accrues empty uuid dirs (plus
+    Spark's _SUCCESS markers) that nothing references and only a
+    much-later vacuum would reclaim."""
+    import json as _json
+    import os as _os
+
+    from scalable_etl_spark.acid import write_stream_snapshot
+
+    src = tmp_path / "in"
+    src.mkdir()
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id INT, day STRING"
+        ),
+        partition_cols=["day"],
+    )
+    committed_roots = {
+        e.split("/", 1)[0] for e in t._manifest(0)["dirs"]
+    }
+
+    with open(src / "f1.jsonl", "w") as fh:
+        fh.write(_json.dumps({"id": None, "day": "c"}) + "\n")
+    stream = spark.readStream.schema("id INT, day STRING").json(str(src))
+    q = write_stream_snapshot(
+        stream.filter("id IS NOT NULL"), t,
+        str(tmp_path / "ckpt"), query_id="idle-p",
+    )
+    q.awaitTermination()
+
+    assert t.latest_version() == 0  # idle batch: no commit
+    on_disk = set(_os.listdir(t.data_dir))
+    assert on_disk == committed_roots  # no orphan uuid roots left
+
+
+def test_vacuum_sweeps_loser_sidecar_at_retained_version(
+    spark, tmp_path
+):
+    """A commit-race loser's checkpoint sidecar at a RETAINED version
+    (same version stem, different uuid from the committed pointer)
+    must be swept by vacuum once past the age gate — before this fix
+    it lingered forever on low-write tables; the pointed winner and
+    fresh unexplained siblings must survive."""
+    import os as _os
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root, parquet_checkpoints=True)
+    t.append(
+        spark.createDataFrame([(1, "a")], "id INT, v STRING"),
+        stats_cols=["id"],
+    )
+    raw = t._manifest_raw(0)
+    assert raw.get("format") == "checkpoint-parquet"
+    winner = _os.path.basename(raw["checkpoint"])
+    ckpt_dir = _os.path.join(t.log_dir, "checkpoints")
+
+    old_loser = _os.path.join(ckpt_dir, "00000000-deadbeef.parquet")
+    fresh_loser = _os.path.join(ckpt_dir, "00000000-cafef00d.parquet")
+    for p in (old_loser, fresh_loser):
+        with open(p, "wb") as fh:
+            fh.write(b"x")
+    _os.utime(old_loser, (1, 1))  # ancient -> past any age gate
+
+    t.vacuum(min_age_seconds=3600)
+    assert not _os.path.exists(old_loser)  # aged loser swept
+    assert _os.path.exists(fresh_loser)  # still inside the age gate
+    assert _os.path.exists(_os.path.join(ckpt_dir, winner))
+    # table still resolves through the winner sidecar
+    assert {r.id for r in t.read().collect()} == {1}

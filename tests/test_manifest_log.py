@@ -535,7 +535,10 @@ def test_distributed_planning_matches_driver(spark, tmp_path):
             for f, per in fstats.items()
             if _file_survives(per, norm10, bk10)
         }
-        assert set(kept) == want
+        if kept is None:  # whole-dir survivor: list dropped in-plan
+            assert want == set(fstats)
+        else:
+            assert set(kept) == want
     rows = t.read(
         version=10, where=point, planning="distributed"
     ).collect()
@@ -594,7 +597,9 @@ def test_distributed_plan_5k_ships_only_survivors(spark, tmp_path):
     heavy-metadata state (parquet-checkpointed), a range read's plan
     job dir-prunes driver-side FIRST (O(dirs) dstat rows), evaluates
     per-file survival only over the surviving entries, and the driver
-    receives exactly those — 10 of 5,000 — never the full inventory."""
+    receives exactly those — 10 of 5,000 — never the full inventory.
+    Each survivor's single file fully survives, so the plan ships a
+    whole-dir marker (``None``), not even those 10 file names."""
     t = SnapshotTable(
         spark, str(tmp_path / "t"), parquet_checkpoints=True
     )
@@ -607,7 +612,7 @@ def test_distributed_plan_5k_ships_only_survivors(spark, tmp_path):
     # k ranges are [i*10, i*10+9] per entry -> i in 10..19 intersect
     assert len(plan) == 10
     for e, (total, kept) in plan.items():
-        assert total == 1 and kept == ["part-00000.parquet"]
+        assert total == 1 and kept is None
 
 
 def test_distributed_plan_partitioned_and_vacuum_complete(spark, tmp_path):
