@@ -1035,13 +1035,17 @@ class SnapshotTable:
         # wedge incremental consumers after a maintenance run
         # alter_add_column is additive (old frames read the column as
         # NULL under allowMissingColumns; defaults are the DESTINATION
-        # table's concern, replayed by sync_incremental). A RENAME is
-        # not: frames delivered before and after it carry different
-        # column names and would union misaligned — it raises like a
-        # rewrite unless the caller opts into ignore_changes.
+        # table's concern, replayed by sync_incremental). A WIDEN is
+        # additive too: zero new rows, and frames straddling it union
+        # under Spark's numeric type coercion (int|long -> long). A
+        # RENAME is not: frames delivered before and after it carry
+        # different column names and would union misaligned — it
+        # raises like a rewrite unless the caller opts into
+        # ignore_changes.
         append_ops = {
             "append", "insert_ignore", "stream_append", "sync",
             "add_bloom_filters", "alter_add_column",
+            "alter_widen_column",
         }
         frames = []
         prev = set(self._manifest(since_version)["dirs"])
@@ -1523,6 +1527,12 @@ class SnapshotTable:
         physical name and rename forward. Entries written after the
         record carry the logical name physically and are untouched.
 
+        ``{"op": "widen_column", "col", "from_type", "to_type",
+        "entries"}`` — files in ``entries`` physically carry the
+        narrow ``from_type``; reads declare it and cast forward
+        (lossless promotions only). Entries written after the record
+        carry the wide type physically and are untouched.
+
         Records are metadata-only (Delta/Iceberg ALTER TABLE parity —
         no data rewrite at any table size); every rewrite op (merge /
         delete / update / compact) reads through the canonicalizing
@@ -1582,14 +1592,25 @@ class SnapshotTable:
             if rec["op"] != "add_column" or rec.get("default") is None:
                 continue
             name = rec["col"]
-            renamed = False
+            cur_type = rec["type"]
+            stale = False
             for later in evolution[i + 1:]:
                 if (
                     later["op"] == "rename_column"
                     and later["from"] == name
                 ):
                     name = later["to"]
-                    renamed = True
+                    stale = True
+                elif (
+                    later["op"] == "widen_column"
+                    and later["col"] == name
+                ):
+                    # a widen postdating the fill: new entries must
+                    # fill under the WIDE type — extending the narrow
+                    # record would make them read narrow and break
+                    # union-equality with post-widen entries
+                    cur_type = later["to_type"]
+                    stale = True
                 elif (
                     later["op"] == "drop_column"
                     and later["col"] == name
@@ -1599,8 +1620,11 @@ class SnapshotTable:
             if name is None:
                 continue
             # last record per current name wins; only a record whose
-            # literal col IS the current name can absorb new entries
-            fills[name] = rec if not renamed else dict(rec, _stale=True)
+            # literal col IS the current name (and whose type wasn't
+            # widened since) can absorb new entries
+            fills[name] = (
+                rec if not stale else dict(rec, _stale=True, type=cur_type)
+            )
         extra = []
         for name, rec in fills.items():
             if name in batch_names:
@@ -1623,25 +1647,42 @@ class SnapshotTable:
         self, schema: StructType, ctx: list, d: str
     ) -> StructType:
         """Declared read schema for entry ``d``: the logical table
-        schema with every rename that postdates the entry unapplied,
-        so declared names match what the entry's files carry. Columns
+        schema with every rename AND type widening that postdates the
+        entry unapplied, so declared names and types match what the
+        entry's files carry (declaring the wide type over a narrow
+        parquet file trips Spark's vectorized-reader type check;
+        ``_apply_evolution`` casts forward after the scan). Columns
         added after the entry keep their logical name — parquet fills
         declared-but-absent columns with NULL."""
         from pyspark.sql.types import StructField
 
         evo = [rec for rec, ents in ctx if d in ents]
-        if not any(r["op"] == "rename_column" for r in evo):
+        if not any(
+            r["op"] in ("rename_column", "widen_column") for r in evo
+        ):
             return schema
         names = [f.name for f in schema.fields]
+        types = [f.dataType for f in schema.fields]
         for rec in reversed(evo):
             if rec["op"] == "rename_column":
                 names = [
                     rec["from"] if n == rec["to"] else n for n in names
                 ]
+            elif rec["op"] == "widen_column":
+                # later records are already un-applied, so the list
+                # carries the name as of just after this record —
+                # rec["col"] matches it directly
+                narrow = StructType.fromDDL(
+                    f"`x` {rec['from_type']}"
+                ).fields[0].dataType
+                types = [
+                    narrow if n == rec["col"] else t
+                    for n, t in zip(names, types)
+                ]
         return StructType(
             [
-                StructField(n, f.dataType, f.nullable, f.metadata)
-                for n, f in zip(names, schema.fields)
+                StructField(n, t, f.nullable, f.metadata)
+                for n, t, f in zip(names, types, schema.fields)
             ]
         )
 
@@ -1672,6 +1713,14 @@ class SnapshotTable:
                 )
             elif rec["op"] == "drop_column" and rec["col"] in df.columns:
                 df = df.drop(rec["col"])
+            elif rec["op"] == "widen_column":
+                # entry predates the widen: physical files carry the
+                # narrow type (declared by _physical_schema); a
+                # lossless cast forward makes all entries union-equal
+                df = df.withColumn(
+                    rec["col"],
+                    F.col(rec["col"]).cast(rec["to_type"]),
+                )
         return df
 
     @staticmethod
@@ -2042,6 +2091,131 @@ class SnapshotTable:
                 return v + 1
         raise CommitConflict(
             f"alter_drop_column lost {_COMMIT_RETRIES} races"
+        )
+
+    # Lossless widenings only (Iceberg's published schema-evolution
+    # promotion rules; Delta type widening covers the same set for
+    # integers/floats): every value representable in the source type
+    # is exactly representable in the target, so reads that cast
+    # narrow physical files forward can never change a value.
+    _WIDENINGS = {
+        "tinyint": ("smallint", "int", "bigint"),
+        "smallint": ("int", "bigint"),
+        "int": ("bigint",),
+        "float": ("double",),
+    }
+
+    def alter_widen_column(
+        self,
+        name: str,
+        new_type: str,
+        _txn_gate: tuple[str, int] | None = None,
+    ) -> int:
+        """ALTER TABLE ALTER COLUMN TYPE — the fourth metadata-only
+        evolution verb (Iceberg type promotion / Delta type widening):
+        the logical schema moves to the wider type while existing
+        entries keep their narrow physical files; reads DECLARE the
+        narrow type for pre-widen entries (``_physical_schema``) and
+        cast forward (``_apply_evolution``), so no data rewrite at any
+        table size and no value can change (only lossless widenings
+        are accepted — ``_WIDENINGS``). Appends after the widen must
+        carry the wide type (ordinary schema check). Stats and bloom
+        specs carry over verbatim: min/max bounds are numerically
+        unchanged by a lossless widen, and bloom probes only exist for
+        int/string point lookups whose string-hash is identical across
+        integer widths. Partition columns refuse (their values parse
+        from directory paths against the declared type; changing it
+        would re-type every existing path component).
+
+        Composes with the other three verbs chronologically: a widen
+        after an add-with-default leaves pre-widen entries filling the
+        default under the narrow type and casting forward; appends
+        that omit a defaulted column AFTER a widen record fresh fills
+        under the wide type (``_defaults_for_missing``); renames
+        before/after move the name, never the width.
+
+        Reference anchor: the gold count -> listen_count BIGINT drift
+        the reference's notebooks paper over
+        (notebooks/analysis-minio.ipynb:251-262) is exactly schema
+        widening in practice — here an auditable, versioned commit.
+
+        ``_txn_gate``: same idempotent sync-replay contract as
+        alter_add_column."""
+        for _ in range(_COMMIT_RETRIES):
+            v = self.latest_version()
+            if v is None:
+                raise FileNotFoundError(
+                    f"no committed version at {self.root}"
+                )
+            m = self._manifest(v)
+            txn = self._txn_of(v)
+            if _txn_gate is not None:
+                # BEFORE validation (duplicate-replay contract): after
+                # a rival replay the column is already wide and the
+                # widening check below would crash instead of no-op
+                gate_key, gate_target = _txn_gate
+                if int(txn.get(gate_key, -1)) >= gate_target:
+                    return v  # rival sync already replayed this alter
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            if name not in schema.fieldNames():
+                raise ValueError(f"no such column {name!r}")
+            if name in m.get("partition_cols", []):
+                raise ValueError(
+                    f"{name!r} is a partition column: its values parse "
+                    "from data paths against the declared type; "
+                    "widening requires a rewrite"
+                )
+            from pyspark.sql.types import StructField
+
+            cur = next(
+                f for f in schema.fields if f.name == name
+            ).dataType
+            want = StructType.fromDDL(f"`x` {new_type}").fields[0].dataType
+            cur_s, want_s = cur.simpleString(), want.simpleString()
+            if want_s not in self._WIDENINGS.get(cur_s, ()):
+                raise ValueError(
+                    f"cannot widen {name!r} from {cur_s} to {want_s}: "
+                    "only lossless promotions are supported "
+                    f"({dict(self._WIDENINGS)})"
+                )
+            new_schema = StructType(
+                [
+                    StructField(
+                        f.name,
+                        want if f.name == name else f.dataType,
+                        f.nullable,
+                        f.metadata,
+                    )
+                    for f in schema.fields
+                ]
+            )
+            evolution = self._evolution_of(v)
+            evolution.append(
+                {
+                    "op": "widen_column",
+                    "col": name,
+                    "from_type": cur_s,
+                    "to_type": want_s,
+                    "entries": list(m["dirs"]),
+                }
+            )
+            if _txn_gate is not None:
+                txn[gate_key] = gate_target
+            manifest = {
+                "op": "alter_widen_column",
+                "dirs": m["dirs"],
+                "schema": new_schema.json(),
+                "partition_cols": m["partition_cols"],
+                "stats": self._stats_of(v),
+                "file_stats": self._file_stats_of(v),
+                "txn": txn,
+                "evolution": evolution,
+                "timestamp": time.time(),
+            }
+            if self._commit(v + 1, manifest):
+                return v + 1
+        raise CommitConflict(
+            f"alter_widen_column lost {_COMMIT_RETRIES} races"
         )
 
     def _write_data(self, df: DataFrame, partition_cols: Sequence[str]) -> str:
@@ -3338,6 +3512,7 @@ def sync_incremental(
     key = f"sync:{sync_id}"
     _ALTER_OPS = (
         "alter_add_column", "alter_rename_column", "alter_drop_column",
+        "alter_widen_column",
     )
     races = 0
     # while-with-race-counter, not a bounded for: committed segments
@@ -3372,6 +3547,12 @@ def sync_incremental(
                 elif m_next["op"] == "alter_drop_column":
                     dst.alter_drop_column(
                         rec["col"],
+                        _txn_gate=(key, last + 1),
+                    )
+                elif m_next["op"] == "alter_widen_column":
+                    dst.alter_widen_column(
+                        rec["col"],
+                        rec["to_type"],
                         _txn_gate=(key, last + 1),
                     )
                 else:

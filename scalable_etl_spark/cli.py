@@ -205,6 +205,14 @@ def cmd_table(spark: SparkSession, args: argparse.Namespace) -> dict:
             raise SystemExit("drop-column needs --column")
         v = t.alter_drop_column(args.column)
         return {"dropped": args.column, "committed_version": v}
+    if args.action == "widen-column":
+        if not args.column or not args.type:
+            raise SystemExit("widen-column needs --column and --type")
+        v = t.alter_widen_column(args.column, args.type)
+        return {
+            "widened": args.column, "to_type": args.type,
+            "committed_version": v,
+        }
     raise SystemExit(f"unknown table action {args.action!r}")
 
 
@@ -260,12 +268,12 @@ def main(argv: list[str] | None = None) -> int:
     tb = sub.add_parser(
         "table",
         help="ACID table admin: history / restore / compact / vacuum / "
-        "add-column / rename-column / drop-column",
+        "add-column / rename-column / drop-column / widen-column",
     )
     tb.add_argument("action",
                     choices=["history", "restore", "compact", "vacuum",
                              "add-column", "rename-column",
-                             "drop-column"])
+                             "drop-column", "widen-column"])
     tb.add_argument("--root", required=True)
     tb.add_argument("--version", type=int, default=None,
                     help="target version for restore")
@@ -283,7 +291,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="column name for add-column / rename-column "
                     "/ drop-column")
     tb.add_argument("--type", default="",
-                    help="DDL type for add-column (e.g. 'bigint')")
+                    help="DDL type for add-column / widen-column "
+                    "(e.g. 'bigint')")
     tb.add_argument("--default", default=None,
                     help="read-time default for add-column (string "
                     "form; cast to --type)")

@@ -785,13 +785,17 @@ def sink_tx_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     entries at read; ALTER RENAME swaps event_type -> etype without
     touching files (pre-rename entries keep the physical name on disk
     and canonicalize at read); odd-id events then append with REAL
-    cents values against the evolved schema; ALTER DROP COLUMN
-    (round-10: the third metadata-only verb) then removes user_id —
-    entries keep the bytes, the read stops declaring them — and the
-    final aggregate runs over the post-drop frame, so a wrong default
-    fill, a rename leak, a NULL-vs-default mixup, or a drop that
-    corrupts entry projection each shifts the value hash;
-    ``dropped_ok`` pins schema-side that the column is really gone."""
+    cents values (INT) against the evolved schema; ALTER WIDEN
+    (round-11: the fourth metadata-only verb — Iceberg type promotion)
+    then moves cents int -> bigint, so pre-widen entries hold int32
+    physical files that must read-declare narrow and cast forward
+    losslessly; ALTER DROP COLUMN then removes user_id — entries keep
+    the bytes, the read stops declaring them — and the final aggregate
+    runs over the post-drop frame, so a wrong default fill, a rename
+    leak, a NULL-vs-default mixup, a widen that mangles values or
+    union-typing, or a drop that corrupts entry projection each shifts
+    the value hash; ``dropped_ok`` pins schema-side that the column is
+    really gone and that cents really reads bigint."""
     e = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id") < 50)
@@ -806,7 +810,7 @@ def sink_tx_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("event_id") % 2 == 0)
         .select("event_id", "user_id", "event_type")
     )
-    t.alter_add_column("cents", "bigint", default=42)
+    t.alter_add_column("cents", "int", default=42)
     t.alter_rename_column("event_type", "etype")
     t.append(
         e.filter(F.col("event_id") % 2 == 1).select(
@@ -814,13 +818,17 @@ def sink_tx_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.col("event_type").alias("etype"),
             F.expr(
-                "CAST(ROUND(value * 100, 0) AS BIGINT)"
+                "CAST(ROUND(value * 100, 0) AS INT)"
             ).alias("cents"),
         )
     )
+    t.alter_widen_column("cents", "bigint")
     t.alter_drop_column("user_id")
     post = t.read()
-    dropped_ok = int("user_id" not in post.columns)
+    dropped_ok = int(
+        "user_id" not in post.columns
+        and dict(post.dtypes)["cents"] == "bigint"
+    )
     return (
         post.groupBy("etype")
         .agg(

@@ -174,3 +174,11 @@ def test_table_alter_cli(spark, tmp_path, capsys):
                "--column", "label")
     assert out == {"dropped": "label", "committed_version": 3}
     assert set(t.read().columns) == {"id", "score"}
+    out = _run(capsys, "table", "widen-column", "--root", root,
+               "--column", "id", "--type", "bigint")
+    assert out == {"widened": "id", "to_type": "bigint",
+                   "committed_version": 4}
+    sch = {f.name: f.dataType.simpleString()
+           for f in t.read().schema.fields}
+    assert sch["id"] == "bigint"
+    assert {r.id for r in t.read().collect()} == {1}
