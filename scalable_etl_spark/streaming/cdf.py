@@ -1,0 +1,433 @@
+"""Streaming CHANGE DATA FEED source over snapshot tables.
+
+``sink_tx_changes`` exposes the batch CDF (``table_changes``); a
+training-data pipeline wants to CONSUME changes incrementally — the
+table-level dual of the reference's ledger-driven incremental ingest
+(reference src/jobs/ingest_job.py:59-88, "process only what changed").
+This module makes a :class:`~scalable_etl_spark.acid.SnapshotTable`'s
+commit log a FIRST-CLASS Structured Streaming source via PySpark's
+Python Data Source API:
+
+    spark.dataSource.register(SnapshotChangesSource)
+    df = (spark.readStream.format("snapshot_changes")
+          .option("path", table.root)
+          .option("maxVersionsPerBatch", 1)
+          .load())
+
+Semantics (Delta CDF's append path / Iceberg incremental read):
+
+- **Offsets are commit versions.** ``{"version": N}`` means every
+  commit <= N has been delivered; Spark's checkpoint persists them, so
+  a restarted stream resumes exactly after the last committed batch —
+  replay-safe by construction (the commit log is immutable).
+- **Versions as micro-batches.** ``maxVersionsPerBatch`` (default 0 =
+  unthrottled) rate-limits offset advancement on CONTINUOUS triggers
+  (processingTime), where Spark polls ``latestOffset`` every trigger —
+  each micro-batch then carries the rows of a bounded number of
+  commits, in commit order. Leave it unset for ``availableNow``
+  drains: the Python data-source wrapper pins the available end at the
+  run's single ``latestOffset`` call, so a throttle there would strand
+  pending versions until the next run. Either way every delivered row
+  carries ``_commit_version``, so a consumer applies changes in exact
+  commit order by grouping on it inside ``foreachBatch`` — the
+  deterministic CDC-apply pattern independent of batch packing.
+- **Append-shaped commits only** (same contract as
+  ``SnapshotTable.table_changes``): a rewrite commit (overwrite /
+  merge / compact) in the range raises, because its dirs mix
+  pre-existing rows in; ``ignoreChanges=true`` opts into re-delivery
+  (Delta's documented ``ignoreChanges`` contract — consumers dedup
+  downstream).
+- **Schema is pinned at stream start** (+ ``_commit_version long``),
+  and every delivered row is CANONICALIZED to it exactly the way a
+  batch ``read()`` canonicalizes old entries — renames mapped forward,
+  widened types cast, ALTER defaults filled, absent columns NULL — so
+  a consumer mirroring the feed reconstructs precisely the current
+  snapshot. Historical versions therefore stream fine across past
+  ALTERs; an ALTER committed AFTER stream start changes the live
+  schema away from the pinned one and delivery stops at it with a loud
+  error telling the operator to restart the stream — Delta streaming's
+  exact behavior on schema change.
+
+Scale shape: offset resolution and per-version planning happen
+driver-side over O(dirs-per-commit) manifest metadata (never row
+data); each data FILE becomes one input partition, read executor-side
+straight into Arrow RecordBatches (pyarrow, no Python row loop).
+Partition-path values and ALTER default fills are reconstructed from
+the manifest recipe per entry, so delivered rows are identical to
+``table_changes``'s canonicalized frames.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from urllib.parse import unquote
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+# ops whose new dirs hold exactly the added rows (mirrors
+# table_changes' append_ops). The ALTER verbs qualify too: they add
+# zero dirs, and the live-schema pin check (above the op gate in
+# partitions()) is what stops a stream at a post-start ALTER — past
+# ALTERs simply canonicalize into the pinned schema.
+_APPEND_OPS = frozenset(
+    {"append", "insert_ignore", "stream_append", "sync",
+     "add_bloom_filters", "alter_add_column", "alter_rename_column",
+     "alter_drop_column", "alter_widen_column"}
+)
+_METADATA_ONLY_OPS = frozenset({"add_bloom_filters"})
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+# ALTER records carry Spark simpleString type names ("int", "bigint");
+# schema JSON carries the long names ("integer", "long") — one
+# vocabulary for the recipe builder.
+_SIMPLE_TO_JSON = {
+    "int": "integer",
+    "bigint": "long",
+    "smallint": "short",
+    "tinyint": "byte",
+}
+
+
+def _trace(*parts):
+    """Protocol trace for debugging the offset dance (the reader runs
+    in Spark's python_streaming_source_runner subprocess, invisible to
+    the driver): set SNAPSHOT_CDF_TRACE=/path to enable."""
+    dst = os.environ.get("SNAPSHOT_CDF_TRACE")
+    if dst:
+        with open(dst, "a") as fh:
+            print(*parts, file=fh, flush=True)
+
+
+def _arrow_type(spark_type: str):
+    """pyarrow type for a Spark JSON-schema primitive type name —
+    needed only for columns the FILE doesn't carry (partition values,
+    default fills, null fills, _commit_version); physical columns come
+    out of the parquet file with the right Arrow type already."""
+    import pyarrow as pa
+
+    m = {
+        "byte": pa.int8(),
+        "short": pa.int16(),
+        "integer": pa.int32(),
+        "long": pa.int64(),
+        "float": pa.float32(),
+        "double": pa.float64(),
+        "string": pa.string(),
+        "boolean": pa.bool_(),
+        "binary": pa.binary(),
+        "date": pa.date32(),
+        "timestamp": pa.timestamp("us", tz="UTC"),
+        "timestamp_ntz": pa.timestamp("us"),
+    }
+    got = m.get(spark_type)
+    if got is None:
+        raise ValueError(
+            f"snapshot_changes cannot synthesize column type "
+            f"{spark_type!r} outside parquet files (partition / "
+            "default-fill / absent columns must be primitive)"
+        )
+    return got
+
+
+def _py_value(raw: str, spark_type: str):
+    """Partition-path string -> Python value of the declared type."""
+    if raw == _HIVE_NULL:
+        return None
+    if spark_type in ("byte", "short", "integer", "long"):
+        return int(raw)
+    if spark_type in ("float", "double"):
+        return float(raw)
+    if spark_type == "boolean":
+        return raw.lower() == "true"
+    if spark_type == "date":
+        import datetime
+
+        return datetime.date.fromisoformat(raw)
+    return raw  # string et al.
+
+
+class _FilePartition(InputPartition):
+    """One data file + the recipe reconstructing its logical columns.
+
+    ``fields``: one tuple per pinned logical column, in declared
+    order (without _commit_version):
+    ``(logical_name, logical_type, physical_name, physical_type,
+    fill_value)`` — the same per-entry canonicalization the batch
+    ``read()`` derives via ``_physical_schema`` / ``_apply_evolution``
+    / ``_default_fill``, precomputed driver-side so the executor needs
+    only pyarrow. ``part_values``: {col: raw_path_string} parsed from
+    the entry's hive components.
+    """
+
+    def __init__(self, path, version, fields, part_values):
+        self.path = path
+        self.version = version
+        self.fields = fields
+        self.part_values = part_values
+
+
+class SnapshotChangesReader(DataSourceStreamReader):
+    def __init__(self, options, schema_fields):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("snapshot_changes requires option 'path'")
+        self.since = int(options.get("sinceversion", -1))
+        self.max_versions = int(options.get("maxversionsperbatch", 0))
+        self.ignore_changes = (
+            str(options.get("ignorechanges", "false")).lower() == "true"
+        )
+        # [(name, type_name)] minus the appended _commit_version
+        self._fields = schema_fields
+        # rate-limit cursor: the highest end offset this reader has
+        # handed out or seen planned. None right after (re)start — the
+        # first latestOffset() then delivers everything pending in one
+        # catch-up batch (correct, just unthrottled; availableNow
+        # drains always take this path because Spark snapshots the end
+        # offset up front), and throttling resumes from there.
+        # partitions() re-syncs it to the authoritative batch range so
+        # the cursor can never regress below an offset Spark already
+        # committed (initialOffset may be called AFTER latestOffset on
+        # a fresh stream; a WAL-replayed batch calls partitions()
+        # without any latestOffset at all).
+        self._cursor: int | None = None
+
+    # -- driver-side manifest access (no SparkSession needed: the
+    # commit log resolves through SnapshotTable's pyarrow/JSON path)
+    def _table(self):
+        from ..acid import SnapshotTable
+
+        return SnapshotTable(None, self.root)
+
+    def initialOffset(self) -> dict:
+        if self._cursor is None:
+            self._cursor = self.since
+        _trace("initialOffset ->", self.since)
+        return {"version": self.since}
+
+    def latestOffset(self) -> dict:
+        latest = self._table().latest_version()
+        latest = -1 if latest is None else latest
+        if self._cursor is None or self.max_versions <= 0:
+            self._cursor = max(latest, self._cursor or latest)
+        else:
+            self._cursor = max(
+                self._cursor,
+                min(latest, self._cursor + self.max_versions),
+            )
+        _trace("latestOffset ->", self._cursor)
+        return {"version": self._cursor}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["version"]), int(end["version"])
+        known = self._cursor if self._cursor is not None else lo
+        self._cursor = max(known, lo, hi)
+        _trace("partitions", lo, hi, "cursor", self._cursor)
+        if hi <= lo:
+            return []
+        t = self._table()
+        latest = t.latest_version()
+        m_latest = t._manifest(latest)
+        live_fields = [
+            (f["name"], _type_name(f["type"]))
+            for f in json.loads(m_latest["schema"])["fields"]
+        ]
+        if live_fields != self._fields:
+            raise RuntimeError(
+                "snapshot_changes: the table schema changed after "
+                "stream start (an ALTER commit); a streaming read "
+                "pins its schema at start — restart the stream to "
+                "pick up the new one (Delta streaming's schema-change "
+                "contract)"
+            )
+        evo_ctx = t._evolution_ctx(m_latest)
+        parts: list[_FilePartition] = []
+        prev = set(
+            t._manifest(lo)["dirs"] if lo >= 0 else ()
+        )
+        for v in range(lo + 1, hi + 1):
+            m = t._manifest(v)
+            # v0 is table genesis: whatever op created it (overwrite /
+            # convert), its dirs are exactly the initial rows — there
+            # is no prior snapshot a "rewrite" could have mixed in
+            if v > 0 and (
+                m["op"] not in _APPEND_OPS and not self.ignore_changes
+            ):
+                raise RuntimeError(
+                    f"snapshot_changes: version {v} is op={m['op']!r} "
+                    "(a rewrite, not an append); pass option "
+                    "ignoreChanges=true to re-deliver its rows, or "
+                    "diff the snapshots"
+                )
+            new_dirs = [d for d in m["dirs"] if d not in prev]
+            prev = set(m["dirs"])
+            if not new_dirs or m["op"] in _METADATA_ONLY_OPS:
+                continue
+            pcols = {c for c in m.get("partition_cols", [])}
+            for d in new_dirs:
+                # hive components of the entry path -> constant cols
+                part_values = {}
+                for comp in d.split("/")[1:]:
+                    k, _, raw = comp.partition("=")
+                    if k in pcols:
+                        part_values[k] = unquote(raw)
+                # per-entry canonicalization recipe from the LATEST
+                # manifest's evolution chain — the same physical-name /
+                # narrow-type / default-fill resolution the batch
+                # read() performs via _physical_schema, replicated
+                # here WITHOUT pyspark type parsing (this method runs
+                # in Spark's python_streaming_source_runner subprocess,
+                # which has no SparkContext for StructType.fromDDL)
+                pnames = [n for n, _ in self._fields]
+                ptypes = [ty for _, ty in self._fields]
+                evo = [rec for rec, ents in evo_ctx if d in ents]
+                for rec in reversed(evo):
+                    if rec["op"] == "rename_column":
+                        pnames = [
+                            rec["from"] if n == rec["to"] else n
+                            for n in pnames
+                        ]
+                    elif rec["op"] == "widen_column":
+                        narrow = _SIMPLE_TO_JSON.get(
+                            rec["from_type"], rec["from_type"]
+                        )
+                        ptypes = [
+                            narrow if n == rec["col"] else ty
+                            for n, ty in zip(pnames, ptypes)
+                        ]
+                fields = [
+                    (
+                        lname,
+                        ltype,
+                        pname,
+                        ptype,
+                        t._default_fill(evo_ctx, d, lname),
+                    )
+                    for (lname, ltype), pname, ptype in zip(
+                        self._fields, pnames, ptypes
+                    )
+                ]
+                base = os.path.join(t.data_dir, d)
+                for walk_root, _sub, files in os.walk(base):
+                    for fn in sorted(files):
+                        if fn.endswith(".parquet"):
+                            parts.append(
+                                _FilePartition(
+                                    os.path.join(walk_root, fn),
+                                    v,
+                                    fields,
+                                    part_values,
+                                )
+                            )
+        return parts
+
+    def read(self, part: _FilePartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(part.path)
+        n = tbl.num_rows
+        cols = []
+        names = []
+        have = set(tbl.schema.names)
+        for lname, ltype, pname, ptype, fill in part.fields:
+            if pname in have:
+                col = tbl.column(pname)
+                if ptype != ltype:
+                    # entry predates a widen: lossless cast forward,
+                    # same as _apply_evolution on the batch read path
+                    col = col.cast(_arrow_type(ltype))
+                cols.append(col)
+            elif lname in part.part_values:
+                val = _py_value(part.part_values[lname], ltype)
+                cols.append(
+                    pa.array([val] * n, type=_arrow_type(ltype))
+                )
+            elif fill is not None:
+                # CLI-sourced defaults arrive as strings; reuse the
+                # partition-value parser (Spark casts lit(default)
+                # the same way on the batch read path)
+                val = _py_value(fill, ltype) if isinstance(fill, str) else fill
+                cols.append(
+                    pa.array([val] * n, type=_arrow_type(ltype))
+                )
+            else:
+                # declared-but-absent (add_column without a default
+                # covering this entry, or a trailing-omitted nullable
+                # column): all-NULL, same as the Spark scan
+                cols.append(pa.nulls(n, type=_arrow_type(ltype)))
+            names.append(lname)
+        cols.append(pa.array([part.version] * n, type=pa.int64()))
+        names.append("_commit_version")
+        if n:
+            # pa.table accepts ChunkedArrays (file columns arrive
+            # chunked); yield its batches instead of one giant array
+            out = pa.table(dict(zip(names, cols)))
+            yield from out.to_batches()
+
+    def commit(self, end: dict):
+        _trace("commit", end)
+        # the commit log is immutable; nothing to acknowledge
+
+
+def _type_name(t) -> str:
+    """Spark JSON-schema 'type' -> stable primitive name (nested types
+    come through as their JSON object; stringify them so schema
+    comparison still works even though _arrow_type would refuse)."""
+    return t if isinstance(t, str) else json.dumps(t, sort_keys=True)
+
+
+class SnapshotChangesSource(DataSource):
+    """``format("snapshot_changes")`` — streaming CDF over a snapshot
+    table's commit log. Options: ``path`` (table root, required),
+    ``sinceVersion`` (exclusive start, default -1 = from genesis),
+    ``maxVersionsPerBatch`` (rate limit, default 1),
+    ``ignoreChanges`` (re-deliver rewrite commits' rows)."""
+
+    @classmethod
+    def name(cls):
+        return "snapshot_changes"
+
+    def _fields(self):
+        from ..acid import SnapshotTable
+
+        root = self.options.get("path")
+        if not root:
+            raise ValueError("snapshot_changes requires option 'path'")
+        t = SnapshotTable(None, root)
+        v = t.latest_version()
+        if v is None:
+            raise FileNotFoundError(f"no committed version at {root}")
+        return [
+            (f["name"], _type_name(f["type"]))
+            for f in json.loads(t._manifest(v)["schema"])["fields"]
+        ]
+
+    def schema(self):
+        ddl_types = {
+            "integer": "int",
+            "long": "bigint",
+            "short": "smallint",
+            "byte": "tinyint",
+        }
+        parts = []
+        for name, tname in self._fields():
+            if tname.startswith("{"):
+                raise ValueError(
+                    "snapshot_changes supports primitive columns only; "
+                    f"column {name!r} is {tname}"
+                )
+            parts.append(f"`{name}` {ddl_types.get(tname, tname)}")
+        parts.append("`_commit_version` bigint")
+        return ", ".join(parts)
+
+    def streamReader(self, schema):
+        return SnapshotChangesReader(
+            {k.lower(): v for k, v in self.options.items()},
+            self._fields(),
+        )
