@@ -179,13 +179,18 @@ _DEMOTED = (
     # (round-10: sink_tx_evolve — parked here through r9 — rotated INTO
     # the window as planned: it left this list, taking the tier-0 slot
     # freed by the media_features/embedding_norms promotion retirement.)
-    # Round-10 late registration, parked OUTSIDE the window (the 50
-    # slots are committed this round): the r11 rotation's first
-    # promotion candidate. K-family window coverage stays wide
-    # (roundtrip/describe/partition_ops/convert/restore/bloom/evolve),
-    # and the feature itself is pinned by
-    # tests/test_manifest_log.py::test_distributed_planning_matches_driver.
-    "sink_tx_distributed_scan",
+    # (round-11: sink_tx_distributed_scan — parked here late-r10 as the
+    # only never-driver-graded query — rotated INTO the window as the
+    # r10 verdict's #1 directed. Its tier-0 slot and the one for the
+    # NEW streaming_cdf_dedup registration come from banking the
+    # r10-driver-green sink_tx_convert / sink_tx_restore below.)
+    # Round-11 rotation: convert/restore went driver-green in
+    # CORRECTNESS_r10.json; the K6 ACID family stays represented in the
+    # window by sink_tx_partition_ops / sink_tx_bloom / sink_tx_evolve
+    # / sink_tx_distributed_scan (+ roundtrip/describe for K2/K3/K8),
+    # and both remain fully value-hash oracle-checked locally.
+    "sink_tx_convert",
+    "sink_tx_restore",
 )
 
 
