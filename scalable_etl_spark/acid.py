@@ -84,7 +84,14 @@ _COMMIT_RETRIES = 20
 # DISTRIBUTED: ``read(..., planning="distributed")`` evaluates
 # per-file skipping as a Spark job over the sidecar
 # (``_distributed_file_plan``) and the driver holds only the entry
-# list and the surviving file names, never the full stats map.
+# list plus the surviving file names of PARTIALLY pruned entries —
+# fully-surviving and fully-pruned entries ship O(1) markers, so a
+# weakly-selective predicate over a million files costs the driver
+# O(dirs), and a strongly-selective one O(survivors). The remaining
+# driver materialization (names the scan genuinely needs as paths) is
+# the same shape Delta-OSS's file index materializes per query; the
+# measured bound lives in tests/test_manifest_log.py
+# test_distributed_plan_partial_prune_ships_bounded_names.
 _CHECKPOINT_EVERY = 10
 
 # Auto-graduation threshold: a checkpoint whose file inventory is at

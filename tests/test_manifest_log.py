@@ -666,3 +666,109 @@ def test_distributed_plan_partitioned_and_vacuum_complete(spark, tmp_path):
     assert removed, "superseded complete-mode batch dirs must vacuum"
     assert not latest_dirs & set(removed)
     assert {r.k for r in t2.read().collect()} == {"x0", "x1"}
+
+
+def _commit_wide_state(
+    t: SnapshotTable, n_entries: int, files_per_entry: int,
+    same_dir_range: bool = False,
+) -> None:
+    """Synthetic heavy-metadata v0: ``n_entries`` unpartitioned entries
+    x ``files_per_entry`` files with range stats on k. Default layout
+    gives dir i the range [i*100, i*100+99] split evenly across its
+    files; ``same_dir_range=True`` gives EVERY dir the identical
+    [0, 99] layout so one global range predicate partially prunes
+    every dir (the worst case for survivor shipping)."""
+    os.makedirs(t.log_dir, exist_ok=True)
+    dirs, stats, fstats = [], {}, {}
+    span = 100 // files_per_entry
+    for i in range(n_entries):
+        e = f"ffffeeeeddddcccc{i:08d}"
+        dirs.append(e)
+        base = 0 if same_dir_range else i * 100
+        stats[e] = {"k": [base, base + 99]}
+        fstats[e] = {
+            f"part-{j:05d}.parquet": {
+                "k": [base + j * span, base + (j + 1) * span - 1]
+            }
+            for j in range(files_per_entry)
+        }
+    assert t._commit(
+        0,
+        {
+            "op": "overwrite", "dirs": dirs, "schema": "{}",
+            "partition_cols": [], "stats": stats,
+            "file_stats": fstats, "txn": {}, "timestamp": 0.0,
+        },
+    )
+
+
+def test_parquet_checkpoint_auto_graduation_25k(tmp_path):
+    """Round-11 verdict #4: the auto threshold crossed NATURALLY (no
+    forced flag, no lowered constant): a 25k-file v0 commits through
+    DEFAULT mode as a parquet-checkpoint pointer. Pins the O(1M)-file
+    claim one decade closer: O(1) pointer bytes, bounded sidecar size,
+    bounded COLD full resolution."""
+    import time as _time
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable(None, root)  # default auto mode
+    _commit_wide_state(t, 25_000, 1)
+
+    raw = t._manifest_raw(0)
+    assert raw.get("format") == "checkpoint-parquet", raw.keys()
+    assert os.path.getsize(t._manifest_path(0)) < 4096  # O(1) pointer
+    sidecar = os.path.join(t.log_dir, raw["checkpoint"])
+    size = os.path.getsize(sidecar)
+    assert size < 20 * 1024 * 1024, size  # columnar, ~MBs not GBs
+
+    cold = SnapshotTable(None, root)
+    t0 = _time.monotonic()
+    m = cold._manifest(0)
+    dt = _time.monotonic() - t0
+    assert len(m["dirs"]) == 25_000
+    assert len(m["file_stats"]) == 25_000
+    assert dt < 10.0, f"cold 25k resolution took {dt:.2f}s"
+
+
+def test_distributed_plan_partial_prune_ships_bounded_names(
+    spark, tmp_path
+):
+    """Round-11 verdict #2(b): the measured bound on the distributed
+    planner's one remaining driver-side materialization. 50k entries x
+    4 files (200k sidecar rows, auto-graduated); a predicate keeping
+    exactly 2 of every entry's 4 files ships 100,000 SURVIVOR NAMES to
+    the driver — the worst case, because every entry is PARTIALLY
+    pruned and the scan genuinely needs those paths (Delta-OSS's file
+    index materializes the same list per query). A fully-surviving
+    predicate over the same state ships ZERO names (O(dirs) whole-dir
+    markers) — the executor-side when(nkept < total) drop at work.
+    Both plans are pinned on wall time."""
+    import time as _time
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    _commit_wide_state(t, 50_000, 4, same_dir_range=True)
+    assert t._manifest_raw(0).get("format") == "checkpoint-parquet"
+
+    t0 = _time.monotonic()
+    got = t._distributed_file_plan(0, ("k", 0, 49))
+    dt_partial = _time.monotonic() - t0
+    assert got is not None
+    _m, plan = got
+    assert len(plan) == 50_000
+    shipped = 0
+    for total, kept in plan.values():
+        assert total == 4 and kept is not None and len(kept) == 2
+        shipped += len(kept)
+    assert shipped == 100_000
+    assert dt_partial < 120.0, f"partial-prune plan took {dt_partial:.1f}s"
+
+    # weak pruning: everything survives -> whole-dir markers only,
+    # zero file names cross to the driver
+    t0 = _time.monotonic()
+    _m2, plan2 = t._distributed_file_plan(0, ("k", 0, 99))
+    dt_full = _time.monotonic() - t0
+    assert len(plan2) == 50_000
+    assert all(
+        total == 4 and kept is None for total, kept in plan2.values()
+    )
+    assert dt_full < 120.0, f"whole-dir plan took {dt_full:.1f}s"
