@@ -64,8 +64,16 @@ def main() -> None:
         # round-5 "regression" was exactly this warmup landing on the
         # timed run). Warm each strategy once at the smallest SF.
         QUERIES["ann_brute_force"](spark, "/root/testdata/sf0.001").count()
-        QUERIES["ann_lsh"](spark, "/root/testdata/sf0.001").count()
-        QUERIES["ann_ivf"](spark, "/root/testdata/sf0.001").count()
+        # ann_lsh / ann_ivf / audio_energy_stats warm at BENCH scale
+        # (round-11, verdict #7): AQE picks a different physical plan
+        # at sf_dir than at sf0.001, so a small-SF warmup leaves the
+        # sf_dir codegen cold and the single-shot driver bench kept
+        # flagging these ~1.3x over their 3-run warm medians — pure
+        # first-execution compilation, not a regression. Warmup time
+        # is untimed (the JSON value sums only per-query times).
+        QUERIES["ann_lsh"](spark, sf_dir).count()
+        QUERIES["ann_ivf"](spark, sf_dir).count()
+        QUERIES["audio_energy_stats"](spark, sf_dir).count()
         # The gated-Jaccard signature (24 perms / 8 bands) is a distinct
         # codegen shape from minhash_lsh's 16/4 — and AQE picks a
         # DIFFERENT physical plan at bench scale than at sf0.001, so

@@ -19,7 +19,12 @@ Semantics (Delta CDF's append path / Iceberg incremental read):
 - **Offsets are commit versions.** ``{"version": N}`` means every
   commit <= N has been delivered; Spark's checkpoint persists them, so
   a restarted stream resumes exactly after the last committed batch —
-  replay-safe by construction (the commit log is immutable).
+  replay-safe by construction (the commit log is immutable). Log
+  retention applies like Delta's: a stream resuming from an offset
+  whose MANIFEST ``vacuum`` deleted fails loudly on the missing file;
+  data dirs vacuum reclaimed belong to rewrite-superseded versions,
+  which are only reachable under ``ignoreChanges=true`` (that mode's
+  documented re-delivery caveats apply).
 - **Versions as micro-batches.** ``maxVersionsPerBatch`` (default 0 =
   unthrottled) rate-limits offset advancement on CONTINUOUS triggers
   (processingTime), where Spark polls ``latestOffset`` every trigger —
@@ -36,7 +41,9 @@ Semantics (Delta CDF's append path / Iceberg incremental read):
   merge / compact) in the range raises, because its dirs mix
   pre-existing rows in; ``ignoreChanges=true`` opts into re-delivery
   (Delta's documented ``ignoreChanges`` contract — consumers dedup
-  downstream).
+  downstream). Re-delivered superseded entries carry their ROW-IMAGE
+  as committed; a consumer applying versions in commit order
+  (last-wins per key) converges to the current snapshot.
 - **Schema is pinned at stream start** (+ ``_commit_version long``),
   and every delivered row is CANONICALIZED to it exactly the way a
   batch ``read()`` canonicalizes old entries — renames mapped forward,
@@ -135,6 +142,16 @@ def _arrow_type(spark_type: str):
     return got
 
 
+def _const(pa, val, spark_type: str, n: int):
+    """Length-``n`` constant column without an O(rows) Python list:
+    pa.repeat materializes the run C++-side (NULL constants come from
+    pa.nulls)."""
+    tp = _arrow_type(spark_type)
+    if val is None:
+        return pa.nulls(n, type=tp)
+    return pa.repeat(pa.scalar(val, type=tp), n)
+
+
 def _py_value(raw: str, spark_type: str):
     """Partition-path string -> Python value of the declared type."""
     if raw == _HIVE_NULL:
@@ -198,11 +215,17 @@ class SnapshotChangesReader(DataSourceStreamReader):
         self._cursor: int | None = None
 
     # -- driver-side manifest access (no SparkSession needed: the
-    # commit log resolves through SnapshotTable's pyarrow/JSON path)
+    # commit log resolves through SnapshotTable's pyarrow/JSON path).
+    # ONE instance per reader: its per-version manifest memo (_mcache)
+    # is safe — committed versions are immutable — and without it every
+    # trigger would re-resolve the full chain (for checkpoint versions,
+    # an O(files) sidecar parse per poll on a million-file table).
     def _table(self):
-        from ..acid import SnapshotTable
+        if getattr(self, "_t", None) is None:
+            from ..acid import SnapshotTable
 
-        return SnapshotTable(None, self.root)
+            self._t = SnapshotTable(None, self.root)
+        return self._t
 
     def initialOffset(self) -> dict:
         if self._cursor is None:
@@ -300,6 +323,26 @@ class SnapshotChangesReader(DataSourceStreamReader):
                             narrow if n == rec["col"] else ty
                             for n, ty in zip(pnames, ptypes)
                         ]
+                # physical names whose bytes a drop record covering
+                # this entry invalidated: the file still carries them
+                # (drop is metadata-only), but they must never serve a
+                # same-named re-added column — the batch read drops
+                # them via _apply_evolution; mirror that here (both
+                # the drop-time logical spelling and its pre-rename
+                # physical spelling are dead)
+                dead: set[str] = set()
+                for i, rec in enumerate(evo):
+                    if rec["op"] != "drop_column":
+                        continue
+                    dead.add(rec["col"])
+                    name = rec["col"]
+                    for earlier in reversed(evo[:i]):
+                        if (
+                            earlier["op"] == "rename_column"
+                            and earlier["to"] == name
+                        ):
+                            name = earlier["from"]
+                    dead.add(name)
                 fields = [
                     (
                         lname,
@@ -312,6 +355,11 @@ class SnapshotChangesReader(DataSourceStreamReader):
                         self._fields, pnames, ptypes
                     )
                 ]
+                if dead:
+                    fields = [
+                        (ln, lt, None if pn in dead else pn, pt, fl)
+                        for ln, lt, pn, pt, fl in fields
+                    ]
                 base = os.path.join(t.data_dir, d)
                 for walk_root, _sub, files in os.walk(base):
                     for fn in sorted(files):
@@ -345,24 +393,20 @@ class SnapshotChangesReader(DataSourceStreamReader):
                 cols.append(col)
             elif lname in part.part_values:
                 val = _py_value(part.part_values[lname], ltype)
-                cols.append(
-                    pa.array([val] * n, type=_arrow_type(ltype))
-                )
+                cols.append(_const(pa, val, ltype, n))
             elif fill is not None:
                 # CLI-sourced defaults arrive as strings; reuse the
                 # partition-value parser (Spark casts lit(default)
                 # the same way on the batch read path)
                 val = _py_value(fill, ltype) if isinstance(fill, str) else fill
-                cols.append(
-                    pa.array([val] * n, type=_arrow_type(ltype))
-                )
+                cols.append(_const(pa, val, ltype, n))
             else:
                 # declared-but-absent (add_column without a default
                 # covering this entry, or a trailing-omitted nullable
                 # column): all-NULL, same as the Spark scan
                 cols.append(pa.nulls(n, type=_arrow_type(ltype)))
             names.append(lname)
-        cols.append(pa.array([part.version] * n, type=pa.int64()))
+        cols.append(_const(pa, part.version, "long", n))
         names.append("_commit_version")
         if n:
             # pa.table accepts ChunkedArrays (file columns arrive
@@ -386,14 +430,22 @@ class SnapshotChangesSource(DataSource):
     """``format("snapshot_changes")`` — streaming CDF over a snapshot
     table's commit log. Options: ``path`` (table root, required),
     ``sinceVersion`` (exclusive start, default -1 = from genesis),
-    ``maxVersionsPerBatch`` (rate limit, default 1),
-    ``ignoreChanges`` (re-deliver rewrite commits' rows)."""
+    ``maxVersionsPerBatch`` (continuous-trigger rate limit, default 0
+    = unthrottled — see the module docstring for the availableNow
+    caveat), ``ignoreChanges`` (re-deliver rewrite commits' rows)."""
 
     @classmethod
     def name(cls):
         return "snapshot_changes"
 
     def _fields(self):
+        # memoized: schema() and streamReader() must pin the SAME field
+        # list — re-resolving would double the manifest IO and open a
+        # race where a commit between the two calls hands the reader
+        # fields that disagree with the scan schema Spark planned with
+        cached = getattr(self, "_fields_cache", None)
+        if cached is not None:
+            return cached
         from ..acid import SnapshotTable
 
         root = self.options.get("path")
@@ -403,10 +455,11 @@ class SnapshotChangesSource(DataSource):
         v = t.latest_version()
         if v is None:
             raise FileNotFoundError(f"no committed version at {root}")
-        return [
+        self._fields_cache = [
             (f["name"], _type_name(f["type"]))
             for f in json.loads(t._manifest(v)["schema"])["fields"]
         ]
+        return self._fields_cache
 
     def schema(self):
         ddl_types = {

@@ -248,3 +248,53 @@ def test_cdf_reader_gates(spark, tmp_path):
     src = SnapshotChangesSource({"path": root3})
     with pytest.raises(ValueError, match="primitive"):
         src.schema()
+
+
+def test_cdf_drop_readd_converges_under_ignore_changes(spark, tmp_path):
+    """Drop -> rewrite -> same-name re-add, replayed from genesis under
+    ignoreChanges: superseded entries re-deliver their ROW-IMAGE (the
+    documented re-delivery semantic — here the v0 row still carries
+    c=5), the rewritten copy delivers the post-drop truth (NULL), and
+    a consumer applying versions in commit order (last-wins per key)
+    reconstructs exactly the current snapshot. Without ignoreChanges
+    this history is unreachable: the rewrite raises, and the name
+    reuse itself is refused while live entries carry the bytes
+    (_reused_physical_names) — so live-entry reads can never serve
+    stale dropped bytes."""
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    t.append(spark.createDataFrame([(1, 5)], "id INT, c INT"))
+    t.alter_drop_column("c")
+    t.compact()  # rewrite: live entries stop carrying the bytes
+    t.alter_add_column("c", "int")  # name reuse now legal; no default
+    t.append(spark.createDataFrame([(2, 9)], "id INT, c INT"))
+
+    got: list = []
+    spark.dataSource.register(SnapshotChangesSource)
+    q = (
+        spark.readStream.format("snapshot_changes")
+        .option("path", root)
+        .option("ignoreChanges", "true")
+        .load()
+        .writeStream.foreachBatch(
+            lambda b, i: got.extend(tuple(r) for r in b.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # the compacted re-delivery (v2) carries NULL — its file was
+    # written post-drop and genuinely lacks the column
+    versions = {}
+    for r in got:
+        versions.setdefault(r[2], {})[r[0]] = r[1]
+    assert versions[2] == {1: None}
+    assert versions[4] == {2: 9}
+    # commit-order last-wins reconstruction == the current snapshot
+    state: dict = {}
+    for v in sorted(versions):
+        state.update(versions[v])
+    assert state == {
+        r.id: r.c for r in t.read().collect()
+    } == {1: None, 2: 9}
