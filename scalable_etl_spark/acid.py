@@ -42,6 +42,7 @@ Stores", VLDB 2020 — public paper):
 
 from __future__ import annotations
 
+import re
 import json
 import os
 import time
@@ -60,13 +61,35 @@ from pyspark.sql.types import (
 )
 
 # Narrow source types a widen_column record can carry (the keys of
-# SnapshotTable._WIDENINGS), resolved without a fromDDL JVM roundtrip.
+# SnapshotTable._WIDENINGS plus any decimal(p, s)), resolved without a
+# fromDDL JVM roundtrip.
 _NARROW_TYPES = {
     "tinyint": ByteType(),
     "smallint": ShortType(),
     "int": IntegerType(),
     "float": FloatType(),
 }
+
+_DECIMAL_RE = re.compile(r"^decimal\((\d+),\s*(-?\d+)\)$")
+
+
+def _decimal_params(simple: str) -> tuple[int, int] | None:
+    """(precision, scale) of a decimal simpleString, else None."""
+    m = _DECIMAL_RE.match(simple)
+    return (int(m.group(1)), int(m.group(2))) if m else None
+
+
+def _narrow_type(simple: str):
+    """DataType for a widen record's from_type simpleString."""
+    got = _NARROW_TYPES.get(simple)
+    if got is not None:
+        return got
+    dec = _decimal_params(simple)
+    if dec is not None:
+        from pyspark.sql.types import DecimalType
+
+        return DecimalType(*dec)
+    raise ValueError(f"unknown widen source type {simple!r}")
 
 _COMMIT_RETRIES = 20
 
@@ -1698,7 +1721,7 @@ class SnapshotTable:
                 # fromDDL JVM roundtrip PER ENTRY PER READ (measured
                 # ~0.3s on a 6-entry evolved table) and keeps this
                 # path SparkContext-free
-                narrow = _NARROW_TYPES[rec["from_type"]]
+                narrow = _narrow_type(rec["from_type"])
                 types = [
                     narrow if n == rec["col"] else t
                     for n, t in zip(names, types)
@@ -2121,7 +2144,9 @@ class SnapshotTable:
     # promotion rules; Delta type widening covers the same set for
     # integers/floats): every value representable in the source type
     # is exactly representable in the target, so reads that cast
-    # narrow physical files forward can never change a value.
+    # narrow physical files forward can never change a value. The
+    # third Iceberg rule — decimal(P, S) -> decimal(P'>P, S) — is
+    # validated parametrically in alter_widen_column, not listed here.
     _WIDENINGS = {
         "tinyint": ("smallint", "int", "bigint"),
         "smallint": ("int", "bigint"),
@@ -2142,7 +2167,9 @@ class SnapshotTable:
         narrow type for pre-widen entries (``_physical_schema``) and
         cast forward (``_apply_evolution``), so no data rewrite at any
         table size and no value can change (only lossless widenings
-        are accepted — ``_WIDENINGS``). Appends after the widen must
+        are accepted — ``_WIDENINGS``, plus decimal(P, S) ->
+        decimal(P'>P, S), Iceberg's third rule). Appends after the
+        widen must
         carry the wide type (ordinary schema check). Stats and bloom
         specs carry over verbatim: min/max bounds are numerically
         unchanged by a lossless widen, and bloom probes only exist for
@@ -2196,11 +2223,25 @@ class SnapshotTable:
             ).dataType
             want = StructType.fromDDL(f"`x` {new_type}").fields[0].dataType
             cur_s, want_s = cur.simpleString(), want.simpleString()
-            if want_s not in self._WIDENINGS.get(cur_s, ()):
+            cur_dec, want_dec = _decimal_params(cur_s), _decimal_params(want_s)
+            if cur_dec is not None and want_dec is not None:
+                # Iceberg's third promotion rule: decimal(P, S) ->
+                # decimal(P', S) with P' > P — same scale, more
+                # precision digits, every stored unscaled value
+                # representable. Scale changes would rescale values
+                # (lossy or value-changing) and are refused.
+                if want_dec[1] != cur_dec[1] or want_dec[0] <= cur_dec[0]:
+                    raise ValueError(
+                        f"cannot widen {name!r} from {cur_s} to "
+                        f"{want_s}: decimal promotion requires equal "
+                        "scale and strictly larger precision"
+                    )
+            elif want_s not in self._WIDENINGS.get(cur_s, ()):
                 raise ValueError(
                     f"cannot widen {name!r} from {cur_s} to {want_s}: "
                     "only lossless promotions are supported "
-                    f"({dict(self._WIDENINGS)})"
+                    f"({dict(self._WIDENINGS)} plus decimal(P,S) -> "
+                    "decimal(P'>P, S))"
                 )
             new_schema = StructType(
                 [

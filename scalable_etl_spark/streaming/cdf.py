@@ -134,6 +134,11 @@ def _arrow_type(spark_type: str):
     }
     got = m.get(spark_type)
     if got is None:
+        import re
+
+        dec = re.match(r"^decimal\((\d+),\s*(-?\d+)\)$", spark_type)
+        if dec:
+            return pa.decimal128(int(dec.group(1)), int(dec.group(2)))
         raise ValueError(
             f"snapshot_changes cannot synthesize column type "
             f"{spark_type!r} outside parquet files (partition / "
@@ -166,6 +171,10 @@ def _py_value(raw: str, spark_type: str):
         import datetime
 
         return datetime.date.fromisoformat(raw)
+    if spark_type.startswith("decimal("):
+        import decimal
+
+        return decimal.Decimal(raw)
     return raw  # string et al.
 
 

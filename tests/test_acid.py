@@ -2648,3 +2648,60 @@ def test_alter_widen_column(spark, tmp_path):
         dst.alter_widen_column("n", "bigint", _txn_gate=("sync:w1", gate))
         == v_dst
     )
+
+
+def test_alter_widen_decimal_precision(spark, tmp_path):
+    """Iceberg's third promotion rule: decimal(P, S) -> decimal(P', S)
+    with P' > P. Pre-widen entries keep decimal(10,2) files and read
+    through a lossless cast; scale changes and precision shrinks
+    refuse."""
+    import decimal
+
+    import pytest as _pytest
+
+    from scalable_etl_spark.acid import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, decimal.Decimal("12345678.99"))],
+            "id INT, amt DECIMAL(10,2)",
+        )
+    )
+    t.alter_widen_column("amt", "decimal(14,2)")
+    sch = dict(t.read().dtypes)
+    assert sch["amt"] == "decimal(14,2)"
+    t.append(
+        spark.createDataFrame(
+            [(2, decimal.Decimal("999999999999.99"))],
+            "id INT, amt DECIMAL(14,2)",
+        )
+    )
+    got = {(r.id, str(r.amt)) for r in t.read().collect()}
+    assert got == {(1, "12345678.99"), (2, "999999999999.99")}
+    with _pytest.raises(ValueError, match="scale|precision"):
+        t.alter_widen_column("amt", "decimal(16,4)")  # scale change
+    with _pytest.raises(ValueError, match="scale|precision"):
+        t.alter_widen_column("amt", "decimal(12,2)")  # shrink
+    with _pytest.raises(ValueError, match="widen"):
+        t.alter_widen_column("id", "decimal(10,0)")  # int->decimal: no
+
+    # the CDF stream canonicalizes the narrow entry through the same
+    # recipe (arrow decimal cast)
+    from scalable_etl_spark.streaming.cdf import SnapshotChangesSource
+
+    spark.dataSource.register(SnapshotChangesSource)
+    got2: list = []
+    q = (
+        spark.readStream.format("snapshot_changes")
+        .option("path", str(tmp_path / "t"))
+        .load()
+        .writeStream.foreachBatch(
+            lambda b, i: got2.extend((r.id, str(r.amt)) for r in b.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert set(got2) == got
