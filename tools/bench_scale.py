@@ -51,6 +51,11 @@ DEFAULT = (
     # whole commit+plan+read cycle (sidecar write, Spark plan job over
     # it, pruned scan, aggregate) against 10x the rows
     "sink_tx_distributed_scan",
+    # round-11: the streaming CDF source — the ratio measures the full
+    # corpus-commit + commit-log-stream + per-version-MERGE cycle;
+    # offset planning is O(dirs-per-commit) metadata, so growth must
+    # track the row volume, not the version count
+    "streaming_cdf_dedup",
 )
 SCALES = ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
