@@ -41,9 +41,13 @@ Semantics (Delta CDF's append path / Iceberg incremental read):
   merge / compact) in the range raises, because its dirs mix
   pre-existing rows in; ``ignoreChanges=true`` opts into re-delivery
   (Delta's documented ``ignoreChanges`` contract — consumers dedup
-  downstream). Re-delivered superseded entries carry their ROW-IMAGE
-  as committed; a consumer applying versions in commit order
-  (last-wins per key) converges to the current snapshot.
+  downstream). Re-delivered superseded entries canonicalize under
+  whatever evolution records the LATEST manifest still carries for
+  them (rewrites prune records as entries leave the live set), so
+  re-delivery is best-effort, not an exact row-image reconstruction
+  of superseded history — consumers needing that should diff the
+  snapshots. A consumer applying versions in commit order (last-wins
+  per key) converges to the current snapshot either way.
 - **Schema is pinned at stream start** (+ ``_commit_version long``),
   and every delivered row is CANONICALIZED to it exactly the way a
   batch ``read()`` canonicalizes old entries — renames mapped forward,
@@ -134,11 +138,11 @@ def _arrow_type(spark_type: str):
     }
     got = m.get(spark_type)
     if got is None:
-        import re
+        from ..acid import _decimal_params
 
-        dec = re.match(r"^decimal\((\d+),\s*(-?\d+)\)$", spark_type)
+        dec = _decimal_params(spark_type)
         if dec:
-            return pa.decimal128(int(dec.group(1)), int(dec.group(2)))
+            return pa.decimal128(*dec)
         raise ValueError(
             f"snapshot_changes cannot synthesize column type "
             f"{spark_type!r} outside parquet files (partition / "
@@ -381,6 +385,18 @@ class SnapshotChangesReader(DataSourceStreamReader):
                                     part_values,
                                 )
                             )
+        # Evict resolved manifests the stream has moved past: the
+        # cached SnapshotTable's per-version memo would otherwise
+        # accumulate one FULL O(files) state per delivered version for
+        # the life of a continuous stream. Future resolutions anchor
+        # at the most recent checkpoint, so keeping a two-checkpoint
+        # trailing window preserves every resolution this reader can
+        # still need.
+        from ..acid import _CHECKPOINT_EVERY
+
+        floor = hi - 2 * _CHECKPOINT_EVERY
+        for vv in [v for v in t._mcache if v < floor]:
+            del t._mcache[vv]
         return parts
 
     def read(self, part: _FilePartition):

@@ -252,9 +252,10 @@ def test_cdf_reader_gates(spark, tmp_path):
 
 def test_cdf_drop_readd_converges_under_ignore_changes(spark, tmp_path):
     """Drop -> rewrite -> same-name re-add, replayed from genesis under
-    ignoreChanges: superseded entries re-deliver their ROW-IMAGE (the
-    documented re-delivery semantic — here the v0 row still carries
-    c=5), the rewritten copy delivers the post-drop truth (NULL), and
+    ignoreChanges: superseded entries re-deliver best-effort under the
+    latest manifest's surviving records (compact pruned the drop
+    record here, so the v0 row still carries c=5), the rewritten copy
+    delivers the post-drop truth (NULL), and
     a consumer applying versions in commit order (last-wins per key)
     reconstructs exactly the current snapshot. Without ignoreChanges
     this history is unreachable: the rewrite raises, and the name
