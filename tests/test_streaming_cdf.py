@@ -299,3 +299,55 @@ def test_cdf_drop_readd_converges_under_ignore_changes(spark, tmp_path):
     assert state == {
         r.id: r.c for r in t.read().collect()
     } == {1: None, 2: 9}
+
+
+def test_cdf_continuous_trigger_rate_limit_live(spark, tmp_path):
+    """maxVersionsPerBatch under a CONTINUOUS trigger, end to end.
+    The first poll after (re)start is a deliberate catch-up (the
+    cursor starts cold, and availableNow pins its end there), so the
+    throttle is demonstrated on versions committed WHILE the stream
+    runs: with the limit at 1, each post-start commit must ride its
+    own micro-batch — the cursor advances at most one version per
+    latestOffset poll. Also asserts exactly-once delivery."""
+    import time as _time
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    t.append(spark.createDataFrame([(0,)], "id INT"))  # v0 backlog
+
+    seen: list = []  # (batch_id, id, _commit_version)
+
+    def collect(b, bid):
+        seen.extend((bid, r.id, r._commit_version) for r in b.collect())
+
+    spark.dataSource.register(SnapshotChangesSource)
+    q = (
+        spark.readStream.format("snapshot_changes")
+        .option("path", root)
+        .option("maxVersionsPerBatch", "1")
+        .load()
+        .writeStream.foreachBatch(collect)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.monotonic() + 60
+        while _time.monotonic() < deadline and not seen:
+            _time.sleep(0.25)  # let the catch-up batch land first
+        for i in range(1, 4):  # three live commits
+            t.append(spark.createDataFrame([(i,)], "id INT"))
+        deadline = _time.monotonic() + 90
+        while _time.monotonic() < deadline:
+            if len({r[1] for r in seen}) == 4:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    assert {(r[1], r[2]) for r in seen} == {(i, i) for i in range(4)}
+    assert len(seen) == 4  # exactly once, no duplicate delivery
+    # live versions 1..3 each rode their own micro-batch
+    live_batches = {r[0] for r in seen if r[2] >= 1}
+    assert len(live_batches) == 3, (
+        f"throttle=1 but live versions shared batches: {sorted(seen)}"
+    )
