@@ -191,6 +191,14 @@ _DEMOTED = (
     # and both remain fully value-hash oracle-checked locally.
     "sink_tx_convert",
     "sink_tx_restore",
+    # Round-11 late registrations, parked OUTSIDE the window (the 50
+    # slots are committed this round): first promotion candidates for
+    # the r12 rotation. Both fully value-hash oracle-checked locally
+    # at sf0.01 AND sf0.1; features pinned by
+    # tests/test_acid.py::test_check_constraints /
+    # test_timestamp_time_travel.
+    "sink_tx_constraints",
+    "sink_tx_time_travel",
 )
 
 

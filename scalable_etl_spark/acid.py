@@ -392,6 +392,11 @@ class CommitConflict(RuntimeError):
     (surfaced only after ``_COMMIT_RETRIES`` rebases)."""
 
 
+class ConstraintViolation(ValueError):
+    """A write's rows fail a table CHECK constraint; nothing was
+    committed (the already-written uncommitted dirs are removed)."""
+
+
 class SnapshotTable:
     """A transactional table rooted at a filesystem path.
 
@@ -464,6 +469,42 @@ class SnapshotTable:
             m = self._load_parquet_checkpoint(m)
         self._mcache[version] = m
         return m
+
+    def version_as_of(self, ts) -> int:
+        """Version a TIMESTAMP travel resolves to (Delta's ``TIMESTAMP
+        AS OF`` / Iceberg snapshot-at): the LATEST version whose commit
+        timestamp is <= ``ts`` — a float epoch or an ISO-8601 string
+        (naive strings are local time, same as ``datetime
+        .fromisoformat``). Raises when ``ts`` predates version 0.
+
+        Commit timestamps are wall clocks taken at commit time; under
+        racing writers with skewed clocks they can interleave slightly
+        (Delta documents the same and adjusts file mtimes) — the
+        latest-below rule makes the answer deterministic regardless.
+        Resolution reads O(history) raw log entries (timestamp rides
+        every entry verbatim — never the resolved O(files) state) and
+        walks newest-first, so recent timestamps touch only the tail.
+        """
+        if isinstance(ts, str):
+            import datetime
+
+            ts = datetime.datetime.fromisoformat(ts).timestamp()
+        v = self.latest_version()
+        if v is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        while v >= 0:
+            if float(self._manifest_raw(v)["timestamp"]) <= ts:
+                return v
+            v -= 1
+        raise ValueError(
+            f"timestamp {ts} predates the table's first commit"
+        )
+
+    def read_as_of(self, ts, **kwargs) -> DataFrame:
+        """``read()`` pinned by commit TIMESTAMP instead of version —
+        the dual spelling every lakehouse time-travel surface offers.
+        Accepts the same ``where=`` / ``planning=`` knobs."""
+        return self.read(version=self.version_as_of(ts), **kwargs)
 
     def history(self) -> list[dict]:
         """Commit metadata, newest first (op, version, dir count)."""
@@ -611,6 +652,21 @@ class SnapshotTable:
         # see exactly what a reader would load from disk (tuples ->
         # lists etc.)
         manifest = json.loads(json.dumps(manifest))
+        # CONSTRAINTS carry forward automatically: mutators that don't
+        # change them never mention the key, and a forgotten site must
+        # not silently drop the table's governance — only
+        # add_constraint / drop_constraint set it explicitly.
+        if "constraints" not in manifest:
+            prev_c = {}
+            if version > 0:
+                try:
+                    prev_c = self._manifest(version - 1).get(
+                        "constraints", {}
+                    )
+                except FileNotFoundError:
+                    pass
+            if prev_c:
+                manifest["constraints"] = prev_c
         payload = manifest
         if version > 0 and version % _CHECKPOINT_EVERY != 0:
             try:
@@ -1087,10 +1143,14 @@ class SnapshotTable:
         # different column names and would union misaligned — it
         # raises like a rewrite unless the caller opts into
         # ignore_changes.
+        # constraint commits are metadata-only (zero new dirs) and
+        # pass through; they are per-table governance and are NOT
+        # replayed onto sync destinations (a sync transform may remap
+        # the very columns the source constraint names)
         append_ops = {
             "append", "insert_ignore", "stream_append", "sync",
             "add_bloom_filters", "alter_add_column",
-            "alter_widen_column",
+            "alter_widen_column", "add_constraint", "drop_constraint",
         }
         frames = []
         prev = set(self._manifest(since_version)["dirs"])
@@ -2403,8 +2463,16 @@ class SnapshotTable:
                     all_fstats.get(e, {}),
                     self._file_blooms(e, bloom_cols),
                 )
+        cons0 = self.constraints()
+        self._enforce_constraints(entries, cons0)
         for _ in range(_COMMIT_RETRIES):
             v = self.latest_version()
+            cur_cons = self.constraints(v)
+            if cur_cons != cons0:
+                # a racing ADD CONSTRAINT landed since validation:
+                # re-validate against the set this commit publishes
+                self._enforce_constraints(entries, cur_cons)
+                cons0 = cur_cons
             manifest = {
                 "op": "overwrite",
                 "dirs": list(entries),
@@ -2429,6 +2497,148 @@ class SnapshotTable:
         if version is None:
             return {}
         return dict(self._manifest(version).get("txn", {}))
+
+    def constraints(self, version: int | None = None) -> dict[str, str]:
+        """CHECK constraints in force at ``version`` (default latest):
+        ``{name: sql_boolean_expr}``. {} for a fresh table."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            return {}
+        return dict(self._manifest(v).get("constraints", {}))
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT (Delta CHECK-constraint parity):
+        ``expr`` is a SQL boolean expression every row must satisfy —
+        SQL CHECK semantics, so a row violates only when the
+        expression evaluates FALSE (NULL passes; spell NOT NULL as
+        ``col IS NOT NULL``). The EXISTING table is validated first
+        (one scan, all pending constraints in one job — Delta does the
+        same on ADD CONSTRAINT); every subsequent data-adding commit
+        (append / insert_ignore / merge / overwrite / update / the
+        streaming sink) validates its NEW files before committing and
+        raises :class:`ConstraintViolation` leaving the table
+        untouched. Metadata-only commit; constraints ride the manifest
+        and carry forward automatically."""
+        for _ in range(_COMMIT_RETRIES):
+            v = self.latest_version()
+            if v is None:
+                raise FileNotFoundError(
+                    f"no committed version at {self.root}"
+                )
+            m = self._manifest(v)
+            cons = dict(m.get("constraints", {}))
+            if name in cons:
+                raise ValueError(f"constraint {name!r} already exists")
+            self._validate_constraints(
+                self.read(v), {name: expr}, context="existing rows"
+            )
+            cons[name] = expr
+            manifest = {
+                "op": "add_constraint",
+                "dirs": m["dirs"],
+                "schema": m["schema"],
+                "partition_cols": m["partition_cols"],
+                "stats": self._stats_of(v),
+                "file_stats": self._file_stats_of(v),
+                "txn": self._txn_of(v),
+                "evolution": self._evolution_of(v),
+                "constraints": cons,
+                "timestamp": time.time(),
+            }
+            if self._commit(v + 1, manifest):
+                return v + 1
+        raise CommitConflict(
+            f"add_constraint lost {_COMMIT_RETRIES} races"
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        """ALTER TABLE DROP CONSTRAINT — metadata-only removal."""
+        for _ in range(_COMMIT_RETRIES):
+            v = self.latest_version()
+            if v is None:
+                raise FileNotFoundError(
+                    f"no committed version at {self.root}"
+                )
+            m = self._manifest(v)
+            cons = dict(m.get("constraints", {}))
+            if name not in cons:
+                raise ValueError(f"no such constraint {name!r}")
+            del cons[name]
+            manifest = {
+                "op": "drop_constraint",
+                "dirs": m["dirs"],
+                "schema": m["schema"],
+                "partition_cols": m["partition_cols"],
+                "stats": self._stats_of(v),
+                "file_stats": self._file_stats_of(v),
+                "txn": self._txn_of(v),
+                "evolution": self._evolution_of(v),
+                "constraints": cons,
+                "timestamp": time.time(),
+            }
+            if self._commit(v + 1, manifest):
+                return v + 1
+        raise CommitConflict(
+            f"drop_constraint lost {_COMMIT_RETRIES} races"
+        )
+
+    def _validate_constraints(
+        self, df: DataFrame, cons: dict[str, str], context: str
+    ) -> None:
+        """ONE job verdicting every constraint over ``df``: per
+        constraint, does any row evaluate the expression to FALSE?
+        (NULL satisfies CHECK.) Raises ConstraintViolation naming the
+        first failing constraint."""
+        if not cons:
+            return
+        flags = df.select(
+            [
+                F.max(
+                    F.when(F.expr(f"NOT ({e})"), F.lit(1)).otherwise(0)
+                ).alias(f"__c{i}")
+                for i, e in enumerate(cons.values())
+            ]
+        ).collect()[0]
+        for i, (name, e) in enumerate(cons.items()):
+            if flags[f"__c{i}"] == 1:
+                raise ConstraintViolation(
+                    f"CHECK constraint {name!r} ({e}) violated by "
+                    f"{context}"
+                )
+
+    def _enforce_constraints(
+        self, entries: Sequence[str], cons: dict[str, str]
+    ) -> None:
+        """Validate a write's JUST-WRITTEN (uncommitted) entries
+        against ``cons`` by reading the new files back — never by
+        re-executing the plan that produced them (a stateful streaming
+        batch must not run twice; the columnar re-scan touches only
+        the new data and pushes the predicates down). On violation the
+        uncommitted dirs are removed and ConstraintViolation raised —
+        the commit never happens, so readers cannot observe the bad
+        rows."""
+        if not cons or not entries:
+            return
+        if _entries_empty(self.data_dir, entries):
+            return  # zero rows cannot violate (and bare dirs can't scan)
+        base = os.path.join(
+            self.data_dir, self._entry_base(entries[0])
+        )
+        df = (
+            self.spark.read.option("basePath", base)
+            .parquet(*(os.path.join(self.data_dir, e) for e in entries))
+        )
+        try:
+            self._validate_constraints(df, cons, context="written rows")
+        except ConstraintViolation:
+            import shutil
+
+            for root in {self._entry_base(e) for e in entries}:
+                shutil.rmtree(
+                    os.path.join(self.data_dir, root),
+                    ignore_errors=True,
+                )
+            raise
 
     def append(
         self,
@@ -2471,6 +2681,8 @@ class SnapshotTable:
             [] if v0 is None else self._manifest(v0)["partition_cols"]
         )
         entries = self._write_data_entries(df, write_pcols)
+        cons0 = self.constraints(v0)
+        self._enforce_constraints(entries, cons0)
         estats: dict[str, dict] = {}
         efstats: dict[str, dict] = {}
         if scols:
@@ -2502,6 +2714,10 @@ class SnapshotTable:
                 )
                 all_stats = {**self._stats_of(v), **estats}
                 all_fstats = {**self._file_stats_of(v), **efstats}
+            cur_cons = self.constraints(v)
+            if cur_cons != cons0:
+                self._enforce_constraints(entries, cur_cons)
+                cons0 = cur_cons
             evolution = self._evolution_of(v)
             evolution += self._defaults_for_missing(
                 evolution, df.schema.names, entries
@@ -2595,6 +2811,9 @@ class SnapshotTable:
                 # partitioned tables get partition-granular entries so
                 # the inserted rows stay prunable by partition equality
                 entries = self._write_data_entries(novel, pcols)
+                self._enforce_constraints(
+                    entries, {} if v is None else self.constraints(v)
+                )
             finally:
                 novel.unpersist()
             # key stats come free from the footers and keep later
@@ -2777,6 +2996,9 @@ class SnapshotTable:
                         novel.select(*target.columns)
                     )
             new_entries = self._write_data_entries(merged, pcols)
+            self._enforce_constraints(
+                new_entries, {} if v is None else self.constraints(v)
+            )
             # untouched dirs keep their stats; the rewritten entries get
             # fresh key stats from their footers (free, no scan job)
             for e in new_entries:
@@ -2901,6 +3123,13 @@ class SnapshotTable:
             if target.filter(match_true).limit(1).count() == 0:
                 return v  # no matching rows: commit nothing
             new_entries = self._write_data_entries(transform(target), pcols)
+            if op == "update":
+                # update rewrites VALUES and can violate; delete's
+                # rewrite is a subset of already-valid rows (skip the
+                # extra scan)
+                self._enforce_constraints(
+                    new_entries, self.constraints(v)
+                )
             kept_stats = {
                 d2: s
                 for d2, s in self._stats_of(v).items()
@@ -3653,6 +3882,9 @@ def sync_incremental(
         # partitioned dst gets partition-granular entries (same
         # contract as append/overwrite) so synced rows stay prunable
         entries = dst._write_data_entries(batch, pcols)
+        dst._enforce_constraints(
+            entries, {} if v_dst is None else dst.constraints(v_dst)
+        )
         txn = dict(txn)
         txn[key] = to_v
         evolution = dst._evolution_of(v_dst)
@@ -3784,6 +4016,9 @@ def write_stream_snapshot(
             # partitioned tables get partition-granular entries (same
             # contract as append) so micro-batches stay prunable
             entries = table._write_data_entries(batch_df, pcols)
+            table._enforce_constraints(
+                entries, {} if v is None else table.constraints(v)
+            )
             # v is not None: an empty FIRST batch must still commit
             # v0 — it establishes the table (schema included) so a
             # post-drain read() finds a version instead of raising

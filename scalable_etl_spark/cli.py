@@ -165,6 +165,8 @@ def cmd_table(spark: SparkSession, args: argparse.Namespace) -> dict:
     if args.action == "history":
         return {"history": t.history()}
     if args.action == "restore":
+        if args.version is None and args.as_of:
+            args.version = t.version_as_of(args.as_of)
         if args.version is None:
             raise SystemExit("restore needs --version")
         v = t.restore(args.version)
@@ -213,6 +215,16 @@ def cmd_table(spark: SparkSession, args: argparse.Namespace) -> dict:
             "widened": args.column, "to_type": args.type,
             "committed_version": v,
         }
+    if args.action == "add-constraint":
+        if not args.name or not args.expr:
+            raise SystemExit("add-constraint needs --name and --expr")
+        v = t.add_constraint(args.name, args.expr)
+        return {"constraint": args.name, "committed_version": v}
+    if args.action == "drop-constraint":
+        if not args.name:
+            raise SystemExit("drop-constraint needs --name")
+        v = t.drop_constraint(args.name)
+        return {"dropped_constraint": args.name, "committed_version": v}
     raise SystemExit(f"unknown table action {args.action!r}")
 
 
@@ -268,15 +280,20 @@ def main(argv: list[str] | None = None) -> int:
     tb = sub.add_parser(
         "table",
         help="ACID table admin: history / restore / compact / vacuum / "
-        "add-column / rename-column / drop-column / widen-column",
+        "add-column / rename-column / drop-column / widen-column / "
+        "add-constraint / drop-constraint",
     )
     tb.add_argument("action",
                     choices=["history", "restore", "compact", "vacuum",
                              "add-column", "rename-column",
-                             "drop-column", "widen-column"])
+                             "drop-column", "widen-column",
+                             "add-constraint", "drop-constraint"])
     tb.add_argument("--root", required=True)
     tb.add_argument("--version", type=int, default=None,
                     help="target version for restore")
+    tb.add_argument("--as-of", dest="as_of", default="",
+                    help="ISO timestamp for restore (resolved via "
+                    "version_as_of when --version is omitted)")
     tb.add_argument("--partition", default="",
                     help="col=value: partition-scoped compact")
     tb.add_argument("--max-files", type=int, default=None,
@@ -298,6 +315,10 @@ def main(argv: list[str] | None = None) -> int:
                     "form; cast to --type)")
     tb.add_argument("--to", default="",
                     help="new name for rename-column")
+    tb.add_argument("--name", default="",
+                    help="constraint name for add/drop-constraint")
+    tb.add_argument("--expr", default="",
+                    help="SQL boolean expression for add-constraint")
 
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"scalable-etl-{args.cmd}")

@@ -887,3 +887,110 @@ def sink_tx_distributed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("etype", "n_rows", "cents")
     )
+
+
+@query(
+    "sink_tx_constraints",
+    oracle="""
+    SELECT event_type AS etype, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents,
+           1 AS rejected_ok
+    FROM events WHERE user_id < 40
+    GROUP BY 1
+    """,
+)
+def sink_tx_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints through the gate (round 11; Delta ADD/DROP
+    CONSTRAINT parity — acid.py ``add_constraint``/``drop_constraint``):
+    even-id events land, ADD CONSTRAINT validates them (one scan, SQL
+    CHECK semantics — NULL passes), a VIOLATING batch (values negated)
+    is rejected with nothing committed and no orphan dirs, the valid
+    odd-id batch lands, and the final aggregate proves the violating
+    rows never entered the table — if rejection failed, every cent of
+    the negated batch would shift the value hash; ``rejected_ok`` pins
+    that the violation actually raised and versions didn't move."""
+    from .acid import ConstraintViolation
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 40)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    t = _tx_table(spark, "constraints")
+    t.append(e.filter(F.col("event_id") % 2 == 0))
+    t.add_constraint("value_ok", "value >= 0")
+    v_before = t.latest_version()
+    rejected = 0
+    try:
+        t.append(
+            e.filter(F.col("event_id") % 2 == 1).withColumn(
+                "value", -F.col("value") - F.lit(1.0)
+            )
+        )
+    except ConstraintViolation:
+        rejected = 1
+    rejected_ok = int(rejected == 1 and t.latest_version() == v_before)
+    t.append(e.filter(F.col("event_id") % 2 == 1))
+    return (
+        t.read()
+        .groupBy(F.col("event_type").alias("etype"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)")
+            ).cast("long").alias("cents"),
+        )
+        .withColumn("rejected_ok", F.lit(rejected_ok))
+        .select("etype", "n_rows", "cents", "rejected_ok")
+    )
+
+
+@query(
+    "sink_tx_time_travel",
+    oracle="""
+    SELECT event_type AS etype,
+           CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_past,
+           COUNT(*) AS n_now
+    FROM events WHERE user_id < 30
+    GROUP BY 1
+    """,
+)
+def sink_tx_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF time travel through the gate (round 11; Delta /
+    Iceberg parity — acid.py ``version_as_of``/``read_as_of``): even-id
+    events commit, a wall-clock point is taken, odd-id events commit;
+    ``read_as_of`` at the captured point must see ONLY the first
+    commit while the current read sees both — a timestamp resolution
+    off by one version shifts n_past for every event type."""
+    import time as _time
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 30)
+        .select("event_id", "event_type")
+    )
+    t = _tx_table(spark, "time_travel")
+    t.append(e.filter(F.col("event_id") % 2 == 0))
+    ts = _time.time()
+    _time.sleep(0.05)
+    t.append(e.filter(F.col("event_id") % 2 == 1))
+    past = (
+        t.read_as_of(ts)
+        .groupBy(F.col("event_type").alias("etype"))
+        .agg(F.count("*").cast("long").alias("n_past"))
+    )
+    now = (
+        t.read()
+        .groupBy(F.col("event_type").alias("etype"))
+        .agg(F.count("*").alias("n_now"))
+    )
+    return (
+        now.join(past, "etype", "left")
+        .select(
+            "etype",
+            F.coalesce("n_past", F.lit(0)).alias("n_past"),
+            "n_now",
+        )
+    )

@@ -88,7 +88,8 @@ from pyspark.sql.datasource import (
 _APPEND_OPS = frozenset(
     {"append", "insert_ignore", "stream_append", "sync",
      "add_bloom_filters", "alter_add_column", "alter_rename_column",
-     "alter_drop_column", "alter_widen_column"}
+     "alter_drop_column", "alter_widen_column", "add_constraint",
+     "drop_constraint"}
 )
 _METADATA_ONLY_OPS = frozenset({"add_bloom_filters"})
 

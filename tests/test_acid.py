@@ -2705,3 +2705,130 @@ def test_alter_widen_decimal_precision(spark, tmp_path):
     )
     q.awaitTermination()
     assert set(got2) == got
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF travel (Delta/Iceberg parity): version_as_of
+    resolves the latest commit at-or-before the timestamp (float epoch
+    or ISO string), read_as_of pins reads by it, and it composes with
+    data skipping and the CLI restore spelling."""
+    import time as _time
+
+    import pytest as _pytest
+
+    from scalable_etl_spark.acid import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1,)], "id INT"))
+    ts0 = _time.time()
+    _time.sleep(0.05)
+    t.append(spark.createDataFrame([(2,)], "id INT"))
+    ts1 = _time.time()
+    _time.sleep(0.05)
+    t.append(spark.createDataFrame([(3,)], "id INT"), stats_cols=["id"])
+
+    assert t.version_as_of(ts0) == 0
+    assert t.version_as_of(ts1) == 1
+    assert t.version_as_of(_time.time()) == 2
+    assert {r.id for r in t.read_as_of(ts0).collect()} == {1}
+    assert {r.id for r in t.read_as_of(ts1).collect()} == {1, 2}
+    # ISO-8601 spelling resolves identically
+    import datetime
+
+    iso = datetime.datetime.fromtimestamp(ts1).isoformat()
+    assert t.version_as_of(iso) == 1
+    # composes with skipping kwargs
+    assert {
+        r.id for r in t.read_as_of(_time.time(), where=("id", 3, 9)).collect()
+    } == {3}
+    with _pytest.raises(ValueError, match="predates"):
+        t.version_as_of(0.0)
+
+
+def test_check_constraints(spark, tmp_path):
+    """ALTER TABLE ADD CONSTRAINT (Delta CHECK parity): the existing
+    table validates at add time; every data-adding commit validates
+    its NEW files before committing (reading them back — never
+    re-executing the producing plan) and a violation aborts with
+    nothing committed and no orphan dirs; NULL satisfies CHECK; the
+    constraint set carries forward through unrelated commits and
+    rewrites; DROP re-admits."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from scalable_etl_spark.acid import ConstraintViolation, SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(1, 10), (2, None)], "id INT, v INT")
+    )
+    # add-time validation over existing rows
+    with _pytest.raises(ConstraintViolation, match="existing rows"):
+        t.add_constraint("v_big", "v > 100")
+    t.add_constraint("v_pos", "v > 0")  # NULL row passes CHECK
+    assert t.constraints() == {"v_pos": "v > 0"}
+    with _pytest.raises(ValueError, match="already exists"):
+        t.add_constraint("v_pos", "v > 1")
+
+    # violating append: aborted, nothing committed, no orphan dirs
+    v_before = t.latest_version()
+    n_dirs = len(_os.listdir(t.data_dir))
+    with _pytest.raises(ConstraintViolation, match="v_pos"):
+        t.append(spark.createDataFrame([(3, -5)], "id INT, v INT"))
+    assert t.latest_version() == v_before
+    assert len(_os.listdir(t.data_dir)) == n_dirs
+    # valid append (and a NULL) passes
+    t.append(spark.createDataFrame([(3, 7), (4, None)], "id INT, v INT"))
+    assert {r.id for r in t.read().collect()} == {1, 2, 3, 4}
+
+    # merge upsert with a violating value: aborted
+    with _pytest.raises(ConstraintViolation, match="v_pos"):
+        t.merge(
+            spark.createDataFrame([(1, -1)], "id INT, v INT"), ["id"]
+        )
+    # update setting a violating value: aborted
+    with _pytest.raises(ConstraintViolation, match="v_pos"):
+        t.update("id = 1", {"v": F.lit(-9)}, prune=("id", 1, 1))
+    assert {
+        (r.id, r.v) for r in t.read().collect()
+    } == {(1, 10), (2, None), (3, 7), (4, None)}
+
+    # the set carries forward through unrelated commits (compact)
+    t.compact()
+    assert t.constraints() == {"v_pos": "v > 0"}
+    # CDF batch + streaming surfaces pass constraint commits through
+    assert {r.id for r in t.table_changes(0, ignore_changes=True).collect()}
+
+    # insert_ignore validates its novel rows
+    with _pytest.raises(ConstraintViolation, match="v_pos"):
+        t.insert_ignore(
+            spark.createDataFrame([(9, -2)], "id INT, v INT"), ["id"]
+        )
+
+    # streaming sink: a violating micro-batch fails the stream and
+    # commits nothing
+    import json as _json
+
+    from scalable_etl_spark.acid import write_stream_snapshot
+
+    src = tmp_path / "in"
+    src.mkdir()
+    with open(src / "bad.jsonl", "w") as fh:
+        fh.write(_json.dumps({"id": 8, "v": -3}) + "\n")
+    stream = spark.readStream.schema("id INT, v INT").json(str(src))
+    v_before = t.latest_version()
+    q = write_stream_snapshot(
+        stream, t, str(tmp_path / "ck"), query_id="c1"
+    )
+    with _pytest.raises(Exception, match="v_pos"):
+        q.awaitTermination()
+    assert t.latest_version() == v_before
+
+    # drop re-admits
+    t.drop_constraint("v_pos")
+    assert t.constraints() == {}
+    t.append(spark.createDataFrame([(5, -1)], "id INT, v INT"))
+    assert {r.id for r in t.read().collect()} == {1, 2, 3, 4, 5}
+    with _pytest.raises(ValueError, match="no such constraint"):
+        t.drop_constraint("v_pos")

@@ -71,7 +71,7 @@ def test_registry_contract():
 
     q = e.queries()
     o = e.oracle_sql()
-    assert len(q) == 130, f"registry has {len(q)} queries; update COVERAGE.md"
+    assert len(q) == 132, f"registry has {len(q)} queries; update COVERAGE.md"
     assert set(o) == set(q), "every query needs an oracle (none rows-only)"
     graded = list(q)[:50]
     for prefix in ("sql_", "source_", "sink_", "streaming_"):
@@ -182,3 +182,21 @@ def test_table_alter_cli(spark, tmp_path, capsys):
            for f in t.read().schema.fields}
     assert sch["id"] == "bigint"
     assert {r.id for r in t.read().collect()} == {1}
+
+
+def test_table_constraint_cli(spark, tmp_path, capsys):
+    """table add-constraint / drop-constraint through the CLI."""
+    from scalable_etl_spark.acid import SnapshotTable
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    t.append(spark.createDataFrame([(1, 5)], "id INT, v INT"))
+    out = _run(capsys, "table", "add-constraint", "--root", root,
+               "--name", "v_pos", "--expr", "v > 0")
+    assert out == {"constraint": "v_pos", "committed_version": 1}
+    assert t.constraints() == {"v_pos": "v > 0"}
+    out = _run(capsys, "table", "drop-constraint", "--root", root,
+               "--name", "v_pos")
+    assert out == {"dropped_constraint": "v_pos",
+                   "committed_version": 2}
+    assert t.constraints() == {}
