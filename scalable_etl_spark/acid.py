@@ -493,7 +493,16 @@ class SnapshotTable:
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
         while v >= 0:
-            if float(self._manifest_raw(v)["timestamp"]) <= ts:
+            try:
+                raw_ts = self._manifest_raw(v)["timestamp"]
+            except FileNotFoundError:
+                raise ValueError(
+                    f"timestamp {ts} resolves below the oldest "
+                    f"RETAINED version (vacuum deleted log entries "
+                    f"before v{v + 1}); earliest reachable snapshot "
+                    f"is v{v + 1}"
+                ) from None
+            if float(raw_ts) <= ts:
                 return v
             v -= 1
         raise ValueError(
@@ -2031,6 +2040,17 @@ class SnapshotTable:
                     "entries still carry it physically; reuse is "
                     "unsupported (no column-mapping IDs)"
                 )
+            refs = self._constraints_referencing(
+                m.get("constraints", {}), old
+            )
+            if refs:
+                # Delta blocks rename of constraint-referenced columns
+                # for the same reason: the expression text would stop
+                # analyzing and brick every later write
+                raise ValueError(
+                    f"cannot rename {old!r}: referenced by CHECK "
+                    f"constraint(s) {refs}; drop them first"
+                )
             from pyspark.sql.types import StructField
 
             new_schema = StructType(
@@ -2150,6 +2170,14 @@ class SnapshotTable:
                 )
             if len(schema.fields) == 1:
                 raise ValueError("cannot drop the only column")
+            refs = self._constraints_referencing(
+                m.get("constraints", {}), name
+            )
+            if refs:
+                raise ValueError(
+                    f"cannot drop {name!r}: referenced by CHECK "
+                    f"constraint(s) {refs}; drop them first"
+                )
             new_schema = StructType(
                 [f for f in schema.fields if f.name != name]
             )
@@ -2464,14 +2492,14 @@ class SnapshotTable:
                     self._file_blooms(e, bloom_cols),
                 )
         cons0 = self.constraints()
-        self._enforce_constraints(entries, cons0)
+        self._enforce_constraints(entries, cons0, schema_json)
         for _ in range(_COMMIT_RETRIES):
             v = self.latest_version()
             cur_cons = self.constraints(v)
             if cur_cons != cons0:
                 # a racing ADD CONSTRAINT landed since validation:
                 # re-validate against the set this commit publishes
-                self._enforce_constraints(entries, cur_cons)
+                self._enforce_constraints(entries, cur_cons, schema_json)
                 cons0 = cur_cons
             manifest = {
                 "op": "overwrite",
@@ -2506,6 +2534,20 @@ class SnapshotTable:
             return {}
         return dict(self._manifest(v).get("constraints", {}))
 
+    @staticmethod
+    def _constraints_referencing(
+        cons: dict[str, str], column: str
+    ) -> list[str]:
+        """Constraint names whose expression mentions ``column`` —
+        CONSERVATIVE textual identifier match (a name inside a string
+        literal also counts; erring toward refusal is the safe side of
+        Delta's rename/drop-blocked-by-constraint rule)."""
+        pat = re.compile(
+            rf"(?<![A-Za-z0-9_`]){re.escape(column)}(?![A-Za-z0-9_])"
+            rf"|`{re.escape(column)}`"
+        )
+        return sorted(n for n, e in cons.items() if pat.search(e))
+
     def add_constraint(self, name: str, expr: str) -> int:
         """ALTER TABLE ADD CONSTRAINT (Delta CHECK-constraint parity):
         ``expr`` is a SQL boolean expression every row must satisfy —
@@ -2519,40 +2561,30 @@ class SnapshotTable:
         raises :class:`ConstraintViolation` leaving the table
         untouched. Metadata-only commit; constraints ride the manifest
         and carry forward automatically."""
-        for _ in range(_COMMIT_RETRIES):
-            v = self.latest_version()
-            if v is None:
-                raise FileNotFoundError(
-                    f"no committed version at {self.root}"
-                )
-            m = self._manifest(v)
-            cons = dict(m.get("constraints", {}))
+        def mutate(v, cons):
             if name in cons:
                 raise ValueError(f"constraint {name!r} already exists")
             self._validate_constraints(
                 self.read(v), {name: expr}, context="existing rows"
             )
-            cons[name] = expr
-            manifest = {
-                "op": "add_constraint",
-                "dirs": m["dirs"],
-                "schema": m["schema"],
-                "partition_cols": m["partition_cols"],
-                "stats": self._stats_of(v),
-                "file_stats": self._file_stats_of(v),
-                "txn": self._txn_of(v),
-                "evolution": self._evolution_of(v),
-                "constraints": cons,
-                "timestamp": time.time(),
-            }
-            if self._commit(v + 1, manifest):
-                return v + 1
-        raise CommitConflict(
-            f"add_constraint lost {_COMMIT_RETRIES} races"
-        )
+            return {**cons, name: expr}
+
+        return self._constraints_commit("add_constraint", mutate)
 
     def drop_constraint(self, name: str) -> int:
         """ALTER TABLE DROP CONSTRAINT — metadata-only removal."""
+        def mutate(v, cons):
+            if name not in cons:
+                raise ValueError(f"no such constraint {name!r}")
+            return {k: e for k, e in cons.items() if k != name}
+
+        return self._constraints_commit("drop_constraint", mutate)
+
+    def _constraints_commit(self, op: str, mutate) -> int:
+        """Shared metadata-only commit loop for the constraint verbs:
+        ``mutate(version, cons) -> new_cons`` validates and returns the
+        set the new version publishes; everything else (dirs / schema
+        / stats / ledgers / evolution) carries verbatim."""
         for _ in range(_COMMIT_RETRIES):
             v = self.latest_version()
             if v is None:
@@ -2560,12 +2592,9 @@ class SnapshotTable:
                     f"no committed version at {self.root}"
                 )
             m = self._manifest(v)
-            cons = dict(m.get("constraints", {}))
-            if name not in cons:
-                raise ValueError(f"no such constraint {name!r}")
-            del cons[name]
+            cons = mutate(v, dict(m.get("constraints", {})))
             manifest = {
-                "op": "drop_constraint",
+                "op": op,
                 "dirs": m["dirs"],
                 "schema": m["schema"],
                 "partition_cols": m["partition_cols"],
@@ -2578,9 +2607,7 @@ class SnapshotTable:
             }
             if self._commit(v + 1, manifest):
                 return v + 1
-        raise CommitConflict(
-            f"drop_constraint lost {_COMMIT_RETRIES} races"
-        )
+        raise CommitConflict(f"{op} lost {_COMMIT_RETRIES} races")
 
     def _validate_constraints(
         self, df: DataFrame, cons: dict[str, str], context: str
@@ -2607,30 +2634,67 @@ class SnapshotTable:
                 )
 
     def _enforce_constraints(
-        self, entries: Sequence[str], cons: dict[str, str]
+        self,
+        entries: Sequence[str],
+        cons: dict[str, str],
+        schema_json: str | None = None,
+        evolution: Sequence[dict] = (),
+        known_nonempty: bool = False,
     ) -> None:
         """Validate a write's JUST-WRITTEN (uncommitted) entries
         against ``cons`` by reading the new files back — never by
         re-executing the plan that produced them (a stateful streaming
         batch must not run twice; the columnar re-scan touches only
-        the new data and pushes the predicates down). On violation the
-        uncommitted dirs are removed and ConstraintViolation raised —
-        the commit never happens, so readers cannot observe the bad
-        rows."""
+        the new data and pushes the predicates down). On ANY failure
+        (violation, or a constraint that no longer analyzes) the
+        uncommitted dirs are removed before the error propagates — the
+        commit never happens, so readers cannot observe the bad rows.
+
+        ``schema_json`` pins the DECLARED read schema so (a) partition
+        path values parse under their declared types instead of
+        Spark's path-string re-inference (a zero-padded string
+        partition value must not validate as an int), and (b) columns
+        the batch legally OMITTED (ALTER-added / trailing nullable —
+        the files simply lack them) evaluate the way the committed
+        read will see them: NULL, or the ALTER default for columns an
+        add_column record back-fills (``evolution``). ``known_nonempty``
+        skips the parquet-footer emptiness probe when the caller
+        already walked the footers (the streaming sink's idle check)."""
         if not cons or not entries:
             return
-        if _entries_empty(self.data_dir, entries):
+        if not known_nonempty and _entries_empty(self.data_dir, entries):
             return  # zero rows cannot violate (and bare dirs can't scan)
         base = os.path.join(
             self.data_dir, self._entry_base(entries[0])
         )
-        df = (
-            self.spark.read.option("basePath", base)
-            .parquet(*(os.path.join(self.data_dir, e) for e in entries))
+        reader = self.spark.read.option("basePath", base)
+        declared = None
+        if schema_json is not None:
+            declared = StructType.fromJson(json.loads(schema_json))
+            reader = reader.schema(declared)
+        df = reader.parquet(
+            *(os.path.join(self.data_dir, e) for e in entries)
         )
+        if declared is not None:
+            # columns the batch omitted read as their ALTER default
+            # (the fill record _defaults_for_missing will commit for
+            # exactly these entries) or NULL; physically-present
+            # columns keep their stored values, genuine NULLs
+            # included, and partition columns parse from the path
+            phys = self._physical_file_columns(entries)
+            path_cols = self._partition_names_of(entries)
+            defaults = _current_defaults(list(evolution))
+            for f in declared.fields:
+                if f.name in phys or f.name in path_cols:
+                    continue
+                dflt = defaults.get(f.name)
+                if dflt is not None:
+                    df = df.withColumn(
+                        f.name, F.lit(dflt).cast(f.dataType)
+                    )
         try:
             self._validate_constraints(df, cons, context="written rows")
-        except ConstraintViolation:
+        except Exception:
             import shutil
 
             for root in {self._entry_base(e) for e in entries}:
@@ -2639,6 +2703,35 @@ class SnapshotTable:
                     ignore_errors=True,
                 )
             raise
+
+    def _physical_file_columns(self, entries: Sequence[str]) -> set[str]:
+        """Column names the batch's parquet files PHYSICALLY carry
+        (first footer — one write's files share a schema); partition
+        columns live in paths, not files, so they are never here."""
+        import pyarrow.parquet as pq
+
+        for e in entries:
+            base = os.path.join(self.data_dir, e)
+            for walk_root, _sub, files in os.walk(base):
+                for fn in sorted(files):
+                    if fn.endswith(".parquet"):
+                        return set(
+                            pq.ParquetFile(
+                                os.path.join(walk_root, fn)
+                            ).schema_arrow.names
+                        )
+        return set()
+
+    def _partition_names_of(self, entries: Sequence[str]) -> set[str]:
+        """Partition column names appearing as path components of the
+        given entries ('uuid/day=X/...' -> {'day'})."""
+        out: set[str] = set()
+        for e in entries:
+            for comp in e.split("/")[1:]:
+                k, sep, _ = comp.partition("=")
+                if sep:
+                    out.add(k)
+        return out
 
     def append(
         self,
@@ -2682,7 +2775,11 @@ class SnapshotTable:
         )
         entries = self._write_data_entries(df, write_pcols)
         cons0 = self.constraints(v0)
-        self._enforce_constraints(entries, cons0)
+        if cons0:
+            m0 = self._manifest(v0)
+            self._enforce_constraints(
+                entries, cons0, m0["schema"], m0.get("evolution", [])
+            )
         estats: dict[str, dict] = {}
         efstats: dict[str, dict] = {}
         if scols:
@@ -2716,7 +2813,10 @@ class SnapshotTable:
                 all_fstats = {**self._file_stats_of(v), **efstats}
             cur_cons = self.constraints(v)
             if cur_cons != cons0:
-                self._enforce_constraints(entries, cur_cons)
+                self._enforce_constraints(
+                    entries, cur_cons, schema,
+                    m.get("evolution", []) if v is not None else (),
+                )
                 cons0 = cur_cons
             evolution = self._evolution_of(v)
             evolution += self._defaults_for_missing(
@@ -2811,9 +2911,11 @@ class SnapshotTable:
                 # partitioned tables get partition-granular entries so
                 # the inserted rows stay prunable by partition equality
                 entries = self._write_data_entries(novel, pcols)
-                self._enforce_constraints(
-                    entries, {} if v is None else self.constraints(v)
-                )
+                if v is not None:
+                    self._enforce_constraints(
+                        entries, self.constraints(v), schema,
+                        self._evolution_of(v),
+                    )
             finally:
                 novel.unpersist()
             # key stats come free from the footers and keep later
@@ -2996,9 +3098,11 @@ class SnapshotTable:
                         novel.select(*target.columns)
                     )
             new_entries = self._write_data_entries(merged, pcols)
-            self._enforce_constraints(
-                new_entries, {} if v is None else self.constraints(v)
-            )
+            if v is not None:
+                self._enforce_constraints(
+                    new_entries, self.constraints(v),
+                    self._manifest(v)["schema"], self._evolution_of(v),
+                )
             # untouched dirs keep their stats; the rewritten entries get
             # fresh key stats from their footers (free, no scan job)
             for e in new_entries:
@@ -3128,7 +3232,8 @@ class SnapshotTable:
                 # rewrite is a subset of already-valid rows (skip the
                 # extra scan)
                 self._enforce_constraints(
-                    new_entries, self.constraints(v)
+                    new_entries, self.constraints(v), m["schema"],
+                    self._evolution_of(v),
                 )
             kept_stats = {
                 d2: s
@@ -3301,6 +3406,17 @@ class SnapshotTable:
                         f"cannot restore v{version}: data dir for "
                         f"entry {e!r} was vacuumed"
                     )
+            # a restore must not RESURRECT rows that violate the
+            # table's currently-active constraints (added after the
+            # target snapshot): validate the restored state up front —
+            # the one mutator whose "new" data is an old snapshot
+            cur_cons = self.constraints(v)
+            if cur_cons:
+                self._validate_constraints(
+                    self.read(version),
+                    cur_cons,
+                    context=f"rows restored from v{version}",
+                )
             manifest = {
                 "op": f"restore_v{version}",
                 "dirs": list(m["dirs"]),
@@ -3882,9 +3998,11 @@ def sync_incremental(
         # partitioned dst gets partition-granular entries (same
         # contract as append/overwrite) so synced rows stay prunable
         entries = dst._write_data_entries(batch, pcols)
-        dst._enforce_constraints(
-            entries, {} if v_dst is None else dst.constraints(v_dst)
-        )
+        if v_dst is not None:
+            dst._enforce_constraints(
+                entries, dst.constraints(v_dst), schema,
+                dst._evolution_of(v_dst),
+            )
         txn = dict(txn)
         txn[key] = to_v
         evolution = dst._evolution_of(v_dst)
@@ -4016,9 +4134,6 @@ def write_stream_snapshot(
             # partitioned tables get partition-granular entries (same
             # contract as append) so micro-batches stay prunable
             entries = table._write_data_entries(batch_df, pcols)
-            table._enforce_constraints(
-                entries, {} if v is None else table.constraints(v)
-            )
             # v is not None: an empty FIRST batch must still commit
             # v0 — it establishes the table (schema included) so a
             # post-drain read() finds a version instead of raising
@@ -4053,6 +4168,15 @@ def write_stream_snapshot(
                         ignore_errors=True,
                     )
                 return
+            if v is not None:
+                # after the idle check so a constrained stream never
+                # walks the new footers twice per trigger; append mode
+                # reached here only with rows (known_nonempty)
+                table._enforce_constraints(
+                    entries, table.constraints(v), m["schema"],
+                    m.get("evolution", []),
+                    known_nonempty=(output_mode == "append"),
+                )
             txn[query_id] = batch_id
             if output_mode == "complete":
                 # batch frame IS the whole result: replace, don't stack

@@ -2832,3 +2832,78 @@ def test_check_constraints(spark, tmp_path):
     assert {r.id for r in t.read().collect()} == {1, 2, 3, 4, 5}
     with _pytest.raises(ValueError, match="no such constraint"):
         t.drop_constraint("v_pos")
+
+
+def test_constraints_compose_with_evolution_and_restore(spark, tmp_path):
+    """Round-11 review hardening: (a) rename/drop of a
+    constraint-referenced column refuses (Delta's rule — the
+    expression would stop analyzing and brick every later write);
+    (b) restore cannot resurrect rows violating a constraint added
+    after the target snapshot; (c) an append legally OMITTING an
+    ALTER-added defaulted column validates against the DEFAULT the
+    read will deliver, not a phantom NULL; (d) a constraint over a
+    partition column evaluates under the DECLARED type (no
+    path-string re-inference); (e) version_as_of below vacuumed
+    history raises a clean ValueError."""
+    import time as _time
+
+    import pytest as _pytest
+
+    from scalable_etl_spark.acid import ConstraintViolation, SnapshotTable
+
+    # (a) rename/drop refusal
+    t = SnapshotTable(spark, str(tmp_path / "a"))
+    t.append(spark.createDataFrame([(1, 5)], "id INT, v INT"))
+    t.add_constraint("v_pos", "v > 0")
+    with _pytest.raises(ValueError, match="referenced by CHECK"):
+        t.alter_rename_column("v", "w")
+    with _pytest.raises(ValueError, match="referenced by CHECK"):
+        t.alter_drop_column("v")
+    t.drop_constraint("v_pos")
+    t.alter_rename_column("v", "w")  # now legal
+
+    # (b) restore validates against the active set
+    r = SnapshotTable(spark, str(tmp_path / "r"))
+    r.append(spark.createDataFrame([(1, -5)], "id INT, v INT"))  # v0
+    r.delete("v < 0")                                            # v1
+    r.add_constraint("v_pos", "v > 0")                           # v2
+    with _pytest.raises(ConstraintViolation, match="restored from v0"):
+        r.restore(0)
+    assert r.latest_version() == 2  # nothing committed
+
+    # (c) omitted defaulted column validates as the default
+    d = SnapshotTable(spark, str(tmp_path / "d"))
+    d.append(spark.createDataFrame([(1,)], "id INT"))
+    d.alter_add_column("flag", "int", default=1)
+    d.add_constraint("flag_ok", "flag >= 0")
+    d.append(spark.createDataFrame([(2,)], "id INT"))  # omits flag
+    assert {(x.id, x.flag) for x in d.read().collect()} == {
+        (1, 1), (2, 1)
+    }
+
+    # (d) partition-column constraint under the declared STRING type
+    p = SnapshotTable(spark, str(tmp_path / "p"))
+    p.overwrite(
+        spark.createDataFrame([(1, "007")], "id INT, code STRING"),
+        partition_cols=["code"],
+    )
+    p.add_constraint("code_zero", "substring(code, 1, 1) = '0'")
+    p.append(spark.createDataFrame([(2, "042")], "id INT, code STRING"))
+    assert {x.code for x in p.read().collect()} == {"007", "042"}
+    with _pytest.raises(ConstraintViolation, match="code_zero"):
+        p.append(
+            spark.createDataFrame([(3, "700")], "id INT, code STRING")
+        )
+
+    # (e) clean error when the timestamp resolves below vacuumed log
+    from scalable_etl_spark.acid import _CHECKPOINT_EVERY
+
+    h = SnapshotTable(spark, str(tmp_path / "h"))
+    ts_genesis = None
+    for i in range(_CHECKPOINT_EVERY * 2 + 2):
+        h.append(spark.createDataFrame([(i,)], "id INT"))
+        if i == 0:
+            ts_genesis = _time.time()
+    h.vacuum(retain_versions=1, min_age_seconds=0.0)
+    with _pytest.raises(ValueError, match="RETAINED"):
+        h.version_as_of(ts_genesis)
