@@ -498,9 +498,11 @@ class SnapshotTable:
             except FileNotFoundError:
                 raise ValueError(
                     f"timestamp {ts} resolves below the oldest "
-                    f"RETAINED version (vacuum deleted log entries "
-                    f"before v{v + 1}); earliest reachable snapshot "
-                    f"is v{v + 1}"
+                    f"retained LOG entry (vacuum deleted entries "
+                    f"before v{v + 1}); time travel is bounded by "
+                    "vacuum retention, and snapshots at or just "
+                    "above that bound may also have had their data "
+                    "dirs reclaimed"
                 ) from None
             if float(raw_ts) <= ts:
                 return v
@@ -2539,12 +2541,14 @@ class SnapshotTable:
         cons: dict[str, str], column: str
     ) -> list[str]:
         """Constraint names whose expression mentions ``column`` —
-        CONSERVATIVE textual identifier match (a name inside a string
-        literal also counts; erring toward refusal is the safe side of
-        Delta's rename/drop-blocked-by-constraint rule)."""
+        CONSERVATIVE textual identifier match, CASE-INSENSITIVE the
+        way Spark resolves identifiers by default (a name inside a
+        string literal also counts; erring toward refusal is the safe
+        side of Delta's rename/drop-blocked-by-constraint rule)."""
         pat = re.compile(
             rf"(?<![A-Za-z0-9_`]){re.escape(column)}(?![A-Za-z0-9_])"
-            rf"|`{re.escape(column)}`"
+            rf"|`{re.escape(column)}`",
+            re.IGNORECASE,
         )
         return sorted(n for n, e in cons.items() if pat.search(e))
 
@@ -2774,7 +2778,11 @@ class SnapshotTable:
             [] if v0 is None else self._manifest(v0)["partition_cols"]
         )
         entries = self._write_data_entries(df, write_pcols)
-        cons0 = self.constraints(v0)
+        # v0 None = creating the table: constraints(None) would re-read
+        # LATEST and a racing creator's constraint set could arrive
+        # paired with _manifest(None) — the in-loop recheck below
+        # covers that race against the version actually committed on
+        cons0 = {} if v0 is None else self.constraints(v0)
         if cons0:
             m0 = self._manifest(v0)
             self._enforce_constraints(
@@ -3412,11 +3420,25 @@ class SnapshotTable:
             # the one mutator whose "new" data is an old snapshot
             cur_cons = self.constraints(v)
             if cur_cons:
-                self._validate_constraints(
-                    self.read(version),
-                    cur_cons,
-                    context=f"rows restored from v{version}",
-                )
+                try:
+                    self._validate_constraints(
+                        self.read(version),
+                        cur_cons,
+                        context=f"rows restored from v{version}",
+                    )
+                except ConstraintViolation:
+                    raise
+                except Exception as exc:
+                    # an active constraint references a column the
+                    # target snapshot's schema predates: committing
+                    # would pair the old schema with a constraint
+                    # that no longer analyzes and brick later writes
+                    raise ValueError(
+                        f"cannot restore v{version}: active CHECK "
+                        f"constraint(s) {sorted(cur_cons)} do not "
+                        f"analyze against that snapshot's schema "
+                        f"({exc}); drop them first"
+                    ) from None
             manifest = {
                 "op": f"restore_v{version}",
                 "dirs": list(m["dirs"]),
@@ -3947,6 +3969,22 @@ def sync_incremental(
             m_next = src._manifest(last + 1)
             if m_next["op"] in _ALTER_OPS:
                 rec = m_next["evolution"][-1]
+                _col = rec.get("col", rec.get("from"))
+                _blocked = SnapshotTable._constraints_referencing(
+                    dst.constraints(v_dst), _col
+                ) if _col else []
+                if _blocked and m_next["op"] in (
+                    "alter_rename_column", "alter_drop_column"
+                ):
+                    raise RuntimeError(
+                        f"sync {sync_id!r} cannot replay src "
+                        f"{m_next['op']} of {_col!r} onto dst: dst "
+                        f"CHECK constraint(s) {_blocked} reference "
+                        "the column (the replay would be refused and "
+                        "the watermark would never advance). Drop "
+                        "them on dst, re-run the sync, then re-add "
+                        "them against the evolved schema."
+                    )
                 if m_next["op"] == "alter_add_column":
                     dst.alter_add_column(
                         rec["col"],

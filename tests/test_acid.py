@@ -2905,5 +2905,34 @@ def test_constraints_compose_with_evolution_and_restore(spark, tmp_path):
         if i == 0:
             ts_genesis = _time.time()
     h.vacuum(retain_versions=1, min_age_seconds=0.0)
-    with _pytest.raises(ValueError, match="RETAINED"):
+    with _pytest.raises(ValueError, match="retained LOG"):
         h.version_as_of(ts_genesis)
+
+
+def test_sync_replay_blocked_by_dst_constraint_is_actionable(
+    spark, tmp_path
+):
+    """A src rename whose replay a dst CHECK constraint would refuse
+    must fail the sync with an ACTIONABLE error naming the blocking
+    constraints and the recovery — not wedge silently behind the
+    generic refusal on every re-run."""
+    import pytest as _pytest
+
+    from scalable_etl_spark.acid import SnapshotTable, sync_incremental
+
+    src = SnapshotTable(spark, str(tmp_path / "s"))
+    src.append(spark.createDataFrame([(1, 5)], "id INT, v INT"))
+    dst = SnapshotTable(spark, str(tmp_path / "d"))
+    sync_incremental(src, dst, sync_id="w")
+    dst.add_constraint("v_pos", "v > 0")
+    src.alter_rename_column("v", "w")
+    src.append(spark.createDataFrame([(2, 7)], "id INT, w INT"))
+    with _pytest.raises(RuntimeError, match="v_pos.*Drop them on dst"):
+        sync_incremental(src, dst, sync_id="w")
+    # recovery path: drop the constraint, sync, re-add post-rename
+    dst.drop_constraint("v_pos")
+    sync_incremental(src, dst, sync_id="w")
+    assert {(r.id, r.w) for r in dst.read().select("id", "w").collect()} == {
+        (1, 5), (2, 7)
+    }
+    dst.add_constraint("w_pos", "w > 0")
