@@ -486,9 +486,12 @@ class SnapshotTable:
         walks newest-first, so recent timestamps touch only the tail.
         """
         if isinstance(ts, str):
-            import datetime
+            try:
+                ts = float(ts)  # numeric epoch string (option strings)
+            except ValueError:
+                import datetime
 
-            ts = datetime.datetime.fromisoformat(ts).timestamp()
+                ts = datetime.datetime.fromisoformat(ts).timestamp()
         v = self.latest_version()
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.root}")

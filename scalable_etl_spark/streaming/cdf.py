@@ -209,6 +209,39 @@ class SnapshotChangesReader(DataSourceStreamReader):
         if not self.root:
             raise ValueError("snapshot_changes requires option 'path'")
         self.since = int(options.get("sinceversion", -1))
+        since_ts = options.get("sincetimestamp")
+        if since_ts is not None:
+            if "sinceversion" in options:
+                raise ValueError(
+                    "snapshot_changes: pass sinceVersion OR "
+                    "sinceTimestamp, not both"
+                )
+            # Delta startingTimestamp semantics: the first delivered
+            # commit is the EARLIEST one at-or-after the timestamp.
+            # version_as_of gives the latest at-or-before; a commit
+            # exactly at ts must be included, hence the equality probe.
+            t = self._table()
+            try:
+                v = t.version_as_of(since_ts)
+            except ValueError as exc:
+                if "predates the table's first commit" not in str(exc):
+                    raise  # below vacuum retention: keep the clear error
+                self.since = -1  # predates genesis: deliver everything
+            else:
+                ts_norm = since_ts
+                if isinstance(ts_norm, str):
+                    try:
+                        ts_norm = float(ts_norm)
+                    except ValueError:
+                        import datetime
+
+                        ts_norm = datetime.datetime.fromisoformat(
+                            ts_norm
+                        ).timestamp()
+                at = float(t._manifest_raw(v)["timestamp"]) >= float(
+                    ts_norm
+                )
+                self.since = v - 1 if at else v
         self.max_versions = int(options.get("maxversionsperbatch", 0))
         self.ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
@@ -456,9 +489,12 @@ class SnapshotChangesSource(DataSource):
     """``format("snapshot_changes")`` — streaming CDF over a snapshot
     table's commit log. Options: ``path`` (table root, required),
     ``sinceVersion`` (exclusive start, default -1 = from genesis),
-    ``maxVersionsPerBatch`` (continuous-trigger rate limit, default 0
-    = unthrottled — see the module docstring for the availableNow
-    caveat), ``ignoreChanges`` (re-deliver rewrite commits' rows)."""
+    ``sinceTimestamp`` (first delivered commit = earliest at-or-after
+    the float-epoch or ISO timestamp — Delta startingTimestamp parity;
+    mutually exclusive with sinceVersion), ``maxVersionsPerBatch``
+    (continuous-trigger rate limit, default 0 = unthrottled — see the
+    module docstring for the availableNow caveat), ``ignoreChanges``
+    (re-deliver rewrite commits' rows)."""
 
     @classmethod
     def name(cls):

@@ -351,3 +351,59 @@ def test_cdf_continuous_trigger_rate_limit_live(spark, tmp_path):
     assert len(live_batches) == 3, (
         f"throttle=1 but live versions shared batches: {sorted(seen)}"
     )
+
+
+def test_cdf_since_timestamp_option(spark, tmp_path):
+    """sinceTimestamp (Delta startingTimestamp parity): the first
+    delivered commit is the earliest at-or-after the timestamp; a
+    pre-genesis timestamp delivers everything; combining with
+    sinceVersion refuses."""
+    import time as _time
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    t.append(spark.createDataFrame([(0,)], "id INT"))
+    _time.sleep(0.05)
+    mid = _time.time()
+    _time.sleep(0.05)
+    t.append(spark.createDataFrame([(1,)], "id INT"))
+    t.append(spark.createDataFrame([(2,)], "id INT"))
+
+    def drain(opts):
+        got = []
+        spark.dataSource.register(SnapshotChangesSource)
+        r = spark.readStream.format("snapshot_changes").option("path", root)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        import uuid as _uuid
+
+        q = (
+            r.load()
+            .writeStream.foreachBatch(
+                lambda b, i: got.extend(tuple(x) for x in b.collect())
+            )
+            .option(
+                "checkpointLocation",
+                str(tmp_path / f"ck{_uuid.uuid4().hex}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(got)
+
+    assert drain({"sinceTimestamp": str(mid)}) == [(1, 1), (2, 2)]
+    assert drain({"sinceTimestamp": "1970-01-01T00:00:00"}) == [
+        (0, 0), (1, 1), (2, 2)
+    ]
+    # exact-commit-timestamp inclusion
+    ts1 = float(t._manifest_raw(1)["timestamp"])
+    assert drain({"sinceTimestamp": str(ts1)}) == [(1, 1), (2, 2)]
+
+    from scalable_etl_spark.streaming.cdf import SnapshotChangesReader
+
+    with pytest.raises(ValueError, match="not both"):
+        SnapshotChangesReader(
+            {"path": root, "sinceversion": "0", "sincetimestamp": "1.0"},
+            [("id", "integer")],
+        )
