@@ -74,6 +74,12 @@ def main() -> None:
         QUERIES["ann_lsh"](spark, sf_dir).count()
         QUERIES["ann_ivf"](spark, sf_dir).count()
         QUERIES["audio_energy_stats"](spark, sf_dir).count()
+        # streaming_cdf_dedup compiles ~6 distinct plans (two corpus
+        # appends, the CDF stream, per-version MERGEs, final agg);
+        # after 100+ earlier queries the codegen cache has churned and
+        # a cold single shot pays every recompile (~2x its clean-
+        # session pin). Warm at sf_dir so the timed run is cache-hot.
+        QUERIES["streaming_cdf_dedup"](spark, sf_dir).count()
         # The gated-Jaccard signature (24 perms / 8 bands) is a distinct
         # codegen shape from minhash_lsh's 16/4 — and AQE picks a
         # DIFFERENT physical plan at bench scale than at sf0.001, so
