@@ -73,6 +73,23 @@ _NARROW_TYPES = {
 _DECIMAL_RE = re.compile(r"^decimal\((\d+),\s*(-?\d+)\)$")
 
 
+def _ts_to_epoch(ts) -> float:
+    """Timestamp argument -> float epoch seconds. Strings try
+    ISO-8601 FIRST (so '20260815' stays the basic-format date it
+    always was, never 20M epoch seconds) and fall back to numeric
+    epoch strings (streaming options arrive stringly). One shared
+    parser so the time-travel API and the CDF source cannot
+    diverge."""
+    if isinstance(ts, str):
+        import datetime
+
+        try:
+            return datetime.datetime.fromisoformat(ts).timestamp()
+        except ValueError:
+            return float(ts)
+    return float(ts)
+
+
 def _decimal_params(simple: str) -> tuple[int, int] | None:
     """(precision, scale) of a decimal simpleString, else None."""
     m = _DECIMAL_RE.match(simple)
@@ -485,13 +502,7 @@ class SnapshotTable:
         every entry verbatim — never the resolved O(files) state) and
         walks newest-first, so recent timestamps touch only the tail.
         """
-        if isinstance(ts, str):
-            try:
-                ts = float(ts)  # numeric epoch string (option strings)
-            except ValueError:
-                import datetime
-
-                ts = datetime.datetime.fromisoformat(ts).timestamp()
+        ts = _ts_to_epoch(ts)
         v = self.latest_version()
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.root}")

@@ -218,30 +218,36 @@ class SnapshotChangesReader(DataSourceStreamReader):
                 )
             # Delta startingTimestamp semantics: the first delivered
             # commit is the EARLIEST one at-or-after the timestamp.
-            # version_as_of gives the latest at-or-before; a commit
-            # exactly at ts must be included, hence the equality probe.
+            # version_as_of gives the LATEST at-or-before — under tied
+            # or interleaved wall clocks several commits can share ts,
+            # so walk DOWN across every commit still >= ts instead of
+            # probing just one.
+            from ..acid import _ts_to_epoch
+
             t = self._table()
+            ts_norm = _ts_to_epoch(since_ts)
             try:
-                v = t.version_as_of(since_ts)
+                start = t.version_as_of(ts_norm)
+            except FileNotFoundError:
+                # empty/not-yet-created table: wait for genesis, same
+                # as the sinceVersion path's latestOffset handling
+                self.since = -1
             except ValueError as exc:
                 if "predates the table's first commit" not in str(exc):
                     raise  # below vacuum retention: keep the clear error
                 self.since = -1  # predates genesis: deliver everything
             else:
-                ts_norm = since_ts
-                if isinstance(ts_norm, str):
+                while start >= 0:
                     try:
-                        ts_norm = float(ts_norm)
-                    except ValueError:
-                        import datetime
-
-                        ts_norm = datetime.datetime.fromisoformat(
-                            ts_norm
-                        ).timestamp()
-                at = float(t._manifest_raw(v)["timestamp"]) >= float(
-                    ts_norm
-                )
-                self.since = v - 1 if at else v
+                        t_v = float(
+                            t._manifest_raw(start)["timestamp"]
+                        )
+                    except FileNotFoundError:
+                        break  # vacuumed below: earliest resolvable
+                    if t_v < ts_norm:
+                        break
+                    start -= 1
+                self.since = start
         self.max_versions = int(options.get("maxversionsperbatch", 0))
         self.ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"

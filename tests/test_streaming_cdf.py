@@ -407,3 +407,48 @@ def test_cdf_since_timestamp_option(spark, tmp_path):
             {"path": root, "sinceversion": "0", "sincetimestamp": "1.0"},
             [("id", "integer")],
         )
+
+
+def test_cdf_since_timestamp_edge_cases(spark, tmp_path):
+    """sinceTimestamp review hardening: (a) tied commit timestamps —
+    EVERY commit at-or-after the timestamp is delivered, not just the
+    latest tied one; (b) an empty table waits for genesis instead of
+    crashing reader construction; (c) ISO basic-format strings stay
+    dates (never reinterpreted as epoch seconds)."""
+    import json as _json
+    import os as _os
+
+    from scalable_etl_spark.acid import SnapshotTable, _ts_to_epoch
+
+    # (a) forge a log where v1 and v2 share one timestamp exactly
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    for i in range(3):
+        t.append(spark.createDataFrame([(i,)], "id INT"))
+    raw1 = _json.loads(open(t._manifest_path(1)).read())
+    tied = raw1["timestamp"]
+    raw2 = _json.loads(open(t._manifest_path(2)).read())
+    raw2["timestamp"] = tied
+    with open(t._manifest_path(2), "w") as fh:
+        _json.dump(raw2, fh)
+    t._mcache.clear()
+
+    from scalable_etl_spark.streaming.cdf import SnapshotChangesReader
+
+    r = SnapshotChangesReader(
+        {"path": root, "sincetimestamp": str(tied)}, [("id", "integer")]
+    )
+    assert r.since == 0  # both tied commits (v1 AND v2) deliver
+
+    # (b) empty table: reader constructs and waits
+    empty_root = str(tmp_path / "empty")
+    _os.makedirs(empty_root, exist_ok=True)
+    r2 = SnapshotChangesReader(
+        {"path": empty_root, "sincetimestamp": "1.0"}, []
+    )
+    assert r2.since == -1
+    assert r2.latestOffset() == {"version": -1}  # waits for genesis
+
+    # (c) ISO basic format parses as the DATE, not epoch seconds
+    assert _ts_to_epoch("20260815") == _ts_to_epoch("2026-08-15")
+    assert _ts_to_epoch("1786778606.5") == 1786778606.5
