@@ -72,7 +72,6 @@ from __future__ import annotations
 
 import json
 import os
-from urllib.parse import unquote
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -180,6 +179,33 @@ def _py_value(raw: str, spark_type: str):
         import decimal
 
         return decimal.Decimal(raw)
+    if spark_type in ("timestamp", "timestamp_ntz"):
+        # Timestamp partition values reach here as strings (the batch
+        # write path renders them via Java/session-tz formatting —
+        # 'yyyy-MM-dd HH:mm:ss[.f]', ISO-parseable), and ALTER default
+        # fills as their manifest-JSON string form. A raw string would
+        # hit pa.scalar(str, pa.timestamp(...)) -> ArrowTypeError
+        # executor-side; parse here instead, raising the module's
+        # explicit error on unparseable input.
+        import datetime
+
+        try:
+            dt = datetime.datetime.fromisoformat(raw)
+        except ValueError:
+            raise ValueError(
+                f"snapshot_changes cannot parse {raw!r} as "
+                f"{spark_type} (partition / default-fill values must "
+                "be ISO-8601)"
+            ) from None
+        if spark_type == "timestamp" and dt.tzinfo is None:
+            # Session tz is pinned to UTC (session.py); tz-aware
+            # arrow storage needs an aware datetime.
+            dt = dt.replace(tzinfo=datetime.timezone.utc)
+        elif spark_type == "timestamp_ntz" and dt.tzinfo is not None:
+            dt = dt.astimezone(datetime.timezone.utc).replace(
+                tzinfo=None
+            )
+        return dt
     return raw  # string et al.
 
 
@@ -321,6 +347,8 @@ class SnapshotChangesReader(DataSourceStreamReader):
                 "pick up the new one (Delta streaming's schema-change "
                 "contract)"
             )
+        from ..acid import _hive_unescape_path
+
         evo_ctx = t._evolution_ctx(m_latest)
         parts: list[_FilePartition] = []
         prev = set(
@@ -351,7 +379,14 @@ class SnapshotChangesReader(DataSourceStreamReader):
                 for comp in d.split("/")[1:]:
                     k, _, raw = comp.partition("=")
                     if k in pcols:
-                        part_values[k] = unquote(raw)
+                        # STRICT byte-wise %XX decode shared with the
+                        # batch read path (acid._hive_unescape_path) —
+                        # urllib.parse.unquote diverges on multi-byte
+                        # %XX%XX runs (UTF-8-decodes them) and invalid
+                        # UTF-8 (%FF -> U+FFFD), so converted foreign
+                        # datasets with literal %-sequences would read
+                        # differently via the stream than via batch.
+                        part_values[k] = _hive_unescape_path(raw)
                 # per-entry canonicalization recipe from the LATEST
                 # manifest's evolution chain — the same physical-name /
                 # narrow-type / default-fill resolution the batch

@@ -452,3 +452,61 @@ def test_cdf_since_timestamp_edge_cases(spark, tmp_path):
     # (c) ISO basic format parses as the DATE, not epoch seconds
     assert _ts_to_epoch("20260815") == _ts_to_epoch("2026-08-15")
     assert _ts_to_epoch("1786778606.5") == 1786778606.5
+
+
+def test_cdf_stream_timestamp_partition_values(spark, tmp_path):
+    """A timestamp-typed partition column (legal on the batch write
+    path, where it merely disables path pruning) streams without the
+    executor-side ArrowTypeError _py_value used to allow: the hive
+    path string parses back to a tz-aware value and the delivered
+    rows equal the batch read()."""
+    import datetime
+
+    root = str(tmp_path / "ts")
+    t = SnapshotTable(spark, root)
+    ts0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    ts1 = datetime.datetime(2024, 1, 2, 12, 30, 0)
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, ts0), (2, ts1)], "id INT, hr TIMESTAMP"
+        ),
+        partition_cols=["hr"],
+    )
+    t.append(
+        spark.createDataFrame([(3, ts1)], "id INT, hr TIMESTAMP")
+    )
+    got: list = []
+    _drain(spark, root, str(tmp_path / "ck"), got)
+    batch = {tuple(r) for r in t.read().select("id", "hr").collect()}
+    assert {r[:2] for r in got} == batch
+    assert sorted(r[2] for r in got) == [0, 0, 1]
+
+
+def test_cdf_stream_percent_run_partition_parity(spark, tmp_path):
+    """Partition components with literal %XX%XX runs (a converted
+    foreign dataset that never hive-escaped them) decode BYTE-WISE via
+    the shared acid._hive_unescape_path — urllib.parse.unquote would
+    UTF-8-decode the run ('%C3%A9' -> 'e-acute') and the stream would
+    disagree with the batch read."""
+    import shutil as _sh
+
+    from scalable_etl_spark.acid import convert_to_snapshot
+
+    src = str(tmp_path / "legacy")
+    leaf = os.path.join(src, "day=caf%C3%A9")
+    os.makedirs(leaf)
+    tmp_pq = str(tmp_path / "one")
+    spark.createDataFrame([(1,), (2,)], "id INT").coalesce(1).write.parquet(
+        tmp_pq
+    )
+    for fn in os.listdir(tmp_pq):
+        if fn.endswith(".parquet"):
+            _sh.copy(os.path.join(tmp_pq, fn), os.path.join(leaf, fn))
+    root = str(tmp_path / "t")
+    t = convert_to_snapshot(spark, src, root, partition_cols=["day"])
+    batch = sorted(tuple(r) for r in t.read().collect())
+    assert batch == [(1, "caf\xc3\xa9"), (2, "caf\xc3\xa9")]
+
+    got: list = []
+    _drain(spark, root, str(tmp_path / "ck"), got)
+    assert sorted(r[:2] for r in got) == batch
