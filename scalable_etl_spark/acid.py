@@ -57,6 +57,7 @@ from pyspark.sql.types import (
     FloatType,
     IntegerType,
     ShortType,
+    StringType,
     StructType,
 )
 
@@ -160,6 +161,12 @@ _PARQUET_CKPT_MIN_FILES = 20_000
 # verbatim in the delta entry — those are O(1)-ish, only the dir/stats
 # maps grow with table size.
 _DELTA_KEYS = ("dirs", "stats", "file_stats")
+
+# CDC row-image tag column (Delta CDF's public column name + values:
+# insert / delete / update_preimage / update_postimage). Rides INSIDE
+# the _change_data files for rewrite commits and is synthesized as
+# 'insert' for append-shaped commits on change-feed reads.
+_CHANGE_TYPE_COL = "_change_type"
 
 # Characters Spark/Hive URL-escape when writing a partition VALUE into
 # a directory name (Hive's FileUtils.escapePathName, mirrored by
@@ -434,6 +441,11 @@ class SnapshotTable:
         self.root = root
         self.log_dir = os.path.join(root, "_log")
         self.data_dir = os.path.join(root, "data")
+        # CDC row-image files for rewrite commits (Delta's public
+        # _change_data layout): one immutable uuid dir per CDC-bearing
+        # commit, referenced by the manifest's "change_data" key —
+        # never part of "dirs", so snapshot reads don't see them
+        self.change_dir = os.path.join(root, "_change_data")
         # resolved-manifest memo; committed manifests are immutable, so
         # entries never need invalidation (vacuum only deletes versions
         # nothing retained resolves through)
@@ -692,6 +704,20 @@ class SnapshotTable:
                     pass
             if prev_c:
                 manifest["constraints"] = prev_c
+        # TABLE PROPERTIES carry forward the same way (Delta's
+        # TBLPROPERTIES): only set_property / unset_property name the
+        # key explicitly; every other mutator inherits.
+        if "properties" not in manifest:
+            prev_p = {}
+            if version > 0:
+                try:
+                    prev_p = self._manifest(version - 1).get(
+                        "properties", {}
+                    )
+                except FileNotFoundError:
+                    pass
+            if prev_p:
+                manifest["properties"] = prev_p
         payload = manifest
         if version > 0 and version % _CHECKPOINT_EVERY != 0:
             try:
@@ -1131,6 +1157,7 @@ class SnapshotTable:
         since_version: int,
         to_version: int | None = None,
         ignore_changes: bool = False,
+        change_feed: bool = False,
     ) -> DataFrame:
         """Rows ADDED after ``since_version`` (exclusive) up to
         ``to_version`` (inclusive; default latest), each tagged with
@@ -1149,8 +1176,20 @@ class SnapshotTable:
         ``ignore_changes=True`` emits those dirs' rows anyway
         (re-delivering rewritten rows — the documented contract of
         Delta's ``ignoreChanges`` option, for consumers that dedup
-        downstream). Consumers needing row-level update/delete images
-        should read the two snapshots and diff."""
+        downstream).
+
+        ``change_feed=True`` is the FULL Delta-CDF read: the output
+        gains ``_change_type``; append commits deliver their rows as
+        ``insert``, and MERGE / DELETE / UPDATE commits made while
+        the table's ``enableChangeDataFeed`` property was on deliver
+        their recorded row images (``update_preimage`` /
+        ``update_postimage`` / ``insert`` / ``delete``) from the
+        commit's ``_change_data`` files — exact history, no
+        re-delivery caveats. Compaction commits (``dataChange=false``)
+        are invisible in every mode: no logical change happened. A
+        rewrite commit that predates the property (no recorded images)
+        still raises — Delta likewise has no change data for commits
+        made before the property was set."""
         latest = self.latest_version()
         if latest is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
@@ -1176,23 +1215,54 @@ class SnapshotTable:
             "append", "insert_ignore", "stream_append", "sync",
             "add_bloom_filters", "alter_add_column",
             "alter_widen_column", "add_constraint", "drop_constraint",
+            "set_property", "unset_property",
         }
         frames = []
         prev = set(self._manifest(since_version)["dirs"])
         for v in range(since_version + 1, end + 1):
             m = self._manifest(v)
-            if m["op"] not in append_ops and not ignore_changes:
-                raise ValueError(
-                    f"version {v} is op={m['op']!r} (a rewrite, not an "
-                    "append); pass ignore_changes=True to re-deliver "
-                    "its rows, or diff the snapshots"
-                )
+            if m.get("data_change", True) is False and not ignore_changes:
+                # layout-only rewrite (compact, dataChange=false):
+                # invisible — no logical change happened, so append-
+                # only and change-feed consumers survive compaction.
+                # Under ignore_changes it still re-delivers: that
+                # mode's last-wins convergence depends on seeing the
+                # rewritten (record-pruned) copies.
+                prev = set(m["dirs"])
+                continue
+            cdc = m.get("change_data")
+            if m["op"] not in append_ops:
+                if change_feed and cdc is not None:
+                    frames.append(
+                        self._read_change_data(cdc).withColumn(
+                            "_commit_version", F.lit(v)
+                        )
+                    )
+                    prev = set(m["dirs"])
+                    continue
+                if not ignore_changes:
+                    hint = (
+                        "pass change_feed=True to read its recorded "
+                        "row images, "
+                        if cdc is not None
+                        else "enable_change_data_feed() records row "
+                        "images for future rewrites; for this one "
+                    )
+                    raise ValueError(
+                        f"version {v} is op={m['op']!r} (a rewrite, "
+                        f"not an append); {hint}pass "
+                        "ignore_changes=True to re-deliver its rows, "
+                        "or diff the snapshots"
+                    )
             new_dirs = [d for d in m["dirs"] if d not in prev]
             if new_dirs:
-                frames.append(
-                    self._read_dirs(m, new_dirs).withColumn(
-                        "_commit_version", F.lit(v)
+                f = self._read_dirs(m, new_dirs)
+                if change_feed:
+                    f = f.withColumn(
+                        _CHANGE_TYPE_COL, F.lit("insert")
                     )
+                frames.append(
+                    f.withColumn("_commit_version", F.lit(v))
                 )
             prev = set(m["dirs"])
         if not frames:
@@ -1200,7 +1270,10 @@ class SnapshotTable:
 
             schema = StructType.fromJson(
                 json.loads(self._manifest(end)["schema"])
-            ).add("_commit_version", IntegerType(), False)
+            )
+            if change_feed:
+                schema = schema.add(_CHANGE_TYPE_COL, StringType(), False)
+            schema = schema.add("_commit_version", IntegerType(), False)
             return self.spark.createDataFrame([], schema)
         return reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
@@ -2468,6 +2541,7 @@ class SnapshotTable:
         n_files: int | None = None,
         zorder: bool = False,
         bloom_cols: Sequence[str] = (),
+        data_change: bool = True,
     ) -> int:
         """Atomic replace (the reference's ``createOrReplace``): readers
         see the old snapshot or the new one, never a mix, never a gap.
@@ -2530,6 +2604,10 @@ class SnapshotTable:
                 "txn": self._txn_of(v),
                 "timestamp": time.time(),
             }
+            if not data_change:
+                # layout-only rewrite (compact): change-feed readers
+                # skip this commit — no logical change happened
+                manifest["data_change"] = False
             nxt = 0 if v is None else v + 1
             if self._commit(nxt, manifest):
                 return nxt
@@ -2626,6 +2704,120 @@ class SnapshotTable:
             if self._commit(v + 1, manifest):
                 return v + 1
         raise CommitConflict(f"{op} lost {_COMMIT_RETRIES} races")
+
+    # --------------------------------------------- table properties
+
+    def properties(self, version: int | None = None) -> dict[str, str]:
+        """TBLPROPERTIES in force at ``version`` (default latest) —
+        {} for a fresh table. Properties carry forward automatically
+        through every commit (see ``_commit``)."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            return {}
+        return dict(self._manifest(v).get("properties", {}))
+
+    def set_property(self, key: str, value: str) -> int:
+        """ALTER TABLE SET TBLPROPERTIES (metadata-only commit).
+        ``enableChangeDataFeed=true`` is the load-bearing one: from
+        the NEXT commit on, MERGE / DELETE / UPDATE write CDC
+        row-image files (Delta's ``delta.enableChangeDataFeed``
+        contract — change data exists only for commits made while the
+        property was on), consumable via
+        ``table_changes(change_feed=True)`` and the
+        ``snapshot_changes`` stream's ``readChangeFeed`` option."""
+        return self._properties_commit(
+            "set_property", lambda props: {**props, key: str(value)}
+        )
+
+    def unset_property(self, key: str) -> int:
+        """ALTER TABLE UNSET TBLPROPERTIES — removing a key is legal
+        even when absent (Delta's IF EXISTS default)."""
+        return self._properties_commit(
+            "unset_property",
+            lambda props: {k: x for k, x in props.items() if k != key},
+        )
+
+    def enable_change_data_feed(self) -> int:
+        """Sugar for ``set_property("enableChangeDataFeed", "true")``."""
+        return self.set_property("enableChangeDataFeed", "true")
+
+    def _cdf_enabled(self, version: int | None) -> bool:
+        if version is None:
+            return False
+        return (
+            self._manifest(version)
+            .get("properties", {})
+            .get("enableChangeDataFeed", "")
+            .lower()
+            == "true"
+        )
+
+    def _properties_commit(self, op: str, mutate) -> int:
+        """Metadata-only commit loop for the property verbs (mirrors
+        ``_constraints_commit``; dirs / schema / stats / ledgers /
+        evolution / constraints carry verbatim)."""
+        for _ in range(_COMMIT_RETRIES):
+            v = self.latest_version()
+            if v is None:
+                raise FileNotFoundError(
+                    f"no committed version at {self.root}"
+                )
+            m = self._manifest(v)
+            manifest = {
+                "op": op,
+                "dirs": m["dirs"],
+                "schema": m["schema"],
+                "partition_cols": m["partition_cols"],
+                "stats": self._stats_of(v),
+                "file_stats": self._file_stats_of(v),
+                "txn": self._txn_of(v),
+                "evolution": self._evolution_of(v),
+                "properties": mutate(dict(m.get("properties", {}))),
+                "timestamp": time.time(),
+            }
+            if self._commit(v + 1, manifest):
+                return v + 1
+        raise CommitConflict(f"{op} lost {_COMMIT_RETRIES} races")
+
+    # ----------------------------------------- CDC change-data files
+
+    def _write_change_data(
+        self, frames: Sequence[tuple[DataFrame, str]], columns
+    ) -> dict:
+        """Write one commit's CDC row images (Delta's ``_change_data``
+        pattern) and return the manifest record ``{"entry": uuid,
+        "schema": json}``. Each frame is tagged with its
+        ``_change_type`` (update_preimage / update_postimage / insert
+        / delete) and the union lands as ONE immutable uuid dir under
+        ``_change_data/`` — never referenced by "dirs", so snapshot
+        reads are unaffected; cost is proportional to the CHANGED
+        rows, not the table. A commit-race loser's dir is orphaned and
+        swept by vacuum like a loser data dir."""
+        cols = list(columns)
+        tagged = [
+            df.select(*cols).withColumn(
+                _CHANGE_TYPE_COL, F.lit(ctype)
+            )
+            for df, ctype in frames
+        ]
+        out = reduce(lambda a, b: a.unionByName(b), tagged)
+        d = uuid.uuid4().hex
+        out.write.mode("errorifexists").parquet(
+            os.path.join(self.change_dir, d)
+        )
+        schema_json = out.drop(_CHANGE_TYPE_COL).schema.json()
+        return {"entry": d, "schema": schema_json}
+
+    def _read_change_data(self, rec: dict) -> DataFrame:
+        """DataFrame over a commit's CDC files: the TABLE columns as
+        of that commit plus ``_change_type``. Declared-schema read —
+        the stored schema is authoritative (files are immutable)."""
+        schema = StructType.fromJson(json.loads(rec["schema"])).add(
+            _CHANGE_TYPE_COL, StringType(), False
+        )
+        return self.spark.read.schema(schema).parquet(
+            os.path.join(self.change_dir, rec["entry"])
+        )
 
     def _validate_constraints(
         self, df: DataFrame, cons: dict[str, str], context: str
@@ -3125,6 +3317,35 @@ class SnapshotTable:
                     new_entries, self.constraints(v),
                     self._manifest(v)["schema"], self._evolution_of(v),
                 )
+            change_rec = None
+            if v is not None and self._cdf_enabled(v):
+                # CDC row images (Delta _change_data): cost scales
+                # with the BATCH and the rewritten dirs, never the
+                # table — target here is already the pruned dir set.
+                # Multi-row-per-key sources resolve per the merge
+                # contract above (dropDuplicates pre-reduction).
+                bat = batch.select(*target.columns)
+                bkeys = batch.select(*keys)
+                tkeys = target.select(*keys)
+                matched_pre = target.join(bkeys, keys, "left_semi")
+                novel_b = bat.join(tkeys, keys, "left_anti")
+                if when_matched == "update":
+                    cframes = [
+                        (matched_pre, "update_preimage"),
+                        (
+                            bat.join(tkeys, keys, "left_semi"),
+                            "update_postimage",
+                        ),
+                        (novel_b, "insert"),
+                    ]
+                else:
+                    cframes = [
+                        (matched_pre, "delete"),
+                        (novel_b, "insert"),
+                    ]
+                change_rec = self._write_change_data(
+                    cframes, target.columns
+                )
             # untouched dirs keep their stats; the rewritten entries get
             # fresh key stats from their footers (free, no scan job)
             for e in new_entries:
@@ -3144,6 +3365,8 @@ class SnapshotTable:
                 "evolution": self._evolution_of(v),
                 "timestamp": time.time(),
             }
+            if change_rec is not None:
+                manifest["change_data"] = change_rec
             if self._commit(0 if v is None else v + 1, manifest):
                 return 0 if v is None else v + 1
         raise CommitConflict(f"merge lost {_COMMIT_RETRIES} races")
@@ -3189,7 +3412,15 @@ class SnapshotTable:
         ]
         return reduce(lambda a, b: a.unionByName(b), parts)
 
-    def _rewrite_commit(self, op, match_true, transform, prune) -> int:
+    def _rewrite_commit(
+        self,
+        op,
+        match_true,
+        transform,
+        prune,
+        change_frames=None,
+        data_change: bool = True,
+    ) -> int:
         """Shared copy-on-write loop behind predicate DML (delete /
         update): stats-prune the dir list, bail without committing when
         nothing can/does match, rewrite the candidate dirs through
@@ -3197,7 +3428,14 @@ class SnapshotTable:
         RE-COLLECTS footer stats for every column the rewritten dirs
         previously carried stats on (plus the prune column), so data
         skipping survives DML instead of silently degrading until the
-        next stats-bearing overwrite."""
+        next stats-bearing overwrite.
+
+        ``change_frames(target) -> [(df, change_type), ...]`` supplies
+        CDC row images, written as _change_data files when the table's
+        ``enableChangeDataFeed`` property is on (cost: the matched
+        rows, not the table). ``data_change=False`` marks the commit
+        as layout-only (compaction): change-feed readers skip it
+        entirely — Delta's ``dataChange=false`` contract."""
         for _ in range(_COMMIT_RETRIES):
             v = self.latest_version()
             if v is None:
@@ -3257,6 +3495,11 @@ class SnapshotTable:
                     new_entries, self.constraints(v), m["schema"],
                     self._evolution_of(v),
                 )
+            change_rec = None
+            if change_frames is not None and self._cdf_enabled(v):
+                change_rec = self._write_change_data(
+                    change_frames(target), target.columns
+                )
             kept_stats = {
                 d2: s
                 for d2, s in self._stats_of(v).items()
@@ -3311,6 +3554,10 @@ class SnapshotTable:
                 "evolution": self._evolution_of(v),
                 "timestamp": time.time(),
             }
+            if change_rec is not None:
+                manifest["change_data"] = change_rec
+            if not data_change:
+                manifest["data_change"] = False
             if self._commit(v + 1, manifest):
                 return v + 1
         raise CommitConflict(f"{op} lost {_COMMIT_RETRIES} races")
@@ -3337,6 +3584,9 @@ class SnapshotTable:
             match_true,
             lambda target: target.filter(~match_true),
             prune,
+            change_frames=lambda target: [
+                (target.filter(match_true), "delete")
+            ],
         )
 
     def update(
@@ -3381,7 +3631,17 @@ class SnapshotTable:
             )
 
         return self._rewrite_commit(
-            "update", match_true, apply_updates, prune
+            "update",
+            match_true,
+            apply_updates,
+            prune,
+            change_frames=lambda target: [
+                (target.filter(match_true), "update_preimage"),
+                (
+                    apply_updates(target.filter(match_true)),
+                    "update_postimage",
+                ),
+            ],
         )
 
     # ---------------------------------------------------- maintenance
@@ -3401,7 +3661,8 @@ class SnapshotTable:
         v = self.latest_version()
         pcols = self._manifest(v)["partition_cols"] if v is not None else []
         return self.overwrite(
-            live, pcols, cluster_by=cluster_by, n_files=n_files, zorder=zorder
+            live, pcols, cluster_by=cluster_by, n_files=n_files,
+            zorder=zorder, data_change=False,
         )
 
     def restore(self, version: int) -> int:
@@ -3510,7 +3771,11 @@ class SnapshotTable:
             return df.coalesce(n_files or 1)
 
         return self._rewrite_commit(
-            "compact_partition", F.lit(True), transform, (col, value, value)
+            "compact_partition",
+            F.lit(True),
+            transform,
+            (col, value, value),
+            data_change=False,
         )
 
     def _entry_file_count(self, entry: str) -> int:
@@ -3675,32 +3940,51 @@ class SnapshotTable:
                 )
             except FileNotFoundError:
                 pass
-        removed = []
-        try:
-            on_disk = os.listdir(self.data_dir)
-        except FileNotFoundError:
-            on_disk = []
-        now = time.time()
-        for d in on_disk:
-            if d in referenced:
-                continue
-            path = os.path.join(self.data_dir, d)
+        cdc_referenced: set[str] = set()
+        for v in keep_versions:
             try:
-                newest = os.path.getmtime(path)
-                for walk_root, subdirs, files in os.walk(path):
-                    for name in (*subdirs, *files):
-                        newest = max(
-                            newest,
-                            os.path.getmtime(
-                                os.path.join(walk_root, name)
-                            ),
-                        )
-                if now - newest < min_age_seconds:
-                    continue  # possibly an in-flight writer's dir
+                rec = self._manifest(v).get("change_data")
             except FileNotFoundError:
                 continue
-            shutil.rmtree(path)
-            removed.append(d)
+            if rec:
+                cdc_referenced.add(rec["entry"])
+        removed = []
+        now = time.time()
+
+        def _sweep(base_dir: str, keep: set[str]) -> None:
+            """Age-gated unreferenced-uuid sweep, shared by the data
+            dir and the _change_data dir (same optimistic-writer race:
+            a commit-in-flight wrote its dir before its manifest)."""
+            try:
+                on_disk = os.listdir(base_dir)
+            except FileNotFoundError:
+                return
+            for d in on_disk:
+                if d in keep:
+                    continue
+                path = os.path.join(base_dir, d)
+                try:
+                    newest = os.path.getmtime(path)
+                    for walk_root, subdirs, files in os.walk(path):
+                        for name in (*subdirs, *files):
+                            newest = max(
+                                newest,
+                                os.path.getmtime(
+                                    os.path.join(walk_root, name)
+                                ),
+                            )
+                    if now - newest < min_age_seconds:
+                        continue  # possibly an in-flight writer's dir
+                except FileNotFoundError:
+                    continue
+                shutil.rmtree(path)
+                removed.append(d)
+
+        _sweep(self.data_dir, referenced)
+        # CDC files of vacuumed commits (and commit-race loser
+        # orphans) go the same way — Delta's VACUUM removes
+        # _change_data files under the identical retention contract
+        _sweep(self.change_dir, cdc_referenced)
         # A retained delta manifest resolves through its predecessors:
         # keep every log entry back to the checkpoint (full manifest)
         # the oldest retained version chains to (<= _CHECKPOINT_EVERY-1

@@ -36,18 +36,21 @@ Semantics (Delta CDF's append path / Iceberg incremental read):
   carries ``_commit_version``, so a consumer applies changes in exact
   commit order by grouping on it inside ``foreachBatch`` — the
   deterministic CDC-apply pattern independent of batch packing.
-- **Append-shaped commits only** (same contract as
-  ``SnapshotTable.table_changes``): a rewrite commit (overwrite /
-  merge / compact) in the range raises, because its dirs mix
-  pre-existing rows in; ``ignoreChanges=true`` opts into re-delivery
-  (Delta's documented ``ignoreChanges`` contract — consumers dedup
-  downstream). Re-delivered superseded entries canonicalize under
-  whatever evolution records the LATEST manifest still carries for
-  them (rewrites prune records as entries leave the live set), so
-  re-delivery is best-effort, not an exact row-image reconstruction
-  of superseded history — consumers needing that should diff the
-  snapshots. A consumer applying versions in commit order (last-wins
-  per key) converges to the current snapshot either way.
+- **Rewrite commits** (same contract as
+  ``SnapshotTable.table_changes``): with ``readChangeFeed=true``, a
+  MERGE / DELETE / UPDATE committed while the table's
+  ``enableChangeDataFeed`` property was on delivers its RECORDED row
+  images (``_change_type`` in update_preimage / update_postimage /
+  insert / delete) from the commit's ``_change_data`` files — exact
+  history, Delta-CDF parity; compaction (``dataChange=false``) is
+  invisible. Without recorded images a rewrite in range still
+  raises; ``ignoreChanges=true`` opts into re-delivery (Delta's
+  documented contract — consumers dedup downstream). Re-delivered
+  superseded entries canonicalize under whatever evolution records
+  the LATEST manifest still carries for them, so re-delivery is
+  best-effort — consumers needing exact images enable the property.
+  A consumer applying versions in commit order (last-wins per key)
+  converges to the current snapshot either way.
 - **Schema is pinned at stream start** (+ ``_commit_version long``),
   and every delivered row is CANONICALIZED to it exactly the way a
   batch ``read()`` canonicalizes old entries — renames mapped forward,
@@ -88,9 +91,11 @@ _APPEND_OPS = frozenset(
     {"append", "insert_ignore", "stream_append", "sync",
      "add_bloom_filters", "alter_add_column", "alter_rename_column",
      "alter_drop_column", "alter_widen_column", "add_constraint",
-     "drop_constraint"}
+     "drop_constraint", "set_property", "unset_property"}
 )
-_METADATA_ONLY_OPS = frozenset({"add_bloom_filters"})
+_METADATA_ONLY_OPS = frozenset(
+    {"add_bloom_filters", "set_property", "unset_property"}
+)
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
@@ -220,13 +225,21 @@ class _FilePartition(InputPartition):
     / ``_default_fill``, precomputed driver-side so the executor needs
     only pyarrow. ``part_values``: {col: raw_path_string} parsed from
     the entry's hive components.
+
+    ``change_type``: None when the stream doesn't read the change
+    feed; ``"__file__"`` when the file physically carries
+    ``_change_type`` (a commit's _change_data file); otherwise the
+    constant to tag every row with (``"insert"`` for append commits
+    under readChangeFeed).
     """
 
-    def __init__(self, path, version, fields, part_values):
+    def __init__(self, path, version, fields, part_values,
+                 change_type=None):
         self.path = path
         self.version = version
         self.fields = fields
         self.part_values = part_values
+        self.change_type = change_type
 
 
 class SnapshotChangesReader(DataSourceStreamReader):
@@ -277,6 +290,17 @@ class SnapshotChangesReader(DataSourceStreamReader):
         self.max_versions = int(options.get("maxversionsperbatch", 0))
         self.ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
+        )
+        self.change_feed = (
+            str(options.get("readchangefeed", "false")).lower() == "true"
+        )
+        # Delta's failOnDataLoss contract: default loud — a stream
+        # resuming from an offset whose manifest vacuum deleted fails;
+        # =false skips forward to the oldest resolvable version and
+        # re-delivers its FULL snapshot (tagged insert) with a logged
+        # gap marker, then continues incrementally.
+        self.fail_on_data_loss = (
+            str(options.get("failondataloss", "true")).lower() != "false"
         )
         # [(name, type_name)] minus the appended _commit_version
         self._fields = schema_fields
@@ -351,115 +375,110 @@ class SnapshotChangesReader(DataSourceStreamReader):
 
         evo_ctx = t._evolution_ctx(m_latest)
         parts: list[_FilePartition] = []
-        prev = set(
-            t._manifest(lo)["dirs"] if lo >= 0 else ()
-        )
+        append_tag = "insert" if self.change_feed else None
+        prev: set | None
+        try:
+            prev = set(
+                t._manifest(lo)["dirs"] if lo >= 0 else ()
+            )
+        except FileNotFoundError:
+            if self.fail_on_data_loss:
+                raise RuntimeError(
+                    f"snapshot_changes: offset version {lo} was "
+                    "vacuumed below log retention; restart from a "
+                    "fresh checkpoint, or pass failOnDataLoss=false "
+                    "to skip to the oldest resolvable version "
+                    "(re-delivers its full snapshot)"
+                ) from None
+            prev = None  # gap: next resolvable version delivers full
         for v in range(lo + 1, hi + 1):
-            m = t._manifest(v)
+            try:
+                m = t._manifest(v)
+            except FileNotFoundError:
+                if self.fail_on_data_loss:
+                    raise RuntimeError(
+                        f"snapshot_changes: version {v} was vacuumed "
+                        "below log retention; restart from a fresh "
+                        "checkpoint, or pass failOnDataLoss=false to "
+                        "skip to the oldest resolvable version"
+                    ) from None
+                prev = None
+                continue
+            if prev is None:
+                # DATA-LOSS GAP RECOVERY (failOnDataLoss=false): the
+                # versions before v are unresolvable, so incremental
+                # "new dirs" cannot be derived — deliver v's FULL
+                # snapshot (every live dir, tagged insert) and resume
+                # incrementally after it. Logged, never silent.
+                _trace("DATA LOSS GAP: full snapshot at", v)
+                import sys
+
+                print(
+                    f"snapshot_changes: data loss gap before v{v} "
+                    f"(vacuumed log); re-delivering v{v}'s full "
+                    "snapshot (failOnDataLoss=false)",
+                    file=sys.stderr,
+                )
+                new_dirs = list(m["dirs"])
+                prev = set(m["dirs"])
+                if not new_dirs:
+                    continue
+                pcols = {c for c in m.get("partition_cols", [])}
+                self._plan_dirs(
+                    t, m, v, new_dirs, pcols, evo_ctx, parts,
+                    _hive_unescape_path, append_tag,
+                )
+                continue
             # v0 is table genesis: whatever op created it (overwrite /
             # convert), its dirs are exactly the initial rows — there
             # is no prior snapshot a "rewrite" could have mixed in
-            if v > 0 and (
-                m["op"] not in _APPEND_OPS and not self.ignore_changes
+            if (
+                m.get("data_change", True) is False
+                and not self.ignore_changes
             ):
-                raise RuntimeError(
-                    f"snapshot_changes: version {v} is op={m['op']!r} "
-                    "(a rewrite, not an append); pass option "
-                    "ignoreChanges=true to re-deliver its rows, or "
-                    "diff the snapshots"
-                )
+                # layout-only rewrite (compact, dataChange=false): no
+                # logical change — invisible to the feed, so an
+                # append-only or change-feed stream survives
+                # compaction (Delta's skip-compaction contract).
+                # Under ignoreChanges it still RE-DELIVERS like any
+                # rewrite: compaction prunes superseded entries'
+                # evolution records, so re-delivering the rewritten
+                # copies is what keeps that mode's last-wins replay
+                # converging to the live snapshot.
+                prev = set(m["dirs"])
+                continue
+            cdc = m.get("change_data")
+            if v > 0 and m["op"] not in _APPEND_OPS:
+                if self.change_feed and cdc is not None:
+                    # recorded CDC row images: exact pre/post images,
+                    # no re-delivery caveats — plan the commit's
+                    # _change_data files instead of its dirs
+                    prev = set(m["dirs"])
+                    self._plan_change_files(t, m, v, cdc, parts)
+                    continue
+                if not self.ignore_changes:
+                    hint = (
+                        "pass option readChangeFeed=true to read its "
+                        "recorded row images, "
+                        if cdc is not None
+                        else "enable_change_data_feed() records row "
+                        "images for future rewrites; for this one "
+                    )
+                    raise RuntimeError(
+                        f"snapshot_changes: version {v} is "
+                        f"op={m['op']!r} (a rewrite, not an append); "
+                        f"{hint}pass option ignoreChanges=true to "
+                        "re-deliver its rows, or diff the snapshots"
+                    )
             new_dirs = [d for d in m["dirs"] if d not in prev]
             prev = set(m["dirs"])
             if not new_dirs or m["op"] in _METADATA_ONLY_OPS:
                 continue
             pcols = {c for c in m.get("partition_cols", [])}
-            for d in new_dirs:
-                # hive components of the entry path -> constant cols
-                part_values = {}
-                for comp in d.split("/")[1:]:
-                    k, _, raw = comp.partition("=")
-                    if k in pcols:
-                        # STRICT byte-wise %XX decode shared with the
-                        # batch read path (acid._hive_unescape_path) —
-                        # urllib.parse.unquote diverges on multi-byte
-                        # %XX%XX runs (UTF-8-decodes them) and invalid
-                        # UTF-8 (%FF -> U+FFFD), so converted foreign
-                        # datasets with literal %-sequences would read
-                        # differently via the stream than via batch.
-                        part_values[k] = _hive_unescape_path(raw)
-                # per-entry canonicalization recipe from the LATEST
-                # manifest's evolution chain — the same physical-name /
-                # narrow-type / default-fill resolution the batch
-                # read() performs via _physical_schema, replicated
-                # here WITHOUT pyspark type parsing (this method runs
-                # in Spark's python_streaming_source_runner subprocess,
-                # which has no SparkContext for StructType.fromDDL)
-                pnames = [n for n, _ in self._fields]
-                ptypes = [ty for _, ty in self._fields]
-                evo = [rec for rec, ents in evo_ctx if d in ents]
-                for rec in reversed(evo):
-                    if rec["op"] == "rename_column":
-                        pnames = [
-                            rec["from"] if n == rec["to"] else n
-                            for n in pnames
-                        ]
-                    elif rec["op"] == "widen_column":
-                        narrow = _SIMPLE_TO_JSON.get(
-                            rec["from_type"], rec["from_type"]
-                        )
-                        ptypes = [
-                            narrow if n == rec["col"] else ty
-                            for n, ty in zip(pnames, ptypes)
-                        ]
-                # physical names whose bytes a drop record covering
-                # this entry invalidated: the file still carries them
-                # (drop is metadata-only), but they must never serve a
-                # same-named re-added column — the batch read drops
-                # them via _apply_evolution; mirror that here (both
-                # the drop-time logical spelling and its pre-rename
-                # physical spelling are dead)
-                dead: set[str] = set()
-                for i, rec in enumerate(evo):
-                    if rec["op"] != "drop_column":
-                        continue
-                    dead.add(rec["col"])
-                    name = rec["col"]
-                    for earlier in reversed(evo[:i]):
-                        if (
-                            earlier["op"] == "rename_column"
-                            and earlier["to"] == name
-                        ):
-                            name = earlier["from"]
-                    dead.add(name)
-                fields = [
-                    (
-                        lname,
-                        ltype,
-                        pname,
-                        ptype,
-                        t._default_fill(evo_ctx, d, lname),
-                    )
-                    for (lname, ltype), pname, ptype in zip(
-                        self._fields, pnames, ptypes
-                    )
-                ]
-                if dead:
-                    fields = [
-                        (ln, lt, None if pn in dead else pn, pt, fl)
-                        for ln, lt, pn, pt, fl in fields
-                    ]
-                base = os.path.join(t.data_dir, d)
-                for walk_root, _sub, files in os.walk(base):
-                    for fn in sorted(files):
-                        if fn.endswith(".parquet"):
-                            parts.append(
-                                _FilePartition(
-                                    os.path.join(walk_root, fn),
-                                    v,
-                                    fields,
-                                    part_values,
-                                )
-                            )
+            self._plan_dirs(
+                t, m, v, new_dirs, pcols, evo_ctx, parts,
+                _hive_unescape_path, append_tag,
+            )
         # Evict resolved manifests the stream has moved past: the
         # cached SnapshotTable's per-version memo would otherwise
         # accumulate one FULL O(files) state per delivered version for
@@ -473,6 +492,139 @@ class SnapshotChangesReader(DataSourceStreamReader):
         for vv in [v for v in t._mcache if v < floor]:
             del t._mcache[vv]
         return parts
+
+    def _plan_dirs(
+        self, t, m, v, new_dirs, pcols, evo_ctx, parts,
+        hive_unescape, change_tag,
+    ):
+        """Plan one commit's data dirs into _FilePartitions: per-entry
+        canonicalization recipe from the LATEST manifest's evolution
+        chain — the same physical-name / narrow-type / default-fill
+        resolution the batch read() performs via _physical_schema /
+        _apply_evolution / _default_fill, replicated WITHOUT pyspark
+        type parsing (this runs in Spark's
+        python_streaming_source_runner subprocess, which has no
+        SparkContext for StructType.fromDDL)."""
+        for d in new_dirs:
+            # hive components of the entry path -> constant cols
+            # (STRICT byte-wise %XX decode shared with the batch read
+            # path — see the _hive_unescape_path rationale there)
+            part_values = {}
+            for comp in d.split("/")[1:]:
+                k, _, raw = comp.partition("=")
+                if k in pcols:
+                    part_values[k] = hive_unescape(raw)
+            pnames = [n for n, _ in self._fields]
+            ptypes = [ty for _, ty in self._fields]
+            evo = [rec for rec, ents in evo_ctx if d in ents]
+            for rec in reversed(evo):
+                if rec["op"] == "rename_column":
+                    pnames = [
+                        rec["from"] if n == rec["to"] else n
+                        for n in pnames
+                    ]
+                elif rec["op"] == "widen_column":
+                    narrow = _SIMPLE_TO_JSON.get(
+                        rec["from_type"], rec["from_type"]
+                    )
+                    ptypes = [
+                        narrow if n == rec["col"] else ty
+                        for n, ty in zip(pnames, ptypes)
+                    ]
+            # physical names whose bytes a drop record covering
+            # this entry invalidated: the file still carries them
+            # (drop is metadata-only), but they must never serve a
+            # same-named re-added column — the batch read drops
+            # them via _apply_evolution; mirror that here (both
+            # the drop-time logical spelling and its pre-rename
+            # physical spelling are dead)
+            dead: set = set()
+            for i, rec in enumerate(evo):
+                if rec["op"] != "drop_column":
+                    continue
+                dead.add(rec["col"])
+                name = rec["col"]
+                for earlier in reversed(evo[:i]):
+                    if (
+                        earlier["op"] == "rename_column"
+                        and earlier["to"] == name
+                    ):
+                        name = earlier["from"]
+                dead.add(name)
+            fields = [
+                (
+                    lname,
+                    ltype,
+                    pname,
+                    ptype,
+                    t._default_fill(evo_ctx, d, lname),
+                )
+                for (lname, ltype), pname, ptype in zip(
+                    self._fields, pnames, ptypes
+                )
+            ]
+            if dead:
+                fields = [
+                    (ln, lt, None if pn in dead else pn, pt, fl)
+                    for ln, lt, pn, pt, fl in fields
+                ]
+            base = os.path.join(t.data_dir, d)
+            for walk_root, _sub, files in os.walk(base):
+                for fn in sorted(files):
+                    if fn.endswith(".parquet"):
+                        parts.append(
+                            _FilePartition(
+                                os.path.join(walk_root, fn),
+                                v,
+                                fields,
+                                part_values,
+                                change_tag,
+                            )
+                        )
+
+    def _plan_change_files(self, t, m, v, cdc, parts):
+        """Plan a rewrite commit's recorded _change_data files. The
+        files carry the TABLE columns as of the commit plus
+        ``_change_type``; the recipe maps pinned logical columns by
+        NAME onto the stored commit-time schema — a column ADDED after
+        the commit reads NULL (additive drift is fine), but a stored
+        column the pinned schema no longer names means a RENAME or
+        DROP postdates the images, and reconstructing them would need
+        column-id mapping this format doesn't have: raise the
+        non-additive-schema-change error exactly like Delta CDF."""
+        stored = {
+            f["name"]: _type_name(f["type"])
+            for f in json.loads(cdc["schema"])["fields"]
+        }
+        pinned = {n for n, _ in self._fields}
+        alien = sorted(set(stored) - pinned)
+        if alien:
+            raise RuntimeError(
+                f"snapshot_changes: version {v}'s change data "
+                f"records column(s) {alien!r} the current schema no "
+                "longer names (a rename/drop postdates the images); "
+                "change-feed reads across non-additive schema "
+                "changes are unsupported — start the stream after "
+                "the ALTER (sinceVersion)"
+            )
+        fields = [
+            (lname, ltype, lname if lname in stored else None,
+             stored.get(lname, ltype), None)
+            for lname, ltype in self._fields
+        ]
+        base = os.path.join(t.change_dir, cdc["entry"])
+        for walk_root, _sub, files in os.walk(base):
+            for fn in sorted(files):
+                if fn.endswith(".parquet"):
+                    parts.append(
+                        _FilePartition(
+                            os.path.join(walk_root, fn),
+                            v,
+                            fields,
+                            {},
+                            "__file__",
+                        )
+                    )
 
     def read(self, part: _FilePartition):
         import pyarrow as pa
@@ -506,6 +658,12 @@ class SnapshotChangesReader(DataSourceStreamReader):
                 # column): all-NULL, same as the Spark scan
                 cols.append(pa.nulls(n, type=_arrow_type(ltype)))
             names.append(lname)
+        if part.change_type == "__file__":
+            cols.append(tbl.column("_change_type"))
+            names.append("_change_type")
+        elif part.change_type is not None:
+            cols.append(_const(pa, part.change_type, "string", n))
+            names.append("_change_type")
         cols.append(_const(pa, part.version, "long", n))
         names.append("_commit_version")
         if n:
@@ -535,7 +693,13 @@ class SnapshotChangesSource(DataSource):
     mutually exclusive with sinceVersion), ``maxVersionsPerBatch``
     (continuous-trigger rate limit, default 0 = unthrottled — see the
     module docstring for the availableNow caveat), ``ignoreChanges``
-    (re-deliver rewrite commits' rows)."""
+    (re-deliver rewrite commits' rows), ``readChangeFeed`` (Delta CDF
+    parity: adds ``_change_type``; MERGE/DELETE/UPDATE commits made
+    under ``enableChangeDataFeed`` deliver their recorded
+    pre/post-images, appends deliver as ``insert``, compaction is
+    invisible), ``failOnDataLoss`` (default true: a vacuumed offset
+    fails loudly; false skips to the oldest resolvable version,
+    re-delivering its full snapshot with a logged gap marker)."""
 
     @classmethod
     def name(cls):
@@ -579,6 +743,15 @@ class SnapshotChangesSource(DataSource):
                     f"column {name!r} is {tname}"
                 )
             parts.append(f"`{name}` {ddl_types.get(tname, tname)}")
+        if (
+            str(
+                {k.lower(): v for k, v in self.options.items()}.get(
+                    "readchangefeed", "false"
+                )
+            ).lower()
+            == "true"
+        ):
+            parts.append("`_change_type` string")
         parts.append("`_commit_version` bigint")
         return ", ".join(parts)
 

@@ -2936,3 +2936,113 @@ def test_sync_replay_blocked_by_dst_constraint_is_actionable(
         (1, 5), (2, 7)
     }
     dst.add_constraint("w_pos", "w > 0")
+
+
+def test_change_data_feed_batch(spark, tmp_path):
+    """Delta-CDF parity for rewrite commits: with enableChangeDataFeed
+    set, MERGE / DELETE / UPDATE record exact row images in
+    _change_data files and table_changes(change_feed=True) replays
+    them (update_preimage/update_postimage/insert/delete), appends
+    deliver as insert, compaction is invisible — exact history, no
+    re-delivery caveats."""
+    import pytest
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    t.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))        # v0
+    t.enable_change_data_feed()                                  # v1
+    assert t.properties() == {"enableChangeDataFeed": "true"}
+    t.append(_df(spark, [(4, "d")]))                             # v2
+    t.merge(_df(spark, [(2, "B"), (5, "e")]), ["k"])             # v3
+    t.delete("k = 1")                                            # v4
+    t.update("k = 4", {"v": "'D'"})                              # v5
+    t.compact()                                                  # v6
+
+    got = sorted(
+        tuple(r)
+        for r in t.table_changes(0, change_feed=True).collect()
+    )
+    assert got == [
+        (1, "a", "delete", 4),
+        (2, "B", "update_postimage", 3),
+        (2, "b", "update_preimage", 3),
+        (4, "D", "update_postimage", 5),
+        (4, "d", "insert", 2),
+        (4, "d", "update_preimage", 5),
+        (5, "e", "insert", 3),
+    ]
+    # property carries forward through every commit shape
+    assert t.properties(6) == {"enableChangeDataFeed": "true"}
+
+    # applying the feed over the v0 snapshot reconstructs the live one
+    state = {r.k: r.v for r in t.read(0).collect()}
+    for r in sorted(got, key=lambda r: r[3]):
+        if r[2] == "delete":
+            state.pop(r[0], None)
+        elif r[2] in ("insert", "update_postimage"):
+            state[r[0]] = r[1]
+    assert state == {r.k: r.v for r in t.read().collect()}
+
+    # bounded range; default mode still raises on the image-bearing
+    # rewrite (no _change_type column without change_feed=True)
+    assert {
+        (r.k, r._change_type)
+        for r in t.table_changes(3, 4, change_feed=True).collect()
+    } == {(1, "delete")}
+    with pytest.raises(ValueError, match="change_feed=True"):
+        t.table_changes(2)
+
+    # unset stops RECORDING (commits after it have no images) but
+    # never erases history
+    t.unset_property("enableChangeDataFeed")                     # v7
+    t.delete("k = 5")                                            # v8
+    with pytest.raises(ValueError, match="enable_change_data_feed"):
+        t.table_changes(7, change_feed=True)
+
+
+def test_change_data_feed_vacuum_and_pre_property_rewrite(spark, tmp_path):
+    """(a) A rewrite committed BEFORE the property has no images:
+    change_feed read raises, ignore_changes still re-delivers. (b)
+    vacuum sweeps _change_data dirs of dropped versions and keeps
+    retained ones."""
+    import os
+    import pytest
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    t.append(_df(spark, [(1, "a"), (2, "b")]))                  # v0
+    t.merge(_df(spark, [(1, "A")]), ["k"])                      # v1 pre-property
+    with pytest.raises(ValueError, match="enable_change_data_feed"):
+        t.table_changes(0, change_feed=True)
+    assert t.table_changes(0, ignore_changes=True).count() > 0
+
+    t.enable_change_data_feed()                                 # v2
+    t.delete("k = 1")                                           # v3
+    t.delete("k = 2")                                           # v4
+    cdc_dirs = set(os.listdir(t.change_dir))
+    assert len(cdc_dirs) == 2
+    kept_rec = t._manifest(4)["change_data"]["entry"]
+
+    t.vacuum(retain_versions=1, min_age_seconds=0.0)
+    assert set(os.listdir(t.change_dir)) == {kept_rec}
+    # the retained version's feed still reads
+    assert {
+        (r.k, r._change_type)
+        for r in t.table_changes(3, change_feed=True).collect()
+    } == {(2, "delete")}
+
+
+def test_change_data_feed_merge_delete_mode(spark, tmp_path):
+    """when_matched='delete' merges record delete images for matched
+    keys and insert images for novel ones."""
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    t.enable_change_data_feed()
+    t.merge(_df(spark, [(2, "x"), (9, "z")]), ["k"],
+            when_matched="delete")                               # v2
+    assert sorted(
+        (r.k, r._change_type)
+        for r in t.table_changes(1, change_feed=True).collect()
+    ) == [(2, "delete"), (9, "insert")]
+    assert {r.k for r in t.read().collect()} == {1, 9}

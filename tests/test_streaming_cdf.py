@@ -229,7 +229,7 @@ def test_cdf_reader_gates(spark, tmp_path):
     t2 = SnapshotTable(spark, root2)
     t2.append(spark.createDataFrame([(1,)], "id INT"))
     t2.append(spark.createDataFrame([(2,)], "id INT"))
-    t2.compact()  # rewrite at v2
+    t2.merge(spark.createDataFrame([(1,)], "id INT"), ["id"])  # rewrite v2
     t2.append(spark.createDataFrame([(3,)], "id INT"))
     r2 = SnapshotChangesReader({"path": root2}, [("id", "integer")])
     with pytest.raises(RuntimeError, match="ignoreChanges"):
@@ -239,6 +239,14 @@ def test_cdf_reader_gates(spark, tmp_path):
     )
     parts = r3.partitions({"version": 1}, {"version": 3})
     assert {p.version for p in parts} == {2, 3}  # re-delivery opt-in
+
+    # compaction is dataChange=false: INVISIBLE to the feed (no
+    # raise, no rows) — Delta's skip-compaction contract
+    t2.compact()  # v4
+    t2.append(spark.createDataFrame([(4,)], "id INT"))  # v5
+    r4 = SnapshotChangesReader({"path": root2}, [("id", "integer")])
+    parts = r4.partitions({"version": 3}, {"version": 5})
+    assert {p.version for p in parts} == {5}
 
     root3 = str(tmp_path / "t3")
     t3 = SnapshotTable(spark, root3)
@@ -510,3 +518,129 @@ def test_cdf_stream_percent_run_partition_parity(spark, tmp_path):
     got: list = []
     _drain(spark, root, str(tmp_path / "ck"), got)
     assert sorted(r[:2] for r in got) == batch
+
+
+def _drain_cdf(spark, root, ckpt, sink, **opts):
+    spark.dataSource.register(SnapshotChangesSource)
+    reader = (
+        spark.readStream.format("snapshot_changes")
+        .option("path", root)
+        .option("readChangeFeed", "true")
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(
+            lambda b, i: sink.extend(tuple(r) for r in b.collect())
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_cdf_stream_change_feed_rewrites(spark, tmp_path):
+    """readChangeFeed=true drives the stream ACROSS rewrite commits
+    without ignoreChanges: MERGE/DELETE/UPDATE made under
+    enableChangeDataFeed deliver exact pre/post row images, appends
+    deliver as insert, compaction is invisible — and a resumed drain
+    from the same checkpoint picks up only later commits
+    (replay-safe offsets, Delta CDF parity)."""
+    root = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ck")
+    t = SnapshotTable(spark, root)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id INT, v STRING"))
+    t.enable_change_data_feed()                                   # v1
+    t.merge(spark.createDataFrame([(2, "B"), (5, "e")], "id INT, v STRING"),
+            ["id"])                                               # v2
+    t.delete("id = 1")                                            # v3
+    t.compact()                                                   # v4
+
+    got: list = []
+    _drain_cdf(spark, root, ckpt, got)
+    assert sorted(got) == [
+        (1, "a", "delete", 3),
+        (1, "a", "insert", 0),
+        (2, "B", "update_postimage", 2),
+        (2, "b", "insert", 0),
+        (2, "b", "update_preimage", 2),
+        (5, "e", "insert", 2),
+    ]
+
+    # resume: only commits after the checkpointed offset deliver
+    t.update("id = 5", {"v": "'E'"})                              # v5
+    got2: list = []
+    _drain_cdf(spark, root, ckpt, got2)
+    assert sorted(got2) == [
+        (5, "E", "update_postimage", 5),
+        (5, "e", "update_preimage", 5),
+    ]
+
+    # mirror check: applying the feed in commit order reconstructs
+    # the live snapshot (delete removes, postimage upserts)
+    state: dict = {}
+    for r in sorted(got + got2, key=lambda r: r[3]):
+        if r[2] == "delete":
+            state.pop(r[0], None)
+        elif r[2] in ("insert", "update_postimage"):
+            state[r[0]] = r[1]
+    assert state == {r["id"]: r["v"] for r in
+                     (x.asDict() for x in t.read().collect())}
+
+
+def test_cdf_stream_rewrite_without_images_still_raises(spark, tmp_path):
+    """readChangeFeed does not fabricate history: a rewrite commit
+    made BEFORE enableChangeDataFeed has no recorded images and the
+    stream stays loud about it (Delta likewise has no change data for
+    pre-property commits)."""
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    t.append(spark.createDataFrame([(1,)], "id INT"))
+    t.merge(spark.createDataFrame([(1,)], "id INT"), ["id"])  # no CDC
+    from scalable_etl_spark.streaming.cdf import SnapshotChangesReader
+
+    r = SnapshotChangesReader(
+        {"path": root, "readchangefeed": "true"}, [("id", "integer")]
+    )
+    with pytest.raises(RuntimeError, match="enable_change_data_feed"):
+        r.partitions({"version": 0}, {"version": 1})
+
+
+def test_cdf_fail_on_data_loss_modes(spark, tmp_path):
+    """A stream resuming from a vacuumed offset fails loudly by
+    default; failOnDataLoss=false skips to the oldest resolvable
+    version and re-delivers its full snapshot (gap logged), then
+    continues incrementally — Delta's failOnDataLoss contract."""
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    for i in range(12):
+        t.append(spark.createDataFrame([(i,)], "id INT"))
+    # checkpoint a stream at v3, then vacuum the log below v10
+    got: list = []
+    ckpt = str(tmp_path / "ck")
+    from scalable_etl_spark.streaming.cdf import SnapshotChangesReader
+
+    r = SnapshotChangesReader({"path": root}, [("id", "integer")])
+    t.vacuum(retain_versions=2, min_age_seconds=0.0)
+    # appends never supersede dirs, so no data was removed — but the
+    # LOG below the retained chain anchor is gone:
+    import os as _os
+
+    assert not _os.path.exists(t._manifest_path(3))
+
+    with pytest.raises(RuntimeError, match="failOnDataLoss"):
+        r.partitions({"version": 3}, {"version": 11})
+
+    r2 = SnapshotChangesReader(
+        {"path": root, "failondataloss": "false"}, [("id", "integer")]
+    )
+    parts = r2.partitions({"version": 3}, {"version": 11})
+    # the first resolvable version delivers its FULL dirs (snapshot),
+    # later versions deliver incrementally
+    versions = sorted({p.version for p in parts})
+    assert versions[-1] == 11 and len(versions) >= 2
+    first = versions[0]
+    n_first = sum(1 for p in parts if p.version == first)
+    assert n_first >= first + 1  # full snapshot: one file per append
