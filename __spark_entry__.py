@@ -75,8 +75,12 @@ _MODULE_ORDER = (
 _PROMOTED = (
     "grouping_sets_activity",
     "doc_gopher_rules",
-    "tfidf_top_terms",
-    "bigram_pmi",
+    # (round-12 rotation: tfidf_top_terms and bigram_pmi went
+    # driver-green in CORRECTNESS_r11.json and rotate back to
+    # local-oracle checking — the text-analysis family stays repped
+    # by gopher/winnowing/bpe/repetition/fingerprints/zscore. Their
+    # slots fund the two never-driver-graded r11 registrations,
+    # sink_tx_constraints + sink_tx_time_travel, per verdict #1.)
     "winnowing_fingerprints",
     "bpe_token_stats",
     "doc_repetition",
@@ -191,14 +195,22 @@ _DEMOTED = (
     # and both remain fully value-hash oracle-checked locally.
     "sink_tx_convert",
     "sink_tx_restore",
-    # Round-11 late registrations, parked OUTSIDE the window (the 50
-    # slots are committed this round): first promotion candidates for
-    # the r12 rotation. Both fully value-hash oracle-checked locally
-    # at sf0.01 AND sf0.1; features pinned by
-    # tests/test_acid.py::test_check_constraints /
-    # test_timestamp_time_travel.
-    "sink_tx_constraints",
-    "sink_tx_time_travel",
+    # (round-12: sink_tx_constraints / sink_tx_time_travel — parked
+    # here late-r11 as the only never-driver-graded queries — rotated
+    # INTO the window as verdict #1 directed. Their tier-0 slots and
+    # the two for the NEW round-12 registrations
+    # streaming_constraint_gate / streaming_cdf_gold_refresh come
+    # from banking the r11-driver-green sink_tx_bloom /
+    # streaming_session_windows below and retiring tfidf_top_terms /
+    # bigram_pmi from _PROMOTED.)
+    # Round-12 rotation: both driver-green in CORRECTNESS_r11.json;
+    # K6 point-lookup skipping stays repped in the window by
+    # sink_tx_partition_ops / sink_tx_evolve / sink_tx_distributed_scan
+    # and the bloom feature stays pinned by tests/test_acid.py;
+    # SESSION windows stay repped by streaming_stateful_totals /
+    # streaming_outer_join (+ local oracle checks as ever).
+    "sink_tx_bloom",
+    "streaming_session_windows",
 )
 
 

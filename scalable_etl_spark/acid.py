@@ -1918,10 +1918,18 @@ class SnapshotTable:
                 )
             elif rec["op"] == "drop_column" and rec["col"] in df.columns:
                 df = df.drop(rec["col"])
-            elif rec["op"] == "widen_column":
+            elif (
+                rec["op"] == "widen_column"
+                and rec["col"] in df.columns
+            ):
                 # entry predates the widen: physical files carry the
                 # narrow type (declared by _physical_schema); a
-                # lossless cast forward makes all entries union-equal
+                # lossless cast forward makes all entries union-equal.
+                # The in-columns guard mirrors the drop branch: a
+                # LATER drop record already removed the column from
+                # the declared scan (widen -> drop composition, found
+                # by the round-12 evolution fuzzer) and casting the
+                # absent name would fail analysis.
                 df = df.withColumn(
                     rec["col"],
                     F.col(rec["col"]).cast(rec["to_type"]),

@@ -3046,3 +3046,22 @@ def test_change_data_feed_merge_delete_mode(spark, tmp_path):
         for r in t.table_changes(1, change_feed=True).collect()
     ) == [(2, "delete"), (9, "insert")]
     assert {r.k for r in t.read().collect()} == {1, 9}
+
+
+def test_widen_then_drop_reads(spark, tmp_path):
+    """widen -> drop of the same column (round-12 fuzzer find): the
+    widen evolution record must not cast a column a LATER drop record
+    already removed from the declared scan — reads of pre-widen
+    entries failed analysis before the in-columns guard."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], "k INT, s STRING"))
+    t.alter_widen_column("k", "bigint")
+    t.alter_drop_column("k")
+    assert [tuple(r) for r in t.read().collect()] == [("a",)]
+    # and with a rename between widen and drop
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"))
+    t2.append(spark.createDataFrame([(1, "a")], "k INT, s STRING"))
+    t2.alter_widen_column("k", "bigint")
+    t2.alter_rename_column("k", "j")
+    t2.alter_drop_column("j")
+    assert [tuple(r) for r in t2.read().collect()] == [("a",)]

@@ -373,3 +373,49 @@ def test_s3a_scheme_full_ingest_end_to_end(spark, tmp_path):
                 "spark.sql.streaming.checkpointFileManagerClass",
                 prev_mgr,
             )
+
+
+def test_stream_constraint_rejects_batch_and_recovers(spark, tmp_path):
+    """Constraint enforcement mid-stream + crash recovery (round-12
+    verdict #4): a violating micro-batch fails the STREAM through the
+    production sink and the table stays at its pre-batch version; a
+    retry over the SAME checkpoint re-runs the held batch and fails
+    again (offsets advance only after a successful commit); after
+    DROP CONSTRAINT the same checkpoint resumes and commits the batch
+    EXACTLY ONCE."""
+    from scalable_etl_spark.acid import SnapshotTable, write_stream_snapshot
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    spark.createDataFrame(
+        [(1, 10.0), (2, -5.0)], "id INT, value DOUBLE"
+    ).coalesce(1).write.json(src)
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(0, 1.0)], "id INT, value DOUBLE"))
+    t.add_constraint("value_ok", "value >= 0")
+    v_before = t.latest_version()
+
+    def drain():
+        q = write_stream_snapshot(
+            spark.readStream.schema("id INT, value DOUBLE").json(src),
+            t,
+            ckpt,
+            query_id="cg",
+        )
+        q.awaitTermination()
+
+    for _ in range(2):  # fail, then retry over the same checkpoint
+        with pytest.raises(Exception, match="value_ok"):
+            drain()
+        assert t.latest_version() == v_before  # nothing committed
+
+    t.drop_constraint("value_ok")
+    drain()  # held batch commits now...
+    assert {tuple(r) for r in t.read().collect()} == {
+        (0, 1.0), (1, 10.0), (2, -5.0)
+    }
+    v_after = t.latest_version()
+    drain()  # ...exactly once: replay no-ops via the txn ledger
+    assert t.latest_version() == v_after
+    assert t.read().count() == 3
