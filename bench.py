@@ -80,6 +80,11 @@ def main() -> None:
         # a cold single shot pays every recompile (~2x its clean-
         # session pin). Warm at sf_dir so the timed run is cache-hot.
         QUERIES["streaming_cdf_dedup"](spark, sf_dir).count()
+        # streaming_cdf_gold_refresh is the same class (round 12): a
+        # CDF drain plus per-commit time-travel reads, top-k windows
+        # and MERGEs — ~8 distinct plans whose codegen a cold single
+        # shot would recompile after 100+ earlier queries.
+        QUERIES["streaming_cdf_gold_refresh"](spark, sf_dir).count()
         # The gated-Jaccard signature (24 perms / 8 bands) is a distinct
         # codegen shape from minhash_lsh's 16/4 — and AQE picks a
         # DIFFERENT physical plan at bench scale than at sf0.001, so

@@ -311,35 +311,63 @@ def sink_tx_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sink_tx_changes",
     oracle="""
-    SELECT 1 AS _commit_version, COUNT(*) AS n_events,
-           COUNT(DISTINCT event_type) AS n_types
+    WITH merged AS (
+      SELECT user_id,
+             CASE WHEN user_id % 7 = 0 THEN 'merged'
+                  ELSE event_type END AS event_type
+      FROM events)
+    SELECT 1 AS _commit_version, 'insert' AS _change_type,
+           COUNT(*) AS n_events, COUNT(DISTINCT event_type) AS n_types
     FROM events WHERE user_id % 4 = 2
     UNION ALL
-    SELECT 2 AS _commit_version, COUNT(*) AS n_events,
-           COUNT(DISTINCT event_type) AS n_types
+    SELECT 2, 'insert', COUNT(*), COUNT(DISTINCT event_type)
     FROM events WHERE user_id % 4 = 3
+    UNION ALL
+    SELECT 4, 'update_preimage', COUNT(*), COUNT(DISTINCT event_type)
+    FROM events WHERE user_id % 7 = 0
+    UNION ALL
+    SELECT 4, 'update_postimage', COUNT(*), 1
+    FROM events WHERE user_id % 7 = 0
+    UNION ALL
+    SELECT 5, 'delete', COUNT(*), COUNT(DISTINCT event_type)
+    FROM merged WHERE user_id % 9 = 0
     """,
 )
 def sink_tx_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental consumption (CDF / incremental-scan parity): a base
-    snapshot takes two appends; a consumer that already processed
-    version 0 asks for table_changes(0) and must receive EXACTLY the
-    appended rows, tagged with the commit version that introduced them
-    — reading only the two appended dirs, never rescanning the base
-    (acid.py table_changes; the raise-on-rewrite contract is pinned in
-    tests/test_acid.py). At 100 TB this is how downstream jobs stay
-    O(new data) instead of O(table)."""
+    """Incremental consumption, FULL Delta-CDF parity (extended round
+    12, verdict #2): a base snapshot takes two appends, then — under
+    ``enableChangeDataFeed`` — a keyed MERGE (re-typing every
+    user_id%7 event to 'merged') and a row-level DELETE.
+    ``table_changes(0, change_feed=True)`` must replay EXACT history:
+    the appends as ``insert`` rows read from just their dirs, the
+    merge as recorded ``update_preimage``/``update_postimage`` row
+    images, the delete as ``delete`` images REFLECTING the prior merge
+    (a deleted user_id%63 row carries 'merged', not its original type
+    — images are point-in-time truth, not re-derived) — each tagged
+    with its commit version, reading only O(changed rows) per commit
+    (acid.py table_changes/_write_change_data; rewrite commits without
+    recorded images still raise, pinned in tests/test_acid.py). At
+    100 TB this is how downstream jobs stay O(new data) instead of
+    O(table) even through UPDATE/DELETE-heavy maintenance."""
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type"
     )
     t = _tx_table(spark, "changes")
     mod = F.col("user_id") % 4
-    t.overwrite(e.filter(mod <= 1))
-    t.append(e.filter(mod == 2))
-    t.append(e.filter(mod == 3))
+    t.overwrite(e.filter(mod <= 1))                             # v0
+    t.append(e.filter(mod == 2))                                # v1
+    t.append(e.filter(mod == 3))                                # v2
+    t.enable_change_data_feed()                                 # v3
+    t.merge(                                                    # v4
+        e.filter(F.col("user_id") % 7 == 0).withColumn(
+            "event_type", F.lit("merged")
+        ),
+        ["event_id"],
+    )
+    t.delete("user_id % 9 = 0")                                 # v5
     return (
-        t.table_changes(0)
-        .groupBy("_commit_version")
+        t.table_changes(0, change_feed=True)
+        .groupBy("_commit_version", "_change_type")
         .agg(
             F.count("*").alias("n_events"),
             F.countDistinct("event_type").alias("n_types"),
