@@ -1215,7 +1215,7 @@ class SnapshotTable:
             "append", "insert_ignore", "stream_append", "sync",
             "add_bloom_filters", "alter_add_column",
             "alter_widen_column", "add_constraint", "drop_constraint",
-            "set_property", "unset_property",
+            "set_property", "unset_property", "advance_txn",
         }
         frames = []
         prev = set(self._manifest(since_version)["dirs"])
@@ -2628,6 +2628,44 @@ class SnapshotTable:
             return {}
         return dict(self._manifest(version).get("txn", {}))
 
+    def _advance_txn(self, updates: dict[str, int]) -> int:
+        """Metadata-only commit advancing ledger keys MONOTONICALLY
+        (no data change; gated no-op when every key is already at or
+        past its target) — sync's CDC apply uses it when a commit's
+        row images reduce to zero applicable rows (merge's idle
+        early-return skips the ledger) but the watermark must still
+        move past that src version."""
+        for _ in range(_COMMIT_RETRIES):
+            v = self.latest_version()
+            if v is None:
+                raise FileNotFoundError(
+                    f"no committed version at {self.root}"
+                )
+            txn = self._txn_of(v)
+            if all(
+                int(txn.get(k, -1)) >= b for k, b in updates.items()
+            ):
+                return v
+            for k, b in updates.items():
+                txn[k] = max(int(txn.get(k, -1)), int(b))
+            m = self._manifest(v)
+            manifest = {
+                "op": "advance_txn",
+                "dirs": m["dirs"],
+                "schema": m["schema"],
+                "partition_cols": m["partition_cols"],
+                "stats": self._stats_of(v),
+                "file_stats": self._file_stats_of(v),
+                "txn": txn,
+                "evolution": self._evolution_of(v),
+                "timestamp": time.time(),
+            }
+            if self._commit(v + 1, manifest):
+                return v + 1
+        raise CommitConflict(
+            f"advance_txn lost {_COMMIT_RETRIES} races"
+        )
+
     def constraints(self, version: int | None = None) -> dict[str, str]:
         """CHECK constraints in force at ``version`` (default latest):
         ``{name: sql_boolean_expr}``. {} for a fresh table."""
@@ -3178,6 +3216,7 @@ class SnapshotTable:
         key_cols: Sequence[str],
         when_matched: str = "update",
         txn_update: dict[str, int] | None = None,
+        delete_where=None,
     ) -> int:
         """Full MERGE INTO semantics (Iceberg/Delta parity):
 
@@ -3185,6 +3224,14 @@ class SnapshotTable:
           by the batch row (upsert); unmatched batch rows insert.
         - ``when_matched="delete"``: matched target rows are deleted;
           unmatched batch rows insert.
+        - ``delete_where`` (with ``when_matched="update"`` only): a
+          boolean Column/SQL expression evaluated on each BATCH row —
+          Delta's APPLY CHANGES INTO shape, one atomic commit for a
+          mixed CDC batch. Rows where it is TRUE delete their matched
+          target row (unmatched ones are ignored); other rows upsert
+          as usual. The expression may reference batch-only columns
+          (e.g. a ``_change_type`` tag) — everything outside the
+          target schema is dropped after the flag is evaluated.
 
         Implementation is the copy-on-write rewrite every file-based
         format uses: survivors = target anti-join batch (one equi-join
@@ -3212,6 +3259,20 @@ class SnapshotTable:
         the ALTER verbs' ``_txn_gate``."""
         if when_matched not in ("update", "delete"):
             raise ValueError(f"unsupported when_matched={when_matched!r}")
+        if delete_where is not None and when_matched != "update":
+            raise ValueError(
+                'delete_where requires when_matched="update" (it IS '
+                "the per-row delete clause)"
+            )
+        dflag = (
+            F.expr(delete_where).eqNullSafe(F.lit(True))
+            if isinstance(delete_where, str)
+            else (
+                delete_where.eqNullSafe(F.lit(True))
+                if delete_where is not None
+                else None
+            )
+        )
         keys = list(key_cols)
         # one row per key per batch; MULTIPLE source rows per key
         # resolve to an ARBITRARY one (dropDuplicates) — callers with
@@ -3252,7 +3313,8 @@ class SnapshotTable:
                 # again and no-ops here identically).
                 return v
             if v is None:
-                merged = batch  # nothing to match; all rows insert
+                # nothing to match; all (non-delete-flagged) rows insert
+                merged = batch if dflag is None else batch.filter(~dflag)
                 pcols: list[str] = []
                 untouched: list[str] = []
                 kept_stats: dict = {}
@@ -3310,8 +3372,11 @@ class SnapshotTable:
                         )
                 survivors = target.join(batch, keys, "left_anti")
                 if when_matched == "update":
+                    effect = (
+                        batch if dflag is None else batch.filter(~dflag)
+                    )
                     merged = survivors.unionByName(
-                        batch.select(*target.columns)
+                        effect.select(*target.columns)
                     )
                 else:  # delete matched, insert the rest
                     existing = target.select(*keys)
@@ -3337,7 +3402,32 @@ class SnapshotTable:
                 tkeys = target.select(*keys)
                 matched_pre = target.join(bkeys, keys, "left_semi")
                 novel_b = bat.join(tkeys, keys, "left_anti")
-                if when_matched == "update":
+                if when_matched == "update" and dflag is not None:
+                    # mixed CDC batch (delete_where): per-row split
+                    b_del = batch.filter(dflag).select(*keys)
+                    b_up = batch.filter(~dflag)
+                    up_bat = b_up.select(*target.columns)
+                    cframes = [
+                        (
+                            target.join(b_del, keys, "left_semi"),
+                            "delete",
+                        ),
+                        (
+                            target.join(
+                                b_up.select(*keys), keys, "left_semi"
+                            ),
+                            "update_preimage",
+                        ),
+                        (
+                            up_bat.join(tkeys, keys, "left_semi"),
+                            "update_postimage",
+                        ),
+                        (
+                            up_bat.join(tkeys, keys, "left_anti"),
+                            "insert",
+                        ),
+                    ]
+                elif when_matched == "update":
                     cframes = [
                         (matched_pre, "update_preimage"),
                         (
@@ -4205,6 +4295,7 @@ def sync_incremental(
     transform=None,
     sync_id: str = "default",
     merge_schema: bool = False,
+    keys: Sequence[str] = (),
 ) -> tuple[int, int]:
     """EXACTLY-ONCE incremental materialization from one snapshot
     table into another — the batch spelling of a streaming pipeline:
@@ -4244,6 +4335,21 @@ def sync_incremental(
     replays are gated. A ``transform`` that drops or renames the
     altered column will surface as a loud alter failure on dst rather
     than silent divergence.
+
+    ``keys`` upgrades the pipeline to FULL CDC REPLICATION (round 12 —
+    Delta's APPLY CHANGES INTO pattern): a src MERGE / DELETE / UPDATE
+    committed under ``enableChangeDataFeed`` no longer breaks the sync
+    — its recorded row images apply to ``dst`` as ONE atomic
+    ``merge(delete_where="_change_type = 'delete'")`` on ``keys``
+    (insert + update_postimage rows upsert, delete images remove
+    their keys; unmatched deletes no-op), with the watermark riding
+    that same commit (``txn_update``), so crash-replay no-ops exactly
+    like the append path. ``transform`` is applied to the row images
+    too and must preserve ``keys`` (a transform that filters a row at
+    insert time consistently filters its later delete image — the key
+    simply never reaches dst). Rewrites without recorded images (or
+    without ``keys``) raise exactly as before; compaction commits
+    (``dataChange=false``) stay invisible.
 
     Returns ``(dst_version, synced_src_version)``; a no-op (nothing
     new) returns the current pair without committing."""
@@ -4316,9 +4422,50 @@ def sync_incremental(
                         _txn_gate=(key, last + 1),
                     )
                 continue  # next segment (loop re-reads the ledger)
+            if (
+                keys
+                and m_next.get("change_data") is not None
+                and m_next.get("data_change", True)
+            ):
+                # CDC APPLY segment (keys given + recorded images):
+                # one src rewrite commit -> ONE atomic dst merge.
+                # insert/update_postimage rows upsert, delete images
+                # remove their keys (delete_where), preimages are
+                # informational and excluded; the watermark rides the
+                # merge commit itself (txn_update), so a crash-replay
+                # no-ops via the ledger gate exactly like appends.
+                images = src.table_changes(
+                    last, to_version=last + 1, change_feed=True
+                ).filter(F.col("_change_type") != "update_preimage")
+                if "_src_version" in images.columns:
+                    images = images.drop("_src_version")
+                images = images.withColumnRenamed(
+                    "_commit_version", "_src_version"
+                )
+                if transform is not None:
+                    images = transform(images)
+                dst.merge(
+                    images,
+                    list(keys),
+                    delete_where="_change_type = 'delete'",
+                    txn_update={key: last + 1},
+                )
+                latest = dst._txn_of(dst.latest_version())
+                if int(latest.get(key, -1)) < last + 1:
+                    # the images reduced to an empty batch (e.g. the
+                    # transform filtered every row): merge's idle
+                    # early-return skips the ledger — advance the
+                    # watermark explicitly or the loop would spin
+                    dst._advance_txn({key: last + 1})
+                continue  # next segment (loop re-reads the ledger)
             to_v = src_v
             for vv in range(last + 1, src_v + 1):
-                if src._manifest(vv)["op"] in _ALTER_OPS:
+                mv = src._manifest(vv)
+                if mv["op"] in _ALTER_OPS or (
+                    keys
+                    and mv.get("change_data") is not None
+                    and mv.get("data_change", True)
+                ):
                     to_v = vv - 1
                     break
             batch = src.table_changes(last, to_version=to_v)

@@ -225,6 +225,16 @@ def cmd_table(spark: SparkSession, args: argparse.Namespace) -> dict:
             raise SystemExit("drop-constraint needs --name")
         v = t.drop_constraint(args.name)
         return {"dropped_constraint": args.name, "committed_version": v}
+    if args.action == "set-property":
+        if not args.name or args.value is None:
+            raise SystemExit("set-property needs --name and --value")
+        v = t.set_property(args.name, args.value)
+        return {"property": args.name, "committed_version": v}
+    if args.action == "unset-property":
+        if not args.name:
+            raise SystemExit("unset-property needs --name")
+        v = t.unset_property(args.name)
+        return {"unset_property": args.name, "committed_version": v}
     raise SystemExit(f"unknown table action {args.action!r}")
 
 
@@ -281,13 +291,16 @@ def main(argv: list[str] | None = None) -> int:
         "table",
         help="ACID table admin: history / restore / compact / vacuum / "
         "add-column / rename-column / drop-column / widen-column / "
-        "add-constraint / drop-constraint",
+        "add-constraint / drop-constraint / set-property / "
+        "unset-property (enableChangeDataFeed=true turns on CDC "
+        "row-image recording for MERGE/DELETE/UPDATE)",
     )
     tb.add_argument("action",
                     choices=["history", "restore", "compact", "vacuum",
                              "add-column", "rename-column",
                              "drop-column", "widen-column",
-                             "add-constraint", "drop-constraint"])
+                             "add-constraint", "drop-constraint",
+                             "set-property", "unset-property"])
     tb.add_argument("--root", required=True)
     tb.add_argument("--version", type=int, default=None,
                     help="target version for restore")
@@ -319,6 +332,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="constraint name for add/drop-constraint")
     tb.add_argument("--expr", default="",
                     help="SQL boolean expression for add-constraint")
+    tb.add_argument("--value", default=None,
+                    help="property value for set-property (--name is "
+                    "the key; e.g. --name enableChangeDataFeed "
+                    "--value true)")
 
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"scalable-etl-{args.cmd}")

@@ -91,10 +91,12 @@ _APPEND_OPS = frozenset(
     {"append", "insert_ignore", "stream_append", "sync",
      "add_bloom_filters", "alter_add_column", "alter_rename_column",
      "alter_drop_column", "alter_widen_column", "add_constraint",
-     "drop_constraint", "set_property", "unset_property"}
+     "drop_constraint", "set_property", "unset_property",
+     "advance_txn"}
 )
 _METADATA_ONLY_OPS = frozenset(
-    {"add_bloom_filters", "set_property", "unset_property"}
+    {"add_bloom_filters", "set_property", "unset_property",
+     "advance_txn"}
 )
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"

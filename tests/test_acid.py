@@ -3065,3 +3065,112 @@ def test_widen_then_drop_reads(spark, tmp_path):
     t2.alter_rename_column("k", "j")
     t2.alter_drop_column("j")
     assert [tuple(r) for r in t2.read().collect()] == [("a",)]
+
+
+def test_merge_delete_where_apply_changes(spark, tmp_path):
+    """merge(delete_where=...) — Delta APPLY CHANGES INTO in one
+    atomic commit: flagged batch rows delete their matched target row
+    (unmatched flags no-op), the rest upsert; batch-only columns are
+    usable in the flag and dropped from the committed rows; recorded
+    CDC images split into delete / update pre+post / insert."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.enable_change_data_feed()
+    batch = spark.createDataFrame(
+        [
+            (2, "B", "u"),    # matched -> update
+            (3, "x", "d"),    # matched -> delete
+            (7, "y", "d"),    # unmatched delete -> ignored
+            (9, "z", "u"),    # unmatched -> insert
+        ],
+        "k INT, v STRING, op STRING",
+    )
+    v = t.merge(batch, ["k"], delete_where="op = 'd'")
+    assert {tuple(r) for r in t.read().collect()} == {
+        (1, "a"), (2, "B"), (9, "z")
+    }
+    got = sorted(
+        (r.k, r.v, r._change_type)
+        for r in t.table_changes(v - 1, v, change_feed=True).collect()
+    )
+    assert got == [
+        (2, "B", "update_postimage"),
+        (2, "b", "update_preimage"),
+        (3, "c", "delete"),
+        (9, "z", "insert"),
+    ]
+    # guard: delete_where composes only with when_matched="update"
+    import pytest
+
+    with pytest.raises(ValueError, match="delete_where"):
+        t.merge(batch, ["k"], when_matched="delete", delete_where="op='d'")
+
+
+def test_sync_incremental_cdc_replication(spark, tmp_path):
+    """sync_incremental(keys=...) — FULL CDC replication (round 12):
+    src rewrites recorded under enableChangeDataFeed apply to dst as
+    one atomic merge per commit (upserts + deletes via delete_where),
+    compaction stays invisible, the watermark rides each apply, and a
+    re-run replays nothing."""
+    from scalable_etl_spark.acid import sync_incremental
+
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    dst = SnapshotTable(spark, str(tmp_path / "dst"))
+    src.append(_df(spark, [(1, "a"), (2, "b")]))                # v0
+    src.enable_change_data_feed()                               # v1
+    sync_incremental(src, dst, sync_id="rep", keys=["k"])       # backfill
+    src.append(_df(spark, [(3, "c")]))                          # v2
+    src.merge(_df(spark, [(2, "B"), (4, "d")]), ["k"])          # v3
+    src.delete("k = 1")                                         # v4
+    src.compact()                                               # v5 invisible
+
+    dv, watermark = sync_incremental(src, dst, sync_id="rep", keys=["k"])
+    assert watermark == 5
+    got = {
+        (r.k, r.v, r._src_version) for r in dst.read().collect()
+    }
+    assert got == {(2, "B", 3), (3, "c", 2), (4, "d", 3)}
+    # replicated content == src content (provenance aside)
+    assert {(r.k, r.v) for r in src.read().collect()} == {
+        (r[0], r[1]) for r in got
+    }
+    # idempotent re-run: nothing new, zero dst commits
+    assert sync_incremental(src, dst, sync_id="rep", keys=["k"]) == (
+        dv, 5
+    )
+    assert dst.latest_version() == dv
+
+
+def test_sync_cdc_replication_with_transform_and_empty_apply(
+    spark, tmp_path
+):
+    """A row-wise transform applies to the row images too: a row
+    filtered at insert time consistently filters its later update /
+    delete images (the key never reaches dst), and an apply whose
+    images reduce to an EMPTY batch still advances the watermark
+    (_advance_txn) instead of spinning."""
+    from scalable_etl_spark.acid import sync_incremental
+
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    dst = SnapshotTable(spark, str(tmp_path / "dst"))
+    src.append(_df(spark, [(1, "a"), (2, "b")]))                # v0
+    src.enable_change_data_feed()                               # v1
+    keep = lambda d: d.filter(F.col("k") != 2)  # noqa: E731
+    sync_incremental(src, dst, transform=keep, sync_id="x", keys=["k"])
+    assert {r.k for r in dst.read().collect()} == {1}
+
+    src.update("k = 2", {"v": "'B'"})                           # v2: images
+    # all filtered by the transform -> empty apply -> watermark must
+    # still advance (merge's idle return skips the ledger)
+    dv, wm = sync_incremental(
+        src, dst, transform=keep, sync_id="x", keys=["k"]
+    )
+    assert wm == 2
+    assert {r.k for r in dst.read().collect()} == {1}
+
+    src.delete("k = 1")                                         # v3
+    dv, wm = sync_incremental(
+        src, dst, transform=keep, sync_id="x", keys=["k"]
+    )
+    assert wm == 3
+    assert dst.read().count() == 0

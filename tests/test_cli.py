@@ -200,3 +200,27 @@ def test_table_constraint_cli(spark, tmp_path, capsys):
     assert out == {"dropped_constraint": "v_pos",
                    "committed_version": 2}
     assert t.constraints() == {}
+
+
+def test_table_property_cli(spark, tmp_path, capsys):
+    """table set-property / unset-property through the CLI: the
+    enableChangeDataFeed knob turns on CDC row-image recording for
+    the next rewrite commit."""
+    from scalable_etl_spark.acid import SnapshotTable
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    t.append(spark.createDataFrame([(1, "a")], "k INT, v STRING"))
+    out = _run(capsys, "table", "set-property", "--root", root,
+               "--name", "enableChangeDataFeed", "--value", "true")
+    assert out == {"property": "enableChangeDataFeed",
+                   "committed_version": 1}
+    t.delete("k = 1")  # records images now
+    assert {
+        (r.k, r._change_type)
+        for r in t.table_changes(1, change_feed=True).collect()
+    } == {(1, "delete")}
+    out = _run(capsys, "table", "unset-property", "--root", root,
+               "--name", "enableChangeDataFeed")
+    assert out["unset_property"] == "enableChangeDataFeed"
+    assert t.properties() == {}
