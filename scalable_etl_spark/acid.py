@@ -1233,6 +1233,36 @@ class SnapshotTable:
             cdc = m.get("change_data")
             if m["op"] not in append_ops:
                 if change_feed and cdc is not None:
+                    # non-additive drift guard (mirrors the streaming
+                    # reader): a rename/drop BETWEEN this commit and
+                    # ``end`` leaves the recorded images under names
+                    # the range's schema no longer carries — a blind
+                    # unionByName(allowMissingColumns) would silently
+                    # null-pad both spellings instead of aligning
+                    # them. Raise like Delta CDF does across
+                    # non-additive schema changes; read the sub-range
+                    # up to the ALTER instead.
+                    stored = {
+                        f["name"]
+                        for f in json.loads(cdc["schema"])["fields"]
+                    }
+                    end_names = {
+                        f["name"]
+                        for f in json.loads(
+                            self._manifest(end)["schema"]
+                        )["fields"]
+                    }
+                    alien = sorted(stored - end_names)
+                    if alien:
+                        raise ValueError(
+                            f"version {v}'s change data records "
+                            f"column(s) {alien!r} that version "
+                            f"{end}'s schema no longer names (a "
+                            "rename/drop postdates the images); "
+                            "change-feed reads across non-additive "
+                            "schema changes are unsupported — split "
+                            "the range at the ALTER commit"
+                        )
                     frames.append(
                         self._read_change_data(cdc).withColumn(
                             "_commit_version", F.lit(v)
@@ -2635,36 +2665,18 @@ class SnapshotTable:
         row images reduce to zero applicable rows (merge's idle
         early-return skips the ledger) but the watermark must still
         move past that src version."""
-        for _ in range(_COMMIT_RETRIES):
-            v = self.latest_version()
-            if v is None:
-                raise FileNotFoundError(
-                    f"no committed version at {self.root}"
-                )
+
+        def mutate(v, m):
             txn = self._txn_of(v)
             if all(
                 int(txn.get(k, -1)) >= b for k, b in updates.items()
             ):
-                return v
+                return None  # gated no-op
             for k, b in updates.items():
                 txn[k] = max(int(txn.get(k, -1)), int(b))
-            m = self._manifest(v)
-            manifest = {
-                "op": "advance_txn",
-                "dirs": m["dirs"],
-                "schema": m["schema"],
-                "partition_cols": m["partition_cols"],
-                "stats": self._stats_of(v),
-                "file_stats": self._file_stats_of(v),
-                "txn": txn,
-                "evolution": self._evolution_of(v),
-                "timestamp": time.time(),
-            }
-            if self._commit(v + 1, manifest):
-                return v + 1
-        raise CommitConflict(
-            f"advance_txn lost {_COMMIT_RETRIES} races"
-        )
+            return {"txn": txn}
+
+        return self._metadata_commit("advance_txn", mutate)
 
     def constraints(self, version: int | None = None) -> dict[str, str]:
         """CHECK constraints in force at ``version`` (default latest):
@@ -2722,10 +2734,13 @@ class SnapshotTable:
 
         return self._constraints_commit("drop_constraint", mutate)
 
-    def _constraints_commit(self, op: str, mutate) -> int:
-        """Shared metadata-only commit loop for the constraint verbs:
-        ``mutate(version, cons) -> new_cons`` validates and returns the
-        set the new version publishes; everything else (dirs / schema
+    def _metadata_commit(self, op: str, mutate) -> int:
+        """ONE metadata-only commit loop behind the constraint /
+        property / ledger verbs (round-12 review: three hand-rolled
+        copies had already started to drift): ``mutate(version,
+        manifest) -> {key: value} overrides or None`` — None is the
+        gated no-op (already satisfied; returns the current version
+        without committing). Everything not overridden (dirs / schema
         / stats / ledgers / evolution) carries verbatim."""
         for _ in range(_COMMIT_RETRIES):
             v = self.latest_version()
@@ -2734,7 +2749,9 @@ class SnapshotTable:
                     f"no committed version at {self.root}"
                 )
             m = self._manifest(v)
-            cons = mutate(v, dict(m.get("constraints", {})))
+            extra = mutate(v, m)
+            if extra is None:
+                return v
             manifest = {
                 "op": op,
                 "dirs": m["dirs"],
@@ -2744,12 +2761,22 @@ class SnapshotTable:
                 "file_stats": self._file_stats_of(v),
                 "txn": self._txn_of(v),
                 "evolution": self._evolution_of(v),
-                "constraints": cons,
                 "timestamp": time.time(),
+                **extra,
             }
             if self._commit(v + 1, manifest):
                 return v + 1
         raise CommitConflict(f"{op} lost {_COMMIT_RETRIES} races")
+
+    def _constraints_commit(self, op: str, mutate) -> int:
+        """Constraint verbs: ``mutate(version, cons) -> new_cons``
+        validates and returns the set the new version publishes."""
+        return self._metadata_commit(
+            op,
+            lambda v, m: {
+                "constraints": mutate(v, dict(m.get("constraints", {})))
+            },
+        )
 
     # --------------------------------------------- table properties
 
@@ -2799,31 +2826,13 @@ class SnapshotTable:
         )
 
     def _properties_commit(self, op: str, mutate) -> int:
-        """Metadata-only commit loop for the property verbs (mirrors
-        ``_constraints_commit``; dirs / schema / stats / ledgers /
-        evolution / constraints carry verbatim)."""
-        for _ in range(_COMMIT_RETRIES):
-            v = self.latest_version()
-            if v is None:
-                raise FileNotFoundError(
-                    f"no committed version at {self.root}"
-                )
-            m = self._manifest(v)
-            manifest = {
-                "op": op,
-                "dirs": m["dirs"],
-                "schema": m["schema"],
-                "partition_cols": m["partition_cols"],
-                "stats": self._stats_of(v),
-                "file_stats": self._file_stats_of(v),
-                "txn": self._txn_of(v),
-                "evolution": self._evolution_of(v),
-                "properties": mutate(dict(m.get("properties", {}))),
-                "timestamp": time.time(),
-            }
-            if self._commit(v + 1, manifest):
-                return v + 1
-        raise CommitConflict(f"{op} lost {_COMMIT_RETRIES} races")
+        """Property verbs: ``mutate(props) -> new_props``."""
+        return self._metadata_commit(
+            op,
+            lambda v, m: {
+                "properties": mutate(dict(m.get("properties", {})))
+            },
+        )
 
     # ----------------------------------------- CDC change-data files
 
@@ -3264,6 +3273,16 @@ class SnapshotTable:
                 'delete_where requires when_matched="update" (it IS '
                 "the per-row delete clause)"
             )
+        if delete_where is not None and self.latest_version() is None:
+            # no target schema exists yet to project the batch onto —
+            # committing the raw batch would persist flag-only columns
+            # (e.g. _change_type) into the new table's schema. Delta's
+            # APPLY CHANGES INTO likewise needs a declared target.
+            raise FileNotFoundError(
+                f"merge(delete_where=...) needs an existing target "
+                f"table at {self.root}; create it (append/overwrite) "
+                "before applying CDC batches"
+            )
         dflag = (
             F.expr(delete_where).eqNullSafe(F.lit(True))
             if isinstance(delete_where, str)
@@ -3312,6 +3331,7 @@ class SnapshotTable:
                 # is replay-safe (a replayed empty batch is empty
                 # again and no-ops here identically).
                 return v
+            pinned: tuple = ()
             if v is None:
                 # nothing to match; all (non-delete-flagged) rows insert
                 merged = batch if dflag is None else batch.filter(~dflag)
@@ -3370,6 +3390,18 @@ class SnapshotTable:
                             c,
                             F.lit(added[c]).cast(tfields[c].dataType),
                         )
+                if self._cdf_enabled(v):
+                    # the CDC image writer re-reads BOTH frames (up
+                    # to 4 joins) after the rewrite write already
+                    # consumed them once — cache for this attempt
+                    # (released in the finally below, constraint
+                    # aborts included) so enabling the feed costs one
+                    # extra job over the CHANGED rows, not a second
+                    # full evaluation of the batch plan and rewrite
+                    # dirs (round-12 review finding)
+                    batch = batch.persist()
+                    target = target.persist()
+                    pinned = (batch, target)
                 survivors = target.join(batch, keys, "left_anti")
                 if when_matched == "update":
                     effect = (
@@ -3384,66 +3416,21 @@ class SnapshotTable:
                     merged = survivors.unionByName(
                         novel.select(*target.columns)
                     )
-            new_entries = self._write_data_entries(merged, pcols)
-            if v is not None:
-                self._enforce_constraints(
-                    new_entries, self.constraints(v),
-                    self._manifest(v)["schema"], self._evolution_of(v),
+            try:
+                new_entries = self._write_data_entries(merged, pcols)
+                if v is not None:
+                    self._enforce_constraints(
+                        new_entries, self.constraints(v),
+                        self._manifest(v)["schema"],
+                        self._evolution_of(v),
+                    )
+                change_rec = self._merge_change_rec(
+                    v, batch, target if v is not None else None,
+                    keys, when_matched, dflag,
                 )
-            change_rec = None
-            if v is not None and self._cdf_enabled(v):
-                # CDC row images (Delta _change_data): cost scales
-                # with the BATCH and the rewritten dirs, never the
-                # table — target here is already the pruned dir set.
-                # Multi-row-per-key sources resolve per the merge
-                # contract above (dropDuplicates pre-reduction).
-                bat = batch.select(*target.columns)
-                bkeys = batch.select(*keys)
-                tkeys = target.select(*keys)
-                matched_pre = target.join(bkeys, keys, "left_semi")
-                novel_b = bat.join(tkeys, keys, "left_anti")
-                if when_matched == "update" and dflag is not None:
-                    # mixed CDC batch (delete_where): per-row split
-                    b_del = batch.filter(dflag).select(*keys)
-                    b_up = batch.filter(~dflag)
-                    up_bat = b_up.select(*target.columns)
-                    cframes = [
-                        (
-                            target.join(b_del, keys, "left_semi"),
-                            "delete",
-                        ),
-                        (
-                            target.join(
-                                b_up.select(*keys), keys, "left_semi"
-                            ),
-                            "update_preimage",
-                        ),
-                        (
-                            up_bat.join(tkeys, keys, "left_semi"),
-                            "update_postimage",
-                        ),
-                        (
-                            up_bat.join(tkeys, keys, "left_anti"),
-                            "insert",
-                        ),
-                    ]
-                elif when_matched == "update":
-                    cframes = [
-                        (matched_pre, "update_preimage"),
-                        (
-                            bat.join(tkeys, keys, "left_semi"),
-                            "update_postimage",
-                        ),
-                        (novel_b, "insert"),
-                    ]
-                else:
-                    cframes = [
-                        (matched_pre, "delete"),
-                        (novel_b, "insert"),
-                    ]
-                change_rec = self._write_change_data(
-                    cframes, target.columns
-                )
+            finally:
+                for df_ in pinned:
+                    df_.unpersist()
             # untouched dirs keep their stats; the rewritten entries get
             # fresh key stats from their footers (free, no scan job)
             for e in new_entries:
@@ -3481,6 +3468,53 @@ class SnapshotTable:
         for k, b in (txn_update or {}).items():
             txn[k] = max(int(txn.get(k, -1)), int(b))
         return txn
+
+    def _merge_change_rec(
+        self, v, batch, target, keys, when_matched, dflag
+    ) -> dict | None:
+        """CDC row images for one merge attempt (Delta _change_data):
+        cost scales with the BATCH and the rewritten dirs, never the
+        table — ``target`` is already the pruned dir set, and both
+        frames arrive persisted when the feed is on. Multi-row-per-key
+        sources resolve per the merge contract (dropDuplicates
+        pre-reduction). None when the feed is off or the table is
+        being created (genesis delivers through its dirs)."""
+        if target is None or not self._cdf_enabled(v):
+            return None
+        bat = batch.select(*target.columns)
+        bkeys = batch.select(*keys)
+        tkeys = target.select(*keys)
+        matched_pre = target.join(bkeys, keys, "left_semi")
+        novel_b = bat.join(tkeys, keys, "left_anti")
+        if when_matched == "update" and dflag is not None:
+            # mixed CDC batch (delete_where): per-row split
+            b_del = batch.filter(dflag).select(*keys)
+            b_up = batch.filter(~dflag)
+            up_bat = b_up.select(*target.columns)
+            cframes = [
+                (target.join(b_del, keys, "left_semi"), "delete"),
+                (
+                    target.join(b_up.select(*keys), keys, "left_semi"),
+                    "update_preimage",
+                ),
+                (
+                    up_bat.join(tkeys, keys, "left_semi"),
+                    "update_postimage",
+                ),
+                (up_bat.join(tkeys, keys, "left_anti"), "insert"),
+            ]
+        elif when_matched == "update":
+            cframes = [
+                (matched_pre, "update_preimage"),
+                (bat.join(tkeys, keys, "left_semi"), "update_postimage"),
+                (novel_b, "insert"),
+            ]
+        else:
+            cframes = [
+                (matched_pre, "delete"),
+                (novel_b, "insert"),
+            ]
+        return self._write_change_data(cframes, target.columns)
 
     def _read_dirs(self, m: dict, dirs: list[str]) -> DataFrame:
         """DataFrame over an explicit dir subset of a manifest (empty
@@ -3584,20 +3618,32 @@ class SnapshotTable:
             target = self._read_dirs(m, rewrite)
             if target.filter(match_true).limit(1).count() == 0:
                 return v  # no matching rows: commit nothing
-            new_entries = self._write_data_entries(transform(target), pcols)
-            if op == "update":
-                # update rewrites VALUES and can violate; delete's
-                # rewrite is a subset of already-valid rows (skip the
-                # extra scan)
-                self._enforce_constraints(
-                    new_entries, self.constraints(v), m["schema"],
-                    self._evolution_of(v),
+            cdf_on = change_frames is not None and self._cdf_enabled(v)
+            if cdf_on:
+                # the image writer re-reads the rewrite dirs after
+                # the transform write consumed them — cache for this
+                # attempt (round-12 review finding)
+                target = target.persist()
+            try:
+                new_entries = self._write_data_entries(
+                    transform(target), pcols
                 )
-            change_rec = None
-            if change_frames is not None and self._cdf_enabled(v):
-                change_rec = self._write_change_data(
-                    change_frames(target), target.columns
-                )
+                if op == "update":
+                    # update rewrites VALUES and can violate; delete's
+                    # rewrite is a subset of already-valid rows (skip
+                    # the extra scan)
+                    self._enforce_constraints(
+                        new_entries, self.constraints(v), m["schema"],
+                        self._evolution_of(v),
+                    )
+                change_rec = None
+                if cdf_on:
+                    change_rec = self._write_change_data(
+                        change_frames(target), target.columns
+                    )
+            finally:
+                if cdf_on:
+                    target.unpersist()
             kept_stats = {
                 d2: s
                 for d2, s in self._stats_of(v).items()
@@ -4049,10 +4095,12 @@ class SnapshotTable:
         removed = []
         now = time.time()
 
-        def _sweep(base_dir: str, keep: set[str]) -> None:
+        def _sweep(base_dir: str, keep: set[str], label: str) -> None:
             """Age-gated unreferenced-uuid sweep, shared by the data
             dir and the _change_data dir (same optimistic-writer race:
-            a commit-in-flight wrote its dir before its manifest)."""
+            a commit-in-flight wrote its dir before its manifest).
+            ``label`` prefixes returned names so callers can tell the
+            two namespaces apart ("" for data dirs)."""
             try:
                 on_disk = os.listdir(base_dir)
             except FileNotFoundError:
@@ -4076,13 +4124,15 @@ class SnapshotTable:
                 except FileNotFoundError:
                     continue
                 shutil.rmtree(path)
-                removed.append(d)
+                removed.append(label + d)
 
-        _sweep(self.data_dir, referenced)
+        _sweep(self.data_dir, referenced, "")
         # CDC files of vacuumed commits (and commit-race loser
         # orphans) go the same way — Delta's VACUUM removes
-        # _change_data files under the identical retention contract
-        _sweep(self.change_dir, cdc_referenced)
+        # _change_data files under the identical retention contract.
+        # Returned names carry the subdir prefix so a caller counting
+        # reclaimed DATA dirs (or resolving paths) stays accurate.
+        _sweep(self.change_dir, cdc_referenced, "_change_data/")
         # A retained delta manifest resolves through its predecessors:
         # keep every log entry back to the checkpoint (full manifest)
         # the oldest retained version chains to (<= _CHECKPOINT_EVERY-1

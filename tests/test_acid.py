@@ -3174,3 +3174,39 @@ def test_sync_cdc_replication_with_transform_and_empty_apply(
     )
     assert wm == 3
     assert dst.read().count() == 0
+
+
+def test_change_feed_non_additive_guard_and_genesis_gate(spark, tmp_path):
+    """Round-12 review fixes: (a) change_feed reads across a rename
+    that postdates recorded images raise the non-additive error
+    instead of silently null-padding both spellings via unionByName;
+    (b) merge(delete_where) on a not-yet-created table refuses — the
+    raw batch's flag-only columns must never become the table
+    schema."""
+    import pytest
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))                 # v0
+    t.enable_change_data_feed()                                # v1
+    t.merge(_df(spark, [(2, "B")]), ["k"])                     # v2 images
+    t.alter_rename_column("v", "w")                            # v3
+    t.append(
+        spark.createDataFrame([(9, "z")], "k INT, w STRING")
+    )                                                          # v4
+    with pytest.raises(ValueError, match="non-additive"):
+        t.table_changes(1, change_feed=True, ignore_changes=True)
+    # sub-range up to the ALTER still reads exactly
+    assert {
+        (r.k, r._change_type)
+        for r in t.table_changes(1, 2, change_feed=True).collect()
+    } == {(2, "update_preimage"), (2, "update_postimage")}
+
+    fresh = SnapshotTable(spark, str(tmp_path / "fresh"))
+    with pytest.raises(FileNotFoundError, match="existing target"):
+        fresh.merge(
+            spark.createDataFrame(
+                [(1, "a", "d")], "k INT, v STRING, op STRING"
+            ),
+            ["k"],
+            delete_where="op = 'd'",
+        )
