@@ -1218,6 +1218,17 @@ class SnapshotTable:
             "set_property", "unset_property", "advance_txn",
         }
         frames = []
+        end_names: set | None = None
+        if change_feed:
+            # loop-invariant: the drift guard below compares every
+            # CDC commit's stored image schema against the END
+            # schema's names
+            end_names = {
+                f["name"]
+                for f in json.loads(self._manifest(end)["schema"])[
+                    "fields"
+                ]
+            }
         prev = set(self._manifest(since_version)["dirs"])
         for v in range(since_version + 1, end + 1):
             m = self._manifest(v)
@@ -1245,12 +1256,6 @@ class SnapshotTable:
                     stored = {
                         f["name"]
                         for f in json.loads(cdc["schema"])["fields"]
-                    }
-                    end_names = {
-                        f["name"]
-                        for f in json.loads(
-                            self._manifest(end)["schema"]
-                        )["fields"]
                     }
                     alien = sorted(stored - end_names)
                     if alien:
@@ -3333,8 +3338,11 @@ class SnapshotTable:
                 return v
             pinned: tuple = ()
             if v is None:
-                # nothing to match; all (non-delete-flagged) rows insert
-                merged = batch if dflag is None else batch.filter(~dflag)
+                # nothing to match; all rows insert (a delete_where
+                # batch cannot reach here — the genesis gate above
+                # refuses it before the loop, and versions never
+                # regress inside it)
+                merged = batch
                 pcols: list[str] = []
                 untouched: list[str] = []
                 kept_stats: dict = {}
@@ -3402,20 +3410,30 @@ class SnapshotTable:
                     batch = batch.persist()
                     target = target.persist()
                     pinned = (batch, target)
-                survivors = target.join(batch, keys, "left_anti")
-                if when_matched == "update":
-                    effect = (
-                        batch if dflag is None else batch.filter(~dflag)
-                    )
-                    merged = survivors.unionByName(
-                        effect.select(*target.columns)
-                    )
-                else:  # delete matched, insert the rest
-                    existing = target.select(*keys)
-                    novel = batch.join(existing, keys, "left_anti")
-                    merged = survivors.unionByName(
-                        novel.select(*target.columns)
-                    )
+                try:
+                    # eager analysis in here (a delete_where typo, a
+                    # select of a dropped column) must not leak the
+                    # frames just pinned above
+                    survivors = target.join(batch, keys, "left_anti")
+                    if when_matched == "update":
+                        effect = (
+                            batch
+                            if dflag is None
+                            else batch.filter(~dflag)
+                        )
+                        merged = survivors.unionByName(
+                            effect.select(*target.columns)
+                        )
+                    else:  # delete matched, insert the rest
+                        existing = target.select(*keys)
+                        novel = batch.join(existing, keys, "left_anti")
+                        merged = survivors.unionByName(
+                            novel.select(*target.columns)
+                        )
+                except BaseException:
+                    for df_ in pinned:
+                        df_.unpersist()
+                    raise
             try:
                 new_entries = self._write_data_entries(merged, pcols)
                 if v is not None:
