@@ -470,32 +470,29 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
+def minhash_band_table(
     df: DataFrame,
     num_perms: int = 16,
     bands: int = 4,
-    threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
 ) -> DataFrame:
-    """MinHash banding: docs sharing any band bucket become candidate
-    pairs, then exact Jaccard verifies against ``threshold``.
-
-    Returns (id_a, id_b, jaccard). rows_per_band = num_perms // bands.
-    """
+    """(id, band, bucket) LSH index rows for ``df`` — the PERSISTABLE
+    half of MinHash dedup. Band buckets come straight off the wide
+    signature row — zero extra shuffles beyond the one signature
+    aggregation. The bucket string (md5 of the lexically sorted
+    "perm:min_hash" list) is identical to the posexplode+collect_list
+    spelling, so the DuckDB oracle's groupBy-based replay produces the
+    same buckets bit-for-bit. ``incremental_minhash_index`` appends
+    these rows per crawl wave so new docs only join the index on
+    (band, bucket) — the corpus is never re-signed."""
     if num_perms < bands or num_perms % bands != 0:
         raise ValueError(
-            f"num_perms ({num_perms}) must be a positive multiple of bands "
-            f"({bands}) — otherwise the effective band width drifts from the "
-            "requested recall guarantee"
+            f"num_perms ({num_perms}) must be a positive multiple of "
+            f"bands ({bands})"
         )
     rows_per_band = num_perms // bands
-    # Band buckets come straight off the wide signature row — zero extra
-    # shuffles beyond the one signature aggregation. The bucket string
-    # (md5 of the lexically sorted "perm:min_hash" list) is identical to
-    # the posexplode+collect_list spelling, so the DuckDB oracle's
-    # groupBy-based replay produces the same buckets bit-for-bit.
     wide = _minhash_wide(df, num_perms, text_col, id_col, k)
     band_buckets = [
         F.md5(
@@ -520,10 +517,33 @@ def minhash_lsh_pairs(
         )
         for band in range(bands)
     ]
-    banded = wide.select(
+    return wide.select(
         F.col(id_col),
         F.posexplode(F.array(*band_buckets)).alias("band", "bucket"),
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_perms: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """MinHash banding: docs sharing any band bucket become candidate
+    pairs, then exact Jaccard verifies against ``threshold``.
+
+    Returns (id_a, id_b, jaccard). rows_per_band = num_perms // bands.
+    """
+    if num_perms < bands or num_perms % bands != 0:
+        raise ValueError(
+            f"num_perms ({num_perms}) must be a positive multiple of bands "
+            f"({bands}) — otherwise the effective band width drifts from the "
+            "requested recall guarantee"
+        )
+    banded = minhash_band_table(df, num_perms, bands, text_col, id_col, k)
     a = banded.alias("a")
     b = banded.alias("b")
     candidates = (

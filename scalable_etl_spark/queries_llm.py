@@ -38,9 +38,12 @@ from .operators.dedup import (
     drop_near_duplicates,
     embedding_near_dup_pairs,
     exact_dedup_groups,
+    minhash_band_table,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    shingle_hash_table,
     simhash_near_pairs,
+    verify_jaccard,
 )
 from .operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from .registry import query
@@ -389,6 +392,97 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches bit-for-bit — the 100 TB dedup path, checked exactly."""
     d = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, num_perms=16, bands=4, threshold=0.8)
+
+
+@query(
+    "incremental_minhash_index",
+    oracle=f"""
+    WITH {_MINHASH_SIG_SQL},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b USING (band, bucket)
+      WHERE a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM hashed GROUP BY 1),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS nc
+      FROM cand c
+      JOIN hashed a ON a.doc_id = c.id_a
+      JOIN hashed b ON b.doc_id = c.id_b AND b.base = a.base
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, ROUND(nc / (sa.sz + sb.sz - nc), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(nc / (sa.sz + sb.sz - nc), 4) >= 0.8
+    """,
+)
+def incremental_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup detection under continuous ingestion
+    (round 12): the MinHash LSH index lives in ACID tables and each
+    crawl wave maintains it from the corpus table's change feed —
+    only the NEW docs are shingled/signed (one `minhash_band_table`
+    + `shingle_hash_table` pass over the wave), their band rows
+    append to the index, and candidate pairs come from joining the
+    wave's bands against the index on (band, bucket). Old docs are
+    never re-signed and the corpus never self-joins — per-wave cost
+    is O(new docs + collisions), the only shape that survives a
+    continuously-crawled 100 TB corpus. The union of per-wave pair
+    sets provably equals the one-shot batch LSH over the full corpus
+    (a pair lands exactly in the wave of its LATER member), so the
+    oracle is the batch replay — incremental maintenance must match
+    it bit-for-bit. Reference anchor: ingest_job.py:59-88's
+    process-only-what-changed, applied to near-dup state."""
+    import shutil
+    import tempfile as _tf
+
+    from .acid import SnapshotTable
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_dir = _tf.mkdtemp(prefix="mhinc_corpus_")
+    index_dir = _tf.mkdtemp(prefix="mhinc_index_")
+    sh_dir = _tf.mkdtemp(prefix="mhinc_sh_")
+    pairs_dir = _tf.mkdtemp(prefix="mhinc_pairs_")
+    for d in (corpus_dir, index_dir, sh_dir, pairs_dir):
+        shutil.rmtree(d)  # SnapshotTable owns the dir; start absent
+
+    corpus = SnapshotTable(spark, corpus_dir)
+    corpus.append(docs.filter(F.col("doc_id") % 2 == 0))   # wave 1
+    corpus.append(docs.filter(F.col("doc_id") % 2 == 1))   # wave 2
+
+    index = SnapshotTable(spark, index_dir)
+    shingles = SnapshotTable(spark, sh_dir)
+    pairs = SnapshotTable(spark, pairs_dir)
+    latest = corpus.latest_version()
+    for v in range(latest + 1):
+        wave = (
+            corpus.read(0)
+            if v == 0
+            else corpus.table_changes(v - 1, v).drop("_commit_version")
+        )
+        bands_new = minhash_band_table(wave, 16, 4)
+        index.append(bands_new)
+        shingles.append(shingle_hash_table(wave, "text", "doc_id"))
+        cands = (
+            bands_new.alias("n")
+            .join(index.read().alias("i"), ["band", "bucket"])
+            .filter(F.col("n.doc_id") != F.col("i.doc_id"))
+            .select(
+                F.least("n.doc_id", "i.doc_id").alias("id_a"),
+                F.greatest("n.doc_id", "i.doc_id").alias("id_b"),
+            )
+            .distinct()
+        )
+        cand_ids = cands.select(
+            F.explode(F.array("id_a", "id_b")).alias("doc_id")
+        ).distinct()
+        sh_cand = shingles.read().join(
+            F.broadcast(cand_ids), "doc_id", "left_semi"
+        )
+        verified = verify_jaccard(sh_cand, cands).filter(
+            F.col("jaccard") >= 0.8
+        )
+        pairs.append(verified.select("id_a", "id_b", "jaccard"))
+    return pairs.read().select("id_a", "id_b", "jaccard")
 
 
 @query(
