@@ -441,8 +441,7 @@ def incremental_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_dir = _tf.mkdtemp(prefix="mhinc_corpus_")
     index_dir = _tf.mkdtemp(prefix="mhinc_index_")
     sh_dir = _tf.mkdtemp(prefix="mhinc_sh_")
-    pairs_dir = _tf.mkdtemp(prefix="mhinc_pairs_")
-    for d in (corpus_dir, index_dir, sh_dir, pairs_dir):
+    for d in (corpus_dir, index_dir, sh_dir):
         shutil.rmtree(d)  # SnapshotTable owns the dir; start absent
 
     corpus = SnapshotTable(spark, corpus_dir)
@@ -451,7 +450,11 @@ def incremental_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     index = SnapshotTable(spark, index_dir)
     shingles = SnapshotTable(spark, sh_dir)
-    pairs = SnapshotTable(spark, pairs_dir)
+    # pair OUTPUT needs no ACID protocol — the maintained STATE is
+    # the index + shingle tables; per-wave pair frames pin their
+    # input entry sets at read()/table_changes() call time, so the
+    # lazy union stays wave-accurate
+    pair_frames = []
     latest = corpus.latest_version()
     for v in range(latest + 1):
         wave = (
@@ -472,6 +475,7 @@ def incremental_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
         )
+        cands = cands.cache()  # feeds both the id list and the verify
         cand_ids = cands.select(
             F.explode(F.array("id_a", "id_b")).alias("doc_id")
         ).distinct()
@@ -481,8 +485,11 @@ def incremental_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         verified = verify_jaccard(sh_cand, cands).filter(
             F.col("jaccard") >= 0.8
         )
-        pairs.append(verified.select("id_a", "id_b", "jaccard"))
-    return pairs.read().select("id_a", "id_b", "jaccard")
+        pair_frames.append(verified.select("id_a", "id_b", "jaccard"))
+    out = pair_frames[0]
+    for f in pair_frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 @query(
