@@ -3210,3 +3210,33 @@ def test_change_feed_non_additive_guard_and_genesis_gate(spark, tmp_path):
             ["k"],
             delete_where="op = 'd'",
         )
+
+
+def test_sync_cdc_replication_chains(spark, tmp_path):
+    """CDC replication CHAINS: when the replication target itself has
+    enableChangeDataFeed on, the apply merges record their own row
+    images, so a THIRD table replicates from the second — multi-hop
+    pipelines (bronze -> silver -> gold mirrors) each pay only
+    O(changed rows) per hop."""
+    from scalable_etl_spark.acid import sync_incremental
+
+    a = SnapshotTable(spark, str(tmp_path / "a"))
+    b = SnapshotTable(spark, str(tmp_path / "b"))
+    c = SnapshotTable(spark, str(tmp_path / "c"))
+    a.append(_df(spark, [(1, "x"), (2, "y")]))
+    a.enable_change_data_feed()
+    sync_incremental(a, b, sync_id="ab", keys=["k"])  # backfill b
+    b.enable_change_data_feed()
+    sync_incremental(b, c, sync_id="bc", keys=["k"])  # backfill c
+
+    a.merge(_df(spark, [(2, "Y"), (3, "z")]), ["k"])
+    a.delete("k = 1")
+    sync_incremental(a, b, sync_id="ab", keys=["k"])  # apply to b
+    assert b._manifest(b.latest_version()).get("change_data"), (
+        "b's apply merges must record their own images"
+    )
+    sync_incremental(b, c, sync_id="bc", keys=["k"])  # apply b's feed
+    want = {(2, "Y"), (3, "z")}
+    assert {(r.k, r.v) for r in a.read().collect()} == want
+    assert {(r.k, r.v) for r in b.read().select("k", "v").collect()} == want
+    assert {(r.k, r.v) for r in c.read().select("k", "v").collect()} == want
