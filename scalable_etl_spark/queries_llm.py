@@ -451,10 +451,11 @@ def incremental_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = SnapshotTable(spark, index_dir)
     shingles = SnapshotTable(spark, sh_dir)
     # pair OUTPUT needs no ACID protocol — the maintained STATE is
-    # the index + shingle tables; per-wave pair frames pin their
-    # input entry sets at read()/table_changes() call time, so the
-    # lazy union stays wave-accurate
-    pair_frames = []
+    # the index + shingle tables; each wave's verified pairs are
+    # result-sized by construction (LSH output at 0.8) and
+    # materialize per wave so the cached candidate frame releases
+    # before the next wave
+    pair_rows: list = []
     latest = corpus.latest_version()
     for v in range(latest + 1):
         wave = (
@@ -462,9 +463,19 @@ def incremental_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             if v == 0
             else corpus.table_changes(v - 1, v).drop("_commit_version")
         )
-        bands_new = minhash_band_table(wave, 16, 4)
-        index.append(bands_new)
-        shingles.append(shingle_hash_table(wave, "text", "doc_id"))
+        # ONE sign pass + ONE shingle pass over the wave: both land
+        # in their ACID tables, and every later consumer reads the
+        # PERSISTED rows back instead of re-deriving the lineage
+        iv = index.append(minhash_band_table(wave, 16, 4))
+        shingles.append(
+            shingle_hash_table(wave, "text", "doc_id"),
+            stats_cols=["doc_id"],
+        )
+        bands_new = (
+            index.read(0)
+            if iv == 0
+            else index.table_changes(iv - 1, iv).drop("_commit_version")
+        )
         cands = (
             bands_new.alias("n")
             .join(index.read().alias("i"), ["band", "bucket"])
@@ -475,21 +486,41 @@ def incremental_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
         )
-        cands = cands.cache()  # feeds both the id list and the verify
-        cand_ids = cands.select(
-            F.explode(F.array("id_a", "id_b")).alias("doc_id")
-        ).distinct()
-        sh_cand = shingles.read().join(
-            F.broadcast(cand_ids), "doc_id", "left_semi"
-        )
-        verified = verify_jaccard(sh_cand, cands).filter(
-            F.col("jaccard") >= 0.8
-        )
-        pair_frames.append(verified.select("id_a", "id_b", "jaccard"))
-    out = pair_frames[0]
-    for f in pair_frames[1:]:
-        out = out.unionByName(f)
-    return out
+        cands = cands.cache()  # feeds the bound probe, the id list,
+        # and the verify join (released before the next wave)
+        try:
+            bounds = cands.agg(
+                F.least(F.min("id_a"), F.min("id_b")).alias("lo"),
+                F.greatest(F.max("id_a"), F.max("id_b")).alias("hi"),
+            ).collect()[0]
+            if bounds["lo"] is None:
+                continue  # no collisions this wave
+            cand_ids = cands.select(
+                F.explode(F.array("id_a", "id_b")).alias("doc_id")
+            ).distinct()
+            # shingle reads are point lookups: committed doc_id
+            # [min, max] stats (dir + file level) let the candidate
+            # bound prune entries before the broadcast semi-join
+            # trims to exact ids. Crawl waves have id locality in a
+            # real corpus, so at scale the verify step reads the
+            # colliding waves' files, not the accumulated shingle
+            # table (add cluster_by=["doc_id"] to tighten per-file
+            # ranges when collisions are sparse — a layout knob, not
+            # a correctness one)
+            sh_cand = shingles.read(
+                where=("doc_id", bounds["lo"], bounds["hi"])
+            ).join(F.broadcast(cand_ids), "doc_id", "left_semi")
+            verified = verify_jaccard(sh_cand, cands).filter(
+                F.col("jaccard") >= 0.8
+            )
+            pair_rows.extend(
+                verified.select("id_a", "id_b", "jaccard").collect()
+            )
+        finally:
+            cands.unpersist()
+    return spark.createDataFrame(
+        pair_rows, "id_a BIGINT, id_b BIGINT, jaccard DOUBLE"
+    )
 
 
 @query(
