@@ -3240,3 +3240,43 @@ def test_sync_cdc_replication_chains(spark, tmp_path):
     assert {(r.k, r.v) for r in a.read().collect()} == want
     assert {(r.k, r.v) for r in b.read().select("k", "v").collect()} == want
     assert {(r.k, r.v) for r in c.read().select("k", "v").collect()} == want
+
+
+def test_change_data_feed_partitioned_table(spark, tmp_path):
+    """CDC images on a PARTITIONED table: _change_data files are
+    unpartitioned but carry the partition column as an ordinary
+    column, so a partition-scoped DELETE's images replay with the
+    partition values intact — and the untouched partition's dirs
+    survive byte-identical."""
+    import os
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a", "d0"), (2, "b", "d1"), (3, "c", "d0")],
+            "k INT, v STRING, day STRING",
+        ),
+        partition_cols=["day"],
+    )
+    t.enable_change_data_feed()
+    before = {
+        e: os.listdir(os.path.join(t.data_dir, e))
+        for e in t._manifest(0)["dirs"]
+        if e.endswith("day=d1")
+    }
+    t.delete("day = 'd0' AND k = 1", prune=("day", "d0", "d0"))
+    got = {
+        (r.k, r.v, r.day, r._change_type)
+        for r in t.table_changes(1, change_feed=True).collect()
+    }
+    assert got == {(1, "a", "d0", "delete")}
+    assert {(r.k, r.day) for r in t.read().collect()} == {
+        (2, "d1"), (3, "d0")
+    }
+    # untouched partition survived byte-identical (no rewrite)
+    after = {
+        e: os.listdir(os.path.join(t.data_dir, e))
+        for e in t._manifest(t.latest_version())["dirs"]
+        if e.endswith("day=d1")
+    }
+    assert after == before
