@@ -50,7 +50,7 @@ import uuid
 from collections.abc import Sequence
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ByteType,
@@ -1179,13 +1179,25 @@ class SnapshotTable:
         downstream).
 
         ``change_feed=True`` is the FULL Delta-CDF read: the output
-        gains ``_change_type``; append commits deliver their rows as
+        gains ``_change_type`` and ``_commit_timestamp`` (the commit's
+        wall-clock time from its manifest — Delta CDF's third metadata
+        column; nondeterministic, so exclude it from value-compared
+        results); append commits deliver their rows as
         ``insert``, and MERGE / DELETE / UPDATE commits made while
         the table's ``enableChangeDataFeed`` property was on deliver
         their recorded row images (``update_preimage`` /
         ``update_postimage`` / ``insert`` / ``delete``) from the
         commit's ``_change_data`` files — exact history, no
-        re-delivery caveats. Compaction commits (``dataChange=false``)
+        re-delivery caveats. OVERWRITE and RESTORE commits made while
+        the property was on are DERIVED at read time the way Delta
+        serves them from add/remove file actions: rows of dirs the
+        commit removed deliver as ``delete`` (read from the prior
+        snapshot's manifest — vacuum that reclaims those dirs ends
+        this, Delta's identical contract) and rows of dirs it added
+        deliver as ``insert``; dirs present on both sides are
+        untouched and deliver nothing, so a RESTORE re-referencing
+        mostly-shared dirs costs only the actual diff. Compaction
+        commits (``dataChange=false``)
         are invisible in every mode: no logical change happened. A
         rewrite commit that predates the property (no recorded images)
         still raises — Delta likewise has no change data for commits
@@ -1219,6 +1231,7 @@ class SnapshotTable:
         }
         frames = []
         end_names: set | None = None
+        dead_after: list[tuple[int, str]] = []
         if change_feed:
             # loop-invariant: the drift guard below compares every
             # CDC commit's stored image schema against the END
@@ -1229,6 +1242,32 @@ class SnapshotTable:
                     "fields"
                 ]
             }
+            # Names a DROP or RENAME in the range kills for images
+            # recorded BEFORE it: the name-only drift guard below
+            # passes when the name was later RE-ADDED (drop + compact
+            # + add, or rename + add under the old name), which would
+            # silently serve the OLD column's image bytes as the new
+            # column. Each alter commit's own manifest is immutable
+            # and carries its record last, so this survives later
+            # compaction pruning the evolution lists.
+            for u in range(since_version + 1, end + 1):
+                mu = self._manifest(u)
+                if mu["op"] == "alter_drop_column":
+                    dead_after.append((u, mu["evolution"][-1]["col"]))
+                elif mu["op"] == "alter_rename_column":
+                    dead_after.append((u, mu["evolution"][-1]["from"]))
+
+        def _tag_meta(f: DataFrame, v: int, m: dict) -> DataFrame:
+            f = f.withColumn("_commit_version", F.lit(v))
+            if change_feed:
+                # Delta CDF's third metadata column; wall-clock, so
+                # value-compared consumers must exclude it
+                f = f.withColumn(
+                    "_commit_timestamp",
+                    F.timestamp_seconds(F.lit(float(m["timestamp"]))),
+                )
+            return f
+
         prev = set(self._manifest(since_version)["dirs"])
         for v in range(since_version + 1, end + 1):
             m = self._manifest(v)
@@ -1258,22 +1297,85 @@ class SnapshotTable:
                         for f in json.loads(cdc["schema"])["fields"]
                     }
                     alien = sorted(stored - end_names)
-                    if alien:
+                    # also dead: a stored name a LATER drop/rename in
+                    # the range invalidated, even when the end schema
+                    # names it again (re-added column — its image
+                    # bytes here are the OLD column's)
+                    stale = sorted(
+                        stored
+                        & {n for (u, n) in dead_after if u > v}
+                    )
+                    if alien or stale:
                         raise ValueError(
                             f"version {v}'s change data records "
-                            f"column(s) {alien!r} that version "
-                            f"{end}'s schema no longer names (a "
-                            "rename/drop postdates the images); "
+                            f"column(s) {alien or stale!r} that a "
+                            "rename/drop postdates; "
                             "change-feed reads across non-additive "
                             "schema changes are unsupported — split "
                             "the range at the ALTER commit"
                         )
                     frames.append(
-                        self._read_change_data(cdc).withColumn(
-                            "_commit_version", F.lit(v)
-                        )
+                        _tag_meta(self._read_change_data(cdc), v, m)
                     )
                     prev = set(m["dirs"])
+                    continue
+                if (
+                    change_feed
+                    and (
+                        m["op"] == "overwrite"
+                        or m["op"].startswith("restore_v")
+                    )
+                    and self._cdf_enabled(v)
+                ):
+                    # DERIVED images (Delta's add/remove-file CDF path
+                    # for commits without explicit _change_data):
+                    # overwrite / restore replace the dir SET — rows
+                    # of removed dirs are deletes, rows of added dirs
+                    # are inserts, shared dirs delivered nothing.
+                    m_prev = self._manifest(v - 1)
+                    for leg_m in (m_prev, m):
+                        names = {
+                            f["name"]
+                            for f in json.loads(leg_m["schema"])[
+                                "fields"
+                            ]
+                        }
+                        bad = sorted(names - end_names) or sorted(
+                            names
+                            & {n for (u, n) in dead_after if u >= v}
+                        )
+                        if bad:
+                            raise ValueError(
+                                f"version {v}'s derived change rows "
+                                f"carry column(s) {bad!r} that a "
+                                "rename/drop postdates; split the "
+                                "range at the ALTER commit"
+                            )
+                    new_set = set(m["dirs"])
+                    removed = [d for d in m_prev["dirs"] if d not in new_set]
+                    added = [d for d in m["dirs"] if d not in prev]
+                    if removed:
+                        frames.append(
+                            _tag_meta(
+                                self._read_dirs(m_prev, removed)
+                                .withColumn(
+                                    _CHANGE_TYPE_COL, F.lit("delete")
+                                ),
+                                v,
+                                m,
+                            )
+                        )
+                    if added:
+                        frames.append(
+                            _tag_meta(
+                                self._read_dirs(m, added).withColumn(
+                                    _CHANGE_TYPE_COL, F.lit("insert")
+                                ),
+                                v,
+                                m,
+                            )
+                        )
+                    prev = new_set
                     continue
                 if not ignore_changes:
                     hint = (
@@ -1296,12 +1398,10 @@ class SnapshotTable:
                     f = f.withColumn(
                         _CHANGE_TYPE_COL, F.lit("insert")
                     )
-                frames.append(
-                    f.withColumn("_commit_version", F.lit(v))
-                )
+                frames.append(_tag_meta(f, v, m))
             prev = set(m["dirs"])
         if not frames:
-            from pyspark.sql.types import IntegerType
+            from pyspark.sql.types import IntegerType, TimestampType
 
             schema = StructType.fromJson(
                 json.loads(self._manifest(end)["schema"])
@@ -1309,6 +1409,10 @@ class SnapshotTable:
             if change_feed:
                 schema = schema.add(_CHANGE_TYPE_COL, StringType(), False)
             schema = schema.add("_commit_version", IntegerType(), False)
+            if change_feed:
+                schema = schema.add(
+                    "_commit_timestamp", TimestampType(), False
+                )
             return self.spark.createDataFrame([], schema)
         return reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
@@ -3231,6 +3335,7 @@ class SnapshotTable:
         when_matched: str = "update",
         txn_update: dict[str, int] | None = None,
         delete_where=None,
+        strict: bool | None = None,
     ) -> int:
         """Full MERGE INTO semantics (Iceberg/Delta parity):
 
@@ -3270,7 +3375,12 @@ class SnapshotTable:
         path): if the current snapshot's ledger already carries every
         requested (key, batch_id) at or past its value, the merge is
         a replay and no-ops idempotently — the same gate contract as
-        the ALTER verbs' ``_txn_gate``."""
+        the ALTER verbs' ``_txn_gate``.
+
+        ``strict=True`` raises (Delta-style) when the source carries
+        multiple rows for one key instead of resolving arbitrarily;
+        default None reads the SPARK_ETL_MERGE_STRICT env flag — a
+        zero-code-change audit switch for catching CDC-feed misuse."""
         if when_matched not in ("update", "delete"):
             raise ValueError(f"unsupported when_matched={when_matched!r}")
         if delete_where is not None and when_matched != "update":
@@ -3302,15 +3412,33 @@ class SnapshotTable:
         # resolve to an ARBITRARY one (dropDuplicates) — callers with
         # multi-row-per-key sources (CDC feeds, interim stateful
         # emissions) must pre-reduce upstream. Delta's MERGE raises on
-        # multiple matches instead; erroring here would cost a
-        # count-distinct job per call, so the contract is documented
-        # rather than enforced.
+        # multiple matches instead; erroring by default would cost a
+        # count-distinct job per call, so the contract is documented —
+        # ``strict=True`` (or env SPARK_ETL_MERGE_STRICT=1, the debug
+        # switch for auditing existing pipelines) opts into the
+        # Delta-style raise, piggybacked on the key-range job below.
+        if strict is None:
+            strict = os.environ.get("SPARK_ETL_MERGE_STRICT") == "1"
         batch = df.dropDuplicates(keys)
         aggs = [F.count(F.lit(1)).alias("__n")]
+        if strict:
+            # struct() never nulls, so NULL-keyed combos count too
+            aggs.append(
+                F.count_distinct(F.struct(*keys)).alias("__k")
+            )
         for k in keys:
             aggs.append(F.min(k).alias(f"__lo_{k}"))
             aggs.append(F.max(k).alias(f"__hi_{k}"))
-        r = batch.agg(*aggs).collect()[0]
+        r = (df if strict else batch).agg(*aggs).collect()[0]
+        if strict and r["__n"] != r["__k"]:
+            raise ValueError(
+                f"merge(strict): source has {r['__n']} rows but only "
+                f"{r['__k']} distinct key combination(s) on "
+                f"{keys} — multiple source rows per key resolve "
+                "arbitrarily (Delta raises here); pre-reduce the "
+                "batch or pass strict=False to accept an arbitrary "
+                "winner"
+            )
         batch_empty = r["__n"] == 0
         key_ranges: dict[str, tuple] = {}
         for k in keys:
@@ -4413,9 +4541,16 @@ def sync_incremental(
     their keys; unmatched deletes no-op), with the watermark riding
     that same commit (``txn_update``), so crash-replay no-ops exactly
     like the append path. ``transform`` is applied to the row images
-    too and must preserve ``keys`` (a transform that filters a row at
-    insert time consistently filters its later delete image — the key
-    simply never reaches dst). Rewrites without recorded images (or
+    too and must preserve ``keys`` AND the ``_change_type`` column
+    (the delete leg is driven by it) — a transform with an explicit
+    ``select`` must include them, and dropping either raises a
+    sync-contract error before the merge (a transform that filters a
+    row at insert time consistently filters its later delete image —
+    the key simply never reaches dst). A src OVERWRITE or RESTORE
+    committed under the feed applies the same way through its DERIVED
+    images (removed-dir rows delete, added-dir rows insert; a key on
+    both sides upserts — the insert image wins the per-key
+    reduction). Rewrites without recorded/derivable images (or
     without ``keys``) raise exactly as before; compaction commits
     (``dataChange=false``) stay invisible.
 
@@ -4426,6 +4561,20 @@ def sync_incremental(
         "alter_add_column", "alter_rename_column", "alter_drop_column",
         "alter_widen_column",
     )
+
+    def _cdc_segment(mv: dict, vv: int) -> bool:
+        """Version ``vv`` applies to dst as a keyed CDC merge: it
+        recorded row images, or it is an overwrite/restore whose
+        images ``table_changes(change_feed=True)`` derives (the feed
+        was on at that commit). Compaction stays invisible."""
+        if not keys or mv.get("data_change", True) is False:
+            return False
+        if mv.get("change_data") is not None:
+            return True
+        return (
+            mv["op"] == "overwrite" or mv["op"].startswith("restore_v")
+        ) and src._cdf_enabled(vv)
+
     races = 0
     # while-with-race-counter, not a bounded for: committed segments
     # and alter replays are PROGRESS (the watermark advanced) and must
@@ -4490,28 +4639,61 @@ def sync_incremental(
                         _txn_gate=(key, last + 1),
                     )
                 continue  # next segment (loop re-reads the ledger)
-            if (
-                keys
-                and m_next.get("change_data") is not None
-                and m_next.get("data_change", True)
-            ):
-                # CDC APPLY segment (keys given + recorded images):
-                # one src rewrite commit -> ONE atomic dst merge.
-                # insert/update_postimage rows upsert, delete images
-                # remove their keys (delete_where), preimages are
-                # informational and excluded; the watermark rides the
-                # merge commit itself (txn_update), so a crash-replay
-                # no-ops via the ledger gate exactly like appends.
-                images = src.table_changes(
-                    last, to_version=last + 1, change_feed=True
-                ).filter(F.col("_change_type") != "update_preimage")
+            if _cdc_segment(m_next, last + 1):
+                # CDC APPLY segment (keys given + recorded or derived
+                # images): one src rewrite commit -> ONE atomic dst
+                # merge. insert/update_postimage rows upsert, delete
+                # images remove their keys (delete_where), preimages
+                # are informational and excluded; the watermark rides
+                # the merge commit itself (txn_update), so a
+                # crash-replay no-ops via the ledger gate exactly
+                # like appends.
+                images = (
+                    src.table_changes(
+                        last, to_version=last + 1, change_feed=True
+                    )
+                    .filter(F.col("_change_type") != "update_preimage")
+                    .drop("_commit_timestamp")
+                )
                 if "_src_version" in images.columns:
                     images = images.drop("_src_version")
                 images = images.withColumnRenamed(
                     "_commit_version", "_src_version"
                 )
+                if m_next.get("change_data") is None:
+                    # DERIVED overwrite/restore feed: a surviving key
+                    # appears as BOTH a delete (old row) and an insert
+                    # (new row) — reduce per key, upsert image first
+                    # (recorded feeds are already one image per key;
+                    # skip the window for them)
+                    w = Window.partitionBy(*keys).orderBy(
+                        F.when(
+                            F.col("_change_type") == "delete", 1
+                        ).otherwise(0)
+                    )
+                    images = (
+                        images.withColumn(
+                            "__rk", F.row_number().over(w)
+                        )
+                        .filter(F.col("__rk") == 1)
+                        .drop("__rk")
+                    )
                 if transform is not None:
                     images = transform(images)
+                    lost = [
+                        c
+                        for c in ("_change_type", *keys)
+                        if c not in images.columns
+                    ]
+                    if lost:
+                        raise ValueError(
+                            f"sync {sync_id!r}: transform dropped "
+                            f"column(s) {lost!r} a CDC apply needs — "
+                            "the merge keys drive matching and "
+                            "_change_type drives the delete leg; "
+                            "preserve both (an explicit select must "
+                            "include them)"
+                        )
                 dst.merge(
                     images,
                     list(keys),
@@ -4529,11 +4711,7 @@ def sync_incremental(
             to_v = src_v
             for vv in range(last + 1, src_v + 1):
                 mv = src._manifest(vv)
-                if mv["op"] in _ALTER_OPS or (
-                    keys
-                    and mv.get("change_data") is not None
-                    and mv.get("data_change", True)
-                ):
+                if mv["op"] in _ALTER_OPS or _cdc_segment(mv, vv):
                     to_v = vv - 1
                     break
             batch = src.table_changes(last, to_version=to_v)

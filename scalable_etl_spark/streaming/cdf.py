@@ -233,15 +233,19 @@ class _FilePartition(InputPartition):
     ``_change_type`` (a commit's _change_data file); otherwise the
     constant to tag every row with (``"insert"`` for append commits
     under readChangeFeed).
+
+    ``ts``: the commit's manifest timestamp (epoch seconds), emitted
+    as ``_commit_timestamp`` under readChangeFeed; None otherwise.
     """
 
     def __init__(self, path, version, fields, part_values,
-                 change_type=None):
+                 change_type=None, ts=None):
         self.path = path
         self.version = version
         self.fields = fields
         self.part_values = part_values
         self.change_type = change_type
+        self.ts = ts
 
 
 class SnapshotChangesReader(DataSourceStreamReader):
@@ -318,6 +322,37 @@ class SnapshotChangesReader(DataSourceStreamReader):
         # a fresh stream; a WAL-replayed batch calls partitions()
         # without any latestOffset at all).
         self._cursor: int | None = None
+        # {version: dead-name | None} memo for _dead_names_after —
+        # per-version alter probes survive the _mcache eviction below
+        self._alter_dead: dict[int, str | None] = {}
+
+    def _dead_names_after(self, t, v: int) -> set:
+        """Names a DROP or RENAME commit in ``(v, latest]`` kills for
+        row images recorded at ``v``: the name-only drift guards pass
+        when the name was later RE-ADDED (drop + compact + add, or
+        rename + add under the old spelling), which would silently
+        serve the OLD column's bytes as the new column. Each alter
+        commit's own manifest is immutable and carries its evolution
+        record last, so this survives compaction pruning the records
+        from later manifests."""
+        latest = t.latest_version()
+        out: set = set()
+        for u in range(v + 1, (latest or -1) + 1):
+            if u not in self._alter_dead:
+                try:
+                    mu = t._manifest(u)
+                except FileNotFoundError:
+                    self._alter_dead[u] = None
+                    continue
+                if mu["op"] == "alter_drop_column":
+                    self._alter_dead[u] = mu["evolution"][-1]["col"]
+                elif mu["op"] == "alter_rename_column":
+                    self._alter_dead[u] = mu["evolution"][-1]["from"]
+                else:
+                    self._alter_dead[u] = None
+            if self._alter_dead[u]:
+                out.add(self._alter_dead[u])
+        return out
 
     # -- driver-side manifest access (no SparkSession needed: the
     # commit log resolves through SnapshotTable's pyarrow/JSON path).
@@ -429,6 +464,11 @@ class SnapshotChangesReader(DataSourceStreamReader):
                 self._plan_dirs(
                     t, m, v, new_dirs, pcols, evo_ctx, parts,
                     _hive_unescape_path, append_tag,
+                    ts=(
+                        float(m["timestamp"])
+                        if self.change_feed
+                        else None
+                    ),
                 )
                 continue
             # v0 is table genesis: whatever op created it (overwrite /
@@ -458,6 +498,64 @@ class SnapshotChangesReader(DataSourceStreamReader):
                     prev = set(m["dirs"])
                     self._plan_change_files(t, m, v, cdc, parts)
                     continue
+                if (
+                    self.change_feed
+                    and (
+                        m["op"] == "overwrite"
+                        or m["op"].startswith("restore_v")
+                    )
+                    and t._cdf_enabled(v)
+                ):
+                    # DERIVED images (Delta's add/remove-file CDF path
+                    # — mirrors batch table_changes): removed-dir rows
+                    # deliver as delete, added-dir rows as insert;
+                    # shared dirs deliver nothing. Each leg plans with
+                    # ITS manifest's evolution records (later rewrites
+                    # prune dead entries from newer manifests).
+                    m_prev = t._manifest(v - 1)
+                    pinned_pairs = set(self._fields)
+                    dead = self._dead_names_after(t, v - 1)
+                    for leg_m in (m_prev, m):
+                        leg_fields = {
+                            (f["name"], _type_name(f["type"]))
+                            for f in json.loads(leg_m["schema"])[
+                                "fields"
+                            ]
+                        }
+                        bad = sorted(
+                            n
+                            for (n, ty) in leg_fields
+                            if (n, ty) not in pinned_pairs or n in dead
+                        )
+                        if bad:
+                            raise RuntimeError(
+                                f"snapshot_changes: version {v}'s "
+                                f"derived change rows carry column(s) "
+                                f"{bad!r} that a rename/drop/widen "
+                                "postdates; start the stream after "
+                                "the ALTER (sinceVersion)"
+                            )
+                    new_set = set(m["dirs"])
+                    removed = [
+                        d for d in m_prev["dirs"] if d not in new_set
+                    ]
+                    added = [d for d in m["dirs"] if d not in prev]
+                    self._plan_dirs(
+                        t, m_prev, v, removed,
+                        {c for c in m_prev.get("partition_cols", [])},
+                        t._evolution_ctx(m_prev), parts,
+                        _hive_unescape_path, "delete",
+                        ts=float(m["timestamp"]),
+                    )
+                    self._plan_dirs(
+                        t, m, v, added,
+                        {c for c in m.get("partition_cols", [])},
+                        t._evolution_ctx(m), parts,
+                        _hive_unescape_path, "insert",
+                        ts=float(m["timestamp"]),
+                    )
+                    prev = new_set
+                    continue
                 if not self.ignore_changes:
                     hint = (
                         "pass option readChangeFeed=true to read its "
@@ -480,6 +578,9 @@ class SnapshotChangesReader(DataSourceStreamReader):
             self._plan_dirs(
                 t, m, v, new_dirs, pcols, evo_ctx, parts,
                 _hive_unescape_path, append_tag,
+                ts=(
+                    float(m["timestamp"]) if self.change_feed else None
+                ),
             )
         # Evict resolved manifests the stream has moved past: the
         # cached SnapshotTable's per-version memo would otherwise
@@ -497,7 +598,7 @@ class SnapshotChangesReader(DataSourceStreamReader):
 
     def _plan_dirs(
         self, t, m, v, new_dirs, pcols, evo_ctx, parts,
-        hive_unescape, change_tag,
+        hive_unescape, change_tag, ts=None,
     ):
         """Plan one commit's data dirs into _FilePartitions: per-entry
         canonicalization recipe from the LATEST manifest's evolution
@@ -581,6 +682,7 @@ class SnapshotChangesReader(DataSourceStreamReader):
                                 fields,
                                 part_values,
                                 change_tag,
+                                ts=ts,
                             )
                         )
 
@@ -600,11 +702,16 @@ class SnapshotChangesReader(DataSourceStreamReader):
         }
         pinned = {n for n, _ in self._fields}
         alien = sorted(set(stored) - pinned)
-        if alien:
+        # also dead: a stored name a LATER drop/rename invalidated,
+        # even when the live schema names it again (re-added column —
+        # its image bytes here are the OLD column's); mirrors the
+        # data-dir path's dead-name handling in _plan_dirs
+        stale = sorted(set(stored) & self._dead_names_after(t, v))
+        if alien or stale:
             raise RuntimeError(
                 f"snapshot_changes: version {v}'s change data "
-                f"records column(s) {alien!r} the current schema no "
-                "longer names (a rename/drop postdates the images); "
+                f"records column(s) {alien or stale!r} that a "
+                "rename/drop postdates; "
                 "change-feed reads across non-additive schema "
                 "changes are unsupported — start the stream after "
                 "the ALTER (sinceVersion)"
@@ -625,6 +732,7 @@ class SnapshotChangesReader(DataSourceStreamReader):
                             fields,
                             {},
                             "__file__",
+                            ts=float(m["timestamp"]),
                         )
                     )
 
@@ -668,6 +776,20 @@ class SnapshotChangesReader(DataSourceStreamReader):
             names.append("_change_type")
         cols.append(_const(pa, part.version, "long", n))
         names.append("_commit_version")
+        if part.ts is not None:
+            import datetime
+
+            cols.append(
+                _const(
+                    pa,
+                    datetime.datetime.fromtimestamp(
+                        part.ts, tz=datetime.timezone.utc
+                    ),
+                    "timestamp",
+                    n,
+                )
+            )
+            names.append("_commit_timestamp")
         if n:
             # pa.table accepts ChunkedArrays (file columns arrive
             # chunked); yield its batches instead of one giant array
@@ -696,9 +818,12 @@ class SnapshotChangesSource(DataSource):
     (continuous-trigger rate limit, default 0 = unthrottled — see the
     module docstring for the availableNow caveat), ``ignoreChanges``
     (re-deliver rewrite commits' rows), ``readChangeFeed`` (Delta CDF
-    parity: adds ``_change_type``; MERGE/DELETE/UPDATE commits made
+    parity: adds ``_change_type`` and ``_commit_timestamp``;
+    MERGE/DELETE/UPDATE commits made
     under ``enableChangeDataFeed`` deliver their recorded
-    pre/post-images, appends deliver as ``insert``, compaction is
+    pre/post-images, OVERWRITE/RESTORE commits made under it deliver
+    DERIVED images — removed-dir rows as ``delete``, added-dir rows
+    as ``insert`` — appends deliver as ``insert``, compaction is
     invisible), ``failOnDataLoss`` (default true: a vacuumed offset
     fails loudly; false skips to the oldest resolvable version,
     re-delivering its full snapshot with a logged gap marker)."""
@@ -745,16 +870,22 @@ class SnapshotChangesSource(DataSource):
                     f"column {name!r} is {tname}"
                 )
             parts.append(f"`{name}` {ddl_types.get(tname, tname)}")
-        if (
+        feed = (
             str(
                 {k.lower(): v for k, v in self.options.items()}.get(
                     "readchangefeed", "false"
                 )
             ).lower()
             == "true"
-        ):
+        )
+        if feed:
             parts.append("`_change_type` string")
         parts.append("`_commit_version` bigint")
+        if feed:
+            # Delta CDF's third metadata column (wall-clock commit
+            # time from the manifest; nondeterministic — exclude it
+            # from value-compared results)
+            parts.append("`_commit_timestamp` timestamp")
         return ", ".join(parts)
 
     def streamReader(self, schema):

@@ -2958,9 +2958,21 @@ def test_change_data_feed_batch(spark, tmp_path):
     t.update("k = 4", {"v": "'D'"})                              # v5
     t.compact()                                                  # v6
 
+    feed = t.table_changes(0, change_feed=True)
+    # Delta CDF's third metadata column: the commit's manifest
+    # wall-clock timestamp, present on every change row
+    assert "_commit_timestamp" in feed.columns
+    import datetime as _dt
+
+    for r in feed.select("_commit_version", "_commit_timestamp").collect():
+        want = _dt.datetime.fromtimestamp(
+            float(t._manifest(r._commit_version)["timestamp"]),
+            tz=_dt.timezone.utc,
+        ).replace(tzinfo=None)
+        assert abs((r._commit_timestamp - want).total_seconds()) < 0.001
     got = sorted(
         tuple(r)
-        for r in t.table_changes(0, change_feed=True).collect()
+        for r in feed.drop("_commit_timestamp").collect()
     )
     assert got == [
         (1, "a", "delete", 4),
@@ -3280,3 +3292,153 @@ def test_change_data_feed_partitioned_table(spark, tmp_path):
         if e.endswith("day=d1")
     }
     assert after == before
+
+
+def test_change_feed_derived_overwrite_and_restore(spark, tmp_path):
+    """OVERWRITE / RESTORE under enableChangeDataFeed deliver DERIVED
+    images the way Delta serves add/remove file actions: removed-dir
+    rows as delete, added-dir rows as insert — and a RESTORE that
+    re-references shared dirs delivers only the actual diff."""
+    import pytest
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))                  # v0
+    t.enable_change_data_feed()                                 # v1
+    t.overwrite(_df(spark, [(2, "B"), (3, "c")]))               # v2
+    got = sorted(
+        (r.k, r.v, r._change_type, r._commit_version)
+        for r in t.table_changes(1, 2, change_feed=True).collect()
+    )
+    assert got == [
+        (1, "a", "delete", 2),
+        (2, "B", "insert", 2),
+        (2, "b", "delete", 2),
+        (3, "c", "insert", 2),
+    ]
+    # applying the full feed over the v1 snapshot = live snapshot
+    # (delete then insert per key within one commit: insert wins)
+    t.append(_df(spark, [(4, "d")]))                            # v3
+    t.restore(2)                                                # v4: drop v3's dir,
+    # v2's dirs are SHARED with v4 -> only the removed dir delivers
+    got = sorted(
+        (r.k, r.v, r._change_type)
+        for r in t.table_changes(3, 4, change_feed=True).collect()
+    )
+    assert got == [(4, "d", "delete")]
+    # a rewrite BEFORE the property still raises (no derivation
+    # without the feed on at commit time)
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"))
+    t2.append(_df(spark, [(1, "a")]))
+    t2.overwrite(_df(spark, [(2, "b")]))                        # pre-property
+    t2.enable_change_data_feed()
+    with pytest.raises(ValueError, match="enable_change_data_feed"):
+        t2.table_changes(0, change_feed=True)
+
+
+def test_change_feed_stale_image_guard(spark, tmp_path):
+    """Drop + compact + re-add of the SAME column name defeats the
+    name-only drift guard — the range-scan guard must refuse to serve
+    the old column's image bytes as the re-added column (ADVICE r12:
+    the data-dir path nulls dead names; the _change_data path
+    raises)."""
+    import pytest
+
+    t = SnapshotTable(
+        spark, str(tmp_path / "t"), parquet_checkpoints=False
+    )
+    t.append(
+        spark.createDataFrame([(1, "a", 10)], "k INT, v STRING, x INT")
+    )                                                            # v0
+    t.enable_change_data_feed()                                  # v1
+    t.delete("k = 0")  # no-op: no matching rows, commits nothing
+    t.update("k = 1", {"x": "x + 1"})                            # v2 images carry x
+    t.alter_drop_column("x")                                     # v3
+    t.compact()                                                  # v4 purges physical x
+    t.alter_add_column("x", "int")                               # v5 re-add same name
+    # sub-range up to the drop still reads exactly
+    assert sorted(
+        (r.k, r.x, r._change_type)
+        for r in t.table_changes(1, 2, change_feed=True).collect()
+    ) == [(1, 10, "update_preimage"), (1, 11, "update_postimage")]
+    # the full range must refuse: v2's x images are the OLD column
+    with pytest.raises(ValueError, match="rename/drop postdates"):
+        t.table_changes(1, change_feed=True).collect()
+
+
+def test_merge_strict_multi_match(spark, tmp_path):
+    """merge(strict=True) raises Delta-style on multiple source rows
+    per key; default keeps the documented arbitrary-winner contract;
+    SPARK_ETL_MERGE_STRICT=1 flips the default."""
+    import os
+
+    import pytest
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    dup = _df(spark, [(1, "x"), (1, "y"), (2, "z")])
+    with pytest.raises(ValueError, match="distinct key combination"):
+        t.merge(dup, ["k"], strict=True)
+    assert t.latest_version() == 0  # nothing committed
+    t.merge(dup, ["k"])  # default: arbitrary winner, documented
+    assert {r.k for r in t.read().collect()} == {1, 2}
+    os.environ["SPARK_ETL_MERGE_STRICT"] = "1"
+    try:
+        with pytest.raises(ValueError, match="strict"):
+            t.merge(dup, ["k"])
+        t.merge(dup, ["k"], strict=False)  # explicit opt-out wins
+    finally:
+        del os.environ["SPARK_ETL_MERGE_STRICT"]
+
+
+def test_sync_cdc_transform_contract(spark, tmp_path):
+    """A transform that drops _change_type (or a key) from a CDC
+    apply segment raises a sync-contract error naming the column,
+    not a merge-internal AnalysisException (ADVICE r12)."""
+    import pytest
+
+    from scalable_etl_spark.acid import sync_incremental
+
+    src = SnapshotTable(spark, str(tmp_path / "s"))
+    dst = SnapshotTable(spark, str(tmp_path / "d"))
+    src.append(_df(spark, [(1, "a"), (2, "b")]))
+    src.enable_change_data_feed()
+    sync_incremental(src, dst, sync_id="x", keys=["k"])
+    src.delete("k = 1")  # CDC segment
+    with pytest.raises(ValueError, match="_change_type"):
+        sync_incremental(
+            src, dst, sync_id="x", keys=["k"],
+            transform=lambda b: b.select("k", "v", "_src_version"),
+        )
+    # a key-preserving, tag-preserving select is fine
+    sync_incremental(
+        src, dst, sync_id="x", keys=["k"],
+        transform=lambda b: b.select(
+            "k", "v", "_change_type", "_src_version"
+        ),
+    )
+    assert {r.k for r in dst.read().collect()} == {2}
+
+
+def test_sync_replicates_overwrite_via_derived_images(spark, tmp_path):
+    """sync_incremental(keys=...) applies a src OVERWRITE / RESTORE
+    through its derived change images: surviving keys upsert (the
+    insert image wins the per-key reduction), vanished keys delete."""
+    from scalable_etl_spark.acid import sync_incremental
+
+    src = SnapshotTable(spark, str(tmp_path / "s"))
+    dst = SnapshotTable(spark, str(tmp_path / "d"))
+    src.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    src.enable_change_data_feed()
+    sync_incremental(src, dst, sync_id="r", keys=["k"])
+    src.overwrite(_df(spark, [(2, "B"), (4, "d")]))  # 1,3 gone; 2 updated
+    src.append(_df(spark, [(5, "e")]))
+    sync_incremental(src, dst, sync_id="r", keys=["k"])
+    assert sorted((r.k, r.v) for r in dst.read().collect()) == [
+        (2, "B"), (4, "d"), (5, "e")
+    ]
+    # and a restore replays the same way
+    src.restore(0)
+    sync_incremental(src, dst, sync_id="r", keys=["k"])
+    assert sorted((r.k, r.v) for r in dst.read().collect()) == sorted(
+        (r.k, r.v) for r in src.read().collect()
+    )

@@ -529,11 +529,23 @@ def _drain_cdf(spark, root, ckpt, sink, **opts):
     )
     for k, v in opts.items():
         reader = reader.option(k, v)
+    def _collect(b, _i):
+        # _commit_timestamp (Delta CDF's third metadata column) is
+        # wall-clock: assert presence + non-null, drop for the
+        # deterministic tuple comparisons
+        assert "_commit_timestamp" in b.columns
+        rows = b.collect()
+        assert all(r["_commit_timestamp"] is not None for r in rows)
+        sink.extend(
+            tuple(r)
+            for r in (
+                x for x in b.drop("_commit_timestamp").collect()
+            )
+        )
+
     q = (
         reader.load()
-        .writeStream.foreachBatch(
-            lambda b, i: sink.extend(tuple(r) for r in b.collect())
-        )
+        .writeStream.foreachBatch(_collect)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
@@ -644,3 +656,55 @@ def test_cdf_fail_on_data_loss_modes(spark, tmp_path):
     first = versions[0]
     n_first = sum(1 for p in parts if p.version == first)
     assert n_first >= first + 1  # full snapshot: one file per append
+
+
+def test_cdf_stream_derived_overwrite_images(spark, tmp_path):
+    """readChangeFeed=true ACROSS an overwrite made under
+    enableChangeDataFeed: the stream delivers DERIVED images —
+    removed-dir rows as delete, added-dir rows as insert (Delta's
+    add/remove-file CDF path) — mirroring the batch reader."""
+    root = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ck")
+    t = SnapshotTable(spark, root)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id INT, v STRING"))
+    t.enable_change_data_feed()                                   # v1
+    t.overwrite(
+        spark.createDataFrame([(2, "B"), (3, "c")], "id INT, v STRING")
+    )                                                             # v2
+    got: list = []
+    _drain_cdf(spark, root, ckpt, got)
+    assert sorted(got) == [
+        (1, "a", "delete", 2),
+        (1, "a", "insert", 0),
+        (2, "B", "insert", 2),
+        (2, "b", "delete", 2),
+        (2, "b", "insert", 0),
+        (3, "c", "insert", 2),
+    ]
+
+
+def test_cdf_stream_stale_image_guard(spark, tmp_path):
+    """Drop + compact + re-add of the same column name must not let
+    the stream serve the OLD column's recorded image bytes as the
+    re-added column (the pinned-schema check passes again after the
+    re-add; the range guard still refuses)."""
+    import pytest
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root, parquet_checkpoints=False)
+    t.append(
+        spark.createDataFrame([(1, "a", 10)], "k INT, v STRING, x INT")
+    )                                                            # v0
+    t.enable_change_data_feed()                                  # v1
+    t.update("k = 1", {"x": "x + 1"})                            # v2 images carry x
+    t.alter_drop_column("x")                                     # v3
+    t.compact()                                                  # v4
+    t.alter_add_column("x", "int")                               # v5 same name/type
+    from scalable_etl_spark.streaming.cdf import SnapshotChangesReader
+
+    fields = [("k", "integer"), ("v", "string"), ("x", "integer")]
+    r = SnapshotChangesReader(
+        {"path": root, "readchangefeed": "true"}, fields
+    )
+    with pytest.raises(RuntimeError, match="rename/drop postdates"):
+        r.partitions({"version": 1}, {"version": 5})
