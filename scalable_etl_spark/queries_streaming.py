@@ -997,11 +997,15 @@ def streaming_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                       THEN 100 ELSE 0 END AS listen_count,
              unique_types
       FROM daily),
+    final AS (
+      SELECT * FROM corrected
+      WHERE NOT (user_id % 10 = 3
+                 AND EXTRACT(DAY FROM event_date) > 2)),
     ranked AS (
       SELECT *, row_number() OVER (
                PARTITION BY user_id
                ORDER BY listen_count DESC, event_date ASC) AS rank
-      FROM corrected)
+      FROM final)
     SELECT user_id, event_date, listen_count, unique_types, rank
     FROM ranked WHERE rank <= 3
     """,
@@ -1016,14 +1020,19 @@ def streaming_cdf_gold_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     takes a base load, an append (late days), and then a MERGE
     correction (+100 listens for day-10 rows) committed under
     ``enableChangeDataFeed``, so the stream receives exact
-    update_postimage rows for the rewrite. Per commit version, IN
-    COMMIT ORDER, the consumer derives the AFFECTED users from the
-    change rows (insert + update_postimage), recomputes ONLY their
-    top-3 from silver AS OF that commit (time travel pins the
-    snapshot the commit produced), and MERGEs them into gold keyed
-    (user_id, rank) under the txn ledger — replay-safe, exactly-once.
-    The oracle is the full batch recompute: incremental maintenance
-    must equal it bit-for-bit.
+    update_postimage rows for the rewrite — then a DELETE commit
+    removes most of one user cohort's days (round-13, verdict #3:
+    users shrinking BELOW k must vacate their stale rank rows). Per
+    commit version, IN COMMIT ORDER, the consumer derives the
+    AFFECTED users from the change rows (insert + update_postimage +
+    delete), recomputes ONLY their top-3 from silver AS OF that
+    commit (time travel pins the snapshot the commit produced), and
+    applies them to gold keyed (user_id, rank) as ONE
+    ``merge(delete_where=...)`` — upserts for the fresh top-k rows
+    plus tombstones for each affected user's now-vacant ranks —
+    under the txn ledger: replay-safe, exactly-once. The oracle is
+    the full batch recompute: incremental maintenance must equal it
+    bit-for-bit.
 
     At 100 TB: the stream plans O(dirs-per-commit) metadata and reads
     only each commit's files (for the rewrite, only its _change_data
@@ -1063,8 +1072,20 @@ def streaming_cdf_gold_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ["user_id", "event_date"],
     )
+    silver.delete(                                          # v4 shrink a cohort
+        "user_id % 10 = 3 AND dayofmonth(event_date) > 2"
+    )
 
     gold = SnapshotTable(spark, gold_dir)
+    # merge(delete_where=...) needs a declared target (genesis gate):
+    # create gold empty with the top-k schema before the stream runs
+    gold.overwrite(
+        spark.createDataFrame(
+            [],
+            "user_id BIGINT, rank INT, event_date DATE, "
+            "listen_count BIGINT, unique_types BIGINT",
+        )
+    )
     qid = "cdf_gold"
 
     def refresh(b: DataFrame, _batch_id: int) -> None:
@@ -1075,11 +1096,13 @@ def streaming_cdf_gold_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for r in b.select("_commit_version").distinct().collect()
             )
             for v in versions:
+                # deletes COUNT as affecting: a user whose rows were
+                # only removed must recompute (and may vacate ranks)
                 affected = (
                     b.filter(
                         (F.col("_commit_version") == v)
                         & F.col("_change_type").isin(
-                            "insert", "update_postimage"
+                            "insert", "update_postimage", "delete"
                         )
                     )
                     .select("user_id")
@@ -1096,13 +1119,40 @@ def streaming_cdf_gold_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("event_date").asc(),
                     ],
                     3,
+                ).select(
+                    "user_id", "rank", "event_date",
+                    "listen_count", "unique_types",
+                )
+                # tombstones: each affected user's ranks 1..3 the new
+                # top-k no longer fills (user shrank below k, or
+                # vanished entirely) — deleted in the SAME atomic
+                # merge via delete_where (APPLY CHANGES shape);
+                # unmatched tombstones no-op by merge contract
+                vacated = (
+                    affected.withColumn(
+                        "rank",
+                        F.explode(F.sequence(F.lit(1), F.lit(3))),
+                    )
+                    .join(
+                        top3.select("user_id", "rank"),
+                        ["user_id", "rank"],
+                        "left_anti",
+                    )
+                    .select(
+                        "user_id",
+                        "rank",
+                        F.lit(None).cast("date").alias("event_date"),
+                        F.lit(None).cast("long").alias("listen_count"),
+                        F.lit(None).cast("long").alias("unique_types"),
+                        F.lit(True).alias("_tomb"),
+                    )
                 )
                 gold.merge(
-                    top3.select(
-                        "user_id", "rank", "event_date",
-                        "listen_count", "unique_types",
+                    top3.withColumn("_tomb", F.lit(False)).unionByName(
+                        vacated
                     ),
                     ["user_id", "rank"],
+                    delete_where="_tomb",
                     txn_update={qid: int(v)},
                 )
         finally:
