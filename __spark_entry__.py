@@ -84,9 +84,16 @@ _PROMOTED = (
     "winnowing_fingerprints",
     "bpe_token_stats",
     "doc_repetition",
-    "doc_fingerprints",
+    # (round-13 rotation: doc_fingerprints and top_tokens went
+    # driver-green in CORRECTNESS_r12.json and rotate back to
+    # local-oracle checking — fingerprinting stays repped by
+    # winnowing_fingerprints, token analysis by bpe_token_stats +
+    # token_len_histogram. Their slots fund incremental_minhash_index
+    # — the only never-driver-graded registry entry after r12, per
+    # verdict #2 — and the NEW sink_tx_deletion_vectors tier-0
+    # registration.)
+    "incremental_minhash_index",
     "doc_len_zscore_by_lang",
-    "top_tokens",
     "token_len_histogram",
     "mixture_weights",
     "vocab_coverage",

@@ -168,6 +168,14 @@ _DELTA_KEYS = ("dirs", "stats", "file_stats")
 # 'insert' for append-shaped commits on change-feed reads.
 _CHANGE_TYPE_COL = "_change_type"
 
+# Deletion-vector working columns (merge-on-read DML): the scan's
+# per-row (data_dir-relative file path, within-file row position),
+# derived from Spark's parquet `_metadata` hidden struct
+# (`file_path` / `row_index`, public since 3.5). Present only inside
+# DV-aware plans; always projected away before results surface.
+_DV_FILE = "__sg_dv_file"
+_DV_POS = "__sg_dv_pos"
+
 # Characters Spark/Hive URL-escape when writing a partition VALUE into
 # a directory name (Hive's FileUtils.escapePathName, mirrored by
 # Spark's ExternalCatalogUtils): control chars, the path/query specials
@@ -446,6 +454,12 @@ class SnapshotTable:
         # commit, referenced by the manifest's "change_data" key —
         # never part of "dirs", so snapshot reads don't see them
         self.change_dir = os.path.join(root, "_change_data")
+        # Deletion-vector sidecars (merge-on-read DML, Delta's DV
+        # design re-expressed relationally): one immutable uuid dir
+        # per DV-writing commit holding (file, pos) rows of SUPPRESSED
+        # positions; the manifest's "dv" key maps each data entry to
+        # the DV dirs that apply to it, and reads anti-join them away
+        self.dv_dir = os.path.join(root, "_deletion_vectors")
         # resolved-manifest memo; committed manifests are immutable, so
         # entries never need invalidation (vacuum only deletes versions
         # nothing retained resolves through)
@@ -960,6 +974,7 @@ class SnapshotTable:
         dirs = m["dirs"]
         norm, bloom_key = self._normalize_predicate(m, where)
         dirs = self._dir_prune(m, dirs, where, norm)
+        dvm = m.get("dv", {})
         all_fstats = m.get("file_stats", {})
         # POINT lookups additionally probe per-file bloom filters when
         # present (see _normalize_predicate): min/max ranges on a
@@ -969,6 +984,7 @@ class SnapshotTable:
         # blooms (values live in paths, not files) and must never be
         # probed: a stray all-zero spec would falsely prune every file.
         parts = []
+        dv_parts: list[tuple[DataFrame, str]] = []
         for d in dirs:
             base = os.path.join(self.data_dir, d)
             if dplan is not None:
@@ -1008,7 +1024,7 @@ class SnapshotTable:
                         paths = [os.path.join(base, f) for f in files]
                 else:
                     paths = [base]
-            part = (
+            scan = (
                 # per-entry physical schema: identical to the logical
                 # schema except for entries predating a rename (see
                 # _physical_schema / ALTER TABLE)
@@ -1023,7 +1039,23 @@ class SnapshotTable:
                 )
                 .parquet(*paths)
             )
-            parts.append(self._apply_evolution(part, evo_ctx, d))
+            if dvm.get(d):
+                # merge-on-read suppression: tag with (file, pos) at
+                # the scan (before evolution transforms), anti-join
+                # this entry's deletion vectors away below
+                scan = self._with_dv_meta(scan)
+                dv_parts.append(
+                    (self._apply_evolution(scan, evo_ctx, d), d)
+                )
+            else:
+                parts.append(self._apply_evolution(scan, evo_ctx, d))
+        if dv_parts:
+            merged = reduce(
+                lambda a, b: a.unionByName(b),
+                (p for p, _ in dv_parts),
+            )
+            uuids = [u for _, d in dv_parts for u in dvm.get(d, [])]
+            parts.append(self._dv_suppress(merged, uuids))
         if not parts:
             out = self.spark.createDataFrame([], schema)
         else:
@@ -1045,6 +1077,15 @@ class SnapshotTable:
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
+        if self._manifest(v).get("dv"):
+            # a file-list export cannot express row-level suppression;
+            # handing the raw files to an external engine would
+            # RESURRECT merge-on-read-deleted rows
+            raise ValueError(
+                "snapshot has live deletion vectors: file-level "
+                "export would resurrect suppressed rows — run "
+                "compact() to materialize them away first"
+            )
         out: list[str] = []
         for d in self._manifest(v)["dirs"]:
             base = os.path.join(self.data_dir, d)
@@ -1082,6 +1123,15 @@ class SnapshotTable:
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
+        if self._manifest(v).get("dv"):
+            # a file-list export cannot express row-level suppression;
+            # handing the raw files to an external engine would
+            # RESURRECT merge-on-read-deleted rows
+            raise ValueError(
+                "snapshot has live deletion vectors: file-level "
+                "export would resurrect suppressed rows — run "
+                "compact() to materialize them away first"
+            )
         shutil.rmtree(out_dir, ignore_errors=True)
         os.makedirs(out_dir)
         files: list[str] = []
@@ -1837,6 +1887,7 @@ class SnapshotTable:
                             },
                         ),
                     )
+            dv = self._dv_kept(v, m["dirs"])
             manifest = {
                 "op": "add_bloom_filters",
                 "dirs": m["dirs"],
@@ -1847,6 +1898,7 @@ class SnapshotTable:
                 "txn": self._txn_of(v),
                 "evolution": self._evolution_of(v),
                 "timestamp": time.time(),
+                **({"dv": dv} if dv else {}),
             }
             if self._commit(v + 1, manifest):
                 return v + 1
@@ -2212,6 +2264,7 @@ class SnapshotTable:
             )
             if _txn_gate is not None:
                 txn[gate_key] = gate_target
+            dv = self._dv_kept(v, m["dirs"])
             manifest = {
                 "op": "alter_add_column",
                 "dirs": m["dirs"],
@@ -2222,6 +2275,7 @@ class SnapshotTable:
                 "txn": txn,
                 "evolution": evolution,
                 "timestamp": time.time(),
+                **({"dv": dv} if dv else {}),
             }
             if self._commit(v + 1, manifest):
                 return v + 1
@@ -2330,6 +2384,7 @@ class SnapshotTable:
             )
             if _txn_gate is not None:
                 txn[gate_key] = gate_target
+            dv = self._dv_kept(v, m["dirs"])
             manifest = {
                 "op": "alter_rename_column",
                 "dirs": m["dirs"],
@@ -2340,6 +2395,7 @@ class SnapshotTable:
                 "txn": txn,
                 "evolution": evolution,
                 "timestamp": time.time(),
+                **({"dv": dv} if dv else {}),
             }
             if self._commit(v + 1, manifest):
                 return v + 1
@@ -2447,6 +2503,7 @@ class SnapshotTable:
             )
             if _txn_gate is not None:
                 txn[gate_key] = gate_target
+            dv = self._dv_kept(v, m["dirs"])
             manifest = {
                 "op": "alter_drop_column",
                 "dirs": m["dirs"],
@@ -2457,6 +2514,7 @@ class SnapshotTable:
                 "txn": txn,
                 "evolution": evolution,
                 "timestamp": time.time(),
+                **({"dv": dv} if dv else {}),
             }
             if self._commit(v + 1, manifest):
                 return v + 1
@@ -2590,6 +2648,7 @@ class SnapshotTable:
             )
             if _txn_gate is not None:
                 txn[gate_key] = gate_target
+            dv = self._dv_kept(v, m["dirs"])
             manifest = {
                 "op": "alter_widen_column",
                 "dirs": m["dirs"],
@@ -2600,6 +2659,7 @@ class SnapshotTable:
                 "txn": txn,
                 "evolution": evolution,
                 "timestamp": time.time(),
+                **({"dv": dv} if dv else {}),
             }
             if self._commit(v + 1, manifest):
                 return v + 1
@@ -2861,6 +2921,7 @@ class SnapshotTable:
             extra = mutate(v, m)
             if extra is None:
                 return v
+            dv = self._dv_kept(v, m["dirs"])
             manifest = {
                 "op": op,
                 "dirs": m["dirs"],
@@ -2871,6 +2932,7 @@ class SnapshotTable:
                 "txn": self._txn_of(v),
                 "evolution": self._evolution_of(v),
                 "timestamp": time.time(),
+                **({"dv": dv} if dv else {}),
                 **extra,
             }
             if self._commit(v + 1, manifest):
@@ -2981,6 +3043,94 @@ class SnapshotTable:
         )
         return self.spark.read.schema(schema).parquet(
             os.path.join(self.change_dir, rec["entry"])
+        )
+
+    # ------------------------------------------- deletion vectors
+    #
+    # Merge-on-read DML (Delta's deletion-vector design, VLDB'20 +
+    # the public DV spec, re-expressed relationally so it composes
+    # with the parquet manifest machinery): a DELETE/UPDATE/MERGE in
+    # this mode never rewrites data dirs — it writes an immutable
+    # sidecar of SUPPRESSED (file, pos) rows under _deletion_vectors/
+    # and maps affected entries to it in the manifest's "dv" key.
+    # Reads tag each scanned row with its (data_dir-relative file,
+    # within-file row index) from Spark's parquet `_metadata` struct
+    # and broadcast-anti-join the DV rows away — no shuffle, cost is
+    # O(scan) + O(suppressed positions). A single-row delete in a
+    # 1 GB dir costs one tiny sidecar write instead of a dir rewrite;
+    # compact() materializes DVs away (reads are DV-applied).
+    # Positions-as-rows instead of roaring bitmaps: parquet RLE makes
+    # dense runs cheap, and the rows stay joinable/oracle-checkable.
+
+    def _dv_of(self, version: int | None) -> dict:
+        """{entry: [dv-uuid, ...]} carried by ``version`` ({} for a
+        fresh table or one with no live deletion vectors)."""
+        if version is None:
+            return {}
+        return {
+            e: list(u)
+            for e, u in self._manifest(version).get("dv", {}).items()
+        }
+
+    def _dv_kept(self, version: int | None, entries=None) -> dict:
+        """DV map filtered to surviving ``entries`` (rewritten entries
+        materialized their suppressions and drop out); None = all."""
+        dv = self._dv_of(version)
+        if entries is None:
+            return dv
+        keep = set(entries)
+        return {e: u for e, u in dv.items() if e in keep}
+
+    def _with_dv_meta(self, scan: DataFrame) -> DataFrame:
+        """Tag a parquet scan with ``(_DV_FILE, _DV_POS)`` — the
+        data_dir-relative file path and within-file row position.
+        Relative paths keep tables relocatable (the marker is the
+        CURRENT data_dir, computed identically at DV-write and read
+        time); `_metadata` must be selected on the raw scan, before
+        evolution transforms."""
+        marker = self.data_dir.rstrip("/") + "/"
+        fp = F.col("_metadata.file_path")
+        rel = fp.substr(
+            F.locate(marker, fp) + F.lit(len(marker)), F.length(fp)
+        )
+        return scan.select(
+            "*",
+            rel.alias(_DV_FILE),
+            F.col("_metadata.row_index").alias(_DV_POS),
+        )
+
+    def _dv_frame(self, uuids) -> DataFrame:
+        """All suppressed (file, pos) rows of the given DV dirs."""
+        return self.spark.read.schema("file STRING, pos BIGINT").parquet(
+            *(os.path.join(self.dv_dir, u) for u in sorted(set(uuids)))
+        )
+
+    def _dv_suppress(
+        self, df: DataFrame, uuids, keep_meta: bool = False
+    ) -> DataFrame:
+        """Drop suppressed rows from a meta-tagged frame: broadcast
+        left-anti on (file, pos) — DV sidecars are position lists
+        (bounded by deleted rows, not table size), so the build side
+        broadcasts and the scan never shuffles. Extra DV rows for
+        pruned/rewritten entries simply never match."""
+        if uuids:
+            dv = self._dv_frame(uuids)
+            df = df.join(
+                F.broadcast(dv),
+                (df[_DV_FILE] == dv["file"]) & (df[_DV_POS] == dv["pos"]),
+                "left_anti",
+            )
+        return df if keep_meta else df.drop(_DV_FILE, _DV_POS)
+
+    def _entry_of_file(self, dirs, rel_file: str) -> str:
+        """Manifest entry owning a data_dir-relative file path
+        (longest-prefix match: partition-granular entries are more
+        specific than their bare-uuid commit root)."""
+        for e in sorted(dirs, key=len, reverse=True):
+            if rel_file.startswith(e + "/"):
+                return e
+        raise ValueError(
+            f"no manifest entry owns DV file {rel_file!r}"
         )
 
     def _validate_constraints(
@@ -3200,6 +3350,7 @@ class SnapshotTable:
             evolution += self._defaults_for_missing(
                 evolution, df.schema.names, entries
             )
+            dv = self._dv_kept(v, dirs)
             manifest = {
                 "op": "append",
                 "dirs": [*dirs, *entries],
@@ -3210,6 +3361,7 @@ class SnapshotTable:
                 "txn": self._txn_of(v),
                 "evolution": evolution,
                 "timestamp": time.time(),
+                **({"dv": dv} if dv else {}),
             }
             if self._commit(0 if v is None else v + 1, manifest):
                 return 0 if v is None else v + 1
@@ -3310,6 +3462,7 @@ class SnapshotTable:
             evolution += self._defaults_for_missing(
                 evolution, novel.schema.names, entries
             )
+            dv = self._dv_kept(v, dirs)
             manifest = {
                 "op": "insert_ignore",
                 "dirs": [*dirs, *entries],
@@ -3320,6 +3473,7 @@ class SnapshotTable:
                 "txn": self._txn_of(v),
                 "evolution": evolution,
                 "timestamp": time.time(),
+                **({"dv": dv} if dv else {}),
             }
             if self._commit(0 if v is None else v + 1, manifest):
                 return n
@@ -3336,6 +3490,7 @@ class SnapshotTable:
         txn_update: dict[str, int] | None = None,
         delete_where=None,
         strict: bool | None = None,
+        mode: str = "copy-on-write",
     ) -> int:
         """Full MERGE INTO semantics (Iceberg/Delta parity):
 
@@ -3380,9 +3535,19 @@ class SnapshotTable:
         ``strict=True`` raises (Delta-style) when the source carries
         multiple rows for one key instead of resolving arbitrarily;
         default None reads the SPARK_ETL_MERGE_STRICT env flag — a
-        zero-code-change audit switch for catching CDC-feed misuse."""
+        zero-code-change audit switch for catching CDC-feed misuse.
+
+        ``mode="merge-on-read"``: matched target rows are SUPPRESSED
+        via a deletion vector and the batch effect appends as a new
+        entry — no candidate dir is rewritten, so a small CDC batch
+        against huge dirs costs O(matched + batch) instead of
+        O(candidate dirs) (Delta's DV merge shape); ``compact()``
+        materializes later. Semantics are identical to copy-on-write."""
         if when_matched not in ("update", "delete"):
             raise ValueError(f"unsupported when_matched={when_matched!r}")
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"unsupported merge mode {mode!r}")
+        mor = mode == "merge-on-read"
         if delete_where is not None and when_matched != "update":
             raise ValueError(
                 'delete_where requires when_matched="update" (it IS '
@@ -3486,17 +3651,25 @@ class SnapshotTable:
                     hit = set(hit_list)
                     untouched = [d for d in m["dirs"] if d not in hit]
                     rewrite = [d for d in m["dirs"] if d in hit]
+                keep = None if mor else set(untouched)
                 kept_stats = {
                     d: s
                     for d, s in self._stats_of(v).items()
-                    if d in untouched
+                    if keep is None or d in keep
                 }
                 kept_fstats = {
                     d: s
                     for d, s in self._file_stats_of(v).items()
-                    if d in untouched
+                    if keep is None or d in keep
                 }
-                target = self._read_dirs(m, rewrite)
+                target_read = self._read_dirs(
+                    m, rewrite, keep_dv_meta=mor
+                )
+                target = (
+                    target_read.drop(_DV_FILE, _DV_POS)
+                    if mor
+                    else target_read
+                )
                 missing = [
                     c for c in target.columns if c not in batch.columns
                 ]
@@ -3526,7 +3699,7 @@ class SnapshotTable:
                             c,
                             F.lit(added[c]).cast(tfields[c].dataType),
                         )
-                if self._cdf_enabled(v):
+                if self._cdf_enabled(v) or mor:
                     # the CDC image writer re-reads BOTH frames (up
                     # to 4 joins) after the rewrite write already
                     # consumed them once — cache for this attempt
@@ -3534,35 +3707,88 @@ class SnapshotTable:
                     # aborts included) so enabling the feed costs one
                     # extra job over the CHANGED rows, not a second
                     # full evaluation of the batch plan and rewrite
-                    # dirs (round-12 review finding)
+                    # dirs (round-12 review finding). Merge-on-read
+                    # re-reads the candidate scan for the DV position
+                    # write too, so it always pins.
                     batch = batch.persist()
-                    target = target.persist()
-                    pinned = (batch, target)
+                    target_read = target_read.persist()
+                    target = (
+                        target_read.drop(_DV_FILE, _DV_POS)
+                        if mor
+                        else target_read
+                    )
+                    pinned = (batch, target_read)
                 try:
                     # eager analysis in here (a delete_where typo, a
                     # select of a dropped column) must not leak the
                     # frames just pinned above
-                    survivors = target.join(batch, keys, "left_anti")
-                    if when_matched == "update":
-                        effect = (
-                            batch
-                            if dflag is None
-                            else batch.filter(~dflag)
-                        )
-                        merged = survivors.unionByName(
-                            effect.select(*target.columns)
-                        )
-                    else:  # delete matched, insert the rest
-                        existing = target.select(*keys)
-                        novel = batch.join(existing, keys, "left_anti")
-                        merged = survivors.unionByName(
-                            novel.select(*target.columns)
-                        )
+                    if mor:
+                        # matched rows leave via the deletion vector;
+                        # only the batch effect lands in a new entry
+                        if when_matched == "update":
+                            effect = (
+                                batch
+                                if dflag is None
+                                else batch.filter(~dflag)
+                            )
+                            merged = effect.select(*target.columns)
+                        else:
+                            existing = target.select(*keys)
+                            merged = batch.join(
+                                existing, keys, "left_anti"
+                            ).select(*target.columns)
+                    else:
+                        survivors = target.join(batch, keys, "left_anti")
+                        if when_matched == "update":
+                            effect = (
+                                batch
+                                if dflag is None
+                                else batch.filter(~dflag)
+                            )
+                            merged = survivors.unionByName(
+                                effect.select(*target.columns)
+                            )
+                        else:  # delete matched, insert the rest
+                            existing = target.select(*keys)
+                            novel = batch.join(existing, keys, "left_anti")
+                            merged = survivors.unionByName(
+                                novel.select(*target.columns)
+                            )
                 except BaseException:
                     for df_ in pinned:
                         df_.unpersist()
                     raise
+            dv_id = None
+            touched: list[str] = []
             try:
+                if mor and v is not None:
+                    # suppressed positions: every (DV-applied) target
+                    # row whose key the batch carries
+                    matched_meta = target_read.join(
+                        batch.select(*keys), keys, "left_semi"
+                    )
+                    dv_id = uuid.uuid4().hex
+                    matched_meta.select(
+                        F.col(_DV_FILE).alias("file"),
+                        F.col(_DV_POS).alias("pos"),
+                    ).write.mode("errorifexists").parquet(
+                        os.path.join(self.dv_dir, dv_id)
+                    )
+                    touched = [
+                        r["file"]
+                        for r in self._dv_frame([dv_id])
+                        .select("file")
+                        .distinct()
+                        .collect()
+                    ]
+                    if not touched:
+                        import shutil
+
+                        shutil.rmtree(
+                            os.path.join(self.dv_dir, dv_id),
+                            ignore_errors=True,
+                        )
+                        dv_id = None  # pure-insert batch: no DV
                 new_entries = self._write_data_entries(merged, pcols)
                 if v is not None:
                     self._enforce_constraints(
@@ -3585,9 +3811,21 @@ class SnapshotTable:
                     kept_stats = {**kept_stats, e: dstats}
                 if fstats:
                     kept_fstats = {**kept_fstats, e: fstats}
+            if mor and v is not None:
+                dv = self._dv_of(v)
+                if dv_id is not None:
+                    for e in {
+                        self._entry_of_file(m["dirs"], f)
+                        for f in touched
+                    }:
+                        dv[e] = [*dv.get(e, []), dv_id]
+                dirs_out = [*m["dirs"], *new_entries]
+            else:
+                dv = self._dv_kept(v, untouched)
+                dirs_out = [*untouched, *new_entries]
             manifest = {
                 "op": f"merge_{when_matched}",
-                "dirs": [*untouched, *new_entries],
+                "dirs": dirs_out,
                 "schema": merged.schema.json(),
                 "partition_cols": pcols,
                 "stats": kept_stats,
@@ -3595,6 +3833,7 @@ class SnapshotTable:
                 "txn": self._merge_txn(v, txn_update),
                 "evolution": self._evolution_of(v),
                 "timestamp": time.time(),
+                **({"dv": dv} if dv else {}),
             }
             if change_rec is not None:
                 manifest["change_data"] = change_rec
@@ -3662,19 +3901,35 @@ class SnapshotTable:
             ]
         return self._write_change_data(cframes, target.columns)
 
-    def _read_dirs(self, m: dict, dirs: list[str]) -> DataFrame:
+    def _read_dirs(
+        self, m: dict, dirs: list[str], keep_dv_meta: bool = False
+    ) -> DataFrame:
         """DataFrame over an explicit dir subset of a manifest (empty
         subset -> empty frame with the manifest schema). Canonicalizes
         ALTER TABLE evolution per entry (physical names -> logical,
-        defaults filled), so every rewrite op reading through here
-        MATERIALIZES the logical schema into its new files — rewritten
-        entries drop out of the evolution records by construction."""
+        defaults filled) AND applies the manifest's deletion vectors,
+        so every rewrite op reading through here MATERIALIZES the
+        logical schema + suppressions into its new files — rewritten
+        entries drop out of the evolution records and the dv map by
+        construction. ``keep_dv_meta=True`` tags EVERY row with its
+        (_DV_FILE, _DV_POS) scan position and keeps the columns — the
+        merge-on-read mutators' position source."""
         schema = StructType.fromJson(json.loads(m["schema"]))
         if not dirs:
-            return self.spark.createDataFrame([], schema)
+            out = self.spark.createDataFrame([], schema)
+            if keep_dv_meta:
+                out = out.select(
+                    "*",
+                    F.lit(None).cast("string").alias(_DV_FILE),
+                    F.lit(None).cast("bigint").alias(_DV_POS),
+                )
+            return out
         evo_ctx = self._evolution_ctx(m)
-        parts = [
-            self._apply_evolution(
+        dvm = m.get("dv", {})
+        parts = []
+        dv_parts: list[tuple[DataFrame, str]] = []
+        for d in dirs:
+            scan = (
                 self.spark.read.schema(
                     self._physical_schema(schema, evo_ctx, d)
                 )
@@ -3682,12 +3937,24 @@ class SnapshotTable:
                     "basePath",
                     os.path.join(self.data_dir, self._entry_base(d)),
                 )
-                .parquet(os.path.join(self.data_dir, d)),
-                evo_ctx,
-                d,
+                .parquet(os.path.join(self.data_dir, d))
             )
-            for d in dirs
-        ]
+            if keep_dv_meta or dvm.get(d):
+                scan = self._with_dv_meta(scan)
+                dv_parts.append(
+                    (self._apply_evolution(scan, evo_ctx, d), d)
+                )
+            else:
+                parts.append(self._apply_evolution(scan, evo_ctx, d))
+        if dv_parts:
+            merged = reduce(
+                lambda a, b: a.unionByName(b),
+                (p for p, _ in dv_parts),
+            )
+            uuids = [u for _, d in dv_parts for u in dvm.get(d, [])]
+            parts.append(
+                self._dv_suppress(merged, uuids, keep_meta=keep_dv_meta)
+            )
         return reduce(lambda a, b: a.unionByName(b), parts)
 
     def _rewrite_commit(
@@ -3722,43 +3989,7 @@ class SnapshotTable:
                 )
             m = self._manifest(v)
             pcols = m["partition_cols"]
-            untouched: list[str] = []
-            rewrite = list(m["dirs"])
-            if prune is not None:
-                col, lo, hi = prune
-                if col in pcols and lo == hi:
-                    # PARTITION-SCOPED rewrite: entries are partition-
-                    # granular ("uuid/day=X"), so an equality prune on
-                    # a partition column touches exactly that
-                    # partition's entries — no footer stats needed
-                    # (partition values never appear in footers).
-                    # CONSERVATIVE: entries with NO `col=` component
-                    # (bare-uuid appends, legacy snapshots) may hold
-                    # matching rows, so they join the rewrite set —
-                    # skipping them would silently leave rows
-                    # undeleted/unupdated. Values are rendered +
-                    # hive-escaped to match what Spark wrote on disk;
-                    # unrenderable types (floats, timestamps) rewrite
-                    # EVERY entry rather than silently matching none.
-                    rendered = _partition_value_str(lo)
-                    if rendered is not None:
-                        want = _hive_escape_path(rendered)
-                        hit = {
-                            e
-                            for e in rewrite
-                            if _partition_component(e, col)
-                            in (None, want)
-                        }
-                        untouched = [d for d in m["dirs"] if d not in hit]
-                        rewrite = [d for d in m["dirs"] if d in hit]
-                else:
-                    nlo, nhi = self._js(lo), self._js(hi)
-                    if nlo is not None and nhi is not None:
-                        hit = set(
-                            self._prune_dirs(m, rewrite, col, nlo, nhi)
-                        )
-                        untouched = [d for d in m["dirs"] if d not in hit]
-                        rewrite = [d for d in m["dirs"] if d in hit]
+            untouched, rewrite = self._prune_candidates(m, prune)
             if not rewrite:
                 return v  # stats prove nothing can match
             target = self._read_dirs(m, rewrite)
@@ -3833,6 +4064,7 @@ class SnapshotTable:
                         kept_stats = {**kept_stats, e: dstats}
                     if fstats:
                         kept_fstats = {**kept_fstats, e: fstats}
+            dv = self._dv_kept(v, untouched)
             manifest = {
                 "op": op,
                 "dirs": [*untouched, *new_entries],
@@ -3843,6 +4075,7 @@ class SnapshotTable:
                 "txn": self._txn_of(v),
                 "evolution": self._evolution_of(v),
                 "timestamp": time.time(),
+                **({"dv": dv} if dv else {}),
             }
             if change_rec is not None:
                 manifest["change_data"] = change_rec
@@ -3852,7 +4085,248 @@ class SnapshotTable:
                 return v + 1
         raise CommitConflict(f"{op} lost {_COMMIT_RETRIES} races")
 
-    def delete(self, predicate, prune: tuple | None = None) -> int:
+    def _prune_candidates(
+        self, m: dict, prune: tuple | None
+    ) -> tuple[list[str], list[str]]:
+        """(untouched, candidates) split of a manifest's dirs for a
+        predicate DML op. ``prune=(col, lo, hi)`` drops dirs whose
+        committed stats cannot intersect; an equality prune on a
+        partition column matches partition-granular entries by PATH
+        (no footer stats needed). CONSERVATIVE everywhere: entries
+        with no stats / no `col=` component / unrenderable values
+        stay candidates — skipping them would silently leave rows
+        untouched."""
+        pcols = m["partition_cols"]
+        untouched: list[str] = []
+        rewrite = list(m["dirs"])
+        if prune is not None:
+            col, lo, hi = prune
+            if col in pcols and lo == hi:
+                # Values are rendered + hive-escaped to match what
+                # Spark wrote on disk; unrenderable types (floats,
+                # timestamps) keep EVERY entry rather than silently
+                # matching none.
+                rendered = _partition_value_str(lo)
+                if rendered is not None:
+                    want = _hive_escape_path(rendered)
+                    hit = {
+                        e
+                        for e in rewrite
+                        if _partition_component(e, col) in (None, want)
+                    }
+                    untouched = [d for d in m["dirs"] if d not in hit]
+                    rewrite = [d for d in m["dirs"] if d in hit]
+            else:
+                nlo, nhi = self._js(lo), self._js(hi)
+                if nlo is not None and nhi is not None:
+                    hit = set(
+                        self._prune_dirs(m, rewrite, col, nlo, nhi)
+                    )
+                    untouched = [d for d in m["dirs"] if d not in hit]
+                    rewrite = [d for d in m["dirs"] if d in hit]
+        return untouched, rewrite
+
+    def _dv_delete(self, match_true, prune: tuple | None) -> int:
+        """Merge-on-read DELETE: record matched rows' (file, pos) in a
+        deletion-vector sidecar and commit a manifest that maps the
+        affected entries to it — NO data dir is read-modified-written,
+        so a single-row delete in a huge dir costs one position-list
+        write instead of a dir rewrite (Delta's DV design; the
+        copy-on-write spelling remains the default). Dir/file stats
+        stay as-is: suppression only narrows value ranges, so pruning
+        stays CONSERVATIVELY correct. CDC row images ride the usual
+        _change_data path when the feed is on; compact() later
+        materializes suppressions away (dataChange=false)."""
+        for _ in range(_COMMIT_RETRIES):
+            v = self.latest_version()
+            if v is None:
+                raise FileNotFoundError(
+                    f"no committed version at {self.root}"
+                )
+            m = self._manifest(v)
+            _, candidates = self._prune_candidates(m, prune)
+            if not candidates:
+                return v  # stats prove nothing can match
+            # DV-applied read (already-suppressed rows cannot match
+            # again -> new positions are disjoint from existing DVs),
+            # tagged with every row's scan position
+            target = self._read_dirs(m, candidates, keep_dv_meta=True)
+            matched = target.filter(match_true)
+            cdf_on = self._cdf_enabled(v)
+            matched = matched.persist()
+            try:
+                dv_id = uuid.uuid4().hex
+                matched.select(
+                    F.col(_DV_FILE).alias("file"),
+                    F.col(_DV_POS).alias("pos"),
+                ).write.mode("errorifexists").parquet(
+                    os.path.join(self.dv_dir, dv_id)
+                )
+                # touched files, read back from the tiny sidecar (no
+                # second evaluation of the matched plan)
+                touched = [
+                    r["file"]
+                    for r in self._dv_frame([dv_id])
+                    .select("file")
+                    .distinct()
+                    .collect()
+                ]
+                if not touched:
+                    import shutil
+
+                    shutil.rmtree(
+                        os.path.join(self.dv_dir, dv_id),
+                        ignore_errors=True,
+                    )
+                    return v  # no matching rows: commit nothing
+                change_rec = None
+                if cdf_on:
+                    change_rec = self._write_change_data(
+                        [(matched.drop(_DV_FILE, _DV_POS), "delete")],
+                        [c for c in target.columns
+                         if c not in (_DV_FILE, _DV_POS)],
+                    )
+            finally:
+                matched.unpersist()
+            dv = self._dv_of(v)
+            for e in {
+                self._entry_of_file(m["dirs"], f) for f in touched
+            }:
+                dv[e] = [*dv.get(e, []), dv_id]
+            manifest = {
+                "op": "delete",
+                "dirs": m["dirs"],
+                "schema": m["schema"],
+                "partition_cols": m["partition_cols"],
+                "stats": self._stats_of(v),
+                "file_stats": self._file_stats_of(v),
+                "txn": self._txn_of(v),
+                "evolution": self._evolution_of(v),
+                "dv": dv,
+                "timestamp": time.time(),
+            }
+            if change_rec is not None:
+                manifest["change_data"] = change_rec
+            if self._commit(v + 1, manifest):
+                return v + 1
+        raise CommitConflict(
+            f"delete (merge-on-read) lost {_COMMIT_RETRIES} races"
+        )
+
+    def _dv_update(self, match_true, apply_updates, prune) -> int:
+        """Merge-on-read UPDATE: suppress matched rows' positions via
+        a deletion vector and APPEND their post-update images as a new
+        entry — one sidecar + O(matched) new rows instead of rewriting
+        every candidate dir (Delta's DV update shape). The new entry
+        re-collects footer stats for every column the candidate dirs
+        carried stats on, so data skipping keeps working."""
+        for _ in range(_COMMIT_RETRIES):
+            v = self.latest_version()
+            if v is None:
+                raise FileNotFoundError(
+                    f"no committed version at {self.root}"
+                )
+            m = self._manifest(v)
+            _, candidates = self._prune_candidates(m, prune)
+            if not candidates:
+                return v
+            target = self._read_dirs(m, candidates, keep_dv_meta=True)
+            matched = target.filter(match_true).persist()
+            cdf_on = self._cdf_enabled(v)
+            try:
+                dv_id = uuid.uuid4().hex
+                matched.select(
+                    F.col(_DV_FILE).alias("file"),
+                    F.col(_DV_POS).alias("pos"),
+                ).write.mode("errorifexists").parquet(
+                    os.path.join(self.dv_dir, dv_id)
+                )
+                touched = [
+                    r["file"]
+                    for r in self._dv_frame([dv_id])
+                    .select("file")
+                    .distinct()
+                    .collect()
+                ]
+                if not touched:
+                    import shutil
+
+                    shutil.rmtree(
+                        os.path.join(self.dv_dir, dv_id),
+                        ignore_errors=True,
+                    )
+                    return v  # no matching rows: commit nothing
+                pre = matched.drop(_DV_FILE, _DV_POS)
+                post = apply_updates(pre)
+                new_entries = self._write_data_entries(
+                    post, m["partition_cols"]
+                )
+                self._enforce_constraints(
+                    new_entries, self.constraints(v), m["schema"],
+                    self._evolution_of(v),
+                )
+                change_rec = None
+                if cdf_on:
+                    change_rec = self._write_change_data(
+                        [(pre, "update_preimage"),
+                         (post, "update_postimage")],
+                        pre.columns,
+                    )
+            finally:
+                matched.unpersist()
+            dv = self._dv_of(v)
+            for e in {
+                self._entry_of_file(m["dirs"], f) for f in touched
+            }:
+                dv[e] = [*dv.get(e, []), dv_id]
+            # skipping survives: stats on the new entry for every
+            # column the candidates had stats on (+ the prune column)
+            stats = self._stats_of(v)
+            fstats = self._file_stats_of(v)
+            stat_cols: set[str] = set()
+            for d2 in candidates:
+                stat_cols.update(stats.get(d2, {}).keys())
+                for per in fstats.get(d2, {}).values():
+                    stat_cols.update(
+                        k for k in per if not k.startswith(_BLOOM_PREFIX)
+                    )
+            if prune is not None:
+                stat_cols.add(prune[0])
+            for e in new_entries:
+                if stat_cols:
+                    dstats, fst = self._footer_stats(
+                        e, sorted(stat_cols)
+                    )
+                    if dstats:
+                        stats = {**stats, e: dstats}
+                    if fst:
+                        fstats = {**fstats, e: fst}
+            manifest = {
+                "op": "update",
+                "dirs": [*m["dirs"], *new_entries],
+                "schema": m["schema"],
+                "partition_cols": m["partition_cols"],
+                "stats": stats,
+                "file_stats": fstats,
+                "txn": self._txn_of(v),
+                "evolution": self._evolution_of(v),
+                "dv": dv,
+                "timestamp": time.time(),
+            }
+            if change_rec is not None:
+                manifest["change_data"] = change_rec
+            if self._commit(v + 1, manifest):
+                return v + 1
+        raise CommitConflict(
+            f"update (merge-on-read) lost {_COMMIT_RETRIES} races"
+        )
+
+    def delete(
+        self,
+        predicate,
+        prune: tuple | None = None,
+        mode: str = "copy-on-write",
+    ) -> int:
         """Row-level DELETE with copy-on-write (Delta ``DELETE FROM``):
         rows where ``predicate`` is TRUE are removed; rows where it is
         false or NULL are kept (SQL DELETE semantics). ``predicate`` is
@@ -3866,9 +4340,19 @@ class SnapshotTable:
         table). The rewritten dir keeps fresh stats on every previously
         stats'd column. A no-match delete returns the current version
         without committing. Serializable like every mutator: a lost
-        commit race re-reads the new snapshot and re-applies."""
+        commit race re-reads the new snapshot and re-applies.
+
+        ``mode="merge-on-read"`` opts into DELETION VECTORS: matched
+        rows' (file, pos) positions land in a sidecar applied at read
+        time instead of rewriting any dir — O(matched) cost regardless
+        of dir size (see ``_dv_delete``); ``compact()`` materializes
+        the suppressions away."""
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"unsupported delete mode {mode!r}")
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         match_true = pred.eqNullSafe(F.lit(True))
+        if mode == "merge-on-read":
+            return self._dv_delete(match_true, prune)
         return self._rewrite_commit(
             "delete",
             match_true,
@@ -3884,6 +4368,7 @@ class SnapshotTable:
         predicate,
         assignments: dict,
         prune: tuple | None = None,
+        mode: str = "copy-on-write",
     ) -> int:
         """Predicate-based UPDATE with copy-on-write (Delta ``UPDATE
         ... SET``): rows where ``predicate`` is TRUE get each
@@ -3893,7 +4378,13 @@ class SnapshotTable:
         ``prune=(col, lo, hi)`` keeps non-intersecting dirs unrewritten
         exactly as in :meth:`delete`. Completes the DML triad
         (merge = keyed upsert, delete, update). Returns the committed
-        version; a no-match update commits nothing."""
+        version; a no-match update commits nothing.
+
+        ``mode="merge-on-read"``: suppress the matched rows via a
+        deletion vector and append their post-update images — O(matched)
+        instead of O(candidate dirs); see ``_dv_update``."""
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"unsupported update mode {mode!r}")
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         match_true = pred.eqNullSafe(F.lit(True))
         exprs = {
@@ -3920,6 +4411,8 @@ class SnapshotTable:
                 ]
             )
 
+        if mode == "merge-on-read":
+            return self._dv_update(match_true, apply_updates, prune)
         return self._rewrite_commit(
             "update",
             match_true,
@@ -3979,6 +4472,12 @@ class SnapshotTable:
                         f"cannot restore v{version}: data dir for "
                         f"entry {e!r} was vacuumed"
                     )
+            for u in {u for us in m.get("dv", {}).values() for u in us}:
+                if not os.path.isdir(os.path.join(self.dv_dir, u)):
+                    raise FileNotFoundError(
+                        f"cannot restore v{version}: deletion vector "
+                        f"{u!r} was vacuumed"
+                    )
             # a restore must not RESURRECT rows that violate the
             # table's currently-active constraints (added after the
             # target snapshot): validate the restored state up front —
@@ -4015,6 +4514,9 @@ class SnapshotTable:
                 "txn": self._txn_of(v),  # ledgers are NOT rolled back:
                 # replayed stream batches / syncs stay deduplicated
                 "timestamp": time.time(),
+                **(
+                    {"dv": m["dv"]} if m.get("dv") else {}
+                ),  # the restored snapshot's suppressions come back too
             }
             if self._commit(v + 1, manifest):
                 return v + 1
@@ -4231,13 +4733,17 @@ class SnapshotTable:
             except FileNotFoundError:
                 pass
         cdc_referenced: set[str] = set()
+        dv_referenced: set[str] = set()
         for v in keep_versions:
             try:
-                rec = self._manifest(v).get("change_data")
+                mv = self._manifest(v)
             except FileNotFoundError:
                 continue
+            rec = mv.get("change_data")
             if rec:
                 cdc_referenced.add(rec["entry"])
+            for us in mv.get("dv", {}).values():
+                dv_referenced.update(us)
         removed = []
         now = time.time()
 
@@ -4279,6 +4785,11 @@ class SnapshotTable:
         # Returned names carry the subdir prefix so a caller counting
         # reclaimed DATA dirs (or resolving paths) stays accurate.
         _sweep(self.change_dir, cdc_referenced, "_change_data/")
+        # DV sidecars of vacuumed versions (and commit-race loser
+        # orphans) go the same way — Delta's VACUUM removes
+        # unreferenced deletion-vector files under the identical
+        # retention contract.
+        _sweep(self.dv_dir, dv_referenced, "_deletion_vectors/")
         # A retained delta manifest resolves through its predecessors:
         # keep every log entry back to the checkpoint (full manifest)
         # the oldest retained version chains to (<= _CHECKPOINT_EVERY-1
@@ -4746,6 +5257,7 @@ def sync_incremental(
         evolution += SnapshotTable._defaults_for_missing(
             evolution, batch.schema.names, entries
         )
+        dv = dst._dv_kept(v_dst, dirs)
         manifest = {
             "op": "sync",
             "dirs": [*dirs, *entries],
@@ -4756,6 +5268,7 @@ def sync_incremental(
             "txn": txn,
             "evolution": evolution,
             "timestamp": time.time(),
+            **({"dv": dv} if dv else {}),
         }
         if dst._commit(0 if v_dst is None else v_dst + 1, manifest):
             if to_v >= src_v:
@@ -4934,6 +5447,7 @@ def write_stream_snapshot(
             evolution += SnapshotTable._defaults_for_missing(
                 evolution, batch_df.schema.names, entries
             )
+            dv = table._dv_kept(v, dirs)  # complete mode: dirs=[] -> {}
             manifest = {
                 "op": (
                     "stream_append"
@@ -4948,6 +5462,7 @@ def write_stream_snapshot(
                 "txn": txn,
                 "evolution": evolution,
                 "timestamp": time.time(),
+                **({"dv": dv} if dv else {}),
             }
             if table._commit(0 if v is None else v + 1, manifest):
                 return

@@ -552,6 +552,152 @@ def sink_tx_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_tx_deletion_vectors",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+             o_totalprice
+      FROM orders),
+    after_delete AS (
+      SELECT * FROM base WHERE NOT (o_totalprice < 20000)),
+    after_update AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+             CASE WHEN o_totalprice > 300000 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM after_delete),
+    after_merge AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_custkey % 100 = 7 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             o_orderpriority, o_totalprice
+      FROM after_update
+      WHERE NOT (o_custkey % 100 = 7 AND o_orderstatus = 'F')),
+    agg AS (
+      SELECT o_orderstatus,
+             COUNT(*) AS n_orders,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+             CAST(ROUND(SUM(o_totalprice) * 100, 0) AS BIGINT)
+               AS price_cents
+      FROM after_merge GROUP BY 1)
+    SELECT s.stage, a.o_orderstatus, a.n_orders, a.n_custs,
+           a.price_cents, 1 AS mor_no_rewrite
+    FROM agg a
+    CROSS JOIN (SELECT 'mor' AS stage
+                UNION ALL SELECT 'compacted') s
+    """,
+)
+def sink_tx_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION VECTORS / merge-on-read DML end-to-end (round 13,
+    verdict #1 — Delta's DV protocol re-expressed on the jar-free
+    snapshot layer, acid.py _dv_delete/_dv_update/merge(mode=)):
+    orders lands as two appends, then three merge-on-read mutations
+    run WITHOUT rewriting any existing dir — a predicate DELETE
+    (o_totalprice < 20000), a predicate UPDATE (+1000.0 where
+    o_totalprice > 300000; postimages append as one new entry), and
+    an APPLY-CHANGES MERGE (strict mode) whose CDC batch deletes the
+    o_custkey%100=7 orders still in status 'F' and re-statuses the
+    rest of that cohort to 'X'. Each mutation records suppressed
+    (file, pos) rows in a _deletion_vectors sidecar applied at read
+    time via a BROADCAST anti-join on Spark's `_metadata.row_index`
+    (no shuffle; O(matched) write cost — at 100 TB a single-row
+    delete stops costing a 1 GB dir rewrite). The query emits the
+    same aggregate TWICE — from the DV'd snapshot (stage='mor') and
+    after compact() materializes the vectors away
+    (stage='compacted') — and `mor_no_rewrite` pins the structural
+    claims: base dirs survived every mutation verbatim, each mutation
+    grew dirs by at most its postimage entry, DV maps were live
+    before compaction and gone after. The oracle replays the three
+    mutations relationally; both stages must hash-match it.
+
+    Reference anchor: the reference rewrites whole parquet outputs per
+    transform run (transform_job.py); row-level DML at scale needs the
+    merge-on-read path every lakehouse format grew."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        "o_totalprice",
+    )
+    t = _tx_table(spark, "dv")
+    half = F.col("o_orderkey") % 2
+    t.append(o.filter(half == 0), stats_cols=["o_totalprice"])
+    t.append(o.filter(half == 1), stats_cols=["o_totalprice"])
+    t.enable_change_data_feed()
+    base_dirs = list(t._manifest(t.latest_version())["dirs"])
+
+    v_del = t.delete(
+        "o_totalprice < 20000",
+        prune=("o_totalprice", 0.0, 20000.0),
+        mode="merge-on-read",
+    )
+    v_upd = t.update(
+        "o_totalprice > 300000",
+        {"o_totalprice": "o_totalprice + 1000.0"},
+        mode="merge-on-read",
+    )
+    cdc = (
+        t.read()
+        .filter(F.col("o_custkey") % 100 == 7)
+        .withColumn(
+            "_op",
+            F.when(
+                F.col("o_orderstatus") == "F", F.lit("delete")
+            ).otherwise(F.lit("upsert")),
+        )
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("_op") == "upsert", F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+    )
+    v_mrg = t.merge(
+        cdc,
+        ["o_orderkey"],
+        delete_where="_op = 'delete'",
+        mode="merge-on-read",
+        strict=True,
+    )
+    m_del, m_upd, m_mrg = (
+        t._manifest(x) for x in (v_del, v_upd, v_mrg)
+    )
+    n = len(base_dirs)
+    mor_ok = (
+        m_del["dirs"] == base_dirs
+        and m_upd["dirs"][:n] == base_dirs
+        and len(m_upd["dirs"]) == n + 1
+        and m_mrg["dirs"][: n + 1] == m_upd["dirs"]
+        and len(m_mrg["dirs"]) == n + 2
+        and bool(m_del.get("dv"))
+        and bool(m_mrg.get("dv"))
+    )
+
+    def agg(stage: str) -> DataFrame:
+        return (
+            t.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.countDistinct("o_custkey").alias("n_custs"),
+                F.expr(
+                    "CAST(ROUND(SUM(o_totalprice) * 100, 0) AS BIGINT)"
+                ).alias("price_cents"),
+            )
+            .withColumn("stage", F.lit(stage))
+        )
+
+    out_mor = agg("mor")
+    t.compact()
+    mor_ok = mor_ok and not t._manifest(t.latest_version()).get("dv")
+    return (
+        out_mor.unionByName(agg("compacted"))
+        .withColumn("mor_no_rewrite", F.lit(int(mor_ok)))
+        .select(
+            "stage", "o_orderstatus", "n_orders", "n_custs",
+            "price_cents", "mor_no_rewrite",
+        )
+    )
+
+
+@query(
     "sink_tx_partition_ops",
     oracle="""
     WITH base AS (

@@ -236,16 +236,23 @@ class _FilePartition(InputPartition):
 
     ``ts``: the commit's manifest timestamp (epoch seconds), emitted
     as ``_commit_timestamp`` under readChangeFeed; None otherwise.
+
+    ``dv_paths`` / ``rel``: deletion-vector sidecar dirs covering this
+    file's entry plus the file's data_dir-relative path — rows whose
+    position appears in a sidecar under ``rel`` are suppressed at
+    read (the batch read()'s anti-join, done here as a pyarrow mask).
     """
 
     def __init__(self, path, version, fields, part_values,
-                 change_type=None, ts=None):
+                 change_type=None, ts=None, dv_paths=None, rel=None):
         self.path = path
         self.version = version
         self.fields = fields
         self.part_values = part_values
         self.change_type = change_type
         self.ts = ts
+        self.dv_paths = dv_paths
+        self.rel = rel
 
 
 class SnapshotChangesReader(DataSourceStreamReader):
@@ -671,18 +678,25 @@ class SnapshotChangesReader(DataSourceStreamReader):
                     (ln, lt, None if pn in dead else pn, pt, fl)
                     for ln, lt, pn, pt, fl in fields
                 ]
+            dv_paths = [
+                os.path.join(t.dv_dir, u)
+                for u in m.get("dv", {}).get(d, [])
+            ] or None
             base = os.path.join(t.data_dir, d)
             for walk_root, _sub, files in os.walk(base):
                 for fn in sorted(files):
                     if fn.endswith(".parquet"):
+                        path = os.path.join(walk_root, fn)
                         parts.append(
                             _FilePartition(
-                                os.path.join(walk_root, fn),
+                                path,
                                 v,
                                 fields,
                                 part_values,
                                 change_tag,
                                 ts=ts,
+                                dv_paths=dv_paths,
+                                rel=os.path.relpath(path, t.data_dir),
                             )
                         )
 
@@ -741,6 +755,29 @@ class SnapshotChangesReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(part.path)
+        if part.dv_paths:
+            # deletion vectors: suppress positions recorded for this
+            # file (mirrors the batch read()'s anti-join; positions
+            # index the WHOLE file, which this path reads whole)
+            import numpy as np
+            import pyarrow.compute as pc
+
+            pos: set = set()
+            for dv_path in part.dv_paths:
+                dv = pq.read_table(dv_path, columns=["file", "pos"])
+                pos.update(
+                    dv.filter(
+                        pc.equal(dv.column("file"), part.rel)
+                    )
+                    .column("pos")
+                    .to_pylist()
+                )
+            if pos:
+                keep = ~np.isin(
+                    np.arange(tbl.num_rows),
+                    np.fromiter(pos, dtype=np.int64),
+                )
+                tbl = tbl.filter(pa.array(keep))
         n = tbl.num_rows
         cols = []
         names = []

@@ -3442,3 +3442,137 @@ def test_sync_replicates_overwrite_via_derived_images(spark, tmp_path):
     assert sorted((r.k, r.v) for r in dst.read().collect()) == sorted(
         (r.k, r.v) for r in src.read().collect()
     )
+
+
+def test_deletion_vector_delete_lifecycle(spark, tmp_path):
+    """Merge-on-read DELETE (deletion vectors): no data dir is
+    rewritten — matched positions land in a _deletion_vectors sidecar
+    applied at read time; DVs stack, ride time travel and the change
+    feed, no-match commits nothing, and compact() materializes them
+    away (after which file-level export works again)."""
+    import os
+
+    import pytest
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    rows = [(i, "z" if i >= 100 else "a") for i in
+            [*range(20), 100, 101, 102]]
+    t.append(_df(spark, rows[:20]))                              # v0
+    t.append(_df(spark, rows[20:]))                              # v1
+    t.enable_change_data_feed()                                  # v2
+    before_dirs = t._manifest(1)["dirs"]
+    v = t.delete("k % 5 = 0", mode="merge-on-read")              # v3
+    m = t._manifest(v)
+    assert m["dirs"] == before_dirs  # NO rewrite
+    assert len(m["dv"]) == 2  # both entries hold multiples of 5
+    want = sorted(k for k, _ in rows if k % 5 != 0)
+    assert sorted(r.k for r in t.read().collect()) == want
+    # exact delete images on the feed
+    assert sorted(
+        (r.k, r._change_type)
+        for r in t.table_changes(2, 3, change_feed=True).collect()
+    ) == [(k, "delete") for k, _ in rows if k % 5 == 0]
+    # stacked second DV on the same entries
+    t.delete("v = 'z'", mode="merge-on-read")                    # v4
+    want2 = sorted(k for k, vv in rows if k % 5 != 0 and vv != "z")
+    assert sorted(r.k for r in t.read().collect()) == want2
+    # time travel applies each version's own DV set
+    assert sorted(r.k for r in t.read(3).collect()) == want
+    assert sorted(r.k for r in t.read(1).collect()) == sorted(
+        k for k, _ in rows
+    )
+    # no-match: nothing commits, no orphan sidecar accumulates a map
+    v_before = t.latest_version()
+    assert t.delete("k = 999", mode="merge-on-read") == v_before
+    assert t.latest_version() == v_before
+    # file-level export refuses while DVs are live
+    with pytest.raises(ValueError, match="deletion vectors"):
+        t.committed_files()
+    with pytest.raises(ValueError, match="deletion vectors"):
+        t.export_symlink_manifest(str(tmp_path / "x"))
+    # compact materializes suppressions away (dataChange=false)
+    t.compact()
+    mc = t._manifest(t.latest_version())
+    assert not mc.get("dv")
+    assert sorted(r.k for r in t.read().collect()) == want2
+    assert len(t.committed_files()) > 0
+    # vacuum sweeps the now-unreferenced sidecars
+    swept = t.vacuum(retain_versions=1, min_age_seconds=0.0)
+    assert any(s.startswith("_deletion_vectors/") for s in swept)
+    assert not os.path.exists(t.dv_dir) or os.listdir(t.dv_dir) == []
+
+
+def test_deletion_vector_update_and_merge(spark, tmp_path):
+    """Merge-on-read UPDATE and MERGE: matched rows suppress via DV,
+    the effect appends as a new entry — semantics identical to
+    copy-on-write (images included), dirs only ever GROW."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(10)], "k INT, x INT"
+        ),
+        stats_cols=["k"],
+    )
+    t.enable_change_data_feed()
+    v = t.update("k >= 7", {"x": "x + 1"}, mode="merge-on-read")
+    assert sorted((r.k, r.x) for r in t.read().collect()) == [
+        (i, i * 10 + (1 if i >= 7 else 0)) for i in range(10)
+    ]
+    assert sorted(
+        (r.k, r.x, r._change_type)
+        for r in t.table_changes(v - 1, v, change_feed=True).collect()
+    ) == [
+        (7, 70, "update_preimage"), (7, 71, "update_postimage"),
+        (8, 80, "update_preimage"), (8, 81, "update_postimage"),
+        (9, 90, "update_preimage"), (9, 91, "update_postimage"),
+    ]
+    # MOR merge: upsert + insert in one commit, dirs grow by one
+    n_dirs = len(t._manifest(v)["dirs"])
+    v2 = t.merge(
+        spark.createDataFrame([(1, 999), (100, 5)], "k INT, x INT"),
+        ["k"],
+        mode="merge-on-read",
+    )
+    m2 = t._manifest(v2)
+    assert len(m2["dirs"]) == n_dirs + 1
+    got = {r.k: r.x for r in t.read().collect()}
+    assert got[1] == 999 and got[100] == 5 and len(got) == 11
+    assert sorted(
+        (r.k, r.x, r._change_type)
+        for r in t.table_changes(v2 - 1, v2, change_feed=True).collect()
+    ) == [
+        (1, 10, "update_preimage"),
+        (1, 999, "update_postimage"),
+        (100, 5, "insert"),
+    ]
+    # delete-mode and delete_where (APPLY CHANGES) both work MOR
+    t.merge(
+        spark.createDataFrame([(2, 0), (200, 7)], "k INT, x INT"),
+        ["k"],
+        when_matched="delete",
+        mode="merge-on-read",
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(3, 0, "del"), (4, 444, "up"), (300, 3, "up")],
+            "k INT, x INT, op STRING",
+        ),
+        ["k"],
+        delete_where="op = 'del'",
+        mode="merge-on-read",
+    )
+    got = {r.k: r.x for r in t.read().collect()}
+    assert 2 not in got and 3 not in got
+    assert got[200] == 7 and got[4] == 444 and got[300] == 3
+    # range skipping still correct after MOR commits
+    assert sorted(
+        r.k for r in t.read(where=("k", 100, 300)).collect()
+    ) == [100, 200, 300]
+    # a later COPY-ON-WRITE rewrite must not resurrect suppressed rows
+    t.merge(spark.createDataFrame([(5, 555)], "k INT, x INT"), ["k"])
+    got = {r.k: r.x for r in t.read().collect()}
+    assert got[5] == 555 and 2 not in got and 3 not in got
+    # restore to a DV'd version brings its suppressions back
+    t.restore(v2)
+    got = {r.k: r.x for r in t.read().collect()}
+    assert got[1] == 999 and got[100] == 5 and len(got) == 11

@@ -708,3 +708,39 @@ def test_cdf_stream_stale_image_guard(spark, tmp_path):
     )
     with pytest.raises(RuntimeError, match="rename/drop postdates"):
         r.partitions({"version": 1}, {"version": 5})
+
+
+def test_cdf_stream_dv_snapshot_delivery(spark, tmp_path):
+    """A full-snapshot delivery (failOnDataLoss=false gap recovery)
+    over a table with live DELETION VECTORS must not deliver the
+    suppressed rows: the planner attaches each entry's DV sidecars and
+    the reader masks the recorded positions (the batch read()'s
+    anti-join, done with pyarrow)."""
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    for i in range(10):                              # v0..v9 appends
+        t.append(
+            spark.createDataFrame(
+                [(i * 10 + j,) for j in range(3)], "id INT"
+            )
+        )
+    t.delete("id % 10 = 1", mode="merge-on-read")    # v10: DV over all
+    for i in (90, 91):                               # v11, v12 appends
+        t.append(spark.createDataFrame([(1000 + i,)], "id INT"))
+    # drop the log below the v10 checkpoint: offset 3 becomes a gap
+    t.vacuum(retain_versions=3, min_age_seconds=0.0)
+
+    r = SnapshotChangesReader(
+        {"path": root, "failondataloss": "false"}, [("id", "integer")]
+    )
+    parts = r.partitions({"version": 3}, {"version": 12})
+    assert any(p.dv_paths for p in parts)  # snapshot legs carry DVs
+    got = []
+    for p in parts:
+        for batch in r.read(p):
+            got.extend(batch.column("id").to_pylist())
+    want = sorted(
+        [i * 10 + j for i in range(10) for j in range(3) if j != 1]
+        + [1090, 1091]
+    )
+    assert sorted(got) == want  # suppressed positions never delivered
