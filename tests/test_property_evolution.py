@@ -140,7 +140,9 @@ def test_evolution_sequences_match_eager_oracle(spark, seq):
             name = f"c{m.fresh}"
             m.fresh += 1
             t.alter_add_column(name, dtype, default=dflt)
-            m.cols.append([name, dtype, dflt])
+            # model keeps the partition column last; read() appends
+            # it after the (now-grown) data columns
+            m.cols.insert(len(m.cols) - 1, [name, dtype, dflt])
             for r in m.rows:
                 r[name] = dflt
             m.snap()
@@ -179,4 +181,237 @@ def test_evolution_sequences_match_eager_oracle(spark, seq):
             m.snap()
         else:
             continue
+        _check(t, m)
+
+
+# ---------------------------------------------------------------------
+# Round-13 (verdict #4): the DML × evolution × governance composition
+# fuzz. The alphabet grows from the four ALTER verbs to the whole
+# subsystem surface — copy-on-write AND merge-on-read DELETE/UPDATE
+# (deletion vectors), partition-scoped DML (partition-granular
+# entries), CHECK constraints (satisfied, violating-append abort,
+# drop), the change-data-feed property toggle (image recording rides
+# every DML while on), compaction (materializes DVs, prunes evolution
+# records), and RESTORE across all of it. The Python oracle stays an
+# eagerly-materialized rows+schema model; read() must equal it after
+# EVERY op, so any cross-subsystem interaction that corrupts the
+# snapshot (a DV applied to the wrong file, a constraint abort leaking
+# a half-commit, a compact resurrecting suppressed rows) shows up as a
+# row diff with the shrunken sequence printed by hypothesis.
+
+DML_OP = st.tuples(
+    st.integers(0, 11), st.integers(0, 7), st.integers(0, 7)
+)
+DML_SEQ = st.lists(DML_OP, min_size=4, max_size=8)
+
+
+def _append_p(spark, t, m, seed, omit_idx=None):
+    """Append with the partition column always present (model keeps it
+    LAST — Spark appends path-derived partition columns after the data
+    columns on read)."""
+    cols = [c for i, c in enumerate(m.cols) if i != omit_idx]
+    ddl = ", ".join(f"`{n}` {d}" for n, d, _df_ in cols)
+    vals = []
+    for k in range(1 + seed % 2):
+        row = []
+        for i, (nm, d, _f) in enumerate(cols):
+            if nm == "p":
+                row.append("x" if (seed + k) % 2 else "y")
+            else:
+                row.append(_value(d, seed + k, i))
+        vals.append(tuple(row))
+    t.append(spark.createDataFrame(vals, ddl))
+    for tup in vals:
+        row = {n: v for (n, _d, _f), v in zip(cols, tup)}
+        if omit_idx is not None:
+            name, _dtype, dflt = m.cols[omit_idx]
+            row[name] = dflt
+        m.rows.append(row)
+    m.snap()
+
+
+@settings(
+    max_examples=100,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+@given(seq=DML_SEQ)
+def test_dml_evolution_sequences_match_eager_oracle(spark, seq):
+    import pytest
+
+    from scalable_etl_spark.acid import ConstraintViolation
+
+    root = tempfile.mkdtemp(prefix="dmlfuzz_") + "/t"
+    t = SnapshotTable(spark, root)
+    m = _Model()
+    m.cons: dict = {}  # col name -> constraint name
+    m.cdf = False
+    # genesis: PARTITIONED by p (kept LAST in the model — read()
+    # appends path-derived partition columns after the data columns),
+    # plus an int and a string column
+    m.cols = [["k", "int", None], ["s", "string", None],
+              ["p", "string", None]]
+    ddl = "`k` int, `s` string, `p` string"
+    t.overwrite(
+        spark.createDataFrame(
+            [(3, "s3", "x"), (4, "s4", "y"), (9, "s9", "x")], ddl
+        ),
+        partition_cols=["p"],
+    )
+    m.rows = [
+        {"p": "x", "k": 3, "s": "s3"},
+        {"p": "y", "k": 4, "s": "s4"},
+        {"p": "x", "k": 9, "s": "s9"},
+    ]
+    m.snap()
+    _check(t, m)
+
+    def int_cols():
+        return [
+            i for i, (n, d, _f) in enumerate(m.cols)
+            if d in ("int", "bigint") and n != "p"
+        ]
+
+    def alterable():  # non-partition column indexes
+        return [i for i, (n, _d, _f) in enumerate(m.cols) if n != "p"]
+
+    for op, a, b in seq:
+        n = len(m.cols)
+        if op == 0:  # full append
+            _append_p(spark, t, m, a + b)
+        elif op == 1 and n >= 3:  # append omitting a non-partition col
+            # (>= 2 data cols: a frame of ONLY the partition column
+            # is unwritable — ALL_PARTITION_COLUMNS_NOT_ALLOWED)
+            alt = alterable()
+            _append_p(spark, t, m, a, omit_idx=alt[b % len(alt)])
+        elif op == 2:  # add column (defaulted when b is odd)
+            dtype = DTYPES[a % len(DTYPES)]
+            dflt = _default(dtype, b) if b % 2 else None
+            name = f"c{m.fresh}"
+            m.fresh += 1
+            t.alter_add_column(name, dtype, default=dflt)
+            # model keeps the partition column last; read() appends
+            # it after the (now-grown) data columns
+            m.cols.insert(len(m.cols) - 1, [name, dtype, dflt])
+            for r in m.rows:
+                r[name] = dflt
+            m.snap()
+        elif op == 3 and n >= 2:  # rename a non-partition, unconstrained col
+            i = alterable()[a % (n - 1)]
+            old = m.cols[i][0]
+            if old in m.cons:
+                continue
+            new = f"r{m.fresh}"
+            m.fresh += 1
+            t.alter_rename_column(old, new)
+            m.cols[i][0] = new
+            for r in m.rows:
+                r[new] = r.pop(old, None)
+            m.snap()
+        elif op == 4 and n >= 3:  # drop a non-partition, unconstrained col
+            i = alterable()[a % (n - 1)]
+            name = m.cols[i][0]
+            if name in m.cons:
+                continue
+            t.alter_drop_column(name)
+            del m.cols[i]
+            for r in m.rows:
+                r.pop(name, None)
+            m.snap()
+        elif op == 5:  # DELETE, both modes; sometimes partition-scoped
+            mode = "merge-on-read" if b % 2 else "copy-on-write"
+            v0 = t.latest_version()
+            if a % 3 == 0:
+                # partition-scoped: prune on the partition column
+                val = "x" if b % 4 < 2 else "y"
+                t.delete(f"`p` = '{val}'", prune=("p", val, val),
+                         mode=mode)
+                m.rows = [r for r in m.rows if r["p"] != val]
+            else:
+                ics = int_cols()
+                if not ics:
+                    continue
+                name = m.cols[ics[0]][0]
+                rem = a % 5
+                t.delete(f"`{name}` % 5 = {rem}", mode=mode)
+                m.rows = [
+                    r for r in m.rows
+                    if r[name] is None or r[name] % 5 != rem
+                ]
+            if t.latest_version() > v0:  # no-match commits nothing
+                m.snap()
+        elif op == 6:  # UPDATE an int col (+1 where matched), both modes
+            ics = int_cols()
+            if not ics:
+                continue
+            name = m.cols[ics[-1]][0]
+            rem = a % 5
+            mode = "merge-on-read" if b % 2 else "copy-on-write"
+            v0 = t.latest_version()
+            t.update(
+                f"`{name}` % 5 = {rem}",
+                {name: f"`{name}` + 1"},
+                mode=mode,
+            )
+            for r in m.rows:
+                if r[name] is not None and r[name] % 5 == rem:
+                    r[name] = r[name] + 1
+            if t.latest_version() > v0:  # no-match commits nothing
+                m.snap()
+        elif op == 7:  # toggle the change-data feed (governance prop)
+            if m.cdf:
+                t.unset_property("enableChangeDataFeed")
+            else:
+                t.enable_change_data_feed()
+            m.cdf = not m.cdf
+            m.snap()
+        elif op == 8:  # add a CHECK constraint on an int col
+            ics = [
+                i for i in int_cols()
+                if m.cols[i][1] == "int"
+                and m.cols[i][0] not in m.cons
+            ]
+            if not ics:
+                continue
+            name = m.cols[ics[a % len(ics)]][0]
+            cname = f"chk{m.fresh}"
+            m.fresh += 1
+            # int values stay < 100 by construction (gen < 50, +1 per
+            # update, <= 8 ops)
+            t.add_constraint(cname, f"`{name}` < 100")
+            m.cons[name] = cname
+            m.snap()
+        elif op == 9 and m.cons:  # violating append ABORTS cleanly
+            name = sorted(m.cons)[a % len(m.cons)]
+            ddl = ", ".join(
+                f"`{nm}` {d}" for nm, d, _f in m.cols
+            )
+            bad = tuple(
+                ("x" if nm == "p" else
+                 200 if nm == name else _value(d, a, i))
+                for i, (nm, d, _f) in enumerate(m.cols)
+            )
+            with pytest.raises(ConstraintViolation):
+                t.append(spark.createDataFrame([bad], ddl))
+            # aborted commit: no version, no snapshot
+        elif op == 10:  # compact (materializes DVs, prunes evolution)
+            t.compact()
+            m.snap()
+        elif op == 11:  # restore (constraints dropped first: a
+            # restore refuses when active constraints predate the
+            # target snapshot's schema)
+            for name, cname in sorted(m.cons.items()):
+                t.drop_constraint(cname)
+                m.snap()
+            m.cons = {}
+            v = a % len(m.snapshots)
+            t.restore(v)
+            cols, rows = m.snapshots[v]
+            m.cols = [list(c) for c in cols]
+            m.rows = [dict(r) for r in rows]
+            m.snap()
+        else:
+            continue
+        assert t.latest_version() == len(m.snapshots) - 1
         _check(t, m)
