@@ -187,6 +187,16 @@ def cmd_table(spark: SparkSession, args: argparse.Namespace) -> dict:
             retain_versions=args.retain, min_age_seconds=args.min_age
         )
         return {"removed_dirs": len(removed)}
+    if args.action == "delete":
+        if not args.predicate:
+            raise SystemExit("delete needs --predicate")
+        v0 = t.latest_version()
+        v = t.delete(args.predicate, mode=args.mode)
+        return {
+            "deleted": v > (v0 if v0 is not None else -1),
+            "mode": args.mode,
+            "committed_version": v,
+        }
     if args.action == "add-column":
         if not args.column or not args.type:
             raise SystemExit("add-column needs --column and --type")
@@ -293,14 +303,16 @@ def main(argv: list[str] | None = None) -> int:
         "add-column / rename-column / drop-column / widen-column / "
         "add-constraint / drop-constraint / set-property / "
         "unset-property (enableChangeDataFeed=true turns on CDC "
-        "row-image recording for MERGE/DELETE/UPDATE)",
+        "row-image recording for MERGE/DELETE/UPDATE) / delete "
+        "(--mode merge-on-read = deletion vectors)",
     )
     tb.add_argument("action",
                     choices=["history", "restore", "compact", "vacuum",
                              "add-column", "rename-column",
                              "drop-column", "widen-column",
                              "add-constraint", "drop-constraint",
-                             "set-property", "unset-property"])
+                             "set-property", "unset-property",
+                             "delete"])
     tb.add_argument("--root", required=True)
     tb.add_argument("--version", type=int, default=None,
                     help="target version for restore")
@@ -332,6 +344,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="constraint name for add/drop-constraint")
     tb.add_argument("--expr", default="",
                     help="SQL boolean expression for add-constraint")
+    tb.add_argument("--predicate", default="",
+                    help="SQL boolean predicate for delete (rows where "
+                    "TRUE are removed)")
+    tb.add_argument("--mode", default="copy-on-write",
+                    choices=["copy-on-write", "merge-on-read"],
+                    help="delete mode: merge-on-read records a "
+                    "deletion-vector sidecar instead of rewriting "
+                    "dirs (compact materializes it away)")
     tb.add_argument("--value", default=None,
                     help="property value for set-property (--name is "
                     "the key; e.g. --name enableChangeDataFeed "

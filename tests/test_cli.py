@@ -224,3 +224,25 @@ def test_table_property_cli(spark, tmp_path, capsys):
                "--name", "enableChangeDataFeed")
     assert out["unset_property"] == "enableChangeDataFeed"
     assert t.properties() == {}
+
+
+def test_table_delete_cli(spark, tmp_path, capsys):
+    """`table delete` drives both DML modes: merge-on-read records a
+    deletion vector (dirs untouched), copy-on-write rewrites; a
+    no-match delete reports deleted=False without committing."""
+    from scalable_etl_spark.acid import SnapshotTable
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    t.append(spark.createDataFrame([(i,) for i in range(10)], "k INT"))
+    out = _run(capsys, "table", "delete", "--root", root,
+               "--predicate", "k % 3 = 0", "--mode", "merge-on-read")
+    assert out["deleted"] is True and out["mode"] == "merge-on-read"
+    assert t._manifest(out["committed_version"]).get("dv")
+    assert t.read().count() == 6
+    out = _run(capsys, "table", "delete", "--root", root,
+               "--predicate", "k = 999")
+    assert out["deleted"] is False
+    out = _run(capsys, "table", "delete", "--root", root,
+               "--predicate", "k = 1")
+    assert out["deleted"] is True and t.read().count() == 5
