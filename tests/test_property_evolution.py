@@ -140,9 +140,7 @@ def test_evolution_sequences_match_eager_oracle(spark, seq):
             name = f"c{m.fresh}"
             m.fresh += 1
             t.alter_add_column(name, dtype, default=dflt)
-            # model keeps the partition column last; read() appends
-            # it after the (now-grown) data columns
-            m.cols.insert(len(m.cols) - 1, [name, dtype, dflt])
+            m.cols.append([name, dtype, dflt])
             for r in m.rows:
                 r[name] = dflt
             m.snap()
