@@ -986,7 +986,7 @@ class SnapshotTable:
         parts = []
         dv_parts: list[tuple[DataFrame, str]] = []
         dv_prefix = (
-            self._dv_scan_prefix(m)
+            self._dv_scan_prefix(m, required=True)
             if any(dvm.get(d) for d in dirs)
             else None
         )
@@ -1048,7 +1048,7 @@ class SnapshotTable:
                 # merge-on-read suppression: tag with (file, pos) at
                 # the scan (before evolution transforms), anti-join
                 # this entry's deletion vectors away below
-                scan = self._with_dv_meta(scan, dv_prefix)
+                scan = self._with_dv_meta(scan)
                 dv_parts.append(
                     (self._apply_evolution(scan, evo_ctx, d), d)
                 )
@@ -1388,7 +1388,13 @@ class SnapshotTable:
                     # for commits without explicit _change_data):
                     # overwrite / restore replace the dir SET — rows
                     # of removed dirs are deletes, rows of added dirs
-                    # are inserts, shared dirs delivered nothing.
+                    # are inserts, shared dirs delivered nothing. A
+                    # shared dir whose DELETION-VECTOR list changed
+                    # (a restore undoing or reinstating merge-on-read
+                    # suppressions) joins BOTH legs: its previously
+                    # visible rows delete, its now-visible rows insert
+                    # — Delta's file-level add/remove derives the same
+                    # (a DV change re-adds the file).
                     m_prev = self._manifest(v - 1)
                     for leg_m in (m_prev, m):
                         names = {
@@ -1409,8 +1415,20 @@ class SnapshotTable:
                                 "range at the ALTER commit"
                             )
                     new_set = set(m["dirs"])
-                    removed = [d for d in m_prev["dirs"] if d not in new_set]
-                    added = [d for d in m["dirs"] if d not in prev]
+                    dv_prev = m_prev.get("dv", {})
+                    dv_new = m.get("dv", {})
+                    removed = [
+                        d
+                        for d in m_prev["dirs"]
+                        if d not in new_set
+                        or dv_prev.get(d) != dv_new.get(d)
+                    ]
+                    added = [
+                        d
+                        for d in m["dirs"]
+                        if d not in prev
+                        or dv_prev.get(d) != dv_new.get(d)
+                    ]
                     if removed:
                         frames.append(
                             _tag_meta(
@@ -3088,86 +3106,109 @@ class SnapshotTable:
         keep = set(entries)
         return {e: u for e, u in dv.items() if e in keep}
 
-    def _dv_scan_prefix(self, m: dict):
+    def _dv_scan_prefix(self, m: dict, required: bool = False):
         """The constant prefix Spark's ``_metadata.file_path`` puts
         before the data_dir-relative portion (scheme + qualified
         data_dir + '/'), probed ONCE per table instance from a real
         file and memoized. With it, the DV suppression join keys on
         the RAW file_path attribute — zero per-row string work on the
         scan side (measured 2.3x cheaper than a per-row substr at
-        600k rows); the tiny broadcast side reconstructs absolute
-        paths from the stored relative ones instead. None (fallback:
-        the per-row relative-path spelling) when no file exists to
-        probe or the rendering doesn't literally contain data_dir
-        (e.g. URL-encoded special characters)."""
-        got = getattr(self, "_dv_prefix_memo", False)
-        if got is not False:
-            return got
-        import pyarrow.parquet as pq
+        600k rows); the tiny broadcast side reconstructs scan-space
+        paths from the stored ones instead.
 
-        prefix = None
-        marker = self.data_dir.rstrip("/") + "/"
-        hit = None
-        for d in m["dirs"]:
-            for walk_root, _sub, files in os.walk(
-                os.path.join(self.data_dir, d)
-            ):
-                for fn in sorted(files):
-                    if not fn.endswith(".parquet"):
-                        continue
-                    path = os.path.join(walk_root, fn)
-                    # empty part files (small createDataFrame batches
-                    # under many cores) have no row to probe
-                    if pq.read_metadata(path).num_rows > 0:
-                        hit = path
+        Sidecars store the tag MINUS this prefix — the RENDERING-space
+        relative path. For plain paths that IS the on-disk relative
+        path; hive-escaped partition values render URL-encoded
+        ('p=a%3Ab' on disk -> 'p=a%253Ab' in file_path), which stays
+        self-consistent for the suppression join (both sides live in
+        rendering space) and decodes back to the disk path with ONE
+        urllib unquote (``_dv_disk_rel``) for entry mapping and the
+        streaming reader's disk-path match. A data_dir whose OWN
+        rendering is encoded is found via the encoded marker; a
+        rendering this probe cannot bind at all returns None —
+        ``required=True`` (every merge-on-read writer and DV-applied
+        read) then raises instead of mis-binding positions. "" is the
+        no-rows sentinel: nothing to probe because no file holds a
+        row, so no DV op can match anything either."""
+        got = getattr(self, "_dv_prefix_memo", False)
+        if got is False:
+            import pyarrow.parquet as pq
+
+            prefix = ""
+            marker = self.data_dir.rstrip("/") + "/"
+            hit = None
+            for d in m["dirs"]:
+                for walk_root, _sub, files in os.walk(
+                    os.path.join(self.data_dir, d)
+                ):
+                    for fn in sorted(files):
+                        if not fn.endswith(".parquet"):
+                            continue
+                        path = os.path.join(walk_root, fn)
+                        # empty part files (small createDataFrame
+                        # batches under many cores) have no row
+                        if pq.read_metadata(path).num_rows > 0:
+                            hit = path
+                            break
+                    if hit:
                         break
                 if hit:
                     break
-            if hit:
-                break
-        if hit is not None:
-            row = (
-                self.spark.read.parquet(hit)
-                .select(F.col("_metadata.file_path"))
-                .first()
-            )
-            if row is not None:
-                i = row[0].find(marker)
-                if i >= 0:
-                    prefix = row[0][: i + len(marker)]
-        self._dv_prefix_memo = prefix
-        return prefix
+            if hit is not None:
+                prefix = None
+                row = (
+                    self.spark.read.parquet(hit)
+                    .select(F.col("_metadata.file_path"))
+                    .first()
+                )
+                if row is not None:
+                    from urllib.parse import quote
 
-    def _with_dv_meta(self, scan: DataFrame, prefix=None) -> DataFrame:
-        """Tag a parquet scan with ``(_DV_FILE, _DV_POS)`` — the file
-        path and within-file row position. With ``prefix`` known
-        (``_dv_scan_prefix``), the tag is the RAW file_path attribute
-        (free); otherwise the data_dir-relative substring (per-row
-        work, the portable fallback). Sidecars always STORE relative
-        paths — tables stay relocatable (the prefix is re-probed at
-        the new location); `_metadata` must be selected on the raw
-        scan, before evolution transforms."""
-        fp = F.col("_metadata.file_path")
-        if prefix is None:
-            marker = self.data_dir.rstrip("/") + "/"
-            fp = fp.substr(
-                F.locate(marker, fp) + F.lit(len(marker)), F.length(fp)
+                    for mk in (marker, quote(marker)):
+                        i = row[0].find(mk)
+                        if i >= 0:
+                            prefix = row[0][: i + len(mk)]
+                            break
+                # only a definitive probe memoizes: a row-less table
+                # may gain rows (and its real prefix) later
+                self._dv_prefix_memo = prefix
+            got = prefix
+        if got is None and required:
+            raise ValueError(
+                "deletion vectors cannot bind to this table's "
+                "file-path rendering (the data_dir does not appear "
+                "literally or URL-encoded in _metadata.file_path); "
+                "use copy-on-write DML here"
             )
+        return got
+
+    def _with_dv_meta(self, scan: DataFrame) -> DataFrame:
+        """Tag a parquet scan with ``(_DV_FILE, _DV_POS)`` — the RAW
+        ``_metadata.file_path`` rendering and within-file row
+        position. Must be selected on the raw scan, before evolution
+        transforms; costs nothing per row (plain attribute)."""
         return scan.select(
             "*",
-            fp.alias(_DV_FILE),
+            F.col("_metadata.file_path").alias(_DV_FILE),
             F.col("_metadata.row_index").alias(_DV_POS),
         )
 
-    def _dv_rel_file(self, prefix) -> "F.Column":
-        """data_dir-relative spelling of the ``_DV_FILE`` tag — what
-        sidecars store. Fixed-offset strip when the tag is absolute;
-        identity when it is already relative."""
-        if prefix is None:
-            return F.col(_DV_FILE)
+    def _dv_rel_file(self, prefix: str) -> "F.Column":
+        """Rendering-space relative spelling of the ``_DV_FILE`` tag —
+        what sidecars store (fixed-offset prefix strip)."""
         return F.col(_DV_FILE).substr(
             F.lit(len(prefix) + 1), F.length(F.col(_DV_FILE))
         )
+
+    @staticmethod
+    def _dv_disk_rel(stored: str) -> str:
+        """On-disk data_dir-relative path of a stored sidecar value:
+        rendering space decodes with exactly one unquote (a literal
+        '%' on disk always renders '%25', so plain paths are fixed
+        points and hive-escaped ones decode once)."""
+        from urllib.parse import unquote
+
+        return unquote(stored)
 
     def _dv_frame(self, uuids) -> DataFrame:
         """All suppressed (file, pos) rows of the given DV dirs."""
@@ -3201,15 +3242,50 @@ class SnapshotTable:
         return df if keep_meta else df.drop(_DV_FILE, _DV_POS)
 
     def _entry_of_file(self, dirs, rel_file: str) -> str:
-        """Manifest entry owning a data_dir-relative file path
-        (longest-prefix match: partition-granular entries are more
-        specific than their bare-uuid commit root)."""
+        """Manifest entry owning an ON-DISK data_dir-relative file
+        path (longest-prefix match: partition-granular entries are
+        more specific than their bare-uuid commit root)."""
         for e in sorted(dirs, key=len, reverse=True):
             if rel_file.startswith(e + "/"):
                 return e
         raise ValueError(
             f"no manifest entry owns DV file {rel_file!r}"
         )
+
+    def _dv_sidecar(self, meta_frame: DataFrame, m: dict, prefix: str):
+        """Write ONE deletion-vector sidecar from a meta-tagged frame
+        of matched rows (the shared write/readback/cleanup/entry-map
+        block behind all three merge-on-read verbs). Returns
+        ``(dv_id, affected_entries)``; ``(None, set())`` when nothing
+        matched — the empty sidecar is removed so no-op DML leaves no
+        litter."""
+        import shutil
+
+        dv_id = uuid.uuid4().hex
+        meta_frame.select(
+            self._dv_rel_file(prefix).alias("file"),
+            F.col(_DV_POS).alias("pos"),
+        ).write.mode("errorifexists").parquet(
+            os.path.join(self.dv_dir, dv_id)
+        )
+        # touched files, read back from the tiny sidecar (no second
+        # evaluation of the matched plan)
+        touched = [
+            r["file"]
+            for r in self._dv_frame([dv_id])
+            .select("file")
+            .distinct()
+            .collect()
+        ]
+        if not touched:
+            shutil.rmtree(
+                os.path.join(self.dv_dir, dv_id), ignore_errors=True
+            )
+            return None, set()
+        return dv_id, {
+            self._entry_of_file(m["dirs"], self._dv_disk_rel(f))
+            for f in touched
+        }
 
     def _validate_constraints(
         self, df: DataFrame, cons: dict[str, str], context: str
@@ -3837,38 +3913,19 @@ class SnapshotTable:
                         df_.unpersist()
                     raise
             dv_id = None
-            touched: list[str] = []
+            affected: set = set()
             try:
                 if mor and v is not None:
                     # suppressed positions: every (DV-applied) target
-                    # row whose key the batch carries
+                    # row whose key the batch carries. A pure-insert
+                    # batch matches nothing -> no sidecar.
                     matched_meta = target_read.join(
                         batch.select(*keys), keys, "left_semi"
                     )
-                    dv_id = uuid.uuid4().hex
-                    matched_meta.select(
-                        self._dv_rel_file(
-                            self._dv_scan_prefix(m)
-                        ).alias("file"),
-                        F.col(_DV_POS).alias("pos"),
-                    ).write.mode("errorifexists").parquet(
-                        os.path.join(self.dv_dir, dv_id)
+                    dv_id, affected = self._dv_sidecar(
+                        matched_meta, m,
+                        self._dv_scan_prefix(m, required=True),
                     )
-                    touched = [
-                        r["file"]
-                        for r in self._dv_frame([dv_id])
-                        .select("file")
-                        .distinct()
-                        .collect()
-                    ]
-                    if not touched:
-                        import shutil
-
-                        shutil.rmtree(
-                            os.path.join(self.dv_dir, dv_id),
-                            ignore_errors=True,
-                        )
-                        dv_id = None  # pure-insert batch: no DV
                 new_entries = self._write_data_entries(merged, pcols)
                 if v is not None:
                     self._enforce_constraints(
@@ -3894,10 +3951,7 @@ class SnapshotTable:
             if mor and v is not None:
                 dv = self._dv_of(v)
                 if dv_id is not None:
-                    for e in {
-                        self._entry_of_file(m["dirs"], f)
-                        for f in touched
-                    }:
+                    for e in affected:
                         dv[e] = [*dv.get(e, []), dv_id]
                 dirs_out = [*m["dirs"], *new_entries]
             else:
@@ -4009,8 +4063,8 @@ class SnapshotTable:
         parts = []
         dv_parts: list[tuple[DataFrame, str]] = []
         dv_prefix = (
-            self._dv_scan_prefix(m)
-            if (keep_dv_meta or any(dvm.get(d) for d in dirs))
+            self._dv_scan_prefix(m, required=True)
+            if any(dvm.get(d) for d in dirs)
             else None
         )
         for d in dirs:
@@ -4025,7 +4079,7 @@ class SnapshotTable:
                 .parquet(os.path.join(self.data_dir, d))
             )
             if keep_dv_meta or dvm.get(d):
-                scan = self._with_dv_meta(scan, dv_prefix)
+                scan = self._with_dv_meta(scan)
                 dv_parts.append(
                     (self._apply_evolution(scan, evo_ctx, d), d)
                 )
@@ -4232,6 +4286,9 @@ class SnapshotTable:
                     f"no committed version at {self.root}"
                 )
             m = self._manifest(v)
+            prefix = self._dv_scan_prefix(m, required=True)
+            if prefix == "":
+                return v  # no file holds a row: nothing can match
             _, candidates = self._prune_candidates(m, prune)
             if not candidates:
                 return v  # stats prove nothing can match
@@ -4243,31 +4300,8 @@ class SnapshotTable:
             cdf_on = self._cdf_enabled(v)
             matched = matched.persist()
             try:
-                dv_id = uuid.uuid4().hex
-                matched.select(
-                    self._dv_rel_file(
-                        self._dv_scan_prefix(m)
-                    ).alias("file"),
-                    F.col(_DV_POS).alias("pos"),
-                ).write.mode("errorifexists").parquet(
-                    os.path.join(self.dv_dir, dv_id)
-                )
-                # touched files, read back from the tiny sidecar (no
-                # second evaluation of the matched plan)
-                touched = [
-                    r["file"]
-                    for r in self._dv_frame([dv_id])
-                    .select("file")
-                    .distinct()
-                    .collect()
-                ]
-                if not touched:
-                    import shutil
-
-                    shutil.rmtree(
-                        os.path.join(self.dv_dir, dv_id),
-                        ignore_errors=True,
-                    )
+                dv_id, affected = self._dv_sidecar(matched, m, prefix)
+                if dv_id is None:
                     return v  # no matching rows: commit nothing
                 change_rec = None
                 if cdf_on:
@@ -4279,9 +4313,7 @@ class SnapshotTable:
             finally:
                 matched.unpersist()
             dv = self._dv_of(v)
-            for e in {
-                self._entry_of_file(m["dirs"], f) for f in touched
-            }:
+            for e in affected:
                 dv[e] = [*dv.get(e, []), dv_id]
             manifest = {
                 "op": "delete",
@@ -4317,6 +4349,9 @@ class SnapshotTable:
                     f"no committed version at {self.root}"
                 )
             m = self._manifest(v)
+            prefix = self._dv_scan_prefix(m, required=True)
+            if prefix == "":
+                return v  # no file holds a row: nothing can match
             _, candidates = self._prune_candidates(m, prune)
             if not candidates:
                 return v
@@ -4324,29 +4359,8 @@ class SnapshotTable:
             matched = target.filter(match_true).persist()
             cdf_on = self._cdf_enabled(v)
             try:
-                dv_id = uuid.uuid4().hex
-                matched.select(
-                    self._dv_rel_file(
-                        self._dv_scan_prefix(m)
-                    ).alias("file"),
-                    F.col(_DV_POS).alias("pos"),
-                ).write.mode("errorifexists").parquet(
-                    os.path.join(self.dv_dir, dv_id)
-                )
-                touched = [
-                    r["file"]
-                    for r in self._dv_frame([dv_id])
-                    .select("file")
-                    .distinct()
-                    .collect()
-                ]
-                if not touched:
-                    import shutil
-
-                    shutil.rmtree(
-                        os.path.join(self.dv_dir, dv_id),
-                        ignore_errors=True,
-                    )
+                dv_id, affected = self._dv_sidecar(matched, m, prefix)
+                if dv_id is None:
                     return v  # no matching rows: commit nothing
                 pre = matched.drop(_DV_FILE, _DV_POS)
                 post = apply_updates(pre)
@@ -4367,9 +4381,7 @@ class SnapshotTable:
             finally:
                 matched.unpersist()
             dv = self._dv_of(v)
-            for e in {
-                self._entry_of_file(m["dirs"], f) for f in touched
-            }:
+            for e in affected:
                 dv[e] = [*dv.get(e, []), dv_id]
             # skipping survives: stats on the new entry for every
             # column the candidates had stats on (+ the prune column)

@@ -543,10 +543,26 @@ class SnapshotChangesReader(DataSourceStreamReader):
                                 "the ALTER (sinceVersion)"
                             )
                     new_set = set(m["dirs"])
+                    # a shared dir whose DELETION-VECTOR list changed
+                    # (restore undoing/reinstating merge-on-read
+                    # suppressions) joins BOTH legs — each leg plans
+                    # with ITS manifest's dv sidecars, so the delete
+                    # leg delivers the previously visible rows and
+                    # the insert leg the now-visible ones
+                    dv_prev = m_prev.get("dv", {})
+                    dv_new = m.get("dv", {})
                     removed = [
-                        d for d in m_prev["dirs"] if d not in new_set
+                        d
+                        for d in m_prev["dirs"]
+                        if d not in new_set
+                        or dv_prev.get(d) != dv_new.get(d)
                     ]
-                    added = [d for d in m["dirs"] if d not in prev]
+                    added = [
+                        d
+                        for d in m["dirs"]
+                        if d not in prev
+                        or dv_prev.get(d) != dv_new.get(d)
+                    ]
                     self._plan_dirs(
                         t, m_prev, v, removed,
                         {c for c in m_prev.get("partition_cols", [])},
@@ -758,19 +774,24 @@ class SnapshotChangesReader(DataSourceStreamReader):
         if part.dv_paths:
             # deletion vectors: suppress positions recorded for this
             # file (mirrors the batch read()'s anti-join; positions
-            # index the WHOLE file, which this path reads whole)
+            # index the WHOLE file, which this path reads whole).
+            # Sidecars store rendering-space paths (URL-encoded for
+            # hive-escaped components); part.rel is the ON-DISK
+            # relative path — one unquote aligns them.
+            from urllib.parse import unquote
+
             import numpy as np
-            import pyarrow.compute as pc
 
             pos: set = set()
             for dv_path in part.dv_paths:
                 dv = pq.read_table(dv_path, columns=["file", "pos"])
                 pos.update(
-                    dv.filter(
-                        pc.equal(dv.column("file"), part.rel)
+                    p
+                    for f, p in zip(
+                        dv.column("file").to_pylist(),
+                        dv.column("pos").to_pylist(),
                     )
-                    .column("pos")
-                    .to_pylist()
+                    if unquote(f) == part.rel
                 )
             if pos:
                 keep = ~np.isin(

@@ -3576,3 +3576,90 @@ def test_deletion_vector_update_and_merge(spark, tmp_path):
     t.restore(v2)
     got = {r.k: r.x for r in t.read().collect()}
     assert got[1] == 999 and got[100] == 5 and len(got) == 11
+
+
+def test_change_feed_derived_images_see_dv_changes(spark, tmp_path):
+    """A RESTORE that undoes (or reinstates) merge-on-read
+    suppressions can leave the dir SET unchanged — only the dv maps
+    differ. The derived change images must still deliver the diff
+    (review r13: a dir-set-only diff made the resurrection invisible
+    to every feed consumer)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))                  # v0
+    t.enable_change_data_feed()                                 # v1
+    t.delete("k = 1", mode="merge-on-read")                     # v2
+    t.restore(1)                                                # v3: same dirs, dv gone
+    got = sorted(
+        (r.k, r._change_type)
+        for r in t.table_changes(2, 3, change_feed=True).collect()
+    )
+    # previously visible rows delete, now-visible rows insert: the
+    # k=1 resurrection is observable (k=2 re-delivers both ways)
+    assert got == [(1, "insert"), (2, "delete"), (2, "insert")]
+    # and a keyed replica follows it (per-key reduction: insert wins)
+    from scalable_etl_spark.acid import sync_incremental
+
+    dst = SnapshotTable(spark, str(tmp_path / "d"))
+    sync_incremental(t, dst, sync_id="r", keys=["k"])
+    assert sorted((r.k, r.v) for r in dst.read().collect()) == [
+        (1, "a"), (2, "b")
+    ]
+    # reinstating the suppression (restore to the DV'd version) also
+    # delivers: k=1 deletes again
+    t.restore(2)                                                # v4
+    got = sorted(
+        (r.k, r._change_type)
+        for r in t.table_changes(3, 4, change_feed=True).collect()
+    )
+    assert (1, "delete") in got and (1, "insert") not in got
+    sync_incremental(t, dst, sync_id="r", keys=["k"])
+    assert sorted(r.k for r in dst.read().collect()) == [2]
+
+
+def test_deletion_vectors_hive_escaped_partitions(spark, tmp_path):
+    """Merge-on-read DML on a table whose partition VALUES are
+    hive-escaped on disk ('a:b' -> 'p=a%3Ab') — Spark renders such
+    paths URL-encoded in _metadata.file_path, so the sidecar stores
+    rendering-space paths and decodes once for entry mapping (review
+    r13: the first spelling crashed on 'no manifest entry owns')."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a:b"), (2, "a:b"), (3, "plain")], "k INT, p STRING"
+        ),
+        partition_cols=["p"],
+    )
+    t.enable_change_data_feed()
+    v = t.delete("k = 1", mode="merge-on-read")
+    m = t._manifest(v)
+    assert any("%3A" in e for e in m["dv"]), m["dv"]  # escaped entry mapped
+    assert sorted((r.k, r.p) for r in t.read().collect()) == [
+        (2, "a:b"), (3, "plain")
+    ]
+    assert sorted(
+        (r.k, r._change_type)
+        for r in t.table_changes(v - 1, v, change_feed=True).collect()
+    ) == [(1, "delete")]
+    # copy-on-write rewrite over the DV'd escaped partition keeps it
+    t.update("k = 2", {"k": "20"})
+    assert sorted(r.k for r in t.read().collect()) == [3, 20]
+    t.compact()
+    assert sorted(r.k for r in t.read().collect()) == [3, 20]
+
+
+def test_deletion_vectors_encodable_table_root(spark, tmp_path):
+    """A table ROOT containing a URL-encodable character (space):
+    the file-path rendering encodes the data_dir itself; the prefix
+    probe binds via the encoded marker and merge-on-read stays exact
+    (review r13: the fallback produced garbage relative paths)."""
+    t = SnapshotTable(spark, str(tmp_path / "my tables" / "t"))
+    t.append(_df(spark, [(i, "x") for i in range(10)]))
+    v = t.delete("k % 3 = 0", mode="merge-on-read")
+    assert t._manifest(v).get("dv")
+    assert sorted(r.k for r in t.read().collect()) == [
+        i for i in range(10) if i % 3 != 0
+    ]
+    t.compact()
+    assert sorted(r.k for r in t.read().collect()) == [
+        i for i in range(10) if i % 3 != 0
+    ]
