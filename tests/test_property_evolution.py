@@ -29,6 +29,8 @@ from collections import Counter
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import functions as F
+
 from scalable_etl_spark.acid import SnapshotTable
 
 DTYPES = ("int", "bigint", "double", "string")
@@ -413,3 +415,226 @@ def test_dml_evolution_sequences_match_eager_oracle(spark, seq):
             continue
         assert t.latest_version() == len(m.snapshots) - 1
         _check(t, m)
+
+
+# ---------------------------------------------------------------------
+# Round-13: CDC-replication fuzz. A keyed replica maintained by
+# sync_incremental(keys=...) AFTER EVERY op must equal the source
+# table at every step — this drives the ENTIRE change-feed stack
+# (recorded images for DML in both modes, DERIVED images for restore
+# incl. dv-only diffs, alter replay, compaction invisibility,
+# watermark exactly-once) against the same eager oracle. Restores are
+# restricted to schema-identical snapshots: the keyed feed refuses
+# non-additive schema changes mid-range by contract (split at the
+# ALTER), so the fuzzer must not generate sequences the API defines
+# as errors.
+
+REPL_OP = st.tuples(
+    st.integers(0, 8), st.integers(0, 7), st.integers(0, 7)
+)
+REPL_SEQ = st.lists(REPL_OP, min_size=3, max_size=7)
+
+
+def _append_keyed(spark, t, m, seed):
+    cols = m.cols
+    ddl = ", ".join(f"`{n}` {d}" for n, d, _f in cols)
+    vals = []
+    for k in range(1 + seed % 2):
+        row = []
+        for i, (nm, d, _f) in enumerate(cols):
+            if nm == "id":
+                row.append(m.fresh * 1000 + k)
+            else:
+                row.append(_value(d, seed + k, i))
+        vals.append(tuple(row))
+    m.fresh += 1
+    t.append(spark.createDataFrame(vals, ddl))
+    for tup in vals:
+        m.rows.append({n: v for (n, _d, _f), v in zip(cols, tup)})
+    m.snap()
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+@given(seq=REPL_SEQ)
+def test_cdc_replica_follows_every_op(spark, seq):
+    from collections import Counter
+
+    from scalable_etl_spark.acid import sync_incremental
+
+    root = tempfile.mkdtemp(prefix="replfuzz_")
+    src = SnapshotTable(spark, root + "/s")
+    dst = SnapshotTable(spark, root + "/d")
+    m = _Model()
+    m.cols = [["id", "bigint", None], ["k", "int", None],
+              ["s", "string", None]]
+    src.overwrite(
+        spark.createDataFrame(
+            [(1, 3, "a"), (2, 4, "b"), (3, 9, "c")],
+            "`id` bigint, `k` int, `s` string",
+        )
+    )
+    src.enable_change_data_feed()
+    m.rows = [
+        {"id": 1, "k": 3, "s": "a"},
+        {"id": 2, "k": 4, "s": "b"},
+        {"id": 3, "k": 9, "s": "c"},
+    ]
+    m.fresh = 1
+    m.snap(); m.snap()  # v0 + the property commit
+
+    def int_cols():
+        return [
+            i for i, (n, d, _f) in enumerate(m.cols)
+            if d in ("int", "bigint") and n != "id"
+        ]
+
+    def alterable():
+        return [i for i, (n, _d, _f) in enumerate(m.cols) if n != "id"]
+
+    def check():
+        sync_incremental(src, dst, sync_id="fuzz", keys=["id"])
+        names = m.names()
+        want = Counter(
+            tuple(r.get(n) for n in names) for r in m.rows
+        )
+        for t_, label in ((src, "src"), (dst, "dst")):
+            df = t_.read()
+            got = Counter(
+                tuple(r[n] for n in names) for r in df.collect()
+            )
+            assert got == want, (label, got - want, want - got)
+
+    check()
+    for op, a, b in seq:
+        n = len(m.cols)
+        if op == 0:  # append
+            _append_keyed(spark, src, m, a + b)
+        elif op == 1:  # add column
+            dtype = DTYPES[a % len(DTYPES)]
+            dflt = _default(dtype, b) if b % 2 else None
+            name = f"c{m.fresh}"
+            m.fresh += 1
+            src.alter_add_column(name, dtype, default=dflt)
+            m.cols.append([name, dtype, dflt])
+            for r in m.rows:
+                r[name] = dflt
+            m.snap()
+        elif op == 2:  # rename a non-key column
+            i = alterable()[a % (n - 1)]
+            old = m.cols[i][0]
+            new = f"r{m.fresh}"
+            m.fresh += 1
+            src.alter_rename_column(old, new)
+            m.cols[i][0] = new
+            for r in m.rows:
+                r[new] = r.pop(old, None)
+            m.snap()
+        elif op == 3 and n >= 3:  # drop a non-key column
+            i = alterable()[a % (n - 1)]
+            name = m.cols[i][0]
+            src.alter_drop_column(name)
+            del m.cols[i]
+            for r in m.rows:
+                r.pop(name, None)
+            m.snap()
+        elif op == 4:  # DELETE, both modes
+            ics = int_cols()
+            if not ics:
+                continue
+            name = m.cols[ics[0]][0]
+            rem = a % 5
+            mode = "merge-on-read" if b % 2 else "copy-on-write"
+            v0 = src.latest_version()
+            src.delete(f"`{name}` % 5 = {rem}", mode=mode)
+            m.rows = [
+                r for r in m.rows
+                if r[name] is None or r[name] % 5 != rem
+            ]
+            if src.latest_version() > v0:
+                m.snap()
+        elif op == 5:  # UPDATE, both modes
+            ics = int_cols()
+            if not ics:
+                continue
+            name = m.cols[ics[-1]][0]
+            rem = a % 5
+            mode = "merge-on-read" if b % 2 else "copy-on-write"
+            v0 = src.latest_version()
+            src.update(
+                f"`{name}` % 5 = {rem}", {name: f"`{name}` + 1"},
+                mode=mode,
+            )
+            for r in m.rows:
+                if r[name] is not None and r[name] % 5 == rem:
+                    r[name] = r[name] + 1
+            if src.latest_version() > v0:
+                m.snap()
+        elif op == 6:  # keyed MERGE (upsert + delete_where), CoW/MOR
+            ids = sorted({r["id"] for r in m.rows})
+            # one row per key (the merge contract): upsert ids never
+            # overlap the deleted last id
+            up_ids = ids[:-1][: 1 + a % 3]
+            batch = [(i, 77, "up") for i in up_ids]
+            batch.append((888000 + m.fresh, 77, "up"))
+            if ids:
+                batch.append((ids[-1], 0, "del"))
+            m.fresh += 1
+            ddl = "`id` bigint, `k2` int, `op` string"
+            bdf = spark.createDataFrame(batch, ddl)
+            sel = [F.col("id")]
+            for nm, d, _f in m.cols:
+                if nm == "id":
+                    continue
+                if d == "int":
+                    sel.append(F.col("k2").cast("int").alias(nm))
+                elif d == "bigint":
+                    sel.append(F.col("k2").cast("bigint").alias(nm))
+                elif d == "double":
+                    sel.append(F.col("k2").cast("double").alias(nm))
+                else:
+                    sel.append(F.lit("mrg").alias(nm))
+            bdf = bdf.select(*sel, "op")
+            src.merge(
+                bdf, ["id"],
+                delete_where="op = 'del'",
+                mode="merge-on-read" if b % 2 else "copy-on-write",
+            )
+            dels = {r[0] for r in batch if r[2] == "del"}
+            ups = {r[0] for r in batch if r[2] == "up"}
+            m.rows = [r for r in m.rows if r["id"] not in dels | ups]
+            for i in ups:
+                row = {"id": i}
+                for nm, d, _f in m.cols:
+                    if nm == "id":
+                        continue
+                    row[nm] = 77 if d in ("int", "bigint") else (
+                        77.0 if d == "double" else "mrg"
+                    )
+                m.rows.append(row)
+            m.snap()
+        elif op == 7:  # compact: invisible to the feed
+            src.compact()
+            m.snap()
+        elif op == 8:  # restore to a SCHEMA-IDENTICAL snapshot
+            cur = [tuple(c) for c in m.cols]
+            cands = [
+                i for i, (cols, _rows) in enumerate(m.snapshots)
+                if [tuple(c) for c in cols] == cur
+            ]
+            if not cands:
+                continue
+            v = cands[a % len(cands)]
+            src.restore(v)
+            cols, rows = m.snapshots[v]
+            m.cols = [list(c) for c in cols]
+            m.rows = [dict(r) for r in rows]
+            m.snap()
+        else:
+            continue
+        assert src.latest_version() == len(m.snapshots) - 1
+        check()
