@@ -1326,8 +1326,10 @@ class SnapshotTable:
             return f
 
         prev = set(self._manifest(since_version)["dirs"])
+        prev_dv = self._manifest(since_version).get("dv", {})
         for v in range(since_version + 1, end + 1):
             m = self._manifest(v)
+            cur_dv = m.get("dv", {})
             if m.get("data_change", True) is False and not ignore_changes:
                 # layout-only rewrite (compact, dataChange=false):
                 # invisible — no logical change happened, so append-
@@ -1336,6 +1338,7 @@ class SnapshotTable:
                 # mode's last-wins convergence depends on seeing the
                 # rewritten (record-pruned) copies.
                 prev = set(m["dirs"])
+                prev_dv = cur_dv
                 continue
             cdc = m.get("change_data")
             if m["op"] not in append_ops:
@@ -1375,6 +1378,7 @@ class SnapshotTable:
                         _tag_meta(self._read_change_data(cdc), v, m)
                     )
                     prev = set(m["dirs"])
+                    prev_dv = cur_dv
                     continue
                 if (
                     change_feed
@@ -1451,6 +1455,7 @@ class SnapshotTable:
                             )
                         )
                     prev = new_set
+                    prev_dv = cur_dv
                     continue
                 if not ignore_changes:
                     hint = (
@@ -1466,7 +1471,18 @@ class SnapshotTable:
                         "ignore_changes=True to re-deliver its rows, "
                         "or diff the snapshots"
                     )
-            new_dirs = [d for d in m["dirs"] if d not in prev]
+            # a dir whose DELETION-VECTOR list changed counts as new:
+            # under ignore_changes a dv-only commit (merge-on-read
+            # delete, restore undoing one) re-delivers the dir's
+            # now-visible rows — Delta's ignoreChanges re-delivers the
+            # DV-re-added file the same way. Append commits never
+            # change carried dirs' dv, so this is inert outside
+            # ignore_changes.
+            new_dirs = [
+                d
+                for d in m["dirs"]
+                if d not in prev or prev_dv.get(d) != cur_dv.get(d)
+            ]
             if new_dirs:
                 f = self._read_dirs(m, new_dirs)
                 if change_feed:
@@ -1475,6 +1491,7 @@ class SnapshotTable:
                     )
                 frames.append(_tag_meta(f, v, m))
             prev = set(m["dirs"])
+            prev_dv = cur_dv
         if not frames:
             from pyspark.sql.types import IntegerType, TimestampType
 
@@ -3164,11 +3181,23 @@ class SnapshotTable:
                 if row is not None:
                     from urllib.parse import quote
 
-                    for mk in (marker, quote(marker)):
-                        i = row[0].find(mk)
-                        if i >= 0:
-                            prefix = row[0][: i + len(mk)]
+                    rendered = row[0]
+                    rel = os.path.relpath(hit, self.data_dir)
+                    # primary: strip the probed file's OWN relative
+                    # suffix (plain, then URL-encoded) — binds even
+                    # when the data_dir's rendering is partially
+                    # encoded in ways quote() wouldn't reproduce
+                    for suf in (rel, quote(rel)):
+                        if rendered.endswith(suf):
+                            prefix = rendered[: -len(suf)]
                             break
+                    if prefix is None:
+                        # fallback: locate the data_dir marker itself
+                        for mk in (marker, quote(marker)):
+                            i = rendered.find(mk)
+                            if i >= 0:
+                                prefix = rendered[: i + len(mk)]
+                                break
                 # only a definitive probe memoizes: a row-less table
                 # may gain rows (and its real prefix) later
                 self._dv_prefix_memo = prefix

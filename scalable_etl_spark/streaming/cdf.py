@@ -421,10 +421,13 @@ class SnapshotChangesReader(DataSourceStreamReader):
         parts: list[_FilePartition] = []
         append_tag = "insert" if self.change_feed else None
         prev: set | None
+        prev_dv: dict = {}
         try:
             prev = set(
                 t._manifest(lo)["dirs"] if lo >= 0 else ()
             )
+            if lo >= 0:
+                prev_dv = t._manifest(lo).get("dv", {})
         except FileNotFoundError:
             if self.fail_on_data_loss:
                 raise RuntimeError(
@@ -438,6 +441,7 @@ class SnapshotChangesReader(DataSourceStreamReader):
         for v in range(lo + 1, hi + 1):
             try:
                 m = t._manifest(v)
+                cur_dv = m.get("dv", {})
             except FileNotFoundError:
                 if self.fail_on_data_loss:
                     raise RuntimeError(
@@ -465,6 +469,7 @@ class SnapshotChangesReader(DataSourceStreamReader):
                 )
                 new_dirs = list(m["dirs"])
                 prev = set(m["dirs"])
+                prev_dv = cur_dv
                 if not new_dirs:
                     continue
                 pcols = {c for c in m.get("partition_cols", [])}
@@ -495,6 +500,7 @@ class SnapshotChangesReader(DataSourceStreamReader):
                 # copies is what keeps that mode's last-wins replay
                 # converging to the live snapshot.
                 prev = set(m["dirs"])
+                prev_dv = cur_dv
                 continue
             cdc = m.get("change_data")
             if v > 0 and m["op"] not in _APPEND_OPS:
@@ -503,6 +509,7 @@ class SnapshotChangesReader(DataSourceStreamReader):
                     # no re-delivery caveats — plan the commit's
                     # _change_data files instead of its dirs
                     prev = set(m["dirs"])
+                    prev_dv = cur_dv
                     self._plan_change_files(t, m, v, cdc, parts)
                     continue
                 if (
@@ -578,6 +585,7 @@ class SnapshotChangesReader(DataSourceStreamReader):
                         ts=float(m["timestamp"]),
                     )
                     prev = new_set
+                    prev_dv = cur_dv
                     continue
                 if not self.ignore_changes:
                     hint = (
@@ -593,8 +601,17 @@ class SnapshotChangesReader(DataSourceStreamReader):
                         f"{hint}pass option ignoreChanges=true to "
                         "re-deliver its rows, or diff the snapshots"
                     )
-            new_dirs = [d for d in m["dirs"] if d not in prev]
+            # dv-only changes count as new under ignoreChanges (a
+            # merge-on-read delete / restore re-delivers the dir's
+            # now-visible rows — Delta re-adds the DV'd file); inert
+            # for appends, which never change carried dirs' dv
+            new_dirs = [
+                d
+                for d in m["dirs"]
+                if d not in prev or prev_dv.get(d) != cur_dv.get(d)
+            ]
             prev = set(m["dirs"])
+            prev_dv = cur_dv
             if not new_dirs or m["op"] in _METADATA_ONLY_OPS:
                 continue
             pcols = {c for c in m.get("partition_cols", [])}
@@ -777,22 +794,35 @@ class SnapshotChangesReader(DataSourceStreamReader):
             # index the WHOLE file, which this path reads whole).
             # Sidecars store rendering-space paths (URL-encoded for
             # hive-escaped components); part.rel is the ON-DISK
-            # relative path — one unquote aligns them.
+            # relative path. Vectorized equality covers the common
+            # un-encoded case; only rows containing '%' (necessarily
+            # encoded — a literal '%' on disk renders '%25') fall to
+            # the python unquote compare.
             from urllib.parse import unquote
 
             import numpy as np
+            import pyarrow.compute as pc
 
             pos: set = set()
             for dv_path in part.dv_paths:
                 dv = pq.read_table(dv_path, columns=["file", "pos"])
                 pos.update(
-                    p
-                    for f, p in zip(
-                        dv.column("file").to_pylist(),
-                        dv.column("pos").to_pylist(),
-                    )
-                    if unquote(f) == part.rel
+                    dv.filter(pc.equal(dv.column("file"), part.rel))
+                    .column("pos")
+                    .to_pylist()
                 )
+                enc = dv.filter(
+                    pc.match_substring(dv.column("file"), "%")
+                )
+                if enc.num_rows:
+                    pos.update(
+                        p
+                        for f, p in zip(
+                            enc.column("file").to_pylist(),
+                            enc.column("pos").to_pylist(),
+                        )
+                        if unquote(f) == part.rel
+                    )
             if pos:
                 keep = ~np.isin(
                     np.arange(tbl.num_rows),

@@ -3663,3 +3663,26 @@ def test_deletion_vectors_encodable_table_root(spark, tmp_path):
     assert sorted(r.k for r in t.read().collect()) == [
         i for i in range(10) if i % 3 != 0
     ]
+
+
+def test_ignore_changes_redelivers_dv_only_commits(spark, tmp_path):
+    """ignore_changes mode must RE-DELIVER a dir whose deletion-vector
+    list changed even though the dir set did not (merge-on-read
+    delete, or a restore undoing one) — Delta's ignoreChanges
+    re-delivers the DV-re-added file's rows the same way (review r13
+    follow-up: the dir-set-only diff made dv-only commits invisible)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))        # v0
+    t.delete("k = 1", mode="merge-on-read")                     # v1 dv-only
+    got = sorted(
+        (r.k, r._commit_version)
+        for r in t.table_changes(0, ignore_changes=True).collect()
+    )
+    # v1 re-delivers the dir's NOW-VISIBLE rows (k=1 suppressed)
+    assert got == [(2, 1), (3, 1)]
+    t.restore(0)                                                # v2 dv-only undo
+    got = sorted(
+        (r.k, r._commit_version)
+        for r in t.table_changes(1, 2, ignore_changes=True).collect()
+    )
+    assert got == [(1, 2), (2, 2), (3, 2)]  # resurrection visible

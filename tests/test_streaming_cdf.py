@@ -744,3 +744,25 @@ def test_cdf_stream_dv_snapshot_delivery(spark, tmp_path):
         + [1090, 1091]
     )
     assert sorted(got) == want  # suppressed positions never delivered
+
+
+def test_cdf_stream_ignore_changes_redelivers_dv_only(spark, tmp_path):
+    """Streaming ignoreChanges must re-deliver a dir whose DV list
+    changed with the dir set unchanged (merge-on-read delete): the
+    re-delivered rows are the NOW-VISIBLE ones (DV-applied)."""
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    t.append(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id INT, v STRING"))     # v0
+    t.delete("id = 1", mode="merge-on-read")                     # v1
+
+    r = SnapshotChangesReader(
+        {"path": root, "ignorechanges": "true"}, 
+        [("id", "integer"), ("v", "string")],
+    )
+    parts = r.partitions({"version": 0}, {"version": 1})
+    got = []
+    for p in parts:
+        for batch in r.read(p):
+            got.extend(batch.column("id").to_pylist())
+    assert sorted(got) == [2, 3]  # suppressed row never re-delivered
