@@ -97,6 +97,16 @@ HEADLINERS = {
         "hive components via basePath, then one partial/final hash "
         "aggregate; zero Python."
     ),
+    "sink_tx_deletion_vectors": (
+        "Merge-on-read DML read-back (round 13). Expect: each DV'd "
+        "entry's scan carries the _metadata file_path/row_index "
+        "projection and a BroadcastHashJoin LeftAnti against the "
+        "deletion-vector sidecar (BuildRight on the tiny position "
+        "list — NO shuffle anywhere in the suppression), then the "
+        "usual partial/final hash aggregate. The 'compacted' stage's "
+        "read shows a plain scan: compaction materialized the "
+        "suppressions away. Zero Python, no CartesianProduct."
+    ),
     "rollup_revenue": (
         "ROLLUP aggregate (round-8 promoted analytics family). "
         "Expect: a single Expand feeding partial_ then final "
