@@ -4716,6 +4716,7 @@ class SnapshotTable:
         n_files: int | None = None,
         zorder: bool = False,
         partition_max_files: int | None = None,
+        max_dvs: int | None = None,
     ) -> int | None:
         """AUTO-COMPACT policy (Delta's optimizeWrite/autoCompact idea,
         expressed as an explicit post-commit hook a writer or scheduler
@@ -4751,10 +4752,30 @@ class SnapshotTable:
         skipped when compacting cannot shrink it — single entry AND no
         more files than the rewrite's target count (a compacted
         partition is not re-rewritten, while a converted hive leaf
-        holding many small files in one entry still qualifies)."""
+        holding many small files in one entry still qualifies).
+
+        ``max_dvs`` adds a DELETION-VECTOR ceiling (round 13): when
+        the live snapshot references more than this many DV sidecars,
+        compact regardless of file count — merge-on-read reads pay
+        one broadcast anti-join while DVs are live, so a ceiling
+        bounds that overhead the same way ``max_files`` bounds
+        open() overhead (Delta's purge-on-OPTIMIZE cadence)."""
         v = self.latest_version()
         if v is None:
             return None
+        if max_dvs is not None and partition_max_files is None:
+            n_dvs = len(
+                {
+                    u
+                    for us in self._manifest(v).get("dv", {}).values()
+                    for u in us
+                }
+            )
+            if n_dvs > max_dvs:
+                return self.compact(
+                    cluster_by=cluster_by, n_files=n_files,
+                    zorder=zorder,
+                )
         if partition_max_files is not None:
             m = self._manifest(v)
             pcols = m["partition_cols"]
@@ -4810,9 +4831,14 @@ class SnapshotTable:
                     n_files=n_files,
                     zorder=zorder,
                 )
-        if len(self.committed_files()) <= max_files:
+        # count via the dirs directly: committed_files() refuses on
+        # live deletion vectors (export safety), but a COUNT is fine —
+        # and an over-ceiling DV'd table should compact, not crash
+        m0 = self._manifest(v)
+        n_live = sum(self._entry_file_count(e) for e in m0["dirs"])
+        if n_live <= max_files:
             return None
-        m = self._manifest(v)
+        m = m0
         roots = {self._entry_base(e) for e in m["dirs"]}
         if len(roots) <= 1 and m["op"] == "overwrite":
             # already one compacted commit (possibly many partition

@@ -3686,3 +3686,26 @@ def test_ignore_changes_redelivers_dv_only_commits(spark, tmp_path):
         for r in t.table_changes(1, 2, ignore_changes=True).collect()
     )
     assert got == [(1, 2), (2, 2), (3, 2)]  # resurrection visible
+
+
+def test_maybe_compact_dv_ceiling(spark, tmp_path):
+    """maybe_compact(max_dvs=...) materializes deletion vectors away
+    once the sidecar count crosses the ceiling (auto-OPTIMIZE cadence
+    for merge-on-read tables) — and the plain file-count path must
+    not crash on a DV'd table (committed_files refuses DVs; the count
+    is taken from the manifest instead)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(i, "x") for i in range(20)]))
+    t.delete("k = 1", mode="merge-on-read")
+    # under both ceilings: no-op (and no crash on the file count)
+    assert t.maybe_compact(max_files=64, max_dvs=3) is None
+    t.delete("k = 2", mode="merge-on-read")
+    t.delete("k = 3", mode="merge-on-read")
+    t.delete("k = 4", mode="merge-on-read")  # 4 sidecars now
+    v = t.maybe_compact(max_files=64, max_dvs=3)
+    assert v is not None
+    m = t._manifest(v)
+    assert not m.get("dv")  # materialized away
+    assert sorted(r.k for r in t.read().collect()) == [0, *range(5, 20)]
+    # compaction is dataChange=false: invisible to the feed
+    assert m.get("data_change") is False
