@@ -4413,27 +4413,38 @@ class SnapshotTable:
             for e in affected:
                 dv[e] = [*dv.get(e, []), dv_id]
             # skipping survives: stats on the new entry for every
-            # column the candidates had stats on (+ the prune column)
+            # column the candidates had stats on (+ the prune column),
+            # and bloom filters REGENERATED for every bloom'd column —
+            # the same preservation contract as the copy-on-write
+            # rewrite loop
             stats = self._stats_of(v)
             fstats = self._file_stats_of(v)
             stat_cols: set[str] = set()
+            bloom_cols: set[str] = set()
             for d2 in candidates:
                 stat_cols.update(stats.get(d2, {}).keys())
                 for per in fstats.get(d2, {}).values():
-                    stat_cols.update(
-                        k for k in per if not k.startswith(_BLOOM_PREFIX)
-                    )
+                    for key in per:
+                        if key.startswith(_BLOOM_PREFIX):
+                            bloom_cols.add(key[len(_BLOOM_PREFIX):])
+                        else:
+                            stat_cols.add(key)
             if prune is not None:
                 stat_cols.add(prune[0])
             for e in new_entries:
-                if stat_cols:
-                    dstats, fst = self._footer_stats(
-                        e, sorted(stat_cols)
+                dstats, fst = (
+                    self._footer_stats(e, sorted(stat_cols))
+                    if stat_cols
+                    else ({}, {})
+                )
+                if bloom_cols:
+                    fst = self._merge_blooms(
+                        fst, self._file_blooms(e, sorted(bloom_cols))
                     )
-                    if dstats:
-                        stats = {**stats, e: dstats}
-                    if fst:
-                        fstats = {**fstats, e: fst}
+                if dstats:
+                    stats = {**stats, e: dstats}
+                if fst:
+                    fstats = {**fstats, e: fst}
             manifest = {
                 "op": "update",
                 "dirs": [*m["dirs"], *new_entries],

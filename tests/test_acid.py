@@ -3709,3 +3709,30 @@ def test_maybe_compact_dv_ceiling(spark, tmp_path):
     assert sorted(r.k for r in t.read().collect()) == [0, *range(5, 20)]
     # compaction is dataChange=false: invisible to the feed
     assert m.get("data_change") is False
+
+
+def test_dv_update_regenerates_blooms(spark, tmp_path):
+    """A merge-on-read UPDATE's postimage entry regenerates bloom
+    filters for every bloom'd column (same preservation contract as
+    the copy-on-write rewrite), so point-lookup skipping stays exact
+    after MOR DML."""
+    from scalable_etl_spark.acid import _BLOOM_PREFIX
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(50)], "k INT, x INT"
+        ),
+        bloom_cols=["k"],
+    )
+    v = t.update("k = 7", {"x": "777"}, mode="merge-on-read")
+    m = t._manifest(v)
+    new_entry = m["dirs"][-1]
+    per_file = m["file_stats"].get(new_entry, {})
+    assert per_file, "postimage entry must carry file stats"
+    assert any(
+        _BLOOM_PREFIX + "k" in per for per in per_file.values()
+    ), "bloom not regenerated on the postimage entry"
+    assert {(r.k, r.x) for r in t.read(where=("k", 7, 7)).collect()} == {
+        (7, 777)
+    }
