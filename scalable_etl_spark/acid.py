@@ -1103,7 +1103,10 @@ class SnapshotTable:
         return out
 
     def export_symlink_manifest(
-        self, out_dir: str, version: int | None = None
+        self,
+        out_dir: str,
+        version: int | None = None,
+        deletion_vectors: bool = False,
     ) -> list[str]:
         """Materialize snapshot ``version`` for engines that can't read
         the commit log: a dir of SYMLINKS to exactly the committed
@@ -1124,25 +1127,47 @@ class SnapshotTable:
         per-subdir read with basePath when partition columns matter.
         Zero data copies; re-export after new commits (the export pins
         one immutable version, like any reader). Returns the linked
-        real file paths."""
+        real file paths.
+
+        DELETION VECTORS: a raw file list would resurrect
+        merge-on-read-suppressed rows, so a DV'd snapshot refuses by
+        default. ``deletion_vectors=True`` exports anyway and adds a
+        ``deletion_vectors.dv`` positions sidecar (parquet bytes; the
+        non-.parquet name keeps recursive globs from scanning it as
+        data) holding the suppressed (file, pos) pairs with ``file``
+        relative to ``out_dir`` — engines with per-file row numbers
+        replay the suppression with one anti-join. DuckDB:
+
+            SELECT ... FROM read_parquet('<out>/**/*.parquet',
+                   filename=true, file_row_number=true) t
+            ANTI JOIN read_parquet('<out>/deletion_vectors.dv') d
+              ON t.filename = '<out>/' || d.file
+             AND t.file_row_number = d.pos
+
+        (file_row_number and Spark's `_metadata.row_index` share the
+        same within-file definition.)"""
         import shutil
 
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
-        if self._manifest(v).get("dv"):
+        m = self._manifest(v)
+        if m.get("dv") and not deletion_vectors:
             # a file-list export cannot express row-level suppression;
             # handing the raw files to an external engine would
             # RESURRECT merge-on-read-deleted rows
             raise ValueError(
                 "snapshot has live deletion vectors: file-level "
                 "export would resurrect suppressed rows — run "
-                "compact() to materialize them away first"
+                "compact() to materialize them away first, or pass "
+                "deletion_vectors=True to export a positions sidecar "
+                "the consumer must anti-join"
             )
         shutil.rmtree(out_dir, ignore_errors=True)
         os.makedirs(out_dir)
         files: list[str] = []
-        for d in self._manifest(v)["dirs"]:
+        rels: set[str] = set()
+        for d in m["dirs"]:
             base = os.path.join(self.data_dir, d)
             for walk_root, _subdirs, names in os.walk(base):
                 for fn in sorted(names):
@@ -1157,8 +1182,51 @@ class SnapshotTable:
                     os.makedirs(os.path.dirname(dst), exist_ok=True)
                     os.symlink(path, dst)
                     files.append(path)
+                    rels.add(rel)
+        dv_name = None
+        n_suppressed = 0
+        if m.get("dv"):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            uuids = sorted({u for us in m["dv"].values() for u in us})
+            out_files: list[str] = []
+            out_pos: list[int] = []
+            for u in uuids:
+                t = pq.read_table(
+                    os.path.join(self.dv_dir, u), columns=["file", "pos"]
+                )
+                for f, pos in zip(
+                    t.column("file").to_pylist(),
+                    t.column("pos").to_pylist(),
+                ):
+                    disk = self._dv_disk_rel(f)
+                    # stale rows for since-rewritten entries reference
+                    # files outside this snapshot: drop them so the
+                    # sidecar is exact, not merely join-inert
+                    if disk in rels:
+                        out_files.append(disk)
+                        out_pos.append(pos)
+            n_suppressed = len(out_pos)
+            dv_name = "deletion_vectors.dv"
+            pq.write_table(
+                pa.table(
+                    {
+                        "file": pa.array(out_files, pa.string()),
+                        "pos": pa.array(out_pos, pa.int64()),
+                    }
+                ),
+                os.path.join(out_dir, dv_name),
+            )
         with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
-            json.dump({"files": files}, fh)
+            json.dump(
+                {
+                    "files": files,
+                    "deletion_vectors": dv_name,
+                    "suppressed_positions": n_suppressed,
+                },
+                fh,
+            )
         return files
 
     def _js(self, v):

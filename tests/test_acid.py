@@ -3736,3 +3736,43 @@ def test_dv_update_regenerates_blooms(spark, tmp_path):
     assert {(r.k, r.x) for r in t.read(where=("k", 7, 7)).collect()} == {
         (7, 777)
     }
+
+
+def test_export_symlink_manifest_with_deletion_vectors(spark, tmp_path):
+    """DV-aware engine interop: export_symlink_manifest(
+    deletion_vectors=True) adds a positions sidecar an external
+    engine anti-joins via its per-file row numbers — DuckDB's
+    file_row_number shares Spark's _metadata.row_index definition, so
+    the replay is bit-exact."""
+    import duckdb
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(i, chr(97 + i % 5)) for i in range(30)]))
+    t.append(_df(spark, [(100 + i, "z") for i in range(5)]))
+    t.delete("k % 4 = 0", mode="merge-on-read")
+    t.delete("v = 'z' AND k > 102", mode="merge-on-read")  # stacked
+    out = str(tmp_path / "exp")
+    t.export_symlink_manifest(out, deletion_vectors=True)
+    import json as _json
+    import os as _os
+
+    man = _json.load(open(_os.path.join(out, "manifest.json")))
+    assert man["deletion_vectors"] == "deletion_vectors.dv"
+    assert man["suppressed_positions"] > 0
+    got = duckdb.sql(
+        f"""
+        SELECT t.k FROM read_parquet('{out}/**/*.parquet',
+               filename=true, file_row_number=true) t
+        ANTI JOIN read_parquet('{out}/deletion_vectors.dv') d
+          ON t.filename = '{out}/' || d.file
+         AND t.file_row_number = d.pos
+        """
+    ).fetchall()
+    assert sorted(r[0] for r in got) == sorted(
+        r.k for r in t.read().collect()
+    )
+    # the data glob must NOT pick the sidecar up as a data file
+    n_raw = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{out}/**/*.parquet')"
+    ).fetchone()[0]
+    assert n_raw == 35  # raw files still carry every physical row
