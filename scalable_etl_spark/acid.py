@@ -3313,6 +3313,25 @@ class SnapshotTable:
             *(os.path.join(self.dv_dir, u) for u in sorted(set(uuids)))
         )
 
+    def _dv_position_count(self, uuids) -> int:
+        """Live suppressed-row count of the given DV sidecars, read
+        from parquet FOOTERS driver-side (O(sidecar files) metadata
+        reads, no Spark job) — cheap enough to run at every read-plan
+        build, which is exactly where the broadcast-vs-shuffle
+        decision below needs it."""
+        import pyarrow.parquet as pq
+
+        n = 0
+        for u in sorted(set(uuids)):
+            d = os.path.join(self.dv_dir, u)
+            for walk_root, _sub, files in os.walk(d):
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        n += pq.ParquetFile(
+                            os.path.join(walk_root, fn)
+                        ).metadata.num_rows
+        return n
+
     def _dv_suppress(
         self, df: DataFrame, uuids, keep_meta: bool = False, prefix=None
     ) -> DataFrame:
@@ -3323,7 +3342,19 @@ class SnapshotTable:
         build side expands stored relative paths to absolute ones
         (O(suppressed) concat) so the probe side hashes the raw
         attribute. Extra DV rows for pruned/rewritten entries simply
-        never match."""
+        never match.
+
+        BROADCAST GUARD (round 14, ADVICE): the build side is sized by
+        live suppressed rows, which a high-churn merge-on-read table
+        with a missed OPTIMIZE cadence can grow past what the driver
+        can collect — the failure mode would be a driver OOM, not a
+        slow plan. Positions are counted from the sidecar footers at
+        plan time (no job); past
+        ``SPARK_ETL_DV_BROADCAST_MAX_POSITIONS`` (default 4M rows,
+        ~a few hundred MB broadcast) the join degrades gracefully to
+        a SHUFFLED hash anti-join — bounded per-task memory, same
+        rows. ``maybe_compact(max_dvs=...)`` remains the cure; this
+        guard removes the cliff while waiting for it."""
         if uuids:
             dv = self._dv_frame(uuids)
             if prefix is not None:
@@ -3331,11 +3362,16 @@ class SnapshotTable:
                     F.concat(F.lit(prefix), F.col("file")).alias("file"),
                     "pos",
                 )
-            df = df.join(
-                F.broadcast(dv),
-                (df[_DV_POS] == dv["pos"]) & (df[_DV_FILE] == dv["file"]),
-                "left_anti",
+            limit = int(
+                os.environ.get(
+                    "SPARK_ETL_DV_BROADCAST_MAX_POSITIONS", "4000000"
+                )
             )
+            cond = (df[_DV_POS] == dv["pos"]) & (df[_DV_FILE] == dv["file"])
+            if self._dv_position_count(uuids) > limit:
+                df = df.join(dv.hint("shuffle_hash"), cond, "left_anti")
+            else:
+                df = df.join(F.broadcast(dv), cond, "left_anti")
         return df if keep_meta else df.drop(_DV_FILE, _DV_POS)
 
     def _entry_of_file(self, dirs, rel_file: str) -> str:
@@ -4838,23 +4874,61 @@ class SnapshotTable:
         compact regardless of file count — merge-on-read reads pay
         one broadcast anti-join while DVs are live, so a ceiling
         bounds that overhead the same way ``max_files`` bounds
-        open() overhead (Delta's purge-on-OPTIMIZE cadence)."""
+        open() overhead (Delta's purge-on-OPTIMIZE cadence). The DV
+        ceiling composes with EITHER file-count policy: under
+        ``partition_max_files`` a breach materializes DVs by
+        rewriting only the partitions whose entries carry them
+        (round-14 fix — previously the ceiling was silently dropped
+        when both knobs were passed)."""
         v = self.latest_version()
         if v is None:
             return None
-        if max_dvs is not None and partition_max_files is None:
+        dv_last: int | None = None
+        if max_dvs is not None:
+            m0 = self._manifest(v)
             n_dvs = len(
-                {
-                    u
-                    for us in self._manifest(v).get("dv", {}).values()
-                    for u in us
-                }
+                {u for us in m0.get("dv", {}).values() for u in us}
             )
             if n_dvs > max_dvs:
-                return self.compact(
-                    cluster_by=cluster_by, n_files=n_files,
-                    zorder=zorder,
-                )
+                if partition_max_files is None:
+                    return self.compact(
+                        cluster_by=cluster_by, n_files=n_files,
+                        zorder=zorder,
+                    )
+                # per-partition policy: materialize DVs by rewriting
+                # ONLY the partitions whose entries carry them — cold
+                # DV-less partitions are never touched. A sidecar
+                # referenced from several partitions' entries drops
+                # out once the LAST referencing entry is rewritten,
+                # and this sweep rewrites every DV'd partition, so
+                # the post-sweep snapshot is DV-free. Component-less
+                # DV'd entries hold rows of many partitions; a
+                # partition-scoped rewrite cannot cover those alone,
+                # so they fall back to one whole-table compact.
+                pcols0 = m0["partition_cols"]
+                if not pcols0:
+                    raise ValueError(
+                        "partition_max_files needs a partitioned table"
+                    )
+                comps0 = {
+                    _partition_component(e, pcols0[0])
+                    for e, us in m0.get("dv", {}).items()
+                    if us
+                }
+                if None in comps0:
+                    dv_last = self.compact(
+                        cluster_by=cluster_by, n_files=n_files,
+                        zorder=zorder,
+                    )
+                else:
+                    for comp in sorted(comps0):
+                        dv_last = self.compact_partition(
+                            pcols0[0],
+                            _hive_unescape_path(comp),
+                            cluster_by=cluster_by,
+                            n_files=n_files,
+                            zorder=zorder,
+                        )
         if partition_max_files is not None:
             m = self._manifest(v)
             pcols = m["partition_cols"]
@@ -4863,7 +4937,7 @@ class SnapshotTable:
                     "partition_max_files needs a partitioned table"
                 )
             col = pcols[0]
-            last: int | None = None
+            last: int | None = dv_last
             handled: set[str] = set()
             # each pass compacts one over-ceiling partition against a
             # fresh manifest (the rewrite may re-home component-less
@@ -5241,6 +5315,7 @@ def sync_incremental(
     sync_id: str = "default",
     merge_schema: bool = False,
     keys: Sequence[str] = (),
+    strict: bool | None = None,
 ) -> tuple[int, int]:
     """EXACTLY-ONCE incremental materialization from one snapshot
     table into another — the batch spelling of a streaming pipeline:
@@ -5303,8 +5378,19 @@ def sync_incremental(
     without ``keys``) raise exactly as before; compaction commits
     (``dataChange=false``) stay invisible.
 
+    ``strict`` mirrors :meth:`SnapshotTable.merge`'s contract for the
+    DERIVED-image path (round 14, ADVICE): an overwrite/restore of a
+    duplicate-key src table derives MULTIPLE insert images per key,
+    and the per-key reduction would silently pick an arbitrary
+    winner. ``strict=True`` (default: the SPARK_ETL_MERGE_STRICT env
+    flag, same as merge) raises instead — one extra aggregate job,
+    only on derived segments — and is forwarded to the underlying
+    ``dst.merge`` for defense in depth.
+
     Returns ``(dst_version, synced_src_version)``; a no-op (nothing
     new) returns the current pair without committing."""
+    if strict is None:
+        strict = os.environ.get("SPARK_ETL_MERGE_STRICT") == "1"
     key = f"sync:{sync_id}"
     _ALTER_OPS = (
         "alter_add_column", "alter_rename_column", "alter_drop_column",
@@ -5415,6 +5501,33 @@ def sync_incremental(
                     # (new row) — reduce per key, upsert image first
                     # (recorded feeds are already one image per key;
                     # skip the window for them)
+                    if strict:
+                        # duplicate-key src: >1 NON-delete image for
+                        # one key means the reduction below would
+                        # crown an arbitrary winner — merge(strict)'s
+                        # exact misuse class, caught here because the
+                        # reduction would hide it from merge
+                        dup = (
+                            images.filter(
+                                F.col("_change_type") != "delete"
+                            )
+                            .groupBy(*keys)
+                            .count()
+                            .filter(F.col("count") > 1)
+                            .limit(1)
+                            .count()
+                        )
+                        if dup:
+                            raise ValueError(
+                                f"sync {sync_id!r} (strict): src "
+                                f"v{last + 1} derives multiple insert "
+                                f"images for one key combination on "
+                                f"{list(keys)} — the src table holds "
+                                "duplicate keys, so the per-key "
+                                "reduction would pick an arbitrary "
+                                "winner; dedupe src or pass "
+                                "strict=False to accept one"
+                            )
                     w = Window.partitionBy(*keys).orderBy(
                         F.when(
                             F.col("_change_type") == "delete", 1
@@ -5448,6 +5561,7 @@ def sync_incremental(
                     list(keys),
                     delete_where="_change_type = 'delete'",
                     txn_update={key: last + 1},
+                    strict=strict,
                 )
                 latest = dst._txn_of(dst.latest_version())
                 if int(latest.get(key, -1)) < last + 1:

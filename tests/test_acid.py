@@ -3776,3 +3776,140 @@ def test_export_symlink_manifest_with_deletion_vectors(spark, tmp_path):
         f"SELECT count(*) FROM read_parquet('{out}/**/*.parquet')"
     ).fetchone()[0]
     assert n_raw == 35  # raw files still carry every physical row
+
+
+def test_maybe_compact_dv_ceiling_with_partition_policy(spark, tmp_path):
+    """The max_dvs ceiling must be enforced even when the
+    partition_max_files policy is ALSO active (round-14 ADVICE fix:
+    it was previously gated on partition_max_files being None, so a
+    DV'd partitioned table under per-partition ceilings never
+    auto-materialized its deletion vectors). The materialization is
+    partition-scoped: only partitions whose entries carry DVs are
+    rewritten — cold partitions' bytes never move."""
+    import hashlib
+    import os
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, f"d{i % 2}") for i in range(12)], "k INT, day STRING"
+        ),
+        partition_cols=["day"],
+    )
+    # MOR deletes stack sidecars on the HOT partition only
+    t.delete("k = 1", mode="merge-on-read")
+    t.delete("k = 3", mode="merge-on-read")
+    t.delete("k = 5", mode="merge-on-read")
+
+    def files_of(part):
+        out = {}
+        for root, _s, files in os.walk(t.data_dir):
+            if f"day={part}" not in root:
+                continue
+            for f in files:
+                p = os.path.join(root, f)
+                with open(p, "rb") as fh:
+                    out[p] = hashlib.sha256(fh.read()).hexdigest()
+        return out
+
+    d0_before = files_of("d0")
+    # under the DV ceiling: both policies quiescent -> no-op
+    assert (
+        t.maybe_compact(partition_max_files=64, max_dvs=8) is None
+    )
+    assert t._manifest(t.latest_version()).get("dv")
+    # over the DV ceiling: DVs materialize away even though the
+    # file-count policy alone would not have compacted anything
+    v = t.maybe_compact(partition_max_files=64, max_dvs=2)
+    assert v is not None
+    m = t._manifest(v)
+    assert not m.get("dv"), "DVs must be materialized away"
+    assert files_of("d0") == d0_before, "cold partition must not move"
+    assert sorted(r.k for r in t.read().collect()) == [
+        0, 2, 4, *range(6, 12)
+    ]
+    # re-call: quiescent again
+    assert (
+        t.maybe_compact(partition_max_files=64, max_dvs=2) is None
+    )
+
+
+def test_dv_broadcast_guard_falls_back_to_shuffle(
+    spark, tmp_path, monkeypatch
+):
+    """Past SPARK_ETL_DV_BROADCAST_MAX_POSITIONS live suppressed
+    rows, DV suppression degrades from a broadcast anti-join to a
+    SHUFFLED one (round-14 ADVICE fix: an unbounded broadcast side is
+    a driver OOM at 100 TB churn, not a slow plan) — same rows either
+    way, and the default path still broadcasts."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(i, "x") for i in range(30)]))
+    t.delete("k < 10", mode="merge-on-read")  # 10 live positions
+
+    plan_bcast = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_bcast  # default: broadcast
+
+    monkeypatch.setenv("SPARK_ETL_DV_BROADCAST_MAX_POSITIONS", "5")
+    df = t.read()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "LeftAnti" in plan  # still an anti-join, now shuffled
+    assert sorted(r.k for r in df.collect()) == list(range(10, 30))
+
+
+def test_sync_strict_duplicate_key_derived_images(spark, tmp_path):
+    """sync_incremental(strict=) mirrors merge's strict contract on
+    the DERIVED-image path (round-14 ADVICE fix): an overwrite of a
+    duplicate-key src derives multiple insert images per key, which
+    the per-key reduction would resolve arbitrarily — strict raises
+    loudly, default stays permissive, and the env flag flips the
+    default exactly like merge."""
+    import pytest
+
+    from scalable_etl_spark.acid import sync_incremental
+
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    dst = SnapshotTable(spark, str(tmp_path / "dst"))
+    src.append(_df(spark, [(1, "a"), (2, "b")]))                # v0
+    src.enable_change_data_feed()                               # v1
+    sync_incremental(src, dst, sync_id="s", keys=["k"])
+    # duplicate-key overwrite: k=1 now has TWO insert images
+    src.overwrite(_df(spark, [(1, "x"), (1, "y"), (2, "b")]))   # v2
+    with pytest.raises(ValueError, match="strict.*arbitrary"):
+        sync_incremental(src, dst, sync_id="s", keys=["k"], strict=True)
+    # the failed strict run must not have advanced the watermark
+    # or committed anything to dst
+    assert {(r.k, r.v) for r in dst.read().collect()} == {
+        (1, "a"), (2, "b")
+    }
+    # permissive default: one arbitrary winner applies
+    dv, wm = sync_incremental(src, dst, sync_id="s", keys=["k"])
+    assert wm == 2
+    got = {(r.k, r.v) for r in dst.read().collect()}
+    assert (2, "b") in got and len(got) == 2
+    assert next(v for k, v in got if k == 1) in ("x", "y")
+
+
+def test_sync_strict_env_flag_and_clean_feed(spark, tmp_path, monkeypatch):
+    """SPARK_ETL_MERGE_STRICT=1 flips sync_incremental's default to
+    strict (same audit switch as merge), and a DUPLICATE-FREE derived
+    feed passes strict untouched."""
+    import pytest
+
+    from scalable_etl_spark.acid import sync_incremental
+
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    dst = SnapshotTable(spark, str(tmp_path / "dst"))
+    src.append(_df(spark, [(1, "a"), (2, "b")]))                # v0
+    src.enable_change_data_feed()                               # v1
+    sync_incremental(src, dst, sync_id="s", keys=["k"])
+    src.overwrite(_df(spark, [(1, "x"), (2, "b"), (3, "c")]))   # v2 clean
+    monkeypatch.setenv("SPARK_ETL_MERGE_STRICT", "1")
+    _, wm = sync_incremental(src, dst, sync_id="s", keys=["k"])
+    assert wm == 2
+    assert {(r.k, r.v) for r in dst.read().collect()} == {
+        (1, "x"), (2, "b"), (3, "c")
+    }
+    src.overwrite(_df(spark, [(3, "c"), (3, "d")]))             # v3 dupes
+    with pytest.raises(ValueError, match="strict"):
+        sync_incremental(src, dst, sync_id="s", keys=["k"])
