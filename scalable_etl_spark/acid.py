@@ -1597,11 +1597,23 @@ class SnapshotTable:
         Spark writes it on disk (booleans lowercase, dates ISO,
         specials %XX-escaped); unrenderable types (floats, timestamps)
         skip the path prune entirely rather than matching nothing.
-        Everything else prunes on committed [min, max] dir stats."""
+        Everything else prunes on committed [min, max] dir stats.
+
+        PER-ENTRY SPEC (round 14, partition evolution): the path
+        pruner keys off each entry's OWN path components, not the
+        manifest's current ``partition_cols`` — after
+        ``alter_partitioning`` a snapshot mixes layouts, and an
+        equality read on the OLD spec's column must still prune the
+        old-layout entries (a component can only exist in an entry's
+        path if that column WAS its partition column at write time,
+        so the unconditional check is always authoritative). The path
+        and stats pruners COMPOSE: each entry must survive both —
+        old-layout entries prune by path, new-layout entries by
+        stats, and vice versa."""
         if where is None:
             return dirs
         col, lo, hi = where
-        if col in m.get("partition_cols", []) and lo == hi:
+        if lo == hi:
             rendered = _partition_value_str(lo)
             if rendered is not None:
                 want = _hive_escape_path(rendered)
@@ -1610,7 +1622,7 @@ class SnapshotTable:
                     for d in dirs
                     if _partition_component(d, col) in (None, want)
                 ]
-        elif norm is not None:
+        if norm is not None:
             dirs = self._prune_dirs(m, dirs, *norm)
         return dirs
 
@@ -2434,6 +2446,23 @@ class SnapshotTable:
                     f"{old!r} is a partition column: its name is part "
                     "of every data path; rename requires a rewrite"
                 )
+            # per-entry specs (partition evolution): a column whose
+            # name ANY live entry still derives from its directory
+            # path is un-renameable the same way a current partition
+            # column is — and the NEW name must not collide with a
+            # path-carried component either (old entries' reads would
+            # resolve the renamed column from their paths)
+            for nm in (old, new):
+                if any(
+                    _partition_component(e, nm) is not None
+                    for e in m["dirs"]
+                ):
+                    raise ValueError(
+                        f"column name {nm!r} is carried in live "
+                        "entries' directory paths (a pre-evolution "
+                        "partition layout); rename requires "
+                        "compact() to migrate those entries first"
+                    )
             if new in self._reused_physical_names(m):
                 raise ValueError(
                     f"column name {new!r} was renamed away while "
@@ -2775,6 +2804,79 @@ class SnapshotTable:
                 return v + 1
         raise CommitConflict(
             f"alter_widen_column lost {_COMMIT_RETRIES} races"
+        )
+
+    def alter_partitioning(
+        self, partition_cols: Sequence[str]
+    ) -> int:
+        """PARTITION EVOLUTION (Iceberg format-v2 parity — the
+        reference's storage engine's headline capability over Hive
+        layout, transform_job_glue.py:45-47: change a live table's
+        partition spec WITHOUT rewriting it): commits a
+        METADATA-ONLY version whose ``partition_cols`` becomes the
+        layout for FUTURE writes. Existing entries keep their bytes
+        and their old directory layout verbatim; reads already union
+        per-entry scans with per-entry basePath, so mixed layouts
+        coexist in one snapshot, and pruning applies PER ENTRY — path
+        -component equality pruning keys off each entry's own path
+        (``_dir_prune`` / ``_prune_candidates`` compose the path and
+        stats pruners), so point reads stay pruned on BOTH layouts.
+
+        Old-layout data migrates incrementally: any rewrite
+        (``compact``, ``compact_partition``, copy-on-write DML) lays
+        its output under the CURRENT spec — Iceberg's rewrite-migrates
+        -to-live-spec behavior. ``restore`` to a pre-alter version
+        restores that version's spec along with its data (the
+        manifest is copied whole). Zero rows change, so the commit is
+        ``data_change=False``: CDF readers and incremental syncs skip
+        it exactly like compaction (a replica's physical layout is
+        its own concern).
+
+        Empty list = unpartition future writes. Raises on unknown
+        columns and on a spec identical to the current one no-ops
+        (returns the current version without committing)."""
+        new_spec = list(partition_cols)
+        if len(set(new_spec)) != len(new_spec):
+            raise ValueError(
+                f"duplicate column in partition spec {new_spec!r}"
+            )
+        for _ in range(_COMMIT_RETRIES):
+            v = self.latest_version()
+            if v is None:
+                raise FileNotFoundError(
+                    f"no committed version at {self.root}"
+                )
+            m = self._manifest(v)
+            if list(m["partition_cols"]) == new_spec:
+                return v  # idempotent: spec already live
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            unknown = [
+                c for c in new_spec if c not in schema.fieldNames()
+            ]
+            if unknown:
+                raise ValueError(
+                    f"partition spec names unknown column(s) "
+                    f"{unknown!r} (table columns: "
+                    f"{schema.fieldNames()})"
+                )
+            dv = self._dv_kept(v, m["dirs"])
+            manifest = {
+                "op": "alter_partitioning",
+                "dirs": m["dirs"],
+                "schema": m["schema"],
+                "partition_cols": new_spec,
+                "stats": self._stats_of(v),
+                "file_stats": self._file_stats_of(v),
+                "txn": self._txn_of(v),
+                "evolution": self._evolution_of(v),
+                "timestamp": time.time(),
+                "data_change": False,
+                **({"dv": dv} if dv else {}),
+            }
+            if self._commit(v + 1, manifest):
+                return v + 1
+        raise CommitConflict(
+            f"alter_partitioning lost {_COMMIT_RETRIES} races"
         )
 
     def _write_data(self, df: DataFrame, partition_cols: Sequence[str]) -> str:
@@ -4371,34 +4473,36 @@ class SnapshotTable:
         with no stats / no `col=` component / unrenderable values
         stay candidates — skipping them would silently leave rows
         untouched."""
-        pcols = m["partition_cols"]
         untouched: list[str] = []
         rewrite = list(m["dirs"])
         if prune is not None:
             col, lo, hi = prune
-            if col in pcols and lo == hi:
-                # Values are rendered + hive-escaped to match what
-                # Spark wrote on disk; unrenderable types (floats,
-                # timestamps) keep EVERY entry rather than silently
-                # matching none.
+            hit = set(rewrite)
+            # path-component equality pruning keys off each entry's
+            # OWN path (per-entry spec — partition evolution leaves
+            # mixed layouts, and an old-layout entry prunes by its
+            # own component regardless of the CURRENT spec). Values
+            # are rendered + hive-escaped to match what Spark wrote
+            # on disk; unrenderable types (floats, timestamps) skip
+            # the path prune rather than silently matching none.
+            if lo == hi:
                 rendered = _partition_value_str(lo)
                 if rendered is not None:
                     want = _hive_escape_path(rendered)
                     hit = {
                         e
-                        for e in rewrite
+                        for e in hit
                         if _partition_component(e, col) in (None, want)
                     }
-                    untouched = [d for d in m["dirs"] if d not in hit]
-                    rewrite = [d for d in m["dirs"] if d in hit]
-            else:
-                nlo, nhi = self._js(lo), self._js(hi)
-                if nlo is not None and nhi is not None:
-                    hit = set(
-                        self._prune_dirs(m, rewrite, col, nlo, nhi)
-                    )
-                    untouched = [d for d in m["dirs"] if d not in hit]
-                    rewrite = [d for d in m["dirs"] if d in hit]
+            nlo, nhi = self._js(lo), self._js(hi)
+            if nlo is not None and nhi is not None:
+                # stats pruning COMPOSES with the path pruner: an
+                # entry provably disjoint by either is untouched
+                hit &= set(
+                    self._prune_dirs(m, sorted(hit), col, nlo, nhi)
+                )
+            untouched = [d for d in m["dirs"] if d not in hit]
+            rewrite = [d for d in m["dirs"] if d in hit]
         return untouched, rewrite
 
     def _dv_delete(self, match_true, prune: tuple | None) -> int:

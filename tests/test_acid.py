@@ -3913,3 +3913,169 @@ def test_sync_strict_env_flag_and_clean_feed(spark, tmp_path, monkeypatch):
     src.overwrite(_df(spark, [(3, "c"), (3, "d")]))             # v3 dupes
     with pytest.raises(ValueError, match="strict"):
         sync_incremental(src, dst, sync_id="s", keys=["k"])
+
+
+def test_alter_partitioning_mixed_layout(spark, tmp_path):
+    """Partition evolution (Iceberg v2 parity): alter_partitioning
+    changes the spec for FUTURE writes without rewriting existing
+    entries — one snapshot mixes both layouts, reads union them,
+    equality reads prune by path on BOTH layouts (per-entry spec),
+    rewrites migrate to the live spec, and restore brings the old
+    spec back with its snapshot."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, f"d{i % 2}", f"r{i % 3}") for i in range(12)],
+            "k INT, day STRING, region STRING",
+        ),
+        partition_cols=["day"],
+    )                                                           # v0
+    v1 = t.alter_partitioning(["region"])                       # v1
+    assert v1 == 1
+    m1 = t._manifest(v1)
+    assert m1["partition_cols"] == ["region"]
+    assert m1["data_change"] is False
+    assert m1["dirs"] == t._manifest(0)["dirs"]  # metadata-only
+    # idempotent: same spec no-ops without committing
+    assert t.alter_partitioning(["region"]) == v1
+    # new writes land under the NEW spec
+    t.append(
+        spark.createDataFrame(
+            [(100, "d9", "r0"), (101, "d9", "r1")],
+            "k INT, day STRING, region STRING",
+        )
+    )                                                           # v2
+    m2 = t._manifest(2)
+    old = [e for e in m2["dirs"] if "day=" in e]
+    new = [e for e in m2["dirs"] if "region=" in e and "day=" not in e]
+    assert old and new, m2["dirs"]
+    # full read unions both layouts
+    assert sorted(r.k for r in t.read().collect()) == [
+        *range(12), 100, 101
+    ]
+    # row values: path-derived and file-stored columns agree
+    assert {(r.k, r.day, r.region) for r in t.read().collect()} == {
+        (i, f"d{i % 2}", f"r{i % 3}") for i in range(12)
+    } | {(100, "d9", "r0"), (101, "d9", "r1")}
+    # pruning on the OLD spec's column: old-layout entries prune by
+    # their own path component; new-layout entries are kept
+    # (conservative) and the trailing filter corrects
+    norm, _ = t._normalize_predicate(m2, ("day", "d0", "d0"))
+    kept = t._dir_prune(m2, m2["dirs"], ("day", "d0", "d0"), norm)
+    assert all("day=d1" not in e for e in kept)
+    assert any("day=d0" in e for e in kept)
+    assert sorted(
+        r.k for r in t.read(where=("day", "d0", "d0")).collect()
+    ) == [i for i in range(12) if i % 2 == 0]
+    # pruning on the NEW spec's column symmetric
+    norm, _ = t._normalize_predicate(m2, ("region", "r1", "r1"))
+    kept = t._dir_prune(m2, m2["dirs"], ("region", "r1", "r1"), norm)
+    assert all(
+        "region=r0" not in e for e in kept if "day=" not in e
+    )
+    assert sorted(
+        r.k for r in t.read(where=("region", "r1", "r1")).collect()
+    ) == [*(i for i in range(12) if i % 3 == 1), 101]
+    # DML across the boundary: one delete touches both layouts
+    t.delete("k IN (0, 100)")                                   # v3
+    assert sorted(r.k for r in t.read().collect()) == [
+        *range(1, 12), 101
+    ]
+    # the alter is invisible to the change feed (data_change=False)
+    got = {r.k for r in t.table_changes(0, 2).collect()}
+    assert got == {100, 101}  # only the append delivered
+    # compact migrates EVERYTHING to the live spec
+    t.compact()
+    mc = t._manifest(t.latest_version())
+    assert all("day=" not in e for e in mc["dirs"])
+    assert all("region=" in e for e in mc["dirs"])
+    assert sorted(r.k for r in t.read().collect()) == [
+        *range(1, 12), 101
+    ]
+    # restore to the pre-alter snapshot restores spec AND data
+    t.restore(0)
+    mr = t._manifest(t.latest_version())
+    assert mr["partition_cols"] == ["day"]
+    assert sorted(r.k for r in t.read().collect()) == list(range(12))
+    # validation: unknown columns and duplicate specs refuse
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown"):
+        t.alter_partitioning(["nope"])
+    with pytest.raises(ValueError, match="duplicate"):
+        t.alter_partitioning(["day", "day"])
+
+
+def test_alter_partitioning_unpartition_and_dml_prune(spark, tmp_path):
+    """Evolving to the EMPTY spec unpartitions future writes; a
+    predicate DML after evolution leaves provably-disjoint entries of
+    BOTH layouts untouched (path pruner for the old layout, composing
+    with stats for the new)."""
+    from scalable_etl_spark.acid import _partition_component
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, f"d{i % 2}") for i in range(8)], "k INT, day STRING"
+        ),
+        partition_cols=["day"],
+    )                                                           # v0
+    t.alter_partitioning([])                                    # v1
+    t.append(_df(spark, [(100, "d0")], "k INT, day STRING"))    # v2
+    m = t._manifest(2)
+    assert m["partition_cols"] == []
+    assert any("day=" not in e for e in m["dirs"])
+    # equality DML on the ex-partition column: old d1 leaves are
+    # provably disjoint by PATH and must be untouched
+    before = {
+        e for e in m["dirs"] if _partition_component(e, "day") == "d1"
+    }
+    t.delete(F.col("day") == "d0", prune=("day", "d0", "d0"))   # v3
+    m3 = t._manifest(3)
+    assert before <= set(m3["dirs"]), "disjoint old leaves rewritten"
+    assert sorted(r.k for r in t.read().collect()) == [1, 3, 5, 7]
+    # merge-on-read DML across mixed layout
+    t.append(_df(spark, [(200, "d0")], "k INT, day STRING"))    # v4
+    t.delete("k = 3", mode="merge-on-read")                     # v5
+    assert sorted(r.k for r in t.read().collect()) == [1, 5, 7, 200]
+
+
+def test_alter_partitioning_path_name_guards(spark, tmp_path):
+    """Rename/re-add refuse column names still carried in live
+    entries' directory paths (pre-evolution layouts): a rename would
+    resolve the column from old paths; a default-less re-add would
+    resurrect path values instead of NULL. A default makes the re-add
+    safe (evolution fill overrides), and compact() lifts the guards."""
+    import pytest
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "d0", "x"), (2, "d1", "y")], "k INT, day STRING, v STRING"
+        ),
+        partition_cols=["day"],
+    )
+    t.alter_partitioning([])
+    # day is no longer a partition col but lives in old paths
+    with pytest.raises(ValueError, match="directory paths"):
+        t.alter_rename_column("day", "dy")
+    t.alter_drop_column("day")
+    # rename INTO a path-carried name: old entries would resolve the
+    # renamed column from their paths instead of their files
+    with pytest.raises(ValueError, match="directory paths"):
+        t.alter_rename_column("v", "day")
+    # re-add after the drop: the PRE-EXISTING name-reuse guard
+    # refuses while old entries live — path-carried values can never
+    # resurrect through add_column either
+    with pytest.raises(ValueError, match="carry it physically"):
+        t.alter_add_column("day", "STRING")
+    # dropping the ex-partition column works: old entries' path
+    # components simply stop being selected
+    assert {(r.k, r.v) for r in t.read().collect()} == {
+        (1, "x"), (2, "y")
+    }
+    # compact migrates old layouts away and lifts the guards
+    t.compact()
+    t.alter_add_column("day", "STRING")
+    assert {r.day for r in t.read().collect()} == {None}
+    t.alter_rename_column("day", "dy")  # no path carries it anymore
