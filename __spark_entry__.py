@@ -57,167 +57,94 @@ _MODULE_ORDER = (
     "queries_pipeline",
 )
 
-# Queries promoted into the driver-graded first-50 window (round-9
-# rotation, per the round-8 verdict's "Next round" #1): ALL 20
-# never-driver-graded tier-2 queries — the text/doc/media analysis
-# family (tfidf/pmi/winnowing/bpe/gopher/repetition/fingerprints/
-# zscore), curation (mixture_weights/vocab_coverage/deterministic_split/
-# token_len_histogram/top_tokens), media (features/frame_sample/
-# audio_energy), near_dedup_corpus, user_sessions, embedding_norms and
-# grouping_sets_activity. Together with the four un-demoted late-r8
-# core queries (sink_tx_convert/restore/bloom, streaming_outer_join),
-# every query that had never been driver-graded is in the r9 window.
-# The round-8 headliners (the analytics family + semantic_dedup/
-# embedding_clusters/dedup_components_star/hash_rank_sample) went
-# driver-green in CORRECTNESS_r08.json and rotate back to local-oracle
-# checking. Order within the tuple is the order they appear after the
-# §2 core.
+# Queries promoted into the driver-graded first-50 window. ROUND-14
+# ROTATION (per verdict r13 #4): the entire stale-grade cohort — every
+# query last driver-graded in r4-r6 (the dedup/ANN headliners
+# exact_dedup/minhash_lsh/simhash_near_dup/ngram_jaccard/
+# embedding_near_dup/ann_*/dedup_components, the doc-analysis
+# doc_text_stats/doc_lang_id/doc_quality) plus the oldest r7 tier-2
+# entries (ngram_jaccard_gated, media_pixel_stats, stratified_sample,
+# sequence_packing) — swaps INTO the window, re-grading them against
+# an engine whose acid/dedup internals changed for 7+ rounds. The
+# slots come from banking the r13-green core rows (see _DEMOTED).
+# This tuple holds the NON-CORE-module members of the window; the
+# core-module members enter tier 0 by not being demoted.
 _PROMOTED = (
-    "grouping_sets_activity",
-    "doc_gopher_rules",
-    # (round-12 rotation: tfidf_top_terms and bigram_pmi went
-    # driver-green in CORRECTNESS_r11.json and rotate back to
-    # local-oracle checking — the text-analysis family stays repped
-    # by gopher/winnowing/bpe/repetition/fingerprints/zscore. Their
-    # slots fund the two never-driver-graded r11 registrations,
-    # sink_tx_constraints + sink_tx_time_travel, per verdict #1.)
-    "winnowing_fingerprints",
-    "bpe_token_stats",
-    "doc_repetition",
-    # (round-13 rotation: doc_fingerprints and top_tokens went
-    # driver-green in CORRECTNESS_r12.json and rotate back to
-    # local-oracle checking — fingerprinting stays repped by
-    # winnowing_fingerprints, token analysis by bpe_token_stats +
-    # token_len_histogram. Their slots fund incremental_minhash_index
-    # — the only never-driver-graded registry entry after r12, per
-    # verdict #2 — and the NEW sink_tx_deletion_vectors tier-0
-    # registration.)
-    "incremental_minhash_index",
-    "doc_len_zscore_by_lang",
-    "token_len_histogram",
-    "mixture_weights",
-    "vocab_coverage",
-    "deterministic_split",
-    "user_sessions",
-    "near_dedup_corpus",
-    "audio_energy_stats",
-    "media_frame_sample",
-    # --- round-10 rotation: embedding_norms and media_features went
-    # driver-green in CORRECTNESS_r09.json and rotate back to
-    # local-oracle checking (embeddings stay repped in the window by
-    # near_dedup_corpus; media by media_frame_sample +
-    # audio_energy_stats + the new lossy leg). Their slots go to the
-    # round's new registration and the un-demoted sink_tx_evolve
-    # (see _DEMOTED).
-    "media_pixel_stats_lossy",
+    "ann_brute_force",
+    "ann_ivf",
+    "ann_lsh",
+    "dedup_components",
+    "doc_lang_id",
+    "doc_quality",
+    "doc_text_stats",
+    "embedding_near_dup",
+    "exact_dedup",
+    "media_pixel_stats",
+    "minhash_lsh",
+    "ngram_jaccard",
+    "ngram_jaccard_gated",
+    "sequence_packing",
+    "simhash_near_dup",
+    "stratified_sample",
 )
 
-# Beyond-reference §2 extras rotated out of the graded window to make room
-# (every §2 operator family stays represented — see tests/test_cli.py
-# test_registry_contract).  These remain fully value-hash oracle-checked
-# locally via tools/check_correctness.py; only the driver-window slot
-# moves. recent_events / monthly_trends joined in round 7: their O1-O4
-# sort/limit shapes stayed driver-green for two straight rounds and are
-# also covered by top_users / shipping_priority.
+# Core-module queries rotated OUT of the graded window for round 14:
+# every one is driver-green in CORRECTNESS_r13.json (or r11/r12 for
+# bloom/convert/restore/session_windows, all locally re-oracled) and
+# stays fully value-hash checked via tools/check_correctness.py —
+# only the driver-window slot moves, funding the stale-cohort
+# re-grade above. Family representation in the r14 window: sql_ ->
+# sql_type_share_cte + sql_correlated_subquery; source_ ->
+# source_glob_recursive; sink_ -> sink_tx_partition_evolution (NEW,
+# never graded) + the r7 tx family (insert_ignore/atomic_overwrite/
+# skipping/zorder/changes/sync/interop); streaming_ ->
+# streaming_event/sliding/enriched_counts; core analytics -> the
+# r5/r6 cohort (revenue_by_region, shipping_priority, top_supplier_
+# revenue, user_stats, ...).
 _DEMOTED = (
-    "priority_line_counts",
-    "salted_value_by_type",
-    "hll_distinct_users",
-    "hll_union_users",
-    "value_quantiles_by_type",
-    "customer_order_gaps",
-    "profile_events_columns",
-    "brand_promo_share",
-    "purchase_asof_view",
-    "nation_customer_stats",
-    "mktsegment_order_priority",
-    "top_supplier_revenue",
-    "recent_events",
-    "monthly_trends",
-    "value_by_type",
-    # round-7 late rotation: make room for the two new graded streaming
-    # queries (session windows, stream-stream join). SET ops stay
-    # represented by gold_schema_merge + users_error_no_purchase;
-    # grouped counts by pricing_summary/type_diversity; the Q3
-    # join-agg-sort shape by revenue_by_region + top_users.
-    "users_purchase_and_signup",
-    "order_priority_counts",
-    "sql_type_share_cte",  # S7 stays represented by 3 other sql_ queries
-    "sql_correlated_subquery",  # ditto (driver-green r6; decorrelation
-    # is additionally pinned by the plan-shape suite)
-    "user_stats",  # A2 stays repped by gold_user_peaks; makes room for
-    # the graded row-level DELETE (sink_tx_delete)
-    # --- round-8 rotation: bank the r7-graded tx family (all five went
-    # driver-green in CORRECTNESS_r07.json; the K-family stays repped in
-    # the window by sink_table_roundtrip/sink_tx_merge_upsert/
-    # sink_tx_delete/sink_tx_partition_ops/sink_bucketed_join) ...
-    "sink_tx_skipping",
-    "sink_tx_zorder",
-    "sink_tx_changes",
-    "sink_tx_sync",
-    "sink_tx_interop",
-    # ... and free seven more tier-0 slots for the analytics promotion.
-    # Each demotee is driver-green (r6 and/or r7) and its §2 family
-    # keeps another window representative: Q5/Q3 join-agg shapes ->
-    # top_customers + promoted salted_segment_revenue/session_event_join;
-    # K6 insert-ignore -> sink_tx_merge_upsert; K2 atomic ->
-    # sink_table_roundtrip + sink_tx_partition_ops; tumbling/sliding
-    # stream windows -> streaming_session_windows +
-    # streaming_join_windowed; stream-static enrich ->
-    # streaming_stream_join.
-    "revenue_by_region",
-    "shipping_priority",
-    "sink_insert_ignore",
-    "sink_tx_atomic_overwrite",
-    "streaming_event_counts",
-    "streaming_enriched_counts",
-    "streaming_sliding_counts",
-    # --- round-9 rotation: the four late-r8 registrations left this
-    # list (driver-graded for the first time this round), and six
-    # r8-driver-green core queries take their parked slots so the
-    # 20-wide tier-1 promotion fits. Family coverage after the swap:
-    # O1 sort-limit -> top_customers (+ nulls_last_ranking for O2);
-    # J1 band join -> sql_rolling_band_cte; K6 upsert/DML ->
-    # sink_tx_partition_ops + sink_tx_convert/restore/bloom;
-    # stream-stream joins -> streaming_outer_join (the interval LEFT
-    # OUTER superset of the inner/windowed shapes).
-    "top_users",
+    "active_user_pct",
+    "events_flatten",
+    "events_silver",
+    "gold_schema_merge",
+    "gold_user_peaks",
+    "hourly_activity",
+    "nulls_last_ranking",
+    "pricing_summary",
     "rolling_active_users",
-    "sink_tx_merge_upsert",
-    "sink_tx_delete",
-    "streaming_stream_join",
-    "streaming_join_windowed",
-    # (round-10: sink_tx_evolve — parked here through r9 — rotated INTO
-    # the window as planned: it left this list, taking the tier-0 slot
-    # freed by the media_features/embedding_norms promotion retirement.)
-    # (round-11: sink_tx_distributed_scan — parked here late-r10 as the
-    # only never-driver-graded query — rotated INTO the window as the
-    # r10 verdict's #1 directed. Its tier-0 slot and the one for the
-    # NEW streaming_cdf_dedup registration come from banking the
-    # r10-driver-green sink_tx_convert / sink_tx_restore below.)
-    # Round-11 rotation: convert/restore went driver-green in
-    # CORRECTNESS_r10.json; the K6 ACID family stays represented in the
-    # window by sink_tx_partition_ops / sink_tx_bloom / sink_tx_evolve
-    # / sink_tx_distributed_scan (+ roundtrip/describe for K2/K3/K8),
-    # and both remain fully value-hash oracle-checked locally.
-    "sink_tx_convert",
-    "sink_tx_restore",
-    # (round-12: sink_tx_constraints / sink_tx_time_travel — parked
-    # here late-r11 as the only never-driver-graded queries — rotated
-    # INTO the window as verdict #1 directed. Their tier-0 slots and
-    # the two for the NEW round-12 registrations
-    # streaming_constraint_gate / streaming_cdf_gold_refresh come
-    # from banking the r11-driver-green sink_tx_bloom /
-    # streaming_session_windows below and retiring tfidf_top_terms /
-    # bigram_pmi from _PROMOTED.)
-    # Round-12 rotation: both driver-green in CORRECTNESS_r11.json;
-    # K6 point-lookup skipping stays repped in the window by
-    # sink_tx_partition_ops / sink_tx_evolve / sink_tx_distributed_scan
-    # and the bloom feature stays pinned by tests/test_acid.py;
-    # SESSION windows stay repped by streaming_stateful_totals /
-    # streaming_outer_join (+ local oracle checks as ever).
+    "sink_bucketed_join",
+    "sink_describe_table",
+    "sink_partitioned_prune",
+    "sink_single_file_export",
+    "sink_table_roundtrip",
     "sink_tx_bloom",
+    "sink_tx_constraints",
+    "sink_tx_convert",
+    "sink_tx_delete",
+    "sink_tx_deletion_vectors",
+    "sink_tx_distributed_scan",
+    "sink_tx_evolve",
+    "sink_tx_merge_upsert",
+    "sink_tx_partition_ops",
+    "sink_tx_restore",
+    "sink_tx_time_travel",
+    "sql_catalog_scan",
+    "sql_rolling_band_cte",
+    "sql_top_users_ordinal",
+    "streaming_cdf_dedup",
+    "streaming_cdf_gold_refresh",
+    "streaming_constraint_gate",
+    "streaming_dedup_counts",
+    "streaming_ingest_exactly_once",
+    "streaming_join_windowed",
+    "streaming_outer_join",
     "streaming_session_windows",
+    "streaming_snapshot_sink",
+    "streaming_stateful_totals",
+    "streaming_stream_join",
+    "top_customers",
+    "top_users",
+    "type_diversity",
+    "users_error_no_purchase",
 )
 
 

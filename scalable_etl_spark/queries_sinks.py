@@ -783,6 +783,116 @@ def sink_tx_partition_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_tx_partition_evolution",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, event_type, value,
+             CAST(ts AS DATE) AS day
+      FROM events
+    ),
+    after_delete AS (
+      SELECT * FROM base
+      WHERE NOT (event_type = 'error' AND value > 800)
+    ),
+    after_update AS (
+      SELECT event_id, user_id, event_type, day,
+             CASE WHEN event_type = 'click' THEN value * 2
+                  ELSE value END AS value
+      FROM after_delete
+    )
+    SELECT 'old_spec_prune' AS leg, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS value_cents,
+           1 AS mixed_layout
+    FROM after_update WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT 'new_spec_prune' AS leg, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS value_cents,
+           1 AS mixed_layout
+    FROM after_update
+    WHERE day = (SELECT MIN(day) FROM after_update)
+    """,
+)
+def sink_tx_partition_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITION EVOLUTION end-to-end (Iceberg format-v2's headline
+    capability over hive layout — the reference's storage engine,
+    src/jobs/transform_job_glue.py:45-47 / transform_job.py:62-64,
+    sets format-version=2 for exactly this): a live table partitioned
+    by event_type changes its spec to day via
+    ``alter_partitioning(["day"])`` — a METADATA-ONLY commit, zero
+    rewrite — then keeps ingesting under the NEW layout while old
+    entries keep theirs. DML then crosses the boundary: a DELETE
+    pruned to the error partition and an UPDATE pruned to the click
+    partition each prune by PATH on old-layout entries (per-entry
+    spec) while conservatively rewriting matching new-layout entries
+    under the live spec. The returned frame reads each layout through
+    its OWN partition-equality path prune — event_type for the old
+    spec, day for the new — and carries a ``mixed_layout`` structural
+    flag (1 only when the final manifest still holds entries of BOTH
+    layouts under the evolved spec), so the value hash proves pruned
+    reads see exactly the post-DML contents across the evolution
+    boundary. At 100 TB this is the verb that re-partitions a live
+    ingest table (hour -> day, or adding a tenant dimension) without
+    the O(table) rewrite hive layout forces."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        F.to_date("ts").alias("day"),
+    )
+    t = _tx_table(spark, "partition_evolution")
+    # epoch 1: hive layout by event_type (the reference's own
+    # partitioning, ingest_job.py:85)
+    t.overwrite(
+        e.filter(F.col("value") <= 300), partition_cols=["event_type"]
+    )
+    # epoch 2: evolve the spec — metadata-only, data_change=false
+    t.alter_partitioning(["day"])
+    # ingest continues under the NEW spec (day= leaves)
+    t.append(e.filter(F.col("value") > 300))
+    # DML across the boundary, pruned on the OLD spec's column: old
+    # error/click leaves match by path component; other old leaves
+    # are provably disjoint and survive byte-identical
+    t.delete(
+        (F.col("event_type") == "error") & (F.col("value") > 800),
+        prune=("event_type", "error", "error"),
+    )
+    t.update(
+        F.col("event_type") == "click",
+        {"value": F.col("value") * 2},
+        prune=("event_type", "click", "click"),
+    )
+    m = t._manifest(t.latest_version())
+    mixed = int(
+        m["partition_cols"] == ["day"]
+        and any("day=" in d for d in m["dirs"])
+        and any("event_type=" in d for d in m["dirs"])
+    )
+    min_day = t.read().agg(F.min("day")).first()[0]
+
+    def leg(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.expr(
+                "CAST(ROUND(SUM(value) * 100, 0) AS BIGINT)"
+            ).alias("value_cents"),
+        ).select(
+            F.lit(name).alias("leg"),
+            "*",
+            F.lit(mixed).alias("mixed_layout"),
+        )
+
+    return leg(
+        t.read(where=("event_type", "purchase", "purchase")),
+        "old_spec_prune",
+    ).unionByName(
+        leg(t.read(where=("day", min_day, min_day)), "new_spec_prune")
+    )
+
+
+@query(
     "sink_tx_convert",
     oracle="""
     SELECT event_type, COUNT(*) AS n_events,
