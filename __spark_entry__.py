@@ -79,7 +79,6 @@ _PROMOTED = (
     "doc_text_stats",
     "embedding_near_dup",
     "exact_dedup",
-    "media_pixel_stats",
     "minhash_lsh",
     "ngram_jaccard",
     "ngram_jaccard_gated",
@@ -95,12 +94,15 @@ _PROMOTED = (
 # only the driver-window slot moves, funding the stale-cohort
 # re-grade above. Family representation in the r14 window: sql_ ->
 # sql_type_share_cte + sql_correlated_subquery; source_ ->
-# source_glob_recursive; sink_ -> sink_tx_partition_evolution (NEW,
-# never graded) + the r7 tx family (insert_ignore/atomic_overwrite/
-# skipping/zorder/changes/sync/interop); streaming_ ->
-# streaming_event/sliding/enriched_counts; core analytics -> the
-# r5/r6 cohort (revenue_by_region, shipping_priority, top_supplier_
-# revenue, user_stats, ...).
+# source_glob_recursive; sink_ -> sink_tx_partition_evolution +
+# sink_tx_reorg (both NEW, never graded) + the r7 tx family
+# (insert_ignore/atomic_overwrite/skipping/zorder/changes/sync/
+# interop); streaming_ -> streaming_event/sliding/enriched_counts;
+# core analytics -> the r5/r6 cohort (revenue_by_region,
+# shipping_priority, top_supplier_revenue, user_stats, ...).
+# media_pixel_stats banks its r12 driver green (freshest of the
+# promoted cohort, judge-re-verified r13) to fund the sink_tx_reorg
+# slot; media stays repped locally via check_correctness.
 _DEMOTED = (
     "active_user_pct",
     "events_flatten",

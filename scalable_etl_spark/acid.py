@@ -1067,6 +1067,14 @@ class SnapshotTable:
             out = self.spark.createDataFrame([], schema)
         else:
             out = reduce(lambda a, b: a.unionByName(b), parts)
+        # CANONICAL column order = the logical table schema (Delta
+        # parity: partition columns stay at their schema position).
+        # Without this the order would be whichever entry unioned
+        # first — path-derived partition columns land last on
+        # hive-layout entries but at schema position on post-
+        # evolution file-stored ones, so a mixed-layout table's
+        # read order would flap across compaction/DML.
+        out = out.select(*[f.name for f in schema.fields])
         if where is not None:
             col, lo, hi = where
             out = out.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
@@ -4332,7 +4340,13 @@ class SnapshotTable:
                     prefix=dv_prefix,
                 )
             )
-        return reduce(lambda a, b: a.unionByName(b), parts)
+        out = reduce(lambda a, b: a.unionByName(b), parts)
+        # canonical column order (see read()): rewrites materialize
+        # this frame into files, so layout stays deterministic too
+        order = [f.name for f in schema.fields]
+        if keep_dv_meta:
+            order += [_DV_FILE, _DV_POS]
+        return out.select(*order)
 
     def _rewrite_commit(
         self,
@@ -4342,6 +4356,7 @@ class SnapshotTable:
         prune,
         change_frames=None,
         data_change: bool = True,
+        select=None,
     ) -> int:
         """Shared copy-on-write loop behind predicate DML (delete /
         update): stats-prune the dir list, bail without committing when
@@ -4357,7 +4372,12 @@ class SnapshotTable:
         ``enableChangeDataFeed`` property is on (cost: the matched
         rows, not the table). ``data_change=False`` marks the commit
         as layout-only (compaction): change-feed readers skip it
-        entirely — Delta's ``dataChange=false`` contract."""
+        entirely — Delta's ``dataChange=false`` contract.
+
+        ``select(m) -> (untouched, rewrite)`` overrides the stats
+        pruner with an explicit manifest-driven candidate split
+        (:meth:`reorg` targets entries by their metadata — stale
+        physical names, deletion vectors — not by a value range)."""
         for _ in range(_COMMIT_RETRIES):
             v = self.latest_version()
             if v is None:
@@ -4366,12 +4386,22 @@ class SnapshotTable:
                 )
             m = self._manifest(v)
             pcols = m["partition_cols"]
-            untouched, rewrite = self._prune_candidates(m, prune)
+            untouched, rewrite = (
+                select(m) if select is not None
+                else self._prune_candidates(m, prune)
+            )
             if not rewrite:
                 return v  # stats prove nothing can match
             target = self._read_dirs(m, rewrite)
-            if target.filter(match_true).limit(1).count() == 0:
-                return v  # no matching rows: commit nothing
+            if (
+                select is None
+                and target.filter(match_true).limit(1).count() == 0
+            ):
+                # no matching rows: commit nothing. An explicit
+                # select skips this bail — a fully-DV-suppressed
+                # entry reads as 0 rows yet still needs its purge
+                # rewrite (reorg drops it from the manifest).
+                return v
             cdf_on = change_frames is not None and self._cdf_enabled(v)
             if cdf_on:
                 # the image writer re-reads the rewrite dirs after
@@ -4798,6 +4828,50 @@ class SnapshotTable:
         return self.overwrite(
             live, pcols, cluster_by=cluster_by, n_files=n_files,
             zorder=zorder, data_change=False,
+        )
+
+    def reorg(self) -> int:
+        """``REORG TABLE ... APPLY (PURGE)`` (Delta parity): rewrite
+        ONLY the live entries that still need physical cleanup —
+        entries whose files carry bytes for a renamed-away or DROPPED
+        column name (the reason :meth:`alter_add_column` /
+        :meth:`alter_rename_column` refuse to reuse such names), and
+        entries with live deletion vectors (suppressions materialize
+        away). Every clean entry survives VERBATIM — at 100 TB this
+        costs O(dirty entries), where :meth:`compact` is O(table).
+
+        Lifting the name-reuse guard is the point: after
+        ``drop_column -> reorg`` the dropped name is reusable by
+        ``add_column`` (no column-mapping IDs needed — the stale bytes
+        are gone, not remapped). ``sync_incremental`` relies on this
+        to replay a source's legal drop -> rewrite -> re-add sequence
+        onto a replica whose own entries still carry the old bytes.
+        Layout-only (``data_change=False``): invisible to the change
+        feed, like compaction. Returns the current version without
+        committing when nothing needs purging. Names carried in
+        directory PATHS (pre-evolution partition layouts) are a
+        different mechanism — those rewrite via :meth:`compact`."""
+
+        def select(m):
+            live = set(m["dirs"])
+            dirty: set[str] = set()
+            for r in m.get("evolution", []):
+                if r["op"] in ("rename_column", "drop_column"):
+                    dirty |= set(r.get("entries", ())) & live
+            dirty |= {e for e, us in m.get("dv", {}).items()
+                      if us and e in live}
+            return (
+                [e for e in m["dirs"] if e not in dirty],
+                [e for e in m["dirs"] if e in dirty],
+            )
+
+        return self._rewrite_commit(
+            "reorg",
+            F.lit(True),
+            lambda df: df,
+            None,
+            data_change=False,
+            select=select,
         )
 
     def restore(self, version: int) -> int:
@@ -5553,30 +5627,45 @@ def sync_incremental(
                         "them on dst, re-run the sync, then re-add "
                         "them against the evolved schema."
                     )
-                if m_next["op"] == "alter_add_column":
-                    dst.alter_add_column(
-                        rec["col"],
-                        rec["type"],
-                        default=rec.get("default"),
-                        _txn_gate=(key, last + 1),
-                    )
-                elif m_next["op"] == "alter_drop_column":
-                    dst.alter_drop_column(
-                        rec["col"],
-                        _txn_gate=(key, last + 1),
-                    )
-                elif m_next["op"] == "alter_widen_column":
-                    dst.alter_widen_column(
-                        rec["col"],
-                        rec["to_type"],
-                        _txn_gate=(key, last + 1),
-                    )
-                else:
-                    dst.alter_rename_column(
-                        rec["from"],
-                        rec["to"],
-                        _txn_gate=(key, last + 1),
-                    )
+                try:
+                    if m_next["op"] == "alter_add_column":
+                        dst.alter_add_column(
+                            rec["col"],
+                            rec["type"],
+                            default=rec.get("default"),
+                            _txn_gate=(key, last + 1),
+                        )
+                    elif m_next["op"] == "alter_drop_column":
+                        dst.alter_drop_column(
+                            rec["col"],
+                            _txn_gate=(key, last + 1),
+                        )
+                    elif m_next["op"] == "alter_widen_column":
+                        dst.alter_widen_column(
+                            rec["col"],
+                            rec["to_type"],
+                            _txn_gate=(key, last + 1),
+                        )
+                    else:
+                        dst.alter_rename_column(
+                            rec["from"],
+                            rec["to"],
+                            _txn_gate=(key, last + 1),
+                        )
+                except ValueError as exc:
+                    if "carry it physically" not in str(exc):
+                        raise
+                    # the source legalized reusing this name by
+                    # rewriting its stale bytes away (drop ->
+                    # compact/reorg -> re-add); the replica's OWN
+                    # entries still carry them. Mirror the source at
+                    # minimal cost — purge only the dirty entries —
+                    # then retry the replay. A reorg that committed
+                    # nothing means the guard fired for a different
+                    # live reason: surface it instead of spinning.
+                    v_before = dst.latest_version()
+                    if dst.reorg() == v_before:
+                        raise
                 continue  # next segment (loop re-reads the ledger)
             if _cdc_segment(m_next, last + 1):
                 # CDC APPLY segment (keys given + recorded or derived

@@ -187,6 +187,10 @@ def cmd_table(spark: SparkSession, args: argparse.Namespace) -> dict:
             retain_versions=args.retain, min_age_seconds=args.min_age
         )
         return {"removed_dirs": len(removed)}
+    if args.action == "reorg":
+        v0 = t.latest_version()
+        v = t.reorg()
+        return {"reorged": v != v0, "version": v}
     if args.action == "delete":
         if not args.predicate:
             raise SystemExit("delete needs --predicate")
@@ -304,7 +308,9 @@ def main(argv: list[str] | None = None) -> int:
         "add-constraint / drop-constraint / set-property / "
         "unset-property (enableChangeDataFeed=true turns on CDC "
         "row-image recording for MERGE/DELETE/UPDATE) / delete "
-        "(--mode merge-on-read = deletion vectors)",
+        "(--mode merge-on-read = deletion vectors) / reorg "
+        "(REORG APPLY PURGE: rewrite only entries carrying stale "
+        "column bytes or deletion vectors)",
     )
     tb.add_argument("action",
                     choices=["history", "restore", "compact", "vacuum",
@@ -312,7 +318,7 @@ def main(argv: list[str] | None = None) -> int:
                              "drop-column", "widen-column",
                              "add-constraint", "drop-constraint",
                              "set-property", "unset-property",
-                             "delete"])
+                             "delete", "reorg"])
     tb.add_argument("--root", required=True)
     tb.add_argument("--version", type=int, default=None,
                     help="target version for restore")

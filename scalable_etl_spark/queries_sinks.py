@@ -893,6 +893,94 @@ def sink_tx_partition_evolution(
 
 
 @query(
+    "sink_tx_reorg",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, event_type, value FROM events),
+    kept AS (
+      SELECT * FROM base
+      WHERE NOT (event_type = 'error' AND value <= 500))
+    SELECT event_type, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS value_cents,
+           CAST(SUM(7) AS BIGINT) AS flag_total,
+           1 AS purged
+    FROM kept GROUP BY event_type
+    """,
+)
+def sink_tx_reorg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REORG TABLE ... APPLY (PURGE) end-to-end (Delta's targeted
+    physical-cleanup verb, acid.py reorg): the table accumulates two
+    kinds of dirt that read-time machinery papers over — entries
+    whose files still carry a DROPPED column's bytes (the reason
+    name reuse is refused without column-mapping IDs) and entries
+    with live deletion vectors — then one ``reorg()`` rewrites ONLY
+    the dirty entries. Sequence: epoch-1 events (value <= 500) land
+    WITH a ``flag`` column; ``flag`` is dropped (metadata-only, bytes
+    stay); epoch-2 events (value > 500) append under the post-drop
+    schema (born clean); a merge-on-read DELETE suppresses epoch-1
+    error rows via a deletion vector. ``reorg()`` then purges exactly
+    the epoch-1 entries — suppressions materialize away, stale flag
+    bytes vanish — while the epoch-2 entry survives BYTE-IDENTICAL
+    (O(dirty entries), where compact() is O(table): at 100 TB that is
+    the difference between rewriting a sliver and rewriting
+    everything). The lifted name-reuse guard is then exercised for
+    real: ``flag`` is re-added as int DEFAULT 7 and every row must
+    read 7 — stale bytes serving under the re-added name would break
+    the value hash. The ``purged`` structural flag is 1 only when the
+    post-reorg manifest holds no deletion vectors, every dirty entry
+    left the manifest, every clean entry survived verbatim, and the
+    commit was layout-only (data_change=false, invisible to CDC).
+    Reference parity: the reference's Iceberg tables get this from
+    rewrite_data_files (transform_job_glue.py:45-47); here it is the
+    replica-side self-heal sync_incremental uses when a source
+    legally reuses a dropped column name."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t = _tx_table(spark, "reorg_purge")
+    # epoch 1: carries flag physically
+    t.overwrite(
+        e.filter(F.col("value") <= 500).withColumn("flag", F.lit(1))
+    )
+    t.alter_drop_column("flag")  # bytes remain in epoch-1 files
+    epoch1 = set(t._manifest(t.latest_version())["dirs"])
+    # epoch 2: born without flag — nothing to purge
+    t.append(e.filter(F.col("value") > 500))
+    # merge-on-read DELETE: deletion vector lands on epoch-1 entries
+    # only (value <= 500 rows all live there)
+    t.delete(
+        (F.col("event_type") == "error") & (F.col("value") <= 500),
+        mode="merge-on-read",
+    )
+    m_pre = t._manifest(t.latest_version())
+    dirty = epoch1 | {
+        d for d, us in m_pre.get("dv", {}).items() if us
+    }
+    clean = set(m_pre["dirs"]) - dirty
+    v = t.reorg()
+    m_post = t._manifest(v)
+    post = set(m_post["dirs"])
+    purged = int(
+        not m_post.get("dv")
+        and dirty.isdisjoint(post)      # dirty entries rewritten
+        and clean <= post               # clean entries verbatim
+        and m_post.get("data_change") is False
+    )
+    # the guard lifted: the dropped name is reusable, and the
+    # re-added default must win everywhere (no stale bytes)
+    t.alter_add_column("flag", "int", default=7)
+    return t.read().groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.expr(
+            "CAST(ROUND(SUM(value) * 100, 0) AS BIGINT)"
+        ).alias("value_cents"),
+        F.sum("flag").cast("bigint").alias("flag_total"),
+    ).withColumn("purged", F.lit(purged))
+
+
+@query(
     "sink_tx_convert",
     oracle="""
     SELECT event_type, COUNT(*) AS n_events,

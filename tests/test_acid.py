@@ -4079,3 +4079,265 @@ def test_alter_partitioning_path_name_guards(spark, tmp_path):
     t.alter_add_column("day", "STRING")
     assert {r.day for r in t.read().collect()} == {None}
     t.alter_rename_column("day", "dy")  # no path carries it anymore
+
+
+def test_reorg_purges_stale_names_and_dvs(spark, tmp_path):
+    """REORG ... APPLY (PURGE) parity: rewrite ONLY dirty entries —
+    files carrying dropped/renamed-away column bytes, or live
+    deletion vectors — leaving clean entries byte-identical; the
+    name-reuse guard lifts afterwards (drop -> reorg -> re-add is
+    legal without column-mapping IDs, the sequence sync_incremental
+    replays onto replicas)."""
+    import pytest
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(_df(spark, [(1, "a"), (2, "b")]))               # v0
+    t.alter_drop_column("v")                                    # v1
+    with pytest.raises(ValueError, match="carry it physically"):
+        t.alter_add_column("v", "int")
+    v = t.reorg()                                               # v2
+    m = t._manifest(v)
+    assert m["data_change"] is False  # invisible to the change feed
+    # every entry carried the dropped bytes: all rewritten
+    assert set(m["dirs"]).isdisjoint(t._manifest(0)["dirs"])
+    t.alter_add_column("v", "int", default=7)                   # v3
+    assert {(r.k, r.v) for r in t.read().collect()} == {(1, 7), (2, 7)}
+
+    # partial dirt: only the DV'd entry rewrites, the clean appended
+    # entry survives VERBATIM (O(dirty), not O(table))
+    t.append(_df(spark, [(3, 9)], "k INT, v INT"))              # v4
+    t.delete("k = 1", mode="merge-on-read")                     # v5
+    m5 = t._manifest(5)
+    dirty = {e for e, us in m5.get("dv", {}).items() if us}
+    clean = set(m5["dirs"]) - dirty
+    assert dirty and clean
+    v6 = t.reorg()
+    m6 = t._manifest(v6)
+    assert clean <= set(m6["dirs"]), "clean entries rewritten"
+    assert dirty.isdisjoint(m6["dirs"]), "DV'd entries kept"
+    assert not m6.get("dv"), "suppressions must materialize away"
+    assert {(r.k, r.v) for r in t.read().collect()} == {(2, 7), (3, 9)}
+    # nothing dirty left: reorg no-ops without committing
+    assert t.reorg() == v6
+
+    # a FULLY-suppressed entry still purges (reads as 0 rows but
+    # must leave the manifest) — the select path skips the no-match
+    # bail that predicate DML uses
+    t.delete("k = 3", mode="merge-on-read")
+    v8 = t.reorg()
+    assert not t._manifest(v8).get("dv")
+    assert {r.k for r in t.read().collect()} == {2}
+    # time travel still reaches pre-reorg snapshots
+    assert {r.k for r in t.read(5).collect()} == {2, 3}
+
+
+def test_sync_replays_drop_compact_readd(spark, tmp_path):
+    """The replica case behind reorg: a source legally reuses a
+    dropped column name after rewriting its old bytes away; the
+    replica's alter replay hits its OWN name-reuse guard (its entries
+    still carry the bytes) and must self-heal by purging exactly the
+    dirty entries, then continue the feed — watermark advances, rows
+    match, and the re-added column reads the new default everywhere."""
+    from scalable_etl_spark.acid import sync_incremental
+
+    src = SnapshotTable(spark, str(tmp_path / "s"))
+    src.overwrite(
+        spark.createDataFrame(
+            [(1, 3, "a"), (2, 4, "b")], "`id` bigint, `k` int, `s` string"
+        )
+    )
+    src.enable_change_data_feed()
+    dst = SnapshotTable(spark, str(tmp_path / "d"))
+    sync_incremental(src, dst, sync_id="rr", keys=["id"])
+    src.alter_drop_column("k")
+    src.compact()
+    src.alter_add_column("k", "string", default="zz")  # type changes too
+    src.append(
+        spark.createDataFrame(
+            [(3, "c", "live")], "`id` bigint, `s` string, `k` string"
+        )
+    )
+    sync_incremental(src, dst, sync_id="rr", keys=["id"])
+    got = {(r.id, r.k, r.s) for r in dst.read().collect()}
+    assert got == {(1, "zz", "a"), (2, "zz", "b"), (3, "live", "c")}
+    # second sync is a no-op (watermark advanced through the alters)
+    v = dst.latest_version()
+    sync_incremental(src, dst, sync_id="rr", keys=["id"])
+    assert dst.latest_version() == v
+
+
+def test_mor_delete_races_mor_delete_serializable(spark, tmp_path):
+    """Two merge-on-read DELETEs whose predicates overlap the same
+    files race on one table (Delta's ConcurrentDeleteDelete shape).
+    The loser's rebase recomputes matched positions on the WINNER'S
+    snapshot through a DV-applied read, so already-suppressed rows
+    cannot match again: stacked deletion vectors carry disjoint
+    positions (no double-suppression), the final state equals the
+    serial application, and the CDF delete images across the two
+    commits partition the deleted rows exactly."""
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "k INT, v STRING"
+        )
+    )
+    t.enable_change_data_feed()
+    real_commit = t._commit
+    fired = {"done": False}
+
+    def racing_commit(version, manifest):
+        if not fired["done"] and manifest["op"] == "delete":
+            fired["done"] = True
+            # rival: delete evens <= 4 — overlaps our files AND our
+            # row set (k=0..4 share files with k=0..6)
+            SnapshotTable(spark, root).delete(
+                "k <= 4 AND k % 2 = 0", mode="merge-on-read"
+            )
+        return real_commit(version, manifest)
+
+    t._commit = racing_commit  # type: ignore[method-assign]
+    try:
+        t.delete("k <= 6", mode="merge-on-read")  # ours
+    finally:
+        t._commit = real_commit  # type: ignore[method-assign]
+    # serial result: rival (k in 0,2,4) then ours (k in 0..6) => 7,8,9
+    assert sorted(r.k for r in t.read().collect()) == [7, 8, 9]
+    # three versions: overwrite+cdf-prop, rival, ours
+    v = t.latest_version()
+    assert t._manifest(v)["op"] == "delete"
+    assert t._manifest(v - 1)["op"] == "delete"
+    # stacked DVs: positions are DISJOINT across the two sidecars
+    m = t._manifest(v)
+    uuids = sorted({u for us in m["dv"].values() for u in us})
+    assert len(uuids) == 2
+    pos = t._dv_frame(uuids).collect()
+    pairs = [(r[0], r[1]) for r in pos]
+    assert len(pairs) == len(set(pairs)) == 7, "double-suppression"
+    # CDF images across the two commits partition the deleted rows
+    imgs = (
+        t.table_changes(v - 2, to_version=v, change_feed=True)
+        .filter("_change_type = 'delete'")
+        .collect()
+    )
+    assert sorted(r.k for r in imgs) == [0, 1, 2, 3, 4, 5, 6]
+
+
+def test_mor_update_races_mor_delete_no_resurrect(spark, tmp_path):
+    """A merge-on-read UPDATE races a merge-on-read DELETE that wins
+    and removes part of the update's matched set. The update appends
+    post-images — if the loser committed images computed on the STALE
+    snapshot, the deleted rows would resurrect. The rebase must
+    recompute both the positions and the post-images on the winner's
+    snapshot: deleted rows stay deleted, surviving matches update."""
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, 0) for i in range(8)], "k INT, n INT"
+        )
+    )
+    real_commit = t._commit
+    fired = {"done": False}
+
+    def racing_commit(version, manifest):
+        if not fired["done"] and manifest["op"] == "update":
+            fired["done"] = True
+            SnapshotTable(spark, root).delete(
+                "k < 4", mode="merge-on-read"
+            )
+        return real_commit(version, manifest)
+
+    t._commit = racing_commit  # type: ignore[method-assign]
+    try:
+        t.update("k % 2 = 0", {"n": "n + 100"}, mode="merge-on-read")
+    finally:
+        t._commit = real_commit  # type: ignore[method-assign]
+    # serial: delete k<4 first, then update surviving evens (4, 6)
+    got = sorted((r.k, r.n) for r in t.read().collect())
+    assert got == [(4, 100), (5, 0), (6, 100), (7, 0)], got
+    # ... and the raced update's history version agrees (no stale
+    # post-image entry resurrecting k=0/2 at ANY readable snapshot)
+    v = t.latest_version()
+    assert t._manifest(v)["op"] == "update"
+    assert sorted(r.k for r in t.read(v - 1).collect()) == [4, 5, 6, 7]
+
+
+def test_mor_dml_threaded_race_serializable(spark, tmp_path):
+    """REAL concurrency: four threads fire merge-on-read DMLs with
+    overlapping predicates at one table. Whatever interleaving the
+    scheduler picks, the committed history must be SOME serial order:
+    replaying each committed op (read from the manifests, in version
+    order) against a Python model of the table must reproduce
+    read() exactly — stacked DVs under real races neither
+    double-suppress nor resurrect."""
+    import threading
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, 0) for i in range(24)], "k INT, n INT"
+        )
+    )
+    # op name -> (python effect on model dict {k: n})
+    ops = {
+        "del_third": ("delete", "k % 3 = 0",
+                      lambda rows: {k: n for k, n in rows.items()
+                                    if k % 3 != 0}),
+        "del_band": ("delete", "k >= 6 AND k < 14",
+                     lambda rows: {k: n for k, n in rows.items()
+                                   if not (6 <= k < 14)}),
+        "upd_even": ("update", "k % 2 = 0",
+                     lambda rows: {k: (n + 100 if k % 2 == 0 else n)
+                                   for k, n in rows.items()}),
+        "upd_high": ("update", "k >= 10",
+                     lambda rows: {k: (n + 1 if k >= 10 else n)
+                                   for k, n in rows.items()}),
+    }
+    errors = []
+
+    def run(name):
+        kind, pred, _eff = ops[name]
+        try:
+            w = SnapshotTable(spark, root)
+            if kind == "delete":
+                w.delete(pred, mode="merge-on-read")
+            else:
+                w.update(pred, {"n": "n + 100"}
+                         if name == "upd_even" else {"n": "n + 1"},
+                         mode="merge-on-read")
+        except Exception as exc:  # pragma: no cover - diagnostic
+            errors.append((name, exc))
+
+    threads = [threading.Thread(target=run, args=(n,)) for n in ops]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    # replay the COMMITTED order against the model; ops are tagged in
+    # the manifests only by kind, so recover which-was-which from the
+    # CDF-free environment via each version's dv/entry delta is
+    # overkill — instead assert against EVERY serial order consistent
+    # with the commit sequence of kinds, of which the true one must
+    # be reproduced by the per-version replay below.
+    import itertools
+
+    final = {r.k: r.n for r in t.read().collect()}
+    kinds = [
+        t._manifest(v)["op"]
+        for v in range(1, t.latest_version() + 1)
+    ]
+    assert sorted(kinds) == ["delete", "delete", "update", "update"]
+    names = list(ops)
+    matched_orders = []
+    for perm in itertools.permutations(names):
+        if [ops[n][0] for n in perm] != kinds:
+            continue
+        rows = {i: 0 for i in range(24)}
+        for n in perm:
+            rows = ops[n][2](rows)
+        if rows == final:
+            matched_orders.append(perm)
+    assert matched_orders, (final, kinds)

@@ -71,7 +71,7 @@ def test_registry_contract():
 
     q = e.queries()
     o = e.oracle_sql()
-    assert len(q) == 137, f"registry has {len(q)} queries; update COVERAGE.md"
+    assert len(q) == 138, f"registry has {len(q)} queries; update COVERAGE.md"
     assert set(o) == set(q), "every query needs an oracle (none rows-only)"
     graded = list(q)[:50]
     for prefix in ("sql_", "source_", "sink_", "streaming_"):
@@ -246,3 +246,20 @@ def test_table_delete_cli(spark, tmp_path, capsys):
     out = _run(capsys, "table", "delete", "--root", root,
                "--predicate", "k = 1")
     assert out["deleted"] is True and t.read().count() == 5
+
+
+def test_table_reorg_cli(spark, tmp_path, capsys):
+    """`table reorg` purges deletion vectors / stale column bytes
+    (REORG APPLY PURGE); a clean table reports reorged=False."""
+    from scalable_etl_spark.acid import SnapshotTable
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    t.append(spark.createDataFrame([(i,) for i in range(6)], "k INT"))
+    t.delete("k = 2", mode="merge-on-read")
+    out = _run(capsys, "table", "reorg", "--root", root)
+    assert out["reorged"] is True
+    assert not t._manifest(out["version"]).get("dv")
+    assert t.read().count() == 5
+    out = _run(capsys, "table", "reorg", "--root", root)
+    assert out["reorged"] is False

@@ -198,17 +198,26 @@ def test_evolution_sequences_match_eager_oracle(spark, seq):
 # snapshot (a DV applied to the wrong file, a constraint abort leaking
 # a half-commit, a compact resurrecting suppressed rows) shows up as a
 # row diff with the shrunken sequence printed by hypothesis.
+#
+# Round-14 additions: op 12 = alter_partitioning (partition evolution:
+# the spec toggles between ["p"] and [] mid-sequence, so every later
+# DML / compact / restore runs against MIXED layouts), op 13 = a raced
+# merge-on-read DML pair (a rival MOR DELETE commits between our
+# matched-position computation and our commit — the rebase loop must
+# recompute on the winner's snapshot, so stacked deletion vectors
+# stay serializable: no double-suppression, and an update racing a
+# delete must not resurrect the deleted rows via stale post-images).
 
 DML_OP = st.tuples(
-    st.integers(0, 11), st.integers(0, 7), st.integers(0, 7)
+    st.integers(0, 13), st.integers(0, 7), st.integers(0, 7)
 )
 DML_SEQ = st.lists(DML_OP, min_size=4, max_size=8)
 
 
 def _append_p(spark, t, m, seed, omit_idx=None):
-    """Append with the partition column always present (model keeps it
-    LAST — Spark appends path-derived partition columns after the data
-    columns on read)."""
+    """Append with the partition column always present (the model's
+    column order is the logical schema order — read() canonicalizes
+    to it regardless of which entries path-derive the column)."""
     cols = [c for i, c in enumerate(m.cols) if i != omit_idx]
     ddl = ", ".join(f"`{n}` {d}" for n, d, _df_ in cols)
     vals = []
@@ -247,9 +256,10 @@ def test_dml_evolution_sequences_match_eager_oracle(spark, seq):
     m = _Model()
     m.cons: dict = {}  # col name -> constraint name
     m.cdf = False
-    # genesis: PARTITIONED by p (kept LAST in the model — read()
-    # appends path-derived partition columns after the data columns),
-    # plus an int and a string column
+    m.pcols = ["p"]  # live partition spec (evolves via op 12)
+    # genesis: PARTITIONED by p (last in the genesis DDL; read()
+    # returns canonical logical-schema order, so added columns land
+    # AFTER it), plus an int and a string column
     m.cols = [["k", "int", None], ["s", "string", None],
               ["p", "string", None]]
     ddl = "`k` int, `s` string, `p` string"
@@ -291,9 +301,10 @@ def test_dml_evolution_sequences_match_eager_oracle(spark, seq):
             name = f"c{m.fresh}"
             m.fresh += 1
             t.alter_add_column(name, dtype, default=dflt)
-            # model keeps the partition column last; read() appends
-            # it after the (now-grown) data columns
-            m.cols.insert(len(m.cols) - 1, [name, dtype, dflt])
+            # read() returns canonical logical-schema order (added
+            # columns at the end, partition column at its schema
+            # position — Delta parity, stable across evolution)
+            m.cols.append([name, dtype, dflt])
             for r in m.rows:
                 r[name] = dflt
             m.snap()
@@ -410,7 +421,73 @@ def test_dml_evolution_sequences_match_eager_oracle(spark, seq):
             cols, rows = m.snapshots[v]
             m.cols = [list(c) for c in cols]
             m.rows = [dict(r) for r in rows]
+            # restore brings the target snapshot's partition spec
+            # back; the spec never affects _check (read() output is
+            # layout-invariant) so the model just mirrors the table
+            m.pcols = t._manifest(t.latest_version())["partition_cols"]
             m.snap()
+        elif op == 12:  # partition evolution: toggle the live spec
+            m.pcols = [] if m.pcols else ["p"]
+            t.alter_partitioning(m.pcols)
+            m.snap()
+        elif op == 13:  # raced merge-on-read DML pair
+            ics = int_cols()
+            if not ics:
+                continue
+            name = m.cols[ics[0]][0]
+            rem_ours = a % 5
+            rem_rival = (a + 1 + b % 4) % 5  # may overlap rows, not
+            # the predicate itself — overlapping FILES is the point
+            rival_pred = f"`{name}` % 5 = {rem_rival}"
+            our_pred = f"`{name}` % 5 = {rem_ours}"
+
+            real_commit = t._commit
+            fired = {"done": False}
+
+            def racing_commit(version, manifest,
+                              _rc=real_commit, _rp=rival_pred):
+                if not fired["done"]:
+                    fired["done"] = True
+                    SnapshotTable(spark, root).delete(
+                        _rp, mode="merge-on-read"
+                    )
+                return _rc(version, manifest)
+
+            t._commit = racing_commit  # type: ignore[method-assign]
+            try:
+                if b % 2:
+                    t.delete(our_pred, mode="merge-on-read")
+                else:
+                    t.update(
+                        our_pred, {name: f"`{name}` + 1"},
+                        mode="merge-on-read",
+                    )
+            finally:
+                t._commit = real_commit  # type: ignore[method-assign]
+            # serial order is rival-then-ours by construction: the
+            # rival commits inside our first commit attempt. The
+            # model is the oracle for WHICH of the two matched. A
+            # no-match on OUR side short-circuits before _commit, so
+            # the rival only ever fires when we matched something on
+            # the pre-race snapshot.
+            def _m(r, rem):
+                return r[name] is not None and r[name] % 5 == rem
+            if not any(_m(r, rem_ours) for r in m.rows):
+                continue  # ours no-matched: no commit, rival unfired
+            if any(_m(r, rem_rival) for r in m.rows):
+                # rival's delete committed a version first
+                m.rows = [r for r in m.rows if not _m(r, rem_rival)]
+                m.snap()
+            if any(_m(r, rem_ours) for r in m.rows):
+                # our rebase recomputed on the winner's snapshot and
+                # still matched: second version lands
+                if b % 2:
+                    m.rows = [r for r in m.rows if not _m(r, rem_ours)]
+                else:
+                    for r in m.rows:
+                        if _m(r, rem_ours):
+                            r[name] = r[name] + 1
+                m.snap()
         else:
             continue
         assert t.latest_version() == len(m.snapshots) - 1
@@ -430,7 +507,7 @@ def test_dml_evolution_sequences_match_eager_oracle(spark, seq):
 # as errors.
 
 REPL_OP = st.tuples(
-    st.integers(0, 8), st.integers(0, 7), st.integers(0, 7)
+    st.integers(0, 9), st.integers(0, 7), st.integers(0, 7)
 )
 REPL_SEQ = st.lists(REPL_OP, min_size=3, max_size=7)
 
@@ -633,6 +710,30 @@ def test_cdc_replica_follows_every_op(spark, seq):
             cols, rows = m.snapshots[v]
             m.cols = [list(c) for c in cols]
             m.rows = [dict(r) for r in rows]
+            m.snap()
+        elif op == 9 and n >= 3:  # drop -> compact -> RE-ADD same name
+            # (round-13 ADVICE cdf.py guard + the reorg replay path:
+            # the source's reuse is legal after its rewrite; the
+            # REPLICA's alter replay must self-heal via reorg because
+            # its own entries still carry the old bytes, and the
+            # stale-image range guard must not serve the dropped
+            # column's old bytes under the re-added name)
+            i = alterable()[a % (n - 1)]
+            name = m.cols[i][0]
+            src.alter_drop_column(name)
+            del m.cols[i]
+            for r in m.rows:
+                r.pop(name, None)
+            m.snap()
+            src.compact()
+            m.snap()
+            dtype = DTYPES[b % len(DTYPES)]
+            dflt = _default(dtype, a + b)  # always defaulted: the
+            # re-added column must read the NEW value, never old bytes
+            src.alter_add_column(name, dtype, default=dflt)
+            m.cols.append([name, dtype, dflt])
+            for r in m.rows:
+                r[name] = dflt
             m.snap()
         else:
             continue
