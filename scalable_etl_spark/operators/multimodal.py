@@ -14,9 +14,12 @@ distance map, color cache, meta codes, all four transforms;
 ``operators/vp8l.py``) and lossy (full RFC 6386 VP8 keyframe decode —
 boolean decoder, intra prediction, dequant, IDCT/WHT, both loop
 filters; ``operators/vp8.py``, pinned BIT-EXACT against libwebp in
-tests/test_vp8.py), and RIFF/WAVE 16-bit PCM audio (chunk walk,
-endianness, channel reshape; ``decode_audio``), and stubbed only for
-formats whose codecs this container genuinely doesn't ship (MP3/video:
+tests/test_vp8.py), RIFF/WAVE 16-bit PCM audio (chunk walk,
+endianness, channel reshape; ``decode_audio``), and MJPEG-in-AVI
+VIDEO (RIFF AVI container walk + per-frame baseline-JPEG decode with
+frame-sampled decoding; ``operators/avi.py``). Stubbed only for
+formats whose codecs this container genuinely doesn't ship
+(MP3/AAC/OGG audio and compressed video codecs — H.264/VP9/AV1:
 ffmpeg) — those raise NotImplementedError.
 The deterministic byte-level feature stages below remain for
 format-agnostic plumbing tests; swapping PIL in changes one function
@@ -913,4 +916,80 @@ def decode_audio_stats(
 
     return media.select(id_col, payload_col).mapInPandas(
         stats, schema=AUDIO_STATS_SCHEMA
+    )
+
+
+# ------------------------------------------- real MJPEG-AVI video
+
+VIDEO_FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fps", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("luma_sum", T.LongType()),
+    ]
+)
+
+
+def attach_synthetic_avi(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Materialize a real MJPEG AVI clip per row (RIFF container, one
+    baseline JPEG per frame) — operators/avi.py synthetic_mjpeg_avi."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .avi import synthetic_mjpeg_avi
+
+    @pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda d: synthetic_mjpeg_avi(int(d)))
+
+    return df.withColumn("payload", make(F.col(id_col)))
+
+
+def decode_video_frame_stats(
+    media: DataFrame,
+    every: int = 2,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL video frame sampling + decode: one output row per SAMPLED
+    frame (indices 0, every, 2*every, ...), with the frame decoded by
+    the real JPEG codec and reduced to its exact luma sum. The
+    container walk touches every chunk header (O(frames) metadata) but
+    the expensive per-frame decode runs ONLY for sampled indices — the
+    shape a 100 TB keyframe-extraction pipeline has, with ffmpeg
+    swapped out for the native MJPEG path. Arrow-batched mapInPandas,
+    no shuffle; decode is per-row (no memoization) because the decode
+    path IS what the oracle gate exercises."""
+
+    def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from .avi import decode_mjpeg_avi
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "fps": [], "n_frames": [], "width": [],
+                "height": [], "frame_idx": [], "luma_sum": [],
+            }
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(b)
+                # chunk-header walk first: how many frames exist
+                meta = decode_mjpeg_avi(payload, frame_indices=())
+                sampled = range(0, meta["n_frames"], every)
+                got = decode_mjpeg_avi(payload, frame_indices=sampled)
+                for f in sampled:
+                    out["doc_id"].append(int(i))
+                    out["fps"].append(got["fps"])
+                    out["n_frames"].append(got["n_frames"])
+                    out["width"].append(got["width"])
+                    out["height"].append(got["height"])
+                    out["frame_idx"].append(f)
+                    out["luma_sum"].append(
+                        int(got["frames"][f].astype("int64").sum())
+                    )
+            yield pd.DataFrame(out)
+
+    return media.select(id_col, payload_col).mapInPandas(
+        stats, schema=VIDEO_FRAME_STATS_SCHEMA
     )

@@ -1491,3 +1491,65 @@ def audio_energy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_sq").alias("total_energy"),
         )
     )
+
+
+@query(
+    "media_video_frame_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, 2 + doc_id % 3 AS n_frames FROM documents),
+    f AS (
+      SELECT doc_id, source, n_frames, 0 AS fi FROM d
+      UNION ALL
+      SELECT doc_id, source, n_frames, 2 AS fi FROM d WHERE n_frames > 2)
+    SELECT source, CAST(n_frames AS INT) AS n_frames,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_videos,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(MIN(10) AS INT) AS fps,
+           CAST(MIN(16) AS INT) AS width,
+           CAST(MIN(16) AS INT) AS height,
+           CAST(SUM(256 * (104 + 2 * ((doc_id + fi) % 25))) AS BIGINT)
+             AS luma_total
+    FROM f GROUP BY 1, 2
+    """,
+)
+def media_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode under the gate (round 14 — the video half of
+    the former MP3/video NotImplementedError boundary): per doc a
+    genuine MJPEG AVI clip (RIFF container: avih/strh/strf headers,
+    even-padded 00dc frame chunks, keyframe idx1 — operators/avi.py)
+    whose 2-4 frames are real baseline JPEGs in the bit-exact
+    constant-gray classes. The pipeline is the 100 TB keyframe shape:
+    the mapInPandas stage walks every chunk header but JPEG-decodes
+    ONLY the sampled frames (indices 0, 2), emitting one row per
+    sampled frame with its exact luma sum. The oracle evaluates the
+    closed form (frame luma = 256 * (104 + 2*((doc_id+f) % 25)))
+    without decoding — container desync, fourcc, padding, header
+    contradiction, or any JPEG Huffman/dequant/IDCT bug corrupts
+    luma_total and fails the value hash; fps/width/height come from
+    the real stream headers, cross-checked against decoded frames.
+    Reference parity: the reference stores media as opaque S3 bytes
+    (src/jobs/ingest_job.py:142-156) and never decodes; a training
+    -data engine must."""
+    from .operators.multimodal import (
+        attach_synthetic_avi,
+        decode_video_frame_stats,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    # same parallelism note as media_pixel_stats: the decode stage is
+    # Python-compute-bound over a narrow id frame
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    frames = decode_video_frame_stats(attach_synthetic_avi(d), every=2)
+    return (
+        frames.join(d, "doc_id")
+        .groupBy("source", "n_frames")
+        .agg(
+            F.countDistinct("doc_id").alias("n_videos"),
+            F.count("*").alias("n_sampled"),
+            F.min("fps").alias("fps"),
+            F.min("width").alias("width"),
+            F.min("height").alias("height"),
+            F.sum("luma_sum").alias("luma_total"),
+        )
+    )

@@ -107,6 +107,17 @@ HEADLINERS = {
         "read shows a plain scan: compaction materialized the "
         "suppressions away. Zero Python, no CartesianProduct."
     ),
+    "sink_tx_reorg": (
+        "REORG APPLY PURGE read-back (round 14). Expect: a PLAIN "
+        "parquet union scan — no _metadata projection, no "
+        "BroadcastHashJoin LeftAnti — because reorg materialized the "
+        "deletion vectors and the stale dropped-column bytes away; "
+        "the epoch-2 entry's path in the scan is the SAME dir the "
+        "pre-reorg manifest held (clean entries survive verbatim — "
+        "O(dirty) maintenance). The re-added 'flag' column reads as "
+        "a literal default fill folded into the projection, not a "
+        "file column. Zero Python, no CartesianProduct."
+    ),
     "rollup_revenue": (
         "ROLLUP aggregate (round-8 promoted analytics family). "
         "Expect: a single Expand feeding partial_ then final "
