@@ -104,6 +104,11 @@ _PROMOTED = (
 # promoted cohort, judge-re-verified r13) to fund the sink_tx_reorg
 # slot; media stays repped locally via check_correctness.
 _DEMOTED = (
+    # sink_tx_clone registered late r14 (zero-copy SHALLOW CLONE):
+    # locally oracle-verified at sf0.001/0.01/0.1 this round; rotate
+    # into the graded window in r15 (the established late-registration
+    # pattern — distributed_scan r10->r11, constraints r11->r12).
+    "sink_tx_clone",
     "active_user_pct",
     "events_flatten",
     "events_silver",

@@ -191,6 +191,17 @@ def cmd_table(spark: SparkSession, args: argparse.Namespace) -> dict:
         v0 = t.latest_version()
         v = t.reorg()
         return {"reorged": v != v0, "version": v}
+    if args.action == "clone":
+        if not args.target:
+            raise SystemExit("clone needs --target")
+        c = t.clone(args.target, version=args.version)
+        return {
+            "cloned_to": args.target,
+            "from_version": (
+                t.latest_version() if args.version is None else args.version
+            ),
+            "rows": c.read().count(),
+        }
     if args.action == "delete":
         if not args.predicate:
             raise SystemExit("delete needs --predicate")
@@ -310,7 +321,8 @@ def main(argv: list[str] | None = None) -> int:
         "row-image recording for MERGE/DELETE/UPDATE) / delete "
         "(--mode merge-on-read = deletion vectors) / reorg "
         "(REORG APPLY PURGE: rewrite only entries carrying stale "
-        "column bytes or deletion vectors)",
+        "column bytes or deletion vectors) / clone "
+        "(zero-copy SHALLOW CLONE to --target, hardlinked)",
     )
     tb.add_argument("action",
                     choices=["history", "restore", "compact", "vacuum",
@@ -318,7 +330,9 @@ def main(argv: list[str] | None = None) -> int:
                              "drop-column", "widen-column",
                              "add-constraint", "drop-constraint",
                              "set-property", "unset-property",
-                             "delete", "reorg"])
+                             "delete", "reorg", "clone"])
+    tb.add_argument("--target", default="",
+                    help="destination root for clone")
     tb.add_argument("--root", required=True)
     tb.add_argument("--version", type=int, default=None,
                     help="target version for restore")

@@ -1366,3 +1366,94 @@ def sink_tx_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_now",
         )
     )
+
+
+@query(
+    "sink_tx_clone",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, event_type, value FROM events),
+    common AS (
+      SELECT * FROM base
+      WHERE NOT (event_type = 'error' AND value < 100)),
+    src AS (
+      SELECT event_type,
+             CASE WHEN event_type = 'click' THEN value * 2
+                  ELSE value END AS value, user_id
+      FROM common),
+    cl AS (
+      SELECT event_type, value, user_id FROM common
+      WHERE NOT (event_type = 'purchase' AND value > 900)),
+    legs AS (
+      SELECT 'source' AS leg, event_type, value, user_id FROM src
+      UNION ALL
+      SELECT 'clone' AS leg, event_type, value, user_id FROM cl)
+    SELECT leg, event_type, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS value_cents,
+           1 AS zero_copy
+    FROM legs GROUP BY leg, event_type
+    """,
+)
+def sink_tx_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZERO-COPY CLONE end-to-end (Delta SHALLOW CLONE semantics with
+    hardlink durability — acid.py clone): the source table takes a
+    merge-on-read DELETE (live deletion vector), is CLONED — O(files)
+    hardlink metadata ops, no data copied — and then the two tables
+    DIVERGE: the source doubles click values (copy-on-write UPDATE),
+    the clone drops high-value purchases (DELETE). The returned frame
+    aggregates BOTH tables; the oracle's closed form proves the clone
+    pinned exactly the source snapshot (including the deletion
+    vector's suppressions, which ride the clone as linked sidecars)
+    and that neither side's post-clone mutation leaked into the
+    other. The ``zero_copy`` structural flag is 1 only when every
+    cloned parquet shares an inode with the source (st_nlink >= 2 —
+    the property that makes a 100 TB corpus branchable in seconds)
+    AND the clone's txn ledger started EMPTY (the source's stream/
+    sync watermarks must not leak into a branch's exactly-once
+    gates). At 100 TB this is the curation-experiment verb: branch,
+    mutate, measure, discard — without copying the lake."""
+    import os
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    src = _tx_table(spark, "clone_src")
+    src.overwrite(e)
+    src.delete(
+        (F.col("event_type") == "error") & (F.col("value") < 100),
+        mode="merge-on-read",
+    )
+    wh = src.root.rsplit("/", 1)[0]
+    import shutil
+
+    clone_root = os.path.join(wh, "clone_dst")
+    shutil.rmtree(clone_root, ignore_errors=True)
+    cl = src.clone(clone_root)
+    linked = True
+    for walk_root, _sub, files in os.walk(cl.data_dir):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                linked = linked and (
+                    os.stat(os.path.join(walk_root, fn)).st_nlink >= 2
+                )
+    zero_copy = int(linked and cl._txn_of(0) == {})
+    # divergence: each side mutates AFTER the clone point
+    src.update(
+        F.col("event_type") == "click", {"value": F.col("value") * 2}
+    )
+    cl.delete((F.col("event_type") == "purchase") & (F.col("value") > 900))
+
+    def leg(t, name: str) -> DataFrame:
+        return t.read().groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.expr(
+                "CAST(ROUND(SUM(value) * 100, 0) AS BIGINT)"
+            ).alias("value_cents"),
+        ).select(
+            F.lit(name).alias("leg"), "*",
+            F.lit(zero_copy).alias("zero_copy"),
+        )
+
+    return leg(src, "source").unionByName(leg(cl, "clone"))

@@ -4341,3 +4341,63 @@ def test_mor_dml_threaded_race_serializable(spark, tmp_path):
         if rows == final:
             matched_orders.append(perm)
     assert matched_orders, (final, kinds)
+
+
+def test_clone_zero_copy_divergence(spark, tmp_path):
+    """SHALLOW-CLONE parity with hardlink durability: the clone is
+    zero-copy (shared inodes), reads the pinned snapshot exactly
+    (incl. live deletion vectors and evolution fills), diverges both
+    ways after the clone point, survives a SOURCE vacuum, and starts
+    its txn ledger fresh (the source's stream/sync watermarks must
+    not leak into the clone's exactly-once gates)."""
+    import os
+
+    src = SnapshotTable(spark, str(tmp_path / "s"))
+    src.overwrite(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))      # v0
+    src.alter_add_column("tag", "string", default="t")             # v1
+    src.append(
+        spark.createDataFrame([(4, "d", "x")], "k INT, v STRING, tag STRING")
+    )                                                              # v2
+    src.delete("k = 2", mode="merge-on-read")                      # v3 (DV)
+    src.add_constraint("pos_k", "k > 0")                           # v4
+
+    t = src.clone(str(tmp_path / "c"))
+    assert t.latest_version() == 0
+    assert t._manifest(0)["op"] == "clone_v4"
+    want = {(1, "a", "t"), (3, "c", "t"), (4, "d", "x")}
+    assert {(r.k, r.v, r.tag) for r in t.read().collect()} == want
+    # zero-copy: every cloned parquet shares an inode with the source
+    for walk_root, _sub, files in os.walk(t.data_dir):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                assert os.stat(os.path.join(walk_root, fn)).st_nlink >= 2
+    # constraints carried: a violating append aborts on the clone
+    import pytest
+
+    from scalable_etl_spark.acid import ConstraintViolation
+
+    with pytest.raises(ConstraintViolation):
+        t.append(
+            spark.createDataFrame([(-1, "z", "x")],
+                                  "k INT, v STRING, tag STRING")
+        )
+    # txn ledger NOT carried (fresh exactly-once gates)
+    assert t._txn_of(0) == {}
+    # divergence: clone mutates, source unaffected — and vice versa
+    t.delete("k = 1")
+    src.append(
+        spark.createDataFrame([(9, "i", "y")], "k INT, v STRING, tag STRING")
+    )
+    assert {r.k for r in t.read().collect()} == {3, 4}
+    assert {r.k for r in src.read().collect()} == {1, 3, 4, 9}
+    # hardlink durability: compact + vacuum the SOURCE until the
+    # cloned-from dirs are gone from the source tree; clone still reads
+    src.compact()
+    src.vacuum(retain_versions=1, min_age_seconds=0.0)
+    assert {r.k for r in t.read().collect()} == {3, 4}
+    # clone a HISTORICAL version
+    t0 = src.clone(str(tmp_path / "c0"), version=src.latest_version())
+    assert {r.k for r in t0.read().collect()} == {1, 3, 4, 9}
+    # refuse clobbering an existing table
+    with pytest.raises(FileExistsError):
+        src.clone(str(tmp_path / "c"))

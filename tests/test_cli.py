@@ -71,7 +71,7 @@ def test_registry_contract():
 
     q = e.queries()
     o = e.oracle_sql()
-    assert len(q) == 139, f"registry has {len(q)} queries; update COVERAGE.md"
+    assert len(q) == 140, f"registry has {len(q)} queries; update COVERAGE.md"
     assert set(o) == set(q), "every query needs an oracle (none rows-only)"
     graded = list(q)[:50]
     for prefix in ("sql_", "source_", "sink_", "streaming_"):
@@ -263,3 +263,19 @@ def test_table_reorg_cli(spark, tmp_path, capsys):
     assert t.read().count() == 5
     out = _run(capsys, "table", "reorg", "--root", root)
     assert out["reorged"] is False
+
+
+def test_table_clone_cli(spark, tmp_path, capsys):
+    """`table clone` branches a snapshot zero-copy to --target."""
+    from scalable_etl_spark.acid import SnapshotTable
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    t.append(spark.createDataFrame([(i,) for i in range(6)], "k INT"))
+    target = str(tmp_path / "branch")
+    out = _run(capsys, "table", "clone", "--root", root,
+               "--target", target)
+    assert out["rows"] == 6 and out["from_version"] == 0
+    c = SnapshotTable(spark, target)
+    c.delete("k < 3")
+    assert c.read().count() == 3 and t.read().count() == 6
