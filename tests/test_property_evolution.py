@@ -206,10 +206,15 @@ def test_evolution_sequences_match_eager_oracle(spark, seq):
 # matched-position computation and our commit — the rebase loop must
 # recompute on the winner's snapshot, so stacked deletion vectors
 # stay serializable: no double-suppression, and an update racing a
-# delete must not resurrect the deleted rows via stale post-images).
+# delete must not resurrect the deleted rows via stale post-images),
+# op 14 = reorg (REORG APPLY PURGE: rows must be invariant whether or
+# not anything was dirty enough to rewrite), op 15 = clone (the
+# zero-copy branch must equal the model AT the clone point, commit
+# NOTHING to the source, and stay frozen while the source keeps
+# mutating — checked again when the sequence ends).
 
 DML_OP = st.tuples(
-    st.integers(0, 13), st.integers(0, 7), st.integers(0, 7)
+    st.integers(0, 15), st.integers(0, 7), st.integers(0, 7)
 )
 DML_SEQ = st.lists(DML_OP, min_size=4, max_size=8)
 
@@ -285,6 +290,14 @@ def test_dml_evolution_sequences_match_eager_oracle(spark, seq):
 
     def alterable():  # non-partition column indexes
         return [i for i, (n, _d, _f) in enumerate(m.cols) if n != "p"]
+
+    clones: list[tuple] = []  # (table, cols-at-clone, rows-at-clone)
+
+    def _check_clone(ct, cols, rows):
+        mm = _Model()
+        mm.cols = [list(c) for c in cols]
+        mm.rows = [dict(r) for r in rows]
+        _check(ct, mm)
 
     for op, a, b in seq:
         n = len(m.cols)
@@ -488,10 +501,29 @@ def test_dml_evolution_sequences_match_eager_oracle(spark, seq):
                         if _m(r, rem_ours):
                             r[name] = r[name] + 1
                 m.snap()
+        elif op == 14:  # reorg: rows invariant, commit only if dirty
+            v0 = t.latest_version()
+            t.reorg()
+            if t.latest_version() > v0:
+                m.snap()
+        elif op == 15:  # clone: zero-copy branch == model, source
+            # version untouched, and the branch stays FROZEN (checked
+            # again after the sequence ends)
+            v0 = t.latest_version()
+            ct = t.clone(f"{root}_clone{len(clones)}")
+            assert t.latest_version() == v0
+            _check_clone(ct, m.cols, m.rows)
+            clones.append(
+                (ct, [list(c) for c in m.cols], [dict(r) for r in m.rows])
+            )
         else:
             continue
         assert t.latest_version() == len(m.snapshots) - 1
         _check(t, m)
+    # clones are branches: the source kept mutating after each clone
+    # point, none of it may leak into the frozen branches
+    for ct, cols, rows in clones:
+        _check_clone(ct, cols, rows)
 
 
 # ---------------------------------------------------------------------
