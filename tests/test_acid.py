@@ -4401,3 +4401,63 @@ def test_clone_zero_copy_divergence(spark, tmp_path):
     # refuse clobbering an existing table
     with pytest.raises(FileExistsError):
         src.clone(str(tmp_path / "c"))
+
+
+def test_clone_vacuum_and_discard(spark, tmp_path):
+    """The branch lifecycle: a clone compacts and vacuums its SHARED
+    (hardlinked) entries away without touching the source — unlink
+    removes the clone's name, the source keeps its own link to the
+    same inode. Deleting the whole branch directory is equally safe:
+    branch, mutate, measure, DISCARD."""
+    import os
+    import shutil
+
+    src = SnapshotTable(spark, str(tmp_path / "s"))
+    src.overwrite(_df(spark, [(i, f"v{i}") for i in range(8)]))
+    t = src.clone(str(tmp_path / "c"))
+    t.compact()                          # branch rewrites into own files
+    t.vacuum(retain_versions=1, min_age_seconds=0.0)
+    # the shared entries are gone from the BRANCH tree only
+    src_files = {
+        fn
+        for w, _s, fs in os.walk(src.data_dir)
+        for fn in fs if fn.endswith(".parquet")
+    }
+    assert src_files, "source lost its files to a branch vacuum"
+    assert {r.k for r in src.read().collect()} == set(range(8))
+    assert {r.k for r in t.read().collect()} == set(range(8))
+    # full discard
+    shutil.rmtree(str(tmp_path / "c"))
+    assert {r.k for r in src.read().collect()} == set(range(8))
+
+
+def test_reorg_migrates_dirty_entries_to_live_spec(spark, tmp_path):
+    """reorg under MIXED layouts: dirty entries (here: carrying a
+    dropped column's bytes) rewrite under the LIVE partition spec —
+    the same migrate-on-rewrite contract as compact/DML — while clean
+    old-layout entries keep their layout verbatim."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "d0", "x"), (2, "d1", "y")],
+            "k INT, day STRING, v STRING",
+        ),
+        partition_cols=["day"],
+    )                                                    # v0: day= layout
+    t.alter_partitioning([])                             # v1
+    t.append(
+        spark.createDataFrame(
+            [(3, "d0", "z")], "k INT, day STRING, v STRING"
+        )
+    )                                                    # v2: flat entry
+    t.alter_drop_column("v")                             # v3: ALL entries dirty
+    v = t.reorg()                                        # v4
+    m = t._manifest(v)
+    # every rewritten entry is under the live (empty) spec: no day= path
+    assert all("day=" not in e for e in m["dirs"]), m["dirs"]
+    assert {(r.k, r.day) for r in t.read().collect()} == {
+        (1, "d0"), (2, "d1"), (3, "d0")
+    }
+    # and the ex-partition path guard lifts: day is renameable now
+    t.alter_rename_column("day", "d")
+    assert {r.d for r in t.read().collect()} == {"d0", "d1"}
