@@ -159,8 +159,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Ordering contract (the driver grades the first 50 entries):
-    §2 core (module order, minus the demoted extras) -> the 10 promoted
-    LLM-pipeline headliners -> everything else in module order.
+    §2 core (module order, minus the demoted extras) -> the promoted
+    cohort (_PROMOTED, 15 dedup/ANN/doc-analysis/curation entries
+    this round) -> everything else in module order.
     """
     prio = {
         f"scalable_etl_spark.{m}": i for i, m in enumerate(_MODULE_ORDER)

@@ -323,13 +323,13 @@ def _file_survives(
     if norm is not None:
         col, lo, hi = norm
         rng = per.get(col)
-        if (
-            rng is not None
-            and rng[0] is not None
-            and rng[1] is not None
-            and (rng[1] < lo or rng[0] > hi)
-        ):
-            return False
+        if rng is not None and rng[0] is not None and rng[1] is not None:
+            try:
+                if rng[1] < lo or rng[0] > hi:
+                    return False
+            except TypeError:
+                pass  # incomparable types (path-rendered value vs
+                # typed stats): cannot prove disjoint -> keep
     if bloom_key is not None:
         pseudo, needle = bloom_key
         spec = per.get(pseudo)
@@ -1647,7 +1647,17 @@ class SnapshotTable:
             if dmin is None or dmax is None:  # all-null column in dir
                 kept.append(d)
                 continue
-            if not (dmax < lo or dmin > hi):
+            try:
+                disjoint = dmax < lo or dmin > hi
+            except TypeError:
+                # incomparable types: a PATH-derived prune value (the
+                # string Spark wrote into the dir name) against typed
+                # footer stats — e.g. compact_partition('k', '5') on
+                # int stats after partition evolution. Cannot prove
+                # disjoint -> conservatively keep (the path pruner
+                # composed in _prune_candidates still narrows).
+                disjoint = False
+            if not disjoint:
                 kept.append(d)
         return kept
 
@@ -2867,6 +2877,21 @@ class SnapshotTable:
                     f"{unknown!r} (table columns: "
                     f"{schema.fieldNames()})"
                 )
+            # partitionability is validated AT ALTER TIME (Delta/
+            # Iceberg do the same): committing a spec on an array/
+            # map/struct column would succeed as metadata, then brick
+            # every future write inside Spark's partitionBy
+            fields = {f.name: f.dataType for f in schema.fields}
+            bad = [
+                c for c in new_spec
+                if fields[c].typeName() in ("array", "map", "struct")
+            ]
+            if bad:
+                raise ValueError(
+                    f"column(s) {bad!r} have non-atomic types "
+                    f"({[fields[c].simpleString() for c in bad]}) and "
+                    "cannot partition a table"
+                )
             dv = self._dv_kept(v, m["dirs"])
             manifest = {
                 "op": "alter_partitioning",
@@ -3426,20 +3451,30 @@ class SnapshotTable:
     def _dv_position_count(self, uuids) -> int:
         """Live suppressed-row count of the given DV sidecars, read
         from parquet FOOTERS driver-side (O(sidecar files) metadata
-        reads, no Spark job) — cheap enough to run at every read-plan
-        build, which is exactly where the broadcast-vs-shuffle
-        decision below needs it."""
+        reads, no Spark job) and memoized PER SIDECAR on the instance
+        — sidecar dirs are write-once, and this runs at every
+        read-plan build (the broadcast-vs-shuffle decision below), so
+        a hot table with many live sidecars must not re-walk them on
+        every plan."""
         import pyarrow.parquet as pq
 
+        memo = getattr(self, "_dv_count_memo", None)
+        if memo is None:
+            memo = self._dv_count_memo = {}
         n = 0
         for u in sorted(set(uuids)):
-            d = os.path.join(self.dv_dir, u)
-            for walk_root, _sub, files in os.walk(d):
-                for fn in files:
-                    if fn.endswith(".parquet"):
-                        n += pq.ParquetFile(
-                            os.path.join(walk_root, fn)
-                        ).metadata.num_rows
+            got = memo.get(u)
+            if got is None:
+                got = 0
+                d = os.path.join(self.dv_dir, u)
+                for walk_root, _sub, files in os.walk(d):
+                    for fn in files:
+                        if fn.endswith(".parquet"):
+                            got += pq.ParquetFile(
+                                os.path.join(walk_root, fn)
+                            ).metadata.num_rows
+                memo[u] = got
+            n += got
         return n
 
     def _dv_suppress(
@@ -4393,14 +4428,20 @@ class SnapshotTable:
             if not rewrite:
                 return v  # stats prove nothing can match
             target = self._read_dirs(m, rewrite)
+            dv_live = any(m.get("dv", {}).get(d) for d in rewrite)
             if (
                 select is None
+                and (data_change or not dv_live)
                 and target.filter(match_true).limit(1).count() == 0
             ):
-                # no matching rows: commit nothing. An explicit
-                # select skips this bail — a fully-DV-suppressed
-                # entry reads as 0 rows yet still needs its purge
-                # rewrite (reorg drops it from the manifest).
+                # no matching rows: commit nothing. Two exceptions
+                # proceed anyway — an explicit select (reorg must
+                # purge fully-DV-suppressed entries that read as 0
+                # rows), and a layout-only op (compact_partition)
+                # whose candidates carry live deletion vectors: the
+                # empty rewrite IS the materialization, and bailing
+                # here left maybe_compact(max_dvs=)'s sweep unable to
+                # ever clear a fully-suppressed partition.
                 return v
             cdf_on = change_frames is not None and self._cdf_enabled(v)
             if cdf_on:
@@ -4893,12 +4934,17 @@ class SnapshotTable:
 
         Carried: schema, partition spec, stats/blooms (data skipping
         works from the first read), evolution records, live deletion
-        vectors, CHECK constraints, and table properties. NOT
-        carried: the txn ledger (stream/sync watermarks are identities
-        of the SOURCE's pipelines — a clone consuming them would
-        silently skip its own first batches), history (the clone
-        starts at v0, like Delta), and _change_data files (a fresh
-        feed starts at the clone's own commits)."""
+        vectors, CHECK constraints, table properties, AND the txn
+        ledger — Delta's clone copies stream/application transaction
+        state for exactly this reason: a cloned DESTINATION (replica,
+        stream sink) resumed under the same sync_id/query_id must
+        continue exactly-once, not re-backfill rows it already holds.
+        (The converse hazard — a brand-new pipeline reusing an old id
+        against the clone skips its first batches — is the same id
+        -collision error on any table, not clone-specific.) NOT
+        carried: history (the clone starts at v0, like Delta) and
+        _change_data files (a fresh feed starts at the clone's own
+        commits)."""
         import shutil
 
         v = self.latest_version() if version is None else version
@@ -4945,7 +4991,7 @@ class SnapshotTable:
             "partition_cols": m["partition_cols"],
             "stats": self._stats_of(v),
             "file_stats": self._file_stats_of(v),
-            "txn": {},
+            "txn": self._txn_of(v),
             "evolution": self._evolution_of(v),
             "constraints": dict(m.get("constraints", {})),
             "properties": dict(m.get("properties", {})),

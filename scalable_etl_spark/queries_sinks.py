@@ -1409,9 +1409,9 @@ def sink_tx_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     other. The ``zero_copy`` structural flag is 1 only when every
     cloned parquet shares an inode with the source (st_nlink >= 2 —
     the property that makes a 100 TB corpus branchable in seconds)
-    AND the clone's txn ledger started EMPTY (the source's stream/
-    sync watermarks must not leak into a branch's exactly-once
-    gates). At 100 TB this is the curation-experiment verb: branch,
+    AND the clone carried the source's txn ledger verbatim (Delta
+    clone parity: a migrated sync/stream pipeline resumes
+    exactly-once against the branch instead of re-backfilling). At 100 TB this is the curation-experiment verb: branch,
     mutate, measure, discard — without copying the lake."""
     import os
 
@@ -1437,7 +1437,11 @@ def sink_tx_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
                 linked = linked and (
                     os.stat(os.path.join(walk_root, fn)).st_nlink >= 2
                 )
-    zero_copy = int(linked and cl._txn_of(0) == {})
+    # txn ledger carried verbatim (Delta clone parity: a migrated
+    # pipeline resumes exactly-once against the branch)
+    zero_copy = int(
+        linked and cl._txn_of(0) == src._txn_of(src.latest_version())
+    )
     # divergence: each side mutates AFTER the clone point
     src.update(
         F.col("event_type") == "click", {"value": F.col("value") * 2}

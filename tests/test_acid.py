@@ -4381,8 +4381,9 @@ def test_clone_zero_copy_divergence(spark, tmp_path):
             spark.createDataFrame([(-1, "z", "x")],
                                   "k INT, v STRING, tag STRING")
         )
-    # txn ledger NOT carried (fresh exactly-once gates)
-    assert t._txn_of(0) == {}
+    # txn ledger CARRIED (Delta clone parity — see
+    # test_clone_carries_txn_exactly_once for the behavioral check)
+    assert t._txn_of(0) == src._txn_of(src.latest_version())
     # divergence: clone mutates, source unaffected — and vice versa
     t.delete("k = 1")
     src.append(
@@ -4461,3 +4462,100 @@ def test_reorg_migrates_dirty_entries_to_live_spec(spark, tmp_path):
     # and the ex-partition path guard lifts: day is renameable now
     t.alter_rename_column("day", "d")
     assert {r.d for r in t.read().collect()} == {"d0", "d1"}
+
+
+def test_clone_carries_txn_exactly_once(spark, tmp_path):
+    """Delta-clone parity on transaction state: cloning a sync
+    DESTINATION and resuming the same sync_id against the clone must
+    CONTINUE exactly-once from the carried watermark — not re-backfill
+    rows the clone already holds (the silent-duplication failure a
+    dropped ledger would cause)."""
+    from collections import Counter
+
+    from scalable_etl_spark.acid import sync_incremental
+
+    src = SnapshotTable(spark, str(tmp_path / "s"))
+    src.overwrite(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "`id` bigint, `v` string"
+        )
+    )
+    src.enable_change_data_feed()
+    dst = SnapshotTable(spark, str(tmp_path / "d"))
+    sync_incremental(src, dst, sync_id="mig", keys=["id"])
+    # migrate the replica: branch it, keep syncing into the BRANCH
+    branch = dst.clone(str(tmp_path / "d2"))
+    src.append(
+        spark.createDataFrame([(3, "c")], "`id` bigint, `v` string")
+    )
+    sync_incremental(src, branch, sync_id="mig", keys=["id"])
+    got = Counter((r.id, r.v) for r in branch.read().select("id", "v").collect())
+    assert got == Counter({(1, "a"): 1, (2, "b"): 1, (3, "c"): 1}), got
+
+
+def test_path_prune_composes_with_typed_stats(spark, tmp_path):
+    """Round-14 review fix: an equality prune whose value is the
+    PATH-RENDERED string ('5' for int k) must compose with typed
+    footer stats conservatively — incomparable types keep the dir —
+    instead of raising TypeError inside the stats pruner. This is the
+    documented compact_partition usage ('pass the partition value as
+    the string Spark wrote') on a table that evolved its spec onto a
+    stats'd int column."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(9)], "k INT, v STRING"
+        ),
+        stats_cols=["k"],
+    )
+    t.alter_partitioning(["k"])
+    t.append(_df(spark, [(5, "x")], "k INT, v STRING"))
+    t.compact_partition("k", "5")  # raised TypeError before the fix
+    assert sorted((r.k, r.v) for r in t.read().collect()) == sorted(
+        [(i, f"v{i}") for i in range(9)] + [(5, "x")]
+    )
+    # read-side file skipping with the same mismatch stays usable too
+    assert t.read(where=("k", "5", "5")).count() >= 0
+
+
+def test_dv_sweep_clears_fully_suppressed_partition(spark, tmp_path):
+    """Round-14 review fix: maybe_compact(max_dvs=...) under the
+    per-partition policy must converge even when a partition is
+    FULLY suppressed by its deletion vector (reads as 0 rows): the
+    empty partition rewrite IS the materialization. Before the fix
+    the zero-row bail skipped the commit and the sweep re-ran its
+    Spark job forever without progress."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b")], "k INT, p STRING"
+        ),
+        partition_cols=["p"],
+    )
+    t.delete("p = 'a'", mode="merge-on-read")
+    t.maybe_compact(max_dvs=0, partition_max_files=64)
+    m = t._manifest(t.latest_version())
+    assert not m.get("dv"), "sweep left live deletion vectors"
+    assert sorted(r.k for r in t.read().collect()) == [3]
+    # a predicate DML's no-match bail is UNCHANGED: no empty commits
+    v = t.latest_version()
+    assert t.delete("k = 999") == v
+
+
+def test_alter_partitioning_rejects_non_atomic_types(spark, tmp_path):
+    """Partitionability is validated at ALTER time (Delta/Iceberg
+    parity): committing a spec on an array column would brick every
+    future write inside Spark's partitionBy."""
+    import pytest
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, [0.5, 0.5])], "k INT, emb ARRAY<DOUBLE>"
+        )
+    )
+    with pytest.raises(ValueError, match="non-atomic"):
+        t.alter_partitioning(["emb"])
+    t.alter_partitioning(["k"])  # atomic: fine
+    t.append(spark.createDataFrame([(2, [1.0])], "k INT, emb ARRAY<DOUBLE>"))
+    assert t.read().count() == 2
