@@ -950,21 +950,39 @@ class SnapshotTable:
         called with ``stats_cols=[...]`` / ``cluster_by=[...]``; dirs
         and files without stats for ``col`` are conservatively kept.
 
+        ``where=[(c1, lo, hi), (c2, lo, hi), ...]`` — a LIST of
+        predicates — skips on their CONJUNCTION: an entry/file
+        survives only if every predicate's range can intersect, and
+        every predicate is applied as a trailing filter. This is the
+        read side of ``zorder=True`` clustering: a Morton-clustered
+        layout makes per-file ranges selective on EVERY clustered
+        column, but a single-range ``where`` could only exploit one
+        dimension per read.
+
         ``planning="distributed"`` evaluates the per-file skipping as
         a Spark job over the version's parquet checkpoint sidecar
         (``_distributed_file_plan``) instead of materializing the file
         inventory driver-side — the scale path for million-file
         tables. Falls back to driver planning (same results — the two
         paths share ``_file_survives``) when the version isn't a
-        parquet-checkpoint one or there's no predicate."""
+        parquet-checkpoint one or there's no predicate; the sidecar
+        job evaluates single-predicate reads (conjunctions fall back
+        to the driver path today)."""
         if planning not in ("driver", "distributed"):
             raise ValueError(f"unsupported planning {planning!r}")
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
+        wheres: list[tuple] = (
+            []
+            if where is None
+            else [tuple(where)]
+            if isinstance(where, tuple)
+            else [tuple(w) for w in where]
+        )
         m = dplan = None
-        if planning == "distributed" and where is not None:
-            got = self._distributed_file_plan(v, where)
+        if planning == "distributed" and len(wheres) == 1:
+            got = self._distributed_file_plan(v, wheres[0])
             if got is not None:
                 m, dplan = got
         if m is None:
@@ -972,8 +990,17 @@ class SnapshotTable:
         schema = StructType.fromJson(json.loads(m["schema"]))
         evo_ctx = self._evolution_ctx(m)
         dirs = m["dirs"]
-        norm, bloom_key = self._normalize_predicate(m, where)
-        dirs = self._dir_prune(m, dirs, where, norm)
+        # each predicate prunes independently; survivors intersect
+        preds = [
+            (w, *self._normalize_predicate(m, w)) for w in wheres
+        ]
+        for w, w_norm, _bk in preds:
+            dirs = self._dir_prune(m, dirs, w, w_norm)
+        active = [
+            (w_norm, bk)
+            for _w, w_norm, bk in preds
+            if w_norm is not None or bk is not None
+        ]
         dvm = m.get("dv", {})
         all_fstats = m.get("file_stats", {})
         # POINT lookups additionally probe per-file bloom filters when
@@ -1013,11 +1040,14 @@ class SnapshotTable:
                         paths = [os.path.join(base, f) for f in files]
             else:
                 fstats = all_fstats.get(d)
-                if fstats and (norm is not None or bloom_key is not None):
+                if fstats and active:
                     files = [
                         f
                         for f, per in fstats.items()
-                        if _file_survives(per, norm, bloom_key)
+                        if all(
+                            _file_survives(per, w_norm, bk)
+                            for w_norm, bk in active
+                        )
                     ]
                     if not files:
                         continue
@@ -1075,8 +1105,7 @@ class SnapshotTable:
         # evolution file-stored ones, so a mixed-layout table's
         # read order would flap across compaction/DML.
         out = out.select(*[f.name for f in schema.fields])
-        if where is not None:
-            col, lo, hi = where
+        for col, lo, hi in wheres:
             out = out.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
         return out
 

@@ -4559,3 +4559,48 @@ def test_alter_partitioning_rejects_non_atomic_types(spark, tmp_path):
     t.alter_partitioning(["k"])  # atomic: fine
     t.append(spark.createDataFrame([(2, [1.0])], "k INT, emb ARRAY<DOUBLE>"))
     assert t.read().count() == 2
+
+
+def test_read_conjunction_skipping_on_zorder(spark, tmp_path):
+    """read(where=[(c1,...), (c2,...)]) skips on the CONJUNCTION —
+    the read side of zorder clustering: per-file ranges are selective
+    on EVERY clustered column, and a two-predicate read must open
+    fewer files than either single-predicate read while returning
+    exactly the AND of the filters."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    rows = [(i, (i * 37) % 100, f"v{i}") for i in range(400)]
+    t.overwrite(
+        spark.createDataFrame(rows, "a INT, b INT, v STRING"),
+        cluster_by=["a", "b"],
+        n_files=16,
+        zorder=True,
+    )
+    got = sorted(
+        (r.a, r.b)
+        for r in t.read(where=[("a", 0, 30), ("b", 0, 30)]).collect()
+    )
+    assert got == sorted(
+        (a, b) for a, b, _v in rows if a <= 30 and b <= 30
+    )
+    n_all = len(t.read().inputFiles())
+    n_a = len(t.read(where=("a", 0, 30)).inputFiles())
+    n_ab = len(t.read(where=[("a", 0, 30), ("b", 0, 30)]).inputFiles())
+    assert n_a < n_all, "single-dim skipping regressed"
+    assert n_ab < n_a, (n_all, n_a, n_ab)
+    # bloom point-probes compose inside a conjunction too
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"))
+    t2.overwrite(
+        spark.createDataFrame(rows, "a INT, b INT, v STRING"),
+        cluster_by=["a"],
+        n_files=8,
+        bloom_cols=["v"],
+    )
+    got2 = [
+        (r.a, r.v)
+        for r in t2.read(where=[("a", 0, 399), ("v", "v7", "v7")]).collect()
+    ]
+    assert got2 == [(7, "v7")]
+    n_point = len(
+        t2.read(where=[("a", 0, 399), ("v", "v7", "v7")]).inputFiles()
+    )
+    assert n_point < len(t2.read().inputFiles())
