@@ -812,7 +812,7 @@ class SnapshotTable:
         return norm, bloom_key
 
     def _distributed_file_plan(
-        self, version: int, where: tuple[str, object, object]
+        self, version: int, where
     ) -> tuple[dict, dict] | None:
         """DISTRIBUTED scan planning (Delta's state-reconstruction-as-
         a-Spark-job design): when ``version``'s log entry is a
@@ -866,8 +866,19 @@ class SnapshotTable:
             for r in small
             if r["kind"] == "dstat"
         }
-        norm, bloom_key = self._normalize_predicate(m, where)
-        if norm is None and bloom_key is None:
+        wheres = (
+            [tuple(where)]
+            if isinstance(where, tuple)
+            else [tuple(w) for w in where]
+        )
+        preds = [
+            (w, *self._normalize_predicate(m, w)) for w in wheres
+        ]
+        active = [
+            (n, bk) for _w, n, bk in preds
+            if n is not None or bk is not None
+        ]
+        if not active:
             return m, {}  # nothing file-prunable: whole-dir scans
 
         # dir-level pruning FIRST (O(dirs), driver-side — the dstat
@@ -878,7 +889,9 @@ class SnapshotTable:
         # costs more to plan than the superset evaluation it saves;
         # read() re-prunes the dir list either way, so extra plan
         # entries are merely unused).
-        kept_dirs = self._dir_prune(m, m["dirs"], where, norm)
+        kept_dirs = m["dirs"]
+        for w, w_norm, _bk in preds:
+            kept_dirs = self._dir_prune(m, kept_dirs, w, w_norm)
         # file IS NULL rows are empty-dict markers, not files
         fdf = sdf.filter(
             (F.col("kind") == "fstat") & F.col("file").isNotNull()
@@ -888,10 +901,15 @@ class SnapshotTable:
 
         # Arrow-batched survival probe (ArrowEvalPython, never
         # row-at-a-time BatchEvalPython): one json.loads + the shared
-        # _file_survives per sidecar row, vectorized over the batch
+        # _file_survives per sidecar row (ALL predicates of a
+        # conjunction must pass), vectorized over the batch
         def _keep_fn(val):
             return val.map(
-                lambda s: _file_survives(json.loads(s), norm, bloom_key)
+                lambda s: (
+                    lambda per: all(
+                        _file_survives(per, n, bk) for n, bk in active
+                    )
+                )(json.loads(s))
             )
 
         _keep = arrow_udf(_keep_fn, "boolean")
@@ -965,9 +983,9 @@ class SnapshotTable:
         inventory driver-side — the scale path for million-file
         tables. Falls back to driver planning (same results — the two
         paths share ``_file_survives``) when the version isn't a
-        parquet-checkpoint one or there's no predicate; the sidecar
-        job evaluates single-predicate reads (conjunctions fall back
-        to the driver path today)."""
+        parquet-checkpoint one or there's no predicate; conjunctions
+        run through the same sidecar job (every predicate must pass
+        the Arrow-batched survival probe)."""
         if planning not in ("driver", "distributed"):
             raise ValueError(f"unsupported planning {planning!r}")
         v = self.latest_version() if version is None else version
@@ -981,8 +999,8 @@ class SnapshotTable:
             else [tuple(w) for w in where]
         )
         m = dplan = None
-        if planning == "distributed" and len(wheres) == 1:
-            got = self._distributed_file_plan(v, wheres[0])
+        if planning == "distributed" and wheres:
+            got = self._distributed_file_plan(v, wheres)
             if got is not None:
                 m, dplan = got
         if m is None:

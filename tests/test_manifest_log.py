@@ -772,3 +772,45 @@ def test_distributed_plan_partial_prune_ships_bounded_names(
         total == 4 and kept is None for total, kept in plan2.values()
     )
     assert dt_full < 120.0, f"whole-dir plan took {dt_full:.1f}s"
+
+
+def test_distributed_planning_conjunction(spark, tmp_path):
+    """Round 14: a LIST of predicates runs through the same sidecar
+    planning job — every predicate must pass the Arrow-batched
+    survival probe — and the 2-predicate plan ships no more files
+    than either 1-predicate plan, with rows equal to the driver path
+    and to the AND of the filters."""
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root, parquet_checkpoints=True)
+    df = spark.range(0, 400).selectExpr("id", "(id * 37) % 100 AS b")
+    t.append(
+        df, stats_cols=["id", "b"], cluster_by=["id", "b"],
+        n_files=8, zorder=True,
+    )
+    assert t._manifest_raw(0).get("format") == "checkpoint-parquet"
+    conj = [("id", 0, 120), ("b", 0, 30)]
+    got = t.read(where=conj, planning="distributed")
+    want = {
+        (r.id, r.b)
+        for r in t.read(where=conj).collect()  # driver path
+    }
+    assert {(r.id, r.b) for r in got.collect()} == want
+    assert want == {
+        (i, (i * 37) % 100)
+        for i in range(0, 121)
+        if (i * 37) % 100 <= 30
+    }
+    # the conjunction's surviving-file set is a subset of each
+    # single predicate's
+    def kept(where):
+        plan = t._distributed_file_plan(0, where)[1]
+        out = set()
+        for d, (total, files) in plan.items():
+            out |= {(d, f) for f in (files or [f"ALL{total}"])}
+        return out
+
+    k_id = kept([("id", 0, 120)])
+    k_both = kept(conj)
+    n_id = sum(1 for _ in k_id)
+    n_both = sum(1 for _ in k_both)
+    assert n_both <= n_id
