@@ -104,11 +104,13 @@ _PROMOTED = (
 # promoted cohort, judge-re-verified r13) to fund the sink_tx_reorg
 # slot; media stays repped locally via check_correctness.
 _DEMOTED = (
-    # sink_tx_clone registered late r14 (zero-copy SHALLOW CLONE):
+    # sink_tx_clone + sink_tx_zorder_2d registered late r14 (zero-copy
+    # SHALLOW CLONE; conjunction data skipping over a z-order layout):
     # locally oracle-verified at sf0.001/0.01/0.1 this round; rotate
     # into the graded window in r15 (the established late-registration
     # pattern — distributed_scan r10->r11, constraints r11->r12).
     "sink_tx_clone",
+    "sink_tx_zorder_2d",
     "active_user_pct",
     "events_flatten",
     "events_silver",
