@@ -5018,6 +5018,15 @@ class SnapshotTable:
                 for fn in files:
                     s = os.path.join(walk_root, fn)
                     d2 = os.path.join(dst_dir, fn)
+                    # a clone that crashed between linking and its v0
+                    # commit leaves dst files but no manifest (exists()
+                    # stays False, so retrying is legal); the retry
+                    # must stay ZERO-COPY — relink over the leftover
+                    # instead of letting EEXIST degrade into copy2
+                    if os.path.exists(d2):
+                        if os.path.samefile(s, d2):
+                            continue  # already linked (crash retry)
+                        os.unlink(d2)
                     try:
                         os.link(s, d2)
                     except OSError:

@@ -4604,3 +4604,36 @@ def test_read_conjunction_skipping_on_zorder(spark, tmp_path):
         t2.read(where=[("a", 0, 399), ("v", "v7", "v7")]).inputFiles()
     )
     assert n_point < len(t2.read().inputFiles())
+
+
+def test_clone_retry_after_crash_stays_zero_copy(spark, tmp_path):
+    """A clone that crashed between hardlinking and its v0 commit
+    leaves data files but no manifest (exists() is False, so retrying
+    the same target is legal). The retry must succeed AND stay
+    zero-copy — leftover links are recognized by inode and reused,
+    not degraded into byte copies via the EEXIST fallback."""
+    import os
+
+    src = SnapshotTable(spark, str(tmp_path / "s"))
+    src.overwrite(_df(spark, [(i, f"v{i}") for i in range(6)]))
+    target = str(tmp_path / "c")
+    # simulate the crash: run the link phase, never commit
+    crashed = SnapshotTable(spark, target)
+    m = src._manifest(0)
+    for e in m["dirs"]:
+        sbase = os.path.join(src.data_dir, e)
+        dbase = os.path.join(crashed.data_dir, e)
+        for walk_root, _sub, files in os.walk(sbase):
+            rel = os.path.relpath(walk_root, sbase)
+            dd = os.path.join(dbase, rel) if rel != "." else dbase
+            os.makedirs(dd, exist_ok=True)
+            for fn in files:
+                os.link(os.path.join(walk_root, fn), os.path.join(dd, fn))
+    assert not crashed.exists()
+    t = src.clone(target)  # retry over the leftovers
+    assert {r.k for r in t.read().collect()} == set(range(6))
+    for walk_root, _sub, files in os.walk(t.data_dir):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                st = os.stat(os.path.join(walk_root, fn))
+                assert st.st_nlink >= 2, "crash retry degraded to a copy"
