@@ -4637,3 +4637,51 @@ def test_clone_retry_after_crash_stays_zero_copy(spark, tmp_path):
             if fn.endswith(".parquet"):
                 st = os.stat(os.path.join(walk_root, fn))
                 assert st.st_nlink >= 2, "crash retry degraded to a copy"
+
+
+def test_read_conjunction_with_partition_and_dv(spark, tmp_path):
+    """Conjunction reads compose with BOTH orthogonal read-path
+    features: a partition-column equality leg prunes entries by PATH
+    while the other legs prune by stats, and on a merge-on-read table
+    the deletion-vector suppression still applies to the conjunction's
+    surviving scans — no resurrect, no over-prune."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    rows = [(i, f"p{i % 3}", i * 10) for i in range(60)]
+    t.overwrite(
+        spark.createDataFrame(rows, "k INT, p STRING, val INT"),
+        partition_cols=["p"],
+        stats_cols=["k", "val"],
+    )
+    t.delete("k % 10 = 0", mode="merge-on-read")  # DVs on all leaves
+    conj = [("p", "p1", "p1"), ("k", 0, 30), ("val", 0, 250)]
+    got = sorted(r.k for r in t.read(where=conj).collect())
+    want = sorted(
+        k for k, p, val in rows
+        if p == "p1" and k <= 30 and val <= 250 and k % 10 != 0
+    )
+    assert got == want, (got, want)
+    # the partition leg really pruned: only p=p1 DATA entries in the
+    # plan (the deletion-vector sidecar scan rides along by design)
+    files = [
+        f for f in t.read(where=conj).inputFiles()
+        if "_deletion_vectors" not in f
+    ]
+    assert files and all("p=p1" in f for f in files)
+    # three-leg conjunction also works with a bloom point probe
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"))
+    t2.overwrite(
+        spark.createDataFrame(rows, "k INT, p STRING, val INT"),
+        cluster_by=["k"],
+        n_files=6,
+        bloom_cols=["p"],
+    )
+    got2 = sorted(
+        r.k
+        for r in t2.read(
+            where=[("k", 10, 50), ("p", "p2", "p2"), ("val", 0, 500)]
+        ).collect()
+    )
+    assert got2 == sorted(
+        k for k, p, val in rows
+        if 10 <= k <= 50 and p == "p2" and val <= 500
+    )
