@@ -4685,3 +4685,48 @@ def test_read_conjunction_with_partition_and_dv(spark, tmp_path):
         k for k, p, val in rows
         if 10 <= k <= 50 and p == "p2" and val <= 500
     )
+
+
+def test_clone_during_concurrent_writes_is_a_snapshot(spark, tmp_path):
+    """Clones taken WHILE a writer mutates the source must each be a
+    faithful copy of SOME committed snapshot (clone pins a manifest
+    then links immutable entries — a torn clone mixing two versions'
+    rows would violate snapshot isolation). The writer appends
+    monotone batches, so snapshot identity is checkable from row
+    contents alone."""
+    import threading
+
+    root = str(tmp_path / "s")
+    src = SnapshotTable(spark, root)
+    src.overwrite(_df(spark, [(0, "b0")]))
+    stop = threading.Event()
+    errors = []
+
+    def writer():
+        w = SnapshotTable(spark, root)
+        try:
+            for i in range(1, 9):
+                w.append(_df(spark, [(i, f"b{i}")]))
+        except Exception as exc:  # pragma: no cover - diagnostic
+            errors.append(exc)
+        finally:
+            stop.set()
+
+    th = threading.Thread(target=writer)
+    th.start()
+    clones = []
+    n = 0
+    while not stop.is_set() and n < 6:
+        try:
+            clones.append(src.clone(str(tmp_path / f"c{n}")))
+            n += 1
+        except FileNotFoundError:
+            pass  # entry vacuumed/raced away mid-link: loud, retryable
+    th.join()
+    assert not errors, errors
+    assert clones, "no clone completed during the write storm"
+    for c in clones:
+        got = sorted(r.k for r in c.read().collect())
+        # a snapshot = exactly the batches 0..max(k) — no holes, no
+        # rows from a version the pinned manifest predates
+        assert got == list(range(got[-1] + 1)), got
