@@ -766,3 +766,34 @@ def test_cdf_stream_ignore_changes_redelivers_dv_only(spark, tmp_path):
         for batch in r.read(p):
             got.extend(batch.column("id").to_pylist())
     assert sorted(got) == [2, 3]  # suppressed row never re-delivered
+
+
+def test_cdf_stream_from_cloned_table(spark, tmp_path):
+    """Streaming the change feed FROM a zero-copy clone (round 14):
+    the branch's history starts at v0 = the whole pinned snapshot, so
+    a fresh consumer gets one clone_v* version with every live row
+    (deletion-vector suppressions applied), then follows only the
+    BRANCH's own commits — the source's later commits never leak into
+    the branch's feed."""
+    src = SnapshotTable(spark, str(tmp_path / "s"))
+    src.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id INT, v STRING"
+        )
+    )
+    src.delete("id = 2", mode="merge-on-read")
+    branch_root = str(tmp_path / "b")
+    branch = src.clone(branch_root)
+
+    got: list = []
+    _drain(spark, branch_root, str(tmp_path / "ck"), got)
+    # v0 delivers the snapshot: suppressed id=2 must NOT appear
+    assert sorted(got) == [(1, "a", 0), (3, "c", 0)]
+
+    # divergence: source commits do not reach the branch's feed;
+    # branch commits do
+    src.append(spark.createDataFrame([(9, "src-only")], "id INT, v STRING"))
+    branch.append(spark.createDataFrame([(4, "d")], "id INT, v STRING"))
+    got2: list = []
+    _drain(spark, branch_root, str(tmp_path / "ck"), got2)
+    assert sorted(got2) == [(4, "d", 1)]
