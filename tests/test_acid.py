@@ -4730,3 +4730,38 @@ def test_clone_during_concurrent_writes_is_a_snapshot(spark, tmp_path):
         # a snapshot = exactly the batches 0..max(k) — no holes, no
         # rows from a version the pinned manifest predates
         assert got == list(range(got[-1] + 1)), got
+
+
+def test_sync_from_cloned_source(spark, tmp_path):
+    """A zero-copy clone works as a fresh CDC SOURCE: the carried
+    enableChangeDataFeed property records images for the branch's own
+    DML from commit 1 on, and a replica synced off the branch
+    backfills its v0 snapshot then follows keyed changes exactly —
+    the branch-then-derive pattern a curation experiment uses."""
+    from collections import Counter
+
+    from scalable_etl_spark.acid import sync_incremental
+
+    src = SnapshotTable(spark, str(tmp_path / "s"))
+    src.overwrite(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "`id` bigint, `v` string"
+        )
+    )
+    src.enable_change_data_feed()
+    branch = src.clone(str(tmp_path / "b"))
+    assert branch.properties(0).get("enableChangeDataFeed") == "true"
+    replica = SnapshotTable(spark, str(tmp_path / "r"))
+    sync_incremental(branch, replica, sync_id="exp", keys=["id"])
+    # branch-side DML replicates; source-side DML must not
+    branch.merge(
+        spark.createDataFrame([(2, "B!"), (4, "d")], "`id` bigint, `v` string"),
+        ["id"],
+    )
+    branch.delete("id = 1", mode="merge-on-read")
+    src.append(spark.createDataFrame([(9, "z")], "`id` bigint, `v` string"))
+    sync_incremental(branch, replica, sync_id="exp", keys=["id"])
+    got = Counter((r.id, r.v) for r in replica.read().select("id", "v").collect())
+    assert got == Counter(
+        {(2, "B!"): 1, (3, "c"): 1, (4, "d"): 1}
+    ), got
