@@ -4765,3 +4765,44 @@ def test_sync_from_cloned_source(spark, tmp_path):
     assert got == Counter(
         {(2, "B!"): 1, (3, "c"): 1, (4, "d"): 1}
     ), got
+
+
+def test_clone_chain_and_branch_reorg_never_touch_shared_files(spark, tmp_path):
+    """Branch-of-branch chains work (each clone pins its parent's
+    snapshot), and maintenance on a branch (reorg materializing its
+    carried deletion vectors) writes NEW branch-local files — the
+    hardlink-shared bytes are immutable, so the parent and grandparent
+    read back byte-identically afterwards."""
+    import hashlib
+    import os
+
+    a = SnapshotTable(spark, str(tmp_path / "a"))
+    a.overwrite(_df(spark, [(i, f"v{i}") for i in range(8)]))
+    a.delete("k = 5", mode="merge-on-read")  # live DV rides the clones
+
+    def digest(t):
+        out = {}
+        for w, _s, fs in os.walk(t.data_dir):
+            for fn in fs:
+                p = os.path.join(w, fn)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, t.data_dir)] = hashlib.sha256(
+                        fh.read()
+                    ).hexdigest()
+        return out
+
+    b = a.clone(str(tmp_path / "b"))
+    c = b.clone(str(tmp_path / "c"))  # chain: clone of a clone
+    want = {(i, f"v{i}") for i in range(8) if i != 5}
+    for t in (a, b, c):
+        assert {(r.k, r.v) for r in t.read().collect()} == want
+    a_before, b_before = digest(a), digest(b)
+    # branch maintenance: c purges its carried DV
+    v = c.reorg()
+    assert not c._manifest(v).get("dv")
+    assert {(r.k, r.v) for r in c.read().collect()} == want
+    # the shared bytes are untouched: parents read identically and
+    # their files are byte-for-byte what they were
+    assert digest(a) == a_before and digest(b) == b_before
+    for t in (a, b):
+        assert {(r.k, r.v) for r in t.read().collect()} == want
