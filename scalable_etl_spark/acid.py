@@ -995,13 +995,27 @@ class SnapshotTable:
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
-        wheres: list[tuple] = (
-            []
-            if where is None
-            else [tuple(where)]
-            if isinstance(where, tuple)
-            else [tuple(w) for w in where]
-        )
+        # A single predicate may be spelled as a tuple OR a list —
+        # any sequence whose first element is a string is ONE
+        # (col, lo, hi) predicate, not a list of them (a flat
+        # ["user_id", 10, 40] used to fall into the list-of-lists
+        # branch and die deep in _normalize_predicate).
+        if where is None:
+            wheres: list[tuple] = []
+        elif (
+            isinstance(where, (tuple, list))
+            and where
+            and isinstance(where[0], str)
+        ):
+            wheres = [tuple(where)]
+        else:
+            wheres = [tuple(w) for w in where]
+        for w in wheres:
+            if len(w) != 3 or not isinstance(w[0], str):
+                raise ValueError(
+                    "each where predicate must be a (col, lo, hi) "
+                    f"triple with a string column name, got {w!r}"
+                )
         m = dplan = None
         if planning == "distributed" and wheres:
             got = self._distributed_file_plan(v, wheres)
@@ -4966,9 +4980,16 @@ class SnapshotTable:
             select=select,
         )
 
-    def clone(self, root: str, version: int | None = None) -> "SnapshotTable":
-        """ZERO-COPY table clone (Delta ``SHALLOW CLONE`` semantics —
-        branch a table for an experiment without copying data): pin
+    def clone(
+        self,
+        root: str,
+        version: int | None = None,
+        carry_txn: bool = True,
+    ) -> "SnapshotTable":
+        """ZERO-COPY table clone (Delta-STYLE shallow-clone data
+        sharing — branch a table for an experiment without copying
+        data; txn-ledger carriage is Delta's DEEP-clone behavior, see
+        ``carry_txn``): pin
         snapshot ``version`` (default latest) and commit it as v0 of a
         NEW table at ``root``. Data files and deletion-vector sidecars
         are HARDLINKED (copy2 fallback when the filesystem refuses
@@ -4985,17 +5006,20 @@ class SnapshotTable:
 
         Carried: schema, partition spec, stats/blooms (data skipping
         works from the first read), evolution records, live deletion
-        vectors, CHECK constraints, table properties, AND the txn
-        ledger — Delta's clone copies stream/application transaction
-        state for exactly this reason: a cloned DESTINATION (replica,
-        stream sink) resumed under the same sync_id/query_id must
-        continue exactly-once, not re-backfill rows it already holds.
-        (The converse hazard — a brand-new pipeline reusing an old id
-        against the clone skips its first batches — is the same id
-        -collision error on any table, not clone-specific.) NOT
-        carried: history (the clone starts at v0, like Delta) and
-        _change_data files (a fresh feed starts at the clone's own
-        commits)."""
+        vectors, CHECK constraints, table properties, and — by
+        default — the txn ledger. In Delta, stream/application
+        transaction state is copied by DEEP clone (shallow clones
+        start it fresh); this clone defaults to ``carry_txn=True``
+        because the common migration shape here is a cloned
+        DESTINATION (replica, stream sink) resumed under the same
+        sync_id/query_id, which must continue exactly-once rather
+        than re-backfill rows it already holds. Pass
+        ``carry_txn=False`` when branching for an EXPERIMENT whose
+        new pipelines should not inherit the source's watermarks —
+        an inherited sync_id would silently skip a new pipeline's
+        first batches. NOT carried either way: history (the clone
+        starts at v0, like Delta) and _change_data files (a fresh
+        feed starts at the clone's own commits)."""
         import shutil
 
         v = self.latest_version() if version is None else version
@@ -5051,7 +5075,7 @@ class SnapshotTable:
             "partition_cols": m["partition_cols"],
             "stats": self._stats_of(v),
             "file_stats": self._file_stats_of(v),
-            "txn": self._txn_of(v),
+            "txn": self._txn_of(v) if carry_txn else {},
             "evolution": self._evolution_of(v),
             "constraints": dict(m.get("constraints", {})),
             "properties": dict(m.get("properties", {})),

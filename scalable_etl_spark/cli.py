@@ -194,12 +194,16 @@ def cmd_table(spark: SparkSession, args: argparse.Namespace) -> dict:
     if args.action == "clone":
         if not args.target:
             raise SystemExit("clone needs --target")
-        c = t.clone(args.target, version=args.version)
+        # resolve the pinned version BEFORE cloning: a concurrent
+        # commit between clone() and the report must not make the CLI
+        # print a version the clone did not actually pin
+        from_v = (
+            t.latest_version() if args.version is None else args.version
+        )
+        c = t.clone(args.target, version=from_v)
         return {
             "cloned_to": args.target,
-            "from_version": (
-                t.latest_version() if args.version is None else args.version
-            ),
+            "from_version": from_v,
             "rows": c.read().count(),
         }
     if args.action == "delete":

@@ -13,10 +13,11 @@ frame chunk extraction, even-byte padding, index emission.
 Why this matters for the engine: the round-13 verdict listed "video
 decode" as a documented NotImplementedError boundary (ffmpeg absent).
 MJPEG-AVI needs no ffmpeg — it is JPEGs in a RIFF envelope — so the
-video half of that boundary closes with real code. Reference parity:
-the reference treats media strictly as opaque S3 objects
-(src/jobs/ingest_job.py:142-156 stores bytes, never decodes); this
-engine decodes video columns under the oracle gate.
+video half of that boundary closes with real code. The reference has
+NO media path at all — its ingest filters to ``.txt``/``.json``
+(src/jobs/ingest_job.py:54) and skips everything else; multimodal
+columns are a beyond-reference capability of this engine (per the
+build brief), decoded under the oracle gate.
 
 Frame-SAMPLED decode is the scale design: ``decode_mjpeg_avi(payload,
 frame_indices=...)`` walks the chunk list (O(frames) header reads)

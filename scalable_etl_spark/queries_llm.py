@@ -1528,9 +1528,9 @@ def media_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     contradiction, or any JPEG Huffman/dequant/IDCT bug corrupts
     luma_total and fails the value hash; fps/width/height come from
     the real stream headers, cross-checked against decoded frames.
-    Reference parity: the reference stores media as opaque S3 bytes
-    (src/jobs/ingest_job.py:142-156) and never decodes; a training
-    -data engine must."""
+    The reference has no media path (its ingest filters to
+    .txt/.json, src/jobs/ingest_job.py:54); multimodal columns are a
+    beyond-reference capability a training-data engine must have."""
     from .operators.multimodal import (
         attach_synthetic_avi,
         decode_video_frame_stats,

@@ -931,10 +931,15 @@ def sink_tx_reorg(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-reorg manifest holds no deletion vectors, every dirty entry
     left the manifest, every clean entry survived verbatim, and the
     commit was layout-only (data_change=false, invisible to CDC).
-    Reference parity: the reference's Iceberg tables get this from
-    rewrite_data_files (transform_job_glue.py:45-47); here it is the
-    replica-side self-heal sync_incremental uses when a source
-    legally reuses a dropped column name."""
+    Reference parity: the reference never calls a rewrite verb
+    itself — its gold tables are Iceberg v2 via
+    ``writeTo(...).createOrReplace()``
+    (src/jobs/transform_job_glue.py:45-47), so physical cleanup is
+    delegated to whatever table maintenance the Iceberg/Glue catalog
+    runs out-of-band; this repo owns its own storage layer, so the
+    verb is implemented here (and is the replica-side self-heal
+    sync_incremental uses when a source legally reuses a dropped
+    column name)."""
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
@@ -1503,7 +1508,15 @@ def sink_tx_zorder_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_v = len(t.read(where=conj[1]).inputFiles())
     df_2d = t.read(where=conj)  # one plan: probed AND aggregated
     n_2d = len(df_2d.inputFiles())
-    pruned = int(n_2d <= n_u and n_2d <= n_v and n_2d < n_all)
+    # the strict `< n_all` leg only makes sense when the layout
+    # actually produced multiple files — a degenerate sample (e.g.
+    # repartitionByRange collapsing to one file at a tiny SF) would
+    # otherwise flip the flag without any engine bug; with one file
+    # the flag degrades to the two <= legs (which still hold
+    # trivially) so it measures SKIPPING, not sampler luck
+    pruned = int(
+        n_2d <= n_u and n_2d <= n_v and (n_all <= 1 or n_2d < n_all)
+    )
     return (
         df_2d
         .groupBy("event_type")

@@ -4493,6 +4493,56 @@ def test_clone_carries_txn_exactly_once(spark, tmp_path):
     assert got == Counter({(1, "a"): 1, (2, "b"): 1, (3, "c"): 1}), got
 
 
+def test_clone_carry_txn_false_starts_fresh(spark, tmp_path):
+    """clone(carry_txn=False) — the EXPERIMENT-branch spelling: the
+    clone's v0 carries NO transaction ledger, so a brand-new pipeline
+    pointed at the branch cannot inherit the source's watermarks and
+    silently skip its first batches (in Delta terms the default
+    carry is a DEEP-clone behavior; this is the shallow one)."""
+    from scalable_etl_spark.acid import sync_incremental
+
+    src = SnapshotTable(spark, str(tmp_path / "s"))
+    src.overwrite(
+        spark.createDataFrame([(1, "a")], "`id` bigint, `v` string")
+    )
+    src.enable_change_data_feed()
+    dst = SnapshotTable(spark, str(tmp_path / "d"))
+    sync_incremental(src, dst, sync_id="mig", keys=["id"])
+    assert dst._txn_of(dst.latest_version())  # ledger exists to drop
+    branch = dst.clone(str(tmp_path / "d2"), carry_txn=False)
+    assert branch._txn_of(0) == {}
+    # data/stats/schema still carried — only the ledger starts fresh
+    assert sorted(
+        (r.id, r.v) for r in branch.read().collect()
+    ) == [(1, "a")]
+
+
+def test_read_where_flat_list_is_single_predicate(spark, tmp_path):
+    """A flat ["col", lo, hi] list is ONE predicate, not a list of
+    predicates (used to die with a confusing unpack error deep in
+    _normalize_predicate); malformed predicates raise a clear
+    ValueError instead of something cryptic downstream."""
+    import pytest
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "k INT, v STRING"
+        ),
+        stats_cols=["k"],
+    )
+    assert sorted(
+        r.k for r in t.read(where=["k", 3, 5]).collect()
+    ) == [3, 4, 5]
+    assert sorted(
+        r.k for r in t.read(where=("k", 3, 5)).collect()
+    ) == [3, 4, 5]
+    with pytest.raises(ValueError, match="col, lo, hi"):
+        t.read(where=[("k", 3)])
+    with pytest.raises(ValueError, match="col, lo, hi"):
+        t.read(where=[(3, "k", 5)])
+
+
 def test_path_prune_composes_with_typed_stats(spark, tmp_path):
     """Round-14 review fix: an equality prune whose value is the
     PATH-RENDERED string ('5' for int k) must compose with typed

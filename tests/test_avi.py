@@ -1,7 +1,7 @@
 """MJPEG-in-AVI container codec (operators/avi.py): real RIFF AVI
 write + parse with per-frame baseline-JPEG decode, the video half of
-the former MP3/video NotImplementedError boundary. Reference parity:
-the reference stores media as opaque S3 bytes (ingest_job.py:142-156);
+the former MP3/video NotImplementedError boundary. The reference has
+no media path (its ingest filters to .txt/.json, ingest_job.py:54);
 this engine decodes video columns under the oracle gate."""
 
 from __future__ import annotations
