@@ -57,102 +57,77 @@ _MODULE_ORDER = (
     "queries_pipeline",
 )
 
-# Queries promoted into the driver-graded first-50 window. ROUND-14
-# ROTATION (per verdict r13 #4): the entire stale-grade cohort — every
-# query last driver-graded in r4-r6 (the dedup/ANN headliners
-# exact_dedup/minhash_lsh/simhash_near_dup/ngram_jaccard/
-# embedding_near_dup/ann_*/dedup_components, the doc-analysis
-# doc_text_stats/doc_lang_id/doc_quality) plus the oldest r7 tier-2
-# entries (ngram_jaccard_gated, media_pixel_stats, stratified_sample,
-# sequence_packing) — swaps INTO the window, re-grading them against
-# an engine whose acid/dedup internals changed for 7+ rounds. The
-# slots come from banking the r13-green core rows (see _DEMOTED).
-# This tuple holds the NON-CORE-module members of the window; the
-# core-module members enter tier 0 by not being demoted.
-_PROMOTED = (
-    "ann_brute_force",
-    "ann_ivf",
-    "ann_lsh",
-    "dedup_components",
-    "doc_lang_id",
-    "doc_quality",
-    "doc_text_stats",
-    "embedding_near_dup",
-    "exact_dedup",
-    "minhash_lsh",
-    "ngram_jaccard",
-    "ngram_jaccard_gated",
-    "sequence_packing",
-    "simhash_near_dup",
-    "stratified_sample",
-)
-
-# Core-module queries rotated OUT of the graded window for round 14:
-# every one is driver-green in CORRECTNESS_r13.json (or r11/r12 for
-# bloom/convert/restore/session_windows, all locally re-oracled) and
-# stays fully value-hash checked via tools/check_correctness.py —
-# only the driver-window slot moves, funding the stale-cohort
-# re-grade above. Family representation in the r14 window: sql_ ->
-# sql_type_share_cte + sql_correlated_subquery; source_ ->
-# source_glob_recursive; sink_ -> sink_tx_partition_evolution +
-# sink_tx_reorg (both NEW, never graded) + the r7 tx family
-# (insert_ignore/atomic_overwrite/skipping/zorder/changes/sync/
-# interop); streaming_ -> streaming_event/sliding/enriched_counts;
-# core analytics -> the r5/r6 cohort (revenue_by_region,
-# shipping_priority, top_supplier_revenue, user_stats, ...).
-# media_pixel_stats banks its r12 driver green (freshest of the
-# promoted cohort, judge-re-verified r13) to fund the sink_tx_reorg
-# slot; media stays repped locally via check_correctness.
-_DEMOTED = (
-    # sink_tx_clone + sink_tx_zorder_2d registered late r14 (zero-copy
-    # SHALLOW CLONE; conjunction data skipping over a z-order layout):
-    # locally oracle-verified at sf0.001/0.01/0.1 this round; rotate
-    # into the graded window in r15 (the established late-registration
-    # pattern — distributed_scan r10->r11, constraints r11->r12).
+# The driver-graded window = the EXPLICIT first-50 list below, chosen
+# each round OLDEST-LAST-GRADE-FIRST from tools/grading_rounds.py
+# (which derives per-query last-green rounds mechanically from the
+# CORRECTNESS_r*.json files -- verdict r14 #4: rotation banking cites
+# derived provenance, never hand-tracked claims). ROUND-15 ROTATION:
+# the 4 never-graded entries (sink_tx_row_ids is NEW this round --
+# row tracking; clone/zorder_2d/video registered late r14), the
+# entire r7 cohort (5), the entire r8 cohort (24), everything last
+# graded r9-r12 (10), topped up with 7 of the oldest r13/r14 rows so
+# every SURVEY family keeps a representative (the sql_/source_
+# members are all r13+ -- their stalest rows fill those slots).
+# Everything r13/r14-green rotates out, banked, and stays value-hash
+# checked locally via tools/check_correctness.py.
+_WINDOW = (
+    # never driver-graded (r0)
+    "sink_tx_row_ids",
     "sink_tx_clone",
     "sink_tx_zorder_2d",
-    "active_user_pct",
-    "events_flatten",
-    "events_silver",
-    "gold_schema_merge",
-    "gold_user_peaks",
-    "hourly_activity",
-    "nulls_last_ranking",
-    "pricing_summary",
+    "media_video_frame_stats",
+    # last green r7
+    "benchmark_contamination",
+    "incremental_corpus_dedup",
+    "media_pixel_stats",
+    "passage_dedup",
+    "pii_redaction",
+    # last green r8
+    "cohort_retention",
+    "cube_type_daily",
+    "dedup_components_star",
+    "embedding_clusters",
+    "event_state_intervals",
+    "fk_integrity_audit",
+    "funnel_view_click_purchase",
+    "gapfill_user_daily",
+    "hash_rank_sample",
+    "incremental_agg_merge",
+    "pivot_event_values",
     "rolling_active_users",
-    "sink_bucketed_join",
-    "sink_describe_table",
-    "sink_partitioned_prune",
-    "sink_single_file_export",
-    "sink_table_roundtrip",
-    "sink_tx_bloom",
-    "sink_tx_constraints",
-    "sink_tx_convert",
+    "rolling_weekly_value",
+    "rollup_revenue",
+    "salted_segment_revenue",
+    "semantic_dedup",
+    "session_event_join",
     "sink_tx_delete",
-    "sink_tx_deletion_vectors",
-    "sink_tx_distributed_scan",
-    "sink_tx_evolve",
     "sink_tx_merge_upsert",
-    "sink_tx_partition_ops",
+    "streaming_join_windowed",
+    "streaming_stream_join",
+    "top_users",
+    "unpivot_daily_values",
+    "user_value_deciles",
+    # last green r9
+    "embedding_norms",
+    "media_features",
+    # last green r10
+    "sink_tx_convert",
     "sink_tx_restore",
-    "sink_tx_time_travel",
+    # last green r11
+    "bigram_pmi",
+    "sink_tx_bloom",
+    "streaming_session_windows",
+    "tfidf_top_terms",
+    # last green r12
+    "doc_fingerprints",
+    "top_tokens",
+    # r13/r14 family top-up (stalest available per family)
     "sql_catalog_scan",
     "sql_rolling_band_cte",
-    "sql_top_users_ordinal",
-    "streaming_cdf_dedup",
-    "streaming_cdf_gold_refresh",
-    "streaming_constraint_gate",
-    "streaming_dedup_counts",
-    "streaming_ingest_exactly_once",
-    "streaming_join_windowed",
-    "streaming_outer_join",
-    "streaming_session_windows",
-    "streaming_snapshot_sink",
-    "streaming_stateful_totals",
-    "streaming_stream_join",
-    "top_customers",
-    "top_users",
-    "type_diversity",
+    "source_glob_recursive",
+    "pricing_summary",
+    "events_silver",
+    "sink_tx_deletion_vectors",
     "users_error_no_purchase",
 )
 
@@ -161,22 +136,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Ordering contract (the driver grades the first 50 entries):
-    §2 core (module order, minus the demoted extras) -> the promoted
-    cohort (_PROMOTED, 15 dedup/ANN/doc-analysis/curation entries
-    this round) -> everything else in module order.
+    the explicit ``_WINDOW`` list (oldest-last-grade-first, derived
+    from tools/grading_rounds.py) -> everything else in module order
+    (stable within each module, so tier-2 ordering is independent of
+    process import history).
     """
     prio = {
         f"scalable_etl_spark.{m}": i for i, m in enumerate(_MODULE_ORDER)
     }
-    promoted_rank = {n: i for i, n in enumerate(_PROMOTED)}
-    n_core = 5  # queries..queries_streaming = the §2 core modules
+    wrank = {n: i for i, n in enumerate(_WINDOW)}
 
     def key(n: str) -> tuple[int, int]:
-        if n in promoted_rank:
-            return (1, promoted_rank[n])
-        mod_prio = prio.get(QUERIES[n].__module__, len(_MODULE_ORDER))
-        tier = 0 if mod_prio < n_core and n not in _DEMOTED else 2
-        return (tier, mod_prio)
+        if n in wrank:
+            return (0, wrank[n])
+        return (
+            1, prio.get(QUERIES[n].__module__, len(_MODULE_ORDER))
+        )
 
     names = sorted(QUERIES, key=key)
     return {n: QUERIES[n] for n in names}

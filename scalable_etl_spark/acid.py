@@ -56,8 +56,10 @@ from pyspark.sql.types import (
     ByteType,
     FloatType,
     IntegerType,
+    LongType,
     ShortType,
     StringType,
+    StructField,
     StructType,
 )
 
@@ -159,8 +161,24 @@ _PARQUET_CKPT_MIN_FILES = 20_000
 # Manifest keys the delta representation rewrites; everything else
 # (op, schema, partition_cols, txn, timestamp, future keys) is carried
 # verbatim in the delta entry — those are O(1)-ish, only the dir/stats
-# maps grow with table size.
-_DELTA_KEYS = ("dirs", "stats", "file_stats")
+# maps grow with table size. "row_bases" (row tracking's per-file
+# base-row-id map) is diffed CONDITIONALLY — only manifests that carry
+# the key emit/apply it, so untracked tables' deltas are byte-stable.
+_DELTA_KEYS = ("dirs", "stats", "file_stats", "row_bases")
+
+# ROW TRACKING (Delta's row-ID design re-expressed on this manifest):
+# `_row_id` is the PUBLIC output column of read(with_row_ids=True) —
+# a per-row id, unique within the table, STABLE across OPTIMIZE /
+# reorg / MOR DML / merge. Freshly-appended rows derive their id as
+# base_row_id(file) + _metadata.row_index (zero storage cost); rows a
+# rewrite moves carry their id PHYSICALLY in a `_row_id` parquet
+# column of the rewritten files (entries listed in the manifest's
+# "row_mat"), invisible to normal reads because scans declare the
+# logical schema. `__sg_row_id_phys` is the internal alias the read
+# plan uses for the physical column before the coalesce with the
+# derived spelling.
+_ROW_ID = "_row_id"
+_ROW_ID_PHYS = "__sg_row_id_phys"
 
 # CDC row-image tag column (Delta CDF's public column name + values:
 # insert / delete / update_preimage / update_postimage). Rides INSIDE
@@ -391,6 +409,16 @@ def _make_manifest_delta(prev: dict, full: dict) -> dict | None:
         delta[f"add_{key}"] = {
             d: s for d, s in ns.items() if ps.get(d) != s
         }
+    if "row_bases" in full:
+        # conditional: untracked tables never gain the key, so their
+        # delta entries stay byte-identical to the pre-row-tracking
+        # format (and the replay below never invents an empty map)
+        ps = prev.get("row_bases", {})
+        delta["add_row_bases"] = {
+            d: s
+            for d, s in full["row_bases"].items()
+            if ps.get(d) != s
+        }
     if _apply_manifest_delta(prev, delta) != full:
         return None
     return delta
@@ -416,7 +444,44 @@ def _apply_manifest_delta(prev: dict, delta: dict) -> dict:
         }
         merged.update(delta[f"add_{key}"])
         out[key] = merged
+    if "add_row_bases" in delta:
+        kept = set(out["dirs"])
+        merged = {
+            d: s
+            for d, s in prev.get("row_bases", {}).items()
+            if d not in drop and d in kept
+        }
+        merged.update(delta["add_row_bases"])
+        out["row_bases"] = merged
     return out
+
+
+class In:
+    """POINT-SET predicate for ``read(where=...)`` — DISJUNCTION data
+    skipping (Delta's IN-list file skipping): ``In("k", [3, 17, 40])``
+    keeps an entry/file when ANY listed value could be present (range
+    stats probed per value, per-file bloom filters point-probed per
+    value — false positives only keep extras), and applies
+    ``col IN (...)`` as the trailing filter. Composes with range
+    predicates in a conjunction list: ``where=[In("k", ks),
+    ("ts", lo, hi)]``. This is ONE plan — the scan unions only the
+    surviving files — where a driver-side loop of N single-value
+    reads pays N plans and re-lists N times; at 100 TB an IN-list
+    dashboard slice opens the union of per-value probe survivors,
+    not the table."""
+
+    def __init__(self, col: str, values):
+        vals = list(values)
+        if not isinstance(col, str) or not vals:
+            raise ValueError(
+                "In(col, values) needs a string column and a "
+                "non-empty value list"
+            )
+        self.col = col
+        self.values = vals
+
+    def __repr__(self) -> str:  # shows up in error paths
+        return f"In({self.col!r}, {self.values!r})"
 
 
 class CommitConflict(RuntimeError):
@@ -471,6 +536,53 @@ class SnapshotTable:
         # resolve whatever format each log entry declares, so tables
         # written by differently-configured writers stay readable.
         self._parquet_ckpt = parquet_checkpoints
+        # uuids of dirs THIS writer has staged but not yet committed —
+        # each has a commit-INTENT marker on disk protecting it from
+        # vacuum (see _intent_begin / vacuum)
+        self._open_intents: set[str] = set()
+
+    # ---------------------------------------------- commit intents
+
+    @property
+    def intents_dir(self) -> str:
+        return os.path.join(self.log_dir, "_intents")
+
+    def _intent_begin(self, d: str) -> None:
+        """Record an IN-PROGRESS COMMIT marker for staged dir ``d``
+        BEFORE any bytes land under it (the Delta-style
+        transaction-log check the vacuum docstring used to name as
+        the only real fix): vacuum spares any uuid with a live
+        intent, which makes ``vacuum(min_age_seconds=0)`` safe
+        against in-flight writers — the age gate only ever NARROWED
+        the race. The marker is removed when this writer's commit
+        lands (``_commit`` success) and refreshed on every commit
+        retry, so only a CRASHED writer's marker goes stale (swept by
+        vacuum after its own retention window, freeing the orphan)."""
+        os.makedirs(self.intents_dir, exist_ok=True)
+        with open(os.path.join(self.intents_dir, d), "w"):
+            pass
+        self._open_intents.add(d)
+
+    def _intents_touch(self) -> None:
+        """Refresh this writer's intent markers (called per commit
+        attempt): a long retry storm must not let them age into the
+        stale-sweep window while the writer is still alive."""
+        for d in self._open_intents:
+            try:
+                os.utime(os.path.join(self.intents_dir, d))
+            except FileNotFoundError:
+                pass
+
+    def _intents_end_all(self) -> None:
+        """Drop every marker this writer holds — its commit landed
+        (committed dirs are now manifest-referenced; retry-loser
+        orphans become ordinary aged-vacuum garbage)."""
+        for d in list(self._open_intents):
+            try:
+                os.unlink(os.path.join(self.intents_dir, d))
+            except FileNotFoundError:
+                pass
+            self._open_intents.discard(d)
 
     # ------------------------------------------------------------ log
 
@@ -628,6 +740,22 @@ class SnapshotTable:
                 entries.append(d)
                 files.append(f)
                 vals.append(json.dumps(per))
+        for d, per in manifest.get("row_bases", {}).items():
+            # row-tracking base-row-id map: one row per (entry, file),
+            # plus an empty-dict marker row (file=NULL) so a fileless
+            # entry's key survives the round-trip exactly like fstat
+            if not per:
+                kinds.append("rbase")
+                idxs.append(None)
+                entries.append(d)
+                files.append(None)
+                vals.append(None)
+            for f, b in per.items():
+                kinds.append("rbase")
+                idxs.append(None)
+                entries.append(d)
+                files.append(f)
+                vals.append(json.dumps(b))
         table = pa.table(
             {
                 "kind": pa.array(kinds, pa.string()),
@@ -662,11 +790,19 @@ class SnapshotTable:
         dirs: list[tuple[int, str]] = []
         stats: dict[str, dict] = {}
         fstats: dict[str, dict] = {}
+        rbases: dict[str, dict] = {}
+        saw_rbase = False
         for k, i, d, f, v in zip(kind, idx, entry, file_, val):
             if k == "dir":
                 dirs.append((i, d))
             elif k == "dstat":
                 stats[d] = json.loads(v)
+            elif k == "rbase":
+                saw_rbase = True
+                if f is None:
+                    rbases.setdefault(d, {})
+                else:
+                    rbases.setdefault(d, {})[f] = json.loads(v)
             elif f is None:
                 fstats.setdefault(d, {})  # empty-dict marker row
             else:
@@ -679,6 +815,10 @@ class SnapshotTable:
         m["dirs"] = [d for _, d in sorted(dirs)]
         m["stats"] = stats
         m["file_stats"] = fstats
+        if saw_rbase or "row_hwm" in pointer:
+            # a row-tracked table with zero entries still carries the
+            # (empty) map — row_hwm rides the pointer and marks it
+            m["row_bases"] = rbases
         return m
 
     def _commit(self, version: int, manifest: dict) -> bool:
@@ -699,6 +839,10 @@ class SnapshotTable:
         falls back to a full manifest — correctness never depends on
         the diff covering every mutator shape."""
         os.makedirs(self.log_dir, exist_ok=True)
+        # keep this writer's staged-dir intent markers fresh across
+        # commit retries — vacuum's stale-intent sweep must only ever
+        # reclaim CRASHED writers' markers
+        self._intents_touch()
         # normalize through json so the delta diff and the memo cache
         # see exactly what a reader would load from disk (tuples ->
         # lists etc.)
@@ -732,6 +876,57 @@ class SnapshotTable:
                     pass
             if prev_p:
                 manifest["properties"] = prev_p
+        # ROW TRACKING metadata is maintained HERE, once, for every
+        # mutator (Delta keeps baseRowId in each AddFile the same way):
+        # entries carried from the previous version keep their per-file
+        # base-row-id map; NEW entries get fresh contiguous bases drawn
+        # from the high-water mark via one footer walk (num_rows only —
+        # same O(batch files) driver cost as _footer_stats). Mutators
+        # pass "row_bases" explicitly only when they know better than
+        # the prev-version carry (restore pins the restored snapshot's
+        # map; clone copies the source's); "row_mat" lists the entries
+        # whose files carry a PHYSICAL _row_id column (rewrites). The
+        # hwm only ever grows, so ids are never reissued — even across
+        # restore, whose resurrected rows keep their original ids.
+        if (
+            "dirs" in manifest
+            and manifest.get("properties", {})
+            .get("rowTracking", "")
+            .lower()
+            == "true"
+        ):
+            prev_bases: dict = {}
+            prev_mat: list = []
+            prev_hwm = 0
+            if version > 0:
+                try:
+                    pm = self._manifest(version - 1)
+                    prev_bases = pm.get("row_bases", {})
+                    prev_mat = pm.get("row_mat", [])
+                    prev_hwm = int(pm.get("row_hwm", 0))
+                except FileNotFoundError:
+                    pass
+            dirs = manifest["dirs"]
+            explicit = manifest.get("row_bases")
+            bases = (
+                {e: dict(s) for e, s in explicit.items() if e in set(dirs)}
+                if explicit is not None
+                else {e: prev_bases[e] for e in dirs if e in prev_bases}
+            )
+            hwm = max(int(manifest.get("row_hwm", 0)), prev_hwm)
+            for e in dirs:
+                if e not in bases:
+                    per: dict[str, int] = {}
+                    for f, n in sorted(
+                        self._footer_row_counts(e).items()
+                    ):
+                        per[f] = hwm
+                        hwm += n
+                    bases[e] = per
+            mat = set(manifest.get("row_mat", prev_mat))
+            manifest["row_bases"] = bases
+            manifest["row_mat"] = sorted(mat & set(dirs))
+            manifest["row_hwm"] = hwm
         payload = manifest
         if version > 0 and version % _CHECKPOINT_EVERY != 0:
             try:
@@ -773,6 +968,10 @@ class SnapshotTable:
         try:
             os.link(tmp, self._manifest_path(version))
             self._mcache[version] = manifest
+            # commit landed: committed dirs are manifest-referenced
+            # now, retry-loser orphans become ordinary aged garbage —
+            # either way the intent markers have done their job
+            self._intents_end_all()
             return True
         except FileExistsError:
             return False
@@ -853,7 +1052,9 @@ class SnapshotTable:
         }
         sdf = self.spark.read.parquet(path)
         # dir list + dir-level stats are O(entries) — driver-side
-        small = sdf.filter(F.col("kind") != "fstat").collect()
+        # (explicit isin, NOT `!= "fstat"`: rbase rows are O(files)
+        # and must never ride this collect)
+        small = sdf.filter(F.col("kind").isin("dir", "dstat")).collect()
         m["dirs"] = [
             r["entry"]
             for r in sorted(
@@ -867,17 +1068,12 @@ class SnapshotTable:
             if r["kind"] == "dstat"
         }
         wheres = (
-            [tuple(where)]
-            if isinstance(where, tuple)
-            else [tuple(w) for w in where]
+            [where]
+            if isinstance(where, (tuple, In))
+            else [w if isinstance(w, In) else tuple(w) for w in where]
         )
-        preds = [
-            (w, *self._normalize_predicate(m, w)) for w in wheres
-        ]
-        active = [
-            (n, bk) for _w, n, bk in preds
-            if n is not None or bk is not None
-        ]
+        preds = [(w, self._pred_alternatives(m, w)) for w in wheres]
+        active = self._active_alternatives(preds)
         if not active:
             return m, {}  # nothing file-prunable: whole-dir scans
 
@@ -890,8 +1086,18 @@ class SnapshotTable:
         # read() re-prunes the dir list either way, so extra plan
         # entries are merely unused).
         kept_dirs = m["dirs"]
-        for w, w_norm, _bk in preds:
-            kept_dirs = self._dir_prune(m, kept_dirs, w, w_norm)
+        for w, alts in preds:
+            if isinstance(w, In):
+                keep: set = set()
+                for (v_norm, _bk), val in zip(alts, w.values):
+                    keep.update(
+                        self._dir_prune(
+                            m, kept_dirs, (w.col, val, val), v_norm
+                        )
+                    )
+                kept_dirs = [d for d in kept_dirs if d in keep]
+            else:
+                kept_dirs = self._dir_prune(m, kept_dirs, w, alts[0][0])
         # file IS NULL rows are empty-dict markers, not files
         fdf = sdf.filter(
             (F.col("kind") == "fstat") & F.col("file").isNotNull()
@@ -907,7 +1113,11 @@ class SnapshotTable:
             return val.map(
                 lambda s: (
                     lambda per: all(
-                        _file_survives(per, n, bk) for n, bk in active
+                        any(
+                            _file_survives(per, n, bk)
+                            for n, bk in alts
+                        )
+                        for alts in active
                     )
                 )(json.loads(s))
             )
@@ -955,9 +1165,19 @@ class SnapshotTable:
             | None
         ) = None,
         planning: str = "driver",
+        with_row_ids: bool = False,
     ) -> DataFrame:
         """Snapshot read; ``version`` pins a historical snapshot (time
         travel). The returned plan references only immutable dirs.
+
+        ``with_row_ids=True`` (requires :meth:`enable_row_tracking`)
+        appends the STABLE ``_row_id`` column: derived as
+        ``base_row_id(file) + _metadata.row_index`` through one
+        broadcast join against the manifest's per-file base map (the
+        deletion-vector join pattern — the scan never shuffles), with
+        a physically-materialized id winning for rows a rewrite moved
+        (``row_mat`` entries). Ids survive compact / reorg / DML /
+        merge; see :meth:`enable_row_tracking`.
 
         ``where=(col, lo, hi)`` enables DATA SKIPPING (Delta paper
         §3.3) at both granularities: dirs whose committed [min, max]
@@ -971,6 +1191,15 @@ class SnapshotTable:
         still applies underneath). Stats are recorded by mutators
         called with ``stats_cols=[...]`` / ``cluster_by=[...]``; dirs
         and files without stats for ``col`` are conservatively kept.
+
+        ``where=In(col, [v1, v2, ...])`` — a POINT SET — skips on the
+        DISJUNCTION of its values inside ONE plan: an entry/file
+        survives when ANY value could be present (per-value range
+        probe + per-file bloom point-probe), and ``col IN (...)`` is
+        the trailing filter. Replaces the driver-side loop of N
+        single-value reads (N plans, N listings) with one unioned
+        scan; composes with ranges in a conjunction list:
+        ``where=[In("k", ks), ("ts", lo, hi)]``.
 
         ``where=[(c1, lo, hi), (c2, lo, hi), ...]`` — a LIST of
         predicates — skips on their CONJUNCTION: an entry/file
@@ -1001,7 +1230,9 @@ class SnapshotTable:
         # ["user_id", 10, 40] used to fall into the list-of-lists
         # branch and die deep in _normalize_predicate).
         if where is None:
-            wheres: list[tuple] = []
+            wheres: list = []
+        elif isinstance(where, In):
+            wheres = [where]
         elif (
             isinstance(where, (tuple, list))
             and where
@@ -1009,12 +1240,17 @@ class SnapshotTable:
         ):
             wheres = [tuple(where)]
         else:
-            wheres = [tuple(w) for w in where]
+            wheres = [
+                w if isinstance(w, In) else tuple(w) for w in where
+            ]
         for w in wheres:
+            if isinstance(w, In):
+                continue
             if len(w) != 3 or not isinstance(w[0], str):
                 raise ValueError(
                     "each where predicate must be a (col, lo, hi) "
-                    f"triple with a string column name, got {w!r}"
+                    f"triple with a string column name (or an "
+                    f"In(col, values) point set), got {w!r}"
                 )
         m = dplan = None
         if planning == "distributed" and wheres:
@@ -1023,20 +1259,49 @@ class SnapshotTable:
                 m, dplan = got
         if m is None:
             m = self._manifest(v)
+        m_rb = None
+        mat_set: set = set()
+        if with_row_ids:
+            # the distributed-plan manifest-lite omits row_bases (it
+            # never ships O(file) maps to the driver); the base map is
+            # inherently O(files), so a row-id read pays the full
+            # manifest load — the same cost Delta's row-ID reads pay
+            # to materialize baseRowId per AddFile
+            m_rb = m if "row_bases" in m else self._manifest(v)
+            if (
+                m_rb.get("properties", {})
+                .get("rowTracking", "")
+                .lower()
+                != "true"
+            ):
+                raise ValueError(
+                    "row tracking is not enabled at this version; "
+                    "call enable_row_tracking() first"
+                )
+            mat_set = set(m_rb.get("row_mat", []))
         schema = StructType.fromJson(json.loads(m["schema"]))
         evo_ctx = self._evolution_ctx(m)
         dirs = m["dirs"]
-        # each predicate prunes independently; survivors intersect
-        preds = [
-            (w, *self._normalize_predicate(m, w)) for w in wheres
-        ]
-        for w, w_norm, _bk in preds:
-            dirs = self._dir_prune(m, dirs, w, w_norm)
-        active = [
-            (w_norm, bk)
-            for _w, w_norm, bk in preds
-            if w_norm is not None or bk is not None
-        ]
+        # each predicate prunes independently; survivors intersect.
+        # Every predicate normalizes to a list of ALTERNATIVES — one
+        # (range spec, bloom spec) pair per point value for In, a
+        # single pair for a range — and survival is any-alternative
+        # (disjunction) within a predicate, all-predicates
+        # (conjunction) across them.
+        preds = [(w, self._pred_alternatives(m, w)) for w in wheres]
+        for w, alts in preds:
+            if isinstance(w, In):
+                keep: set = set()
+                for (v_norm, _bk), val in zip(alts, w.values):
+                    keep.update(
+                        self._dir_prune(
+                            m, dirs, (w.col, val, val), v_norm
+                        )
+                    )
+                dirs = [d for d in dirs if d in keep]
+            else:
+                dirs = self._dir_prune(m, dirs, w, alts[0][0])
+        active = self._active_alternatives(preds)
         dvm = m.get("dv", {})
         all_fstats = m.get("file_stats", {})
         # POINT lookups additionally probe per-file bloom filters when
@@ -1081,8 +1346,11 @@ class SnapshotTable:
                         f
                         for f, per in fstats.items()
                         if all(
-                            _file_survives(per, w_norm, bk)
-                            for w_norm, bk in active
+                            any(
+                                _file_survives(per, w_norm, bk)
+                                for w_norm, bk in alts
+                            )
+                            for alts in active
                         )
                     ]
                     if not files:
@@ -1095,13 +1363,19 @@ class SnapshotTable:
                         paths = [os.path.join(base, f) for f in files]
                 else:
                     paths = [base]
+            pschema = self._physical_schema(schema, evo_ctx, d)
+            if with_row_ids and d in mat_set:
+                # materialized entries carry the physical _row_id
+                # column; declare it so the scan reads it (normal
+                # reads never declare it, so it costs them nothing)
+                pschema = StructType(
+                    [*pschema.fields, StructField(_ROW_ID, LongType())]
+                )
             scan = (
                 # per-entry physical schema: identical to the logical
                 # schema except for entries predating a rename (see
                 # _physical_schema / ALTER TABLE)
-                self.spark.read.schema(
-                    self._physical_schema(schema, evo_ctx, d)
-                )
+                self.spark.read.schema(pschema)
                 # basePath = the entry's COMMIT root, so hive partition
                 # components inside the entry path parse into columns
                 .option(
@@ -1110,7 +1384,21 @@ class SnapshotTable:
                 )
                 .parquet(*paths)
             )
-            if dvm.get(d):
+            if with_row_ids:
+                # every entry is meta-tagged: (file, pos) feeds both
+                # DV suppression and the row-id derivation join
+                scan = self._with_dv_meta(scan)
+                scan = (
+                    scan.withColumnRenamed(_ROW_ID, _ROW_ID_PHYS)
+                    if d in mat_set
+                    else scan.withColumn(
+                        _ROW_ID_PHYS, F.lit(None).cast("bigint")
+                    )
+                )
+                dv_parts.append(
+                    (self._apply_evolution(scan, evo_ctx, d), d)
+                )
+            elif dvm.get(d):
                 # merge-on-read suppression: tag with (file, pos) at
                 # the scan (before evolution transforms), anti-join
                 # this entry's deletion vectors away below
@@ -1126,11 +1414,23 @@ class SnapshotTable:
                 (p for p, _ in dv_parts),
             )
             uuids = [u for _, d in dv_parts for u in dvm.get(d, [])]
-            parts.append(
-                self._dv_suppress(merged, uuids, prefix=dv_prefix)
+            merged = self._dv_suppress(
+                merged, uuids, keep_meta=with_row_ids, prefix=dv_prefix
             )
+            if with_row_ids:
+                merged = self._attach_row_ids(
+                    merged, m_rb, [d for _, d in dv_parts]
+                )
+            parts.append(merged)
+        out_fields = [f.name for f in schema.fields]
+        if with_row_ids:
+            out_fields.append(_ROW_ID)
         if not parts:
             out = self.spark.createDataFrame([], schema)
+            if with_row_ids:
+                out = out.withColumn(
+                    _ROW_ID, F.lit(None).cast("bigint")
+                )
         else:
             out = reduce(lambda a, b: a.unionByName(b), parts)
         # CANONICAL column order = the logical table schema (Delta
@@ -1140,10 +1440,48 @@ class SnapshotTable:
         # hive-layout entries but at schema position on post-
         # evolution file-stored ones, so a mixed-layout table's
         # read order would flap across compaction/DML.
-        out = out.select(*[f.name for f in schema.fields])
-        for col, lo, hi in wheres:
-            out = out.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+        out = out.select(*out_fields)
+        for w in wheres:
+            if isinstance(w, In):
+                out = out.filter(F.col(w.col).isin(*w.values))
+            else:
+                col, lo, hi = w
+                out = out.filter(
+                    F.col(col).between(F.lit(lo), F.lit(hi))
+                )
         return out
+
+    def _pred_alternatives(self, m: dict, w) -> list[tuple]:
+        """Normalize one ``where`` predicate into its survival
+        ALTERNATIVES: ``[(range spec, bloom spec)]`` — one pair for a
+        range predicate, one pair PER VALUE for an ``In`` point set
+        (each value probed as an equality)."""
+        if isinstance(w, In):
+            return [
+                self._normalize_predicate(m, (w.col, v, v))
+                for v in w.values
+            ]
+        return [self._normalize_predicate(m, w)]
+
+    @staticmethod
+    def _active_alternatives(preds) -> list[list[tuple]]:
+        """File-prunable predicates from ``(_w, alternatives)`` pairs.
+        A range predicate is active when its single spec normalized;
+        an ``In`` is active only when EVERY value normalized — one
+        unprobeable value means that value could hide in any file, so
+        the whole disjunction must conservatively keep everything."""
+        active: list[list[tuple]] = []
+        for w, alts in preds:
+            acts = [
+                (n, bk) for n, bk in alts
+                if n is not None or bk is not None
+            ]
+            if isinstance(w, In):
+                if acts and len(acts) == len(alts):
+                    active.append(acts)
+            elif acts:
+                active.append(acts)
+        return active
 
     def committed_files(self, version: int | None = None) -> list[str]:
         """Absolute paths of every data file composing snapshot
@@ -1805,6 +2143,154 @@ class SnapshotTable:
                 ]
         return dir_stats, file_stats
 
+    def _footer_row_counts(self, d: str) -> dict[str, int]:
+        """{file rel path: num_rows} for entry ``d``, from parquet
+        footers (driver-side metadata reads, no Spark job — the same
+        cost shape as ``_footer_stats``). Zero-row files are omitted:
+        they can never materialize a ``base + row_index`` id.
+        Memoized per entry — entries are immutable once written, and
+        a commit-retry storm must not re-walk the same footers."""
+        import pyarrow.parquet as pq
+
+        memo = getattr(self, "_row_count_memo", None)
+        if memo is None:
+            memo = self._row_count_memo = {}
+        got = memo.get(d)
+        if got is not None:
+            return got
+        base = os.path.join(self.data_dir, d)
+        out: dict[str, int] = {}
+        for walk_root, _sub, files in os.walk(base):
+            for fn in sorted(files):
+                if not fn.endswith(".parquet"):
+                    continue
+                path = os.path.join(walk_root, fn)
+                n = pq.read_metadata(path).num_rows
+                if n > 0:
+                    out[os.path.relpath(path, base)] = n
+        memo[d] = out
+        return out
+
+    # ------------------------------------------- row tracking (read)
+
+    def row_tracking_enabled(self, version: int | None = None) -> bool:
+        v = self.latest_version() if version is None else version
+        if v is None:
+            return False
+        return (
+            self._manifest(v)
+            .get("properties", {})
+            .get("rowTracking", "")
+            .lower()
+            == "true"
+        )
+
+    def enable_row_tracking(self) -> int:
+        """Turn on ROW TRACKING (Delta's ``delta.enableRowTracking``):
+        from this commit on, every row has a STABLE ``_row_id`` —
+        unique within the table, surfaced by
+        ``read(with_row_ids=True)``, and preserved across compact /
+        reorg / merge-on-read DML / copy-on-write UPDATE / MERGE
+        (matched rows keep their id; inserts draw fresh ones). This is
+        what gives a 100 TB curation pipeline sample LINEAGE that
+        survives OPTIMIZE: dedup keep/drop decisions, train/val split
+        membership, and contamination audits can reference rows
+        instead of re-deriving content keys after every rewrite.
+
+        Mechanics (the Delta row-ID design on this manifest): each
+        entry's manifest record maps every file to a ``base_row_id``;
+        a freshly-written row's id is ``base + _metadata.row_index``
+        (METADATA-ONLY — nothing is written into data files). Rows
+        that a rewrite MOVES carry their id physically in a
+        ``_row_id`` column of the rewritten files (manifest key
+        ``row_mat``), invisible to normal reads. A ``row_hwm``
+        high-water mark only ever grows, so ids are never reissued.
+        This very commit assigns bases to all EXISTING entries (one
+        footer walk), so ids are readable immediately."""
+        v = self.latest_version()
+        if v is not None:
+            schema = StructType.fromJson(
+                json.loads(self._manifest(v)["schema"])
+            )
+            if any(f.name == _ROW_ID for f in schema.fields):
+                raise ValueError(
+                    f"table schema already has a {_ROW_ID!r} column; "
+                    "row tracking reserves that name"
+                )
+        return self.set_property("rowTracking", "true")
+
+    def _check_row_id_reserved(self, columns) -> None:
+        """Writers on a row-tracked table must not smuggle a USER
+        ``_row_id`` column — it would collide with the physical id
+        column rewrites materialize."""
+        if _ROW_ID in columns and self.row_tracking_enabled():
+            raise ValueError(
+                f"{_ROW_ID!r} is reserved by row tracking; rename "
+                "the batch column"
+            )
+
+    def _row_meta_of(self, version: int | None) -> tuple[dict, set, int]:
+        """(row_bases, materialized entries, hwm) of ``version``."""
+        if version is None:
+            return {}, set(), 0
+        m = self._manifest(version)
+        return (
+            dict(m.get("row_bases", {})),
+            set(m.get("row_mat", [])),
+            int(m.get("row_hwm", 0)),
+        )
+
+    def _row_bases_frame(self, m: dict, dirs, prefix: str) -> DataFrame:
+        """Tiny (file, base) build side for the row-id derivation
+        join, keyed in RENDERING space so the probe side hashes the
+        raw ``_metadata.file_path`` attribute (the DV suppression
+        pattern — zero per-row string work on the scan). Disk paths
+        whose rendering differs (hive-escaped partition values) emit
+        BOTH candidate spellings; only one can ever match."""
+        from urllib.parse import quote
+
+        bases = m.get("row_bases", {})
+        rows: list[tuple[str, int]] = []
+        for d in dirs:
+            for f, b in bases.get(d, {}).items():
+                rel = f"{d}/{f}"
+                cands = {rel, quote(rel, safe="/=")}
+                for c in cands:
+                    rows.append((prefix + c, int(b)))
+        return self.spark.createDataFrame(
+            rows, "__sg_rb_file STRING, __sg_rb_base BIGINT"
+        )
+
+    def _attach_row_ids(
+        self, tagged: DataFrame, m: dict, dirs, keep_meta: bool = False
+    ) -> DataFrame:
+        """Add ``_row_id`` to a meta-tagged frame (every row carries
+        ``_DV_FILE``/``_DV_POS`` and, for materialized entries, a
+        ``_ROW_ID_PHYS`` column): one BROADCAST left join against the
+        per-file base map — O(files) build side, the scan never
+        shuffles — then ``coalesce(physical, base + row_index)``:
+        physical wins for rows a rewrite moved, the derived spelling
+        covers append-born rows (including fresh inserts written with
+        a NULL physical id into an otherwise-materialized entry)."""
+        prefix = self._dv_scan_prefix(m, required=True)
+        rb = self._row_bases_frame(m, dirs, prefix)
+        has_phys = _ROW_ID_PHYS in tagged.columns
+        out = tagged.join(
+            F.broadcast(rb),
+            tagged[_DV_FILE] == rb["__sg_rb_file"],
+            "left",
+        )
+        derived = F.col("__sg_rb_base") + F.col(_DV_POS)
+        out = out.withColumn(
+            _ROW_ID,
+            F.coalesce(F.col(_ROW_ID_PHYS), derived)
+            if has_phys
+            else derived,
+        ).drop("__sg_rb_file", "__sg_rb_base")
+        if has_phys:
+            out = out.drop(_ROW_ID_PHYS)
+        return out if keep_meta else out.drop(_DV_FILE, _DV_POS)
+
     def _stats_of(self, version: int | None) -> dict:
         if version is None:
             return {}
@@ -2427,6 +2913,10 @@ class SnapshotTable:
         target)`` — the commit atomically advances ``txn[ledger_key]``
         to ``target``, and if a rival already advanced it that far the
         call returns without committing (idempotent replay)."""
+        if name == _ROW_ID:
+            raise ValueError(
+                f"{_ROW_ID!r} is reserved by row tracking"
+            )
         for _ in range(_COMMIT_RETRIES):
             v = self.latest_version()
             if v is None:
@@ -2503,6 +2993,10 @@ class SnapshotTable:
         with Delta column mapping: an external reader consuming raw
         committed files sees the physical (old) name for pre-rename
         entries."""
+        if new == _ROW_ID:
+            raise ValueError(
+                f"{_ROW_ID!r} is reserved by row tracking"
+            )
         for _ in range(_COMMIT_RETRIES):
             v = self.latest_version()
             if v is None:
@@ -2979,8 +3473,11 @@ class SnapshotTable:
 
     def _write_data(self, df: DataFrame, partition_cols: Sequence[str]) -> str:
         """Write one immutable data dir; returns its name. Nothing is
-        visible to readers until a manifest referencing it commits."""
+        visible to readers until a manifest referencing it commits.
+        A commit-intent marker lands FIRST so a concurrent vacuum can
+        tell this staged dir from abandoned garbage."""
         d = uuid.uuid4().hex
+        self._intent_begin(d)
         w = df.write.mode("errorifexists")
         if partition_cols:
             w = w.partitionBy(*partition_cols)
@@ -3059,6 +3556,7 @@ class SnapshotTable:
         zorder: bool = False,
         bloom_cols: Sequence[str] = (),
         data_change: bool = True,
+        _row_mat: bool = False,
     ) -> int:
         """Atomic replace (the reference's ``createOrReplace``): readers
         see the old snapshot or the new one, never a mix, never a gap.
@@ -3070,6 +3568,8 @@ class SnapshotTable:
         them. ``n_files`` without ``cluster_by`` bin-packs via
         coalesce (no shuffle) — the plain small-files compaction
         shape. Returns the committed version."""
+        if not _row_mat:
+            self._check_row_id_reserved(df.columns)
         if cluster_by:
             df = self._cluster(df, cluster_by, n_files, zorder)
         elif n_files is not None:
@@ -3079,7 +3579,17 @@ class SnapshotTable:
         # even when the caller also asks for stats on other columns
         scols = tuple(dict.fromkeys([*stats_cols, *cluster_by]))
         entries = self._write_data_entries(df, partition_cols)
-        schema_json = df.schema.json()
+        # _row_mat (internal, compact()'s row-tracking path): the
+        # batch carries a _row_id column to MATERIALIZE into the new
+        # files; it is physical-only — never part of the logical
+        # schema the manifest declares
+        schema_json = (
+            StructType(
+                [f for f in df.schema.fields if f.name != _ROW_ID]
+            ).json()
+            if _row_mat
+            else df.schema.json()
+        )
         all_stats: dict = {}
         all_fstats: dict = {}
         if scols:
@@ -3125,6 +3635,8 @@ class SnapshotTable:
                 # layout-only rewrite (compact): change-feed readers
                 # skip this commit — no logical change happened
                 manifest["data_change"] = False
+            if _row_mat:
+                manifest["row_mat"] = list(entries)
             nxt = 0 if v is None else v + 1
             if self._commit(nxt, manifest):
                 return nxt
@@ -3338,6 +3850,7 @@ class SnapshotTable:
         ]
         out = reduce(lambda a, b: a.unionByName(b), tagged)
         d = uuid.uuid4().hex
+        self._intent_begin(d)
         out.write.mode("errorifexists").parquet(
             os.path.join(self.change_dir, d)
         )
@@ -3605,6 +4118,7 @@ class SnapshotTable:
         import shutil
 
         dv_id = uuid.uuid4().hex
+        self._intent_begin(dv_id)
         meta_frame.select(
             self._dv_rel_file(prefix).alias("file"),
             F.col(_DV_POS).alias("pos"),
@@ -3775,6 +4289,7 @@ class SnapshotTable:
         Same-name columns must keep their type — a conflict raises
         rather than silently coercing. Without the flag, a batch whose
         columns stray from the table schema is rejected."""
+        self._check_row_id_reserved(df.columns)
         if cluster_by:
             df = self._cluster(df, cluster_by, n_files, zorder)
         elif n_files is not None:
@@ -4127,6 +4642,8 @@ class SnapshotTable:
                 # again and no-ops here identically).
                 return v
             pinned: tuple = ()
+            rt = False
+            wrote_ids = False
             if v is None:
                 # nothing to match; all rows insert (a delete_where
                 # batch cannot reach here — the genesis gate above
@@ -4139,6 +4656,12 @@ class SnapshotTable:
                 kept_fstats: dict = {}
             else:
                 m = self._manifest(v)
+                rt = (
+                    m.get("properties", {})
+                    .get("rowTracking", "")
+                    .lower()
+                    == "true"
+                )
                 pcols = m["partition_cols"]
                 untouched, rewrite = [], list(m["dirs"])
                 if key_ranges:
@@ -4159,13 +4682,20 @@ class SnapshotTable:
                     for d, s in self._file_stats_of(v).items()
                     if keep is None or d in keep
                 }
+                # ROW TRACKING: read the candidate dirs WITH ids so
+                # matched rows keep their identity through the merge —
+                # survivors carry ids straight through; the batch
+                # effect takes the matched target row's id via a key
+                # join below (inserts stay NULL and draw fresh ids
+                # from the new file's base at read time)
                 target_read = self._read_dirs(
-                    m, rewrite, keep_dv_meta=mor
+                    m, rewrite, keep_dv_meta=mor, with_row_ids=rt
+                )
+                _aux = ([_DV_FILE, _DV_POS] if mor else []) + (
+                    [_ROW_ID] if rt else []
                 )
                 target = (
-                    target_read.drop(_DV_FILE, _DV_POS)
-                    if mor
-                    else target_read
+                    target_read.drop(*_aux) if _aux else target_read
                 )
                 missing = [
                     c for c in target.columns if c not in batch.columns
@@ -4210,15 +4740,34 @@ class SnapshotTable:
                     batch = batch.persist()
                     target_read = target_read.persist()
                     target = (
-                        target_read.drop(_DV_FILE, _DV_POS)
-                        if mor
-                        else target_read
+                        target_read.drop(*_aux) if _aux else target_read
                     )
                     pinned = (batch, target_read)
                 try:
                     # eager analysis in here (a delete_where typo, a
                     # select of a dropped column) must not leak the
                     # frames just pinned above
+                    def _with_matched_ids(eff: DataFrame) -> DataFrame:
+                        # batch-effect rows inherit the id of the
+                        # target row they replace (one key equi-join
+                        # against the candidate dirs — the same
+                        # shuffle class as the anti-join the merge
+                        # already pays); unmatched rows stay NULL and
+                        # derive fresh ids from the new file's base.
+                        # min() per key: a multi-row target key (legal
+                        # here, Delta raises) collapses to ONE batch
+                        # row, which keeps the SMALLEST matched id —
+                        # a bare join would duplicate the effect row
+                        # once per matched target row
+                        tids = (
+                            target_read.select(*keys, _ROW_ID)
+                            .groupBy(*keys)
+                            .agg(F.min(_ROW_ID).alias(_ROW_ID))
+                        )
+                        return eff.select(*target.columns).join(
+                            tids, keys, "left"
+                        )
+
                     if mor:
                         # matched rows leave via the deletion vector;
                         # only the batch effect lands in a new entry
@@ -4228,29 +4777,54 @@ class SnapshotTable:
                                 if dflag is None
                                 else batch.filter(~dflag)
                             )
-                            merged = effect.select(*target.columns)
+                            if rt:
+                                merged = _with_matched_ids(effect)
+                                wrote_ids = True
+                            else:
+                                merged = effect.select(*target.columns)
                         else:
                             existing = target.select(*keys)
                             merged = batch.join(
                                 existing, keys, "left_anti"
                             ).select(*target.columns)
                     else:
-                        survivors = target.join(batch, keys, "left_anti")
+                        survivors = target_read.drop(
+                            _DV_FILE, _DV_POS
+                        ).join(batch, keys, "left_anti") if rt else (
+                            target.join(batch, keys, "left_anti")
+                        )
                         if when_matched == "update":
                             effect = (
                                 batch
                                 if dflag is None
                                 else batch.filter(~dflag)
                             )
-                            merged = survivors.unionByName(
-                                effect.select(*target.columns)
-                            )
+                            if rt:
+                                merged = survivors.unionByName(
+                                    _with_matched_ids(effect)
+                                )
+                                wrote_ids = True
+                            else:
+                                merged = survivors.unionByName(
+                                    effect.select(*target.columns)
+                                )
                         else:  # delete matched, insert the rest
                             existing = target.select(*keys)
                             novel = batch.join(existing, keys, "left_anti")
-                            merged = survivors.unionByName(
-                                novel.select(*target.columns)
-                            )
+                            if rt:
+                                merged = survivors.unionByName(
+                                    novel.select(
+                                        *target.columns
+                                    ).withColumn(
+                                        _ROW_ID,
+                                        F.lit(None).cast("bigint"),
+                                    )
+                                )
+                                wrote_ids = True
+                            else:
+                                merged = survivors.unionByName(
+                                    novel.select(*target.columns)
+                                )
                 except BaseException:
                     for df_ in pinned:
                         df_.unpersist()
@@ -4303,7 +4877,19 @@ class SnapshotTable:
             manifest = {
                 "op": f"merge_{when_matched}",
                 "dirs": dirs_out,
-                "schema": merged.schema.json(),
+                # _row_id is physical-only; the logical schema the
+                # manifest declares never carries it
+                "schema": (
+                    StructType(
+                        [
+                            f
+                            for f in merged.schema.fields
+                            if f.name != _ROW_ID
+                        ]
+                    ).json()
+                    if wrote_ids
+                    else merged.schema.json()
+                ),
                 "partition_cols": pcols,
                 "stats": kept_stats,
                 "file_stats": kept_fstats,
@@ -4312,6 +4898,12 @@ class SnapshotTable:
                 "timestamp": time.time(),
                 **({"dv": dv} if dv else {}),
             }
+            if wrote_ids:
+                prev_mat = set(m.get("row_mat", []))
+                manifest["row_mat"] = [
+                    *(e for e in dirs_out if e in prev_mat),
+                    *new_entries,
+                ]
             if change_rec is not None:
                 manifest["change_data"] = change_rec
             if self._commit(0 if v is None else v + 1, manifest):
@@ -4379,7 +4971,11 @@ class SnapshotTable:
         return self._write_change_data(cframes, target.columns)
 
     def _read_dirs(
-        self, m: dict, dirs: list[str], keep_dv_meta: bool = False
+        self,
+        m: dict,
+        dirs: list[str],
+        keep_dv_meta: bool = False,
+        with_row_ids: bool = False,
     ) -> DataFrame:
         """DataFrame over an explicit dir subset of a manifest (empty
         subset -> empty frame with the manifest schema). Canonicalizes
@@ -4394,6 +4990,10 @@ class SnapshotTable:
         schema = StructType.fromJson(json.loads(m["schema"]))
         if not dirs:
             out = self.spark.createDataFrame([], schema)
+            if with_row_ids:
+                out = out.select(
+                    "*", F.lit(None).cast("bigint").alias(_ROW_ID)
+                )
             if keep_dv_meta:
                 out = out.select(
                     "*",
@@ -4403,6 +5003,7 @@ class SnapshotTable:
             return out
         evo_ctx = self._evolution_ctx(m)
         dvm = m.get("dv", {})
+        mat_set = set(m.get("row_mat", [])) if with_row_ids else set()
         parts = []
         dv_parts: list[tuple[DataFrame, str]] = []
         dv_prefix = (
@@ -4411,18 +5012,29 @@ class SnapshotTable:
             else None
         )
         for d in dirs:
-            scan = (
-                self.spark.read.schema(
-                    self._physical_schema(schema, evo_ctx, d)
+            pschema = self._physical_schema(schema, evo_ctx, d)
+            if d in mat_set:
+                pschema = StructType(
+                    [*pschema.fields, StructField(_ROW_ID, LongType())]
                 )
+            scan = (
+                self.spark.read.schema(pschema)
                 .option(
                     "basePath",
                     os.path.join(self.data_dir, self._entry_base(d)),
                 )
                 .parquet(os.path.join(self.data_dir, d))
             )
-            if keep_dv_meta or dvm.get(d):
+            if with_row_ids or keep_dv_meta or dvm.get(d):
                 scan = self._with_dv_meta(scan)
+                if with_row_ids:
+                    scan = (
+                        scan.withColumnRenamed(_ROW_ID, _ROW_ID_PHYS)
+                        if d in mat_set
+                        else scan.withColumn(
+                            _ROW_ID_PHYS, F.lit(None).cast("bigint")
+                        )
+                    )
                 dv_parts.append(
                     (self._apply_evolution(scan, evo_ctx, d), d)
                 )
@@ -4434,16 +5046,23 @@ class SnapshotTable:
                 (p for p, _ in dv_parts),
             )
             uuids = [u for _, d in dv_parts for u in dvm.get(d, [])]
-            parts.append(
-                self._dv_suppress(
-                    merged, uuids, keep_meta=keep_dv_meta,
-                    prefix=dv_prefix,
-                )
+            merged = self._dv_suppress(
+                merged, uuids,
+                keep_meta=keep_dv_meta or with_row_ids,
+                prefix=dv_prefix,
             )
+            if with_row_ids:
+                merged = self._attach_row_ids(
+                    merged, m, [d for _, d in dv_parts],
+                    keep_meta=keep_dv_meta,
+                )
+            parts.append(merged)
         out = reduce(lambda a, b: a.unionByName(b), parts)
         # canonical column order (see read()): rewrites materialize
         # this frame into files, so layout stays deterministic too
         order = [f.name for f in schema.fields]
+        if with_row_ids:
+            order.append(_ROW_ID)
         if keep_dv_meta:
             order += [_DV_FILE, _DV_POS]
         return out.select(*order)
@@ -4486,13 +5105,26 @@ class SnapshotTable:
                 )
             m = self._manifest(v)
             pcols = m["partition_cols"]
+            rt = (
+                m.get("properties", {})
+                .get("rowTracking", "")
+                .lower()
+                == "true"
+            )
             untouched, rewrite = (
                 select(m) if select is not None
                 else self._prune_candidates(m, prune)
             )
             if not rewrite:
                 return v  # stats prove nothing can match
-            target = self._read_dirs(m, rewrite)
+            # ROW TRACKING: the rewrite input carries each row's
+            # stable _row_id, which the transform passes through and
+            # the write MATERIALIZES into the new files — OPTIMIZE /
+            # DML moving a row must not change its identity. The CDC
+            # image frames are built from the id-less view so the
+            # change feed's schema stays the logical one.
+            target_w = self._read_dirs(m, rewrite, with_row_ids=rt)
+            target = target_w.drop(_ROW_ID) if rt else target_w
             dv_live = any(m.get("dv", {}).get(d) for d in rewrite)
             if (
                 select is None
@@ -4512,11 +5144,13 @@ class SnapshotTable:
             if cdf_on:
                 # the image writer re-reads the rewrite dirs after
                 # the transform write consumed them — cache for this
-                # attempt (round-12 review finding)
-                target = target.persist()
+                # attempt (round-12 review finding); pin the WIDEST
+                # frame so the id-less CDC view shares the scan
+                target_w = target_w.persist()
+                target = target_w.drop(_ROW_ID) if rt else target_w
             try:
                 new_entries = self._write_data_entries(
-                    transform(target), pcols
+                    transform(target_w), pcols
                 )
                 if op == "update":
                     # update rewrites VALUES and can violate; delete's
@@ -4533,7 +5167,7 @@ class SnapshotTable:
                     )
             finally:
                 if cdf_on:
-                    target.unpersist()
+                    target_w.unpersist()
             kept_stats = {
                 d2: s
                 for d2, s in self._stats_of(v).items()
@@ -4590,6 +5224,13 @@ class SnapshotTable:
                 "timestamp": time.time(),
                 **({"dv": dv} if dv else {}),
             }
+            if rt:
+                # rewritten entries carry their rows' ids PHYSICALLY
+                kept_set = set(untouched)
+                manifest["row_mat"] = [
+                    *(e for e in m.get("row_mat", []) if e in kept_set),
+                    *new_entries,
+                ]
             if change_rec is not None:
                 manifest["change_data"] = change_rec
             if not data_change:
@@ -4722,21 +5363,36 @@ class SnapshotTable:
                     f"no committed version at {self.root}"
                 )
             m = self._manifest(v)
+            rt = (
+                m.get("properties", {})
+                .get("rowTracking", "")
+                .lower()
+                == "true"
+            )
             prefix = self._dv_scan_prefix(m, required=True)
             if prefix == "":
                 return v  # no file holds a row: nothing can match
             _, candidates = self._prune_candidates(m, prune)
             if not candidates:
                 return v
-            target = self._read_dirs(m, candidates, keep_dv_meta=True)
+            target = self._read_dirs(
+                m, candidates, keep_dv_meta=True, with_row_ids=rt
+            )
             matched = target.filter(match_true).persist()
             cdf_on = self._cdf_enabled(v)
             try:
                 dv_id, affected = self._dv_sidecar(matched, m, prefix)
                 if dv_id is None:
                     return v  # no matching rows: commit nothing
+                # post-update images KEEP their rows' ids (row
+                # tracking): the id column rides the matched frame
+                # through apply_updates (which selects every actual
+                # field) and materializes into the new entry; the CDC
+                # pre/post images are built id-less below
                 pre = matched.drop(_DV_FILE, _DV_POS)
                 post = apply_updates(pre)
+                if rt:
+                    pre = pre.drop(_ROW_ID)
                 new_entries = self._write_data_entries(
                     post, m["partition_cols"]
                 )
@@ -4801,6 +5457,10 @@ class SnapshotTable:
                 "dv": dv,
                 "timestamp": time.time(),
             }
+            if rt:
+                manifest["row_mat"] = [
+                    *m.get("row_mat", []), *new_entries
+                ]
             if change_rec is not None:
                 manifest["change_data"] = change_rec
             if self._commit(v + 1, manifest):
@@ -4927,13 +5587,17 @@ class SnapshotTable:
         readers of old versions are unaffected). With ``cluster_by``
         this is OPTIMIZE parity: bin-pack AND re-cluster the
         accumulated small append dirs into a skipping-friendly layout
-        (``zorder=True`` for multi-dimension), re-collecting stats."""
-        live = self.read()
+        (``zorder=True`` for multi-dimension), re-collecting stats.
+        Under row tracking the rewrite reads WITH ids and materializes
+        them into the compacted files — OPTIMIZE preserves row
+        identity (the property row tracking exists for)."""
         v = self.latest_version()
+        rt = self.row_tracking_enabled(v)
+        live = self.read(with_row_ids=rt) if rt else self.read()
         pcols = self._manifest(v)["partition_cols"] if v is not None else []
         return self.overwrite(
             live, pcols, cluster_by=cluster_by, n_files=n_files,
-            zorder=zorder, data_change=False,
+            zorder=zorder, data_change=False, _row_mat=rt,
         )
 
     def reorg(self) -> int:
@@ -5082,6 +5746,13 @@ class SnapshotTable:
             "timestamp": time.time(),
             **({"dv": self._dv_of(v)} if m.get("dv") else {}),
         }
+        if "row_bases" in m:
+            # row tracking carries WHOLE: the branch's rows keep the
+            # source snapshot's ids (lineage survives branching), and
+            # the hwm carries so post-clone inserts never collide
+            manifest["row_bases"] = dict(m["row_bases"])
+            manifest["row_mat"] = list(m.get("row_mat", []))
+            manifest["row_hwm"] = int(m.get("row_hwm", 0))
         if not t._commit(0, manifest):
             raise CommitConflict(f"clone target {root} was created concurrently")
         return t
@@ -5156,6 +5827,14 @@ class SnapshotTable:
                     {"dv": m["dv"]} if m.get("dv") else {}
                 ),  # the restored snapshot's suppressions come back too
             }
+            if "row_bases" in m:
+                # resurrected rows keep their ORIGINAL ids: the target
+                # snapshot's base map is restored with its dirs (the
+                # hwm still only grows — _commit takes the max against
+                # the current head, so ids burned since are never
+                # reissued)
+                manifest["row_bases"] = dict(m["row_bases"])
+                manifest["row_mat"] = list(m.get("row_mat", []))
             if self._commit(v + 1, manifest):
                 return v + 1
         raise CommitConflict(f"restore lost {_COMMIT_RETRIES} races")
@@ -5410,11 +6089,17 @@ class SnapshotTable:
         its default is 7 days). Age is the NEWEST mtime anywhere under
         the dir (a partitioned write creates subdirs early; the
         top-level mtime would under-report how recently files landed).
-        Residual race: a writer that finished its files long ago but is
-        still inside a commit-retry storm can exceed any finite window
-        — the age gate narrows the race, only a Delta-style
-        transaction-log check could close it. Pass 0 only when no
-        writers can be in flight."""
+
+        COMMIT-INTENT MARKERS close the race the age gate only
+        narrowed (round 15): every writer stages a marker under
+        ``_log/_intents/<uuid>`` BEFORE creating the dir and
+        refreshes it on every commit attempt, so any dir vacuum can
+        see was preceded by its marker — live intents are spared
+        UNCONDITIONALLY, making ``min_age_seconds=0`` safe against
+        in-flight writers. A crashed writer's marker stops
+        refreshing; once it ages past ``max(min_age_seconds, 3600)``
+        the marker is dropped and its orphan dir becomes ordinary
+        garbage on the next pass."""
         import shutil
 
         latest = self.latest_version()
@@ -5449,6 +6134,64 @@ class SnapshotTable:
         removed = []
         now = time.time()
 
+        stale_intent_after = max(min_age_seconds, 3600.0)
+
+        def _live_intents() -> set[str]:
+            """Uuids protected by a live commit-intent marker. Listed
+            AFTER the candidate dirs in each sweep: writers create
+            marker STRICTLY BEFORE dir, so any dir a sweep saw has
+            its marker visible by the time this runs — no TOCTOU.
+            Markers stale past the retention window belong to crashed
+            writers: dropped here, and their orphan dirs (which then
+            protect nothing) fall to the ordinary age gate."""
+            try:
+                names = os.listdir(self.intents_dir)
+            except FileNotFoundError:
+                return set()
+            live: set[str] = set()
+            for nm in names:
+                p = os.path.join(self.intents_dir, nm)
+                try:
+                    age = now - os.path.getmtime(p)
+                except FileNotFoundError:
+                    continue
+                if age > stale_intent_after:
+                    try:
+                        os.unlink(p)  # crashed writer's marker
+                    except FileNotFoundError:
+                        pass
+                else:
+                    live.add(nm)
+            return live
+
+        def _fresh_refs() -> tuple[set, set, set]:
+            """(data, change_data, dv) uuids referenced by versions
+            committed AT OR AFTER the retained window start as of NOW
+            — re-resolved AFTER the intent listing. Ordering argument
+            for why this closes the commit-vs-vacuum race completely:
+            a writer links its manifest STRICTLY BEFORE unlinking its
+            intent markers, so for any candidate dir either its
+            intent is still live (spared above) or its commit's
+            manifest is already visible to this re-read (spared
+            here); only never-committed garbage falls through to the
+            age gate."""
+            new_latest = self.latest_version()
+            rd: set[str] = set()
+            rc: set[str] = set()
+            rv: set[str] = set()
+            for v2 in range(keep_versions.start, (new_latest or -1) + 1):
+                try:
+                    mv = self._manifest(v2)
+                except FileNotFoundError:
+                    continue
+                rd.update(self._entry_base(e) for e in mv["dirs"])
+                rec = mv.get("change_data")
+                if rec:
+                    rc.add(rec["entry"])
+                for us in mv.get("dv", {}).values():
+                    rv.update(us)
+            return rd, rc, rv
+
         def _sweep(base_dir: str, keep: set[str], label: str) -> None:
             """Age-gated unreferenced-uuid sweep, shared by the data
             dir and the _change_data dir (same optimistic-writer race:
@@ -5459,8 +6202,13 @@ class SnapshotTable:
                 on_disk = os.listdir(base_dir)
             except FileNotFoundError:
                 return
+            live = _live_intents()  # AFTER the dir listing (TOCTOU)
+            fd, fc, fv = _fresh_refs()  # AFTER the intent listing
+            keep = keep | {
+                "": fd, "_change_data/": fc, "_deletion_vectors/": fv
+            }.get(label, set())
             for d in on_disk:
-                if d in keep:
+                if d in keep or d in live:
                     continue
                 path = os.path.join(base_dir, d)
                 try:

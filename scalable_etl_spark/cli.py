@@ -264,6 +264,14 @@ def cmd_table(spark: SparkSession, args: argparse.Namespace) -> dict:
             raise SystemExit("unset-property needs --name")
         v = t.unset_property(args.name)
         return {"unset_property": args.name, "committed_version": v}
+    if args.action == "enable-row-tracking":
+        v = t.enable_row_tracking()
+        _, _, hwm = t._row_meta_of(t.latest_version())
+        return {
+            "row_tracking": True,
+            "committed_version": v,
+            "row_hwm": hwm,
+        }
     raise SystemExit(f"unknown table action {args.action!r}")
 
 
@@ -334,7 +342,8 @@ def main(argv: list[str] | None = None) -> int:
                              "drop-column", "widen-column",
                              "add-constraint", "drop-constraint",
                              "set-property", "unset-property",
-                             "delete", "reorg", "clone"])
+                             "delete", "reorg", "clone",
+                             "enable-row-tracking"])
     tb.add_argument("--target", default="",
                     help="destination root for clone")
     tb.add_argument("--root", required=True)

@@ -905,6 +905,8 @@ def test_dangling_uncommitted_dir_is_invisible_then_vacuumed(
     aged vacuum reclaims it without touching live data."""
     import os
 
+    import time as _time
+
     t = SnapshotTable(spark, str(tmp_path / "t"))
     t.overwrite(_df(spark, [(1, "a"), (2, "b")]))
     # simulate the dead writer: data lands, no commit follows
@@ -912,9 +914,19 @@ def test_dangling_uncommitted_dir_is_invisible_then_vacuumed(
     assert os.path.isdir(os.path.join(t.data_dir, orphan))
     assert {r.k for r in t.read().collect()} == {1, 2}
     assert not any(orphan in p for p in t.committed_files())
-    # young orphan is spared (in-flight writer protection)...
-    assert t.vacuum(retain_versions=1, min_age_seconds=3600) == []
-    # ...an aged one is reclaimed, live data untouched
+    # young orphan is spared — its commit-INTENT marker is live, so
+    # even a zero-age vacuum treats it as an in-flight writer
+    assert t.vacuum(retain_versions=1, min_age_seconds=0.0) == []
+    # a CRASHED writer's marker goes stale (simulated by backdating
+    # marker + dir past the retention window): reclaimed, live data
+    # untouched
+    old = _time.time() - 7200
+    os.utime(os.path.join(t.intents_dir, orphan), (old, old))
+    root = os.path.join(t.data_dir, orphan)
+    for walk_root, subdirs, files in os.walk(root, topdown=False):
+        for name in (*subdirs, *files):
+            os.utime(os.path.join(walk_root, name), (old, old))
+    os.utime(root, (old, old))
     removed = t.vacuum(retain_versions=1, min_age_seconds=0.0)
     assert removed == [orphan]
     assert {r.k for r in t.read().collect()} == {1, 2}
@@ -4491,6 +4503,214 @@ def test_clone_carries_txn_exactly_once(spark, tmp_path):
     sync_incremental(src, branch, sync_id="mig", keys=["id"])
     got = Counter((r.id, r.v) for r in branch.read().select("id", "v").collect())
     assert got == Counter({(1, "a"): 1, (2, "b"): 1, (3, "c"): 1}), got
+
+
+def test_vacuum_intent_markers_protect_inflight_writer(spark, tmp_path):
+    """Commit-intent markers close the vacuum/in-flight-writer race
+    the age gate only narrowed: a writer's staged-but-uncommitted
+    data dir survives vacuum(min_age_seconds=0) because its intent
+    marker landed BEFORE the dir; after the commit the dir is
+    manifest-referenced and its marker is gone."""
+    import os
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame([(1, "a")], "k INT, v STRING")
+    )
+    w = SnapshotTable(spark, str(tmp_path / "t"))  # rival writer
+    # stage the writer's dir exactly as append does, but pause
+    # BEFORE the manifest commit — the mid-commit window
+    staged = w._write_data_entries(
+        spark.createDataFrame([(2, "b")], "k INT, v STRING"), []
+    )
+    d = staged[0]
+    assert os.path.isfile(os.path.join(w.intents_dir, d))
+    removed = t.vacuum(min_age_seconds=0)
+    assert d not in removed, "vacuum deleted an in-flight writer's dir"
+    assert os.path.isdir(os.path.join(w.data_dir, d))
+    # the writer's commit then lands and reads complete
+    m = w._manifest(w.latest_version())
+    manifest = {
+        "op": "append",
+        "dirs": [*m["dirs"], *staged],
+        "schema": m["schema"],
+        "partition_cols": m["partition_cols"],
+        "stats": {},
+        "file_stats": {},
+        "txn": {},
+        "evolution": [],
+        "timestamp": __import__("time").time(),
+    }
+    assert w._commit(w.latest_version() + 1, manifest)
+    assert not os.path.isfile(os.path.join(w.intents_dir, d))
+    assert sorted(r.k for r in t.read().collect()) == [1, 2]
+
+
+def test_vacuum_reclaims_crashed_writer_after_stale_window(
+    spark, tmp_path
+):
+    """A crashed writer's marker stops refreshing: once both marker
+    and dir age past the retention window, vacuum drops the marker
+    and reclaims the orphan — intent protection is for LIVE writers,
+    not leaks."""
+    import os
+    import time as _time
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "k INT, v STRING"))
+    w = SnapshotTable(spark, str(tmp_path / "t"))
+    staged = w._write_data_entries(
+        spark.createDataFrame([(2, "b")], "k INT, v STRING"), []
+    )
+    d = staged[0]
+    # backdate marker + dir past the stale window (crash simulation)
+    old = _time.time() - 7200
+    os.utime(os.path.join(w.intents_dir, d), (old, old))
+    root = os.path.join(w.data_dir, d)
+    for walk_root, subdirs, files in os.walk(root, topdown=False):
+        for name in (*subdirs, *files):
+            os.utime(os.path.join(walk_root, name), (old, old))
+    os.utime(root, (old, old))
+    removed = t.vacuum(min_age_seconds=0)
+    assert d in removed
+    assert not os.path.isdir(root)
+    assert not os.path.isfile(os.path.join(w.intents_dir, d))
+
+
+def test_vacuum_zero_age_under_live_concurrent_writers(spark, tmp_path):
+    """Threaded end-to-end race: real appends racing a
+    vacuum(min_age_seconds=0) loop must lose no committed rows —
+    the intent markers carry each staged dir across its mid-commit
+    window."""
+    import threading
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(0, 0)], "k INT, b INT"))
+    stop = threading.Event()
+    errs: list = []
+
+    def vacuum_loop():
+        w = SnapshotTable(spark, str(tmp_path / "t"))
+        while not stop.is_set():
+            try:
+                w.vacuum(retain_versions=1, min_age_seconds=0)
+            except Exception as exc:  # pragma: no cover
+                errs.append(exc)
+                return
+
+    th = threading.Thread(target=vacuum_loop)
+    th.start()
+    try:
+        for i in range(1, 6):
+            t.append(spark.createDataFrame([(i, i)], "k INT, b INT"))
+    finally:
+        stop.set()
+        th.join()
+    assert not errs, errs
+    assert sorted(r.k for r in t.read().collect()) == [0, 1, 2, 3, 4, 5]
+
+
+def test_in_predicate_disjunction_skipping(spark, tmp_path):
+    """read(where=In(col, values)) — DISJUNCTION data skipping in ONE
+    plan: keeps a file when ANY value's range/bloom probe passes,
+    never more files than the sum of per-value point reads, and the
+    trailing isin filter makes results exact. Composes with a range
+    predicate (conjunction), with bloom point probes, and stays
+    CONSERVATIVE when any value cannot normalize."""
+    import pytest
+
+    from scalable_etl_spark.acid import In
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(400)], "k INT, v STRING"
+        ),
+        cluster_by=["k"],
+        n_files=8,
+        bloom_cols=["k"],
+    )
+    full = len(t.read().inputFiles())
+    r = t.read(where=In("k", [3, 250, 399]))
+    assert sorted(x.k for x in r.collect()) == [3, 250, 399]
+    n_in = len(r.inputFiles())
+    per_val = sum(
+        len(t.read(where=("k", x, x)).inputFiles())
+        for x in (3, 250, 399)
+    )
+    assert n_in <= per_val < full
+    # conjunction: the range leg drops value 399's file again
+    r2 = t.read(where=[In("k", [3, 250, 399]), ("k", 0, 300)])
+    assert sorted(x.k for x in r2.collect()) == [3, 250]
+    assert len(r2.inputFiles()) <= n_in
+    # an In on a stat-less column cannot prune but stays correct
+    r3 = t.read(where=In("v", ["v7", "v300"]))
+    assert sorted(x.k for x in r3.collect()) == [7, 300]
+    assert len(r3.inputFiles()) == full
+    # malformed spellings raise loudly
+    with pytest.raises(ValueError, match="non-empty"):
+        In("k", [])
+
+
+def test_in_predicate_partition_and_zorder_composition(spark, tmp_path):
+    """In composes with partition-path equality pruning (only the
+    listed partitions' files are opened) and with z-order layouts
+    (the point set intersects per-file Morton ranges on BOTH
+    dimensions when combined with a range)."""
+    from scalable_etl_spark.acid import In
+
+    t = SnapshotTable(spark, str(tmp_path / "p"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, f"p{i % 4}") for i in range(40)], "k INT, p STRING"
+        ),
+        partition_cols=["p"],
+    )
+    r = t.read(where=In("p", ["p1", "p3"]))
+    assert sorted({x.p for x in r.collect()}) == ["p1", "p3"]
+    assert all(
+        "p=p1" in f or "p=p3" in f for f in r.inputFiles()
+    )
+    z = SnapshotTable(spark, str(tmp_path / "z"))
+    z.overwrite(
+        spark.createDataFrame(
+            [(i, (i * 37) % 400) for i in range(400)], "a INT, b INT"
+        ),
+        cluster_by=["a", "b"],
+        n_files=16,
+        zorder=True,
+    )
+    full = len(z.read().inputFiles())
+    rz = z.read(where=[In("a", [5, 350]), ("b", 0, 200)])
+    want = sorted(
+        (i, (i * 37) % 400)
+        for i in (5, 350)
+        if (i * 37) % 400 <= 200
+    )
+    assert sorted((x.a, x.b) for x in rz.collect()) == want
+    assert len(rz.inputFiles()) < full
+
+
+def test_in_predicate_distributed_planning(spark, tmp_path):
+    """The executor-side sidecar planning job evaluates the same
+    any-alternative survival rule as the driver path."""
+    from scalable_etl_spark.acid import In
+
+    t = SnapshotTable(
+        spark, str(tmp_path / "d"), parquet_checkpoints=True
+    )
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, i) for i in range(400)], "k INT, s INT"
+        ),
+        cluster_by=["k"],
+        n_files=8,
+    )
+    r = t.read(where=In("k", [7, 390]), planning="distributed")
+    assert sorted(x.k for x in r.collect()) == [7, 390]
+    assert len(r.inputFiles()) == len(
+        t.read(where=In("k", [7, 390])).inputFiles()
+    )
 
 
 def test_clone_carry_txn_false_starts_fresh(spark, tmp_path):

@@ -71,20 +71,41 @@ def test_registry_contract():
 
     q = e.queries()
     o = e.oracle_sql()
-    assert len(q) == 141, f"registry has {len(q)} queries; update COVERAGE.md"
+    assert len(q) == 142, f"registry has {len(q)} queries; update COVERAGE.md"
     assert set(o) == set(q), "every query needs an oracle (none rows-only)"
     graded = list(q)[:50]
     for prefix in ("sql_", "source_", "sink_", "streaming_"):
         assert any(n.startswith(prefix) for n in graded), (
             f"driver-graded window lost the {prefix}* family"
         )
-    # Round-6 rotation: the LLM-pipeline headliners must be driver-graded.
-    for name in e._PROMOTED:
-        assert name in graded, f"promoted headliner {name} fell out of window"
-    for name in e._DEMOTED:
-        assert name in q and name not in graded, (
-            f"demoted extra {name} must stay registered, outside the window"
-        )
+    # The window IS the explicit rotation list: exactly 50 real names.
+    assert len(e._WINDOW) == 50
+    assert len(set(e._WINDOW)) == 50
+    assert list(e._WINDOW) == graded
+    missing = [n for n in e._WINDOW if n not in q]
+    assert not missing, f"window names not in registry: {missing}"
+    # Rotation hygiene (verdict r14 #3/#4): the window must contain
+    # every STALEST query — nothing outside it may have an older last
+    # driver-green round than the newest one inside it (derived from
+    # CORRECTNESS files, never hand-tracked).
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "tools")
+    )
+    from grading_rounds import last_green_rounds
+
+    greens = last_green_rounds()
+    outside_rounds = {
+        n: greens.get(n, 0) for n in q if n not in set(e._WINDOW)
+    }
+    stalest_outside = min(outside_rounds.values())
+    inside_max = max(greens.get(n, 0) for n in e._WINDOW)
+    assert stalest_outside >= inside_max or stalest_outside >= 13, (
+        "a query outside the window is staler than the window's "
+        f"newest member: {sorted(outside_rounds.items(), key=lambda kv: kv[1])[:5]}"
+    )
 
 
 def test_stream_sink_cli(spark, listens_dir, tmp_path, capsys):

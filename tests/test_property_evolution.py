@@ -212,11 +212,51 @@ def test_evolution_sequences_match_eager_oracle(spark, seq):
 # zero-copy branch must equal the model AT the clone point, commit
 # NOTHING to the source, and stay frozen while the source keeps
 # mutating — checked again when the sequence ends).
+#
+# Round-15 addition: op 16 = enable_row_tracking (once per sequence).
+# From that point every op composes with the ROW-ID invariants,
+# checked after each step: ids are non-null and pairwise distinct;
+# any id never seen before is >= the pre-op high-water mark (fresh
+# draws never reuse a retired id — updates/merges keep old ids, which
+# remain in the seen set); and the layout-only ops (compact, reorg)
+# must preserve the EXACT (row content, id) pair multiset — OPTIMIZE
+# moving a row must not change its identity.
 
 DML_OP = st.tuples(
-    st.integers(0, 15), st.integers(0, 7), st.integers(0, 7)
+    st.integers(0, 16), st.integers(0, 7), st.integers(0, 7)
 )
 DML_SEQ = st.lists(DML_OP, min_size=4, max_size=8)
+
+
+def _rt_pairs(t, m, rt):
+    """(row content, _row_id) pair multiset, or None when tracking is
+    off — the layout-only-op stability oracle."""
+    if not rt["on"]:
+        return None
+    names = m.names()
+    return Counter(
+        (tuple(r[n] for n in names), r["_row_id"])
+        for r in t.read(with_row_ids=True).collect()
+    )
+
+
+def _check_row_ids(t, rt):
+    """Per-step row-id invariants once tracking is on: unique,
+    non-null, and fresh ids only ever drawn at/above the pre-op
+    high-water mark."""
+    if not rt["on"]:
+        return
+    ids = [
+        r["_row_id"]
+        for r in t.read(with_row_ids=True).select("_row_id").collect()
+    ]
+    assert all(i is not None for i in ids), "NULL row id"
+    assert len(set(ids)) == len(ids), "duplicate row ids"
+    fresh = set(ids) - rt["ids"]
+    low = [i for i in fresh if i < rt["hwm"]]
+    assert not low, (sorted(low)[:5], rt["hwm"])
+    rt["ids"] |= set(ids)
+    rt["hwm"] = t._row_meta_of(t.latest_version())[2]
 
 
 def _append_p(spark, t, m, seed, omit_idx=None):
@@ -292,6 +332,7 @@ def test_dml_evolution_sequences_match_eager_oracle(spark, seq):
         return [i for i, (n, _d, _f) in enumerate(m.cols) if n != "p"]
 
     clones: list[tuple] = []  # (table, cols-at-clone, rows-at-clone)
+    rt = {"on": False, "ids": set(), "hwm": 0}  # row-tracking oracle
 
     def _check_clone(ct, cols, rows):
         mm = _Model()
@@ -420,8 +461,11 @@ def test_dml_evolution_sequences_match_eager_oracle(spark, seq):
                 t.append(spark.createDataFrame([bad], ddl))
             # aborted commit: no version, no snapshot
         elif op == 10:  # compact (materializes DVs, prunes evolution)
+            pairs0 = _rt_pairs(t, m, rt)
             t.compact()
             m.snap()
+            if pairs0 is not None:  # OPTIMIZE preserves row identity
+                assert _rt_pairs(t, m, rt) == pairs0
         elif op == 11:  # restore (constraints dropped first: a
             # restore refuses when active constraints predate the
             # target snapshot's schema)
@@ -502,10 +546,13 @@ def test_dml_evolution_sequences_match_eager_oracle(spark, seq):
                             r[name] = r[name] + 1
                 m.snap()
         elif op == 14:  # reorg: rows invariant, commit only if dirty
+            pairs0 = _rt_pairs(t, m, rt)
             v0 = t.latest_version()
             t.reorg()
             if t.latest_version() > v0:
                 m.snap()
+            if pairs0 is not None:  # purge preserves row identity
+                assert _rt_pairs(t, m, rt) == pairs0
         elif op == 15:  # clone: zero-copy branch == model, source
             # version untouched, and the branch stays FROZEN (checked
             # again after the sequence ends)
@@ -516,10 +563,17 @@ def test_dml_evolution_sequences_match_eager_oracle(spark, seq):
             clones.append(
                 (ct, [list(c) for c in m.cols], [dict(r) for r in m.rows])
             )
+        elif op == 16:  # enable row tracking (once; later draws no-op)
+            if rt["on"]:
+                continue
+            t.enable_row_tracking()
+            rt["on"] = True
+            m.snap()  # the property commit is a version
         else:
             continue
         assert t.latest_version() == len(m.snapshots) - 1
         _check(t, m)
+        _check_row_ids(t, rt)
     # clones are branches: the source kept mutating after each clone
     # point, none of it may leak into the frozen branches
     for ct, cols, rows in clones:

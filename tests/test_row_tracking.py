@@ -1,0 +1,384 @@
+"""ROW TRACKING (stable row ids): read(with_row_ids=True) surfaces a
+per-row `_row_id` that is unique within the table and STABLE across
+every physical rewrite — compact / reorg / copy-on-write DML /
+merge-on-read DML / MERGE (matched rows keep ids, inserts draw fresh
+ones from the high-water mark). The design is Delta's row-ID scheme
+re-expressed on this manifest: per-file base_row_id + _metadata
+.row_index derivation for append-born rows, physical materialization
+for rows a rewrite moves (acid.py `_ROW_ID` machinery). The reference
+delegates storage to Iceberg and has no row-lineage verb; this is a
+beyond-reference capability for training-data curation (dedup
+decisions and split membership referencing rows that survive
+OPTIMIZE)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scalable_etl_spark.acid import SnapshotTable
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def _ids(t, version=None, **kw):
+    return {
+        r.k: r._row_id
+        for r in t.read(version=version, with_row_ids=True, **kw).collect()
+    }
+
+
+def _fresh(spark, tmp_path, n=10, name="t"):
+    t = SnapshotTable(spark, str(tmp_path / name))
+    t.overwrite(
+        _df(spark, [(i, f"v{i}") for i in range(n)], "k INT, v STRING")
+    )
+    t.enable_row_tracking()
+    return t
+
+
+def test_ids_unique_and_contiguous_after_enable(spark, tmp_path):
+    t = _fresh(spark, tmp_path)
+    ids = _ids(t)
+    assert sorted(ids.values()) == list(range(10))
+    # normal reads never see the column
+    assert "_row_id" not in t.read().columns
+
+
+def test_enable_refuses_user_row_id_column(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(_df(spark, [(1, 2)], "k INT, `_row_id` INT"))
+    with pytest.raises(ValueError, match="reserves"):
+        t.enable_row_tracking()
+
+
+def test_writers_refuse_user_row_id_column(spark, tmp_path):
+    t = _fresh(spark, tmp_path)
+    bad = _df(spark, [(1, 1)], "k INT, `_row_id` BIGINT")
+    with pytest.raises(ValueError, match="reserved"):
+        t.append(bad)
+    with pytest.raises(ValueError, match="reserved"):
+        t.overwrite(bad)
+    with pytest.raises(ValueError, match="reserved"):
+        t.alter_add_column("_row_id", "int")
+    with pytest.raises(ValueError, match="reserved"):
+        t.alter_rename_column("v", "_row_id")
+
+
+def test_read_without_tracking_raises(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(_df(spark, [(1, "a")], "k INT, v STRING"))
+    with pytest.raises(ValueError, match="row tracking"):
+        t.read(with_row_ids=True)
+    # time travel to a PRE-enable version refuses too
+    t.enable_row_tracking()
+    with pytest.raises(ValueError, match="row tracking"):
+        t.read(version=0, with_row_ids=True)
+
+
+def test_ids_stable_across_full_rewrite_gauntlet(spark, tmp_path):
+    """The headline invariant: append -> MOR delete -> compact ->
+    cow update -> reorg — surviving rows keep their ids through
+    every physical life event."""
+    t = _fresh(spark, tmp_path)
+    base = _ids(t)
+    t.append(_df(spark, [(100, "x"), (101, "y")], "k INT, v STRING"))
+    after_append = _ids(t)
+    assert {k: after_append[k] for k in base} == base
+    assert after_append[100] != after_append[101]
+    assert set(after_append.values()) & set(base.values()) == set(
+        base.values()
+    )
+    t.delete("k = 3", mode="merge-on-read")
+    after_dv = _ids(t)
+    assert 3 not in after_dv
+    assert after_dv == {
+        k: v for k, v in after_append.items() if k != 3
+    }
+    t.compact()
+    assert _ids(t) == after_dv
+    t.update("k = 5", {"v": F.lit("u")})
+    assert _ids(t) == after_dv
+    t.reorg()
+    assert _ids(t) == after_dv
+    # values actually updated while the id held still
+    row5 = (
+        t.read(with_row_ids=True).filter(F.col("k") == 5).first()
+    )
+    assert row5.v == "u" and row5._row_id == after_dv[5]
+
+
+def test_cow_delete_preserves_survivor_ids(spark, tmp_path):
+    t = _fresh(spark, tmp_path)
+    before = _ids(t)
+    t.delete("k >= 7")
+    after = _ids(t)
+    assert after == {k: v for k, v in before.items() if k < 7}
+
+
+def test_mor_update_postimage_keeps_id(spark, tmp_path):
+    t = _fresh(spark, tmp_path)
+    before = _ids(t)
+    t.update("k = 2", {"v": F.lit("post")}, mode="merge-on-read")
+    after = _ids(t)
+    assert after == before
+    got = t.read(with_row_ids=True).filter(F.col("k") == 2).first()
+    assert got.v == "post" and got._row_id == before[2]
+
+
+def test_merge_matched_keeps_id_insert_draws_fresh(spark, tmp_path):
+    t = _fresh(spark, tmp_path)
+    before = _ids(t)
+    hwm = t._row_meta_of(t.latest_version())[2]
+    t.merge(
+        _df(spark, [(4, "m"), (500, "new")], "k INT, v STRING"), ["k"]
+    )
+    after = _ids(t)
+    assert after[4] == before[4]
+    assert after[500] >= hwm
+    assert len(set(after.values())) == len(after)
+    assert {k: after[k] for k in before} == before
+
+
+def test_merge_on_read_matched_keeps_id(spark, tmp_path):
+    t = _fresh(spark, tmp_path)
+    before = _ids(t)
+    t.merge(
+        _df(spark, [(6, "m"), (600, "new")], "k INT, v STRING"),
+        ["k"],
+        mode="merge-on-read",
+    )
+    after = _ids(t)
+    assert after[6] == before[6]
+    assert len(set(after.values())) == len(after)
+    assert {k: after[k] for k in before} == before
+    # and the suppressed original really is gone (no duplicate key)
+    assert (
+        t.read(with_row_ids=True).filter(F.col("k") == 6).count() == 1
+    )
+
+
+def test_merge_delete_mode_ids(spark, tmp_path):
+    t = _fresh(spark, tmp_path)
+    before = _ids(t)
+    t.merge(
+        _df(spark, [(1, "zz"), (700, "ins")], "k INT, v STRING"),
+        ["k"],
+        when_matched="delete",
+    )
+    after = _ids(t)
+    assert 1 not in after
+    assert {k: after[k] for k in before if k != 1} == {
+        k: v for k, v in before.items() if k != 1
+    }
+    assert after[700] not in before.values()
+
+
+def test_time_travel_and_restore_keep_ids(spark, tmp_path):
+    t = _fresh(spark, tmp_path)
+    v_enable = t.latest_version()
+    base = _ids(t)
+    t.delete("k IN (0, 1)")
+    t.compact()
+    # time travel reads the old snapshot's ids
+    assert _ids(t, version=v_enable) == base
+    # restore resurrects rows WITH their original ids
+    t.restore(v_enable)
+    assert _ids(t) == base
+    # and the hwm never regressed: a post-restore insert is fresh
+    t.append(_df(spark, [(900, "z")], "k INT, v STRING"))
+    after = _ids(t)
+    assert after[900] not in base.values()
+    assert len(set(after.values())) == len(after)
+
+
+def test_clone_carries_ids_and_hwm(spark, tmp_path):
+    t = _fresh(spark, tmp_path)
+    before = _ids(t)
+    c = t.clone(str(tmp_path / "branch"))
+    assert _ids(c) == before
+    # divergent inserts on the branch never reuse a source id
+    c.append(_df(spark, [(800, "b")], "k INT, v STRING"))
+    after = _ids(c)
+    assert after[800] not in before.values()
+    assert {k: after[k] for k in before} == before
+
+
+def test_partitioned_table_ids_survive_partition_ops(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "p"))
+    t.overwrite(
+        _df(
+            spark,
+            [(i, "a" if i % 2 else "b", i * 1.0) for i in range(20)],
+            "k INT, p STRING, x DOUBLE",
+        ),
+        partition_cols=["p"],
+    )
+    t.enable_row_tracking()
+    before = _ids(t)
+    assert len(set(before.values())) == 20
+    t.delete((F.col("p") == "a") & (F.col("k") < 5))
+    mid = _ids(t)
+    assert mid == {
+        k: v
+        for k, v in before.items()
+        if not (k % 2 and k < 5)
+    }
+    t.compact_partition("p", "a")
+    assert _ids(t) == mid
+    # partition evolution: ids survive the spec change and later DML
+    t.alter_partitioning([])
+    t.append(_df(spark, [(100, "c", 1.0)], "k INT, p STRING, x DOUBLE"))
+    after = _ids(t)
+    assert {k: after[k] for k in mid} == mid
+    assert len(set(after.values())) == len(after)
+
+
+def test_hive_escaped_partition_values_bind_bases(spark, tmp_path):
+    """Partition values Spark URL-escapes into dir names ('a:b' ->
+    'p=a%3Ab') exercise the rendering-space candidate join in
+    _row_bases_frame — a mis-bound base would null the id."""
+    t = SnapshotTable(spark, str(tmp_path / "h"))
+    t.overwrite(
+        _df(
+            spark,
+            [(1, "a:b"), (2, "a:b"), (3, "plain")],
+            "k INT, p STRING",
+        ),
+        partition_cols=["p"],
+    )
+    t.enable_row_tracking()
+    ids = _ids(t)
+    assert sorted(ids) == [1, 2, 3]
+    assert None not in ids.values()
+    assert len(set(ids.values())) == 3
+
+
+def test_ids_survive_schema_evolution(spark, tmp_path):
+    t = _fresh(spark, tmp_path)
+    before = _ids(t)
+    t.alter_add_column("extra", "int", default=7)
+    t.alter_rename_column("v", "val")
+    assert _ids(t) == before
+    t.compact()  # materializes through the evolved schema
+    after_rows = {
+        r.k: (r._row_id, r.extra, r.val)
+        for r in t.read(with_row_ids=True).collect()
+    }
+    for k, (rid, extra, val) in after_rows.items():
+        assert rid == before[k]
+        assert extra == 7 and val == f"v{k}"
+    t.alter_drop_column("extra")
+    assert _ids(t) == before
+
+
+def test_checkpoint_log_roundtrip_and_distributed_read(spark, tmp_path):
+    """row_bases must survive the delta-log + parquet-checkpoint
+    round-trip (cold cache), and with_row_ids must compose with
+    planning='distributed' (which loads the full manifest for the
+    base map)."""
+    t = SnapshotTable(
+        spark, str(tmp_path / "c"), parquet_checkpoints=True
+    )
+    t.overwrite(
+        _df(spark, [(i, i * 10) for i in range(8)], "k INT, s INT"),
+        stats_cols=["k"],
+    )
+    t.enable_row_tracking()
+    base = _ids(t)
+    for j in range(12):  # crosses a checkpoint boundary
+        t.append(
+            _df(spark, [(100 + j, j)], "k INT, s INT"),
+            stats_cols=["k"],
+        )
+    ids = _ids(t)
+    assert {k: ids[k] for k in base} == base
+    assert len(set(ids.values())) == len(ids)
+    # cold cache: a fresh instance resolves the same map
+    t2 = SnapshotTable(spark, str(t.root))
+    assert _ids(t2) == ids
+    got = {
+        r.k: r._row_id
+        for r in t2.read(
+            where=("k", 0, 1000),
+            planning="distributed",
+            with_row_ids=True,
+        ).collect()
+    }
+    assert got == ids
+
+
+def test_stream_sink_exactly_once_on_tracked_table(spark, tmp_path):
+    """The riskiest composition: streaming exactly-once rides merge's
+    txn ledger; with row tracking on, a REPLAYED batch must still
+    no-op and ids must stay unique across micro-batches."""
+    from scalable_etl_spark.acid import write_stream_snapshot
+
+    t = SnapshotTable(spark, str(tmp_path / "s"))
+    t.overwrite(_df(spark, [(0, "seed")], "k INT, v STRING"))
+    t.enable_row_tracking()
+    b1 = _df(spark, [(1, "a"), (2, "b")], "k INT, v STRING")
+    b2 = _df(spark, [(2, "b2"), (3, "c")], "k INT, v STRING")
+    t.merge(b1, ["k"], txn_update={"q1": 0})
+    ids1 = _ids(t)
+    t.merge(b2, ["k"], txn_update={"q1": 1})
+    ids2 = _ids(t)
+    assert ids2[2] == ids1[2]  # upserted row kept its id
+    v_before = t.latest_version()
+    t.merge(b2, ["k"], txn_update={"q1": 1})  # replay: must no-op
+    assert t.latest_version() == v_before
+    assert _ids(t) == ids2
+    assert len(set(ids2.values())) == len(ids2)
+    assert write_stream_snapshot is not None  # surface exists
+
+
+def test_cdc_replica_of_tracked_source(spark, tmp_path):
+    """Row tracking on a CDC SOURCE must be invisible to the change
+    feed: images stay id-less (the feed's schema is the logical one)
+    and a keyed replica synced through the full DML mix equals the
+    source — while the source's own ids stay stable throughout."""
+    from collections import Counter
+
+    from scalable_etl_spark.acid import sync_incremental
+
+    src = _fresh(spark, tmp_path, name="src")
+    src.enable_change_data_feed()
+    dst = SnapshotTable(spark, str(tmp_path / "dst"))
+    sync_incremental(src, dst, sync_id="r", keys=["k"])
+    base = _ids(src)
+    src.merge(_df(spark, [(3, "m"), (300, "i")], "k INT, v STRING"), ["k"])
+    src.delete("k = 7", mode="merge-on-read")
+    src.update("k = 8", {"v": F.lit("u")}, mode="merge-on-read")
+    src.compact()
+    sync_incremental(src, dst, sync_id="r", keys=["k"])
+    want = Counter(
+        (r.k, r.v) for r in src.read().collect()
+    )
+    got = Counter((r.k, r.v) for r in dst.read().collect())
+    assert got == want
+    after = _ids(src)
+    survived = {k: v for k, v in base.items() if k != 7}
+    assert {k: after[k] for k in survived} == survived
+    # the change feed itself never grew an id column
+    feed = src.table_changes(0, change_feed=True)
+    assert "_row_id" not in feed.columns
+
+
+def test_row_ids_compose_with_where_skipping(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "w"))
+    t.overwrite(
+        _df(spark, [(i, i % 3) for i in range(30)], "k INT, g INT"),
+        cluster_by=["k"],
+        n_files=4,
+    )
+    t.enable_row_tracking()
+    full = _ids(t)
+    ranged = {
+        r.k: r._row_id
+        for r in t.read(
+            where=("k", 5, 9), with_row_ids=True
+        ).collect()
+    }
+    assert ranged == {k: v for k, v in full.items() if 5 <= k <= 9}
