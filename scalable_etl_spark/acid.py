@@ -471,6 +471,12 @@ class In:
     not the table."""
 
     def __init__(self, col: str, values):
+        if isinstance(values, (str, bytes)):
+            # list('click') would silently probe per CHARACTER
+            raise ValueError(
+                "In values must be a collection, not a bare "
+                f"string: {values!r}"
+            )
         vals = list(values)
         if not isinstance(col, str) or not vals:
             raise ValueError(
@@ -810,14 +816,17 @@ class SnapshotTable:
         m = {
             k: v
             for k, v in pointer.items()
-            if k not in ("format", "checkpoint")
+            if k not in (
+                "format", "checkpoint", "row_bases_in_checkpoint"
+            )
         }
         m["dirs"] = [d for _, d in sorted(dirs)]
         m["stats"] = stats
         m["file_stats"] = fstats
-        if saw_rbase or "row_hwm" in pointer:
-            # a row-tracked table with zero entries still carries the
-            # (empty) map — row_hwm rides the pointer and marks it
+        if saw_rbase or pointer.get("row_bases_in_checkpoint"):
+            # the explicit marker covers the zero-entry tracked table
+            # (empty map, no rbase rows) without misfiring on a
+            # DISABLED-tracking manifest that carries only row_hwm
             m["row_bases"] = rbases
         return m
 
@@ -888,13 +897,29 @@ class SnapshotTable:
         # whose files carry a PHYSICAL _row_id column (rewrites). The
         # hwm only ever grows, so ids are never reissued — even across
         # restore, whose resurrected rows keep their original ids.
-        if (
-            "dirs" in manifest
-            and manifest.get("properties", {})
+        rt_on = (
+            manifest.get("properties", {})
             .get("rowTracking", "")
             .lower()
             == "true"
-        ):
+        )
+        if "dirs" in manifest and not rt_on:
+            # DISABLED (or never-enabled) tracking still carries the
+            # high-water mark forward once one exists: a later
+            # re-enable must draw fresh ids ABOVE every id ever
+            # issued — dropping the hwm across an unset/set cycle
+            # would silently reissue retired ids to different rows
+            # (review finding, round 15). Bases/mat are dropped (the
+            # read side refuses while off), only the monotone token
+            # survives.
+            if "row_hwm" not in manifest and version > 0:
+                try:
+                    ph = self._manifest(version - 1).get("row_hwm")
+                    if ph is not None:
+                        manifest["row_hwm"] = int(ph)
+                except FileNotFoundError:
+                    pass
+        if "dirs" in manifest and rt_on:
             prev_bases: dict = {}
             prev_mat: list = []
             prev_hwm = 0
@@ -960,6 +985,13 @@ class SnapshotTable:
                 }
                 payload["format"] = "checkpoint-parquet"
                 payload["checkpoint"] = rel
+                if "row_bases" in manifest:
+                    # pointer-only marker (popped on load): an EMPTY
+                    # base map writes no rbase rows, and a disabled-
+                    # tracking manifest carries row_hwm WITHOUT the
+                    # map — neither heuristic can distinguish the
+                    # cases, so the presence is recorded explicitly
+                    payload["row_bases_in_checkpoint"] = True
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
             json.dump(payload, fh)
@@ -1483,7 +1515,11 @@ class SnapshotTable:
                 active.append(acts)
         return active
 
-    def committed_files(self, version: int | None = None) -> list[str]:
+    def committed_files(
+        self,
+        version: int | None = None,
+        allow_row_ids: bool = False,
+    ) -> list[str]:
         """Absolute paths of every data file composing snapshot
         ``version`` (default latest) — the ENGINE-INTEROP contract the
         reference satisfies through Iceberg metadata (its DuckDB
@@ -1491,7 +1527,17 @@ class SnapshotTable:
         analysis-minio.ipynb:52-65): any parquet reader given exactly
         this list replays exactly the committed snapshot. A naive glob
         of ``data/`` instead would also read dirs a rewrite superseded
-        and dirs of in-flight writers — wrong rows both ways."""
+        and dirs of in-flight writers — wrong rows both ways.
+
+        On a row-tracked table whose rewrites have MATERIALIZED ids
+        (``row_mat`` entries), the raw files carry a physical
+        ``_row_id`` column the logical schema does not declare — an
+        external SELECT * would surface it, and a snapshot mixing
+        materialized and derived entries schema-flaps per file.
+        Refused by default; ``allow_row_ids=True`` opts in for
+        readers that project explicit columns (the extra column is
+        then the documented caveat, same as Delta exposing
+        materialized row ids to raw-file readers)."""
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
@@ -1503,6 +1549,14 @@ class SnapshotTable:
                 "snapshot has live deletion vectors: file-level "
                 "export would resurrect suppressed rows — run "
                 "compact() to materialize them away first"
+            )
+        if self._manifest(v).get("row_mat") and not allow_row_ids:
+            raise ValueError(
+                "snapshot has entries with a materialized physical "
+                "_row_id column (row tracking): external SELECT * "
+                "readers would surface an undeclared column — pass "
+                "allow_row_ids=True to export anyway and project "
+                "explicit columns on the consumer side"
             )
         out: list[str] = []
         for d in self._manifest(v)["dirs"]:
@@ -1518,6 +1572,7 @@ class SnapshotTable:
         out_dir: str,
         version: int | None = None,
         deletion_vectors: bool = False,
+        allow_row_ids: bool = False,
     ) -> list[str]:
         """Materialize snapshot ``version`` for engines that can't read
         the commit log: a dir of SYMLINKS to exactly the committed
@@ -1573,6 +1628,16 @@ class SnapshotTable:
                 "compact() to materialize them away first, or pass "
                 "deletion_vectors=True to export a positions sidecar "
                 "the consumer must anti-join"
+            )
+        if m.get("row_mat") and not allow_row_ids:
+            # same undeclared-extra-column hazard as committed_files:
+            # materialized _row_id columns surface in external
+            # SELECT * and schema-flap across mixed entries
+            raise ValueError(
+                "snapshot has entries with a materialized physical "
+                "_row_id column (row tracking): pass "
+                "allow_row_ids=True to export anyway and project "
+                "explicit columns on the consumer side"
             )
         shutil.rmtree(out_dir, ignore_errors=True)
         os.makedirs(out_dir)
@@ -4432,6 +4497,7 @@ class SnapshotTable:
         novel set, so duplicates can't slip between read and commit —
         this closes the TOCTOU the bare-catalog emulation documents.
         Returns rows inserted."""
+        self._check_row_id_reserved(df.columns)
         keys = list(key_cols)
         batch = df.dropDuplicates(keys)
         for _ in range(_COMMIT_RETRIES):
@@ -4764,8 +4830,16 @@ class SnapshotTable:
                             .groupBy(*keys)
                             .agg(F.min(_ROW_ID).alias(_ROW_ID))
                         )
-                        return eff.select(*target.columns).join(
-                            tids, keys, "left"
+                        return (
+                            eff.select(*target.columns)
+                            .join(tids, keys, "left")
+                            # a using-join emits the join keys FIRST;
+                            # re-select the logical column order so
+                            # the committed schema (and the written
+                            # file layout) never permutes — the MOR
+                            # path commits this frame's schema
+                            # directly (review finding, round 15)
+                            .select(*target.columns, _ROW_ID)
                         )
 
                     if mor:
@@ -4829,6 +4903,18 @@ class SnapshotTable:
                     for df_ in pinned:
                         df_.unpersist()
                     raise
+            if v is not None:
+                # CANONICAL column order: Spark's USING joins (the
+                # anti-join above, the row-id key join) emit join
+                # keys FIRST, so a merge keyed on a non-first column
+                # would otherwise commit a PERMUTED schema and every
+                # later read would follow it (pre-existing defect,
+                # caught by the round-15 review on the MOR row-id
+                # path but generic to every merge)
+                merged = merged.select(
+                    *target.columns,
+                    *([_ROW_ID] if wrote_ids else []),
+                )
             dv_id = None
             affected: set = set()
             try:
@@ -6097,9 +6183,12 @@ class SnapshotTable:
         see was preceded by its marker — live intents are spared
         UNCONDITIONALLY, making ``min_age_seconds=0`` safe against
         in-flight writers. A crashed writer's marker stops
-        refreshing; once it ages past ``max(min_age_seconds, 3600)``
-        the marker is dropped and its orphan dir becomes ordinary
-        garbage on the next pass."""
+        refreshing; once BOTH the marker and the dir's newest mtime
+        age past ``max(min_age_seconds, 3600)`` the orphan is
+        reclaimed (the mtime leg keeps a slow-but-alive writer — one
+        whose data write outlasts the window before its first commit
+        attempt — protected, since an active write keeps producing
+        fresh files)."""
         import shutil
 
         latest = self.latest_version()
@@ -6136,33 +6225,31 @@ class SnapshotTable:
 
         stale_intent_after = max(min_age_seconds, 3600.0)
 
-        def _live_intents() -> set[str]:
-            """Uuids protected by a live commit-intent marker. Listed
-            AFTER the candidate dirs in each sweep: writers create
-            marker STRICTLY BEFORE dir, so any dir a sweep saw has
-            its marker visible by the time this runs — no TOCTOU.
-            Markers stale past the retention window belong to crashed
-            writers: dropped here, and their orphan dirs (which then
-            protect nothing) fall to the ordinary age gate."""
+        def _intent_marker_ages() -> dict[str, float]:
+            """{uuid: marker age} of every commit-intent marker.
+            Listed AFTER the candidate dirs in each sweep: writers
+            create marker STRICTLY BEFORE dir, so any dir a sweep saw
+            has its marker visible by the time this runs — no TOCTOU.
+            A FRESH marker protects its dir unconditionally; a STALE
+            one (writer hasn't reached a commit attempt within the
+            window) only yields the dir when the dir's own newest
+            mtime is ALSO past the window — a long data write keeps
+            producing fresh files, so an alive-but-slow writer stays
+            protected and only genuinely crashed writers' orphans are
+            reclaimed (review finding, round 15)."""
             try:
                 names = os.listdir(self.intents_dir)
             except FileNotFoundError:
-                return set()
-            live: set[str] = set()
+                return {}
+            ages: dict[str, float] = {}
             for nm in names:
-                p = os.path.join(self.intents_dir, nm)
                 try:
-                    age = now - os.path.getmtime(p)
+                    ages[nm] = now - os.path.getmtime(
+                        os.path.join(self.intents_dir, nm)
+                    )
                 except FileNotFoundError:
                     continue
-                if age > stale_intent_after:
-                    try:
-                        os.unlink(p)  # crashed writer's marker
-                    except FileNotFoundError:
-                        pass
-                else:
-                    live.add(nm)
-            return live
+            return ages
 
         def _fresh_refs() -> tuple[set, set, set]:
             """(data, change_data, dv) uuids referenced by versions
@@ -6202,14 +6289,20 @@ class SnapshotTable:
                 on_disk = os.listdir(base_dir)
             except FileNotFoundError:
                 return
-            live = _live_intents()  # AFTER the dir listing (TOCTOU)
-            fd, fc, fv = _fresh_refs()  # AFTER the intent listing
+            markers = _intent_marker_ages()  # AFTER dir list (TOCTOU)
+            fd, fc, fv = _fresh_refs()  # AFTER the marker listing
             keep = keep | {
                 "": fd, "_change_data/": fc, "_deletion_vectors/": fv
             }.get(label, set())
             for d in on_disk:
-                if d in keep or d in live:
+                if d in keep:
                     continue
+                marker_age = markers.get(d)
+                if (
+                    marker_age is not None
+                    and marker_age < stale_intent_after
+                ):
+                    continue  # live writer's staged dir
                 path = os.path.join(base_dir, d)
                 try:
                     newest = os.path.getmtime(path)
@@ -6221,7 +6314,19 @@ class SnapshotTable:
                                     os.path.join(walk_root, name)
                                 ),
                             )
-                    if now - newest < min_age_seconds:
+                    if marker_age is not None:
+                        # STALE marker: reclaim only when the write
+                        # itself is quiet past the window too — a
+                        # slow-but-alive writer keeps making files
+                        if now - newest < stale_intent_after:
+                            continue
+                        try:
+                            os.unlink(
+                                os.path.join(self.intents_dir, d)
+                            )
+                        except FileNotFoundError:
+                            pass
+                    elif now - newest < min_age_seconds:
                         continue  # possibly an in-flight writer's dir
                 except FileNotFoundError:
                     continue
@@ -6240,6 +6345,21 @@ class SnapshotTable:
         # unreferenced deletion-vector files under the identical
         # retention contract.
         _sweep(self.dv_dir, dv_referenced, "_deletion_vectors/")
+        # DIRLESS stale markers (constraint-abort leftovers, markers
+        # whose dir a prior pass reclaimed) would otherwise linger
+        # forever — drop any stale marker with no dir in ANY namespace
+        for nm, age in _intent_marker_ages().items():
+            if age <= stale_intent_after:
+                continue
+            if any(
+                os.path.isdir(os.path.join(base, nm))
+                for base in (self.data_dir, self.change_dir, self.dv_dir)
+            ):
+                continue
+            try:
+                os.unlink(os.path.join(self.intents_dir, nm))
+            except FileNotFoundError:
+                pass
         # A retained delta manifest resolves through its predecessors:
         # keep every log entry back to the checkpoint (full manifest)
         # the oldest retained version chains to (<= _CHECKPOINT_EVERY-1

@@ -4577,6 +4577,53 @@ def test_vacuum_reclaims_crashed_writer_after_stale_window(
     assert not os.path.isfile(os.path.join(w.intents_dir, d))
 
 
+def test_merge_on_non_first_key_keeps_schema_order(spark, tmp_path):
+    """Round-15 review: Spark's USING joins emit join keys FIRST, so
+    a MERGE keyed on a non-first column used to commit a PERMUTED
+    schema (and canonical reads followed it forever after). Both
+    modes must preserve the table's column order."""
+    for mode in ("copy-on-write", "merge-on-read"):
+        t = SnapshotTable(spark, str(tmp_path / f"t_{mode[:3]}"))
+        t.overwrite(
+            _df(
+                spark,
+                [(i, 100 + i, f"v{i}") for i in range(5)],
+                "a INT, k INT, v STRING",
+            )
+        )
+        t.merge(
+            _df(spark, [(9, 103, "m")], "a INT, k INT, v STRING"),
+            ["k"],
+            mode=mode,
+        )
+        assert t.read().columns == ["a", "k", "v"], mode
+        got = {r.k: (r.a, r.v) for r in t.read().collect()}
+        assert got[103] == (9, "m"), mode
+
+
+def test_vacuum_spares_slow_writer_with_stale_marker(spark, tmp_path):
+    """Review fix (round 15): a writer whose DATA WRITE outlasts the
+    stale window before its first commit attempt has a stale marker
+    but FRESH file mtimes — vacuum must treat it as alive, not as a
+    crashed writer's orphan."""
+    import os
+    import time as _time
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "k INT, v STRING"))
+    w = SnapshotTable(spark, str(tmp_path / "t"))
+    staged = w._write_data_entries(
+        spark.createDataFrame([(2, "b")], "k INT, v STRING"), []
+    )
+    d = staged[0]
+    # marker is old (writer never reached _commit)…
+    old = _time.time() - 7200
+    os.utime(os.path.join(w.intents_dir, d), (old, old))
+    # …but the dir's files are fresh (the write is still producing)
+    assert t.vacuum(min_age_seconds=0) == []
+    assert os.path.isdir(os.path.join(w.data_dir, d))
+
+
 def test_vacuum_zero_age_under_live_concurrent_writers(spark, tmp_path):
     """Threaded end-to-end race: real appends racing a
     vacuum(min_age_seconds=0) loop must lose no committed rows —

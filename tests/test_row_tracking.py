@@ -366,6 +366,102 @@ def test_cdc_replica_of_tracked_source(spark, tmp_path):
     assert "_row_id" not in feed.columns
 
 
+def test_mor_merge_on_non_first_key_keeps_column_order(spark, tmp_path):
+    """Review fix (round 15): merge-on-read MERGE keyed on a NON-first
+    column used to commit a PERMUTED schema (Spark using-joins emit
+    join keys first; the MOR path commits the effect frame's schema
+    directly). Column order — and the canonical-read contract — must
+    survive."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        _df(
+            spark,
+            [(i, 100 + i, f"v{i}") for i in range(6)],
+            "a INT, k INT, v STRING",
+        )
+    )
+    t.enable_row_tracking()
+    before = t.read().columns
+    ids0 = {
+        r.k: r._row_id for r in t.read(with_row_ids=True).collect()
+    }
+    t.merge(
+        _df(spark, [(3, 103, "m"), (9, 999, "n")], "a INT, k INT, v STRING"),
+        ["k"],  # NOT the first column
+        mode="merge-on-read",
+    )
+    assert t.read().columns == before
+    after = {
+        r.k: r._row_id for r in t.read(with_row_ids=True).collect()
+    }
+    assert after[103] == ids0[103]
+    # copy-on-write path keeps order too
+    t.merge(
+        _df(spark, [(4, 104, "m2")], "a INT, k INT, v STRING"), ["k"]
+    )
+    assert t.read().columns == before
+
+
+def test_disable_reenable_never_reissues_ids(spark, tmp_path):
+    """Review fix (round 15): unset rowTracking -> commit -> re-enable
+    must draw fresh ids ABOVE every id ever issued — the high-water
+    mark survives the disabled span even though the base map (and the
+    read surface) goes away."""
+    t = _fresh(spark, tmp_path)
+    old_ids = set(_ids(t).values())
+    hwm0 = t._row_meta_of(t.latest_version())[2]
+    t.unset_property("rowTracking")
+    with pytest.raises(ValueError, match="row tracking"):
+        t.read(with_row_ids=True)
+    t.append(_df(spark, [(50, "x")], "k INT, v STRING"))
+    t.enable_row_tracking()
+    ids2 = _ids(t)
+    assert len(set(ids2.values())) == len(ids2)
+    # every re-derived id sits at/above the pre-disable hwm: no id a
+    # consumer recorded before the cycle can name a DIFFERENT row now
+    assert all(v >= hwm0 for v in ids2.values()), (hwm0, ids2)
+    assert not (set(ids2.values()) & old_ids)
+
+
+def test_export_guards_materialized_row_ids(spark, tmp_path):
+    """Review fix (round 15): once a rewrite materializes physical
+    _row_id columns, raw-file exports refuse by default (an external
+    SELECT * would surface an undeclared column) and opt in via
+    allow_row_ids=True."""
+    t = _fresh(spark, tmp_path)
+    t.committed_files()  # derived-only snapshot: no physical column
+    t.compact()  # materializes
+    with pytest.raises(ValueError, match="allow_row_ids"):
+        t.committed_files()
+    with pytest.raises(ValueError, match="allow_row_ids"):
+        t.export_symlink_manifest(str(tmp_path / "exp"))
+    files = t.committed_files(allow_row_ids=True)
+    assert files
+    assert t.export_symlink_manifest(
+        str(tmp_path / "exp"), allow_row_ids=True
+    )
+
+
+def test_insert_ignore_rejects_user_row_id(spark, tmp_path):
+    """Review fix (round 15): insert_ignore gets the same reserved-
+    name guard as append/overwrite — a user _row_id batch column
+    must raise, not be silently persisted-and-hidden."""
+    t = _fresh(spark, tmp_path)
+    with pytest.raises(ValueError, match="reserved"):
+        t.insert_ignore(
+            _df(spark, [(1, 5)], "k INT, `_row_id` BIGINT"), ["k"]
+        )
+
+
+def test_in_rejects_bare_string_values(spark, tmp_path):
+    """Review fix (round 15): In('col', 'click') must raise instead
+    of silently probing per CHARACTER."""
+    from scalable_etl_spark.acid import In
+
+    with pytest.raises(ValueError, match="bare"):
+        In("event_type", "click")
+
+
 def test_row_ids_compose_with_where_skipping(spark, tmp_path):
     t = SnapshotTable(spark, str(tmp_path / "w"))
     t.overwrite(

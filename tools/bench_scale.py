@@ -56,6 +56,14 @@ DEFAULT = (
     # offset planning is O(dirs-per-commit) metadata, so growth must
     # track the row volume, not the version count
     "streaming_cdf_dedup",
+    # round-15: row tracking — the ratio measures the full
+    # enable/append/MOR-delete/compact/MERGE/reorg gauntlet with the
+    # per-commit footer walk, the broadcast base-map join on every
+    # id read, and the id-preserving merge key join; commit-protocol
+    # fixed costs dominate at these sizes, data-bound legs scale with
+    # rows. Plus the In-list disjunction read (sink_tx_bloom): the
+    # per-value probe set is fixed, so growth tracks the probed files
+    "sink_tx_row_ids", "sink_tx_bloom",
 )
 SCALES = ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
