@@ -823,10 +823,22 @@ class SnapshotTable:
         m["dirs"] = [d for _, d in sorted(dirs)]
         m["stats"] = stats
         m["file_stats"] = fstats
-        if saw_rbase or pointer.get("row_bases_in_checkpoint"):
-            # the explicit marker covers the zero-entry tracked table
-            # (empty map, no rbase rows) without misfiring on a
-            # DISABLED-tracking manifest that carries only row_hwm
+        if (
+            saw_rbase
+            or pointer.get("row_bases_in_checkpoint")
+            # pre-marker checkpoints (written before round-15's
+            # disabled-span support) used row_hwm presence as the
+            # signal; honor it when the checkpoint says tracking was
+            # ON — a disabled-span checkpoint carries row_hwm with
+            # the property off and must NOT resurrect an empty map
+            or (
+                "row_hwm" in pointer
+                and pointer.get("properties", {})
+                .get("rowTracking", "")
+                .lower()
+                == "true"
+            )
+        ):
             m["row_bases"] = rbases
         return m
 
@@ -904,21 +916,34 @@ class SnapshotTable:
             == "true"
         )
         if "dirs" in manifest and not rt_on:
-            # DISABLED (or never-enabled) tracking still carries the
-            # high-water mark forward once one exists: a later
-            # re-enable must draw fresh ids ABOVE every id ever
-            # issued — dropping the hwm across an unset/set cycle
-            # would silently reissue retired ids to different rows
-            # (review finding, round 15). Bases/mat are dropped (the
-            # read side refuses while off), only the monotone token
-            # survives.
-            if "row_hwm" not in manifest and version > 0:
+            # DISABLED (or never-enabled) tracking still carries TWO
+            # things forward once they exist (review findings, round
+            # 15): the high-water mark — a later re-enable must draw
+            # fresh ids ABOVE every id ever issued, or retired ids
+            # would silently name different rows — and the row_mat
+            # entry list, because disabling does NOT remove the
+            # physical _row_id columns from materialized files: the
+            # export guards key off row_mat, and a re-enable lets
+            # those rows keep their ORIGINAL ids (physical wins over
+            # derived). Bases are dropped (the read side refuses
+            # while off and re-derives on re-enable).
+            if version > 0:
                 try:
-                    ph = self._manifest(version - 1).get("row_hwm")
+                    pm_off = self._manifest(version - 1)
+                except FileNotFoundError:
+                    pm_off = {}
+                if "row_hwm" not in manifest:
+                    ph = pm_off.get("row_hwm")
                     if ph is not None:
                         manifest["row_hwm"] = int(ph)
-                except FileNotFoundError:
-                    pass
+                if "row_mat" not in manifest:
+                    kept_mat = [
+                        e
+                        for e in pm_off.get("row_mat", [])
+                        if e in set(manifest["dirs"])
+                    ]
+                    if kept_mat:
+                        manifest["row_mat"] = kept_mat
         if "dirs" in manifest and rt_on:
             prev_bases: dict = {}
             prev_mat: list = []
@@ -4830,16 +4855,12 @@ class SnapshotTable:
                             .groupBy(*keys)
                             .agg(F.min(_ROW_ID).alias(_ROW_ID))
                         )
-                        return (
-                            eff.select(*target.columns)
-                            .join(tids, keys, "left")
-                            # a using-join emits the join keys FIRST;
-                            # re-select the logical column order so
-                            # the committed schema (and the written
-                            # file layout) never permutes — the MOR
-                            # path commits this frame's schema
-                            # directly (review finding, round 15)
-                            .select(*target.columns, _ROW_ID)
+                        # (the using-join emits keys first; the
+                        # canonical re-select below the try block
+                        # restores the logical column order for every
+                        # merge output)
+                        return eff.select(*target.columns).join(
+                            tids, keys, "left"
                         )
 
                     if mor:
@@ -5839,6 +5860,16 @@ class SnapshotTable:
             manifest["row_bases"] = dict(m["row_bases"])
             manifest["row_mat"] = list(m.get("row_mat", []))
             manifest["row_hwm"] = int(m.get("row_hwm", 0))
+        else:
+            # a source whose tracking is currently DISABLED still
+            # carries its hwm + materialized-entry list; the branch
+            # must inherit both, or a re-enable on the clone would
+            # reissue retired source ids to different rows (review
+            # finding, round 15)
+            if "row_hwm" in m:
+                manifest["row_hwm"] = int(m["row_hwm"])
+            if m.get("row_mat"):
+                manifest["row_mat"] = list(m["row_mat"])
         if not t._commit(0, manifest):
             raise CommitConflict(f"clone target {root} was created concurrently")
         return t

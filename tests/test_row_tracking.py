@@ -334,6 +334,34 @@ def test_stream_sink_exactly_once_on_tracked_table(spark, tmp_path):
     assert write_stream_snapshot is not None  # surface exists
 
 
+def test_optimize_zorder_preserves_ids(spark, tmp_path):
+    """OPTIMIZE ZORDER (compact(cluster_by=[a,b], zorder=True)) is the
+    rewrite row tracking most exists for — ids must ride the Morton
+    re-layout bit-for-bit, and the z-ordered files must still prune
+    while carrying the physical id column."""
+    t = SnapshotTable(spark, str(tmp_path / "z"))
+    t.overwrite(
+        _df(
+            spark,
+            [(i, (i * 37) % 400, i) for i in range(400)],
+            "k INT, b INT, payload INT",
+        )
+    )
+    t.enable_row_tracking()
+    before = _ids(t)
+    t.compact(cluster_by=["k", "b"], n_files=16, zorder=True)
+    assert _ids(t) == before
+    # skipping still works on the re-clustered layout
+    r = t.read(where=[("k", 0, 50), ("b", 0, 100)], with_row_ids=True)
+    got = {x.k: x._row_id for x in r.collect()}
+    assert got == {
+        k: v
+        for k, v in before.items()
+        if k <= 50 and (k * 37) % 400 <= 100
+    }
+    assert len(r.inputFiles()) < len(t.read().inputFiles())
+
+
 def test_cdc_replica_of_tracked_source(spark, tmp_path):
     """Row tracking on a CDC SOURCE must be invisible to the change
     feed: images stay id-less (the feed's schema is the logical one)
@@ -421,6 +449,38 @@ def test_disable_reenable_never_reissues_ids(spark, tmp_path):
     # consumer recorded before the cycle can name a DIFFERENT row now
     assert all(v >= hwm0 for v in ids2.values()), (hwm0, ids2)
     assert not (set(ids2.values()) & old_ids)
+
+
+def test_disable_keeps_export_guard_and_materialized_ids(spark, tmp_path):
+    """Review fix (round 15, pass 2): disabling tracking does NOT
+    strip the physical _row_id columns from materialized files, so
+    (a) the export guard must keep firing through a disabled span,
+    and (b) a re-enable lets materialized rows keep their ORIGINAL
+    ids (physical wins over the fresh derivation) while staying
+    globally unique; a compact DURING the disabled span scrubs the
+    physical columns and lifts the guard."""
+    t = _fresh(spark, tmp_path)
+    before = _ids(t)
+    t.compact()  # materializes ids physically
+    t.unset_property("rowTracking")
+    with pytest.raises(ValueError, match="allow_row_ids"):
+        t.committed_files()
+    t.enable_row_tracking()
+    after = _ids(t)
+    assert after == before  # physical ids survived the cycle
+    # clone of a DISABLED source carries hwm + mat the same way
+    t.unset_property("rowTracking")
+    c = t.clone(str(tmp_path / "branch"))
+    with pytest.raises(ValueError, match="allow_row_ids"):
+        c.committed_files()
+    c.enable_row_tracking()
+    c.append(_df(spark, [(900, "z")], "k INT, v STRING"))
+    got = _ids(c)
+    assert {k: got[k] for k in before} == before
+    assert got[900] not in before.values()
+    # compacting while DISABLED rewrites without ids: guard lifts
+    t.compact()
+    t.committed_files()  # no raise
 
 
 def test_export_guards_materialized_row_ids(spark, tmp_path):

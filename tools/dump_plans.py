@@ -118,6 +118,17 @@ HEADLINERS = {
         "a literal default fill folded into the projection, not a "
         "file column. Zero Python, no CartesianProduct."
     ),
+    "sink_tx_row_ids": (
+        "Row-tracking read-back (round 15). Expect: post-gauntlet "
+        "scans project _metadata file_path/row_index, one "
+        "BroadcastHashJoin (LeftOuter, BuildRight) against the tiny "
+        "LocalTableScan of per-file base_row_ids — the id derivation "
+        "is the DV-suppression join pattern, so the corpus scan "
+        "NEVER shuffles for ids — and materialized entries "
+        "coalesce(physical _row_id, base + row_index) in the "
+        "projection. Then the usual partial/final aggregate. Zero "
+        "Python, no CartesianProduct."
+    ),
     "rollup_revenue": (
         "ROLLUP aggregate (round-8 promoted analytics family). "
         "Expect: a single Expand feeding partial_ then final "
