@@ -121,14 +121,15 @@ _WINDOW = (
     # last green r12
     "doc_fingerprints",
     "top_tokens",
-    # r13/r14 family top-up (stalest available per family)
+    # r13/r14 family top-up (stalest available per family) + the
+    # round's second NEW registration (row-id drop-list curation loop)
     "sql_catalog_scan",
     "sql_rolling_band_cte",
     "source_glob_recursive",
     "pricing_summary",
     "events_silver",
     "sink_tx_deletion_vectors",
-    "users_error_no_purchase",
+    "row_id_drop_list",
 )
 
 

@@ -5618,6 +5618,123 @@ class SnapshotTable:
             ],
         )
 
+    def delete_rows(self, row_ids) -> int:
+        """DELETE BY STABLE ROW ID (requires
+        :meth:`enable_row_tracking`) — the curation drop-list verb:
+        a dedup / quality / contamination pipeline records the
+        ``_row_id`` values of rows to drop, any amount of table
+        maintenance (compact, reorg, partition evolution) runs in
+        between, and this applies the list — the ids still name the
+        same rows. Always merge-on-read: matched positions land in a
+        deletion-vector sidecar, O(matched + probed entries), no dir
+        is rewritten; ``compact()`` materializes later.
+
+        ENTRY PRUNING comes free from the id scheme: a derived
+        entry's ids live in its per-file ``[base, base + rows)``
+        ranges, so entries provably disjoint from the requested id
+        set are never scanned (the exact-range check reads memoized
+        footer row counts only for entries whose base isn't already
+        past the largest requested id); materialized entries carry
+        arbitrary old ids physically and stay candidates. At 100 TB
+        applying a drop list touches the entries that hold the
+        dropped rows, not the corpus. Unknown ids simply match
+        nothing (a list replayed after its rows were already dropped
+        is a no-op — sidecar positions are computed on the DV-applied
+        read, so replays never double-suppress)."""
+        ids = sorted({int(i) for i in row_ids})
+        for _ in range(_COMMIT_RETRIES):
+            v = self.latest_version()
+            if v is None:
+                raise FileNotFoundError(
+                    f"no committed version at {self.root}"
+                )
+            m = self._manifest(v)
+            if (
+                m.get("properties", {})
+                .get("rowTracking", "")
+                .lower()
+                != "true"
+            ):
+                raise ValueError(
+                    "delete_rows needs row tracking; call "
+                    "enable_row_tracking() first"
+                )
+            if not ids:
+                return v
+            prefix = self._dv_scan_prefix(m, required=True)
+            if prefix == "":
+                return v  # no file holds a row: nothing can match
+            import bisect
+
+            bases = m.get("row_bases", {})
+            mat = set(m.get("row_mat", []))
+            max_id = ids[-1]
+
+            def _hits(b: int, n: int) -> bool:
+                # smallest requested id >= b exists and is < b + n
+                j = bisect.bisect_left(ids, b)
+                return j < len(ids) and ids[j] < b + n
+
+            candidates: list[str] = []
+            for e in m["dirs"]:
+                if e in mat or e not in bases:
+                    candidates.append(e)  # physical/unknown ids
+                    continue
+                per = bases[e]
+                if not per:
+                    continue  # fileless entry: holds no rows
+                if min(per.values()) > max_id:
+                    continue  # every id here outranks the request
+                counts = self._footer_row_counts(e)
+                if any(
+                    _hits(b, counts.get(f, 0))
+                    for f, b in per.items()
+                ):
+                    candidates.append(e)
+            if not candidates:
+                return v
+            target = self._read_dirs(
+                m, candidates, keep_dv_meta=True, with_row_ids=True
+            )
+            matched = target.filter(
+                F.col(_ROW_ID).isin(*ids)
+            ).persist()
+            cdf_on = self._cdf_enabled(v)
+            try:
+                dv_id, affected = self._dv_sidecar(matched, m, prefix)
+                if dv_id is None:
+                    return v  # nothing matched: commit nothing
+                change_rec = None
+                if cdf_on:
+                    img = matched.drop(_DV_FILE, _DV_POS, _ROW_ID)
+                    change_rec = self._write_change_data(
+                        [(img, "delete")], img.columns
+                    )
+            finally:
+                matched.unpersist()
+            dv = self._dv_of(v)
+            for e in affected:
+                dv[e] = [*dv.get(e, []), dv_id]
+            manifest = {
+                "op": "delete_rows",
+                "dirs": m["dirs"],
+                "schema": m["schema"],
+                "partition_cols": m["partition_cols"],
+                "stats": self._stats_of(v),
+                "file_stats": self._file_stats_of(v),
+                "txn": self._txn_of(v),
+                "evolution": self._evolution_of(v),
+                "dv": dv,
+                "timestamp": time.time(),
+            }
+            if change_rec is not None:
+                manifest["change_data"] = change_rec
+            if self._commit(v + 1, manifest):
+                return v + 1
+        raise CommitConflict(
+            f"delete_rows lost {_COMMIT_RETRIES} races"
+        )
+
     def update(
         self,
         predicate,

@@ -272,6 +272,20 @@ def cmd_table(spark: SparkSession, args: argparse.Namespace) -> dict:
             "committed_version": v,
             "row_hwm": hwm,
         }
+    if args.action == "delete-rows":
+        if not args.ids:
+            raise SystemExit(
+                "delete-rows needs --ids (comma-separated _row_id "
+                "values, e.g. from a curation drop list)"
+            )
+        ids = [int(x) for x in args.ids.split(",") if x.strip()]
+        v0 = t.latest_version()
+        v = t.delete_rows(ids)
+        return {
+            "requested": len(ids),
+            "deleted": v > (v0 if v0 is not None else -1),
+            "committed_version": v,
+        }
     raise SystemExit(f"unknown table action {args.action!r}")
 
 
@@ -343,7 +357,7 @@ def main(argv: list[str] | None = None) -> int:
                              "add-constraint", "drop-constraint",
                              "set-property", "unset-property",
                              "delete", "reorg", "clone",
-                             "enable-row-tracking"])
+                             "enable-row-tracking", "delete-rows"])
     tb.add_argument("--target", default="",
                     help="destination root for clone")
     tb.add_argument("--root", required=True)
@@ -389,6 +403,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="property value for set-property (--name is "
                     "the key; e.g. --name enableChangeDataFeed "
                     "--value true)")
+    tb.add_argument("--ids", default="",
+                    help="comma-separated _row_id values for "
+                    "delete-rows (a curation drop list; requires "
+                    "enable-row-tracking)")
 
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"scalable-etl-{args.cmd}")

@@ -1048,3 +1048,73 @@ def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "verdict")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@query(
+    "row_id_drop_list",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+           1 AS applied_after_optimize
+    FROM documents WHERE n_chars >= 100
+    GROUP BY 1
+    """,
+)
+def row_id_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ROW-TRACKING curation loop end-to-end (round 15 — the
+    workflow stable row ids exist for): the corpus lands in a tracked
+    snapshot table, a QUALITY FILTER records its keep/drop decisions
+    as a ``_row_id`` DROP LIST (here: documents under 100 chars —
+    the short-doc Gopher rule), table MAINTENANCE reshuffles every
+    row between decision and application (OPTIMIZE: compact with
+    re-clustering — files, positions, and entry layout all change),
+    and ``delete_rows(drop_list)`` then applies the list — the ids
+    still name the same rows, so exactly the flagged documents leave.
+    The ``applied_after_optimize`` flag is 1 only when the compact
+    REALLY rewrote the layout before the list was applied (entry set
+    changed) and the drop list was non-empty — hashed into the
+    oracle so the query cannot silently degrade into filter-then-
+    write. The oracle states the END state declaratively
+    (survivors = n_chars >= 100): any id torn loose by the rewrite
+    deletes the WRONG document and shifts per-source counts and
+    char totals. At 100 TB this is the shape curation must take:
+    decision jobs and apply jobs run hours apart with OPTIMIZE
+    cadences in between, and content-keyed re-matching (the
+    alternative to stable ids) would re-scan the corpus per apply.
+    The reference has no row-lineage verb at all (its storage is
+    catalog-delegated Iceberg)."""
+    from .queries_sinks import _tx_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    t = _tx_table(spark, "drop_list")
+    t.overwrite(d)
+    t.enable_row_tracking()
+    drop = [
+        r["_row_id"]
+        for r in t.read(with_row_ids=True)
+        .filter(F.col("n_chars") < 100)
+        .select("_row_id")
+        .collect()
+    ]
+    entries_before = set(t._manifest(t.latest_version())["dirs"])
+    # maintenance between decision and application: OPTIMIZE with
+    # re-clustering moves every row into different files/positions
+    t.compact(cluster_by=["doc_id"], n_files=4)
+    entries_after = set(t._manifest(t.latest_version())["dirs"])
+    t.delete_rows(drop)
+    applied = int(
+        bool(drop) and entries_before.isdisjoint(entries_after)
+    )
+    return (
+        t.read()
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_chars").cast("bigint").alias("chars_total"),
+        )
+        .withColumn("applied_after_optimize", F.lit(applied))
+    )

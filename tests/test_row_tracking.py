@@ -522,6 +522,56 @@ def test_in_rejects_bare_string_values(spark, tmp_path):
         In("event_type", "click")
 
 
+def test_delete_rows_by_stable_id(spark, tmp_path):
+    """delete_rows(ids) — the curation drop-list verb: ids recorded
+    BEFORE a compact still name the same rows after it; replays
+    no-op; unknown ids match nothing; entry pruning scans only the
+    entries whose base ranges can hold the requested ids."""
+    t = _fresh(spark, tmp_path, n=10)
+    ids = _ids(t)
+    drop = [ids[2], ids[7]]
+    t.compact()  # maintenance between decision and application
+    t.append(_df(spark, [(100, "x")], "k INT, v STRING"))
+    v1 = t.delete_rows(drop)
+    left = _ids(t)
+    assert set(left) == {0, 1, 3, 4, 5, 6, 8, 9, 100}
+    assert {k: left[k] for k in left if k != 100} == {
+        k: v for k, v in ids.items() if k not in (2, 7)
+    }
+    # replay is a no-op (positions computed on the DV-applied read)
+    assert t.delete_rows(drop) == v1
+    # unknown ids match nothing
+    assert t.delete_rows([10**9]) == v1
+    # requires tracking
+    t2 = SnapshotTable(spark, str(tmp_path / "plain"))
+    t2.overwrite(_df(spark, [(1, "a")], "k INT, v STRING"))
+    with pytest.raises(ValueError, match="row tracking"):
+        t2.delete_rows([0])
+
+
+def test_delete_rows_prunes_disjoint_entries(spark, tmp_path):
+    """The id scheme IS the index: entries whose [base, base+rows)
+    ranges cannot hold any requested id are never scanned — checked
+    via the DV sidecar's affected-entry map (only the append holding
+    the target ids gains a deletion vector)."""
+    t = _fresh(spark, tmp_path, n=10)  # entry A: ids 0..9
+    t.append(
+        _df(spark, [(100 + i, "b") for i in range(10)], "k INT, v STRING")
+    )  # entry B: ids 10..19
+    ids = _ids(t)
+    t.delete_rows([ids[105]])  # lives in entry B only
+    m = t._manifest(t.latest_version())
+    dv_entries = {e for e, us in m.get("dv", {}).items() if us}
+    assert len(dv_entries) == 1
+    # entry A (the overwrite) holds ids 0..9 and was never touched
+    assert all(
+        min(m["row_bases"][e].values()) >= 10 for e in dv_entries
+    )
+    assert sorted(_ids(t)) == sorted(
+        k for k in ids if k != 105
+    )
+
+
 def test_row_ids_compose_with_where_skipping(spark, tmp_path):
     t = SnapshotTable(spark, str(tmp_path / "w"))
     t.overwrite(
