@@ -220,10 +220,13 @@ def test_evolution_sequences_match_eager_oracle(spark, seq):
 # draws never reuse a retired id — updates/merges keep old ids, which
 # remain in the seen set); and the layout-only ops (compact, reorg)
 # must preserve the EXACT (row content, id) pair multiset — OPTIMIZE
-# moving a row must not change its identity.
+# moving a row must not change its identity. Op 17 = delete_rows (a
+# drop list of every-3rd current id, applied via the id-indexed DV
+# path): the model drops exactly the chosen rows by content, so a
+# mis-bound id — deleting the WRONG row — diffs immediately.
 
 DML_OP = st.tuples(
-    st.integers(0, 16), st.integers(0, 7), st.integers(0, 7)
+    st.integers(0, 17), st.integers(0, 7), st.integers(0, 7)
 )
 DML_SEQ = st.lists(DML_OP, min_size=4, max_size=8)
 
@@ -569,6 +572,29 @@ def test_dml_evolution_sequences_match_eager_oracle(spark, seq):
             t.enable_row_tracking()
             rt["on"] = True
             m.snap()  # the property commit is a version
+        elif op == 17:  # drop list by stable row id
+            if not rt["on"]:
+                continue
+            names = m.names()
+            pairs = sorted(
+                (
+                    (tuple(r[n] for n in names), r["_row_id"])
+                    for r in t.read(with_row_ids=True).collect()
+                ),
+                key=lambda kv: kv[1],
+            )
+            chosen = pairs[(a % 3)::3]
+            if not chosen:
+                continue
+            t.delete_rows([i for _, i in chosen])
+            for content, _i in chosen:
+                row = next(
+                    r
+                    for r in m.rows
+                    if tuple(r.get(n) for n in names) == content
+                )
+                m.rows.remove(row)
+            m.snap()
         else:
             continue
         assert t.latest_version() == len(m.snapshots) - 1
