@@ -1267,6 +1267,13 @@ class SnapshotTable:
         column, but a single-range ``where`` could only exploit one
         dimension per read.
 
+        With ``with_row_ids=True``, predicates on ``_row_id`` itself
+        (range or ``In``) skip via the BASE MAP instead of column
+        stats: derived entries' files cover exactly
+        ``[base, base + rows)``, so an id-keyed read (samplers, drop
+        -list audits) opens only the covering files — the id scheme
+        doubles as an index, no stats collection needed.
+
         ``planning="distributed"`` evaluates the per-file skipping as
         a Spark job over the version's parquet checkpoint sidecar
         (``_distributed_file_plan``) instead of materializing the file
@@ -1309,9 +1316,21 @@ class SnapshotTable:
                     f"triple with a string column name (or an "
                     f"In(col, values) point set), got {w!r}"
                 )
+        # _row_id predicates (range or In) are served by the BASE MAP,
+        # not by data stats — split them out of the stats machinery
+        rid_preds = [
+            w
+            for w in wheres
+            if (w.col if isinstance(w, In) else w[0]) == _ROW_ID
+        ]
+        data_wheres = [w for w in wheres if w not in rid_preds]
+        if rid_preds and not with_row_ids:
+            raise ValueError(
+                "_row_id predicates require with_row_ids=True"
+            )
         m = dplan = None
-        if planning == "distributed" and wheres:
-            got = self._distributed_file_plan(v, wheres)
+        if planning == "distributed" and data_wheres:
+            got = self._distributed_file_plan(v, data_wheres)
             if got is not None:
                 m, dplan = got
         if m is None:
@@ -1345,7 +1364,9 @@ class SnapshotTable:
         # single pair for a range — and survival is any-alternative
         # (disjunction) within a predicate, all-predicates
         # (conjunction) across them.
-        preds = [(w, self._pred_alternatives(m, w)) for w in wheres]
+        preds = [
+            (w, self._pred_alternatives(m, w)) for w in data_wheres
+        ]
         for w, alts in preds:
             if isinstance(w, In):
                 keep: set = set()
@@ -1359,6 +1380,14 @@ class SnapshotTable:
             else:
                 dirs = self._dir_prune(m, dirs, w, alts[0][0])
         active = self._active_alternatives(preds)
+        # _row_id skipping: the BASE MAP is the index — derived
+        # entries' files cover exactly [base, base + rows), so an
+        # id-keyed read opens only the covering files (materialized
+        # entries carry arbitrary old ids physically and stay
+        # candidates); the trailing filter below makes results exact
+        rid_files: dict[str, set] = {}
+        if rid_preds:
+            dirs, rid_files = self._rid_prune(m_rb, dirs, rid_preds)
         dvm = m.get("dv", {})
         all_fstats = m.get("file_stats", {})
         # POINT lookups additionally probe per-file bloom filters when
@@ -1420,6 +1449,22 @@ class SnapshotTable:
                         paths = [os.path.join(base, f) for f in files]
                 else:
                     paths = [base]
+            allowed = rid_files.get(d)
+            if allowed is not None:
+                # id-range pruning composes with stats/dplan pruning:
+                # intersect the surviving file set
+                if paths == [base]:
+                    paths = [
+                        os.path.join(base, f) for f in sorted(allowed)
+                    ]
+                else:
+                    paths = [
+                        p
+                        for p in paths
+                        if os.path.relpath(p, base) in allowed
+                    ]
+                    if not paths:
+                        continue
             pschema = self._physical_schema(schema, evo_ctx, d)
             if with_row_ids and d in mat_set:
                 # materialized entries carry the physical _row_id
@@ -1519,6 +1564,62 @@ class SnapshotTable:
                 for v in w.values
             ]
         return [self._normalize_predicate(m, w)]
+
+    def _rid_prune(
+        self, m_rb: dict, dirs, rid_preds
+    ) -> tuple[list[str], dict[str, set]]:
+        """(surviving dirs, {dir: allowed rel files}) for ``_row_id``
+        predicates: derived entries' ids live in their per-file
+        ``[base, base + rows)`` ranges (row counts from memoized
+        footers), so the base map IS the index — no column stats
+        needed. Point sets probe by bisection; conjunctions must all
+        pass. Materialized entries hold arbitrary old ids physically
+        and are conservatively kept whole."""
+        import bisect
+
+        bases = m_rb.get("row_bases", {})
+        mat = set(m_rb.get("row_mat", []))
+        ranges: list[tuple[int, int]] = []
+        point_lists: list[list[int]] = []
+        for w in rid_preds:
+            if isinstance(w, In):
+                point_lists.append(sorted(int(x) for x in w.values))
+            else:
+                ranges.append((int(w[1]), int(w[2])))
+
+        def file_ok(b: int, n: int) -> bool:
+            if n <= 0:
+                return False
+            for lo, hi in ranges:
+                if b > hi or b + n - 1 < lo:
+                    return False
+            for ids in point_lists:
+                j = bisect.bisect_left(ids, b)
+                if not (j < len(ids) and ids[j] < b + n):
+                    return False
+            return True
+
+        out_dirs: list[str] = []
+        rid_files: dict[str, set] = {}
+        for d in dirs:
+            if d in mat or d not in bases:
+                out_dirs.append(d)
+                continue
+            per = bases[d]
+            if not per:
+                continue  # fileless entry: holds no rows
+            counts = self._footer_row_counts(d)
+            keep = {
+                f
+                for f, b in per.items()
+                if file_ok(int(b), counts.get(f, 0))
+            }
+            if not keep:
+                continue
+            out_dirs.append(d)
+            if len(keep) < len(counts):
+                rid_files[d] = keep
+        return out_dirs, rid_files
 
     @staticmethod
     def _active_alternatives(preds) -> list[list[tuple]]:

@@ -572,6 +572,54 @@ def test_delete_rows_prunes_disjoint_entries(spark, tmp_path):
     )
 
 
+def test_row_id_predicates_skip_via_base_map(spark, tmp_path):
+    """where=("_row_id", lo, hi) / In("_row_id", ids) prune entries
+    and FILES through the base map — no column stats involved — and
+    compose with data predicates; materialized entries stay
+    conservatively whole; without with_row_ids the predicate raises."""
+    from scalable_etl_spark.acid import In
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        _df(spark, [(i, f"v{i}") for i in range(50)], "k INT, v STRING"),
+        n_files=5,
+    )
+    t.enable_row_tracking()
+    t.append(
+        _df(
+            spark,
+            [(100 + i, "b") for i in range(50)],
+            "k INT, v STRING",
+        ),
+        n_files=5,
+    )
+    full = len(t.read().inputFiles())
+    ids = _ids(t)
+    # range: second append's ids are 50..99
+    r = t.read(where=("_row_id", 50, 59), with_row_ids=True)
+    got = {x.k: x._row_id for x in r.collect()}
+    assert got == {k: v for k, v in ids.items() if 50 <= v <= 59}
+    assert len(r.inputFiles()) < full
+    # point set via In
+    pick = [ids[3], ids[107]]
+    r2 = t.read(where=In("_row_id", pick), with_row_ids=True)
+    assert sorted(x.k for x in r2.collect()) == [3, 107]
+    assert len(r2.inputFiles()) <= 2
+    # composes with a data predicate (conjunction)
+    r3 = t.read(
+        where=[("_row_id", 50, 99), ("k", 100, 104)],
+        with_row_ids=True,
+    )
+    assert sorted(x.k for x in r3.collect()) == [100, 101, 102, 103, 104]
+    # guard: id predicate without the id column requested
+    with pytest.raises(ValueError, match="with_row_ids"):
+        t.read(where=("_row_id", 0, 5))
+    # materialized entries stay correct (conservatively unpruned)
+    t.compact()
+    r4 = t.read(where=("_row_id", 50, 59), with_row_ids=True)
+    assert {x.k: x._row_id for x in r4.collect()} == got
+
+
 def test_row_ids_compose_with_where_skipping(spark, tmp_path):
     t = SnapshotTable(spark, str(tmp_path / "w"))
     t.overwrite(
