@@ -619,7 +619,7 @@ def test_dml_evolution_sequences_match_eager_oracle(spark, seq):
 # as errors.
 
 REPL_OP = st.tuples(
-    st.integers(0, 9), st.integers(0, 7), st.integers(0, 7)
+    st.integers(0, 10), st.integers(0, 7), st.integers(0, 7)
 )
 REPL_SEQ = st.lists(REPL_OP, min_size=3, max_size=7)
 
@@ -846,6 +846,14 @@ def test_cdc_replica_follows_every_op(spark, seq):
             m.cols.append([name, dtype, dflt])
             for r in m.rows:
                 r[name] = dflt
+            m.snap()
+        elif op == 10:  # enable row tracking on the SOURCE (once):
+            # id machinery must be INVISIBLE to the change feed — the
+            # replica keeps matching the eager oracle through every
+            # later op, and the feed's schema never grows an id column
+            if src.row_tracking_enabled():
+                continue
+            src.enable_row_tracking()
             m.snap()
         else:
             continue
