@@ -1885,6 +1885,7 @@ class SnapshotTable:
         to_version: int | None = None,
         ignore_changes: bool = False,
         change_feed: bool = False,
+        with_row_ids: bool = False,
     ) -> DataFrame:
         """Rows ADDED after ``since_version`` (exclusive) up to
         ``to_version`` (inclusive; default latest), each tagged with
@@ -1928,7 +1929,22 @@ class SnapshotTable:
         are invisible in every mode: no logical change happened. A
         rewrite commit that predates the property (no recorded images)
         still raises — Delta likewise has no change data for commits
-        made before the property was set."""
+        made before the property was set.
+
+        ``with_row_ids=True`` (requires row tracking over the whole
+        range) adds the stable ``_row_id`` to every DIR-DERIVED
+        segment — appends / insert_ignore / sync rows, ignore_changes
+        re-deliveries, and the derived overwrite/restore legs — so an
+        incremental consumer can maintain a downstream index KEYED BY
+        ROW ID in O(new data) (the delete leg of a derived diff names
+        exactly the ids to retract). Entries are immutable, so each
+        version's rows derive their ids from that version's own base
+        map, exactly as a snapshot read at that version would.
+        Recorded ``_change_data`` row IMAGES are copies, not file
+        scans — their positions (and so their ids) were never
+        captured at write time — so a change_feed range containing a
+        recorded-image commit raises: split the range, or consume
+        those commits by content keys."""
         latest = self.latest_version()
         if latest is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
@@ -1995,6 +2011,18 @@ class SnapshotTable:
                 )
             return f
 
+        def _rid_dirs(mv: dict, ds: list[str], ver: int) -> DataFrame:
+            """_read_dirs with the caller's with_row_ids contract: a
+            version inside the range that predates row tracking has
+            no base map — fail loud instead of deriving NULL ids."""
+            if with_row_ids and "row_bases" not in mv:
+                raise ValueError(
+                    f"version {ver} predates row tracking: its rows "
+                    "have no ids — enable_row_tracking() first or "
+                    "read without with_row_ids"
+                )
+            return self._read_dirs(mv, ds, with_row_ids=with_row_ids)
+
         prev = set(self._manifest(since_version)["dirs"])
         prev_dv = self._manifest(since_version).get("dv", {})
         for v in range(since_version + 1, end + 1):
@@ -2043,6 +2071,14 @@ class SnapshotTable:
                             "change-feed reads across non-additive "
                             "schema changes are unsupported — split "
                             "the range at the ALTER commit"
+                        )
+                    if with_row_ids:
+                        raise ValueError(
+                            f"version {v} delivers RECORDED row "
+                            "images, whose write did not capture "
+                            "row positions — ids are underivable; "
+                            "split the range at this commit or read "
+                            "without with_row_ids"
                         )
                     frames.append(
                         _tag_meta(self._read_change_data(cdc), v, m)
@@ -2106,7 +2142,7 @@ class SnapshotTable:
                     if removed:
                         frames.append(
                             _tag_meta(
-                                self._read_dirs(m_prev, removed)
+                                _rid_dirs(m_prev, removed, v - 1)
                                 .withColumn(
                                     _CHANGE_TYPE_COL, F.lit("delete")
                                 ),
@@ -2117,7 +2153,7 @@ class SnapshotTable:
                     if added:
                         frames.append(
                             _tag_meta(
-                                self._read_dirs(m, added).withColumn(
+                                _rid_dirs(m, added, v).withColumn(
                                     _CHANGE_TYPE_COL, F.lit("insert")
                                 ),
                                 v,
@@ -2154,7 +2190,7 @@ class SnapshotTable:
                 if d not in prev or prev_dv.get(d) != cur_dv.get(d)
             ]
             if new_dirs:
-                f = self._read_dirs(m, new_dirs)
+                f = _rid_dirs(m, new_dirs, v)
                 if change_feed:
                     f = f.withColumn(
                         _CHANGE_TYPE_COL, F.lit("insert")
@@ -2168,6 +2204,8 @@ class SnapshotTable:
             schema = StructType.fromJson(
                 json.loads(self._manifest(end)["schema"])
             )
+            if with_row_ids:
+                schema = schema.add(_ROW_ID, LongType(), True)
             if change_feed:
                 schema = schema.add(_CHANGE_TYPE_COL, StringType(), False)
             schema = schema.add("_commit_version", IntegerType(), False)

@@ -572,6 +572,50 @@ def test_delete_rows_prunes_disjoint_entries(spark, tmp_path):
     )
 
 
+def test_table_changes_with_row_ids(spark, tmp_path):
+    """Incremental consumption KEYED BY ROW ID: append-shaped commits
+    deliver their rows with the same ids a snapshot read derives; a
+    derived overwrite diff names the retracted ids on its delete leg;
+    recorded-image commits raise (positions were never captured);
+    pre-tracking versions raise loudly."""
+    from collections import Counter
+
+    t = _fresh(spark, tmp_path, n=4)
+    v0 = t.latest_version()
+    t.append(_df(spark, [(10, "x"), (11, "y")], "k INT, v STRING"))
+    snap = _ids(t)
+    feed = {
+        r.k: r._row_id
+        for r in t.table_changes(v0, with_row_ids=True).collect()
+    }
+    assert feed == {10: snap[10], 11: snap[11]}
+    # derived overwrite diff: the delete leg names the retracted ids
+    t.enable_change_data_feed()
+    v1 = t.latest_version()
+    t.overwrite(_df(spark, [(50, "new")], "k INT, v STRING"))
+    rows = t.table_changes(
+        v1, change_feed=True, with_row_ids=True
+    ).collect()
+    got = Counter((r._change_type, r.k) for r in rows)
+    assert got[("insert", 50)] == 1
+    deleted_ids = {
+        r._row_id for r in rows if r._change_type == "delete"
+    }
+    assert deleted_ids == set(snap.values())
+    # recorded images (MOR delete with the feed on) refuse id reads
+    v2 = t.latest_version()
+    t.delete("k = 50", mode="merge-on-read")
+    with pytest.raises(ValueError, match="RECORDED row images"):
+        t.table_changes(v2, change_feed=True, with_row_ids=True)
+    # pre-tracking versions refuse
+    t2 = SnapshotTable(spark, str(tmp_path / "pre"))
+    t2.overwrite(_df(spark, [(1, "a")], "k INT, v STRING"))
+    t2.append(_df(spark, [(2, "b")], "k INT, v STRING"))
+    t2.enable_row_tracking()
+    with pytest.raises(ValueError, match="predates row tracking"):
+        t2.table_changes(0, with_row_ids=True).collect()
+
+
 def test_row_id_predicates_skip_via_base_map(spark, tmp_path):
     """where=("_row_id", lo, hi) / In("_row_id", ids) prune entries
     and FILES through the base map — no column stats involved — and
