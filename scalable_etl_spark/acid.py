@@ -1317,17 +1317,22 @@ class SnapshotTable:
                     f"In(col, values) point set), got {w!r}"
                 )
         # _row_id predicates (range or In) are served by the BASE MAP,
-        # not by data stats — split them out of the stats machinery
-        rid_preds = [
-            w
-            for w in wheres
-            if (w.col if isinstance(w, In) else w[0]) == _ROW_ID
-        ]
+        # not by data stats — split them out of the stats machinery.
+        # ONLY under with_row_ids: an UNTRACKED table may legitimately
+        # carry a user '_row_id' data column (the reserved-name guard
+        # applies to tracked tables), and its predicates must keep
+        # flowing through the normal stats machinery (review finding,
+        # round 15 pass 3).
+        rid_preds = (
+            [
+                w
+                for w in wheres
+                if (w.col if isinstance(w, In) else w[0]) == _ROW_ID
+            ]
+            if with_row_ids
+            else []
+        )
         data_wheres = [w for w in wheres if w not in rid_preds]
-        if rid_preds and not with_row_ids:
-            raise ValueError(
-                "_row_id predicates require with_row_ids=True"
-            )
         m = dplan = None
         if planning == "distributed" and data_wheres:
             got = self._distributed_file_plan(v, data_wheres)
@@ -1335,6 +1340,23 @@ class SnapshotTable:
                 m, dplan = got
         if m is None:
             m = self._manifest(v)
+        if (
+            not with_row_ids
+            and m.get("properties", {})
+            .get("rowTracking", "")
+            .lower()
+            == "true"
+            and any(
+                (w.col if isinstance(w, In) else w[0]) == _ROW_ID
+                for w in wheres
+            )
+        ):
+            # on a TRACKED table the name can only mean the engine
+            # column — fail with the fix instead of a downstream
+            # unresolved-column error
+            raise ValueError(
+                "_row_id predicates require with_row_ids=True"
+            )
         m_rb = None
         mat_set: set = set()
         if with_row_ids:
@@ -1586,6 +1608,16 @@ class SnapshotTable:
                 point_lists.append(sorted(int(x) for x in w.values))
             else:
                 ranges.append((int(w[1]), int(w[2])))
+        # largest id ANY conjunct can still match: an entry whose
+        # smallest base outranks it is provably disjoint with ZERO
+        # footer I/O (every id in the entry is >= its min base) —
+        # the cheap reject that keeps a cold-cache id-keyed read
+        # from walking every derived entry's footers
+        upper = min(
+            [hi for _lo, hi in ranges]
+            + [ids[-1] for ids in point_lists if ids]
+            or [-1]
+        )
 
         def file_ok(b: int, n: int) -> bool:
             if n <= 0:
@@ -1608,6 +1640,8 @@ class SnapshotTable:
             per = bases[d]
             if not per:
                 continue  # fileless entry: holds no rows
+            if min(per.values()) > upper:
+                continue  # disjoint without reading any footer
             counts = self._footer_row_counts(d)
             keep = {
                 f
@@ -2017,9 +2051,10 @@ class SnapshotTable:
             no base map — fail loud instead of deriving NULL ids."""
             if with_row_ids and "row_bases" not in mv:
                 raise ValueError(
-                    f"version {ver} predates row tracking: its rows "
-                    "have no ids — enable_row_tracking() first or "
-                    "read without with_row_ids"
+                    f"version {ver} carries no row-id base map "
+                    "(tracking was not enabled — or was disabled — "
+                    "at that version): its rows have no ids; split "
+                    "the range or read without with_row_ids"
                 )
             return self._read_dirs(mv, ds, with_row_ids=with_row_ids)
 
@@ -5803,33 +5838,12 @@ class SnapshotTable:
             prefix = self._dv_scan_prefix(m, required=True)
             if prefix == "":
                 return v  # no file holds a row: nothing can match
-            import bisect
-
-            bases = m.get("row_bases", {})
-            mat = set(m.get("row_mat", []))
-            max_id = ids[-1]
-
-            def _hits(b: int, n: int) -> bool:
-                # smallest requested id >= b exists and is < b + n
-                j = bisect.bisect_left(ids, b)
-                return j < len(ids) and ids[j] < b + n
-
-            candidates: list[str] = []
-            for e in m["dirs"]:
-                if e in mat or e not in bases:
-                    candidates.append(e)  # physical/unknown ids
-                    continue
-                per = bases[e]
-                if not per:
-                    continue  # fileless entry: holds no rows
-                if min(per.values()) > max_id:
-                    continue  # every id here outranks the request
-                counts = self._footer_row_counts(e)
-                if any(
-                    _hits(b, counts.get(f, 0))
-                    for f, b in per.items()
-                ):
-                    candidates.append(e)
+            # the SAME base-map pruning the id-predicate read path
+            # uses (one implementation — read and delete must never
+            # disagree on which entries can hold an id)
+            candidates, _files = self._rid_prune(
+                m, m["dirs"], [In(_ROW_ID, ids)]
+            )
             if not candidates:
                 return v
             target = self._read_dirs(

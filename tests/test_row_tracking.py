@@ -572,6 +572,24 @@ def test_delete_rows_prunes_disjoint_entries(spark, tmp_path):
     )
 
 
+def test_untracked_user_row_id_column_still_filters(spark, tmp_path):
+    """Review fix (round 15, pass 3): an UNTRACKED table may carry a
+    legitimate user '_row_id' data column — where-predicates on it
+    must keep flowing through the normal stats machinery, not be
+    hijacked by the row-tracking split."""
+    from scalable_etl_spark.acid import In
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        _df(spark, [(i, i * 10) for i in range(10)], "k INT, `_row_id` BIGINT"),
+        stats_cols=["_row_id"],
+    )
+    r = t.read(where=("_row_id", 20, 40))
+    assert sorted(x.k for x in r.collect()) == [2, 3, 4]
+    r2 = t.read(where=In("_row_id", [50, 90]))
+    assert sorted(x.k for x in r2.collect()) == [5, 9]
+
+
 def test_table_changes_with_row_ids(spark, tmp_path):
     """Incremental consumption KEYED BY ROW ID: append-shaped commits
     deliver their rows with the same ids a snapshot read derives; a
@@ -612,7 +630,7 @@ def test_table_changes_with_row_ids(spark, tmp_path):
     t2.overwrite(_df(spark, [(1, "a")], "k INT, v STRING"))
     t2.append(_df(spark, [(2, "b")], "k INT, v STRING"))
     t2.enable_row_tracking()
-    with pytest.raises(ValueError, match="predates row tracking"):
+    with pytest.raises(ValueError, match="no row-id base map"):
         t2.table_changes(0, with_row_ids=True).collect()
 
 
