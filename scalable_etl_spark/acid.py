@@ -5814,8 +5814,20 @@ class SnapshotTable:
         dropped rows, not the corpus. Unknown ids simply match
         nothing (a list replayed after its rows were already dropped
         is a no-op — sidecar positions are computed on the DV-applied
-        read, so replays never double-suppress)."""
-        ids = sorted({int(i) for i in row_ids})
+        read, so replays never double-suppress).
+
+        ``row_ids`` may be a Python collection (small hand lists,
+        CLI) or a **DataFrame** whose first column holds the ids —
+        the 100 TB spelling: a drop list produced by a dedup job IS
+        a DataFrame, and collecting it to the driver just to re-ship
+        it would bound list size by driver memory. The DataFrame path
+        matches via a LEFT SEMI join (the id column is broadcast when
+        small, shuffled when not — Spark's call) and prunes entries
+        by the list's [min, max] range (one tiny aggregate) instead
+        of per-id bisection."""
+        ids_df = row_ids if isinstance(row_ids, DataFrame) else None
+        if ids_df is None:
+            ids = sorted({int(i) for i in row_ids})
         for _ in range(_COMMIT_RETRIES):
             v = self.latest_version()
             if v is None:
@@ -5833,8 +5845,22 @@ class SnapshotTable:
                     "delete_rows needs row tracking; call "
                     "enable_row_tracking() first"
                 )
-            if not ids:
-                return v
+            if ids_df is not None:
+                id_col = ids_df.columns[0]
+                keys = ids_df.select(
+                    F.col(id_col).cast("bigint").alias(_ROW_ID)
+                ).dropDuplicates([_ROW_ID])
+                r = keys.agg(
+                    F.min(_ROW_ID).alias("lo"),
+                    F.max(_ROW_ID).alias("hi"),
+                ).first()
+                if r["lo"] is None:
+                    return v  # empty drop list
+                rid_pred = (_ROW_ID, int(r["lo"]), int(r["hi"]))
+            else:
+                if not ids:
+                    return v
+                rid_pred = In(_ROW_ID, ids)
             prefix = self._dv_scan_prefix(m, required=True)
             if prefix == "":
                 return v  # no file holds a row: nothing can match
@@ -5842,15 +5868,17 @@ class SnapshotTable:
             # uses (one implementation — read and delete must never
             # disagree on which entries can hold an id)
             candidates, _files = self._rid_prune(
-                m, m["dirs"], [In(_ROW_ID, ids)]
+                m, m["dirs"], [rid_pred]
             )
             if not candidates:
                 return v
             target = self._read_dirs(
                 m, candidates, keep_dv_meta=True, with_row_ids=True
             )
-            matched = target.filter(
-                F.col(_ROW_ID).isin(*ids)
+            matched = (
+                target.join(keys, _ROW_ID, "left_semi")
+                if ids_df is not None
+                else target.filter(F.col(_ROW_ID).isin(*ids))
             ).persist()
             cdf_on = self._cdf_enabled(v)
             try:

@@ -549,6 +549,23 @@ def test_delete_rows_by_stable_id(spark, tmp_path):
         t2.delete_rows([0])
 
 
+def test_delete_rows_accepts_dataframe_drop_list(spark, tmp_path):
+    """The 100 TB spelling: the drop list stays a DataFrame end-to-end
+    (left-semi match, never collected to the driver); results equal
+    the list spelling, replays no-op, and an empty frame no-ops."""
+    t = _fresh(spark, tmp_path, n=10)
+    ids = _ids(t)
+    t.compact()
+    drop_df = spark.createDataFrame(
+        [(ids[1],), (ids[8],), (10**9,)], "`_row_id` BIGINT"
+    )
+    v1 = t.delete_rows(drop_df)
+    assert sorted(_ids(t)) == [0, 2, 3, 4, 5, 6, 7, 9]
+    assert t.delete_rows(drop_df) == v1  # replay no-ops
+    empty = spark.createDataFrame([], "`_row_id` BIGINT")
+    assert t.delete_rows(empty) == v1
+
+
 def test_delete_rows_prunes_disjoint_entries(spark, tmp_path):
     """The id scheme IS the index: entries whose [base, base+rows)
     ranges cannot hold any requested id are never scanned — checked
