@@ -2107,16 +2107,23 @@ class SnapshotTable:
                             "schema changes are unsupported — split "
                             "the range at the ALTER commit"
                         )
-                    if with_row_ids:
+                    if with_row_ids and not cdc.get("row_ids"):
                         raise ValueError(
                             f"version {v} delivers RECORDED row "
-                            "images, whose write did not capture "
-                            "row positions — ids are underivable; "
+                            "images whose write predates row-id "
+                            "capture (or was a merge, whose insert "
+                            "images have no id until commit) — "
                             "split the range at this commit or read "
                             "without with_row_ids"
                         )
                     frames.append(
-                        _tag_meta(self._read_change_data(cdc), v, m)
+                        _tag_meta(
+                            self._read_change_data(
+                                cdc, with_row_ids=with_row_ids
+                            ),
+                            v,
+                            m,
+                        )
                     )
                     prev = set(m["dirs"])
                     prev_dv = cur_dv
@@ -4094,7 +4101,10 @@ class SnapshotTable:
     # ----------------------------------------- CDC change-data files
 
     def _write_change_data(
-        self, frames: Sequence[tuple[DataFrame, str]], columns
+        self,
+        frames: Sequence[tuple[DataFrame, str]],
+        columns,
+        row_ids: bool = False,
     ) -> dict:
         """Write one commit's CDC row images (Delta's ``_change_data``
         pattern) and return the manifest record ``{"entry": uuid,
@@ -4104,12 +4114,34 @@ class SnapshotTable:
         ``_change_data/`` — never referenced by "dirs", so snapshot
         reads are unaffected; cost is proportional to the CHANGED
         rows, not the table. A commit-race loser's dir is orphaned and
-        swept by vacuum like a loser data dir."""
+        swept by vacuum like a loser data dir.
+
+        ``row_ids=True`` (row-tracked writers whose matched frames
+        carry ``_row_id``) CAPTURES each image row's stable id as an
+        extra physical column and marks the record
+        (``"row_ids": true``) so ``table_changes(change_feed=True,
+        with_row_ids=True)`` can deliver recorded images by id. The
+        stored ``schema`` stays the LOGICAL one and every existing
+        reader declares it, so the extra column is invisible outside
+        an explicit id read — the same trick ``row_mat`` data files
+        use."""
         cols = list(columns)
+        extra = [_ROW_ID] if row_ids else []
         tagged = [
-            df.select(*cols).withColumn(
-                _CHANGE_TYPE_COL, F.lit(ctype)
-            )
+            df.select(
+                *cols,
+                *(
+                    [
+                        (
+                            F.col(_ROW_ID)
+                            if _ROW_ID in df.columns
+                            else F.lit(None).cast("bigint")
+                        ).alias(_ROW_ID)
+                    ]
+                    if row_ids
+                    else []
+                ),
+            ).withColumn(_CHANGE_TYPE_COL, F.lit(ctype))
             for df, ctype in frames
         ]
         out = reduce(lambda a, b: a.unionByName(b), tagged)
@@ -4118,16 +4150,25 @@ class SnapshotTable:
         out.write.mode("errorifexists").parquet(
             os.path.join(self.change_dir, d)
         )
-        schema_json = out.drop(_CHANGE_TYPE_COL).schema.json()
-        return {"entry": d, "schema": schema_json}
+        schema_json = out.drop(_CHANGE_TYPE_COL, *extra).schema.json()
+        rec = {"entry": d, "schema": schema_json}
+        if row_ids:
+            rec["row_ids"] = True
+        return rec
 
-    def _read_change_data(self, rec: dict) -> DataFrame:
+    def _read_change_data(
+        self, rec: dict, with_row_ids: bool = False
+    ) -> DataFrame:
         """DataFrame over a commit's CDC files: the TABLE columns as
         of that commit plus ``_change_type``. Declared-schema read —
-        the stored schema is authoritative (files are immutable)."""
-        schema = StructType.fromJson(json.loads(rec["schema"])).add(
-            _CHANGE_TYPE_COL, StringType(), False
-        )
+        the stored schema is authoritative (files are immutable).
+        ``with_row_ids=True`` additionally declares the captured
+        ``_row_id`` column (callers must check ``rec["row_ids"]``
+        first — pre-capture records never stored it)."""
+        schema = StructType.fromJson(json.loads(rec["schema"]))
+        if with_row_ids:
+            schema = schema.add(_ROW_ID, LongType(), True)
+        schema = schema.add(_CHANGE_TYPE_COL, StringType(), False)
         return self.spark.read.schema(schema).parquet(
             os.path.join(self.change_dir, rec["entry"])
         )
@@ -5443,8 +5484,16 @@ class SnapshotTable:
                     )
                 change_rec = None
                 if cdf_on:
+                    # under row tracking the image frames are built
+                    # from the id-bearing view, so the images CAPTURE
+                    # each row's stable id (update postimages keep
+                    # the matched id — apply_updates passes the
+                    # column through); the record's logical schema is
+                    # unchanged, so non-id consumers never see it
                     change_rec = self._write_change_data(
-                        change_frames(target), target.columns
+                        change_frames(target_w if rt else target),
+                        target.columns,
+                        row_ids=rt,
                     )
             finally:
                 if cdf_on:
@@ -5587,12 +5636,21 @@ class SnapshotTable:
             _, candidates = self._prune_candidates(m, prune)
             if not candidates:
                 return v  # stats prove nothing can match
+            cdf_on = self._cdf_enabled(v)
+            rt = (
+                m.get("properties", {})
+                .get("rowTracking", "")
+                .lower()
+                == "true"
+            )
+            cap_ids = cdf_on and rt  # capture image row ids
             # DV-applied read (already-suppressed rows cannot match
             # again -> new positions are disjoint from existing DVs),
             # tagged with every row's scan position
-            target = self._read_dirs(m, candidates, keep_dv_meta=True)
+            target = self._read_dirs(
+                m, candidates, keep_dv_meta=True, with_row_ids=cap_ids
+            )
             matched = target.filter(match_true)
-            cdf_on = self._cdf_enabled(v)
             matched = matched.persist()
             try:
                 dv_id, affected = self._dv_sidecar(matched, m, prefix)
@@ -5603,7 +5661,8 @@ class SnapshotTable:
                     change_rec = self._write_change_data(
                         [(matched.drop(_DV_FILE, _DV_POS), "delete")],
                         [c for c in target.columns
-                         if c not in (_DV_FILE, _DV_POS)],
+                         if c not in (_DV_FILE, _DV_POS, _ROW_ID)],
+                        row_ids=cap_ids,
                     )
             finally:
                 matched.unpersist()
@@ -5669,11 +5728,9 @@ class SnapshotTable:
                 # tracking): the id column rides the matched frame
                 # through apply_updates (which selects every actual
                 # field) and materializes into the new entry; the CDC
-                # pre/post images are built id-less below
+                # pre/post images both CAPTURE the id too
                 pre = matched.drop(_DV_FILE, _DV_POS)
                 post = apply_updates(pre)
-                if rt:
-                    pre = pre.drop(_ROW_ID)
                 new_entries = self._write_data_entries(
                     post, m["partition_cols"]
                 )
@@ -5686,7 +5743,8 @@ class SnapshotTable:
                     change_rec = self._write_change_data(
                         [(pre, "update_preimage"),
                          (post, "update_postimage")],
-                        pre.columns,
+                        [c for c in pre.columns if c != _ROW_ID],
+                        row_ids=rt,
                     )
             finally:
                 matched.unpersist()
@@ -5887,9 +5945,11 @@ class SnapshotTable:
                     return v  # nothing matched: commit nothing
                 change_rec = None
                 if cdf_on:
-                    img = matched.drop(_DV_FILE, _DV_POS, _ROW_ID)
+                    img = matched.drop(_DV_FILE, _DV_POS)
                     change_rec = self._write_change_data(
-                        [(img, "delete")], img.columns
+                        [(img, "delete")],
+                        [c for c in img.columns if c != _ROW_ID],
+                        row_ids=True,
                     )
             finally:
                 matched.unpersist()

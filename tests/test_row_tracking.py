@@ -611,7 +611,8 @@ def test_table_changes_with_row_ids(spark, tmp_path):
     """Incremental consumption KEYED BY ROW ID: append-shaped commits
     deliver their rows with the same ids a snapshot read derives; a
     derived overwrite diff names the retracted ids on its delete leg;
-    recorded-image commits raise (positions were never captured);
+    recorded DML images CAPTURE ids at write time and deliver them;
+    merge images (whose inserts have no id until commit) and
     pre-tracking versions raise loudly."""
     from collections import Counter
 
@@ -627,7 +628,7 @@ def test_table_changes_with_row_ids(spark, tmp_path):
     # derived overwrite diff: the delete leg names the retracted ids
     t.enable_change_data_feed()
     v1 = t.latest_version()
-    t.overwrite(_df(spark, [(50, "new")], "k INT, v STRING"))
+    t.overwrite(_df(spark, [(50, "n"), (51, "m")], "k INT, v STRING"))
     rows = t.table_changes(
         v1, change_feed=True, with_row_ids=True
     ).collect()
@@ -637,11 +638,41 @@ def test_table_changes_with_row_ids(spark, tmp_path):
         r._row_id for r in rows if r._change_type == "delete"
     }
     assert deleted_ids == set(snap.values())
-    # recorded images (MOR delete with the feed on) refuse id reads
+    snap2 = _ids(t)
+    # recorded DML images carry CAPTURED ids (all four writers)
     v2 = t.latest_version()
     t.delete("k = 50", mode="merge-on-read")
+    t.update("k = 51", {"v": F.lit("u")}, mode="merge-on-read")
+    t.delete("v = 'nope'")  # no-match CoW: no commit
+    rows2 = t.table_changes(
+        v2, change_feed=True, with_row_ids=True
+    ).collect()
+    by_type = {
+        (r._change_type, r.k): r._row_id for r in rows2
+    }
+    assert by_type[("delete", 50)] == snap2[50]
+    assert by_type[("update_preimage", 51)] == snap2[51]
+    assert by_type[("update_postimage", 51)] == snap2[51]
+    # CoW update images capture ids too
+    v3 = t.latest_version()
+    t.update("k = 51", {"v": F.lit("u2")})
+    rows3 = t.table_changes(
+        v3, change_feed=True, with_row_ids=True
+    ).collect()
+    assert {
+        (r._change_type, r._row_id) for r in rows3
+    } == {
+        ("update_preimage", snap2[51]),
+        ("update_postimage", snap2[51]),
+    }
+    # merge images: inserts have no id until commit — refuse
+    v4 = t.latest_version()
+    t.merge(_df(spark, [(99, "i")], "k INT, v STRING"), ["k"])
     with pytest.raises(ValueError, match="RECORDED row images"):
-        t.table_changes(v2, change_feed=True, with_row_ids=True)
+        t.table_changes(v4, change_feed=True, with_row_ids=True)
+    # ...but the plain change-feed read is untouched by the capture
+    plain = t.table_changes(v2, to_version=v3, change_feed=True)
+    assert "_row_id" not in plain.columns
     # pre-tracking versions refuse
     t2 = SnapshotTable(spark, str(tmp_path / "pre"))
     t2.overwrite(_df(spark, [(1, "a")], "k INT, v STRING"))
