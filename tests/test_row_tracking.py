@@ -665,11 +665,24 @@ def test_table_changes_with_row_ids(spark, tmp_path):
         ("update_preimage", snap2[51]),
         ("update_postimage", snap2[51]),
     }
-    # merge images: inserts have no id until commit — refuse
+    # merge images capture ids on EVERY leg: matched rows keep
+    # theirs, insert images deliver the same fresh id a snapshot
+    # read derives (read back from the new entries through the
+    # pre-assigned base map)
     v4 = t.latest_version()
-    t.merge(_df(spark, [(99, "i")], "k INT, v STRING"), ["k"])
-    with pytest.raises(ValueError, match="RECORDED row images"):
-        t.table_changes(v4, change_feed=True, with_row_ids=True)
+    snap4 = _ids(t)
+    t.merge(
+        _df(spark, [(51, "m51"), (99, "i")], "k INT, v STRING"),
+        ["k"],
+    )
+    snap5 = _ids(t)
+    rows4 = t.table_changes(
+        v4, change_feed=True, with_row_ids=True
+    ).collect()
+    by4 = {(r._change_type, r.k): r._row_id for r in rows4}
+    assert by4[("update_preimage", 51)] == snap4[51]
+    assert by4[("update_postimage", 51)] == snap4[51]
+    assert by4[("insert", 99)] == snap5[99]
     # ...but the plain change-feed read is untouched by the capture
     plain = t.table_changes(v2, to_version=v3, change_feed=True)
     assert "_row_id" not in plain.columns
@@ -680,6 +693,18 @@ def test_table_changes_with_row_ids(spark, tmp_path):
     t2.enable_row_tracking()
     with pytest.raises(ValueError, match="no row-id base map"):
         t2.table_changes(0, with_row_ids=True).collect()
+    # images RECORDED before tracking was enabled have no captured
+    # ids — the one remaining split-the-range case
+    t3 = SnapshotTable(spark, str(tmp_path / "precap"))
+    t3.overwrite(_df(spark, [(1, "a"), (2, "b")], "k INT, v STRING"))
+    t3.enable_change_data_feed()
+    v_pre = t3.latest_version()
+    t3.delete("k = 1", mode="merge-on-read")  # image w/o ids
+    t3.enable_row_tracking()
+    with pytest.raises(ValueError, match="RECORDED row images"):
+        t3.table_changes(
+            v_pre, change_feed=True, with_row_ids=True
+        )
 
 
 def test_row_id_predicates_skip_via_base_map(spark, tmp_path):
@@ -746,3 +771,243 @@ def test_row_ids_compose_with_where_skipping(spark, tmp_path):
         ).collect()
     }
     assert ranged == {k: v for k, v in full.items() if 5 <= k <= 9}
+
+
+def test_merge_cdc_images_capture_ids_all_modes(spark, tmp_path):
+    """Every merge flavor's recorded images carry stable ids:
+    matched legs keep the target row's id, insert legs deliver the
+    SAME fresh id a snapshot read derives (read back from the new
+    entries via the pre-assigned base map), and the delete_where
+    mixed batch splits per-row with ids on all four legs."""
+    for mode in ("copy-on-write", "merge-on-read"):
+        t = SnapshotTable(spark, str(tmp_path / f"m_{mode[:3]}"))
+        t.overwrite(
+            _df(
+                spark,
+                [(i, f"v{i}") for i in range(8)],
+                "k INT, v STRING",
+            )
+        )
+        t.enable_row_tracking()
+        t.enable_change_data_feed()
+        before = _ids(t)
+        v0 = t.latest_version()
+        t.merge(
+            _df(
+                spark,
+                [(2, "u2"), (3, "u3"), (50, "n50")],
+                "k INT, v STRING",
+            ),
+            ["k"],
+            mode=mode,
+        )
+        after = _ids(t)
+        rows = t.table_changes(
+            v0, change_feed=True, with_row_ids=True
+        ).collect()
+        by = {(r._change_type, r.k): r._row_id for r in rows}
+        assert by[("update_preimage", 2)] == before[2]
+        assert by[("update_postimage", 2)] == before[2]
+        assert by[("update_preimage", 3)] == before[3]
+        assert by[("insert", 50)] == after[50]
+        # delete-mode merge: delete leg names the matched ids
+        v1 = t.latest_version()
+        t.merge(
+            _df(spark, [(4, "x"), (60, "n60")], "k INT, v STRING"),
+            ["k"],
+            when_matched="delete",
+            mode=mode,
+        )
+        after2 = _ids(t)
+        rows2 = t.table_changes(
+            v1, change_feed=True, with_row_ids=True
+        ).collect()
+        by2 = {(r._change_type, r.k): r._row_id for r in rows2}
+        assert by2[("delete", 4)] == after[4]
+        assert by2[("insert", 60)] == after2[60]
+    # mixed CDC batch (delete_where): all four legs carry ids
+    t = SnapshotTable(spark, str(tmp_path / "m_mix"))
+    t.overwrite(
+        _df(spark, [(i, f"v{i}") for i in range(6)], "k INT, v STRING")
+    )
+    t.enable_row_tracking()
+    t.enable_change_data_feed()
+    before = _ids(t)
+    v0 = t.latest_version()
+    batch = spark.createDataFrame(
+        [(1, "dead", 1), (2, "u2", 0), (70, "n70", 0)],
+        "k INT, v STRING, is_del INT",
+    )
+    t.merge(batch, ["k"], delete_where="is_del = 1")
+    after = _ids(t)
+    by = {
+        (r._change_type, r.k): r._row_id
+        for r in t.table_changes(
+            v0, change_feed=True, with_row_ids=True
+        ).collect()
+    }
+    assert by[("delete", 1)] == before[1]
+    assert by[("update_preimage", 2)] == before[2]
+    assert by[("update_postimage", 2)] == before[2]
+    assert by[("insert", 70)] == after[70]
+
+
+def test_id_keyed_replica_across_mixed_dml_feed(spark, tmp_path):
+    """The incremental-consumer contract verdict r15 item 1 names:
+    an id-keyed replica maintained purely from
+    table_changes(change_feed=True, with_row_ids=True) — upsert on
+    insert/update_postimage, retract on delete — equals the live
+    snapshot after a feed range SPANNING append, MOR delete, merge
+    upsert, delete-mode merge, delete_rows, and a compaction. No
+    split-the-range errors on any DML commit."""
+    t = _fresh(spark, tmp_path, n=20, name="rep")
+    t.enable_change_data_feed()
+    v0 = t.latest_version()
+    replica = {
+        r._row_id: (r.k, r.v)
+        for r in t.read(version=v0, with_row_ids=True).collect()
+    }
+    t.append(_df(spark, [(100, "a"), (101, "b")], "k INT, v STRING"))
+    t.delete("k < 3", mode="merge-on-read")
+    t.merge(
+        _df(
+            spark,
+            [(5, "u5"), (6, "u6"), (200, "n")],
+            "k INT, v STRING",
+        ),
+        ["k"],
+    )
+    t.merge(
+        _df(spark, [(10, "x"), (300, "n3")], "k INT, v STRING"),
+        ["k"],
+        when_matched="delete",
+        mode="merge-on-read",
+    )
+    drop = [
+        r._row_id
+        for r in t.read(with_row_ids=True)
+        .filter("k = 15")
+        .collect()
+    ]
+    t.delete_rows(drop)
+    t.compact()  # dataChange=false: invisible to the feed
+    rows = t.table_changes(
+        v0, change_feed=True, with_row_ids=True
+    ).collect()
+    assert all(r._row_id is not None for r in rows)
+    for r in sorted(rows, key=lambda r: r._commit_version):
+        if r._change_type in ("insert", "update_postimage"):
+            replica[r._row_id] = (r.k, r.v)
+        elif r._change_type == "delete":
+            replica.pop(r._row_id, None)
+    snap = {
+        r._row_id: (r.k, r.v)
+        for r in t.read(with_row_ids=True).collect()
+    }
+    assert replica == snap
+
+
+def test_delete_rows_dataframe_sparse_list_prunes_entries(spark, tmp_path):
+    """A sparse DataFrame drop list whose global [min, max] spans the
+    whole id space still probes only the entries that can hold its
+    ids (per-entry block-join refinement, round-15 verdict): with
+    three append entries and a list naming one row from the first
+    and one from the last, the middle entry is never a candidate."""
+    t = SnapshotTable(spark, str(tmp_path / "sparse"))
+    t.overwrite(
+        _df(spark, [(0, "seed")], "k INT, v STRING")
+    )
+    t.enable_row_tracking()
+    for w in range(3):
+        t.append(
+            _df(
+                spark,
+                [(100 * (w + 1) + i, f"w{w}") for i in range(5)],
+                "k INT, v STRING",
+            )
+        )
+    ids = _ids(t)
+    sparse = spark.createDataFrame(
+        [(ids[100],), (ids[304],)], "_row_id BIGINT"
+    )
+    t.delete_rows(sparse)
+    st = t.last_delete_rows_stats
+    assert st["entries_probed"] < st["entries_total"]
+    # wave0 and wave2 hit; wave1 (inside the global [min, max]) and
+    # the seed entry (outside it) are both pruned
+    assert st["entries_probed"] == 2
+    assert st["entries_total"] == 4
+    survivors = sorted(r.k for r in t.read().collect())
+    assert 100 not in survivors and 304 not in survivors
+    assert 200 in survivors and 201 in survivors
+
+
+def test_delete_rows_dataframe_rejects_non_numeric_column(spark, tmp_path):
+    """A drop list whose first column does not cast to bigint is a
+    MISWIRED list (wrong column order), not an empty one."""
+    t = _fresh(spark, tmp_path, n=4, name="miswire")
+    bad = spark.createDataFrame([("docA",), ("docB",)], "doc STRING")
+    with pytest.raises(ValueError, match="do not cast to bigint"):
+        t.delete_rows(bad)
+    # partially castable is rejected too, not silently truncated
+    mixed = spark.createDataFrame([("1",), ("x",)], "i STRING")
+    with pytest.raises(ValueError, match="do not cast to bigint"):
+        t.delete_rows(mixed)
+
+
+def test_restore_disabled_target_carries_row_mat_and_hwm(spark, tmp_path):
+    """restore() to a snapshot taken while tracking was DISABLED
+    still carries the target's row_mat and hwm (ADVICE r15): a
+    materialized entry resurrected by the restore stays marked, so
+    a later re-enable keeps its ORIGINAL physical ids instead of
+    deriving new ones over the column."""
+    t = SnapshotTable(spark, str(tmp_path / "rst"))
+    t.overwrite(
+        _df(spark, [(i, f"v{i}") for i in range(6)], "k INT, v STRING")
+    )
+    t.enable_row_tracking()
+    t.compact()  # materializes ids physically
+    ids_before = _ids(t)
+    t.set_property("rowTracking", "false")
+    v_disabled = t.latest_version()
+    # rewrite the materialized entry away while tracking is off
+    t.overwrite(_df(spark, [(99, "z")], "k INT, v STRING"))
+    # restore the disabled-span snapshot: its row_mat entry returns
+    t.restore(v_disabled)
+    m = t._manifest(t.latest_version())
+    assert m.get("row_mat"), "restored materialized entry unmarked"
+    assert "row_bases" not in m  # tracking is off: bases must not ride
+    # a re-enable keeps the ORIGINAL ids (physical wins over derived)
+    t.set_property("rowTracking", "true")
+    assert _ids(t) == ids_before
+
+
+def test_commit_drops_bases_when_tracking_disabled(spark, tmp_path):
+    """restore() of a TRACKED snapshot while tracking is currently
+    disabled must not commit row_bases alongside rowTracking=false
+    (ADVICE r15): the read side refuses disabled-span id reads, so
+    the feed must too."""
+    t = SnapshotTable(spark, str(tmp_path / "offrb"))
+    t.overwrite(
+        _df(spark, [(i, f"v{i}") for i in range(4)], "k INT, v STRING")
+    )
+    t.enable_row_tracking()
+    v_tracked = t.latest_version()
+    t.append(_df(spark, [(50, "x")], "k INT, v STRING"))
+    t.set_property("rowTracking", "false")
+    t.restore(v_tracked)
+    m = t._manifest(t.latest_version())
+    assert "row_bases" not in m
+    with pytest.raises(ValueError):
+        t.read(with_row_ids=True)
+
+
+def test_merge_rejects_user_row_id_column(spark, tmp_path):
+    """merge agrees with append/overwrite/insert_ignore on the
+    reserved-name contract (ADVICE r15)."""
+    t = _fresh(spark, tmp_path, n=4, name="resv")
+    bad = spark.createDataFrame(
+        [(1, "x", 7)], "k INT, v STRING, _row_id BIGINT"
+    )
+    with pytest.raises(ValueError, match="reserved by row tracking"):
+        t.merge(bad, ["k"])
