@@ -61,75 +61,69 @@ _MODULE_ORDER = (
 # each round OLDEST-LAST-GRADE-FIRST from tools/grading_rounds.py
 # (which derives per-query last-green rounds mechanically from the
 # CORRECTNESS_r*.json files -- verdict r14 #4: rotation banking cites
-# derived provenance, never hand-tracked claims). ROUND-15 ROTATION:
-# the 4 never-graded entries (sink_tx_row_ids is NEW this round --
-# row tracking; clone/zorder_2d/video registered late r14), the
-# entire r7 cohort (5), the entire r8 cohort (24), everything last
-# graded r9-r12 (10), topped up with 7 of the oldest r13/r14 rows so
-# every SURVEY family keeps a representative (the sql_/source_
-# members are all r13+ -- their stalest rows fill those slots).
-# Everything r13/r14-green rotates out, banked, and stays value-hash
-# checked locally via tools/check_correctness.py.
+# derived provenance, never hand-tracked claims). ROUND-16 ROTATION:
+# the 2 never-graded entries (cdf_row_id_replica /
+# incremental_index_row_ids -- this round's id-keyed change-feed
+# consumers), the ENTIRE r13 cohort (44 -- the stalest after r15),
+# topped up with the lone source_* query (r15-green; the window must
+# span every family) and 3 r14 family reps. After this round nothing
+# is staler than r14. Everything rotated out stays value-hash checked
+# locally via tools/check_correctness.py.
 _WINDOW = (
-    # never driver-graded (r0)
-    "sink_tx_row_ids",
-    "sink_tx_clone",
-    "sink_tx_zorder_2d",
-    "media_video_frame_stats",
-    # last green r7
-    "benchmark_contamination",
-    "incremental_corpus_dedup",
-    "media_pixel_stats",
-    "passage_dedup",
-    "pii_redaction",
-    # last green r8
-    "cohort_retention",
-    "cube_type_daily",
-    "dedup_components_star",
-    "embedding_clusters",
-    "event_state_intervals",
-    "fk_integrity_audit",
-    "funnel_view_click_purchase",
-    "gapfill_user_daily",
-    "hash_rank_sample",
-    "incremental_agg_merge",
-    "pivot_event_values",
-    "rolling_active_users",
-    "rolling_weekly_value",
-    "rollup_revenue",
-    "salted_segment_revenue",
-    "semantic_dedup",
-    "session_event_join",
-    "sink_tx_delete",
-    "sink_tx_merge_upsert",
-    "streaming_join_windowed",
-    "streaming_stream_join",
-    "top_users",
-    "unpivot_daily_values",
-    "user_value_deciles",
-    # last green r9
-    "embedding_norms",
-    "media_features",
-    # last green r10
-    "sink_tx_convert",
-    "sink_tx_restore",
-    # last green r11
-    "bigram_pmi",
-    "sink_tx_bloom",
-    "streaming_session_windows",
-    "tfidf_top_terms",
-    # last green r12
-    "doc_fingerprints",
-    "top_tokens",
-    # r13/r14 family top-up (stalest available per family) + the
-    # round's second NEW registration (row-id drop-list curation loop)
-    "sql_catalog_scan",
-    "sql_rolling_band_cte",
+    # never driver-graded (r0) -- the round-16 id-keyed feed pair
+    "cdf_row_id_replica",
+    "incremental_index_row_ids",
+    # the ENTIRE r13 cohort (stalest after the r15 rotation)
+    "active_user_pct",
+    "audio_energy_stats",
+    "bpe_token_stats",
+    "deterministic_split",
+    "doc_gopher_rules",
+    "doc_len_zscore_by_lang",
+    "doc_repetition",
+    "events_flatten",
+    "gold_schema_merge",
+    "gold_user_peaks",
+    "grouping_sets_activity",
+    "hourly_activity",
+    "incremental_minhash_index",
+    "media_frame_sample",
+    "media_pixel_stats_lossy",
+    "mixture_weights",
+    "near_dedup_corpus",
+    "nulls_last_ranking",
+    "sink_bucketed_join",
+    "sink_describe_table",
+    "sink_partitioned_prune",
+    "sink_single_file_export",
+    "sink_table_roundtrip",
+    "sink_tx_constraints",
+    "sink_tx_distributed_scan",
+    "sink_tx_evolve",
+    "sink_tx_partition_ops",
+    "sink_tx_time_travel",
+    "sql_top_users_ordinal",
+    "streaming_cdf_dedup",
+    "streaming_cdf_gold_refresh",
+    "streaming_constraint_gate",
+    "streaming_dedup_counts",
+    "streaming_ingest_exactly_once",
+    "streaming_outer_join",
+    "streaming_snapshot_sink",
+    "streaming_stateful_totals",
+    "token_len_histogram",
+    "top_customers",
+    "type_diversity",
+    "user_sessions",
+    "users_error_no_purchase",
+    "vocab_coverage",
+    "winnowing_fingerprints",
+    # family top-up: the only source_* query (r15-green; the
+    # window must span every family) + 3 oldest-r14 reps
     "source_glob_recursive",
-    "pricing_summary",
-    "events_silver",
-    "sink_tx_deletion_vectors",
-    "row_id_drop_list",
+    "ann_brute_force",
+    "exact_dedup",
+    "sink_tx_changes",
 )
 
 

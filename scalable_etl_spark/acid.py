@@ -572,8 +572,13 @@ class SnapshotTable:
     def _intents_touch(self) -> None:
         """Refresh this writer's intent markers (called per commit
         attempt): a long retry storm must not let them age into the
-        stale-sweep window while the writer is still alive."""
-        for d in self._open_intents:
+        stale-sweep window while the writer is still alive.
+
+        Iterates a SNAPSHOT: concurrent writer threads sharing this
+        table instance add/discard markers mid-iteration (set ops are
+        GIL-atomic, iteration is not — the multi-writer stress test
+        caught the RuntimeError)."""
+        for d in list(self._open_intents):
             try:
                 os.utime(os.path.join(self.intents_dir, d))
             except FileNotFoundError:
@@ -7250,6 +7255,7 @@ def sync_incremental(
     merge_schema: bool = False,
     keys: Sequence[str] = (),
     strict: bool | None = None,
+    by_row_id: bool = False,
 ) -> tuple[int, int]:
     """EXACTLY-ONCE incremental materialization from one snapshot
     table into another — the batch spelling of a streaming pipeline:
@@ -7321,10 +7327,39 @@ def sync_incremental(
     only on derived segments — and is forwarded to the underlying
     ``dst.merge`` for defense in depth.
 
+    ``by_row_id=True`` (round 16) keys the replication on the SOURCE
+    TABLE'S STABLE ROW IDS instead of user columns — the zero-config
+    CDC replica for row-tracked sources: the backfill and every
+    segment read with ``with_row_ids=True`` (every DML writer
+    captures image ids at write time, so no commit class splits the
+    range), dst gains a ``_row_id`` column, and every rewrite commit
+    applies as a merge keyed on it. Three properties user keys can't
+    give: it needs NO knowledge of the schema (works on keyless /
+    duplicate-keyed tables), it survives src renaming or dropping
+    any column (the id is not a column), and the per-id reduction is
+    exact by construction (ids are unique per version — the
+    arbitrary-winner hazard ``strict`` exists for cannot occur, so
+    the derived-feed duplicate scan is skipped). ``transform`` must
+    preserve ``_row_id``; ``dst`` must not itself be row-tracked
+    (its ``_row_id`` is a plain replicated column).
+
     Returns ``(dst_version, synced_src_version)``; a no-op (nothing
     new) returns the current pair without committing."""
     if strict is None:
         strict = os.environ.get("SPARK_ETL_MERGE_STRICT") == "1"
+    if by_row_id:
+        if keys:
+            raise ValueError(
+                "by_row_id=True and keys=... are mutually exclusive "
+                "(row-id replication IS the keying)"
+            )
+        if dst.exists() and dst.row_tracking_enabled():
+            raise ValueError(
+                "by_row_id sync writes a plain _row_id column into "
+                "dst, which collides with dst's OWN row tracking; "
+                "replicate into an untracked table"
+            )
+        keys = [_ROW_ID]
     key = f"sync:{sync_id}"
     _ALTER_OPS = (
         "alter_add_column", "alter_rename_column", "alter_drop_column",
@@ -7358,9 +7393,9 @@ def sync_incremental(
         if last < 0:
             # backfill: alters before it are baked into the snapshot
             to_v = src_v
-            batch = src.read(src_v).withColumn(
-                "_src_version", F.lit(src_v)
-            )
+            batch = src.read(
+                src_v, with_row_ids=by_row_id
+            ).withColumn("_src_version", F.lit(src_v))
         else:
             # segment: replay one pending alter, or sync rows up to
             # (never across) the next one
@@ -7434,7 +7469,10 @@ def sync_incremental(
                 # like appends.
                 images = (
                     src.table_changes(
-                        last, to_version=last + 1, change_feed=True
+                        last,
+                        to_version=last + 1,
+                        change_feed=True,
+                        with_row_ids=by_row_id,
                     )
                     .filter(F.col("_change_type") != "update_preimage")
                     .drop("_commit_timestamp")
@@ -7450,12 +7488,14 @@ def sync_incremental(
                     # (new row) — reduce per key, upsert image first
                     # (recorded feeds are already one image per key;
                     # skip the window for them)
-                    if strict:
+                    if strict and not by_row_id:
                         # duplicate-key src: >1 NON-delete image for
                         # one key means the reduction below would
                         # crown an arbitrary winner — merge(strict)'s
                         # exact misuse class, caught here because the
-                        # reduction would hide it from merge
+                        # reduction would hide it from merge. Row ids
+                        # are unique per version by construction, so
+                        # the by_row_id path skips the extra job.
                         dup = (
                             images.filter(
                                 F.col("_change_type") != "delete"
@@ -7526,7 +7566,9 @@ def sync_incremental(
                 if mv["op"] in _ALTER_OPS or _cdc_segment(mv, vv):
                     to_v = vv - 1
                     break
-            batch = src.table_changes(last, to_version=to_v)
+            batch = src.table_changes(
+                last, to_version=to_v, with_row_ids=by_row_id
+            )
             if "_src_version" in batch.columns:
                 # chained pipelines: src is itself a sync target; its
                 # upstream provenance is superseded by this hop's

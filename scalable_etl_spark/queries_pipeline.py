@@ -1053,61 +1053,109 @@ def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "row_id_drop_list",
     oracle="""
+    WITH main AS (
+      SELECT doc_id, lang, source, n_chars FROM documents
+      WHERE doc_id % 10 <> 0
+    ),
+    waves AS (
+      SELECT doc_id, lang, source, n_chars FROM documents
+      WHERE doc_id % 10 = 0
+    ),
+    sparse AS (
+      SELECT MIN(doc_id) AS d FROM waves WHERE doc_id % 30 = 0
+      UNION ALL
+      SELECT MAX(doc_id) FROM waves WHERE doc_id % 30 = 20
+    ),
+    final AS (
+      SELECT * FROM main WHERE n_chars >= 100
+      UNION ALL
+      SELECT * FROM waves
+      WHERE doc_id NOT IN (SELECT d FROM sparse WHERE d IS NOT NULL)
+    )
     SELECT source, COUNT(*) AS n_docs,
            COUNT(DISTINCT lang) AS n_langs,
            CAST(SUM(n_chars) AS BIGINT) AS chars_total,
-           1 AS applied_after_optimize
-    FROM documents WHERE n_chars >= 100
-    GROUP BY 1
+           1 AS applied_after_optimize,
+           1 AS pruned_sparse
+    FROM final GROUP BY 1
     """,
 )
 def row_id_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ROW-TRACKING curation loop end-to-end (round 15 — the
-    workflow stable row ids exist for): the corpus lands in a tracked
-    snapshot table, a QUALITY FILTER records its keep/drop decisions
-    as a ``_row_id`` DROP LIST (here: documents under 100 chars —
-    the short-doc Gopher rule), table MAINTENANCE reshuffles every
-    row between decision and application (OPTIMIZE: compact with
-    re-clustering — files, positions, and entry layout all change),
-    and ``delete_rows(drop_list)`` then applies the list — the ids
-    still name the same rows, so exactly the flagged documents leave.
-    The ``applied_after_optimize`` flag is 1 only when the compact
-    REALLY rewrote the layout before the list was applied (entry set
-    changed) and the drop list was non-empty — hashed into the
-    oracle so the query cannot silently degrade into filter-then-
-    write. The oracle states the END state declaratively
-    (survivors = n_chars >= 100): any id torn loose by the rewrite
-    deletes the WRONG document and shifts per-source counts and
-    char totals. At 100 TB this is the shape curation must take:
-    decision jobs and apply jobs run hours apart with OPTIMIZE
-    cadences in between, and content-keyed re-matching (the
-    alternative to stable ids) would re-scan the corpus per apply.
-    The reference has no row-lineage verb at all (its storage is
-    catalog-delegated Iceberg)."""
+    """The ROW-TRACKING curation loop end-to-end (rounds 15-16 — the
+    workflow stable row ids exist for), graded in the spelling a
+    100 TB pipeline must use: the corpus lands in a tracked snapshot
+    table, a QUALITY FILTER records its keep/drop decisions as a
+    ``_row_id`` drop-list **DataFrame** (documents under 100 chars —
+    the short-doc Gopher rule; the list is never collected to the
+    driver: ``delete_rows(df)`` matches via a left-semi join), table
+    MAINTENANCE reshuffles every row between decision and application
+    (OPTIMIZE: compact with re-clustering — files, positions, and
+    entry layout all change), and ``delete_rows`` then applies the
+    list — the ids still name the same rows, so exactly the flagged
+    documents leave. ``applied_after_optimize`` is 1 only when the
+    compact REALLY rewrote the layout before a non-empty list was
+    applied (vacuously 1 on an empty list — nothing to mis-apply).
+
+    Then the SCALE property of the id scheme itself is pinned: three
+    ingest waves append as separate entries (derived ids, one
+    contiguous range each), and a SPARSE two-id drop list — one row
+    from the first wave, one from the last, so its global [min, max]
+    spans every wave — is applied as a DataFrame. ``pruned_sparse``
+    is 1 only when the apply probed FEWER entries than the table has
+    (the middle wave is provably disjoint per entry and never
+    scanned; ``acid._rid_entry_hits`` block-join refinement). At
+    100 TB applying a drop list touches the entries that hold the
+    dropped rows, not the corpus. The oracle states the end state
+    declaratively: main-corpus survivors (n_chars >= 100) plus wave
+    rows minus the two sparse-dropped documents. The reference has
+    no row-lineage verb at all (its storage is catalog-delegated
+    Iceberg)."""
     from .queries_sinks import _tx_table
 
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars"
     )
     t = _tx_table(spark, "drop_list")
-    t.overwrite(d)
+    t.overwrite(d.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0))
     t.enable_row_tracking()
-    drop = [
-        r["_row_id"]
-        for r in t.read(with_row_ids=True)
+    drop = (
+        t.read(with_row_ids=True)
         .filter(F.col("n_chars") < 100)
         .select("_row_id")
-        .collect()
-    ]
+    )
+    n_drop = drop.count()
     entries_before = set(t._manifest(t.latest_version())["dirs"])
     # maintenance between decision and application: OPTIMIZE with
     # re-clustering moves every row into different files/positions
     t.compact(cluster_by=["doc_id"], n_files=4)
     entries_after = set(t._manifest(t.latest_version())["dirs"])
-    t.delete_rows(drop)
+    t.delete_rows(drop)  # DataFrame spelling: left-semi, no collect
     applied = int(
-        bool(drop) and entries_before.isdisjoint(entries_after)
+        n_drop == 0 or entries_before.isdisjoint(entries_after)
     )
+    # three ingest waves, one entry each (derived contiguous ids)
+    waves = d.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    for w in (0, 10, 20):
+        t.append(waves.filter(F.pmod(F.col("doc_id"), F.lit(30)) == w))
+    r = waves.agg(
+        F.min(
+            F.when(F.pmod(F.col("doc_id"), F.lit(30)) == 0, F.col("doc_id"))
+        ).alias("d0"),
+        F.max(
+            F.when(F.pmod(F.col("doc_id"), F.lit(30)) == 20, F.col("doc_id"))
+        ).alias("d2"),
+    ).first()
+    if r["d0"] is None or r["d2"] is None:
+        pruned = 1  # a wave is empty at this SF: vacuously pruned
+    else:
+        sparse = (
+            t.read(with_row_ids=True)
+            .filter(F.col("doc_id").isin(int(r["d0"]), int(r["d2"])))
+            .select("_row_id")
+        )
+        t.delete_rows(sparse)
+        st = t.last_delete_rows_stats
+        pruned = int(st["entries_probed"] < st["entries_total"])
     return (
         t.read()
         .groupBy("source")
@@ -1117,4 +1165,259 @@ def row_id_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("chars_total"),
         )
         .withColumn("applied_after_optimize", F.lit(applied))
+        .withColumn("pruned_sparse", F.lit(pruned))
+    )
+
+
+# ------------------------------- id-keyed incremental consumption
+#
+# Round 16: with every DML writer capturing row ids into its change
+# images (acid._merge_change_rec / _write_change_data row_ids=True),
+# table_changes(change_feed=True, with_row_ids=True) serves ANY range
+# on a tracked+CDF table — the two queries below grade the consumer
+# patterns that capability exists for. The reference's incremental
+# story is a daily FULL RESCAN of gold (daily_job.py:33-46); here a
+# downstream table follows the corpus in O(changed rows) per wave.
+
+
+def _latest_changes_per_id(feed: DataFrame) -> DataFrame:
+    """Reduce a change-feed frame to ONE row per ``_row_id`` — the
+    latest commit wins, update preimages drop (the postimage carries
+    the same id). This is the generic CDC pre-reduction every
+    id-keyed consumer applies before MERGE: one O(changes) shuffle
+    keyed by id, never a corpus scan."""
+    w = Window.partitionBy("_row_id").orderBy(
+        F.col("_commit_version").desc()
+    )
+    return (
+        feed.filter(F.col("_change_type") != "update_preimage")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+@query(
+    "cdf_row_id_replica",
+    oracle="""
+    WITH s2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 9 = 0
+                  THEN CASE WHEN n_chars >= 80
+                            THEN 'merged' ELSE 'revived' END
+                  ELSE lang END AS lang,
+             source, n_chars
+      FROM documents
+      WHERE n_chars >= 80 OR doc_id % 9 = 0
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+           1 AS replica_equals_snapshot
+    FROM s2 WHERE doc_id % 13 <> 5
+    GROUP BY 1
+    """,
+)
+def cdf_row_id_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID-KEYED REPLICA over a change-feed range that SPANS every DML
+    writer class (round-16 headliner): the corpus takes an append, a
+    merge-on-read DELETE, a MERGE upsert (matched updates AND fresh
+    inserts — whose images capture the new rows' ids at write time),
+    a ``delete_rows`` drop list, and a compaction; a downstream
+    replica table keyed by ``_row_id`` is then brought up to date
+    from ONE ``table_changes(change_feed=True, with_row_ids=True)``
+    read — no split-the-range errors on any DML commit — via the
+    standard CDC apply: reduce to the latest image per id, then one
+    MERGE with ``delete_where`` (retractions name exactly the ids
+    the feed's delete legs carried). Cost per sync is O(changed
+    rows + matched replica dirs), never a corpus rescan — at 100 TB
+    this replaces the reference's daily full-rescan gold job
+    (daily_job.py:33-46). ``replica_equals_snapshot`` (hashed into
+    the oracle) is 1 only when the replica EXACTLY equals an
+    id-bearing snapshot read — any leg delivering a wrong or missing
+    id breaks it. The oracle states the final corpus declaratively
+    from the DML sequence."""
+    from .queries_sinks import _tx_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    corpus = _tx_table(spark, "cdf_replica_src")
+    corpus.overwrite(d.filter(F.pmod(F.col("doc_id"), F.lit(4)) != 3))
+    corpus.enable_row_tracking()
+    corpus.enable_change_data_feed()
+    v0 = corpus.latest_version()
+    replica = _tx_table(spark, "cdf_replica_dst")
+    replica.overwrite(
+        corpus.read(with_row_ids=True).withColumnRenamed(
+            "_row_id", "rid"
+        )
+    )
+    # ---- the mixed DML sequence the feed range must span
+    corpus.append(d.filter(F.pmod(F.col("doc_id"), F.lit(4)) == 3))
+    corpus.delete(F.col("n_chars") < 80, mode="merge-on-read")
+    batch = d.filter(F.pmod(F.col("doc_id"), F.lit(9)) == 0).withColumn(
+        "lang",
+        F.when(F.col("n_chars") >= 80, F.lit("merged")).otherwise(
+            F.lit("revived")
+        ),
+    )
+    corpus.merge(batch, ["doc_id"])  # updates + fresh-id inserts
+    drop = (
+        corpus.read(with_row_ids=True)
+        .filter(F.pmod(F.col("doc_id"), F.lit(13)) == 5)
+        .select("_row_id")
+    )
+    corpus.delete_rows(drop)
+    corpus.compact()  # dataChange=false: invisible to the feed
+    # ---- one incremental sync
+    feed = corpus.table_changes(
+        v0, change_feed=True, with_row_ids=True
+    )
+    apply_batch = _latest_changes_per_id(feed).select(
+        F.col("_row_id").alias("rid"),
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        "_change_type",
+    )
+    replica.merge(
+        apply_batch, ["rid"], delete_where="_change_type = 'delete'"
+    )
+    # ---- verification leg: replica == id-bearing snapshot, exactly
+    snap = corpus.read(with_row_ids=True).select(
+        F.col("_row_id").alias("rid"),
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    rep = replica.read().select(
+        "rid", "doc_id", "lang", "source", "n_chars"
+    )
+    flag = int(
+        rep.exceptAll(snap).count() == 0
+        and snap.exceptAll(rep).count() == 0
+    )
+    return (
+        rep.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_chars").cast("bigint").alias("chars_total"),
+        )
+        .withColumn("replica_equals_snapshot", F.lit(flag))
+    )
+
+
+@query(
+    "incremental_index_row_ids",
+    oracle=f"""
+    WITH final AS (
+      SELECT lang,
+             len({_SQL_TOKS}) AS n_toks,
+             {_SQL_H64.format(expr="text")} AS fp
+      FROM documents WHERE doc_id % 7 <> 3
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS tokens_total,
+           MIN(fp) AS fp_min,
+           1 AS index_equals_rebuild
+    FROM final GROUP BY 1
+    """,
+)
+def incremental_index_row_ids(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A PERSISTED DERIVED INDEX (per-document token count +
+    fingerprint — the shape of a minhash/ANN sidecar) maintained by
+    ``table_changes(with_row_ids=True)`` in O(new data) per wave
+    (round-16 verdict item 4): wave 1 seeds corpus and index, wave 2
+    APPENDS new documents (the feed's insert legs are transformed
+    and merged in — only the new rows are ever tokenized), wave 3
+    applies a ``delete_rows`` curation drop list (the feed's delete
+    leg retracts EXACTLY the named ids from the index — no content
+    re-matching), wave 4 compacts (dataChange=false: the feed is
+    empty and the index is untouched even though every file moved).
+    ``index_equals_rebuild`` (hashed into the oracle) is 1 only when
+    the incrementally-maintained index EXACTLY equals a from-scratch
+    rebuild over the final snapshot. This is the LLM-pipeline shape:
+    corpus table -> derived index that tracks it through curation
+    deletes, without the reference's full-rescan refresh
+    (daily_job.py:33-46)."""
+    from .queries_sinks import _tx_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+
+    def transform(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("_row_id").alias("rid"),
+            "doc_id",
+            "lang",
+            token_count("text").alias("n_toks"),
+            portable_hash64(F.col("text")).alias("fp"),
+        )
+
+    corpus = _tx_table(spark, "idx_src")
+    corpus.overwrite(d.filter(F.pmod(F.col("doc_id"), F.lit(3)) != 2))
+    corpus.enable_row_tracking()
+    corpus.enable_change_data_feed()
+    index = _tx_table(spark, "idx_dst")
+    index.overwrite(transform(corpus.read(with_row_ids=True)))
+    v = corpus.latest_version()
+
+    def sync() -> None:
+        nonlocal v
+        end = corpus.latest_version()
+        feed = corpus.table_changes(
+            v, to_version=end, change_feed=True, with_row_ids=True
+        )
+        red = _latest_changes_per_id(feed)
+        # same projection as transform(), with the winning image's
+        # _change_type riding along for the delete_where flag
+        batch = red.select(
+            F.col("_row_id").alias("rid"),
+            "doc_id",
+            "lang",
+            token_count("text").alias("n_toks"),
+            portable_hash64(F.col("text")).alias("fp"),
+            "_change_type",
+        )
+        index.merge(
+            batch, ["rid"], delete_where="_change_type = 'delete'"
+        )
+        v = end
+
+    # wave 2: new documents append; only THEY are tokenized
+    corpus.append(d.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 2))
+    sync()
+    # wave 3: curation drop list by stable id
+    drop = (
+        corpus.read(with_row_ids=True)
+        .filter(F.pmod(F.col("doc_id"), F.lit(7)) == 3)
+        .select("_row_id")
+    )
+    corpus.delete_rows(drop)
+    sync()
+    # wave 4: OPTIMIZE — invisible, the index needs no work
+    corpus.compact()
+    sync()
+    rebuild = transform(corpus.read(with_row_ids=True))
+    got = index.read().select(*rebuild.columns)
+    flag = int(
+        got.exceptAll(rebuild).count() == 0
+        and rebuild.exceptAll(got).count() == 0
+    )
+    return (
+        index.read()
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("tokens_total"),
+            F.min("fp").alias("fp_min"),
+        )
+        .withColumn("index_equals_rebuild", F.lit(flag))
     )

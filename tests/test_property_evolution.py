@@ -224,9 +224,19 @@ def test_evolution_sequences_match_eager_oracle(spark, seq):
 # drop list of every-3rd current id, applied via the id-indexed DV
 # path): the model drops exactly the chosen rows by content, so a
 # mis-bound id — deleting the WRONG row — diffs immediately.
+#
+# Round-16 addition (verdict r15 #7): op 18 = vacuum(min_age_seconds=
+# 0) interleaved into the whole alphabet — every storage verb's
+# artifacts (data dirs, DV sidecars, _change_data, row-bases
+# checkpoints, clone-shared inodes, op-13 raced-commit loser orphans)
+# must survive an aggressive sweep that retains every version; odd b
+# also drops HISTORY (retain the newest 1 + a%4 manifests — the
+# documented Delta contract that pinned readers break), with the
+# model tracking the vacuum floor so op 11 asserts that restores
+# BELOW it raise instead of resurrecting reclaimed state.
 
 DML_OP = st.tuples(
-    st.integers(0, 17), st.integers(0, 7), st.integers(0, 7)
+    st.integers(0, 18), st.integers(0, 7), st.integers(0, 7)
 )
 DML_SEQ = st.lists(DML_OP, min_size=4, max_size=8)
 
@@ -336,6 +346,7 @@ def test_dml_evolution_sequences_match_eager_oracle(spark, seq):
 
     clones: list[tuple] = []  # (table, cols-at-clone, rows-at-clone)
     rt = {"on": False, "ids": set(), "hwm": 0}  # row-tracking oracle
+    m.vfloor = 0  # versions below this were vacuumed away (op 18)
 
     def _check_clone(ct, cols, rows):
         mm = _Model()
@@ -477,6 +488,13 @@ def test_dml_evolution_sequences_match_eager_oracle(spark, seq):
                 m.snap()
             m.cons = {}
             v = a % len(m.snapshots)
+            if v < m.vfloor:
+                # a history-dropping vacuum (op 18) reclaimed this
+                # manifest: the documented contract is a loud break,
+                # never a silent partial resurrection
+                with pytest.raises(FileNotFoundError):
+                    t.restore(v)
+                continue
             t.restore(v)
             cols, rows = m.snapshots[v]
             m.cols = [list(c) for c in cols]
@@ -572,6 +590,28 @@ def test_dml_evolution_sequences_match_eager_oracle(spark, seq):
             t.enable_row_tracking()
             rt["on"] = True
             m.snap()  # the property commit is a version
+        elif op == 18:  # vacuum interleaved into the alphabet
+            if b % 2:
+                # drop history too: keep only the newest manifests;
+                # later restores below the floor must raise (op 11)
+                keep = 1 + a % 4
+                t.vacuum(retain_versions=keep, min_age_seconds=0)
+                m.vfloor = max(
+                    m.vfloor, len(m.snapshots) - keep
+                )
+            else:
+                # retain every version: NOTHING any manifest
+                # references may be reclaimed (loser orphans from
+                # op 13's raced commits are the real garbage here);
+                # min_age 0 is safe — intent markers (round 15)
+                t.vacuum(
+                    retain_versions=len(m.snapshots),
+                    min_age_seconds=0,
+                )
+            _check(t, m)
+            _check_row_ids(t, rt)
+            continue  # no commit: the version/snapshot assert below
+            # would re-run vacuously but _check already ran
         elif op == 17:  # drop list by stable row id
             if not rt["on"]:
                 continue
@@ -685,6 +725,9 @@ def test_cdc_replica_follows_every_op(spark, seq):
     def alterable():
         return [i for i, (n, _d, _f) in enumerate(m.cols) if n != "id"]
 
+    state = {"dst2": None}  # the by_row_id replica (round 16): born
+    # the first time tracking is on, then maintained after EVERY op
+
     def check():
         sync_incremental(src, dst, sync_id="fuzz", keys=["id"])
         names = m.names()
@@ -697,6 +740,27 @@ def test_cdc_replica_follows_every_op(spark, seq):
                 tuple(r[n] for n in names) for r in df.collect()
             )
             assert got == want, (label, got - want, want - got)
+        if src.row_tracking_enabled():
+            # zero-config id-keyed replication: content AND id
+            # fidelity — the replica's (row, _row_id) pair multiset
+            # must equal the source's id-bearing snapshot through
+            # every DML / alter / restore / compaction that follows
+            if state["dst2"] is None:
+                state["dst2"] = SnapshotTable(spark, root + "/d2")
+            sync_incremental(
+                src, state["dst2"], sync_id="fuzz2", by_row_id=True
+            )
+            want_pairs = Counter(
+                (tuple(r[n] for n in names), r["_row_id"])
+                for r in src.read(with_row_ids=True).collect()
+            )
+            got_pairs = Counter(
+                (tuple(r[n] for n in names), r["_row_id"])
+                for r in state["dst2"].read().collect()
+            )
+            assert got_pairs == want_pairs, (
+                got_pairs - want_pairs, want_pairs - got_pairs
+            )
 
     check()
     for op, a, b in seq:

@@ -1011,3 +1011,51 @@ def test_merge_rejects_user_row_id_column(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="reserved by row tracking"):
         t.merge(bad, ["k"])
+
+
+def test_sync_incremental_by_row_id(spark, tmp_path):
+    """Zero-config id-keyed replication (round 16): a replica
+    maintained by sync_incremental(by_row_id=True) follows the source
+    through append / MOR delete / MERGE / delete_rows with exact
+    (row, _row_id) fidelity; re-runs no-op (exactly-once); the API
+    refuses keys= alongside and a row-tracked dst."""
+    from collections import Counter
+
+    from scalable_etl_spark.acid import sync_incremental
+
+    src = _fresh(spark, tmp_path, n=12, name="sy_src")
+    src.enable_change_data_feed()
+    dst = SnapshotTable(spark, str(tmp_path / "sy_dst"))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        sync_incremental(src, dst, keys=["k"], by_row_id=True)
+    sync_incremental(src, dst, by_row_id=True)  # backfill
+
+    def pairs(df):
+        return Counter((r.k, r.v, r._row_id) for r in df.collect())
+
+    assert pairs(dst.read().select("k", "v", "_row_id")) == pairs(
+        src.read(with_row_ids=True)
+    )
+    # mixed DML, one sync per class plus one spanning several
+    src.append(_df(spark, [(100, "a"), (101, "b")], "k INT, v STRING"))
+    sync_incremental(src, dst, by_row_id=True)
+    src.delete("k < 2", mode="merge-on-read")
+    src.merge(
+        _df(spark, [(5, "u5"), (200, "n")], "k INT, v STRING"), ["k"]
+    )
+    drop = [
+        r._row_id
+        for r in src.read(with_row_ids=True).filter("k = 7").collect()
+    ]
+    src.delete_rows(drop)
+    src.compact()
+    v1, s1 = sync_incremental(src, dst, by_row_id=True)
+    assert pairs(dst.read().select("k", "v", "_row_id")) == pairs(
+        src.read(with_row_ids=True)
+    )
+    # exactly-once: a re-run syncs nothing new
+    assert sync_incremental(src, dst, by_row_id=True) == (v1, s1)
+    # a row-tracked dst is refused (its own ids would collide)
+    dst2 = _fresh(spark, tmp_path, n=2, name="sy_dst2")
+    with pytest.raises(ValueError, match="untracked"):
+        sync_incremental(src, dst2, by_row_id=True)
