@@ -1179,3 +1179,163 @@ def streaming_cdf_gold_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gold.read().select(
         "user_id", "event_date", "listen_count", "unique_types", "rank"
     )
+
+
+@query(
+    "streaming_cdf_row_id_replica",
+    oracle="""
+    WITH s2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 6 = 0
+                  THEN CASE WHEN n_chars >= 90
+                            THEN 'm2' ELSE 'rev' END
+                  ELSE lang END AS lang,
+             source, n_chars
+      FROM documents
+      WHERE n_chars >= 90 OR doc_id % 6 = 0
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+           1 AS replica_equals_snapshot
+    FROM s2 WHERE doc_id % 11 <> 3
+    GROUP BY 1
+    """,
+)
+def streaming_cdf_row_id_replica(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The STREAMING spelling of the round-16 id-keyed consumer: a
+    replica keyed by the source's stable ``_row_id`` maintained by a
+    Structured Streaming query over the ``snapshot_changes`` source
+    with ``readChangeFeed=true`` + ``withRowIds=true`` — every
+    delivered row (append inserts, recorded MOR-delete / MERGE /
+    delete_rows images, compaction invisible) carries its id, and
+    foreachBatch applies each commit IN ORDER as one MERGE on the id
+    with ``delete_where`` (retractions name exactly the ids the
+    delete legs carried), the txn ledger making checkpoint-recovery
+    replays no-op. Offsets are commit versions; a restarted stream
+    resumes after the last applied commit — the continuous dual of
+    ``cdf_row_id_replica``'s one-shot sync and the scale-correct
+    inversion of the reference's daily full-rescan job
+    (daily_job.py:33-46). ``replica_equals_snapshot`` (hashed into
+    the oracle) pins exact id fidelity end-to-end through the stream
+    plumbing."""
+    import shutil
+
+    from .acid import SnapshotTable
+    from .streaming.cdf import SnapshotChangesSource
+
+    spark.dataSource.register(SnapshotChangesSource)
+    corpus_dir = tempfile.mkdtemp(prefix="cdfrid_corpus_")
+    rep_dir = tempfile.mkdtemp(prefix="cdfrid_rep_")
+    for d in (corpus_dir, rep_dir):
+        shutil.rmtree(d)
+    ckpt = tempfile.mkdtemp(prefix="cdfrid_ckpt_")
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    corpus = SnapshotTable(spark, corpus_dir)
+    corpus.overwrite(d.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0))
+    corpus.enable_row_tracking()
+    corpus.enable_change_data_feed()
+    v_start = corpus.latest_version()
+    replica = SnapshotTable(spark, rep_dir)
+    replica.overwrite(
+        corpus.read(with_row_ids=True).withColumnRenamed(
+            "_row_id", "rid"
+        )
+    )
+    # mixed DML the stream must span with ids intact
+    corpus.append(d.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1))
+    corpus.delete(F.col("n_chars") < 90, mode="merge-on-read")
+    batch = d.filter(F.pmod(F.col("doc_id"), F.lit(6)) == 0).withColumn(
+        "lang",
+        F.when(F.col("n_chars") >= 90, F.lit("m2")).otherwise(
+            F.lit("rev")
+        ),
+    )
+    corpus.merge(batch, ["doc_id"])
+    drop = (
+        corpus.read(with_row_ids=True)
+        .filter(F.pmod(F.col("doc_id"), F.lit(11)) == 3)
+        .select("_row_id")
+    )
+    corpus.delete_rows(drop)
+    corpus.compact()  # invisible to the feed
+
+    qid = "cdf_rid_replica"
+
+    def apply_changes(b: DataFrame, _batch_id: int) -> None:
+        b = b.persist()
+        try:
+            versions = sorted(
+                r[0]
+                for r in b.select("_commit_version")
+                .distinct()
+                .collect()
+            )
+            for v in versions:
+                one = b.filter(
+                    F.col("_commit_version") == v
+                ).filter(F.col("_change_type") != "update_preimage")
+                replica.merge(
+                    one.select(
+                        F.col("_row_id").alias("rid"),
+                        "doc_id",
+                        "lang",
+                        "source",
+                        "n_chars",
+                        "_change_type",
+                    ),
+                    ["rid"],
+                    delete_where="_change_type = 'delete'",
+                    txn_update={qid: int(v)},
+                )
+        finally:
+            b.unpersist()
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", _STREAM_SHUFFLE_PARTITIONS
+    )
+    try:
+        q = (
+            spark.readStream.format("snapshot_changes")
+            .option("path", corpus_dir)
+            .option("sinceVersion", str(v_start))
+            .option("readChangeFeed", "true")
+            .option("withRowIds", "true")
+            .load()
+            .writeStream.foreachBatch(apply_changes)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    snap = corpus.read(with_row_ids=True).select(
+        F.col("_row_id").alias("rid"),
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    rep = replica.read().select(
+        "rid", "doc_id", "lang", "source", "n_chars"
+    )
+    flag = int(
+        rep.exceptAll(snap).count() == 0
+        and snap.exceptAll(rep).count() == 0
+    )
+    return (
+        rep.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_chars").cast("bigint").alias("chars_total"),
+        )
+        .withColumn("replica_equals_snapshot", F.lit(flag))
+    )

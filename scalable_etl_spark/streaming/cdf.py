@@ -244,7 +244,8 @@ class _FilePartition(InputPartition):
     """
 
     def __init__(self, path, version, fields, part_values,
-                 change_type=None, ts=None, dv_paths=None, rel=None):
+                 change_type=None, ts=None, dv_paths=None, rel=None,
+                 rid_base=None, rid_phys=False, rid_file=False):
         self.path = path
         self.version = version
         self.fields = fields
@@ -253,6 +254,17 @@ class _FilePartition(InputPartition):
         self.ts = ts
         self.dv_paths = dv_paths
         self.rel = rel
+        # row-id delivery (withRowIds=true): ``rid_base`` = this
+        # file's base_row_id from ITS version's manifest (derived id
+        # = base + original file position, computed BEFORE deletion-
+        # vector suppression); ``rid_phys`` = the file belongs to a
+        # row_mat entry and physically carries a _row_id column that
+        # wins over the derived spelling; ``rid_file`` = a recorded
+        # change-image file whose captured _row_id column delivers
+        # as-is.
+        self.rid_base = rid_base
+        self.rid_phys = rid_phys
+        self.rid_file = rid_file
 
 
 class SnapshotChangesReader(DataSourceStreamReader):
@@ -306,6 +318,14 @@ class SnapshotChangesReader(DataSourceStreamReader):
         )
         self.change_feed = (
             str(options.get("readchangefeed", "false")).lower() == "true"
+        )
+        # withRowIds=true: every delivered row carries the source
+        # table's stable _row_id (requires row tracking over the
+        # whole streamed range — mirrors table_changes'
+        # with_row_ids contract, including the raise on versions
+        # whose manifests carry no base map)
+        self.with_row_ids = (
+            str(options.get("withrowids", "false")).lower() == "true"
         )
         # Delta's failOnDataLoss contract: default loud — a stream
         # resuming from an offset whose manifest vacuum deleted fails;
@@ -715,6 +735,19 @@ class SnapshotChangesReader(DataSourceStreamReader):
                 os.path.join(t.dv_dir, u)
                 for u in m.get("dv", {}).get(d, [])
             ] or None
+            rid_bases = None
+            rid_phys = False
+            if self.with_row_ids:
+                if "row_bases" not in m:
+                    raise RuntimeError(
+                        f"snapshot_changes: version {v} carries no "
+                        "row-id base map (tracking was not enabled — "
+                        "or was disabled — at that version): its "
+                        "rows have no ids; start the stream after "
+                        "it (sinceVersion) or drop withRowIds"
+                    )
+                rid_bases = m["row_bases"].get(d, {})
+                rid_phys = d in set(m.get("row_mat", []))
             base = os.path.join(t.data_dir, d)
             for walk_root, _sub, files in os.walk(base):
                 for fn in sorted(files):
@@ -730,6 +763,14 @@ class SnapshotChangesReader(DataSourceStreamReader):
                                 ts=ts,
                                 dv_paths=dv_paths,
                                 rel=os.path.relpath(path, t.data_dir),
+                                rid_base=(
+                                    rid_bases.get(
+                                        os.path.relpath(path, base)
+                                    )
+                                    if rid_bases is not None
+                                    else None
+                                ),
+                                rid_phys=rid_phys,
                             )
                         )
 
@@ -763,6 +804,13 @@ class SnapshotChangesReader(DataSourceStreamReader):
                 "changes are unsupported — start the stream after "
                 "the ALTER (sinceVersion)"
             )
+        if self.with_row_ids and not cdc.get("row_ids"):
+            raise RuntimeError(
+                f"snapshot_changes: version {v} delivers RECORDED "
+                "row images whose write predates row-id capture — "
+                "start the stream after it (sinceVersion) or drop "
+                "withRowIds"
+            )
         fields = [
             (lname, ltype, lname if lname in stored else None,
              stored.get(lname, ltype), None)
@@ -780,6 +828,7 @@ class SnapshotChangesReader(DataSourceStreamReader):
                             {},
                             "__file__",
                             ts=float(m["timestamp"]),
+                            rid_file=self.with_row_ids,
                         )
                     )
 
@@ -788,6 +837,15 @@ class SnapshotChangesReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(part.path)
+        rid_pos = None
+        if self.with_row_ids and not part.rid_file:
+            import numpy as np
+
+            # derived id = base + ORIGINAL file position — captured
+            # BEFORE deletion-vector suppression (the batch read tags
+            # _metadata.row_index the same way), so surviving rows
+            # keep the ids the suppressed rows' absence would shift
+            rid_pos = np.arange(tbl.num_rows, dtype=np.int64)
         if part.dv_paths:
             # deletion vectors: suppress positions recorded for this
             # file (mirrors the batch read()'s anti-join; positions
@@ -829,6 +887,8 @@ class SnapshotChangesReader(DataSourceStreamReader):
                     np.fromiter(pos, dtype=np.int64),
                 )
                 tbl = tbl.filter(pa.array(keep))
+                if rid_pos is not None:
+                    rid_pos = rid_pos[keep]
         n = tbl.num_rows
         cols = []
         names = []
@@ -856,6 +916,31 @@ class SnapshotChangesReader(DataSourceStreamReader):
                 # column): all-NULL, same as the Spark scan
                 cols.append(pa.nulls(n, type=_arrow_type(ltype)))
             names.append(lname)
+        if self.with_row_ids:
+            if part.rid_file:
+                # recorded image: the captured id column delivers
+                # as-is (the file physically carries it even though
+                # the stored logical schema never declares it)
+                cols.append(tbl.column("_row_id"))
+            else:
+                derived = (
+                    pa.array(part.rid_base + rid_pos, type=pa.int64())
+                    if part.rid_base is not None
+                    else pa.nulls(n, type=pa.int64())
+                )  # base can only be absent for a zero-row file,
+                # whose read yields nothing anyway
+                if part.rid_phys and "_row_id" in have:
+                    import pyarrow.compute as pc2
+
+                    # materialized entry: physical id wins, derived
+                    # covers NULL slots (fresh inserts written into
+                    # an otherwise-materialized entry)
+                    cols.append(
+                        pc2.coalesce(tbl.column("_row_id"), derived)
+                    )
+                else:
+                    cols.append(derived)
+            names.append("_row_id")
         if part.change_type == "__file__":
             cols.append(tbl.column("_change_type"))
             names.append("_change_type")
@@ -912,7 +997,15 @@ class SnapshotChangesSource(DataSource):
     pre/post-images, OVERWRITE/RESTORE commits made under it deliver
     DERIVED images — removed-dir rows as ``delete``, added-dir rows
     as ``insert`` — appends deliver as ``insert``, compaction is
-    invisible), ``failOnDataLoss`` (default true: a vacuumed offset
+    invisible), ``withRowIds`` (every delivered row carries the
+    source's stable ``_row_id`` — dir-derived rows compute
+    ``base + original file position`` from each version's own base
+    map, recorded images deliver their write-time-captured ids,
+    materialized entries' physical ids win; requires row tracking
+    over the streamed range, raising on pre-tracking versions like
+    the batch ``table_changes(with_row_ids=True)`` — the streaming
+    spelling of the id-keyed incremental consumer),
+    ``failOnDataLoss`` (default true: a vacuumed offset
     fails loudly; false skips to the oldest resolvable version,
     re-delivering its full snapshot with a logged gap marker)."""
 
@@ -958,14 +1051,10 @@ class SnapshotChangesSource(DataSource):
                     f"column {name!r} is {tname}"
                 )
             parts.append(f"`{name}` {ddl_types.get(tname, tname)}")
-        feed = (
-            str(
-                {k.lower(): v for k, v in self.options.items()}.get(
-                    "readchangefeed", "false"
-                )
-            ).lower()
-            == "true"
-        )
+        opts = {k.lower(): v for k, v in self.options.items()}
+        feed = str(opts.get("readchangefeed", "false")).lower() == "true"
+        if str(opts.get("withrowids", "false")).lower() == "true":
+            parts.append("`_row_id` bigint")
         if feed:
             parts.append("`_change_type` string")
         parts.append("`_commit_version` bigint")

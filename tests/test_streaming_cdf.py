@@ -797,3 +797,78 @@ def test_cdf_stream_from_cloned_table(spark, tmp_path):
     got2: list = []
     _drain(spark, branch_root, str(tmp_path / "ck"), got2)
     assert sorted(got2) == [(4, "d", 1)]
+
+
+def test_cdf_stream_with_row_ids_mixed_dml(spark, tmp_path):
+    """withRowIds=true (round 16): every delivered row — appends,
+    recorded MOR-delete / MERGE / delete_rows images, derived restore
+    legs — carries the source's stable _row_id, and an id-keyed
+    replica applied in commit order equals the live id-bearing
+    snapshot. Pre-tracking versions and pre-capture images raise."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "id INT, v STRING"
+        )
+    )
+    t.enable_row_tracking()                                       # v1
+    t.enable_change_data_feed()                                   # v2
+    v_start = t.latest_version()
+    t.append(
+        spark.createDataFrame([(100, "a"), (101, "b")], "id INT, v STRING")
+    )                                                             # v3
+    t.delete("id < 2", mode="merge-on-read")                      # v4
+    t.merge(
+        spark.createDataFrame([(5, "U"), (200, "n")], "id INT, v STRING"),
+        ["id"],
+    )                                                             # v5
+    drop = [
+        r["_row_id"]
+        for r in t.read(with_row_ids=True).filter("id = 7").collect()
+    ]
+    t.delete_rows(drop)                                           # v6
+    t.compact()                                                   # v7 (invisible)
+
+    got: list = []
+    _drain_cdf(
+        spark, root, str(tmp_path / "ck"), got,
+        withRowIds="true", sinceVersion=str(v_start),
+    )
+    # (id, v, _row_id, _change_type, _commit_version)
+    assert all(r[2] is not None for r in got), got
+    replica = {
+        r["_row_id"]: (r["id"], r["v"])
+        for r in t.read(version=v_start, with_row_ids=True).collect()
+    }
+    for r in sorted(got, key=lambda r: r[4]):
+        if r[3] in ("insert", "update_postimage"):
+            replica[r[2]] = (r[0], r[1])
+        elif r[3] == "delete":
+            replica.pop(r[2], None)
+    snap = {
+        r["_row_id"]: (r["id"], r["v"])
+        for r in t.read(with_row_ids=True).collect()
+    }
+    assert replica == snap
+    # pre-tracking versions refuse (dir-derived leg)
+    from scalable_etl_spark.streaming.cdf import SnapshotChangesReader
+
+    fields = [
+        (f.name, {"integer": "integer", "string": "string"}.get(
+            f.dataType.simpleString(),
+            {"int": "integer"}.get(f.dataType.simpleString(),
+                                   f.dataType.simpleString()))
+         )
+        for f in t.read().schema.fields
+    ]
+    r = SnapshotChangesReader(
+        {"path": root, "withrowids": "true", "readchangefeed": "true"},
+        fields,
+    )
+    import pytest as _pt
+
+    with _pt.raises(RuntimeError, match="no row-id base map"):
+        r.partitions({"version": -1}, {"version": 1})
