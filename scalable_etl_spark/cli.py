@@ -273,18 +273,47 @@ def cmd_table(spark: SparkSession, args: argparse.Namespace) -> dict:
             "row_hwm": hwm,
         }
     if args.action == "delete-rows":
-        if not args.ids:
+        v0 = t.latest_version()
+        if args.ids_from:
+            # the 100 TB spelling: the drop list a curation job wrote
+            # (parquet, first column = _row_id) applies as a
+            # DataFrame — never collected to the driver
+            drop = spark.read.parquet(args.ids_from)
+            requested = drop.count()
+            v = t.delete_rows(drop)
+        elif args.ids:
+            ids = [int(x) for x in args.ids.split(",") if x.strip()]
+            requested = len(ids)
+            v = t.delete_rows(ids)
+        else:
             raise SystemExit(
                 "delete-rows needs --ids (comma-separated _row_id "
-                "values, e.g. from a curation drop list)"
+                "values) or --ids-from (parquet drop list, first "
+                "column = _row_id)"
             )
-        ids = [int(x) for x in args.ids.split(",") if x.strip()]
-        v0 = t.latest_version()
-        v = t.delete_rows(ids)
         return {
-            "requested": len(ids),
+            "requested": requested,
             "deleted": v > (v0 if v0 is not None else -1),
             "committed_version": v,
+        }
+    if args.action == "sync":
+        if not args.target:
+            raise SystemExit("sync needs --target (destination root)")
+        from .acid import sync_incremental
+
+        dst = SnapshotTable(spark, args.target)
+        keys = [k for k in args.keys.split(",") if k.strip()]
+        dv, sv = sync_incremental(
+            t,
+            dst,
+            sync_id=args.sync_id,
+            keys=keys,
+            by_row_id=args.by_row_id,
+        )
+        return {
+            "dst_version": dv,
+            "synced_src_version": sv,
+            "by_row_id": bool(args.by_row_id),
         }
     raise SystemExit(f"unknown table action {args.action!r}")
 
@@ -348,7 +377,9 @@ def main(argv: list[str] | None = None) -> int:
         "(--mode merge-on-read = deletion vectors) / reorg "
         "(REORG APPLY PURGE: rewrite only entries carrying stale "
         "column bytes or deletion vectors) / clone "
-        "(zero-copy SHALLOW CLONE to --target, hardlinked)",
+        "(zero-copy SHALLOW CLONE to --target, hardlinked) / sync "
+        "(exactly-once incremental materialization into --target; "
+        "--keys = CDC replication, --by-row-id = id-keyed replica)",
     )
     tb.add_argument("action",
                     choices=["history", "restore", "compact", "vacuum",
@@ -357,7 +388,8 @@ def main(argv: list[str] | None = None) -> int:
                              "add-constraint", "drop-constraint",
                              "set-property", "unset-property",
                              "delete", "reorg", "clone",
-                             "enable-row-tracking", "delete-rows"])
+                             "enable-row-tracking", "delete-rows",
+                             "sync"])
     tb.add_argument("--target", default="",
                     help="destination root for clone")
     tb.add_argument("--root", required=True)
@@ -407,6 +439,22 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated _row_id values for "
                     "delete-rows (a curation drop list; requires "
                     "enable-row-tracking)")
+    tb.add_argument("--ids-from", dest="ids_from", default="",
+                    help="parquet path of a drop-list DataFrame "
+                    "(first column = _row_id) for delete-rows — the "
+                    "at-scale spelling: applied via left-semi join, "
+                    "never collected to the driver")
+    tb.add_argument("--keys", default="",
+                    help="comma-separated merge keys for sync "
+                    "(CDC replication; omit for append-only)")
+    tb.add_argument("--by-row-id", dest="by_row_id",
+                    action="store_true",
+                    help="sync keyed on the source's stable row ids "
+                    "(zero-config CDC replica; requires "
+                    "enable-row-tracking on the source)")
+    tb.add_argument("--sync-id", dest="sync_id", default="default",
+                    help="ledger id for sync (exactly-once watermark "
+                    "per id)")
 
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"scalable-etl-{args.cmd}")

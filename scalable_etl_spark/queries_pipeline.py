@@ -1296,9 +1296,10 @@ def cdf_row_id_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = replica.read().select(
         "rid", "doc_id", "lang", "source", "n_chars"
     )
+    # ONE verification job with early exit (isEmpty limits to the
+    # first diff row) instead of two counted exceptAll passes
     flag = int(
-        rep.exceptAll(snap).count() == 0
-        and snap.exceptAll(rep).count() == 0
+        rep.exceptAll(snap).unionAll(snap.exceptAll(rep)).isEmpty()
     )
     return (
         rep.groupBy("source")
@@ -1407,9 +1408,10 @@ def incremental_index_row_ids(
     sync()
     rebuild = transform(corpus.read(with_row_ids=True))
     got = index.read().select(*rebuild.columns)
+    # ONE verification job with early exit (isEmpty limits to the
+    # first diff row) instead of two counted exceptAll passes
     flag = int(
-        got.exceptAll(rebuild).count() == 0
-        and rebuild.exceptAll(got).count() == 0
+        got.exceptAll(rebuild).unionAll(rebuild.exceptAll(got)).isEmpty()
     )
     return (
         index.read()

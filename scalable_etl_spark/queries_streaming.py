@@ -1326,9 +1326,10 @@ def streaming_cdf_row_id_replica(
     rep = replica.read().select(
         "rid", "doc_id", "lang", "source", "n_chars"
     )
+    # ONE verification job with early exit (isEmpty limits to the
+    # first diff row) instead of two counted exceptAll passes
     flag = int(
-        rep.exceptAll(snap).count() == 0
-        and snap.exceptAll(rep).count() == 0
+        rep.exceptAll(snap).unionAll(snap.exceptAll(rep)).isEmpty()
     )
     return (
         rep.groupBy("source")

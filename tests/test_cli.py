@@ -300,3 +300,42 @@ def test_table_clone_cli(spark, tmp_path, capsys):
     c = SnapshotTable(spark, target)
     c.delete("k < 3")
     assert c.read().count() == 3 and t.read().count() == 6
+
+
+def test_table_sync_cli_by_row_id(spark, tmp_path, capsys):
+    """`table sync --by-row-id` replicates a tracked source into an
+    untracked replica keyed on stable row ids; a re-run no-ops
+    (exactly-once ledger); `delete-rows --ids-from` applies a parquet
+    drop list as a DataFrame."""
+    from scalable_etl_spark.acid import SnapshotTable
+
+    src_root = str(tmp_path / "src")
+    dst_root = str(tmp_path / "dst")
+    src = SnapshotTable(spark, src_root)
+    src.overwrite(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(8)], "k INT, v STRING"
+        )
+    )
+    src.enable_row_tracking()
+    src.enable_change_data_feed()
+    out = _run(capsys, "table", "--root", src_root, "sync",
+               "--target", dst_root, "--by-row-id")
+    assert out["by_row_id"] is True and out["synced_src_version"] >= 0
+    dst = SnapshotTable(spark, dst_root)
+    assert "_row_id" in dst.read().columns
+    assert dst.read().count() == 8
+    # a parquet drop list applies without collecting
+    drop_path = str(tmp_path / "drop.parquet")
+    src.read(with_row_ids=True).filter("k >= 6").select(
+        "_row_id"
+    ).write.parquet(drop_path)
+    out2 = _run(capsys, "table", "--root", src_root, "delete-rows",
+                "--ids-from", drop_path)
+    assert out2["requested"] == 2 and out2["deleted"] is True
+    assert src.read().count() == 6
+    # the replica follows through the recorded delete images
+    out3 = _run(capsys, "table", "--root", src_root, "sync",
+                "--target", dst_root, "--by-row-id")
+    assert out3["synced_src_version"] > out["synced_src_version"]
+    assert dst.read().count() == 6
