@@ -5479,19 +5479,24 @@ class SnapshotTable:
             )
 
         def _ins(novel: DataFrame) -> DataFrame:
-            """Insert leg: under row tracking, read the fresh ids
-            back from the new entries instead of emitting the raw
-            batch rows (values are identical by construction — the
-            new files hold exactly the batch effect)."""
+            """Insert leg: under row tracking, the fresh ids are read
+            back from the just-written entries — but only a NARROW
+            (keys, _row_id) projection of that scan (columnar pruning
+            keeps the read-back O(key bytes), not a second full-width
+            pass over everything the merge wrote); the image VALUES
+            come from the already-persisted batch side, identical by
+            construction to what the files hold. Inner join on the
+            merge keys: the written frame carries every key, novel
+            carries only the unmatched ones."""
             if not rid:
                 return novel
-            written = self._read_dirs(
+            written_ids = self._read_dirs(
                 rid_ctx["m_new"],
                 list(rid_ctx["m_new"]["dirs"]),
                 with_row_ids=True,
-            )
-            return written.join(
-                novel.select(*keys), keys, "left_semi"
+            ).select(*keys, _ROW_ID)
+            return novel.select(*target.columns).join(
+                written_ids, keys, "inner"
             ).select(*target.columns, _ROW_ID)
 
         if when_matched == "update" and dflag is not None:
