@@ -2646,7 +2646,12 @@ class SnapshotTable:
         )
 
     def _attach_row_ids(
-        self, tagged: DataFrame, m: dict, dirs, keep_meta: bool = False
+        self,
+        tagged: DataFrame,
+        m: dict,
+        dirs,
+        keep_meta: bool = False,
+        fresh_flag: str | None = None,
     ) -> DataFrame:
         """Add ``_row_id`` to a meta-tagged frame (every row carries
         ``_DV_FILE``/``_DV_POS`` and, for materialized entries, a
@@ -2671,6 +2676,17 @@ class SnapshotTable:
             if has_phys
             else derived,
         ).drop("__sg_rb_file", "__sg_rb_base")
+        if fresh_flag is not None:
+            # TRUE for rows whose id is DERIVED (no physical id):
+            # on a freshly-written rewrite output these are exactly
+            # the rows the write introduced (merge insert legs) —
+            # the physical column marks carried rows
+            out = out.withColumn(
+                fresh_flag,
+                F.col(_ROW_ID_PHYS).isNull()
+                if has_phys
+                else F.lit(True),
+            )
         if has_phys:
             out = out.drop(_ROW_ID_PHYS)
         return out if keep_meta else out.drop(_DV_FILE, _DV_POS)
@@ -5485,19 +5501,34 @@ class SnapshotTable:
             keeps the read-back O(key bytes), not a second full-width
             pass over everything the merge wrote); the image VALUES
             come from the already-persisted batch side, identical by
-            construction to what the files hold. Inner join on the
-            merge keys: the written frame carries every key, novel
-            carries only the unmatched ones."""
+            construction to what the files hold. The written side is
+            pre-filtered to FRESH rows (derived id, no physical one —
+            exactly the rows this merge introduced; carried survivors
+            and matched rows are materialized), so the join is 1:1 by
+            the merge's one-row-per-key contract, and NULL-SAFE so a
+            NULL-keyed insert (legal here — it can never match a
+            target row) still delivers its image with its id."""
             if not rid:
                 return novel
-            written_ids = self._read_dirs(
+            fresh = self._read_dirs(
                 rid_ctx["m_new"],
                 list(rid_ctx["m_new"]["dirs"]),
                 with_row_ids=True,
-            ).select(*keys, _ROW_ID)
-            return novel.select(*target.columns).join(
-                written_ids, keys, "inner"
-            ).select(*target.columns, _ROW_ID)
+                rid_fresh_flag="__sg_fresh",
+            ).filter(F.col("__sg_fresh")).select(*keys, _ROW_ID)
+            nv = novel.select(*target.columns).alias("__nv")
+            wi = fresh.alias("__wi")
+            cond = reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(f"__nv.{k}").eqNullSafe(F.col(f"__wi.{k}"))
+                    for k in keys
+                ],
+            )
+            return nv.join(wi, cond, "inner").select(
+                *[F.col(f"__nv.{c}") for c in target.columns],
+                F.col(f"__wi.{_ROW_ID}").alias(_ROW_ID),
+            )
 
         if when_matched == "update" and dflag is not None:
             # mixed CDC batch (delete_where): per-row split
@@ -5534,6 +5565,7 @@ class SnapshotTable:
         dirs: list[str],
         keep_dv_meta: bool = False,
         with_row_ids: bool = False,
+        rid_fresh_flag: str | None = None,
     ) -> DataFrame:
         """DataFrame over an explicit dir subset of a manifest (empty
         subset -> empty frame with the manifest schema). Canonicalizes
@@ -5552,6 +5584,8 @@ class SnapshotTable:
                 out = out.select(
                     "*", F.lit(None).cast("bigint").alias(_ROW_ID)
                 )
+                if rid_fresh_flag is not None:
+                    out = out.withColumn(rid_fresh_flag, F.lit(True))
             if keep_dv_meta:
                 out = out.select(
                     "*",
@@ -5613,6 +5647,7 @@ class SnapshotTable:
                 merged = self._attach_row_ids(
                     merged, m, [d for _, d in dv_parts],
                     keep_meta=keep_dv_meta,
+                    fresh_flag=rid_fresh_flag,
                 )
             parts.append(merged)
         out = reduce(lambda a, b: a.unionByName(b), parts)
@@ -5621,6 +5656,8 @@ class SnapshotTable:
         order = [f.name for f in schema.fields]
         if with_row_ids:
             order.append(_ROW_ID)
+            if rid_fresh_flag is not None:
+                order.append(rid_fresh_flag)
         if keep_dv_meta:
             order += [_DV_FILE, _DV_POS]
         return out.select(*order)

@@ -1059,3 +1059,32 @@ def test_sync_incremental_by_row_id(spark, tmp_path):
     dst2 = _fresh(spark, tmp_path, n=2, name="sy_dst2")
     with pytest.raises(ValueError, match="untracked"):
         sync_incremental(src, dst2, by_row_id=True)
+
+
+def test_merge_cdc_null_keyed_insert_captures_id(spark, tmp_path):
+    """A NULL-keyed batch row can never match a target row, so it
+    always inserts — its recorded image must still carry the fresh id
+    (the null-safe read-back join; a plain key join would silently
+    drop it from the feed)."""
+    t = _fresh(spark, tmp_path, n=4, name="nullkey")
+    t.enable_change_data_feed()
+    v0 = t.latest_version()
+    batch = spark.createDataFrame(
+        [(None, "nk"), (2, "u2")], "k INT, v STRING"
+    )
+    t.merge(batch, ["k"])
+    rows = t.table_changes(
+        v0, change_feed=True, with_row_ids=True
+    ).collect()
+    ids_now = {
+        (r.k, r.v): r._row_id
+        for r in t.read(with_row_ids=True).collect()
+    }
+    ins = {
+        (r.k, r.v): r._row_id
+        for r in rows
+        if r._change_type == "insert"
+    }
+    assert (None, "nk") in ins
+    assert ins[(None, "nk")] == ids_now[(None, "nk")]
+    assert ins[(None, "nk")] is not None
