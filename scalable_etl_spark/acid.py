@@ -5478,19 +5478,39 @@ class SnapshotTable:
         tkeys = target.select(*keys)
         matched_pre = timg.join(bkeys, keys, "left_semi")
 
+        def _tids() -> DataFrame:
+            return (
+                rid_ctx["target_read"]
+                .select(*keys, _ROW_ID)
+                .groupBy(*keys)
+                .agg(F.min(_ROW_ID).alias(_ROW_ID))
+            )
+
+        def _losers(mt: DataFrame) -> DataFrame:
+            """Matched rows an UPDATE-mode merge collapses away: on a
+            duplicate-keyed target (legal here — Delta raises) every
+            matched key keeps exactly ONE row with the SMALLEST
+            matched id; the other matched rows leave the table, and
+            an id-keyed consumer must see their ids RETRACTED. They
+            deliver as explicit ``delete`` images — without this leg
+            a replica keyed by ``_row_id`` keeps the losing rows
+            forever (round-16 review finding). Key-unique targets
+            make this leg empty at the cost of one aggregate over
+            the already-persisted target scan."""
+            keep = _tids().withColumnRenamed(_ROW_ID, "__sg_keep")
+            return (
+                mt.join(keep, keys, "left")
+                .filter(F.col(_ROW_ID) != F.col("__sg_keep"))
+                .drop("__sg_keep")
+            )
+
         def _post(eff_bat: DataFrame) -> DataFrame:
             """Postimage leg: batch rows that matched, carrying the
             matched target row's id under row tracking."""
             matched = eff_bat.join(tkeys, keys, "left_semi")
             if not rid:
                 return matched
-            tids = (
-                rid_ctx["target_read"]
-                .select(*keys, _ROW_ID)
-                .groupBy(*keys)
-                .agg(F.min(_ROW_ID).alias(_ROW_ID))
-            )
-            return matched.join(tids, keys, "left").select(
+            return matched.join(_tids(), keys, "left").select(
                 *target.columns, _ROW_ID
             )
 
@@ -5535,21 +5555,25 @@ class SnapshotTable:
             b_del = batch.filter(dflag).select(*keys)
             b_up = batch.filter(~dflag)
             up_bat = b_up.select(*target.columns)
+            up_matched = timg.join(
+                b_up.select(*keys), keys, "left_semi"
+            )
             cframes = [
                 (timg.join(b_del, keys, "left_semi"), "delete"),
-                (
-                    timg.join(b_up.select(*keys), keys, "left_semi"),
-                    "update_preimage",
-                ),
+                (up_matched, "update_preimage"),
                 (_post(up_bat), "update_postimage"),
                 (_ins(up_bat.join(tkeys, keys, "left_anti")), "insert"),
             ]
+            if rid:
+                cframes.append((_losers(up_matched), "delete"))
         elif when_matched == "update":
             cframes = [
                 (matched_pre, "update_preimage"),
                 (_post(bat), "update_postimage"),
                 (_ins(bat.join(tkeys, keys, "left_anti")), "insert"),
             ]
+            if rid:
+                cframes.append((_losers(matched_pre), "delete"))
         else:
             cframes = [
                 (matched_pre, "delete"),
@@ -6159,142 +6183,157 @@ class SnapshotTable:
         ids_df = row_ids if isinstance(row_ids, DataFrame) else None
         if ids_df is None:
             ids = sorted({int(i) for i in row_ids})
-        for _ in range(_COMMIT_RETRIES):
-            v = self.latest_version()
-            if v is None:
-                raise FileNotFoundError(
-                    f"no committed version at {self.root}"
-                )
-            m = self._manifest(v)
-            if (
-                m.get("properties", {})
-                .get("rowTracking", "")
-                .lower()
-                != "true"
-            ):
-                raise ValueError(
-                    "delete_rows needs row tracking; call "
-                    "enable_row_tracking() first"
-                )
-            if ids_df is not None:
-                id_col = ids_df.columns[0]
-                # try_cast, not cast: under ANSI a malformed value
-                # would THROW mid-job; the miswired-list check below
-                # wants to see the NULLs and raise a targeted error
-                keys = ids_df.select(
-                    F.col(id_col).try_cast("bigint").alias(_ROW_ID)
-                ).dropDuplicates([_ROW_ID])
-                r = ids_df.select(
-                    F.col(id_col).alias("__raw"),
-                    F.col(id_col).try_cast("bigint").alias(_ROW_ID),
-                ).agg(
-                    F.count("__raw").alias("n_in"),
-                    F.count(_ROW_ID).alias("n_ok"),
-                    F.min(_ROW_ID).alias("lo"),
-                    F.max(_ROW_ID).alias("hi"),
-                ).first()
-                if r["n_ok"] < r["n_in"]:
-                    # a non-castable first column is a MISWIRED drop
-                    # list (wrong column order out of a curation
-                    # job), not an empty one — silently deleting
-                    # nothing (all-NULL) or a subset (partially
-                    # castable) would pass unnoticed
+        # None until a probe actually ran this call: early returns
+        # (empty list, nothing can match) must not leave a PREVIOUS
+        # call's numbers for a caller reading the probe stats
+        self.last_delete_rows_stats = None
+        keys = None
+        try:
+            for _ in range(_COMMIT_RETRIES):
+                v = self.latest_version()
+                if v is None:
+                    raise FileNotFoundError(
+                        f"no committed version at {self.root}"
+                    )
+                m = self._manifest(v)
+                if (
+                    m.get("properties", {})
+                    .get("rowTracking", "")
+                    .lower()
+                    != "true"
+                ):
                     raise ValueError(
-                        f"delete_rows: drop-list column "
-                        f"{id_col!r} has {r['n_in'] - r['n_ok']} "
-                        f"value(s) (of {r['n_in']}) that do not cast "
-                        "to bigint — pass the _row_id column first"
+                        "delete_rows needs row tracking; call "
+                        "enable_row_tracking() first"
                     )
-                if r["lo"] is None:
-                    return v  # empty drop list
-                rid_pred = (_ROW_ID, int(r["lo"]), int(r["hi"]))
-            else:
-                if not ids:
-                    return v
-                rid_pred = In(_ROW_ID, ids)
-            prefix = self._dv_scan_prefix(m, required=True)
-            if prefix == "":
-                return v  # no file holds a row: nothing can match
-            # the SAME base-map pruning the id-predicate read path
-            # uses (one implementation — read and delete must never
-            # disagree on which entries can hold an id)
-            candidates, _files = self._rid_prune(
-                m, m["dirs"], [rid_pred]
-            )
-            if ids_df is not None and candidates:
-                # the DataFrame path's rid_pred is only the list's
-                # global [min, max]; refine DERIVED survivors per
-                # entry against the actual ids (mat entries hold
-                # arbitrary old ids and stay candidates regardless)
-                mat_set = set(m.get("row_mat", []))
-                bases_d = m.get("row_bases", {})
-                derived = {
-                    d
-                    for d in candidates
-                    if d not in mat_set and d in bases_d
-                }
-                if derived:
-                    hit = self._rid_entry_hits(
-                        m, sorted(derived), keys
-                    )
-                    candidates = [
+                if ids_df is not None:
+                    id_col = ids_df.columns[0]
+                    # try_cast, not cast: under ANSI a malformed value
+                    # would THROW mid-job; the miswired-list check below
+                    # wants to see the NULLs and raise a targeted error.
+                    # persist: the list plan (often a filter over this
+                    # very table's id-bearing read) is evaluated by the
+                    # validation aggregate, the per-entry probe join, AND
+                    # the matched semi-join — pay its scan once (retries
+                    # reuse it; unpersisted in the finally below)
+                    if keys is None:
+                        keys = ids_df.select(
+                            F.col(id_col).try_cast("bigint").alias(_ROW_ID)
+                        ).dropDuplicates([_ROW_ID]).persist()
+                    r = ids_df.select(
+                        F.col(id_col).alias("__raw"),
+                        F.col(id_col).try_cast("bigint").alias(_ROW_ID),
+                    ).agg(
+                        F.count("__raw").alias("n_in"),
+                        F.count(_ROW_ID).alias("n_ok"),
+                        F.min(_ROW_ID).alias("lo"),
+                        F.max(_ROW_ID).alias("hi"),
+                    ).first()
+                    if r["n_ok"] < r["n_in"]:
+                        # a non-castable first column is a MISWIRED drop
+                        # list (wrong column order out of a curation
+                        # job), not an empty one — silently deleting
+                        # nothing (all-NULL) or a subset (partially
+                        # castable) would pass unnoticed
+                        raise ValueError(
+                            f"delete_rows: drop-list column "
+                            f"{id_col!r} has {r['n_in'] - r['n_ok']} "
+                            f"value(s) (of {r['n_in']}) that do not cast "
+                            "to bigint — pass the _row_id column first"
+                        )
+                    if r["lo"] is None:
+                        return v  # empty drop list
+                    rid_pred = (_ROW_ID, int(r["lo"]), int(r["hi"]))
+                else:
+                    if not ids:
+                        return v
+                    rid_pred = In(_ROW_ID, ids)
+                prefix = self._dv_scan_prefix(m, required=True)
+                if prefix == "":
+                    return v  # no file holds a row: nothing can match
+                # the SAME base-map pruning the id-predicate read path
+                # uses (one implementation — read and delete must never
+                # disagree on which entries can hold an id)
+                candidates, _files = self._rid_prune(
+                    m, m["dirs"], [rid_pred]
+                )
+                if ids_df is not None and candidates:
+                    # the DataFrame path's rid_pred is only the list's
+                    # global [min, max]; refine DERIVED survivors per
+                    # entry against the actual ids (mat entries hold
+                    # arbitrary old ids and stay candidates regardless)
+                    mat_set = set(m.get("row_mat", []))
+                    bases_d = m.get("row_bases", {})
+                    derived = {
                         d
                         for d in candidates
-                        if d not in derived or d in hit
-                    ]
-            # probe-size instrumentation (tests + graded structural
-            # flags pin that a sparse list probes a subset)
-            self.last_delete_rows_stats = {
-                "entries_total": len(m["dirs"]),
-                "entries_probed": len(candidates),
-            }
-            if not candidates:
-                return v
-            target = self._read_dirs(
-                m, candidates, keep_dv_meta=True, with_row_ids=True
+                        if d not in mat_set and d in bases_d
+                    }
+                    if derived:
+                        hit = self._rid_entry_hits(
+                            m, sorted(derived), keys
+                        )
+                        candidates = [
+                            d
+                            for d in candidates
+                            if d not in derived or d in hit
+                        ]
+                # probe-size instrumentation (tests + graded structural
+                # flags pin that a sparse list probes a subset)
+                self.last_delete_rows_stats = {
+                    "entries_total": len(m["dirs"]),
+                    "entries_probed": len(candidates),
+                }
+                if not candidates:
+                    return v
+                target = self._read_dirs(
+                    m, candidates, keep_dv_meta=True, with_row_ids=True
+                )
+                matched = (
+                    target.join(keys, _ROW_ID, "left_semi")
+                    if ids_df is not None
+                    else target.filter(F.col(_ROW_ID).isin(*ids))
+                ).persist()
+                cdf_on = self._cdf_enabled(v)
+                try:
+                    dv_id, affected = self._dv_sidecar(matched, m, prefix)
+                    if dv_id is None:
+                        return v  # nothing matched: commit nothing
+                    change_rec = None
+                    if cdf_on:
+                        img = matched.drop(_DV_FILE, _DV_POS)
+                        change_rec = self._write_change_data(
+                            [(img, "delete")],
+                            [c for c in img.columns if c != _ROW_ID],
+                            row_ids=True,
+                        )
+                finally:
+                    matched.unpersist()
+                dv = self._dv_of(v)
+                for e in affected:
+                    dv[e] = [*dv.get(e, []), dv_id]
+                manifest = {
+                    "op": "delete_rows",
+                    "dirs": m["dirs"],
+                    "schema": m["schema"],
+                    "partition_cols": m["partition_cols"],
+                    "stats": self._stats_of(v),
+                    "file_stats": self._file_stats_of(v),
+                    "txn": self._txn_of(v),
+                    "evolution": self._evolution_of(v),
+                    "dv": dv,
+                    "timestamp": time.time(),
+                }
+                if change_rec is not None:
+                    manifest["change_data"] = change_rec
+                if self._commit(v + 1, manifest):
+                    return v + 1
+            raise CommitConflict(
+                f"delete_rows lost {_COMMIT_RETRIES} races"
             )
-            matched = (
-                target.join(keys, _ROW_ID, "left_semi")
-                if ids_df is not None
-                else target.filter(F.col(_ROW_ID).isin(*ids))
-            ).persist()
-            cdf_on = self._cdf_enabled(v)
-            try:
-                dv_id, affected = self._dv_sidecar(matched, m, prefix)
-                if dv_id is None:
-                    return v  # nothing matched: commit nothing
-                change_rec = None
-                if cdf_on:
-                    img = matched.drop(_DV_FILE, _DV_POS)
-                    change_rec = self._write_change_data(
-                        [(img, "delete")],
-                        [c for c in img.columns if c != _ROW_ID],
-                        row_ids=True,
-                    )
-            finally:
-                matched.unpersist()
-            dv = self._dv_of(v)
-            for e in affected:
-                dv[e] = [*dv.get(e, []), dv_id]
-            manifest = {
-                "op": "delete_rows",
-                "dirs": m["dirs"],
-                "schema": m["schema"],
-                "partition_cols": m["partition_cols"],
-                "stats": self._stats_of(v),
-                "file_stats": self._file_stats_of(v),
-                "txn": self._txn_of(v),
-                "evolution": self._evolution_of(v),
-                "dv": dv,
-                "timestamp": time.time(),
-            }
-            if change_rec is not None:
-                manifest["change_data"] = change_rec
-            if self._commit(v + 1, manifest):
-                return v + 1
-        raise CommitConflict(
-            f"delete_rows lost {_COMMIT_RETRIES} races"
-        )
+        finally:
+            if keys is not None:
+                keys.unpersist()
 
     def update(
         self,
@@ -7524,53 +7563,63 @@ def sync_incremental(
                 images = images.withColumnRenamed(
                     "_commit_version", "_src_version"
                 )
-                if m_next.get("change_data") is None:
-                    # DERIVED overwrite/restore feed: a surviving key
-                    # appears as BOTH a delete (old row) and an insert
-                    # (new row) — reduce per key, upsert image first
-                    # (recorded feeds are already one image per key;
-                    # skip the window for them)
-                    if strict and not by_row_id:
-                        # duplicate-key src: >1 NON-delete image for
-                        # one key means the reduction below would
-                        # crown an arbitrary winner — merge(strict)'s
-                        # exact misuse class, caught here because the
-                        # reduction would hide it from merge. Row ids
-                        # are unique per version by construction, so
-                        # the by_row_id path skips the extra job.
-                        dup = (
-                            images.filter(
-                                F.col("_change_type") != "delete"
-                            )
-                            .groupBy(*keys)
-                            .count()
-                            .filter(F.col("count") > 1)
-                            .limit(1)
-                            .count()
+                if (
+                    m_next.get("change_data") is None
+                    and strict
+                    and not by_row_id
+                ):
+                    # DERIVED segment, duplicate-key src: >1
+                    # NON-delete image for one key means the
+                    # reduction below would crown an arbitrary
+                    # winner — merge(strict)'s exact misuse class,
+                    # caught here because the reduction would hide
+                    # it from merge. Row ids are unique per version
+                    # by construction, so the by_row_id path skips
+                    # the extra job. (RECORDED feeds never have two
+                    # non-delete images per key — the merge contract
+                    # pre-reduces the batch.)
+                    dup = (
+                        images.filter(
+                            F.col("_change_type") != "delete"
                         )
-                        if dup:
-                            raise ValueError(
-                                f"sync {sync_id!r} (strict): src "
-                                f"v{last + 1} derives multiple insert "
-                                f"images for one key combination on "
-                                f"{list(keys)} — the src table holds "
-                                "duplicate keys, so the per-key "
-                                "reduction would pick an arbitrary "
-                                "winner; dedupe src or pass "
-                                "strict=False to accept one"
-                            )
-                    w = Window.partitionBy(*keys).orderBy(
-                        F.when(
-                            F.col("_change_type") == "delete", 1
-                        ).otherwise(0)
+                        .groupBy(*keys)
+                        .count()
+                        .filter(F.col("count") > 1)
+                        .limit(1)
+                        .count()
                     )
-                    images = (
-                        images.withColumn(
-                            "__rk", F.row_number().over(w)
+                    if dup:
+                        raise ValueError(
+                            f"sync {sync_id!r} (strict): src "
+                            f"v{last + 1} derives multiple insert "
+                            f"images for one key combination on "
+                            f"{list(keys)} — the src table holds "
+                            "duplicate keys, so the per-key "
+                            "reduction would pick an arbitrary "
+                            "winner; dedupe src or pass "
+                            "strict=False to accept one"
                         )
-                        .filter(F.col("__rk") == 1)
-                        .drop("__rk")
+                # per-key reduction, non-delete image first — needed
+                # by DERIVED feeds (a surviving key appears as both
+                # delete and insert) AND by recorded feeds from a
+                # row-tracked duplicate-keyed src, whose update-merge
+                # images carry loser-id delete legs alongside the
+                # key's postimage (round 16): the postimage must win
+                # the key, the loser delete rows are id-keyed
+                # retractions a KEY-keyed apply safely drops (their
+                # key survives via the winner).
+                w = Window.partitionBy(*keys).orderBy(
+                    F.when(
+                        F.col("_change_type") == "delete", 1
+                    ).otherwise(0)
+                )
+                images = (
+                    images.withColumn(
+                        "__rk", F.row_number().over(w)
                     )
+                    .filter(F.col("__rk") == 1)
+                    .drop("__rk")
+                )
                 if transform is not None:
                     images = transform(images)
                     lost = [

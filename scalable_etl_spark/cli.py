@@ -274,6 +274,12 @@ def cmd_table(spark: SparkSession, args: argparse.Namespace) -> dict:
         }
     if args.action == "delete-rows":
         v0 = t.latest_version()
+        if args.ids_from and args.ids:
+            raise SystemExit(
+                "delete-rows: pass --ids OR --ids-from, not both "
+                "(silently preferring one could delete a different "
+                "row set than requested)"
+            )
         if args.ids_from:
             # the 100 TB spelling: the drop list a curation job wrote
             # (parquet, first column = _row_id) applies as a

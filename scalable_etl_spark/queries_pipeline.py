@@ -1145,15 +1145,22 @@ def row_id_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.pmod(F.col("doc_id"), F.lit(30)) == 20, F.col("doc_id"))
         ).alias("d2"),
     ).first()
-    if r["d0"] is None or r["d2"] is None:
-        pruned = 1  # a wave is empty at this SF: vacuously pruned
-    else:
+    present = [int(x) for x in (r["d0"], r["d2"]) if x is not None]
+    if present:
+        # delete whichever sparse docs exist — the oracle's sparse
+        # CTE filters NULLs independently, so the code must apply a
+        # PARTIAL list too (one missing wave must not skip the other
+        # doc's delete)
         sparse = (
             t.read(with_row_ids=True)
-            .filter(F.col("doc_id").isin(int(r["d0"]), int(r["d2"])))
+            .filter(F.col("doc_id").isin(*present))
             .select("_row_id")
         )
         t.delete_rows(sparse)
+    if len(present) < 2:
+        pruned = 1  # a wave is empty at this SF: the spanning-range
+        # claim is vacuous, degrade rather than fail on data volume
+    else:
         st = t.last_delete_rows_stats
         pruned = int(st["entries_probed"] < st["entries_total"])
     return (
@@ -1183,11 +1190,17 @@ def row_id_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _latest_changes_per_id(feed: DataFrame) -> DataFrame:
     """Reduce a change-feed frame to ONE row per ``_row_id`` — the
     latest commit wins, update preimages drop (the postimage carries
-    the same id). This is the generic CDC pre-reduction every
-    id-keyed consumer applies before MERGE: one O(changes) shuffle
-    keyed by id, never a corpus scan."""
+    the same id). WITHIN one commit a derived overwrite/restore diff
+    can deliver the SAME id on both legs (a shared dir whose
+    deletion-vector list changed re-delivers: old row as delete, the
+    still-visible row as insert) — the non-delete image wins the tie,
+    because an id with an insert leg in a commit is LIVE after it.
+    This is the generic CDC pre-reduction every id-keyed consumer
+    applies before MERGE: one O(changes) shuffle keyed by id, never
+    a corpus scan."""
     w = Window.partitionBy("_row_id").orderBy(
-        F.col("_commit_version").desc()
+        F.col("_commit_version").desc(),
+        F.when(F.col("_change_type") == "delete", 1).otherwise(0),
     )
     return (
         feed.filter(F.col("_change_type") != "update_preimage")

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators.sessions import tumbling_counts
@@ -1280,6 +1280,19 @@ def streaming_cdf_row_id_replica(
                 one = b.filter(
                     F.col("_commit_version") == v
                 ).filter(F.col("_change_type") != "update_preimage")
+                # within-commit tiebreak (derived restore diffs can
+                # deliver one id as delete AND insert): non-delete
+                # wins — the id is live after the commit
+                w = Window.partitionBy("_row_id").orderBy(
+                    F.when(
+                        F.col("_change_type") == "delete", 1
+                    ).otherwise(0)
+                )
+                one = (
+                    one.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
                 replica.merge(
                     one.select(
                         F.col("_row_id").alias("rid"),

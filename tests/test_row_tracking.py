@@ -1088,3 +1088,131 @@ def test_merge_cdc_null_keyed_insert_captures_id(spark, tmp_path):
     assert (None, "nk") in ins
     assert ins[(None, "nk")] == ids_now[(None, "nk")]
     assert ins[(None, "nk")] is not None
+
+
+def test_merge_cdc_duplicate_key_losers_emit_delete(spark, tmp_path):
+    """A duplicate-keyed target (legal here; Delta raises) collapses
+    each matched key to ONE row keeping the smallest id — the other
+    matched ids must deliver as explicit `delete` images, or an
+    id-keyed replica keeps the losing rows forever (round-16 review
+    finding)."""
+    for mode in ("copy-on-write", "merge-on-read"):
+        t = SnapshotTable(spark, str(tmp_path / f"dup_{mode[:3]}"))
+        t.overwrite(
+            _df(
+                spark,
+                [(1, "a"), (1, "b"), (2, "c")],
+                "k INT, v STRING",
+            )
+        )
+        t.enable_row_tracking()
+        t.enable_change_data_feed()
+        pairs_before = {
+            (r.k, r.v): r._row_id
+            for r in t.read(with_row_ids=True).collect()
+        }
+        ids_k1 = {
+            rid for (k, _v), rid in pairs_before.items() if k == 1
+        }
+        v0 = t.latest_version()
+        t.merge(_df(spark, [(1, "new")], "k INT, v STRING"), ["k"])
+        after = {
+            r._row_id: (r.k, r.v)
+            for r in t.read(with_row_ids=True).collect()
+        }
+        keeper = min(ids_k1)
+        assert set(after) == {keeper} | {
+            rid for (k, _v), rid in pairs_before.items() if k != 1
+        }
+        rows = t.table_changes(
+            v0, change_feed=True, with_row_ids=True
+        ).collect()
+        deleted = {
+            r._row_id for r in rows if r._change_type == "delete"
+        }
+        assert deleted == ids_k1 - {keeper}, (mode, deleted)
+        # replay: upsert postimages/inserts, retract deletes
+        replica = dict(
+            {rid: kv for kv, rid in pairs_before.items()}
+        )
+        for r in sorted(rows, key=lambda r: r._commit_version):
+            if r._change_type in ("insert", "update_postimage"):
+                replica[r._row_id] = (r.k, r.v)
+            elif r._change_type == "delete":
+                replica.pop(r._row_id, None)
+        assert replica == after, mode
+
+
+def test_latest_changes_tiebreak_on_derived_restore(spark, tmp_path):
+    """A restore undoing a MOR delete re-delivers the shared dir on
+    BOTH derived legs — the same id as delete AND insert in ONE
+    commit. The generic id-keyed reduction must let the non-delete
+    image win (the row is live), not an arbitrary row_number pick."""
+    from scalable_etl_spark.queries_pipeline import (
+        _latest_changes_per_id,
+    )
+
+    t = _fresh(spark, tmp_path, n=6, name="tie")
+    t.enable_change_data_feed()
+    v_keep = t.latest_version()
+    t.delete("k = 2", mode="merge-on-read")
+    t.restore(v_keep)  # resurrects k=2: shared dir, dv-only diff
+    feed = t.table_changes(
+        v_keep, change_feed=True, with_row_ids=True
+    )
+    red = {
+        r.k: r._change_type
+        for r in _latest_changes_per_id(feed).collect()
+    }
+    assert red[2] != "delete"
+    # and the replayed replica equals the snapshot
+    replica = {
+        r._row_id: (r.k, r.v)
+        for r in t.read(version=v_keep, with_row_ids=True).collect()
+    }
+    for r in _latest_changes_per_id(feed).collect():
+        if r._change_type in ("insert", "update_postimage"):
+            replica[r._row_id] = (r.k, r.v)
+        else:
+            replica.pop(r._row_id, None)
+    snap = {
+        r._row_id: (r.k, r.v)
+        for r in t.read(with_row_ids=True).collect()
+    }
+    assert replica == snap
+
+
+def test_delete_rows_stats_none_on_early_return(spark, tmp_path):
+    """Early returns (empty list) must not leave a previous call's
+    probe stats readable."""
+    t = _fresh(spark, tmp_path, n=6, name="stale")
+    t.delete_rows([_ids(t)[0]])
+    assert t.last_delete_rows_stats is not None
+    empty = spark.createDataFrame([], "_row_id BIGINT")
+    t.delete_rows(empty)
+    assert t.last_delete_rows_stats is None
+
+
+def test_keyed_sync_survives_tracked_duplicate_key_merge(spark, tmp_path):
+    """A KEY-keyed sync over a row-tracked+CDF source whose
+    update-merge images now carry loser-id delete legs (duplicate-key
+    collapse) must let the key's postimage win the per-key apply —
+    the loser delete is an id-level retraction, not a key-level one."""
+    from collections import Counter
+
+    from scalable_etl_spark.acid import sync_incremental
+
+    src = SnapshotTable(spark, str(tmp_path / "ks_src"))
+    src.overwrite(
+        _df(spark, [(1, "a"), (1, "b"), (2, "c")], "k INT, v STRING")
+    )
+    src.enable_row_tracking()
+    src.enable_change_data_feed()
+    dst = SnapshotTable(spark, str(tmp_path / "ks_dst"))
+    sync_incremental(src, dst, sync_id="ks", keys=["k"])
+    # dst backfilled with the duplicate; the merge collapses it
+    src.merge(_df(spark, [(1, "new")], "k INT, v STRING"), ["k"])
+    sync_incremental(src, dst, sync_id="ks", keys=["k"])
+    got = Counter((r.k, r.v) for r in dst.read().collect())
+    want = Counter((r.k, r.v) for r in src.read().collect())
+    assert got == want, (got, want)

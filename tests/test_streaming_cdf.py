@@ -872,3 +872,52 @@ def test_cdf_stream_with_row_ids_mixed_dml(spark, tmp_path):
 
     with _pt.raises(RuntimeError, match="no row-id base map"):
         r.partitions({"version": -1}, {"version": 1})
+
+
+def test_cdf_stream_ignore_changes_with_row_ids(spark, tmp_path):
+    """ignoreChanges=true + withRowIds=true: re-delivered rewrite dirs
+    derive ids from the DELIVERING version's own base map — a consumer
+    deduping by id downstream converges (last-wins per id equals the
+    live snapshot)."""
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(6)], "id INT, v STRING"
+        )
+    )
+    t.enable_row_tracking()
+    v0 = t.latest_version()
+    t.append(spark.createDataFrame([(50, "a")], "id INT, v STRING"))
+    t.overwrite(
+        spark.createDataFrame([(7, "o7"), (8, "o8")], "id INT, v STRING")
+    )  # rewrite: re-delivers under ignoreChanges
+    got: list = []
+    spark.dataSource.register(SnapshotChangesSource)
+    q = (
+        spark.readStream.format("snapshot_changes")
+        .option("path", root)
+        .option("sinceVersion", str(v0))
+        .option("ignoreChanges", "true")
+        .option("withRowIds", "true")
+        .load()
+        .writeStream.foreachBatch(
+            lambda b, _i: got.extend(tuple(r) for r in b.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # (id, v, _row_id, _commit_version): last delivery per row id
+    assert all(r[2] is not None for r in got)
+    last: dict = {}
+    for r in sorted(got, key=lambda r: r[3]):
+        last[r[2]] = (r[0], r[1])
+    # ids retracted by the overwrite were simply never re-delivered;
+    # the surviving ids' last delivery equals the live snapshot
+    snap = {
+        r._row_id: (r.id, r.v)
+        for r in t.read(with_row_ids=True).collect()
+    }
+    assert {k: v for k, v in last.items() if k in snap} == snap

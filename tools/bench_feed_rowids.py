@@ -8,9 +8,13 @@ Measured points on an events-sized table (sf0.1, ~600k rows):
   1. feed over an append + MOR delete + merge range, NO ids
   2. the same range WITH ids (broadcast base-map join on the
      dir-derived legs; recorded images read their captured column)
-  3. writer-side: the mixed DML sequence on a tracked+CDF table
-     vs the identical sequence on a tracked table with the feed OFF
-     (the capture work only exists when images are recorded)
+  3. writer-side: the mixed DML sequence under three configs —
+     tracking only, feed only, and both. NOTE the both/feed-only
+     ratio prices EVERYTHING row tracking adds to a CDF writer
+     (id-bearing target scans, physical id writes, base
+     pre-assignment AND image capture), not image capture alone —
+     the honest marginal-cost question for an operator choosing to
+     enable tracking on a CDF table.
 
 Protocol: warm once per shape, 3 timed runs, medians. Run SOLO
 (BASELINE.md pin rules). Usage: python tools/bench_feed_rowids.py [sf_dir]
@@ -119,7 +123,7 @@ def main() -> None:
             "feed_recording_over_rt_only": round(
                 writer_on / writer_off, 2
             ),
-            "capture_over_feed_without_it": round(
+            "tracking_plus_capture_over_untracked_feed": round(
                 writer_on / writer_nocapture, 2
             ),
         }
