@@ -62,12 +62,13 @@ _MODULE_ORDER = (
 # (which derives per-query last-green rounds mechanically from the
 # CORRECTNESS_r*.json files -- verdict r14 #4: rotation banking cites
 # derived provenance, never hand-tracked claims). ROUND-16 ROTATION:
-# the 3 never-graded entries (cdf_row_id_replica /
-# incremental_index_row_ids / streaming_cdf_row_id_replica -- this
-# round's id-keyed change-feed consumers, batch and streaming),
+# the 4 never-graded entries (cdf_row_id_replica /
+# incremental_index_row_ids / streaming_cdf_row_id_replica /
+# minhash_index_row_ids -- this round's id-keyed change-feed
+# consumers: batch, streaming, and the LSH-index composition),
 # the ENTIRE r13 cohort (44 -- the stalest after r15),
 # topped up with the lone source_* query (r15-green; the window must
-# span every family) and 2 r14 family reps. After this round nothing
+# span every family) and 1 r14 family rep. After this round nothing
 # is staler than r14. Everything rotated out stays value-hash checked
 # locally via tools/check_correctness.py.
 _WINDOW = (
@@ -119,13 +120,14 @@ _WINDOW = (
     "users_error_no_purchase",
     "vocab_coverage",
     "winnowing_fingerprints",
-    # the round's THIRD new registration: the streaming spelling of
-    # the id-keyed replica (never graded -> takes a top-up slot)
+    # the round's 3rd/4th new registrations: the streaming spelling
+    # of the id-keyed replica, and the minhash-index composition
+    # (never graded -> they take top-up slots)
     "streaming_cdf_row_id_replica",
+    "minhash_index_row_ids",
     # family top-up: the only source_* query (r15-green; the
-    # window must span every family) + 2 oldest-r14 reps
+    # window must span every family) + the oldest r14 rep
     "source_glob_recursive",
-    "ann_brute_force",
     "sink_tx_changes",
 )
 

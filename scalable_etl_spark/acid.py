@@ -5909,7 +5909,7 @@ class SnapshotTable:
             rewrite = [d for d in m["dirs"] if d in hit]
         return untouched, rewrite
 
-    def _dv_delete(self, match_true, prune: tuple | None) -> int:
+    def _dv_delete(self, matcher, prune: tuple | None) -> int:
         """Merge-on-read DELETE: record matched rows' (file, pos) in a
         deletion-vector sidecar and commit a manifest that maps the
         affected entries to it — NO data dir is read-modified-written,
@@ -5919,7 +5919,12 @@ class SnapshotTable:
         stay as-is: suppression only narrows value ranges, so pruning
         stays CONSERVATIVELY correct. CDC row images ride the usual
         _change_data path when the feed is on; compact() later
-        materializes suppressions away (dataChange=false)."""
+        materializes suppressions away (dataChange=false).
+
+        ``matcher(target) -> matched frame`` generalizes the matched
+        set beyond a boolean Column: predicate deletes pass a filter,
+        ``delete_in`` passes a left-semi join against its (never
+        collected) values DataFrame."""
         for _ in range(_COMMIT_RETRIES):
             v = self.latest_version()
             if v is None:
@@ -5947,8 +5952,7 @@ class SnapshotTable:
             target = self._read_dirs(
                 m, candidates, keep_dv_meta=True, with_row_ids=cap_ids
             )
-            matched = target.filter(match_true)
-            matched = matched.persist()
+            matched = matcher(target).persist()
             try:
                 dv_id, affected = self._dv_sidecar(matched, m, prefix)
                 if dv_id is None:
@@ -6136,7 +6140,9 @@ class SnapshotTable:
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         match_true = pred.eqNullSafe(F.lit(True))
         if mode == "merge-on-read":
-            return self._dv_delete(match_true, prune)
+            return self._dv_delete(
+                lambda t: t.filter(match_true), prune
+            )
         return self._rewrite_commit(
             "delete",
             match_true,
@@ -6146,6 +6152,63 @@ class SnapshotTable:
                 (target.filter(match_true), "delete")
             ],
         )
+
+    def delete_in(self, col: str, values) -> int:
+        """DELETE WHERE ``col`` IN (<DataFrame>) — the FOREIGN-KEY
+        RETRACTION verb for derived state tables (LSH band/shingle
+        indexes, embedding sidecars, feature stores): a curation feed
+        names the corpus rows it dropped, and every derived row keyed
+        by that column must leave. ``merge(delete_where=)`` cannot
+        express this — its contract is one row per key, and derived
+        state holds MANY rows per key (16 band rows per doc, hundreds
+        of shingles); a predicate ``delete`` would need the list
+        collected into the plan. Here ``values`` is a DataFrame whose
+        FIRST column holds the values — never collected to the
+        driver; matching is one left-semi join — or a small Python
+        collection (CLI / tests). Always merge-on-read: positions
+        land in a deletion-vector sidecar, O(matched + candidate
+        entries); ``compact()`` materializes later. Candidate entries
+        prune by the list's [min, max] against committed column stats
+        (one tiny aggregate over the list), so retracting a bounded
+        drop list from a 100 TB index touches the entries whose
+        ranges intersect it, not the index. Values replayed after
+        their rows already left match nothing — replays no-op.
+        Unknown columns raise in the semi-join analysis, not
+        silently delete nothing."""
+        vals_df = values if isinstance(values, DataFrame) else None
+        if vals_df is None:
+            vs = sorted(set(values))
+            if not vs:
+                v = self.latest_version()
+                if v is None:
+                    raise FileNotFoundError(
+                        f"no committed version at {self.root}"
+                    )
+                return v
+            vals_df = self.spark.createDataFrame(
+                [(x,) for x in vs]
+            ).toDF(col)
+        first = vals_df.columns[0]
+        keys = vals_df.select(
+            F.col(first).alias(col)
+        ).dropDuplicates([col]).persist()
+        try:
+            r = keys.agg(
+                F.min(col).alias("lo"), F.max(col).alias("hi")
+            ).first()
+            if r["lo"] is None:
+                v = self.latest_version()
+                if v is None:
+                    raise FileNotFoundError(
+                        f"no committed version at {self.root}"
+                    )
+                return v  # empty list
+            return self._dv_delete(
+                lambda t: t.join(keys, col, "left_semi"),
+                (col, r["lo"], r["hi"]),
+            )
+        finally:
+            keys.unpersist()
 
     def delete_rows(self, row_ids) -> int:
         """DELETE BY STABLE ROW ID (requires

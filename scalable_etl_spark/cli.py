@@ -302,6 +302,20 @@ def cmd_table(spark: SparkSession, args: argparse.Namespace) -> dict:
             "deleted": v > (v0 if v0 is not None else -1),
             "committed_version": v,
         }
+    if args.action == "delete-in":
+        if not args.column or not args.ids_from:
+            raise SystemExit(
+                "delete-in needs --column and --values-from "
+                "(parquet of values, first column)"
+            )
+        vals = spark.read.parquet(args.ids_from)
+        v0 = t.latest_version()
+        v = t.delete_in(args.column, vals)
+        return {
+            "column": args.column,
+            "deleted": v > (v0 if v0 is not None else -1),
+            "committed_version": v,
+        }
     if args.action == "sync":
         if not args.target:
             raise SystemExit("sync needs --target (destination root)")
@@ -395,7 +409,7 @@ def main(argv: list[str] | None = None) -> int:
                              "set-property", "unset-property",
                              "delete", "reorg", "clone",
                              "enable-row-tracking", "delete-rows",
-                             "sync"])
+                             "delete-in", "sync"])
     tb.add_argument("--target", default="",
                     help="destination root for clone")
     tb.add_argument("--root", required=True)
@@ -446,10 +460,13 @@ def main(argv: list[str] | None = None) -> int:
                     "delete-rows (a curation drop list; requires "
                     "enable-row-tracking)")
     tb.add_argument("--ids-from", dest="ids_from", default="",
-                    help="parquet path of a drop-list DataFrame "
-                    "(first column = _row_id) for delete-rows — the "
-                    "at-scale spelling: applied via left-semi join, "
-                    "never collected to the driver")
+                    help="parquet path of a drop-list DataFrame for "
+                    "delete-rows (first column = _row_id) or "
+                    "delete-in (first column = the values; pass "
+                    "--column) — the at-scale spelling: applied via "
+                    "left-semi join, never collected to the driver")
+    tb.add_argument("--values-from", dest="ids_from", default="",
+                    help="alias of --ids-from for delete-in")
     tb.add_argument("--keys", default="",
                     help="comma-separated merge keys for sync "
                     "(CDC replication; omit for append-only)")

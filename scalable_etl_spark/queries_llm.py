@@ -296,11 +296,13 @@ def _band_bucket_sql(band: int, rows_per_band: int = 4) -> str:
 # MinHash signatures + band buckets. One md5 per shingle -> 60-bit base,
 # then num_perms multiply-shift permutations (functions/text.py
 # mix_hash / mix_hash_sql — kept in lockstep) aggregated MIN per doc.
-def _minhash_sig_sql(num_perms: int, bands: int) -> str:
+def _minhash_sig_sql(
+    num_perms: int, bands: int, source: str = "documents"
+) -> str:
     rows = num_perms // bands
     return (
         f"""
-    toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM {source}),
     sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM toks),
     hashed AS (
       SELECT doc_id, {_SQL_H64.format(expr="shingle")} AS base FROM sh),
@@ -1553,3 +1555,156 @@ def media_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("luma_sum").alias("luma_total"),
         )
     )
+
+
+@query(
+    "minhash_index_row_ids",
+    oracle=f"""
+    WITH {_minhash_sig_sql(16, 4,
+        source="(SELECT * FROM documents WHERE doc_id % 7 <> 3)")},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b USING (band, bucket)
+      WHERE a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM hashed GROUP BY 1),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS nc
+      FROM cand c
+      JOIN hashed a ON a.doc_id = c.id_a
+      JOIN hashed b ON b.doc_id = c.id_b AND b.base = a.base
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           ROUND(nc / (sa.sz + sb.sz - nc), 4) AS jaccard,
+           1 AS index_equals_rebuild
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(nc / (sa.sz + sb.sz - nc), 4) >= 0.8
+    """,
+)
+def minhash_index_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-16 COMPOSITION the row-id feed exists for: the
+    MinHash LSH near-dup index (band + shingle tables) maintained
+    through the corpus's id-carrying change feed — appends sign ONLY
+    the new rows (feed inserts), and a ``delete_rows`` CURATION DROP
+    retracts exactly the named rows from BOTH index tables via
+    ``delete_in("rid", <feed delete ids>)`` — the foreign-key
+    retraction verb, because derived state holds MANY rows per
+    corpus row (4 band rows + every shingle) and merge's
+    one-row-per-key upsert cannot express it. No content re-matching,
+    no re-signing, no index rebuild: per wave the work is O(changed
+    rows) + one DV-sidecar write per index table, and OPTIMIZE on
+    the corpus (compact between syncs) is invisible. The final
+    near-dup pairs are computed FROM THE MAINTAINED INDEX and must
+    equal the one-shot batch LSH over the final corpus (the oracle);
+    ``index_equals_rebuild`` additionally pins both maintained
+    tables EXACTLY equal to a from-scratch build. This closes the
+    loop the reference's daily full-rescan job (daily_job.py:33-46)
+    approximates: corpus -> derived dedup state that tracks it
+    through curation."""
+    import shutil
+    import tempfile as _tf
+
+    from .acid import SnapshotTable
+
+    docs = load_table(spark, sf_dir, "documents")
+    dirs = {
+        n: _tf.mkdtemp(prefix=f"mhrid_{n}_")
+        for n in ("corpus", "bands", "shingles")
+    }
+    for d in dirs.values():
+        shutil.rmtree(d)
+    corpus = SnapshotTable(spark, dirs["corpus"])
+    bands = SnapshotTable(spark, dirs["bands"])
+    shingles = SnapshotTable(spark, dirs["shingles"])
+
+    def sign(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(band rows, shingle rows) for an id-bearing doc frame —
+        both keyed by rid (retraction) AND doc_id (pair output)."""
+        rid_map = df.select(
+            F.col("_row_id").alias("rid"), "doc_id"
+        )
+        b = minhash_band_table(df, 16, 4).join(rid_map, "doc_id")
+        s = shingle_hash_table(df, "text", "doc_id").join(
+            rid_map, "doc_id"
+        )
+        return b.select("rid", "doc_id", "band", "bucket"), s.select(
+            "rid", "doc_id", "h"
+        )
+
+    corpus.overwrite(
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) != 2).select(
+            "doc_id", "text"
+        )
+    )
+    corpus.enable_row_tracking()
+    corpus.enable_change_data_feed()
+    b0, s0 = sign(corpus.read(with_row_ids=True))
+    bands.overwrite(b0)
+    shingles.overwrite(s0, stats_cols=["rid"])
+    v = corpus.latest_version()
+
+    def sync() -> None:
+        nonlocal v
+        end = corpus.latest_version()
+        feed = corpus.table_changes(
+            v, to_version=end, change_feed=True, with_row_ids=True
+        ).filter(F.col("_change_type") != "update_preimage")
+        ins = feed.filter(F.col("_change_type") == "insert").select(
+            "doc_id", "text", "_row_id"
+        )
+        bi, si = sign(ins)
+        bands.append(bi)
+        shingles.append(si, stats_cols=["rid"])
+        dels = feed.filter(
+            F.col("_change_type") == "delete"
+        ).select(F.col("_row_id").alias("rid"))
+        bands.delete_in("rid", dels)
+        shingles.delete_in("rid", dels)
+        v = end
+
+    # wave 2: new documents — only THEY are signed
+    corpus.append(
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 2).select(
+            "doc_id", "text"
+        )
+    )
+    sync()
+    # curation drop by stable id, then OPTIMIZE (invisible)
+    drop = (
+        corpus.read(with_row_ids=True)
+        .filter(F.pmod(F.col("doc_id"), F.lit(7)) == 3)
+        .select("_row_id")
+    )
+    corpus.delete_rows(drop)
+    corpus.compact()
+    sync()
+
+    # equality flag: BOTH maintained tables == from-scratch build
+    rb, rs = sign(corpus.read(with_row_ids=True))
+    got_b = bands.read().select("rid", "doc_id", "band", "bucket")
+    got_s = shingles.read().select("rid", "doc_id", "h")
+    flag = int(
+        got_b.exceptAll(rb).unionAll(rb.exceptAll(got_b)).isEmpty()
+        and got_s.exceptAll(rs)
+        .unionAll(rs.exceptAll(got_s))
+        .isEmpty()
+    )
+    # near-dup pairs FROM THE MAINTAINED INDEX
+    a = got_b.alias("a")
+    b = got_b.alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    verified = verify_jaccard(
+        got_s.select("doc_id", "h"), cand
+    ).filter(F.col("jaccard") >= 0.8)
+    return verified.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    ).withColumn("index_equals_rebuild", F.lit(flag))

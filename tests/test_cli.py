@@ -71,7 +71,7 @@ def test_registry_contract():
 
     q = e.queries()
     o = e.oracle_sql()
-    assert len(q) == 146, f"registry has {len(q)} queries; update COVERAGE.md"
+    assert len(q) == 147, f"registry has {len(q)} queries; update COVERAGE.md"
     assert set(o) == set(q), "every query needs an oracle (none rows-only)"
     graded = list(q)[:50]
     for prefix in ("sql_", "source_", "sink_", "streaming_"):
@@ -339,3 +339,24 @@ def test_table_sync_cli_by_row_id(spark, tmp_path, capsys):
                 "--target", dst_root, "--by-row-id")
     assert out3["synced_src_version"] > out["synced_src_version"]
     assert dst.read().count() == 6
+
+
+def test_table_delete_in_cli(spark, tmp_path, capsys):
+    """`table delete-in --column --values-from` retracts derived rows
+    by foreign key from a parquet values list."""
+    from scalable_etl_spark.acid import SnapshotTable
+
+    root = str(tmp_path / "fk")
+    t = SnapshotTable(spark, root)
+    t.overwrite(
+        spark.createDataFrame(
+            [(k, b) for k in range(6) for b in range(2)],
+            "rid INT, band INT",
+        )
+    )
+    vals = str(tmp_path / "vals.parquet")
+    spark.createDataFrame([(1,), (4,)], "rid INT").write.parquet(vals)
+    out = _run(capsys, "table", "--root", root, "delete-in",
+               "--column", "rid", "--values-from", vals)
+    assert out["deleted"] is True
+    assert sorted({r.rid for r in t.read().collect()}) == [0, 2, 3, 5]

@@ -1216,3 +1216,29 @@ def test_keyed_sync_survives_tracked_duplicate_key_merge(spark, tmp_path):
     got = Counter((r.k, r.v) for r in dst.read().collect())
     want = Counter((r.k, r.v) for r in src.read().collect())
     assert got == want, (got, want)
+
+
+def test_delete_in_foreign_key_retraction(spark, tmp_path):
+    """delete_in(col, df): multi-row-per-key derived state retracts
+    by foreign key without collecting the list — the verb index
+    maintenance needs where merge's one-row-per-key contract can't
+    express it. Replays no-op; entries prune by the list's range."""
+    t = SnapshotTable(spark, str(tmp_path / "fk"))
+    # derived state: 3 rows per key (band-table shape)
+    rows = [(k, b, f"x{k}_{b}") for k in range(20) for b in range(3)]
+    t.overwrite(_df(spark, rows, "rid INT, band INT, v STRING"))
+    dels = spark.createDataFrame([(3,), (7,), (999,)], "rid INT")
+    v1 = t.delete_in("rid", dels)
+    got = sorted({r.rid for r in t.read().collect()})
+    assert got == [k for k in range(20) if k not in (3, 7)]
+    assert t.read().count() == 18 * 3
+    # replay no-ops (DV-applied read: nothing matches again)
+    assert t.delete_in("rid", dels) == v1
+    # collection spelling + empty list no-op
+    t.delete_in("rid", [5])
+    assert 5 not in {r.rid for r in t.read().collect()}
+    v = t.latest_version()
+    assert t.delete_in("rid", []) == v
+    # compaction materializes the suppressions away
+    t.compact()
+    assert t.read().count() == 17 * 3
