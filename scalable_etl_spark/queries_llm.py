@@ -1653,13 +1653,14 @@ def minhash_index_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ins = feed.filter(F.col("_change_type") == "insert").select(
             "doc_id", "text", "_row_id"
         )
-        bi, si = sign(ins)
-        bands.append(bi)
-        shingles.append(si, stats_cols=["rid"])
+        if not ins.isEmpty():  # a compaction-only range adds nothing
+            bi, si = sign(ins)
+            bands.append(bi)
+            shingles.append(si, stats_cols=["rid"])
         dels = feed.filter(
             F.col("_change_type") == "delete"
         ).select(F.col("_row_id").alias("rid"))
-        bands.delete_in("rid", dels)
+        bands.delete_in("rid", dels)  # empty list no-ops inside
         shingles.delete_in("rid", dels)
         v = end
 
@@ -1680,16 +1681,26 @@ def minhash_index_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus.compact()
     sync()
 
-    # equality flag: BOTH maintained tables == from-scratch build
+    # equality flag: BOTH maintained tables == from-scratch build.
+    # The rebuild frames are each referenced by BOTH exceptAll legs —
+    # persist so the corpus is re-signed once, not twice per table
     rb, rs = sign(corpus.read(with_row_ids=True))
+    rb = rb.persist()
+    rs = rs.persist()
     got_b = bands.read().select("rid", "doc_id", "band", "bucket")
     got_s = shingles.read().select("rid", "doc_id", "h")
-    flag = int(
-        got_b.exceptAll(rb).unionAll(rb.exceptAll(got_b)).isEmpty()
-        and got_s.exceptAll(rs)
-        .unionAll(rs.exceptAll(got_s))
-        .isEmpty()
-    )
+    try:
+        flag = int(
+            got_b.exceptAll(rb)
+            .unionAll(rb.exceptAll(got_b))
+            .isEmpty()
+            and got_s.exceptAll(rs)
+            .unionAll(rs.exceptAll(got_s))
+            .isEmpty()
+        )
+    finally:
+        rb.unpersist()
+        rs.unpersist()
     # near-dup pairs FROM THE MAINTAINED INDEX
     a = got_b.alias("a")
     b = got_b.alias("b")
