@@ -6172,37 +6172,56 @@ class SnapshotTable:
         (one tiny aggregate over the list), so retracting a bounded
         drop list from a 100 TB index touches the entries whose
         ranges intersect it, not the index. Values replayed after
-        their rows already left match nothing — replays no-op.
-        Unknown columns raise in the semi-join analysis, not
-        silently delete nothing."""
+        their rows already left match nothing — replays no-op. A
+        values column that does not cast to the target column's type
+        is a MISWIRED list (wrong column order out of a curation
+        job) and raises a targeted error, like ``delete_rows``; NULL
+        values match nothing and are ignored."""
+        v = self.latest_version()
+        if v is None:
+            raise FileNotFoundError(
+                f"no committed version at {self.root}"
+            )
+        schema = StructType.fromJson(
+            json.loads(self._manifest(v)["schema"])
+        )
+        dtypes = {f.name: f.dataType.simpleString() for f in schema.fields}
+        if col not in dtypes:
+            raise ValueError(
+                f"delete_in: column {col!r} is not in the table "
+                f"schema ({sorted(dtypes)})"
+            )
+        dt = dtypes[col]
         vals_df = values if isinstance(values, DataFrame) else None
         if vals_df is None:
-            vs = sorted(set(values))
+            vs = {x for x in values if x is not None}
             if not vs:
-                v = self.latest_version()
-                if v is None:
-                    raise FileNotFoundError(
-                        f"no committed version at {self.root}"
-                    )
                 return v
             vals_df = self.spark.createDataFrame(
                 [(x,) for x in vs]
             ).toDF(col)
-        first = vals_df.columns[0]
-        keys = vals_df.select(
-            F.col(first).alias(col)
+        raw = vals_df.select(F.col(vals_df.columns[0]).alias("__raw"))
+        keys = raw.select(
+            F.col("__raw").try_cast(dt).alias(col)
         ).dropDuplicates([col]).persist()
         try:
-            r = keys.agg(
-                F.min(col).alias("lo"), F.max(col).alias("hi")
+            r = raw.select(
+                "__raw", F.col("__raw").try_cast(dt).alias(col)
+            ).agg(
+                F.count("__raw").alias("n_in"),
+                F.count(col).alias("n_ok"),
+                F.min(col).alias("lo"),
+                F.max(col).alias("hi"),
             ).first()
+            if r["n_ok"] < r["n_in"]:
+                raise ValueError(
+                    f"delete_in: {r['n_in'] - r['n_ok']} of "
+                    f"{r['n_in']} value(s) do not cast to {col!r}'s "
+                    f"type {dt} — the list's first column is the "
+                    "wrong one"
+                )
             if r["lo"] is None:
-                v = self.latest_version()
-                if v is None:
-                    raise FileNotFoundError(
-                        f"no committed version at {self.root}"
-                    )
-                return v  # empty list
+                return v  # empty (or all-NULL) list
             return self._dv_delete(
                 lambda t: t.join(keys, col, "left_semi"),
                 (col, r["lo"], r["hi"]),

@@ -1640,7 +1640,9 @@ def minhash_index_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus.enable_row_tracking()
     corpus.enable_change_data_feed()
     b0, s0 = sign(corpus.read(with_row_ids=True))
-    bands.overwrite(b0)
+    # stats on rid for BOTH tables: delete_in's [min, max] entry
+    # pruning is inert on entries without committed column stats
+    bands.overwrite(b0, stats_cols=["rid"])
     shingles.overwrite(s0, stats_cols=["rid"])
     v = corpus.latest_version()
 
@@ -1649,19 +1651,24 @@ def minhash_index_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         end = corpus.latest_version()
         feed = corpus.table_changes(
             v, to_version=end, change_feed=True, with_row_ids=True
-        ).filter(F.col("_change_type") != "update_preimage")
-        ins = feed.filter(F.col("_change_type") == "insert").select(
-            "doc_id", "text", "_row_id"
-        )
-        if not ins.isEmpty():  # a compaction-only range adds nothing
-            bi, si = sign(ins)
-            bands.append(bi)
-            shingles.append(si, stats_cols=["rid"])
-        dels = feed.filter(
-            F.col("_change_type") == "delete"
-        ).select(F.col("_row_id").alias("rid"))
-        bands.delete_in("rid", dels)  # empty list no-ops inside
-        shingles.delete_in("rid", dels)
+        ).filter(
+            F.col("_change_type") != "update_preimage"
+        ).persist()  # the feed frame drives ~5 actions per sync
+        try:
+            ins = feed.filter(
+                F.col("_change_type") == "insert"
+            ).select("doc_id", "text", "_row_id")
+            if not ins.isEmpty():  # compaction-only range: nothing
+                bi, si = sign(ins)
+                bands.append(bi, stats_cols=["rid"])
+                shingles.append(si, stats_cols=["rid"])
+            dels = feed.filter(
+                F.col("_change_type") == "delete"
+            ).select(F.col("_row_id").alias("rid"))
+            bands.delete_in("rid", dels)  # empty no-ops inside
+            shingles.delete_in("rid", dels)
+        finally:
+            feed.unpersist()
         v = end
 
     # wave 2: new documents — only THEY are signed
@@ -1687,8 +1694,12 @@ def minhash_index_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     rb, rs = sign(corpus.read(with_row_ids=True))
     rb = rb.persist()
     rs = rs.persist()
-    got_b = bands.read().select("rid", "doc_id", "band", "bucket")
-    got_s = shingles.read().select("rid", "doc_id", "h")
+    # the maintained tables feed the equality legs AND the pair
+    # join/verify below — persist alongside the rebuild frames
+    got_b = bands.read().select(
+        "rid", "doc_id", "band", "bucket"
+    ).persist()
+    got_s = shingles.read().select("rid", "doc_id", "h").persist()
     try:
         flag = int(
             got_b.exceptAll(rb)
@@ -1701,21 +1712,34 @@ def minhash_index_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         rb.unpersist()
         rs.unpersist()
-    # near-dup pairs FROM THE MAINTAINED INDEX
-    a = got_b.alias("a")
-    b = got_b.alias("b")
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
+    try:
+        # near-dup pairs FROM THE MAINTAINED INDEX — materialized
+        # (result-sized by the LSH 0.8 gate, the same contract as
+        # incremental_minhash_index) so the cached index frames
+        # release before the next bench query shares the session
+        a = got_b.alias("a")
+        b = got_b.alias("b")
+        cand = (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
-    verified = verify_jaccard(
-        got_s.select("doc_id", "h"), cand
-    ).filter(F.col("jaccard") >= 0.8)
-    return verified.select(
-        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+        pairs = (
+            verify_jaccard(got_s.select("doc_id", "h"), cand)
+            .filter(F.col("jaccard") >= 0.8)
+            .select(
+                "id_a", "id_b",
+                F.round("jaccard", 4).alias("jaccard"),
+            )
+            .collect()
+        )
+    finally:
+        got_b.unpersist()
+        got_s.unpersist()
+    return spark.createDataFrame(
+        pairs, "id_a BIGINT, id_b BIGINT, jaccard DOUBLE"
     ).withColumn("index_equals_rebuild", F.lit(flag))

@@ -1242,3 +1242,24 @@ def test_delete_in_foreign_key_retraction(spark, tmp_path):
     # compaction materializes the suppressions away
     t.compact()
     assert t.read().count() == 17 * 3
+
+
+def test_delete_in_rejects_miswired_and_null_values(spark, tmp_path):
+    """delete_in validates the values column against the TARGET
+    column's type (a non-castable list is miswired, not empty) and
+    ignores NULL values; unknown columns raise by name."""
+    t = SnapshotTable(spark, str(tmp_path / "fkv"))
+    t.overwrite(_df(spark, [(1, "a"), (2, "b")], "rid INT, v STRING"))
+    bad = spark.createDataFrame([("oops",), ("2",)], "x STRING")
+    with pytest.raises(ValueError, match="do not cast"):
+        t.delete_in("rid", bad)
+    with pytest.raises(ValueError, match="not in the table schema"):
+        t.delete_in("nope", bad)
+    # NULLs in a collection match nothing (no TypeError from sorting)
+    v0 = t.latest_version()
+    t.delete_in("rid", [None, 2])
+    assert sorted(r.rid for r in t.read().collect()) == [1]
+    # castable strings are accepted (the "2" above would have been)
+    t.delete_in("rid", spark.createDataFrame([("1",)], "s STRING"))
+    assert t.read().count() == 0
+    assert v0 is not None
