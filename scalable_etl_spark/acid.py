@@ -1744,6 +1744,68 @@ class SnapshotTable:
         )
         return {r["__sg_entry"] for r in hit}
 
+    def _range_entry_hits(self, m: dict, entries, keys, col) -> set:
+        """Which candidate entries' committed ``[min, max]`` stats
+        ranges for ``col`` hold ANY value in the ``keys`` DataFrame —
+        the ``_rid_entry_hits`` block-keyed broadcast equi-join
+        generalized from id bases to INTEGER column stats, so a
+        sparse ``delete_in`` retraction list whose global range spans
+        the table still probes only the entries whose ranges
+        intersect it. Entries without integer stats (strings, dates,
+        all-NULL, never collected) are conservatively kept — exactly
+        ``_prune_dirs``'s contract."""
+        stats = m.get("stats", {})
+        spans: list[tuple[str, int, int]] = []
+        kept: set = set()
+        total = 0
+        for d in entries:
+            rng = stats.get(d, {}).get(col)
+            if (
+                rng is None
+                or rng[0] is None
+                or rng[1] is None
+                or not isinstance(rng[0], int)
+                or not isinstance(rng[1], int)
+                or isinstance(rng[0], bool)
+            ):
+                kept.add(d)
+                continue
+            lo, hi = int(rng[0]), int(rng[1]) + 1
+            spans.append((d, lo, hi))
+            total += hi - lo
+        if not spans:
+            return kept
+        blk = 1
+        while total // blk > 32768:
+            blk *= 2
+        rows = [
+            (b, lo, hi, d)
+            for d, lo, hi in spans
+            for b in range(lo // blk, (hi - 1) // blk + 1)
+        ]
+        bmap = self.spark.createDataFrame(
+            rows,
+            "__sg_blk BIGINT, __sg_lo BIGINT, "
+            "__sg_hi BIGINT, __sg_entry STRING",
+        )
+        hit = (
+            keys.withColumn(
+                "__sg_blk",
+                F.floor(
+                    F.col(col).cast("bigint") / F.lit(blk)
+                ).cast("bigint"),
+            )
+            .join(F.broadcast(bmap), "__sg_blk")
+            .filter(
+                (F.col(col).cast("bigint") >= F.col("__sg_lo"))
+                & (F.col(col).cast("bigint") < F.col("__sg_hi"))
+            )
+            .select("__sg_entry")
+            .distinct()
+            .collect()  # bounded by the entry count
+        )
+        return kept | {r["__sg_entry"] for r in hit}
+
     @staticmethod
     def _active_alternatives(preds) -> list[list[tuple]]:
         """File-prunable predicates from ``(_w, alternatives)`` pairs.
@@ -5909,7 +5971,8 @@ class SnapshotTable:
             rewrite = [d for d in m["dirs"] if d in hit]
         return untouched, rewrite
 
-    def _dv_delete(self, matcher, prune: tuple | None) -> int:
+    def _dv_delete(self, matcher, prune: tuple | None,
+                   refine=None) -> int:
         """Merge-on-read DELETE: record matched rows' (file, pos) in a
         deletion-vector sidecar and commit a manifest that maps the
         affected entries to it — NO data dir is read-modified-written,
@@ -5924,7 +5987,9 @@ class SnapshotTable:
         ``matcher(target) -> matched frame`` generalizes the matched
         set beyond a boolean Column: predicate deletes pass a filter,
         ``delete_in`` passes a left-semi join against its (never
-        collected) values DataFrame."""
+        collected) values DataFrame. ``refine(m, candidates) ->
+        candidates`` optionally sharpens the stats-pruned entry set
+        (delete_in's per-entry range probe)."""
         for _ in range(_COMMIT_RETRIES):
             v = self.latest_version()
             if v is None:
@@ -5936,6 +6001,12 @@ class SnapshotTable:
             if prefix == "":
                 return v  # no file holds a row: nothing can match
             _, candidates = self._prune_candidates(m, prune)
+            if refine is not None and candidates:
+                candidates = refine(m, candidates)
+            self.last_delete_in_stats = {
+                "entries_total": len(m["dirs"]),
+                "entries_probed": len(candidates),
+            }
             if not candidates:
                 return v  # stats prove nothing can match
             cdf_on = self._cdf_enabled(v)
@@ -6225,6 +6296,14 @@ class SnapshotTable:
             return self._dv_delete(
                 lambda t: t.join(keys, col, "left_semi"),
                 (col, r["lo"], r["hi"]),
+                # sparse lists spanning the value space still probe
+                # only the entries whose stats ranges hold a value
+                refine=lambda mv, cands: [
+                    d
+                    for d in cands
+                    if d
+                    in self._range_entry_hits(mv, cands, keys, col)
+                ],
             )
         finally:
             keys.unpersist()

@@ -1263,3 +1263,37 @@ def test_delete_in_rejects_miswired_and_null_values(spark, tmp_path):
     t.delete_in("rid", spark.createDataFrame([("1",)], "s STRING"))
     assert t.read().count() == 0
     assert v0 is not None
+
+
+def test_delete_in_sparse_list_prunes_by_entry_ranges(spark, tmp_path):
+    """A sparse delete_in list whose global [min, max] spans the
+    table probes only entries whose COMMITTED stats ranges hold a
+    listed value (the block-join refinement generalized from id
+    bases to integer column stats)."""
+    t = SnapshotTable(spark, str(tmp_path / "fkp"))
+    for w in range(5):
+        t.overwrite(
+            _df(
+                spark,
+                [(100 * w + i, "x") for i in range(10)],
+                "rid INT, v STRING",
+            )
+        ) if w == 0 else t.append(
+            _df(
+                spark,
+                [(100 * w + i, "x") for i in range(10)],
+                "rid INT, v STRING",
+            ),
+            stats_cols=["rid"],
+        )
+    # first entry (overwrite) lacks rid stats -> conservatively kept
+    sparse = spark.createDataFrame([(105,), (405,)], "rid INT")
+    t.delete_in("rid", sparse)
+    st = t.last_delete_in_stats
+    # entries 1 and 4 hit; 2 and 3 (inside the global range) pruned;
+    # entry 0 kept (no stats)
+    assert st["entries_probed"] == 3
+    assert st["entries_total"] == 5
+    got = sorted(r.rid for r in t.read().collect())
+    assert 105 not in got and 405 not in got
+    assert len(got) == 48
