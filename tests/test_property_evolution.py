@@ -234,9 +234,15 @@ def test_evolution_sequences_match_eager_oracle(spark, seq):
 # documented Delta contract that pinned readers break), with the
 # model tracking the vacuum floor so op 11 asserts that restores
 # BELOW it raise instead of resurrecting reclaimed state.
+#
+# Op 19 = delete_in (the foreign-key retraction verb): a values
+# DataFrame listing a %-class of an int column's current values —
+# multi-row matches, NULLs in the column never match, replays after
+# the rows left are no-ops; the model drops exactly the rows whose
+# value is in the list.
 
 DML_OP = st.tuples(
-    st.integers(0, 18), st.integers(0, 7), st.integers(0, 7)
+    st.integers(0, 19), st.integers(0, 7), st.integers(0, 7)
 )
 DML_SEQ = st.lists(DML_OP, min_size=4, max_size=8)
 
@@ -590,6 +596,34 @@ def test_dml_evolution_sequences_match_eager_oracle(spark, seq):
             t.enable_row_tracking()
             rt["on"] = True
             m.snap()  # the property commit is a version
+        elif op == 19:  # delete_in: foreign-key retraction by list
+            ics = int_cols()
+            if not ics:
+                continue
+            name = m.cols[ics[-1]][0]
+            rem = a % 4
+            vals = sorted(
+                {
+                    r[name]
+                    for r in m.rows
+                    if r[name] is not None and r[name] % 4 == rem
+                }
+            )
+            if not vals:
+                continue
+            vals_df = spark.createDataFrame(
+                [(int(x),) for x in vals], f"`{name}` BIGINT"
+            )
+            v0 = t.latest_version()
+            t.delete_in(name, vals_df)
+            hit = set(vals)
+            m.rows = [
+                r
+                for r in m.rows
+                if r[name] is None or r[name] not in hit
+            ]
+            if t.latest_version() > v0:
+                m.snap()
         elif op == 18:  # vacuum interleaved into the alphabet
             if b % 2:
                 # drop history too: keep only the newest manifests;
