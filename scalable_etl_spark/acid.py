@@ -6001,12 +6001,15 @@ class SnapshotTable:
             if prefix == "":
                 return v  # no file holds a row: nothing can match
             _, candidates = self._prune_candidates(m, prune)
-            if refine is not None and candidates:
-                candidates = refine(m, candidates)
-            self.last_delete_in_stats = {
-                "entries_total": len(m["dirs"]),
-                "entries_probed": len(candidates),
-            }
+            if refine is not None:
+                if candidates:
+                    candidates = refine(m, candidates)
+                # probe instrumentation for the refined (delete_in)
+                # path only — plain predicate deletes don't own it
+                self.last_delete_in_stats = {
+                    "entries_total": len(m["dirs"]),
+                    "entries_probed": len(candidates),
+                }
             if not candidates:
                 return v  # stats prove nothing can match
             cdf_on = self._cdf_enabled(v)
