@@ -443,6 +443,7 @@ def incremental_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_dir = _tf.mkdtemp(prefix="mhinc_corpus_")
     index_dir = _tf.mkdtemp(prefix="mhinc_index_")
     sh_dir = _tf.mkdtemp(prefix="mhinc_sh_")
+    pairs_dir = _tf.mkdtemp(prefix="mhinc_pairs_")
     for d in (corpus_dir, index_dir, sh_dir):
         shutil.rmtree(d)  # SnapshotTable owns the dir; start absent
 
@@ -453,11 +454,19 @@ def incremental_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = SnapshotTable(spark, index_dir)
     shingles = SnapshotTable(spark, sh_dir)
     # pair OUTPUT needs no ACID protocol — the maintained STATE is
-    # the index + shingle tables; each wave's verified pairs are
-    # result-sized by construction (LSH output at 0.8) and
-    # materialize per wave so the cached candidate frame releases
-    # before the next wave
-    pair_rows: list = []
+    # the index + shingle tables. Each wave's verified pairs append
+    # to a scratch parquet sink EXECUTOR-SIDE: a duplicate-heavy
+    # crawl at 100 TB emits billions of near-dup pairs, so the pair
+    # stream must never pass through the driver (verdict r16 #1).
+    # The per-wave write is also the action that releases the cached
+    # candidate frame before the next wave. Schema-stamp the sink
+    # first so a collision-free run still reads back as 0 typed rows.
+    _empty_pairs = spark.range(0).select(
+        F.col("id").alias("id_a"),
+        F.col("id").alias("id_b"),
+        F.col("id").cast("double").alias("jaccard"),
+    )
+    _empty_pairs.write.mode("overwrite").parquet(pairs_dir)
     latest = corpus.latest_version()
     for v in range(latest + 1):
         wave = (
@@ -515,14 +524,12 @@ def incremental_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             verified = verify_jaccard(sh_cand, cands).filter(
                 F.col("jaccard") >= 0.8
             )
-            pair_rows.extend(
-                verified.select("id_a", "id_b", "jaccard").collect()
-            )
+            verified.select("id_a", "id_b", "jaccard").write.mode(
+                "append"
+            ).parquet(pairs_dir)
         finally:
             cands.unpersist()
-    return spark.createDataFrame(
-        pair_rows, "id_a BIGINT, id_b BIGINT, jaccard DOUBLE"
-    )
+    return spark.read.parquet(pairs_dir)
 
 
 @query(
@@ -1700,23 +1707,44 @@ def minhash_index_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rid", "doc_id", "band", "bucket"
     ).persist()
     got_s = shingles.read().select("rid", "doc_id", "h").persist()
+
+    def _norm_b(d: DataFrame) -> DataFrame:
+        return d.select(
+            "rid", "doc_id",
+            F.col("band").cast("string").alias("x"),
+            F.col("bucket").alias("y"),
+        )
+
+    def _norm_s(d: DataFrame) -> DataFrame:
+        return d.select(
+            "rid", "doc_id",
+            F.col("h").cast("string").alias("x"),
+            F.lit("sh").alias("y"),
+        )
+
     try:
+        # ONE early-exit action over all four diff legs (the two
+        # per-table isEmpty calls each paid a full job; r16 verdict
+        # #4 — mirror the replica-leg trim). Legs are harmonized to
+        # a common (rid, doc_id, x, y) shape so they union.
         flag = int(
-            got_b.exceptAll(rb)
-            .unionAll(rb.exceptAll(got_b))
-            .isEmpty()
-            and got_s.exceptAll(rs)
-            .unionAll(rs.exceptAll(got_s))
+            _norm_b(got_b.exceptAll(rb))
+            .unionAll(_norm_b(rb.exceptAll(got_b)))
+            .unionAll(_norm_s(got_s.exceptAll(rs)))
+            .unionAll(_norm_s(rs.exceptAll(got_s)))
             .isEmpty()
         )
     finally:
         rb.unpersist()
         rs.unpersist()
+    pairs_dir = _tf.mkdtemp(prefix="mhrid_pairs_")
     try:
-        # near-dup pairs FROM THE MAINTAINED INDEX — materialized
-        # (result-sized by the LSH 0.8 gate, the same contract as
-        # incremental_minhash_index) so the cached index frames
-        # release before the next bench query shares the session
+        # near-dup pairs FROM THE MAINTAINED INDEX — written to a
+        # scratch parquet sink executor-side (result-sized by the
+        # LSH 0.8 gate, but on a duplicate-heavy corpus still far
+        # too large to collect; verdict r16 #1). The write is the
+        # action that releases the cached index frames before the
+        # next bench query shares the session.
         a = got_b.alias("a")
         b = got_b.alias("b")
         cand = (
@@ -1728,18 +1756,19 @@ def minhash_index_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
         )
-        pairs = (
+        (
             verify_jaccard(got_s.select("doc_id", "h"), cand)
             .filter(F.col("jaccard") >= 0.8)
             .select(
                 "id_a", "id_b",
                 F.round("jaccard", 4).alias("jaccard"),
             )
-            .collect()
+            .write.mode("overwrite")
+            .parquet(pairs_dir)
         )
     finally:
         got_b.unpersist()
         got_s.unpersist()
-    return spark.createDataFrame(
-        pairs, "id_a BIGINT, id_b BIGINT, jaccard DOUBLE"
-    ).withColumn("index_equals_rebuild", F.lit(flag))
+    return spark.read.parquet(pairs_dir).withColumn(
+        "index_equals_rebuild", F.lit(flag)
+    )
