@@ -419,6 +419,95 @@ def drop_near_duplicates(
     return df.join(losers, id_col, "left_anti")
 
 
+# ----------------------------------------------- hot-bucket capped pairs
+
+# Default per-(band,bucket) row cap for md5-keyed MinHash buckets.
+# Measured corpus max bucket is 4 at sf0.1 (md5 band buckets collide
+# only on genuine near-dup clusters), so at every tested SF the cap is
+# inert and candidate generation is EXACT; it exists for the real-web
+# degenerate case (empty/boilerplate docs hashing identically), where
+# an uncapped bucket of n rows emits O(n^2) join output.
+HOT_BUCKET_CAP = 1000
+
+
+def capped_bucket_pairs(
+    banded: DataFrame,
+    keys: tuple[str, ...],
+    id_col: str,
+    max_bucket: int | None,
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs from an LSH band table, quadratic
+    blowup bounded per bucket.
+
+    Buckets with <= ``max_bucket`` rows contribute EXACT all-pairs
+    (identical to the plain self-join). An over-cap bucket of n rows
+    contributes (a) all-pairs within a hash-sampled core of ~cap rows
+    (every nth id by xxhash64, deterministic) and (b) a hub-star edge
+    from EVERY remaining row to the bucket's min-id representative —
+    O(cap^2 + n) candidates instead of O(n^2), while the star keeps
+    the whole bucket connected through the hub, so a components /
+    min-keeper reduction still collapses the cluster exactly. Pairs
+    between two non-core rows of an over-cap bucket are the documented
+    recall loss (standard practice for web-scale LSH dedup).
+
+    Plan shape: ONE count+min aggregation over the band table
+    (map-side combine), the tiny over-cap bucket list broadcast back
+    (BroadcastHashJoin, no shuffle), star edges by pure projection —
+    the self-join itself is the same equi-join as the uncapped
+    spelling, so the normal path pays zero extra shuffles. Callers
+    needing visibility into engaged caps can aggregate
+    ``banded.groupBy(*keys).count().filter(col('count') > cap)`` —
+    the same tiny frame this helper builds.
+    """
+    if max_bucket is None:
+        a = banded.alias("a")
+        b = banded.alias("b")
+        return (
+            a.join(b, list(keys))
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+        )
+    hot = (
+        banded.groupBy(*keys)
+        .agg(
+            F.count("*").alias("_n"),
+            F.min(id_col).alias("_rep"),
+        )
+        .filter(F.col("_n") > max_bucket)
+    )
+    flagged = banded.join(F.broadcast(hot), list(keys), "left")
+    in_core = (
+        F.col("_n").isNull()
+        | (F.col(id_col) == F.col("_rep"))
+        | (
+            F.pmod(
+                F.xxhash64(F.col(id_col)),
+                F.ceil(F.col("_n") / F.lit(max_bucket)).cast("long"),
+            )
+            == 0
+        )
+    )
+    side = flagged.filter(in_core).select(*keys, id_col)
+    a = side.alias("a")
+    b = side.alias("b")
+    core_pairs = (
+        a.join(b, list(keys))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+    )
+    star = flagged.filter(~in_core).select(
+        F.least(F.col(id_col), F.col("_rep")).alias("id_a"),
+        F.greatest(F.col(id_col), F.col("_rep")).alias("id_b"),
+    )
+    return core_pairs.unionAll(star)
+
+
 # --------------------------------------------------------- MinHash + LSH
 
 
@@ -531,11 +620,15 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    max_bucket: int | None = HOT_BUCKET_CAP,
 ) -> DataFrame:
     """MinHash banding: docs sharing any band bucket become candidate
     pairs, then exact Jaccard verifies against ``threshold``.
 
     Returns (id_a, id_b, jaccard). rows_per_band = num_perms // bands.
+    Buckets above ``max_bucket`` rows (degenerate boilerplate clusters;
+    never reached on the tested corpora) fall back to hub-star + sampled
+    core candidates — see ``capped_bucket_pairs``.
     """
     if num_perms < bands or num_perms % bands != 0:
         raise ValueError(
@@ -544,16 +637,9 @@ def minhash_lsh_pairs(
             "requested recall guarantee"
         )
     banded = minhash_band_table(df, num_perms, bands, text_col, id_col, k)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    candidates = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
+    candidates = capped_bucket_pairs(
+        banded, ("band", "bucket"), id_col, max_bucket
+    ).distinct()
     # Verification explodes shingles for CANDIDATE docs only: the
     # broadcast semi-join prunes the corpus before the tokenize/explode
     # re-derivation, so the full-corpus shingle pass happens exactly
@@ -662,11 +748,21 @@ def simhash_signatures(
     return wide.select(F.col(id_col), packed.alias("simhash"))
 
 
+# 15-bit simhash band values collide by birthday on large corpora, so
+# (unlike md5 minhash buckets) hot buckets are NORMAL here: sf0.1's
+# 5,000 docs already have a 1,924-row bucket. The default cap sits
+# above every tested-SF bucket (exact parity with the uncapped oracle
+# replay) and engages only on the web-scale degenerate clusters the
+# uncapped join cannot survive.
+SIMHASH_BUCKET_CAP = 4096
+
+
 def simhash_near_pairs(
     df: DataFrame,
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int | None = SIMHASH_BUCKET_CAP,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
@@ -680,7 +776,16 @@ def simhash_near_pairs(
     inherently quadratic in near-dup cluster size; on a corpus with
     million-doc duplicate clusters, consume pairs via a
     connected-components/keeper reduction (see dedup_components /
-    drop_near_duplicates) rather than materializing the pair list."""
+    drop_near_duplicates) rather than materializing the pair list.
+
+    Buckets above ``max_bucket`` rows switch to hub-star + sampled-core
+    candidates (the ``capped_bucket_pairs`` scheme, inlined here so
+    star edges carry the hub's SIGNATURE via min_by and the hamming
+    verify plus the first-matching-band dedup filter stay row-local
+    projections). Under an engaged cap, recall within an over-cap
+    bucket is hub-connectivity + exact core pairs; pairs between two
+    non-core rows whose FIRST shared band is over-cap are the
+    documented loss."""
     sig = simhash_signatures(df, text_col, id_col)
     band_idx = F.explode(
         F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))
@@ -689,19 +794,64 @@ def simhash_near_pairs(
         "band_val",
         F.expr(f"(simhash >> (band * {_BAND_BITS})) & {(1 << _BAND_BITS) - 1}"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    joined = (
-        a.join(b, ["band", "band_val"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            "band",
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+
+    def _all_pairs(side: DataFrame) -> DataFrame:
+        a = side.alias("a")
+        b = side.alias("b")
+        return (
+            a.join(b, ["band", "band_val"])
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                "band",
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.simhash").alias("sh_a"),
+                F.col("b.simhash").alias("sh_b"),
+            )
         )
-    )
+
+    if max_bucket is None:
+        joined = _all_pairs(banded)
+    else:
+        hot = (
+            banded.groupBy("band", "band_val")
+            .agg(
+                F.count("*").alias("_n"),
+                F.min(id_col).alias("_rep"),
+                F.min_by("simhash", id_col).alias("_rep_sh"),
+            )
+            .filter(F.col("_n") > max_bucket)
+        )
+        flagged = banded.join(
+            F.broadcast(hot), ["band", "band_val"], "left"
+        )
+        in_core = (
+            F.col("_n").isNull()
+            | (F.col(id_col) == F.col("_rep"))
+            | (
+                F.pmod(
+                    F.xxhash64(F.col(id_col)),
+                    F.ceil(F.col("_n") / F.lit(max_bucket)).cast("long"),
+                )
+                == 0
+            )
+        )
+        core = _all_pairs(
+            flagged.filter(in_core).select(
+                "band", "band_val", id_col, "simhash"
+            )
+        )
+        # overflow rows star onto the hub: _rep is the bucket MIN id
+        # (and rep is always core), so id_a/sh_a come straight off the
+        # broadcast columns — no join, no shuffle
+        star = flagged.filter(~in_core).select(
+            "band",
+            F.col("_rep").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.col("_rep_sh").alias("sh_a"),
+            F.col("simhash").alias("sh_b"),
+        )
+        joined = core.unionAll(star)
     # A pair colliding in several bands would surface once per band; a
     # distinct() here would shuffle the whole (large) candidate stream.
     # Both signatures are already in hand, so dedup is a pure FILTER:

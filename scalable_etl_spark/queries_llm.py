@@ -35,6 +35,8 @@ from .functions.text import (
 )
 from .functions.vectors import EMBEDDING_DIM, multi_table_buckets_sql
 from .operators.dedup import (
+    HOT_BUCKET_CAP,
+    capped_bucket_pairs,
     drop_near_duplicates,
     embedding_near_dup_pairs,
     exact_dedup_groups,
@@ -1745,17 +1747,13 @@ def minhash_index_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         # too large to collect; verdict r16 #1). The write is the
         # action that releases the cached index frames before the
         # next bench query shares the session.
-        a = got_b.alias("a")
-        b = got_b.alias("b")
-        cand = (
-            a.join(b, ["band", "bucket"])
-            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(
-                F.col("a.doc_id").alias("id_a"),
-                F.col("b.doc_id").alias("id_b"),
-            )
-            .distinct()
-        )
+        cand = capped_bucket_pairs(
+            got_b.select("doc_id", "band", "bucket"),
+            ("band", "bucket"),
+            "doc_id",
+            HOT_BUCKET_CAP,  # inert on this corpus; guards the
+            # degenerate-bucket blowup like the batch LSH path
+        ).distinct()
         (
             verify_jaccard(got_s.select("doc_id", "h"), cand)
             .filter(F.col("jaccard") >= 0.8)

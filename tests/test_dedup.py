@@ -203,3 +203,79 @@ def test_ngram_jaccard_skew_safe_spelling(spark, docs):
     finally:
         dd._SKEW_MAX_DF = old
     assert "windowspecdefinition(h#" not in auto_plan
+
+
+# ------------------------------------------------- hot-bucket cap guard
+
+
+def _boiler_corpus(spark, n=1000):
+    """n identical boilerplate docs: every LSH bucket degenerates to
+    one n-row bucket — the web-corpus pathology the cap exists for."""
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(
+            "standard boilerplate footer text repeated across every "
+            "page of the crawled site"
+        ).alias("text"),
+    )
+
+
+def test_minhash_cap_inert_on_normal_corpus(spark, docs):
+    capped = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs, threshold=0.3).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(
+            docs, threshold=0.3, max_bucket=None
+        ).collect()
+    }
+    assert capped == exact
+
+
+def test_simhash_cap_inert_on_normal_corpus(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "totally unrelated content about distributed joins"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_pairs(df, max_hamming=10).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_pairs(
+            df, max_hamming=10, max_bucket=None
+        ).collect()
+    }
+    assert capped == exact
+
+
+def test_minhash_cap_bounds_degenerate_bucket(spark):
+    docs = _boiler_corpus(spark, 1000)
+    pairs = minhash_lsh_pairs(docs, threshold=0.8, max_bucket=50).collect()
+    # Uncapped, 1000 identical docs emit C(1000,2) = 499,500 pairs per
+    # band before dedup. Capped at 50: sampled-core all-pairs plus one
+    # hub-star edge per overflow row — orders of magnitude smaller.
+    assert 0 < len(pairs) < 50_000
+    assert all(r.jaccard == 1.0 for r in pairs)
+    # Hub connectivity: every doc is reachable from the min-id hub, so
+    # the greedy min-keeper still collapses the cluster to one doc.
+    losers = {r.id_b for r in pairs}
+    assert losers == set(range(1, 1000))
+
+
+def test_simhash_cap_bounds_degenerate_bucket(spark):
+    docs = _boiler_corpus(spark, 1000)
+    pairs = simhash_near_pairs(docs, max_hamming=3, max_bucket=50).collect()
+    assert 0 < len(pairs) < 50_000
+    assert all(r.hamming == 0 for r in pairs)
+    # Exactly one occurrence per surviving pair (first-band filter
+    # must dedup star edges like core pairs).
+    keys = [(r.id_a, r.id_b) for r in pairs]
+    assert len(keys) == len(set(keys))
+    losers = {r.id_b for r in pairs}
+    assert losers == set(range(1, 1000))
