@@ -1770,3 +1770,208 @@ def minhash_index_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(pairs_dir).withColumn(
         "index_equals_rebuild", F.lit(flag)
     )
+
+
+@query(
+    "ann_index_row_ids",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {multi_table_buckets_sql("embedding", 2, 8)} AS bks
+      FROM embeddings WHERE vec_id % 7 <> 3),
+    eb AS (SELECT vec_id, generate_subscripts(bks, 1) AS tbl,
+                  unnest(bks) AS bucket
+           FROM e),
+    q AS (SELECT vec_id AS query_id, tbl, bucket FROM eb WHERE vec_id < 10),
+    cand AS (
+      SELECT DISTINCT query_id, eb.vec_id AS neighbor_id
+      FROM q JOIN eb USING (tbl, bucket) WHERE eb.vec_id <> query_id),
+    scored AS (
+      SELECT query_id, neighbor_id, qe.v AS qv, ne.v AS cv
+      FROM cand
+      JOIN e qe ON qe.vec_id = query_id
+      JOIN e ne ON ne.vec_id = neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, {_COS_SQL} AS cos_sim,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {_COS_SQL} DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank,
+           1 AS index_equals_rebuild
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_index_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN sibling of ``minhash_index_row_ids`` (round 17): the
+    multi-table sign-LSH bucket index over an embedding corpus,
+    maintained through the corpus table's id-carrying change feed.
+    Appends bucket ONLY the feed's insert rows (8 tables x 2 bits per
+    vector, one Arrow-batched pass); a curation ``delete_rows`` drop
+    retracts exactly the named vectors from the index via
+    ``delete_in("rid", <feed delete ids>)`` — each corpus row owns 8
+    index rows, so merge's one-row-per-key upsert cannot express the
+    retraction. OPTIMIZE between syncs is invisible to the feed. The
+    final top-5 neighbor search runs AGAINST THE MAINTAINED INDEX
+    (query buckets equi-join the index on (tbl, bucket); exact cosine
+    verifies candidates only) and must equal the oracle's one-shot
+    bucketing of the final corpus; ``index_equals_rebuild``
+    additionally pins the maintained index EXACTLY equal to a
+    from-scratch rebuild. Closes the derived-state family: every
+    index the pipeline maintains (minhash bands, shingles, ANN
+    buckets) now tracks curation through row ids instead of a daily
+    full rebuild (reference daily_job.py:33-46)."""
+    import shutil
+    import tempfile as _tf
+
+    from pyspark.sql import Window
+
+    from .acid import SnapshotTable
+    from .functions.vectors import (
+        as_double,
+        dot_pandas,
+        multi_table_buckets_pandas,
+        norm_pandas,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dirs = {
+        n: _tf.mkdtemp(prefix=f"annrid_{n}_") for n in ("corpus", "index")
+    }
+    for d in dirs.values():
+        shutil.rmtree(d)
+    corpus = SnapshotTable(spark, dirs["corpus"])
+    index = SnapshotTable(spark, dirs["index"])
+
+    def bucket_rows(df: DataFrame) -> DataFrame:
+        """(rid, vec_id, tbl, bucket) LSH index rows for an
+        id-bearing embedding frame — rid keys retraction, vec_id
+        keys the search output."""
+        return df.select(
+            F.col("_row_id").alias("rid"),
+            "vec_id",
+            F.posexplode(
+                multi_table_buckets_pandas("embedding", 2, 8, EMBEDDING_DIM)
+            ).alias("tbl", "bucket"),
+        )
+
+    corpus.overwrite(
+        emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) != 2).select(
+            "vec_id", "embedding"
+        )
+    )
+    corpus.enable_row_tracking()
+    corpus.enable_change_data_feed()
+    index.overwrite(
+        bucket_rows(corpus.read(with_row_ids=True)), stats_cols=["rid"]
+    )
+    v = corpus.latest_version()
+
+    def sync() -> None:
+        nonlocal v
+        end = corpus.latest_version()
+        feed = corpus.table_changes(
+            v, to_version=end, change_feed=True, with_row_ids=True
+        ).filter(
+            F.col("_change_type") != "update_preimage"
+        ).persist()  # drives the insert leg, the delete leg
+        try:
+            ins = feed.filter(
+                F.col("_change_type") == "insert"
+            ).select("vec_id", "embedding", "_row_id")
+            if not ins.isEmpty():
+                index.append(bucket_rows(ins), stats_cols=["rid"])
+            dels = feed.filter(
+                F.col("_change_type") == "delete"
+            ).select(F.col("_row_id").alias("rid"))
+            index.delete_in("rid", dels)  # empty no-ops inside
+        finally:
+            feed.unpersist()
+        v = end
+
+    # wave 2: new vectors — only THEY are bucketed
+    corpus.append(
+        emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == 2).select(
+            "vec_id", "embedding"
+        )
+    )
+    sync()
+    # curation drop by stable id, then OPTIMIZE (invisible)
+    drop = (
+        corpus.read(with_row_ids=True)
+        .filter(F.pmod(F.col("vec_id"), F.lit(7)) == 3)
+        .select("_row_id")
+    )
+    corpus.delete_rows(drop)
+    corpus.compact()
+    sync()
+
+    # equality flag: maintained index == from-scratch rebuild. Each
+    # frame feeds both exceptAll legs (and the maintained index also
+    # feeds the search below) — persist, ONE early-exit isEmpty.
+    rebuild = bucket_rows(corpus.read(with_row_ids=True)).persist()
+    got = index.read().select("rid", "vec_id", "tbl", "bucket").persist()
+    try:
+        flag = int(
+            got.exceptAll(rebuild)
+            .unionAll(rebuild.exceptAll(got))
+            .isEmpty()
+        )
+        # top-5 search FROM THE MAINTAINED INDEX: the 10 query
+        # vectors bucket fresh (one tiny Arrow batch) and equi-join
+        # the index; exact cosine scores candidates only.
+        final = corpus.read()
+        queries = final.filter(F.col("vec_id") < 10)
+        q_keyed = queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode(
+                multi_table_buckets_pandas("embedding", 2, 8, EMBEDDING_DIM)
+            ).alias("tbl", "bucket"),
+        )
+        cand = (
+            got.join(F.broadcast(q_keyed), ["tbl", "bucket"])
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+            .distinct()
+        )
+        qv = queries.select(
+            F.col("vec_id").alias("query_id"),
+            as_double("embedding").alias("qv"),
+        ).withColumn("qn", norm_pandas(F.col("qv")))
+        cv = final.select(
+            F.col("vec_id").alias("neighbor_id"),
+            as_double("embedding").alias("cv"),
+        ).withColumn("cn", norm_pandas(F.col("cv")))
+        scored = (
+            cand.join(F.broadcast(qv), "query_id")
+            .join(cv, "neighbor_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    dot_pandas(F.col("qv"), F.col("cv"))
+                    / (F.col("qn") * F.col("cn")),
+                    6,
+                ).alias("cos_sim"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+        )
+        out = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "neighbor_id", "cos_sim", "rank")
+            .withColumn("index_equals_rebuild", F.lit(flag))
+        )
+        # tiny by construction (<= 10 queries x 5) — materialize so
+        # the persisted frames release before the caller's actions
+        rows = out.collect()
+    finally:
+        rebuild.unpersist()
+        got.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "query_id BIGINT, neighbor_id BIGINT, cos_sim DOUBLE, "
+        "rank INT, index_equals_rebuild INT",
+    )
