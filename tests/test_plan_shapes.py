@@ -156,3 +156,26 @@ def test_all_batch_plans_free_of_scale_hazards(spark):
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
             failures.append(f"{name}: BroadcastNestedLoopJoin not allow-listed")
     assert not failures, "\n".join(failures)
+
+
+def test_side_effect_query_plans_free_of_scale_hazards(spark):
+    """The sweep above skips sink_/streaming_/source_ queries because
+    building their DataFrame executes real writes / stream drains.
+    Run them anyway (sf0.001 side effects land in throwaway tempdirs)
+    and audit the RETURNED frame's physical plan — the read-back /
+    verification side the driver actually grades. Closes the r16
+    blind spot where these families were only plan-audited ad hoc."""
+    import __spark_entry__ as entry
+
+    failures = []
+    for name, fn in entry.queries().items():
+        if not name.startswith(("sink_", "streaming_", "source_")):
+            continue
+        plan = _plan(fn(spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct (unbounded product)")
+        if "BatchEvalPython" in plan:
+            failures.append(f"{name}: BatchEvalPython (row-at-a-time UDF)")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+            failures.append(f"{name}: BroadcastNestedLoopJoin not allow-listed")
+    assert not failures, "\n".join(failures)
