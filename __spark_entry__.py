@@ -61,74 +61,68 @@ _MODULE_ORDER = (
 # each round OLDEST-LAST-GRADE-FIRST from tools/grading_rounds.py
 # (which derives per-query last-green rounds mechanically from the
 # CORRECTNESS_r*.json files -- verdict r14 #4: rotation banking cites
-# derived provenance, never hand-tracked claims). ROUND-16 ROTATION:
-# the 4 never-graded entries (cdf_row_id_replica /
-# incremental_index_row_ids / streaming_cdf_row_id_replica /
-# minhash_index_row_ids -- this round's id-keyed change-feed
-# consumers: batch, streaming, and the LSH-index composition),
-# the ENTIRE r13 cohort (44 -- the stalest after r15),
-# topped up with the lone source_* query (r15-green; the window must
-# span every family) and 1 r14 family rep. After this round nothing
-# is staler than r14. Everything rotated out stays value-hash checked
+# derived provenance, never hand-tracked claims). ROUND-17 ROTATION:
+# the round's 1 never-graded registration (ann_index_row_ids -- the
+# id-keyed ANN-index composition), the ENTIRE r14 cohort (48 -- the
+# stalest after the r16 rotation), topped up with the lone source_*
+# query (the window must span every family). After this round nothing
+# is staler than r15. Everything rotated out stays value-hash checked
 # locally via tools/check_correctness.py.
 _WINDOW = (
-    # never driver-graded (r0) -- the round-16 id-keyed feed pair
-    "cdf_row_id_replica",
-    "incremental_index_row_ids",
-    # the ENTIRE r13 cohort (stalest after the r15 rotation)
-    "active_user_pct",
-    "audio_energy_stats",
-    "bpe_token_stats",
-    "deterministic_split",
-    "doc_gopher_rules",
-    "doc_len_zscore_by_lang",
-    "doc_repetition",
-    "events_flatten",
-    "gold_schema_merge",
-    "gold_user_peaks",
-    "grouping_sets_activity",
-    "hourly_activity",
-    "incremental_minhash_index",
-    "media_frame_sample",
-    "media_pixel_stats_lossy",
-    "mixture_weights",
-    "near_dedup_corpus",
-    "nulls_last_ranking",
-    "sink_bucketed_join",
-    "sink_describe_table",
-    "sink_partitioned_prune",
-    "sink_single_file_export",
-    "sink_table_roundtrip",
-    "sink_tx_constraints",
-    "sink_tx_distributed_scan",
-    "sink_tx_evolve",
-    "sink_tx_partition_ops",
-    "sink_tx_time_travel",
-    "sql_top_users_ordinal",
-    "streaming_cdf_dedup",
-    "streaming_cdf_gold_refresh",
-    "streaming_constraint_gate",
-    "streaming_dedup_counts",
-    "streaming_ingest_exactly_once",
-    "streaming_outer_join",
-    "streaming_snapshot_sink",
-    "streaming_stateful_totals",
-    "token_len_histogram",
-    "top_customers",
-    "type_diversity",
-    "user_sessions",
-    "users_error_no_purchase",
-    "vocab_coverage",
-    "winnowing_fingerprints",
-    # the round's 3rd/4th new registrations: the streaming spelling
-    # of the id-keyed replica, and the minhash-index composition
-    # (never graded -> they take top-up slots)
-    "streaming_cdf_row_id_replica",
-    "minhash_index_row_ids",
-    # family top-up: the only source_* query (r15-green; the
-    # window must span every family) + the oldest r14 rep
+    # never driver-graded (r0) -- this round's ANN-index composition
+    "ann_index_row_ids",
+    # the ENTIRE r14 cohort (stalest after the r16 rotation)
+    "ann_brute_force",
+    "ann_ivf",
+    "ann_lsh",
+    "brand_promo_share",
+    "customer_order_gaps",
+    "dedup_components",
+    "doc_lang_id",
+    "doc_quality",
+    "doc_text_stats",
+    "embedding_near_dup",
+    "exact_dedup",
+    "hll_distinct_users",
+    "hll_union_users",
+    "minhash_lsh",
+    "mktsegment_order_priority",
+    "monthly_trends",
+    "nation_customer_stats",
+    "ngram_jaccard",
+    "ngram_jaccard_gated",
+    "order_priority_counts",
+    "priority_line_counts",
+    "profile_events_columns",
+    "purchase_asof_view",
+    "recent_events",
+    "revenue_by_region",
+    "salted_value_by_type",
+    "sequence_packing",
+    "shipping_priority",
+    "simhash_near_dup",
+    "sink_insert_ignore",
+    "sink_tx_atomic_overwrite",
+    "sink_tx_interop",
+    "sink_tx_partition_evolution",
+    "sink_tx_reorg",
+    "sink_tx_skipping",
+    "sink_tx_sync",
+    "sink_tx_zorder",
+    "sql_correlated_subquery",
+    "sql_type_share_cte",
+    "stratified_sample",
+    "streaming_enriched_counts",
+    "streaming_event_counts",
+    "streaming_sliding_counts",
+    "top_supplier_revenue",
+    "user_stats",
+    "users_purchase_and_signup",
+    "value_by_type",
+    "value_quantiles_by_type",
+    # family top-up: the only source_* query (r16-green; the
+    # window must span every family)
     "source_glob_recursive",
-    "sink_tx_changes",
 )
 
 
