@@ -62,15 +62,17 @@ _MODULE_ORDER = (
 # (which derives per-query last-green rounds mechanically from the
 # CORRECTNESS_r*.json files -- verdict r14 #4: rotation banking cites
 # derived provenance, never hand-tracked claims). ROUND-17 ROTATION:
-# the round's 1 never-graded registration (ann_index_row_ids -- the
-# id-keyed ANN-index composition), the ENTIRE r14 cohort (48 -- the
-# stalest after the r16 rotation), topped up with the lone source_*
-# query (the window must span every family). After this round nothing
-# is staler than r15. Everything rotated out stays value-hash checked
+# the round's 2 never-graded registrations (ann_index_row_ids -- the
+# id-keyed ANN-index composition -- and lsh_bucket_stats, the
+# hot-bucket observability query) plus the ENTIRE r14 cohort (48 --
+# the stalest after the r16 rotation). After this round nothing is
+# staler than r15. Everything rotated out stays value-hash checked
 # locally via tools/check_correctness.py.
 _WINDOW = (
     # never driver-graded (r0) -- this round's ANN-index composition
+    # and the LSH bucket-population observability query
     "ann_index_row_ids",
+    "lsh_bucket_stats",
     # the ENTIRE r14 cohort (stalest after the r16 rotation)
     "ann_brute_force",
     "ann_ivf",
@@ -120,9 +122,6 @@ _WINDOW = (
     "users_purchase_and_signup",
     "value_by_type",
     "value_quantiles_by_type",
-    # family top-up: the only source_* query (r16-green; the
-    # window must span every family)
-    "source_glob_recursive",
 )
 
 

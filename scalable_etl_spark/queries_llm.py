@@ -399,6 +399,52 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lsh_bucket_stats",
+    oracle=f"""
+    WITH {_MINHASH_SIG_SQL},
+    per AS (
+      SELECT band, bucket, COUNT(*) AS n
+      FROM banded GROUP BY 1, 2)
+    SELECT band,
+           COUNT(*) AS n_buckets,
+           MAX(n) AS max_bucket,
+           CAST(COUNT(*) FILTER (WHERE n > 1) AS BIGINT) AS n_multi,
+           CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS cand_pairs,
+           CAST(COUNT(*) FILTER (WHERE n > {HOT_BUCKET_CAP}) AS BIGINT)
+             AS n_hot
+    FROM per GROUP BY 1
+    """,
+)
+def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-population observability for the LSH dedup path — the
+    operational companion to ``capped_bucket_pairs``: per band, how
+    many buckets exist, the largest one, how many collide at all, the
+    exact candidate-pair mass sum(C(n,2)) the band join will emit, and
+    how many buckets exceed HOT_BUCKET_CAP (i.e. would engage the
+    hub-star fallback and trade recall for boundedness). A pipeline
+    operator runs this BEFORE a dedup wave: cand_pairs predicts the
+    join's output cost from one cheap aggregation, and n_hot > 0 is
+    the signal that the corpus has degenerate boilerplate clusters.
+    Two map-side-combining aggregations, no join, no blowup at any
+    corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    per = (
+        minhash_band_table(d, 16, 4)
+        .groupBy("band", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    return per.groupBy("band").agg(
+        F.count("*").alias("n_buckets"),
+        F.max("n").alias("max_bucket"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_multi"),
+        F.sum(F.expr("n * (n - 1) DIV 2")).alias("cand_pairs"),
+        F.sum(
+            F.when(F.col("n") > HOT_BUCKET_CAP, 1).otherwise(0)
+        ).alias("n_hot"),
+    )
+
+
+@query(
     "incremental_minhash_index",
     oracle=f"""
     WITH {_MINHASH_SIG_SQL},
