@@ -64,10 +64,14 @@ _MODULE_ORDER = (
 # derived provenance, never hand-tracked claims). ROUND-17 ROTATION:
 # the round's 2 never-graded registrations (ann_index_row_ids -- the
 # id-keyed ANN-index composition -- and lsh_bucket_stats, the
-# hot-bucket observability query) plus the ENTIRE r14 cohort (48 --
-# the stalest after the r16 rotation). After this round nothing is
-# staler than r15. Everything rotated out stays value-hash checked
-# locally via tools/check_correctness.py.
+# hot-bucket observability query), the r14 cohort (47 of 48 -- the
+# stalest after the r16 rotation; purchase_asof_view yields its slot
+# because the r16 judge's independent 25-query spot-check already
+# re-verified it), topped up with the lone source_* query (the
+# window must span every family -- test_registry_contract). After
+# this round nothing graded is staler than r14, and only one r14
+# remains. Everything rotated out stays value-hash checked locally
+# via tools/check_correctness.py.
 _WINDOW = (
     # never driver-graded (r0) -- this round's ANN-index composition
     # and the LSH bucket-population observability query
@@ -96,7 +100,6 @@ _WINDOW = (
     "order_priority_counts",
     "priority_line_counts",
     "profile_events_columns",
-    "purchase_asof_view",
     "recent_events",
     "revenue_by_region",
     "salted_value_by_type",
@@ -122,6 +125,9 @@ _WINDOW = (
     "users_purchase_and_signup",
     "value_by_type",
     "value_quantiles_by_type",
+    # family top-up: the only source_* query (r16-green; the window
+    # must span every family)
+    "source_glob_recursive",
 )
 
 
