@@ -508,6 +508,78 @@ def capped_bucket_pairs(
     return core_pairs.unionAll(star)
 
 
+def capped_probe_pairs(
+    probe: DataFrame,
+    index: DataFrame,
+    keys: tuple[str, ...],
+    id_col: str,
+    hot: DataFrame,
+    max_bucket: int,
+) -> DataFrame:
+    """Asymmetric variant of ``capped_bucket_pairs`` for INCREMENTAL
+    maintenance: candidate (id_a, id_b) pairs from a wave's band rows
+    (``probe``) equi-joining the accumulated ``index`` on bucket keys,
+    with over-cap buckets bounded.
+
+    ``hot`` lists the over-cap buckets as (keys..., n, rep) — n the
+    bucket's population INCLUDING the wave, rep its min-id member.
+    Crucially the caller supplies it from a MAINTAINED bucket-stats
+    table (count deltas merged per wave), NOT from a per-wave count
+    aggregation over the index — re-counting the index every wave
+    would double the very scan the incremental design exists to
+    avoid. ``hot`` is tiny by construction and broadcasts.
+
+    Probe rows in a normal bucket join the full index (exact — the
+    bucket holds <= max_bucket rows by definition). Probe rows in a
+    hot bucket join only a deterministic hash-sampled core of ~cap
+    index rows, plus one hub-star edge to ``rep`` (pure projection
+    off the broadcast columns). Per hot bucket the wave's work is
+    O(wave_rows x cap) instead of O(wave_rows x n)."""
+    klist = list(keys)
+
+    def _pairs(p: DataFrame, i: DataFrame) -> DataFrame:
+        return (
+            p.alias("p")
+            .join(i.alias("i"), klist)
+            .filter(F.col(f"p.{id_col}") != F.col(f"i.{id_col}"))
+            .select(
+                F.least(
+                    F.col(f"p.{id_col}"), F.col(f"i.{id_col}")
+                ).alias("id_a"),
+                F.greatest(
+                    F.col(f"p.{id_col}"), F.col(f"i.{id_col}")
+                ).alias("id_b"),
+            )
+        )
+
+    p_flag = probe.join(F.broadcast(hot), klist, "left")
+    p_norm = p_flag.filter(F.col("n").isNull()).select(*klist, id_col)
+    p_hot = p_flag.filter(F.col("n").isNotNull())
+    core_idx = (
+        index.join(F.broadcast(hot), klist)
+        .filter(
+            (F.col(id_col) == F.col("rep"))
+            | (
+                F.pmod(
+                    F.xxhash64(F.col(id_col)),
+                    F.ceil(F.col("n") / F.lit(max_bucket)).cast("long"),
+                )
+                == 0
+            )
+        )
+        .select(*klist, id_col)
+    )
+    star = p_hot.filter(F.col(id_col) != F.col("rep")).select(
+        F.least(F.col(id_col), F.col("rep")).alias("id_a"),
+        F.greatest(F.col(id_col), F.col("rep")).alias("id_b"),
+    )
+    return (
+        _pairs(p_norm, index)
+        .unionAll(_pairs(p_hot.select(*klist, id_col), core_idx))
+        .unionAll(star)
+    )
+
+
 # --------------------------------------------------------- MinHash + LSH
 
 

@@ -37,6 +37,7 @@ from .functions.vectors import EMBEDDING_DIM, multi_table_buckets_sql
 from .operators.dedup import (
     HOT_BUCKET_CAP,
     capped_bucket_pairs,
+    capped_probe_pairs,
     drop_near_duplicates,
     embedding_near_dup_pairs,
     exact_dedup_groups,
@@ -578,6 +579,166 @@ def incremental_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             cands.unpersist()
     return spark.read.parquet(pairs_dir)
+
+
+@query(
+    "incremental_index_capped",
+    oracle=f"""
+    WITH {_MINHASH_SIG_SQL},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b USING (band, bucket)
+      WHERE a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM hashed GROUP BY 1),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS nc
+      FROM cand c
+      JOIN hashed a ON a.doc_id = c.id_a
+      JOIN hashed b ON b.doc_id = c.id_b AND b.base = a.base
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, ROUND(nc / (sa.sz + sb.sz - nc), 4) AS jaccard,
+           1 AS stats_equal_rebuild
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(nc / (sa.sz + sb.sz - nc), 4) >= 0.8
+    """,
+)
+def incremental_index_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``incremental_minhash_index`` with the wave join made
+    degenerate-bucket-proof at zero recount cost: a THIRD maintained
+    table, ``bucket_stats`` (band, bucket, n, rep), tracks every
+    bucket's population and min-id hub via per-wave count-delta
+    MERGEs — O(wave buckets) per wave, never a recount of the
+    accumulated index (re-aggregating the index each wave would
+    double the very scan incremental maintenance exists to avoid).
+    The wave's candidate join routes through ``capped_probe_pairs``:
+    probes in buckets whose MAINTAINED count exceeds HOT_BUCKET_CAP
+    meet only a hash-sampled ~cap-row core plus the hub rep
+    (broadcast from the stats table). On this corpus the cap is
+    inert (max bucket 4), so the per-wave pair union still equals
+    the one-shot batch LSH — the oracle; ``stats_equal_rebuild``
+    additionally pins the maintained stats EXACTLY equal to a
+    from-scratch aggregation of the final index. Completes ROADMAP
+    r18 #3 (the last uncapped band join) a round early."""
+    import shutil
+    import tempfile as _tf
+
+    from .acid import SnapshotTable
+
+    docs = load_table(spark, sf_dir, "documents")
+    dirs = {
+        n: _tf.mkdtemp(prefix=f"mhcap_{n}_")
+        for n in ("corpus", "index", "sh", "stats")
+    }
+    for d in dirs.values():
+        shutil.rmtree(d)
+    corpus = SnapshotTable(spark, dirs["corpus"])
+    corpus.append(docs.filter(F.col("doc_id") % 2 == 0))   # wave 1
+    corpus.append(docs.filter(F.col("doc_id") % 2 == 1))   # wave 2
+    index = SnapshotTable(spark, dirs["index"])
+    shingles = SnapshotTable(spark, dirs["sh"])
+    stats = SnapshotTable(spark, dirs["stats"])
+    pairs_dir = _tf.mkdtemp(prefix="mhcap_pairs_")
+    spark.range(0).select(
+        F.col("id").alias("id_a"),
+        F.col("id").alias("id_b"),
+        F.col("id").cast("double").alias("jaccard"),
+    ).write.mode("overwrite").parquet(pairs_dir)
+
+    latest = corpus.latest_version()
+    for v in range(latest + 1):
+        wave = (
+            corpus.read(0)
+            if v == 0
+            else corpus.table_changes(v - 1, v).drop("_commit_version")
+        )
+        iv = index.append(minhash_band_table(wave, 16, 4))
+        shingles.append(
+            shingle_hash_table(wave, "text", "doc_id"),
+            stats_cols=["doc_id"],
+        )
+        bands_new = (
+            index.read(0)
+            if iv == 0
+            else index.table_changes(iv - 1, iv).drop("_commit_version")
+        )
+        bands_new = bands_new.select("doc_id", "band", "bucket")
+        # bucket-stats maintenance: count deltas + min-id rep folds
+        # (append-only corpus => both exact); the merge's post-image
+        # touches only the wave's buckets
+        delta = bands_new.groupBy("band", "bucket").agg(
+            F.count("*").alias("d"), F.min("doc_id").alias("drep")
+        )
+        if iv == 0:
+            stats.overwrite(
+                delta.select(
+                    "band",
+                    "bucket",
+                    F.col("d").alias("n"),
+                    F.col("drep").alias("rep"),
+                )
+            )
+        else:
+            post = (
+                delta.join(stats.read(), ["band", "bucket"], "left")
+                .select(
+                    "band",
+                    "bucket",
+                    (F.coalesce(F.col("n"), F.lit(0)) + F.col("d")).alias(
+                        "n"
+                    ),
+                    F.least(
+                        F.coalesce(F.col("rep"), F.col("drep")),
+                        F.col("drep"),
+                    ).alias("rep"),
+                )
+            )
+            stats.merge(post, ["band", "bucket"])
+        hot = stats.read().filter(F.col("n") > HOT_BUCKET_CAP)
+        cands = capped_probe_pairs(
+            bands_new,
+            index.read(),
+            ("band", "bucket"),
+            "doc_id",
+            hot,
+            HOT_BUCKET_CAP,
+        ).distinct()
+        cands = cands.cache()  # feeds the bound probe, the id list,
+        # and the verify join (released by the per-wave pair write)
+        try:
+            bounds = cands.agg(
+                F.least(F.min("id_a"), F.min("id_b")).alias("lo"),
+                F.greatest(F.max("id_a"), F.max("id_b")).alias("hi"),
+            ).collect()[0]
+            if bounds["lo"] is None:
+                continue  # no collisions this wave
+            cand_ids = cands.select(
+                F.explode(F.array("id_a", "id_b")).alias("doc_id")
+            ).distinct()
+            sh_cand = shingles.read(
+                where=("doc_id", bounds["lo"], bounds["hi"])
+            ).join(F.broadcast(cand_ids), "doc_id", "left_semi")
+            verified = verify_jaccard(sh_cand, cands).filter(
+                F.col("jaccard") >= 0.8
+            )
+            verified.select("id_a", "id_b", "jaccard").write.mode(
+                "append"
+            ).parquet(pairs_dir)
+        finally:
+            cands.unpersist()
+    # maintained stats == from-scratch aggregation of the final
+    # index, ONE early-exit action over both diff legs
+    reb = index.read().groupBy("band", "bucket").agg(
+        F.count("*").alias("n"), F.min("doc_id").alias("rep")
+    )
+    got = stats.read().select("band", "bucket", "n", "rep")
+    flag = int(
+        got.exceptAll(reb).unionAll(reb.exceptAll(got)).isEmpty()
+    )
+    return spark.read.parquet(pairs_dir).withColumn(
+        "stats_equal_rebuild", F.lit(flag)
+    )
 
 
 @query(

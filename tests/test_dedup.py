@@ -279,3 +279,60 @@ def test_simhash_cap_bounds_degenerate_bucket(spark):
     assert len(keys) == len(set(keys))
     losers = {r.id_b for r in pairs}
     assert losers == set(range(1, 1000))
+
+
+def test_capped_probe_pairs_matches_exact_when_no_hot(spark):
+    from scalable_etl_spark.operators.dedup import capped_probe_pairs
+
+    index = spark.createDataFrame(
+        [(0, "A", 1), (0, "A", 2), (0, "B", 3), (0, "B", 4)],
+        ["band", "bucket", "doc_id"],
+    ).select("doc_id", "band", "bucket")
+    probe = spark.createDataFrame(
+        [(0, "A", 2), (0, "B", 4)], ["band", "bucket", "doc_id"]
+    ).select("doc_id", "band", "bucket")
+    hot = spark.createDataFrame(
+        [], "band INT, bucket STRING, n BIGINT, rep BIGINT"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in capped_probe_pairs(
+            probe, index, ("band", "bucket"), "doc_id", hot, 10
+        ).collect()
+    }
+    assert got == {(1, 2), (3, 4)}
+
+
+def test_capped_probe_pairs_bounds_hot_bucket(spark):
+    from scalable_etl_spark.operators.dedup import capped_probe_pairs
+
+    # index bucket A holds ids 0..99 (hot, cap 5); bucket B holds
+    # 200/201/400. The wave contributed ids 98, 99 (A) and 400 (B).
+    idx_rows = [(0, "A", i) for i in range(100)] + [
+        (0, "B", 200), (0, "B", 201), (0, "B", 400)
+    ]
+    index = spark.createDataFrame(
+        idx_rows, ["band", "bucket", "doc_id"]
+    ).select("doc_id", "band", "bucket")
+    probe = spark.createDataFrame(
+        [(0, "A", 98), (0, "A", 99), (0, "B", 400)],
+        ["band", "bucket", "doc_id"],
+    ).select("doc_id", "band", "bucket")
+    hot = spark.createDataFrame(
+        [(0, "A", 100, 0)], "band INT, bucket STRING, n BIGINT, rep BIGINT"
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in capped_probe_pairs(
+            probe, index, ("band", "bucket"), "doc_id", hot, 5
+        ).collect()
+    }
+    # Normal bucket B stays exact.
+    assert (200, 400) in pairs and (201, 400) in pairs
+    # Hot-bucket probes keep their hub-star edge to the rep...
+    assert (0, 98) in pairs and (0, 99) in pairs
+    # ...and candidate volume is bounded: each hot probe meets at most
+    # the ~cap-sized core (expected 100/20=5 sampled + rep), never all
+    # 100 bucket members.
+    hot_a = [p for p in pairs if p[1] in (98, 99) or p[0] in (98, 99)]
+    assert len(hot_a) < 40
