@@ -950,6 +950,15 @@ def simhash_near_pairs(
 # ------------------------------------------------ embedding near-dup
 
 
+# Per-(table, bucket) row cap for the embedding near-dup gram matrix:
+# 4096^2 doubles ~ 134 MB per Arrow group, the executor-memory guard.
+# Measured corpus max bucket is 571 of 2,000 vectors at sf0.1 (7x
+# headroom), so at every tested SF the cap is inert and scoring is
+# EXACT; it engages only on degenerate corpora (e.g. thousands of
+# identical vectors collapsing into one bucket in every table).
+EMBEDDING_BUCKET_CAP = 4096
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.99,
@@ -958,6 +967,7 @@ def embedding_near_dup_pairs(
     n_lsh_bits: int = 2,
     n_tables: int = 8,
     dim: int | None = None,
+    max_bucket: int = EMBEDDING_BUCKET_CAP,
 ) -> DataFrame:
     """Near-duplicate vectors by cosine >= threshold, bucketed by
     multi-table random-hyperplane sign-LSH (OR-construction) so each
@@ -1030,6 +1040,50 @@ def embedding_near_dup_pairs(
         V = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
         B = np.stack(pdf["bks"].to_numpy()[order])
         tbl = int(pdf["tbl"].iat[0])
+        if n > max_bucket:
+            # Degenerate bucket: the full gram matrix is O(n^2)
+            # doubles. Same scheme as capped_bucket_pairs — exact
+            # all-pairs within a deterministic hash-sampled ~cap core
+            # (min-id hub always included), plus one hub-star edge
+            # per overflow row (one gram ROW, O(n x dim)). The cap is
+            # inert on every tested corpus, so the oracle never sees
+            # this branch.
+            m = -(-n // max_bucket)  # ceil
+            core = (pd.util.hash_array(ids) % m == 0)
+            core[0] = True  # hub = min id (ids are sorted)
+            idc, Vc, Bc = ids[core], V[core], B[core]
+            nc = len(idc)
+            acc = Vc @ Vc.T
+            norms_c = np.sqrt(np.diag(acc))
+            ia, ib = np.triu_indices(nc, 1)
+            first = np.argmax(Bc[ia] == Bc[ib], axis=1)
+            cos = acc[ia, ib] / (norms_c[ia] * norms_c[ib])
+            keep = (first == tbl) & (cos >= lo)
+            out = {
+                "id_a": idc[ia[keep]],
+                "id_b": idc[ib[keep]],
+                "cos_raw": cos[keep],
+            }
+            over = ~core
+            Vo, Bo = V[over], B[over]
+            dots = Vo @ V[0]
+            norms_o = np.sqrt((Vo * Vo).sum(axis=1))
+            cos_s = dots / (norms_o * norms_c[0])
+            first_s = np.argmax(B[0] == Bo, axis=1)
+            keep_s = (first_s == tbl) & (cos_s >= lo)
+            return pd.DataFrame(
+                {
+                    "id_a": np.concatenate(
+                        [out["id_a"], np.full(keep_s.sum(), ids[0])]
+                    ),
+                    "id_b": np.concatenate(
+                        [out["id_b"], ids[over][keep_s]]
+                    ),
+                    "cos_raw": np.concatenate(
+                        [out["cos_raw"], cos_s[keep_s]]
+                    ),
+                }
+            )
         acc = np.outer(V[:, 0], V[:, 0])
         for i in range(1, V.shape[1]):
             acc = acc + np.outer(V[:, i], V[:, i])
