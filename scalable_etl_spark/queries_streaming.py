@@ -19,6 +19,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions.vectors import multi_table_buckets_sql
 from .operators.sessions import tumbling_counts
 from .registry import query
 from .tables import load_table
@@ -1352,4 +1353,228 @@ def streaming_cdf_row_id_replica(
             F.sum("n_chars").cast("bigint").alias("chars_total"),
         )
         .withColumn("replica_equals_snapshot", F.lit(flag))
+    )
+
+
+@query(
+    "streaming_ann_index",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {multi_table_buckets_sql("embedding", 2, 8)} AS bks
+      FROM embeddings WHERE vec_id % 5 <> 1),
+    eb AS (SELECT vec_id, generate_subscripts(bks, 1) AS tbl,
+                  unnest(bks) AS bucket
+           FROM e),
+    q AS (SELECT vec_id AS query_id, tbl, bucket FROM eb WHERE vec_id < 10),
+    cand AS (
+      SELECT DISTINCT query_id, eb.vec_id AS neighbor_id
+      FROM q JOIN eb USING (tbl, bucket) WHERE eb.vec_id <> query_id),
+    scored AS (
+      SELECT query_id, neighbor_id, qe.v AS qv, ne.v AS cv
+      FROM cand
+      JOIN e qe ON qe.vec_id = query_id
+      JOIN e ne ON ne.vec_id = neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             ROUND(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv))
+                   * sqrt(list_dot_product(cv, cv))), 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY ROUND(list_dot_product(qv, cv)
+                        / (sqrt(list_dot_product(qv, qv))
+                           * sqrt(list_dot_product(cv, cv))), 6) DESC,
+                        neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank,
+           1 AS index_equals_rebuild
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def streaming_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING spelling of ``ann_index_row_ids``: the 8-table
+    sign-LSH bucket index maintained by a Structured Streaming query
+    over the corpus's ``snapshot_changes`` source (readChangeFeed +
+    withRowIds) — foreachBatch applies each commit IN ORDER, inserts
+    bucketing only the delivered rows, deletes retracting exactly the
+    delivered ids via ``delete_in("rid", ...)``, compaction invisible.
+    Exactly-once EFFECT without a ledger: the apply is IDEMPOTENT on
+    the stable row id — inserts anti-join the index's committed rids
+    (pruned by rid stats, O(batch) probes), and delete_in of
+    already-absent ids no-ops — so at-least-once delivery after a
+    checkpoint replay converges to the same index. The final top-5
+    search runs AGAINST THE MAINTAINED INDEX and must equal the
+    oracle's one-shot bucketing of the final corpus;
+    ``index_equals_rebuild`` pins maintained == rebuilt exactly. The
+    continuous dual of the batch sync loop, closing derived-index
+    maintenance in both consumption modes (reference daily_job.py's
+    full-rescan inverted twice)."""
+    import shutil
+
+    from .acid import SnapshotTable
+    from .functions.vectors import (
+        EMBEDDING_DIM,
+        as_double,
+        dot_pandas,
+        multi_table_buckets_pandas,
+        norm_pandas,
+    )
+    from .streaming.cdf import SnapshotChangesSource
+
+    spark.dataSource.register(SnapshotChangesSource)
+    corpus_dir = tempfile.mkdtemp(prefix="sann_corpus_")
+    index_dir = tempfile.mkdtemp(prefix="sann_index_")
+    for d in (corpus_dir, index_dir):
+        shutil.rmtree(d)
+    ckpt = tempfile.mkdtemp(prefix="sann_ckpt_")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = SnapshotTable(spark, corpus_dir)
+    corpus.overwrite(
+        emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0).select(
+            "vec_id", "embedding"
+        )
+    )
+    corpus.enable_row_tracking()
+    corpus.enable_change_data_feed()
+    v_start = corpus.latest_version()
+
+    def bucket_rows(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("_row_id").alias("rid"),
+            "vec_id",
+            F.posexplode(
+                multi_table_buckets_pandas("embedding", 2, 8, EMBEDDING_DIM)
+            ).alias("tbl", "bucket"),
+        )
+
+    index = SnapshotTable(spark, index_dir)
+    index.overwrite(
+        bucket_rows(corpus.read(with_row_ids=True)), stats_cols=["rid"]
+    )
+
+    # DML the stream must span with ids intact
+    corpus.append(
+        emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1).select(
+            "vec_id", "embedding"
+        )
+    )
+    drop = (
+        corpus.read(with_row_ids=True)
+        .filter(F.pmod(F.col("vec_id"), F.lit(5)) == 1)
+        .select("_row_id")
+    )
+    corpus.delete_rows(drop)
+    corpus.compact()  # invisible to the feed
+
+    def apply_changes(b: DataFrame, _batch_id: int) -> None:
+        b = b.persist()
+        try:
+            versions = sorted(
+                r[0]
+                for r in b.select("_commit_version").distinct().collect()
+            )
+            for v in versions:
+                one = b.filter(
+                    F.col("_commit_version") == v
+                ).filter(F.col("_change_type") != "update_preimage")
+                ins = one.filter(
+                    F.col("_change_type") == "insert"
+                ).select("vec_id", "embedding", "_row_id")
+                if not ins.isEmpty():
+                    fresh = bucket_rows(ins).join(
+                        index.read().select("rid"), "rid", "left_anti"
+                    )
+                    index.append(fresh, stats_cols=["rid"])
+                dels = one.filter(
+                    F.col("_change_type") == "delete"
+                ).select(F.col("_row_id").alias("rid"))
+                index.delete_in("rid", dels)  # idempotent no-op when
+                # the ids are already retracted (checkpoint replay)
+        finally:
+            b.unpersist()
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", _STREAM_SHUFFLE_PARTITIONS
+    )
+    try:
+        q = (
+            spark.readStream.format("snapshot_changes")
+            .option("path", corpus_dir)
+            .option("sinceVersion", str(v_start))
+            .option("readChangeFeed", "true")
+            .option("withRowIds", "true")
+            .load()
+            .writeStream.foreachBatch(apply_changes)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    # maintained == rebuilt, ONE early-exit action; then top-5 FROM
+    # THE MAINTAINED INDEX (same contract as ann_index_row_ids)
+    rebuild = bucket_rows(corpus.read(with_row_ids=True)).persist()
+    got = index.read().select("rid", "vec_id", "tbl", "bucket").persist()
+    try:
+        flag = int(
+            got.exceptAll(rebuild)
+            .unionAll(rebuild.exceptAll(got))
+            .isEmpty()
+        )
+        final = corpus.read()
+        queries = final.filter(F.col("vec_id") < 10)
+        q_keyed = queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode(
+                multi_table_buckets_pandas("embedding", 2, 8, EMBEDDING_DIM)
+            ).alias("tbl", "bucket"),
+        )
+        cand = (
+            got.join(F.broadcast(q_keyed), ["tbl", "bucket"])
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+            .distinct()
+        )
+        qv = queries.select(
+            F.col("vec_id").alias("query_id"),
+            as_double("embedding").alias("qv"),
+        ).withColumn("qn", norm_pandas(F.col("qv")))
+        cv = final.select(
+            F.col("vec_id").alias("neighbor_id"),
+            as_double("embedding").alias("cv"),
+        ).withColumn("cn", norm_pandas(F.col("cv")))
+        scored = (
+            cand.join(F.broadcast(qv), "query_id")
+            .join(cv, "neighbor_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    dot_pandas(F.col("qv"), F.col("cv"))
+                    / (F.col("qn") * F.col("cn")),
+                    6,
+                ).alias("cos_sim"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+        )
+        rows = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "neighbor_id", "cos_sim", "rank")
+            .withColumn("index_equals_rebuild", F.lit(flag))
+            .collect()  # <= 10 queries x 5 rows by construction
+        )
+    finally:
+        rebuild.unpersist()
+        got.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "query_id BIGINT, neighbor_id BIGINT, cos_sim DOUBLE, "
+        "rank INT, index_equals_rebuild INT",
     )

@@ -981,6 +981,49 @@ def _type_name(t) -> str:
     return t if isinstance(t, str) else json.dumps(t, sort_keys=True)
 
 
+_DDL_TYPES = {
+    "integer": "int",
+    "long": "bigint",
+    "short": "smallint",
+    "byte": "tinyint",
+}
+
+
+def _json_type_to_ddl(t) -> str:
+    """Spark JSON-schema type (primitive name or nested object) ->
+    Spark DDL type string. Nested columns stream fine — a physically
+    present column whose type matches the pinned schema passes out of
+    the parquet file with its Arrow type untouched (round 17: lifted
+    the primitive-only schema() restriction so array/struct/map
+    payload columns, e.g. embeddings, can drive derived-index
+    maintenance). Only the FILL paths (partition values, defaults,
+    declared-but-absent nulls, widen casts) stay primitive-only —
+    ``_arrow_type`` raises loudly if a nested column ever needs one.
+    DDL spells arrays/maps nullable-element (Spark's default), a
+    superset of any stored containsNull=false — safe for a scan
+    schema."""
+    if isinstance(t, str):
+        return _DDL_TYPES.get(t, t)
+    if isinstance(t, dict):
+        kind = t.get("type")
+        if kind == "array":
+            return f"array<{_json_type_to_ddl(t['elementType'])}>"
+        if kind == "map":
+            return (
+                f"map<{_json_type_to_ddl(t['keyType'])},"
+                f"{_json_type_to_ddl(t['valueType'])}>"
+            )
+        if kind == "struct":
+            inner = ",".join(
+                f"`{f['name']}`:{_json_type_to_ddl(f['type'])}"
+                for f in t["fields"]
+            )
+            return f"struct<{inner}>"
+    raise ValueError(
+        f"snapshot_changes: unsupported column type {t!r}"
+    )
+
+
 class SnapshotChangesSource(DataSource):
     """``format("snapshot_changes")`` — streaming CDF over a snapshot
     table's commit log. Options: ``path`` (table root, required),
@@ -1037,20 +1080,14 @@ class SnapshotChangesSource(DataSource):
         return self._fields_cache
 
     def schema(self):
-        ddl_types = {
-            "integer": "int",
-            "long": "bigint",
-            "short": "smallint",
-            "byte": "tinyint",
-        }
         parts = []
         for name, tname in self._fields():
-            if tname.startswith("{"):
-                raise ValueError(
-                    "snapshot_changes supports primitive columns only; "
-                    f"column {name!r} is {tname}"
-                )
-            parts.append(f"`{name}` {ddl_types.get(tname, tname)}")
+            ddl = (
+                _json_type_to_ddl(json.loads(tname))
+                if tname.startswith("{")
+                else _DDL_TYPES.get(tname, tname)
+            )
+            parts.append(f"`{name}` {ddl}")
         opts = {k.lower(): v for k, v in self.options.items()}
         feed = str(opts.get("readchangefeed", "false")).lower() == "true"
         if str(opts.get("withrowids", "false")).lower() == "true":

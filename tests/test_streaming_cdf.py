@@ -254,8 +254,9 @@ def test_cdf_reader_gates(spark, tmp_path):
         spark.createDataFrame([(1, [1.0, 2.0])], "id INT, emb ARRAY<DOUBLE>")
     )
     src = SnapshotChangesSource({"path": root3})
-    with pytest.raises(ValueError, match="primitive"):
-        src.schema()
+    # nested payload columns stream (round 17: array/struct/map DDL —
+    # physically present columns pass through with their Arrow type)
+    assert "`emb` array<double>" in src.schema()
 
 
 def test_cdf_drop_readd_converges_under_ignore_changes(spark, tmp_path):
