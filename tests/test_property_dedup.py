@@ -166,3 +166,53 @@ def test_minhash_lsh_invariants(spark, corpus):
         for b in range(a + 1, len(corpus)):
             if sh[a] == sh[b]:
                 assert (a, b) in got, "exact duplicate missed by LSH"
+
+
+# ---------------------------------------------- hot-bucket cap property
+
+
+@given(
+    corpus=st.lists(DOC, min_size=2, max_size=12),
+    cap=st.integers(min_value=1, max_value=6),
+)
+@settings(**SETTINGS)
+def test_capped_bucket_pairs_subset_and_hub_coverage(spark, corpus, cap):
+    """For ANY corpus and cap: capped candidates are a SUBSET of the
+    exact banded self-join's candidates (core pairs and star edges
+    are all genuine bucket cohabitants), and every member of an
+    over-cap bucket still appears in >= 1 candidate pair (hub
+    connectivity). With cap >= the largest bucket, capped == exact."""
+    from pyspark.sql import functions as F
+
+    from scalable_etl_spark.operators.dedup import (
+        capped_bucket_pairs,
+        minhash_band_table,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(corpus)), ["doc_id", "text"]
+    )
+    banded = minhash_band_table(df, 8, 4)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in capped_bucket_pairs(
+            banded, ("band", "bucket"), "doc_id", None
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in capped_bucket_pairs(
+            banded, ("band", "bucket"), "doc_id", cap
+        ).collect()
+    }
+    assert capped <= exact
+    per = {}
+    for r in banded.collect():
+        per.setdefault((r.band, r.bucket), set()).add(r.doc_id)
+    max_bucket = max((len(v) for v in per.values()), default=0)
+    if max_bucket <= cap:
+        assert capped == exact
+    covered = {i for p in capped for i in p}
+    for members in per.values():
+        if len(members) > cap:
+            assert members <= covered
