@@ -5099,6 +5099,15 @@ class SnapshotTable:
         if strict is None:
             strict = os.environ.get("SPARK_ETL_MERGE_STRICT") == "1"
         batch = df.dropDuplicates(keys)
+        # The batch plan is consumed at least twice on EVERY merge (the
+        # key-range aggregate below, then the rewrite/effect write) and
+        # a third time by the CDC image writer — persist up front so a
+        # CDC batch derived from an expensive plan (a change-feed read,
+        # a window reduction) is evaluated ONCE, not per consumer
+        # (Delta's MERGE likewise materializes its source). Unpersisted
+        # in the finally at the bottom; retries reuse the same cache.
+        batch = batch.persist()
+        _batch_pin = batch
         aggs = [F.count(F.lit(1)).alias("__n")]
         if strict:
             # struct() never nulls, so NULL-keyed combos count too
@@ -5124,363 +5133,370 @@ class SnapshotTable:
             lo, hi = self._js(r[f"__lo_{k}"]), self._js(r[f"__hi_{k}"])
             if lo is not None and hi is not None:
                 key_ranges[k] = (lo, hi)
-        for _ in range(_COMMIT_RETRIES):
-            v = self.latest_version()
-            if txn_update:
-                txn = self._txn_of(v)
-                if all(
-                    int(txn.get(k, -1)) >= b
-                    for k, b in txn_update.items()
-                ):
-                    return v  # replayed streaming batch: no-op
-            if batch_empty and v is not None:
-                # idle micro-batch (watermark-only trigger): nothing
-                # to upsert — without this, key_ranges is empty, no
-                # dir prunes, and the WHOLE table is rewritten just to
-                # record a ledger entry. No commit at all, ledger
-                # included: an idle stream must not grow the log one
-                # version per trigger, and skipping the ledger advance
-                # is replay-safe (a replayed empty batch is empty
-                # again and no-ops here identically).
-                return v
-            pinned: tuple = ()
-            rt = False
-            wrote_ids = False
-            if v is None:
-                # nothing to match; all rows insert (a delete_where
-                # batch cannot reach here — the genesis gate above
-                # refuses it before the loop, and versions never
-                # regress inside it)
-                merged = batch
-                pcols: list[str] = []
-                untouched: list[str] = []
-                kept_stats: dict = {}
-                kept_fstats: dict = {}
-            else:
-                m = self._manifest(v)
-                rt = (
-                    m.get("properties", {})
-                    .get("rowTracking", "")
-                    .lower()
-                    == "true"
-                )
-                pcols = m["partition_cols"]
-                untouched, rewrite = [], list(m["dirs"])
-                if key_ranges:
-                    hit_list = list(m["dirs"])
-                    for k, (lo, hi) in key_ranges.items():
-                        hit_list = self._prune_dirs(m, hit_list, k, lo, hi)
-                    hit = set(hit_list)
-                    untouched = [d for d in m["dirs"] if d not in hit]
-                    rewrite = [d for d in m["dirs"] if d in hit]
-                keep = None if mor else set(untouched)
-                kept_stats = {
-                    d: s
-                    for d, s in self._stats_of(v).items()
-                    if keep is None or d in keep
-                }
-                kept_fstats = {
-                    d: s
-                    for d, s in self._file_stats_of(v).items()
-                    if keep is None or d in keep
-                }
-                # ROW TRACKING: read the candidate dirs WITH ids so
-                # matched rows keep their identity through the merge —
-                # survivors carry ids straight through; the batch
-                # effect takes the matched target row's id via a key
-                # join below (inserts stay NULL and draw fresh ids
-                # from the new file's base at read time)
-                target_read = self._read_dirs(
-                    m, rewrite, keep_dv_meta=mor, with_row_ids=rt
-                )
-                _aux = ([_DV_FILE, _DV_POS] if mor else []) + (
-                    [_ROW_ID] if rt else []
-                )
-                target = (
-                    target_read.drop(*_aux) if _aux else target_read
-                )
-                missing = [
-                    c for c in target.columns if c not in batch.columns
-                ]
-                if missing:
-                    # schema drift: the batch predates an ALTER ADD
-                    # COLUMN (e.g. a long-lived update-mode stream
-                    # into an evolving table). ONLY columns introduced
-                    # by add_column evolution records fill — with the
-                    # current read-time default (NULL when none), the
-                    # value an omitting APPEND's rows would read back.
-                    # A missing ORIGINAL column stays a loud error:
-                    # filling it would silently NULL every matched
-                    # row's stored values on a typo'd or
-                    # under-projected source.
-                    added = _current_defaults(self._evolution_of(v))
-                    alien = [c for c in missing if c not in added]
-                    if alien:
-                        raise ValueError(
-                            f"merge batch lacks column(s) {alien!r} "
-                            "that the target schema declares and no "
-                            "ALTER ADD COLUMN introduced; refusing "
-                            "to null them on rewrite"
-                        )
-                    tfields = {f.name: f for f in target.schema.fields}
-                    for c in missing:
-                        batch = batch.withColumn(
-                            c,
-                            F.lit(added[c]).cast(tfields[c].dataType),
-                        )
-                if self._cdf_enabled(v) or mor:
-                    # the CDC image writer re-reads BOTH frames (up
-                    # to 4 joins) after the rewrite write already
-                    # consumed them once — cache for this attempt
-                    # (released in the finally below, constraint
-                    # aborts included) so enabling the feed costs one
-                    # extra job over the CHANGED rows, not a second
-                    # full evaluation of the batch plan and rewrite
-                    # dirs (round-12 review finding). Merge-on-read
-                    # re-reads the candidate scan for the DV position
-                    # write too, so it always pins.
-                    batch = batch.persist()
-                    target_read = target_read.persist()
+        try:
+            for _ in range(_COMMIT_RETRIES):
+                v = self.latest_version()
+                if txn_update:
+                    txn = self._txn_of(v)
+                    if all(
+                        int(txn.get(k, -1)) >= b
+                        for k, b in txn_update.items()
+                    ):
+                        return v  # replayed streaming batch: no-op
+                if batch_empty and v is not None:
+                    # idle micro-batch (watermark-only trigger): nothing
+                    # to upsert — without this, key_ranges is empty, no
+                    # dir prunes, and the WHOLE table is rewritten just to
+                    # record a ledger entry. No commit at all, ledger
+                    # included: an idle stream must not grow the log one
+                    # version per trigger, and skipping the ledger advance
+                    # is replay-safe (a replayed empty batch is empty
+                    # again and no-ops here identically).
+                    return v
+                pinned: tuple = ()
+                rt = False
+                wrote_ids = False
+                if v is None:
+                    # nothing to match; all rows insert (a delete_where
+                    # batch cannot reach here — the genesis gate above
+                    # refuses it before the loop, and versions never
+                    # regress inside it)
+                    merged = batch
+                    pcols: list[str] = []
+                    untouched: list[str] = []
+                    kept_stats: dict = {}
+                    kept_fstats: dict = {}
+                else:
+                    m = self._manifest(v)
+                    rt = (
+                        m.get("properties", {})
+                        .get("rowTracking", "")
+                        .lower()
+                        == "true"
+                    )
+                    pcols = m["partition_cols"]
+                    untouched, rewrite = [], list(m["dirs"])
+                    if key_ranges:
+                        hit_list = list(m["dirs"])
+                        for k, (lo, hi) in key_ranges.items():
+                            hit_list = self._prune_dirs(m, hit_list, k, lo, hi)
+                        hit = set(hit_list)
+                        untouched = [d for d in m["dirs"] if d not in hit]
+                        rewrite = [d for d in m["dirs"] if d in hit]
+                    keep = None if mor else set(untouched)
+                    kept_stats = {
+                        d: s
+                        for d, s in self._stats_of(v).items()
+                        if keep is None or d in keep
+                    }
+                    kept_fstats = {
+                        d: s
+                        for d, s in self._file_stats_of(v).items()
+                        if keep is None or d in keep
+                    }
+                    # ROW TRACKING: read the candidate dirs WITH ids so
+                    # matched rows keep their identity through the merge —
+                    # survivors carry ids straight through; the batch
+                    # effect takes the matched target row's id via a key
+                    # join below (inserts stay NULL and draw fresh ids
+                    # from the new file's base at read time)
+                    target_read = self._read_dirs(
+                        m, rewrite, keep_dv_meta=mor, with_row_ids=rt
+                    )
+                    _aux = ([_DV_FILE, _DV_POS] if mor else []) + (
+                        [_ROW_ID] if rt else []
+                    )
                     target = (
                         target_read.drop(*_aux) if _aux else target_read
                     )
-                    pinned = (batch, target_read)
-                try:
-                    # eager analysis in here (a delete_where typo, a
-                    # select of a dropped column) must not leak the
-                    # frames just pinned above
-                    def _with_matched_ids(eff: DataFrame) -> DataFrame:
-                        # batch-effect rows inherit the id of the
-                        # target row they replace (one key equi-join
-                        # against the candidate dirs — the same
-                        # shuffle class as the anti-join the merge
-                        # already pays); unmatched rows stay NULL and
-                        # derive fresh ids from the new file's base.
-                        # min() per key: a multi-row target key (legal
-                        # here, Delta raises) collapses to ONE batch
-                        # row, which keeps the SMALLEST matched id —
-                        # a bare join would duplicate the effect row
-                        # once per matched target row
-                        tids = (
-                            target_read.select(*keys, _ROW_ID)
-                            .groupBy(*keys)
-                            .agg(F.min(_ROW_ID).alias(_ROW_ID))
+                    missing = [
+                        c for c in target.columns if c not in batch.columns
+                    ]
+                    if missing:
+                        # schema drift: the batch predates an ALTER ADD
+                        # COLUMN (e.g. a long-lived update-mode stream
+                        # into an evolving table). ONLY columns introduced
+                        # by add_column evolution records fill — with the
+                        # current read-time default (NULL when none), the
+                        # value an omitting APPEND's rows would read back.
+                        # A missing ORIGINAL column stays a loud error:
+                        # filling it would silently NULL every matched
+                        # row's stored values on a typo'd or
+                        # under-projected source.
+                        added = _current_defaults(self._evolution_of(v))
+                        alien = [c for c in missing if c not in added]
+                        if alien:
+                            raise ValueError(
+                                f"merge batch lacks column(s) {alien!r} "
+                                "that the target schema declares and no "
+                                "ALTER ADD COLUMN introduced; refusing "
+                                "to null them on rewrite"
+                            )
+                        tfields = {f.name: f for f in target.schema.fields}
+                        for c in missing:
+                            batch = batch.withColumn(
+                                c,
+                                F.lit(added[c]).cast(tfields[c].dataType),
+                            )
+                    if self._cdf_enabled(v) or mor:
+                        # the CDC image writer re-reads BOTH frames (up
+                        # to 4 joins) after the rewrite write already
+                        # consumed them once — cache for this attempt
+                        # (released in the finally below, constraint
+                        # aborts included) so enabling the feed costs one
+                        # extra job over the CHANGED rows, not a second
+                        # full evaluation of the batch plan and rewrite
+                        # dirs (round-12 review finding). Merge-on-read
+                        # re-reads the candidate scan for the DV position
+                        # write too, so it always pins.
+                        # batch is already pinned for the whole call
+                        # (hoisted persist above the key-range agg);
+                        # only the candidate-dir scan needs a pin here
+                        target_read = target_read.persist()
+                        target = (
+                            target_read.drop(*_aux) if _aux else target_read
                         )
-                        # (the using-join emits keys first; the
-                        # canonical re-select below the try block
-                        # restores the logical column order for every
-                        # merge output)
-                        return eff.select(*target.columns).join(
-                            tids, keys, "left"
-                        )
+                        pinned = (target_read,)
+                    try:
+                        # eager analysis in here (a delete_where typo, a
+                        # select of a dropped column) must not leak the
+                        # frames just pinned above
+                        def _with_matched_ids(eff: DataFrame) -> DataFrame:
+                            # batch-effect rows inherit the id of the
+                            # target row they replace (one key equi-join
+                            # against the candidate dirs — the same
+                            # shuffle class as the anti-join the merge
+                            # already pays); unmatched rows stay NULL and
+                            # derive fresh ids from the new file's base.
+                            # min() per key: a multi-row target key (legal
+                            # here, Delta raises) collapses to ONE batch
+                            # row, which keeps the SMALLEST matched id —
+                            # a bare join would duplicate the effect row
+                            # once per matched target row
+                            tids = (
+                                target_read.select(*keys, _ROW_ID)
+                                .groupBy(*keys)
+                                .agg(F.min(_ROW_ID).alias(_ROW_ID))
+                            )
+                            # (the using-join emits keys first; the
+                            # canonical re-select below the try block
+                            # restores the logical column order for every
+                            # merge output)
+                            return eff.select(*target.columns).join(
+                                tids, keys, "left"
+                            )
 
-                    if mor:
-                        # matched rows leave via the deletion vector;
-                        # only the batch effect lands in a new entry
-                        if when_matched == "update":
-                            effect = (
-                                batch
-                                if dflag is None
-                                else batch.filter(~dflag)
-                            )
-                            if rt:
-                                merged = _with_matched_ids(effect)
-                                wrote_ids = True
+                        if mor:
+                            # matched rows leave via the deletion vector;
+                            # only the batch effect lands in a new entry
+                            if when_matched == "update":
+                                effect = (
+                                    batch
+                                    if dflag is None
+                                    else batch.filter(~dflag)
+                                )
+                                if rt:
+                                    merged = _with_matched_ids(effect)
+                                    wrote_ids = True
+                                else:
+                                    merged = effect.select(*target.columns)
                             else:
-                                merged = effect.select(*target.columns)
+                                existing = target.select(*keys)
+                                merged = batch.join(
+                                    existing, keys, "left_anti"
+                                ).select(*target.columns)
                         else:
-                            existing = target.select(*keys)
-                            merged = batch.join(
-                                existing, keys, "left_anti"
-                            ).select(*target.columns)
-                    else:
-                        survivors = target_read.drop(
-                            _DV_FILE, _DV_POS
-                        ).join(batch, keys, "left_anti") if rt else (
-                            target.join(batch, keys, "left_anti")
-                        )
-                        if when_matched == "update":
-                            effect = (
-                                batch
-                                if dflag is None
-                                else batch.filter(~dflag)
+                            survivors = target_read.drop(
+                                _DV_FILE, _DV_POS
+                            ).join(batch, keys, "left_anti") if rt else (
+                                target.join(batch, keys, "left_anti")
                             )
-                            if rt:
-                                merged = survivors.unionByName(
-                                    _with_matched_ids(effect)
+                            if when_matched == "update":
+                                effect = (
+                                    batch
+                                    if dflag is None
+                                    else batch.filter(~dflag)
                                 )
-                                wrote_ids = True
-                            else:
-                                merged = survivors.unionByName(
-                                    effect.select(*target.columns)
-                                )
-                        else:  # delete matched, insert the rest
-                            existing = target.select(*keys)
-                            novel = batch.join(existing, keys, "left_anti")
-                            if rt:
-                                merged = survivors.unionByName(
-                                    novel.select(
-                                        *target.columns
-                                    ).withColumn(
-                                        _ROW_ID,
-                                        F.lit(None).cast("bigint"),
+                                if rt:
+                                    merged = survivors.unionByName(
+                                        _with_matched_ids(effect)
                                     )
-                                )
-                                wrote_ids = True
-                            else:
-                                merged = survivors.unionByName(
-                                    novel.select(*target.columns)
-                                )
-                except BaseException:
+                                    wrote_ids = True
+                                else:
+                                    merged = survivors.unionByName(
+                                        effect.select(*target.columns)
+                                    )
+                            else:  # delete matched, insert the rest
+                                existing = target.select(*keys)
+                                novel = batch.join(existing, keys, "left_anti")
+                                if rt:
+                                    merged = survivors.unionByName(
+                                        novel.select(
+                                            *target.columns
+                                        ).withColumn(
+                                            _ROW_ID,
+                                            F.lit(None).cast("bigint"),
+                                        )
+                                    )
+                                    wrote_ids = True
+                                else:
+                                    merged = survivors.unionByName(
+                                        novel.select(*target.columns)
+                                    )
+                    except BaseException:
+                        for df_ in pinned:
+                            df_.unpersist()
+                        raise
+                if v is not None:
+                    # CANONICAL column order: Spark's USING joins (the
+                    # anti-join above, the row-id key join) emit join
+                    # keys FIRST, so a merge keyed on a non-first column
+                    # would otherwise commit a PERMUTED schema and every
+                    # later read would follow it (pre-existing defect,
+                    # caught by the round-15 review on the MOR row-id
+                    # path but generic to every merge)
+                    merged = merged.select(
+                        *target.columns,
+                        *([_ROW_ID] if wrote_ids else []),
+                    )
+                dv_id = None
+                affected: set = set()
+                try:
+                    if mor and v is not None:
+                        # suppressed positions: every (DV-applied) target
+                        # row whose key the batch carries. A pure-insert
+                        # batch matches nothing -> no sidecar.
+                        matched_meta = target_read.join(
+                            batch.select(*keys), keys, "left_semi"
+                        )
+                        dv_id, affected = self._dv_sidecar(
+                            matched_meta, m,
+                            self._dv_scan_prefix(m, required=True),
+                        )
+                    new_entries = self._write_data_entries(merged, pcols)
+                    if v is not None:
+                        self._enforce_constraints(
+                            new_entries, self.constraints(v),
+                            self._manifest(v)["schema"],
+                            self._evolution_of(v),
+                        )
+                    rid_ctx = None
+                    new_bases: dict | None = None
+                    new_hwm = 0
+                    if rt and v is not None:
+                        # PRE-ASSIGN the new entries' base-row-id map
+                        # (the exact walk _commit performs, from the CAS
+                        # target's hwm — a lost race retries the whole
+                        # attempt, so the assignment is final iff the
+                        # commit lands) and hand it to both the CDC
+                        # image writer (insert images read their fresh
+                        # ids back through it) and the manifest
+                        new_bases, new_hwm = self._assign_bases(
+                            new_entries, int(m.get("row_hwm", 0))
+                        )
+                        if self._cdf_enabled(v):
+                            out_schema_json = StructType(
+                                [
+                                    f
+                                    for f in merged.schema.fields
+                                    if f.name != _ROW_ID
+                                ]
+                            ).json()
+                            rid_ctx = {
+                                "target_read": target_read,
+                                "m_new": {
+                                    "dirs": list(new_entries),
+                                    "schema": out_schema_json,
+                                    "partition_cols": pcols,
+                                    "row_bases": new_bases,
+                                    "row_mat": (
+                                        list(new_entries)
+                                        if wrote_ids
+                                        else []
+                                    ),
+                                    "dv": {},
+                                    "evolution": [],
+                                },
+                            }
+                    change_rec = self._merge_change_rec(
+                        v, batch, target if v is not None else None,
+                        keys, when_matched, dflag, rid_ctx=rid_ctx,
+                    )
+                finally:
                     for df_ in pinned:
                         df_.unpersist()
-                    raise
-            if v is not None:
-                # CANONICAL column order: Spark's USING joins (the
-                # anti-join above, the row-id key join) emit join
-                # keys FIRST, so a merge keyed on a non-first column
-                # would otherwise commit a PERMUTED schema and every
-                # later read would follow it (pre-existing defect,
-                # caught by the round-15 review on the MOR row-id
-                # path but generic to every merge)
-                merged = merged.select(
-                    *target.columns,
-                    *([_ROW_ID] if wrote_ids else []),
-                )
-            dv_id = None
-            affected: set = set()
-            try:
+                # untouched dirs keep their stats; the rewritten entries get
+                # fresh key stats from their footers (free, no scan job)
+                for e in new_entries:
+                    dstats, fstats = self._footer_stats(e, keys)
+                    if dstats:
+                        kept_stats = {**kept_stats, e: dstats}
+                    if fstats:
+                        kept_fstats = {**kept_fstats, e: fstats}
                 if mor and v is not None:
-                    # suppressed positions: every (DV-applied) target
-                    # row whose key the batch carries. A pure-insert
-                    # batch matches nothing -> no sidecar.
-                    matched_meta = target_read.join(
-                        batch.select(*keys), keys, "left_semi"
-                    )
-                    dv_id, affected = self._dv_sidecar(
-                        matched_meta, m,
-                        self._dv_scan_prefix(m, required=True),
-                    )
-                new_entries = self._write_data_entries(merged, pcols)
-                if v is not None:
-                    self._enforce_constraints(
-                        new_entries, self.constraints(v),
-                        self._manifest(v)["schema"],
-                        self._evolution_of(v),
-                    )
-                rid_ctx = None
-                new_bases: dict | None = None
-                new_hwm = 0
-                if rt and v is not None:
-                    # PRE-ASSIGN the new entries' base-row-id map
-                    # (the exact walk _commit performs, from the CAS
-                    # target's hwm — a lost race retries the whole
-                    # attempt, so the assignment is final iff the
-                    # commit lands) and hand it to both the CDC
-                    # image writer (insert images read their fresh
-                    # ids back through it) and the manifest
-                    new_bases, new_hwm = self._assign_bases(
-                        new_entries, int(m.get("row_hwm", 0))
-                    )
-                    if self._cdf_enabled(v):
-                        out_schema_json = StructType(
+                    dv = self._dv_of(v)
+                    if dv_id is not None:
+                        for e in affected:
+                            dv[e] = [*dv.get(e, []), dv_id]
+                    dirs_out = [*m["dirs"], *new_entries]
+                else:
+                    dv = self._dv_kept(v, untouched)
+                    dirs_out = [*untouched, *new_entries]
+                manifest = {
+                    "op": f"merge_{when_matched}",
+                    "dirs": dirs_out,
+                    # _row_id is physical-only; the logical schema the
+                    # manifest declares never carries it
+                    "schema": (
+                        StructType(
                             [
                                 f
                                 for f in merged.schema.fields
                                 if f.name != _ROW_ID
                             ]
                         ).json()
-                        rid_ctx = {
-                            "target_read": target_read,
-                            "m_new": {
-                                "dirs": list(new_entries),
-                                "schema": out_schema_json,
-                                "partition_cols": pcols,
-                                "row_bases": new_bases,
-                                "row_mat": (
-                                    list(new_entries)
-                                    if wrote_ids
-                                    else []
-                                ),
-                                "dv": {},
-                                "evolution": [],
-                            },
-                        }
-                change_rec = self._merge_change_rec(
-                    v, batch, target if v is not None else None,
-                    keys, when_matched, dflag, rid_ctx=rid_ctx,
-                )
-            finally:
-                for df_ in pinned:
-                    df_.unpersist()
-            # untouched dirs keep their stats; the rewritten entries get
-            # fresh key stats from their footers (free, no scan job)
-            for e in new_entries:
-                dstats, fstats = self._footer_stats(e, keys)
-                if dstats:
-                    kept_stats = {**kept_stats, e: dstats}
-                if fstats:
-                    kept_fstats = {**kept_fstats, e: fstats}
-            if mor and v is not None:
-                dv = self._dv_of(v)
-                if dv_id is not None:
-                    for e in affected:
-                        dv[e] = [*dv.get(e, []), dv_id]
-                dirs_out = [*m["dirs"], *new_entries]
-            else:
-                dv = self._dv_kept(v, untouched)
-                dirs_out = [*untouched, *new_entries]
-            manifest = {
-                "op": f"merge_{when_matched}",
-                "dirs": dirs_out,
-                # _row_id is physical-only; the logical schema the
-                # manifest declares never carries it
-                "schema": (
-                    StructType(
-                        [
-                            f
-                            for f in merged.schema.fields
-                            if f.name != _ROW_ID
-                        ]
-                    ).json()
-                    if wrote_ids
-                    else merged.schema.json()
-                ),
-                "partition_cols": pcols,
-                "stats": kept_stats,
-                "file_stats": kept_fstats,
-                "txn": self._merge_txn(v, txn_update),
-                "evolution": self._evolution_of(v),
-                "timestamp": time.time(),
-                **({"dv": dv} if dv else {}),
-            }
-            if wrote_ids:
-                prev_mat = set(m.get("row_mat", []))
-                manifest["row_mat"] = [
-                    *(e for e in dirs_out if e in prev_mat),
-                    *new_entries,
-                ]
-            if new_bases is not None and "row_bases" in m:
-                # pass the pre-assigned map through so the committed
-                # bases are BY CONSTRUCTION the ones the CDC insert
-                # images were derived from (carried dirs keep their
-                # existing bases, exactly the prev-carry _commit
-                # would compute)
-                prev_rb = m["row_bases"]
-                manifest["row_bases"] = {
-                    **{
-                        e: dict(prev_rb[e])
-                        for e in dirs_out
-                        if e in prev_rb
-                    },
-                    **new_bases,
+                        if wrote_ids
+                        else merged.schema.json()
+                    ),
+                    "partition_cols": pcols,
+                    "stats": kept_stats,
+                    "file_stats": kept_fstats,
+                    "txn": self._merge_txn(v, txn_update),
+                    "evolution": self._evolution_of(v),
+                    "timestamp": time.time(),
+                    **({"dv": dv} if dv else {}),
                 }
-                manifest["row_hwm"] = new_hwm
-            if change_rec is not None:
-                manifest["change_data"] = change_rec
-            if self._commit(0 if v is None else v + 1, manifest):
-                return 0 if v is None else v + 1
-        raise CommitConflict(f"merge lost {_COMMIT_RETRIES} races")
+                if wrote_ids:
+                    prev_mat = set(m.get("row_mat", []))
+                    manifest["row_mat"] = [
+                        *(e for e in dirs_out if e in prev_mat),
+                        *new_entries,
+                    ]
+                if new_bases is not None and "row_bases" in m:
+                    # pass the pre-assigned map through so the committed
+                    # bases are BY CONSTRUCTION the ones the CDC insert
+                    # images were derived from (carried dirs keep their
+                    # existing bases, exactly the prev-carry _commit
+                    # would compute)
+                    prev_rb = m["row_bases"]
+                    manifest["row_bases"] = {
+                        **{
+                            e: dict(prev_rb[e])
+                            for e in dirs_out
+                            if e in prev_rb
+                        },
+                        **new_bases,
+                    }
+                    manifest["row_hwm"] = new_hwm
+                if change_rec is not None:
+                    manifest["change_data"] = change_rec
+                if self._commit(0 if v is None else v + 1, manifest):
+                    return 0 if v is None else v + 1
+            raise CommitConflict(f"merge lost {_COMMIT_RETRIES} races")
+        finally:
+            # one cache for every consumer of the batch plan this
+            # call created; idempotent on the no-op returns above
+            _batch_pin.unpersist()
 
     def _merge_txn(
         self, version: int | None, txn_update: dict[str, int] | None
@@ -6275,13 +6291,17 @@ class SnapshotTable:
                 [(x,) for x in vs]
             ).toDF(col)
         raw = vals_df.select(F.col(vals_df.columns[0]).alias("__raw"))
-        keys = raw.select(
-            F.col("__raw").try_cast(dt).alias(col)
-        ).dropDuplicates([col]).persist()
+        # ONE evaluation of the values plan: the casted frame is pinned
+        # and feeds the validation aggregate (which materializes it),
+        # the per-entry range probe, and the matched semi-join — a list
+        # derived from an expensive plan (a change-feed read) would
+        # otherwise re-execute per consumer.
+        casted = raw.select(
+            "__raw", F.col("__raw").try_cast(dt).alias(col)
+        ).persist()
+        keys = casted.select(col).dropDuplicates([col])
         try:
-            r = raw.select(
-                "__raw", F.col("__raw").try_cast(dt).alias(col)
-            ).agg(
+            r = casted.agg(
                 F.count("__raw").alias("n_in"),
                 F.count(col).alias("n_ok"),
                 F.min(col).alias("lo"),
@@ -6309,7 +6329,7 @@ class SnapshotTable:
                 ],
             )
         finally:
-            keys.unpersist()
+            casted.unpersist()
 
     def delete_rows(self, row_ids) -> int:
         """DELETE BY STABLE ROW ID (requires
@@ -6375,19 +6395,22 @@ class SnapshotTable:
                     # try_cast, not cast: under ANSI a malformed value
                     # would THROW mid-job; the miswired-list check below
                     # wants to see the NULLs and raise a targeted error.
-                    # persist: the list plan (often a filter over this
-                    # very table's id-bearing read) is evaluated by the
-                    # validation aggregate, the per-entry probe join, AND
-                    # the matched semi-join — pay its scan once (retries
-                    # reuse it; unpersisted in the finally below)
+                    # persist the CASTED frame: the list plan (often a
+                    # filter over this very table's id-bearing read) is
+                    # evaluated by the validation aggregate (which
+                    # materializes the pin), the per-entry probe join,
+                    # AND the matched semi-join — pay its scan ONCE
+                    # (retries reuse it; unpersisted in the finally
+                    # below)
                     if keys is None:
-                        keys = ids_df.select(
-                            F.col(id_col).try_cast("bigint").alias(_ROW_ID)
-                        ).dropDuplicates([_ROW_ID]).persist()
-                    r = ids_df.select(
-                        F.col(id_col).alias("__raw"),
-                        F.col(id_col).try_cast("bigint").alias(_ROW_ID),
-                    ).agg(
+                        casted = ids_df.select(
+                            F.col(id_col).alias("__raw"),
+                            F.col(id_col).try_cast("bigint").alias(_ROW_ID),
+                        ).persist()
+                        keys = casted.select(_ROW_ID).dropDuplicates(
+                            [_ROW_ID]
+                        )
+                    r = casted.agg(
                         F.count("__raw").alias("n_in"),
                         F.count(_ROW_ID).alias("n_ok"),
                         F.min(_ROW_ID).alias("lo"),
@@ -6497,7 +6520,7 @@ class SnapshotTable:
             )
         finally:
             if keys is not None:
-                keys.unpersist()
+                casted.unpersist()
 
     def update(
         self,

@@ -167,7 +167,7 @@ def streaming_ingest_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("user_id") < 50)
         .select("event_id", "user_id", "event_type")
     )
-    first = ev.filter(F.col("user_id") < 25).coalesce(2)
+    first = ev.filter(F.col("user_id") < 25).repartition(2)
     first.write.mode("append").json(src)
 
     def drain() -> None:
@@ -193,7 +193,7 @@ def streaming_ingest_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         drain()  # pass 1: first half
-        ev.filter(F.col("user_id") >= 25).coalesce(2).write.mode(
+        ev.filter(F.col("user_id") >= 25).repartition(2).write.mode(
             "append"
         ).json(src)
         drain()  # pass 2: only the new files (path ledger skips committed)

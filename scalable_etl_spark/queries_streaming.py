@@ -116,7 +116,14 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") < 40)
         .select("event_id", "ts", "event_type")
     )
-    ev.coalesce(4).write.mode("overwrite").json(src)
+    # repartition (NOT coalesce) before every spool write in this
+    # module: coalesce(n) collapses the UPSTREAM parquet scan to n
+    # tasks (it erases the stage boundary, guide §2.4/§6), so spooling
+    # a small filtered slice was paying a near-serial scan of the whole
+    # events table. The round-robin exchange moves only the spooled
+    # rows and keeps the scan at full parallelism; file count (and the
+    # single availableNow batch) is unchanged.
+    ev.repartition(4).write.mode("overwrite").json(src)
 
     stream = (
         spark.readStream.schema("event_id BIGINT, ts TIMESTAMP, event_type STRING")
@@ -157,7 +164,7 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") < 30)
         .select("user_id", "value")
     )
-    ev.coalesce(2).write.mode("overwrite").json(src)
+    ev.repartition(2).write.mode("overwrite").json(src)
 
     stream = (
         spark.readStream.schema("user_id BIGINT, value DOUBLE")
@@ -207,7 +214,14 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") < 40)
         .select("event_id", "ts", "event_type")
     )
-    ev.coalesce(4).write.mode("overwrite").json(src)
+    # repartition (NOT coalesce) before every spool write in this
+    # module: coalesce(n) collapses the UPSTREAM parquet scan to n
+    # tasks (it erases the stage boundary, guide §2.4/§6), so spooling
+    # a small filtered slice was paying a near-serial scan of the whole
+    # events table. The round-robin exchange moves only the spooled
+    # rows and keeps the scan at full parallelism; file count (and the
+    # single availableNow batch) is unchanged.
+    ev.repartition(4).write.mode("overwrite").json(src)
 
     stream = (
         spark.readStream.schema("event_id BIGINT, ts TIMESTAMP, event_type STRING")
@@ -261,7 +275,7 @@ def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") < 40)
         .select("event_id", "user_id", "value")
     )
-    ev.coalesce(4).write.mode("overwrite").json(src)
+    ev.repartition(4).write.mode("overwrite").json(src)
 
     dim = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
@@ -330,7 +344,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hour-aligned fixed windows), so the spool must round-trip
     # microseconds — the default JSON timestamp format truncates to
     # millis and the value hash would diverge from the oracle.
-    ev.coalesce(4).write.mode("overwrite").option(
+    ev.repartition(4).write.mode("overwrite").option(
         "timestampFormat", _MICROS_TS_FMT
     ).json(src)
 
@@ -396,10 +410,10 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
     # microsecond-preserving spool: first_purchase is a raw event time
     ev.filter(F.col("event_type") == "view").select("user_id", "ts") \
-        .coalesce(2).write.mode("overwrite") \
+        .repartition(2).write.mode("overwrite") \
         .option("timestampFormat", _MICROS_TS_FMT).json(src_v)
     ev.filter(F.col("event_type") == "purchase").select("user_id", "ts") \
-        .coalesce(2).write.mode("overwrite") \
+        .repartition(2).write.mode("overwrite") \
         .option("timestampFormat", _MICROS_TS_FMT).json(src_p)
 
     views = (
@@ -477,7 +491,7 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") < 25)
         .select("event_id", "ts", "event_type")
     )
-    ev.unionAll(ev).coalesce(4).write.mode("overwrite").json(src)
+    ev.unionAll(ev).repartition(4).write.mode("overwrite").json(src)
 
     stream = (
         spark.readStream.schema(
@@ -549,10 +563,10 @@ def streaming_join_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="sjw_ckpt_")
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
     ev.filter(F.col("event_type") == "view").select("user_id", "ts") \
-        .coalesce(2).write.mode("overwrite") \
+        .repartition(2).write.mode("overwrite") \
         .option("timestampFormat", _MICROS_TS_FMT).json(src_v)
     ev.filter(F.col("event_type") == "purchase").select("user_id", "ts") \
-        .coalesce(2).write.mode("overwrite") \
+        .repartition(2).write.mode("overwrite") \
         .option("timestampFormat", _MICROS_TS_FMT).json(src_p)
 
     views = (
@@ -627,7 +641,7 @@ def streaming_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") < 40)
         .select("event_id", "user_id", "event_type", "value")
     )
-    ev.coalesce(4).write.mode("overwrite").json(src)
+    ev.repartition(4).write.mode("overwrite").json(src)
 
     stream = (
         spark.readStream.schema(
@@ -709,10 +723,10 @@ def streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id BIGINT, ts TIMESTAMP",
     )
     ev.filter(F.col("event_type") == "view").select("user_id", "ts") \
-        .unionByName(sentinel).coalesce(2).write.mode("overwrite") \
+        .unionByName(sentinel).repartition(2).write.mode("overwrite") \
         .option("timestampFormat", _MICROS_TS_FMT).json(src_v)
     ev.filter(F.col("event_type") == "purchase").select("user_id", "ts") \
-        .unionByName(sentinel).coalesce(2).write.mode("overwrite") \
+        .unionByName(sentinel).repartition(2).write.mode("overwrite") \
         .option("timestampFormat", _MICROS_TS_FMT).json(src_p)
 
     views = (
@@ -941,7 +955,7 @@ def streaming_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     def drain(df: DataFrame, leg: str):
         src = tempfile.mkdtemp(prefix=f"cgate_src_{leg}_")
         ckpt = tempfile.mkdtemp(prefix=f"cgate_ckpt_{leg}_")
-        df.coalesce(2).write.mode("overwrite").json(src)
+        df.repartition(2).write.mode("overwrite").json(src)
         q = write_stream_snapshot(
             spark.readStream.schema(schema_ddl).json(src),
             t,
