@@ -195,3 +195,20 @@ def mix_hash_sql(base_expr: str, p: int) -> str:
         f"((({base_expr} >> 30) * {b}) & {MIX_MASK60}) + {c}) "
         f"& {MIX_MASK60}"
     )
+
+
+def mix_hash_spark_sql(base_expr: str, p: int) -> str:
+    """``mix_hash`` as a Spark-SQL string (same ops/constants as the
+    Column spelling, so values are bit-identical). One parsed string
+    per permutation replaces ~10 py4j round-trips per Column-built
+    permutation — on a 16-perm signature that is hundreds of driver
+    round-trips per plan, a measurable slice of every MinHash query's
+    wall time (driver plan construction is serial overhead at any
+    cluster size). ``shiftright`` spelled as the function for parser
+    portability."""
+    a, b, c = mix_constants(p)
+    return (
+        f"(((({base_expr} & {MIX_MASK30}) * {a}) & {MIX_MASK60}) + "
+        f"((shiftright({base_expr}, 30) * {b}) & {MIX_MASK60}) + {c}) "
+        f"& {MIX_MASK60}"
+    )

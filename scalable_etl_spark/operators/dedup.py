@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import (
     content_hash,
-    mix_hash,
+    mix_hash_spark_sql,
     normalized_text,
     portable_hash64,
     tokens,
@@ -589,6 +589,7 @@ def _minhash_wide(
     text_col: str,
     id_col: str,
     k: int,
+    shingle_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """One row per doc with ``num_perms`` min-hash columns h0..h{n-1}.
 
@@ -601,9 +602,24 @@ def _minhash_wide(
     never the rows x shingles x perms cross product the naive
     (explode-everything, groupBy(id, perm)) spelling ships.
     """
-    hashed = shingle_hash_table(df, text_col, id_col, k).select(
+    # ``shingle_hashes``: callers that ALSO materialize the (id, h)
+    # shingle table (a persisted index build signs bands and shingles
+    # from one frame) pass it in so the tokenize/explode/md5 pass runs
+    # once, not once per consumer.
+    sh = (
+        shingle_hashes
+        if shingle_hashes is not None
+        else shingle_hash_table(df, text_col, id_col, k)
+    )
+    # selectExpr with pre-rendered strings: one parsed expression per
+    # permutation instead of ~10 py4j round-trips each (the JVM plan is
+    # identical — mix_hash_spark_sql is the same op/constant sequence)
+    hashed = sh.selectExpr(
         id_col,
-        *[mix_hash(F.col("h"), p).alias(f"h{p}") for p in range(num_perms)],
+        *[
+            f"({mix_hash_spark_sql('h', p)}) AS h{p}"
+            for p in range(num_perms)
+        ],
     )
     return hashed.groupBy(id_col).agg(
         *[F.min(f"h{p}").alias(f"h{p}") for p in range(num_perms)]
@@ -638,6 +654,7 @@ def minhash_band_table(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    shingle_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """(id, band, bucket) LSH index rows for ``df`` — the PERSISTABLE
     half of MinHash dedup. Band buckets come straight off the wide
@@ -654,33 +671,27 @@ def minhash_band_table(
             f"bands ({bands})"
         )
     rows_per_band = num_perms // bands
-    wide = _minhash_wide(df, num_perms, text_col, id_col, k)
+    wide = _minhash_wide(
+        df, num_perms, text_col, id_col, k, shingle_hashes
+    )
+    # one parsed SQL string instead of ~30 Column round-trips per band
+    # (same expression tree after parsing — values are bit-identical)
     band_buckets = [
-        F.md5(
-            F.array_join(
-                F.array_sort(
-                    F.array(
-                        *[
-                            F.concat_ws(
-                                ":",
-                                F.lit(str(p)),
-                                F.col(f"h{p}").cast("string"),
-                            )
-                            for p in range(
-                                band * rows_per_band,
-                                (band + 1) * rows_per_band,
-                            )
-                        ]
-                    )
-                ),
-                ",",
+        "md5(array_join(array_sort(array("
+        + ", ".join(
+            f"concat_ws(':', '{p}', cast(h{p} as string))"
+            for p in range(
+                band * rows_per_band, (band + 1) * rows_per_band
             )
         )
+        + ")), ','))"
         for band in range(bands)
     ]
-    return wide.select(
-        F.col(id_col),
-        F.posexplode(F.array(*band_buckets)).alias("band", "bucket"),
+    return wide.selectExpr(
+        id_col,
+        "posexplode(array("
+        + ", ".join(band_buckets)
+        + ")) AS (band, bucket)",
     )
 
 
@@ -798,26 +809,24 @@ def simhash_signatures(
         F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
     )
     hashed = toks.select(id_col, portable_hash64(F.col("tok")).alias("h"))
+    # pre-rendered SQL strings: the 60 vote exprs + the 60-term packing
+    # sum were ~600 py4j round-trips of driver plan construction per
+    # call as Column objects; the parsed plans (and values) are
+    # identical
     votes = [
-        F.when(
-            F.col("h").bitwiseAND(F.lit(1 << b).cast("long")) != 0, 1
-        )
-        .otherwise(-1)
-        .alias(f"v{b}")
+        f"CASE WHEN (h & {1 << b}L) != 0 THEN 1 ELSE -1 END AS v{b}"
         for b in range(SIMHASH_BITS)
     ]
     wide = (
-        hashed.select(id_col, *votes)
+        hashed.selectExpr(id_col, *votes)
         .groupBy(id_col)
         .agg(*[F.sum(f"v{b}").alias(f"s{b}") for b in range(SIMHASH_BITS)])
     )
-    packed = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(
-            F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        packed = term if packed is None else packed + term
-    return wide.select(F.col(id_col), packed.alias("simhash"))
+    packed = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b}L ELSE 0L END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return wide.selectExpr(id_col, f"({packed}) AS simhash")
 
 
 # 15-bit simhash band values collide by birthday on large corpora, so
@@ -1098,7 +1107,17 @@ def embedding_near_dup_pairs(
              "cos_raw": cos[keep]}
         )
 
-    scored = keyed.groupBy("tbl", "bucket").applyInPandas(
+    # Explicit exchange sized by CORES, not bytes: the scoring stage is
+    # CPU-bound Python (gram matrices per Arrow group), so AQE's
+    # bytes-based partition coalescing (advisory size / parallelismFirst
+    # =false) would serialize it onto a handful of workers even though
+    # its input is tiny. A user repartition on the group keys is never
+    # coalesced, and the groupBy reuses its hash partitioning — still
+    # exactly one shuffle.
+    n_par = keyed.sparkSession.sparkContext.defaultParallelism
+    scored = keyed.repartition(n_par, "tbl", "bucket").groupBy(
+        "tbl", "bucket"
+    ).applyInPandas(
         _score, f"id_a {id_sql}, id_b {id_sql}, cos_raw double"
     )
     return (
@@ -1244,7 +1263,12 @@ def cluster_scoped_near_pairs(
             }
         )
 
-    scored = asg.groupBy("cluster").applyInPandas(
+    # cores-sized exchange for the CPU-bound Python scoring stage; see
+    # the note in embedding_near_dup_pairs above
+    n_par = asg.sparkSession.sparkContext.defaultParallelism
+    scored = asg.repartition(n_par, "cluster").groupBy(
+        "cluster"
+    ).applyInPandas(
         _score, f"cluster int, id_a {id_sql}, id_b {id_sql}, cos_raw double"
     )
     return scored.select(

@@ -523,14 +523,16 @@ def incremental_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             if v == 0
             else corpus.table_changes(v - 1, v).drop("_commit_version")
         )
-        # ONE sign pass + ONE shingle pass over the wave: both land
-        # in their ACID tables, and every later consumer reads the
-        # PERSISTED rows back instead of re-deriving the lineage
-        iv = index.append(minhash_band_table(wave, 16, 4))
-        shingles.append(
-            shingle_hash_table(wave, "text", "doc_id"),
-            stats_cols=["doc_id"],
+        # ONE tokenize/explode/md5 pass over the wave: the pinned
+        # shingle frame feeds BOTH the band signature and the shingle
+        # append (two actions), and every later consumer reads the
+        # PERSISTED table rows back instead of re-deriving the lineage
+        sh_wave = shingle_hash_table(wave, "text", "doc_id").persist()
+        iv = index.append(
+            minhash_band_table(wave, 16, 4, shingle_hashes=sh_wave)
         )
+        shingles.append(sh_wave, stats_cols=["doc_id"])
+        sh_wave.unpersist()
         bands_new = (
             index.read(0)
             if iv == 0
@@ -653,11 +655,13 @@ def incremental_index_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             if v == 0
             else corpus.table_changes(v - 1, v).drop("_commit_version")
         )
-        iv = index.append(minhash_band_table(wave, 16, 4))
-        shingles.append(
-            shingle_hash_table(wave, "text", "doc_id"),
-            stats_cols=["doc_id"],
+        # shared pinned shingle pass — see incremental_minhash_index
+        sh_wave = shingle_hash_table(wave, "text", "doc_id").persist()
+        iv = index.append(
+            minhash_band_table(wave, 16, 4, shingle_hashes=sh_wave)
         )
+        shingles.append(sh_wave, stats_cols=["doc_id"])
+        sh_wave.unpersist()
         bands_new = (
             index.read(0)
             if iv == 0
@@ -1834,18 +1838,28 @@ def minhash_index_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = SnapshotTable(spark, dirs["bands"])
     shingles = SnapshotTable(spark, dirs["shingles"])
 
-    def sign(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """(band rows, shingle rows) for an id-bearing doc frame —
-        both keyed by rid (retraction) AND doc_id (pair output)."""
+    def sign(
+        df: DataFrame,
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """(band rows, shingle rows, pinned shingle-hash frame) for an
+        id-bearing doc frame — outputs keyed by rid (retraction) AND
+        doc_id (pair output). The (doc_id, h) shingle pass is pinned
+        and SHARED: the band signature derives from it and the shingle
+        table IS it, so the tokenize/explode/md5 pass over the docs
+        runs once per sign, not once per consuming action. Callers
+        unpersist the returned pin after both outputs materialize."""
         rid_map = df.select(
             F.col("_row_id").alias("rid"), "doc_id"
         )
-        b = minhash_band_table(df, 16, 4).join(rid_map, "doc_id")
-        s = shingle_hash_table(df, "text", "doc_id").join(
-            rid_map, "doc_id"
-        )
-        return b.select("rid", "doc_id", "band", "bucket"), s.select(
-            "rid", "doc_id", "h"
+        sh = shingle_hash_table(df, "text", "doc_id").persist()
+        b = minhash_band_table(
+            df, 16, 4, shingle_hashes=sh
+        ).join(rid_map, "doc_id")
+        s = sh.join(rid_map, "doc_id")
+        return (
+            b.select("rid", "doc_id", "band", "bucket"),
+            s.select("rid", "doc_id", "h"),
+            sh,
         )
 
     corpus.overwrite(
@@ -1855,11 +1869,12 @@ def minhash_index_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus.enable_row_tracking()
     corpus.enable_change_data_feed()
-    b0, s0 = sign(corpus.read(with_row_ids=True))
+    b0, s0, sh0 = sign(corpus.read(with_row_ids=True))
     # stats on rid for BOTH tables: delete_in's [min, max] entry
     # pruning is inert on entries without committed column stats
     bands.overwrite(b0, stats_cols=["rid"])
     shingles.overwrite(s0, stats_cols=["rid"])
+    sh0.unpersist()
     v = corpus.latest_version()
 
     def sync() -> None:
@@ -1875,9 +1890,10 @@ def minhash_index_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("_change_type") == "insert"
             ).select("doc_id", "text", "_row_id")
             if not ins.isEmpty():  # compaction-only range: nothing
-                bi, si = sign(ins)
+                bi, si, shi = sign(ins)
                 bands.append(bi, stats_cols=["rid"])
                 shingles.append(si, stats_cols=["rid"])
+                shi.unpersist()
             dels = feed.filter(
                 F.col("_change_type") == "delete"
             ).select(F.col("_row_id").alias("rid"))
@@ -1907,7 +1923,7 @@ def minhash_index_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # equality flag: BOTH maintained tables == from-scratch build.
     # The rebuild frames are each referenced by BOTH exceptAll legs —
     # persist so the corpus is re-signed once, not twice per table
-    rb, rs = sign(corpus.read(with_row_ids=True))
+    rb, rs, shr = sign(corpus.read(with_row_ids=True))
     rb = rb.persist()
     rs = rs.persist()
     # the maintained tables feed the equality legs AND the pair
@@ -1946,6 +1962,7 @@ def minhash_index_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         rb.unpersist()
         rs.unpersist()
+        shr.unpersist()
     pairs_dir = _tf.mkdtemp(prefix="mhrid_pairs_")
     try:
         # near-dup pairs FROM THE MAINTAINED INDEX — written to a

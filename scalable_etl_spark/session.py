@@ -42,6 +42,19 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # 128 MB scan partitions: right-sized for many-executor parquet scans.
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # Size post-shuffle partitions by BYTES (advisory target), not by
+    # the cluster's parallelism: with parallelismFirst=true (Spark's
+    # default) AQE refuses to coalesce below cores×executors, leaving
+    # tiny-task stages everywhere (guide §2.2 — partitions should land
+    # in the 100MB-1GB band, scale-adaptively). CPU-bound Python stages
+    # opt out with an explicit cores-sized repartition (dedup.py).
+    # Env-overridable for deployments that prefer the old behavior.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": os.environ.get(
+        "SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"
+    ),
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": os.environ.get(
+        "SPARK_GRAFT_AQE_ADVISORY", "64m"
+    ),
     # Broadcast dims aggressively (region/nation/part-scale sides).
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
 }
