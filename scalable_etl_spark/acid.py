@@ -5099,41 +5099,49 @@ class SnapshotTable:
         if strict is None:
             strict = os.environ.get("SPARK_ETL_MERGE_STRICT") == "1"
         batch = df.dropDuplicates(keys)
-        # The batch plan is consumed at least twice on EVERY merge (the
-        # key-range aggregate below, then the rewrite/effect write) and
-        # a third time by the CDC image writer — persist up front so a
-        # CDC batch derived from an expensive plan (a change-feed read,
-        # a window reduction) is evaluated ONCE, not per consumer
-        # (Delta's MERGE likewise materializes its source). Unpersisted
-        # in the finally at the bottom; retries reuse the same cache.
-        batch = batch.persist()
-        _batch_pin = batch
-        aggs = [F.count(F.lit(1)).alias("__n")]
-        if strict:
-            # struct() never nulls, so NULL-keyed combos count too
-            aggs.append(
-                F.count_distinct(F.struct(*keys)).alias("__k")
-            )
-        for k in keys:
-            aggs.append(F.min(k).alias(f"__lo_{k}"))
-            aggs.append(F.max(k).alias(f"__hi_{k}"))
-        r = (df if strict else batch).agg(*aggs).collect()[0]
-        if strict and r["__n"] != r["__k"]:
-            raise ValueError(
-                f"merge(strict): source has {r['__n']} rows but only "
-                f"{r['__k']} distinct key combination(s) on "
-                f"{keys} — multiple source rows per key resolve "
-                "arbitrarily (Delta raises here); pre-reduce the "
-                "batch or pass strict=False to accept an arbitrary "
-                "winner"
-            )
-        batch_empty = r["__n"] == 0
-        key_ranges: dict[str, tuple] = {}
-        for k in keys:
-            lo, hi = self._js(r[f"__lo_{k}"]), self._js(r[f"__hi_{k}"])
-            if lo is not None and hi is not None:
-                key_ranges[k] = (lo, hi)
+        # Persist the batch only when this call has >=2 FULL consumers
+        # of its plan: with CDF or merge-on-read the change-image / DV
+        # writers re-read the batch after the rewrite write already
+        # consumed it, so one materialization pays for itself (Delta's
+        # MERGE likewise materializes its source). A plain merge
+        # reduces the batch once (key-range aggregate) and writes it
+        # once — round 17 persisted unconditionally and the per-merge
+        # persist->materialize->unpersist churn made the commit-loop
+        # lifecycle queries 2-5x slower (round-17 verdict #2). The try
+        # opens immediately after the persist so a strict-mode raise or
+        # a failed aggregate cannot leak the pin. NOTE: in strict mode
+        # the aggregate runs over the raw df (pre-dropDuplicates), so
+        # the pin is first materialized by the rewrite write instead.
+        _batch_pin = None
+        if mor or self._cdf_enabled(self.latest_version()):
+            batch = batch.persist()
+            _batch_pin = batch
         try:
+            aggs = [F.count(F.lit(1)).alias("__n")]
+            if strict:
+                # struct() never nulls, so NULL-keyed combos count too
+                aggs.append(
+                    F.count_distinct(F.struct(*keys)).alias("__k")
+                )
+            for k in keys:
+                aggs.append(F.min(k).alias(f"__lo_{k}"))
+                aggs.append(F.max(k).alias(f"__hi_{k}"))
+            r = (df if strict else batch).agg(*aggs).collect()[0]
+            if strict and r["__n"] != r["__k"]:
+                raise ValueError(
+                    f"merge(strict): source has {r['__n']} rows but only "
+                    f"{r['__k']} distinct key combination(s) on "
+                    f"{keys} — multiple source rows per key resolve "
+                    "arbitrarily (Delta raises here); pre-reduce the "
+                    "batch or pass strict=False to accept an arbitrary "
+                    "winner"
+                )
+            batch_empty = r["__n"] == 0
+            key_ranges: dict[str, tuple] = {}
+            for k in keys:
+                lo, hi = self._js(r[f"__lo_{k}"]), self._js(r[f"__hi_{k}"])
+                if lo is not None and hi is not None:
+                    key_ranges[k] = (lo, hi)
             for _ in range(_COMMIT_RETRIES):
                 v = self.latest_version()
                 if txn_update:
@@ -5249,9 +5257,15 @@ class SnapshotTable:
                         # dirs (round-12 review finding). Merge-on-read
                         # re-reads the candidate scan for the DV position
                         # write too, so it always pins.
-                        # batch is already pinned for the whole call
-                        # (hoisted persist above the key-range agg);
-                        # only the candidate-dir scan needs a pin here
+                        # batch was pinned before the key-range agg
+                        # when CDF/MOR was already visible; a feed
+                        # enabled concurrently (between the pre-loop
+                        # check and this attempt's manifest read) pins
+                        # it here instead, released by the outer
+                        # finally like the pre-loop pin
+                        if _batch_pin is None:
+                            batch = batch.persist()
+                            _batch_pin = batch
                         target_read = target_read.persist()
                         target = (
                             target_read.drop(*_aux) if _aux else target_read
@@ -5496,7 +5510,8 @@ class SnapshotTable:
         finally:
             # one cache for every consumer of the batch plan this
             # call created; idempotent on the no-op returns above
-            _batch_pin.unpersist()
+            if _batch_pin is not None:
+                _batch_pin.unpersist()
 
     def _merge_txn(
         self, version: int | None, txn_update: dict[str, int] | None

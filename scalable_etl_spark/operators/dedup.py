@@ -613,9 +613,11 @@ def _minhash_wide(
     )
     # selectExpr with pre-rendered strings: one parsed expression per
     # permutation instead of ~10 py4j round-trips each (the JVM plan is
-    # identical — mix_hash_spark_sql is the same op/constant sequence)
+    # identical — mix_hash_spark_sql is the same op/constant sequence).
+    # id_col is backtick-quoted: a name needing quoting (space, dot,
+    # reserved word) must parse exactly as F.col(id_col) resolved it.
     hashed = sh.selectExpr(
-        id_col,
+        f"`{id_col}`",
         *[
             f"({mix_hash_spark_sql('h', p)}) AS h{p}"
             for p in range(num_perms)
@@ -688,7 +690,7 @@ def minhash_band_table(
         for band in range(bands)
     ]
     return wide.selectExpr(
-        id_col,
+        f"`{id_col}`",
         "posexplode(array("
         + ", ".join(band_buckets)
         + ")) AS (band, bucket)",
@@ -818,7 +820,7 @@ def simhash_signatures(
         for b in range(SIMHASH_BITS)
     ]
     wide = (
-        hashed.selectExpr(id_col, *votes)
+        hashed.selectExpr(f"`{id_col}`", *votes)
         .groupBy(id_col)
         .agg(*[F.sum(f"v{b}").alias(f"s{b}") for b in range(SIMHASH_BITS)])
     )
@@ -826,7 +828,7 @@ def simhash_signatures(
         f"(CASE WHEN s{b} > 0 THEN {1 << b}L ELSE 0L END)"
         for b in range(SIMHASH_BITS)
     )
-    return wide.selectExpr(id_col, f"({packed}) AS simhash")
+    return wide.selectExpr(f"`{id_col}`", f"({packed}) AS simhash")
 
 
 # 15-bit simhash band values collide by birthday on large corpora, so

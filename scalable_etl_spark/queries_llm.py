@@ -528,11 +528,13 @@ def incremental_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         # append (two actions), and every later consumer reads the
         # PERSISTED table rows back instead of re-deriving the lineage
         sh_wave = shingle_hash_table(wave, "text", "doc_id").persist()
-        iv = index.append(
-            minhash_band_table(wave, 16, 4, shingle_hashes=sh_wave)
-        )
-        shingles.append(sh_wave, stats_cols=["doc_id"])
-        sh_wave.unpersist()
+        try:
+            iv = index.append(
+                minhash_band_table(wave, 16, 4, shingle_hashes=sh_wave)
+            )
+            shingles.append(sh_wave, stats_cols=["doc_id"])
+        finally:
+            sh_wave.unpersist()
         bands_new = (
             index.read(0)
             if iv == 0
@@ -657,11 +659,13 @@ def incremental_index_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # shared pinned shingle pass — see incremental_minhash_index
         sh_wave = shingle_hash_table(wave, "text", "doc_id").persist()
-        iv = index.append(
-            minhash_band_table(wave, 16, 4, shingle_hashes=sh_wave)
-        )
-        shingles.append(sh_wave, stats_cols=["doc_id"])
-        sh_wave.unpersist()
+        try:
+            iv = index.append(
+                minhash_band_table(wave, 16, 4, shingle_hashes=sh_wave)
+            )
+            shingles.append(sh_wave, stats_cols=["doc_id"])
+        finally:
+            sh_wave.unpersist()
         bands_new = (
             index.read(0)
             if iv == 0
@@ -1870,11 +1874,13 @@ def minhash_index_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus.enable_row_tracking()
     corpus.enable_change_data_feed()
     b0, s0, sh0 = sign(corpus.read(with_row_ids=True))
-    # stats on rid for BOTH tables: delete_in's [min, max] entry
-    # pruning is inert on entries without committed column stats
-    bands.overwrite(b0, stats_cols=["rid"])
-    shingles.overwrite(s0, stats_cols=["rid"])
-    sh0.unpersist()
+    try:
+        # stats on rid for BOTH tables: delete_in's [min, max] entry
+        # pruning is inert on entries without committed column stats
+        bands.overwrite(b0, stats_cols=["rid"])
+        shingles.overwrite(s0, stats_cols=["rid"])
+    finally:
+        sh0.unpersist()
     v = corpus.latest_version()
 
     def sync() -> None:
@@ -1891,9 +1897,11 @@ def minhash_index_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select("doc_id", "text", "_row_id")
             if not ins.isEmpty():  # compaction-only range: nothing
                 bi, si, shi = sign(ins)
-                bands.append(bi, stats_cols=["rid"])
-                shingles.append(si, stats_cols=["rid"])
-                shi.unpersist()
+                try:
+                    bands.append(bi, stats_cols=["rid"])
+                    shingles.append(si, stats_cols=["rid"])
+                finally:
+                    shi.unpersist()
             dels = feed.filter(
                 F.col("_change_type") == "delete"
             ).select(F.col("_row_id").alias("rid"))

@@ -42,15 +42,18 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # 128 MB scan partitions: right-sized for many-executor parquet scans.
     "spark.sql.files.maxPartitionBytes": "134217728",
-    # Size post-shuffle partitions by BYTES (advisory target), not by
-    # the cluster's parallelism: with parallelismFirst=true (Spark's
-    # default) AQE refuses to coalesce below cores×executors, leaving
-    # tiny-task stages everywhere (guide §2.2 — partitions should land
-    # in the 100MB-1GB band, scale-adaptively). CPU-bound Python stages
-    # opt out with an explicit cores-sized repartition (dedup.py).
-    # Env-overridable for deployments that prefer the old behavior.
+    # Keep Spark's default parallelismFirst=true: AQE coalesces small
+    # post-shuffle partitions but never below the cluster parallelism.
+    # Round 17 defaulted this to false (bytes-only sizing, guide §2.2's
+    # 100MB-1GB band) and it serialized every reduce stage at bench
+    # scale — every shuffle payload fits one 64m advisory partition, so
+    # each reduce stage collapsed to ONE task and the suite ran ~1.5x
+    # slower with 8 cores matching 32 (round-17 verdict #1). Bytes-first
+    # sizing is a deployment choice for genuinely large inputs: opt in
+    # with SPARK_GRAFT_AQE_PARALLELISM_FIRST=false there; the default
+    # must keep the measured box parallel.
     "spark.sql.adaptive.coalescePartitions.parallelismFirst": os.environ.get(
-        "SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"
+        "SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"
     ),
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": os.environ.get(
         "SPARK_GRAFT_AQE_ADVISORY", "64m"
