@@ -113,6 +113,14 @@ def _narrow_type(simple: str):
 
 _COMMIT_RETRIES = 20
 
+# Entry-count ceiling for FOLDING the per-entry range probe into the
+# delete verbs' validation aggregate (one boolean max(when(lo<=x<hi))
+# per entry, partial-aggregated map-side — one Spark job instead of
+# two). Above the ceiling the expression tree would bloat the plan, so
+# the verbs fall back to the block-keyed broadcast-join probe, which
+# stays O(1) plan size at any entry count.
+_PROBE_FOLD_MAX = 64
+
 # Every Nth manifest is written FULL (a checkpoint); the rest are
 # deltas against their predecessor. Delta's equivalent knob is
 # checkpointInterval = 10 (the protocol's default).
@@ -1681,6 +1689,54 @@ class SnapshotTable:
                 rid_files[d] = keep
         return out_dirs, rid_files
 
+    def _rid_spans(self, m_rb: dict, entries) -> list[tuple[str, int, int]]:
+        """Per-entry covering ``[min base, max base + rows)`` id spans
+        for DERIVED entries — the range facts behind both the
+        ``_rid_entry_hits`` broadcast-join probe and ``delete_rows``'s
+        folded single-job probe (per-span boolean aggregates piggybacked
+        on the validation aggregate). Entries without bases, or with an
+        empty span, are omitted (they cannot hold a requested id)."""
+        bases = m_rb.get("row_bases", {})
+        spans: list[tuple[str, int, int]] = []
+        for d in entries:
+            per = bases.get(d, {})
+            if not per:
+                continue
+            counts = self._footer_row_counts(d)
+            lo = min(int(b) for b in per.values())
+            hi = max(
+                int(b) + counts.get(f, 0) for f, b in per.items()
+            )
+            if hi > lo:
+                spans.append((d, lo, hi))
+        return spans
+
+    def _stat_spans(
+        self, m: dict, entries, col
+    ) -> tuple[list[tuple[str, int, int]], set]:
+        """(spans, conservatively_kept) from committed integer
+        ``[min, max]`` column stats — the range facts behind both the
+        ``_range_entry_hits`` broadcast-join probe and ``delete_in``'s
+        folded single-job probe. Entries without usable integer stats
+        land in the kept set (exactly ``_prune_dirs``'s contract)."""
+        stats = m.get("stats", {})
+        spans: list[tuple[str, int, int]] = []
+        kept: set = set()
+        for d in entries:
+            rng = stats.get(d, {}).get(col)
+            if (
+                rng is None
+                or rng[0] is None
+                or rng[1] is None
+                or not isinstance(rng[0], int)
+                or not isinstance(rng[1], int)
+                or isinstance(rng[0], bool)
+            ):
+                kept.add(d)
+                continue
+            spans.append((d, int(rng[0]), int(rng[1]) + 1))
+        return spans, kept
+
     def _rid_entry_hits(self, m_rb: dict, entries, keys) -> set:
         """Which DERIVED entries can hold any id in the ``keys``
         DataFrame (one ``_row_id`` column). An entry's ids occupy one
@@ -1698,21 +1754,8 @@ class SnapshotTable:
         list's single global [min, max] would keep every entry
         (round-15 verdict finding). Footer counts are already
         memoized by the ``_rid_prune`` pass that ran before this."""
-        bases = m_rb.get("row_bases", {})
-        spans: list[tuple[str, int, int]] = []
-        total = 0
-        for d in entries:
-            per = bases.get(d, {})
-            if not per:
-                continue
-            counts = self._footer_row_counts(d)
-            lo = min(int(b) for b in per.values())
-            hi = max(
-                int(b) + counts.get(f, 0) for f, b in per.items()
-            )
-            if hi > lo:
-                spans.append((d, lo, hi))
-                total += hi - lo
+        spans = self._rid_spans(m_rb, entries)
+        total = sum(hi - lo for _d, lo, hi in spans)
         if not spans:
             return set()
         blk = 1
@@ -1754,25 +1797,8 @@ class SnapshotTable:
         intersect it. Entries without integer stats (strings, dates,
         all-NULL, never collected) are conservatively kept — exactly
         ``_prune_dirs``'s contract."""
-        stats = m.get("stats", {})
-        spans: list[tuple[str, int, int]] = []
-        kept: set = set()
-        total = 0
-        for d in entries:
-            rng = stats.get(d, {}).get(col)
-            if (
-                rng is None
-                or rng[0] is None
-                or rng[1] is None
-                or not isinstance(rng[0], int)
-                or not isinstance(rng[1], int)
-                or isinstance(rng[0], bool)
-            ):
-                kept.add(d)
-                continue
-            lo, hi = int(rng[0]), int(rng[1]) + 1
-            spans.append((d, lo, hi))
-            total += hi - lo
+        spans, kept = self._stat_spans(m, entries, col)
+        total = sum(hi - lo for _d, lo, hi in spans)
         if not spans:
             return kept
         blk = 1
@@ -6315,12 +6341,32 @@ class SnapshotTable:
             "__raw", F.col("__raw").try_cast(dt).alias(col)
         ).persist()
         keys = casted.select(col).dropDuplicates([col])
+        # FOLDED PROBE: when the table has few enough entries, the
+        # per-entry stats-range probe rides the validation aggregate as
+        # one boolean max() per entry span — the whole prune costs ZERO
+        # extra jobs. The precomputed hits are only valid against the
+        # manifest they were derived from; _dv_delete re-reads the
+        # manifest per attempt, so refine() falls back to the join
+        # probe whenever the attempt sees a different manifest object
+        # (the per-version cache makes `is` an exact version check).
+        m0 = self._manifest(v)
+        spans0, kept0 = self._stat_spans(m0, m0["dirs"], col)
+        hit_aggs = []
+        if 0 < len(spans0) <= _PROBE_FOLD_MAX:
+            cexpr = F.col(col).cast("bigint")
+            hit_aggs = [
+                F.max(
+                    (cexpr >= F.lit(lo)) & (cexpr < F.lit(hi))
+                ).alias(f"__hit_{i}")
+                for i, (_d, lo, hi) in enumerate(spans0)
+            ]
         try:
             r = casted.agg(
                 F.count("__raw").alias("n_in"),
                 F.count(col).alias("n_ok"),
                 F.min(col).alias("lo"),
                 F.max(col).alias("hi"),
+                *hit_aggs,
             ).first()
             if r["n_ok"] < r["n_in"]:
                 raise ValueError(
@@ -6331,17 +6377,30 @@ class SnapshotTable:
                 )
             if r["lo"] is None:
                 return v  # empty (or all-NULL) list
+            pre_hits = None
+            if hit_aggs:
+                pre_hits = kept0 | {
+                    spans0[i][0]
+                    for i in range(len(spans0))
+                    if r[f"__hit_{i}"]
+                }
+
+            def _refine(mv: dict, cands):
+                if pre_hits is not None and mv is m0:
+                    return [d for d in cands if d in pre_hits]
+                return [
+                    d
+                    for d in cands
+                    if d
+                    in self._range_entry_hits(mv, cands, keys, col)
+                ]
+
             return self._dv_delete(
                 lambda t: t.join(keys, col, "left_semi"),
                 (col, r["lo"], r["hi"]),
                 # sparse lists spanning the value space still probe
                 # only the entries whose stats ranges hold a value
-                refine=lambda mv, cands: [
-                    d
-                    for d in cands
-                    if d
-                    in self._range_entry_hits(mv, cands, keys, col)
-                ],
+                refine=_refine,
             )
         finally:
             casted.unpersist()
@@ -6425,12 +6484,45 @@ class SnapshotTable:
                         keys = casted.select(_ROW_ID).dropDuplicates(
                             [_ROW_ID]
                         )
+                    # FOLDED PROBE (same scheme as delete_in): with few
+                    # enough derived entries, the per-entry id-span
+                    # probe rides this attempt's validation aggregate
+                    # as one boolean max() per span — zero extra jobs.
+                    # Spans come from THIS attempt's manifest, so the
+                    # precomputed hits are valid for the attempt by
+                    # construction; above the cap the join probe runs.
+                    mat_set = set(m.get("row_mat", []))
+                    bases_d = m.get("row_bases", {})
+                    derived_all = sorted(
+                        d
+                        for d in m["dirs"]
+                        if d not in mat_set and d in bases_d
+                    )
+                    fold = 0 < len(derived_all) <= _PROBE_FOLD_MAX
+                    spans0 = self._rid_spans(m, derived_all) if fold else []
+                    hit_aggs = [
+                        F.max(
+                            (F.col(_ROW_ID) >= F.lit(lo))
+                            & (F.col(_ROW_ID) < F.lit(hi))
+                        ).alias(f"__hit_{i}")
+                        for i, (_d, lo, hi) in enumerate(spans0)
+                    ]
                     r = casted.agg(
                         F.count("__raw").alias("n_in"),
                         F.count(_ROW_ID).alias("n_ok"),
                         F.min(_ROW_ID).alias("lo"),
                         F.max(_ROW_ID).alias("hi"),
+                        *hit_aggs,
                     ).first()
+                    pre_hit = (
+                        {
+                            spans0[i][0]
+                            for i in range(len(spans0))
+                            if r[f"__hit_{i}"]
+                        }
+                        if fold
+                        else None
+                    )
                     if r["n_ok"] < r["n_in"]:
                         # a non-castable first column is a MISWIRED drop
                         # list (wrong column order out of a curation
@@ -6464,16 +6556,18 @@ class SnapshotTable:
                     # global [min, max]; refine DERIVED survivors per
                     # entry against the actual ids (mat entries hold
                     # arbitrary old ids and stay candidates regardless)
-                    mat_set = set(m.get("row_mat", []))
-                    bases_d = m.get("row_bases", {})
                     derived = {
                         d
                         for d in candidates
                         if d not in mat_set and d in bases_d
                     }
                     if derived:
-                        hit = self._rid_entry_hits(
-                            m, sorted(derived), keys
+                        hit = (
+                            pre_hit
+                            if pre_hit is not None
+                            else self._rid_entry_hits(
+                                m, sorted(derived), keys
+                            )
                         )
                         candidates = [
                             d
