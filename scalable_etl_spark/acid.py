@@ -121,6 +121,13 @@ _COMMIT_RETRIES = 20
 # stays O(1) plan size at any entry count.
 _PROBE_FOLD_MAX = 64
 
+# Entry-count ceiling for inlining the row-id (file -> base) map as a
+# literal map expression in _attach_row_ids instead of a broadcast
+# join: each broadcast build is a driver-synchronized job, but a
+# literal-map lookup scans its keys linearly per row, so only small
+# maps win. Counts map ENTRIES (a hive-escaped path emits 2 spellings).
+_RB_INLINE_MAX = 32
+
 # Every Nth manifest is written FULL (a checkpoint); the rest are
 # deltas against their predecessor. Delta's equivalent knob is
 # checkpointInterval = 10 (the protocol's default).
@@ -2712,10 +2719,12 @@ class SnapshotTable:
             int(m.get("row_hwm", 0)),
         )
 
-    def _row_bases_frame(self, m: dict, dirs, prefix: str) -> DataFrame:
-        """Tiny (file, base) build side for the row-id derivation
-        join, keyed in RENDERING space so the probe side hashes the
-        raw ``_metadata.file_path`` attribute (the DV suppression
+    def _row_bases_rows(
+        self, m: dict, dirs, prefix: str
+    ) -> list[tuple[str, int]]:
+        """(scan-space file path, base) pairs for the row-id
+        derivation — keyed in RENDERING space so the probe side hashes
+        the raw ``_metadata.file_path`` attribute (the DV suppression
         pattern — zero per-row string work on the scan). Disk paths
         whose rendering differs (hive-escaped partition values) emit
         BOTH candidate spellings; only one can ever match."""
@@ -2729,8 +2738,14 @@ class SnapshotTable:
                 cands = {rel, quote(rel, safe="/=")}
                 for c in cands:
                     rows.append((prefix + c, int(b)))
+        return rows
+
+    def _row_bases_frame(self, m: dict, dirs, prefix: str) -> DataFrame:
+        """Tiny (file, base) build side for the row-id derivation
+        join (the above-inline-cap spelling of ``_attach_row_ids``)."""
         return self.spark.createDataFrame(
-            rows, "__sg_rb_file STRING, __sg_rb_base BIGINT"
+            self._row_bases_rows(m, dirs, prefix),
+            "__sg_rb_file STRING, __sg_rb_base BIGINT",
         )
 
     def _attach_row_ids(
@@ -2748,22 +2763,50 @@ class SnapshotTable:
         shuffles — then ``coalesce(physical, base + row_index)``:
         physical wins for rows a rewrite moved, the derived spelling
         covers append-born rows (including fresh inserts written with
-        a NULL physical id into an otherwise-materialized entry)."""
+        a NULL physical id into an otherwise-materialized entry).
+
+        SMALL MAPS INLINE: at or under ``_RB_INLINE_MAX`` files the
+        (file, base) pairs render as ONE parsed literal map expression
+        — a pure projection, no broadcast-exchange build job per read
+        (the commit-loop queries read row-tracked tables dozens of
+        times over few-file entries, and each broadcast build is a
+        driver-synchronized job). A literal-map lookup is a linear
+        key scan per row, so past the cap the hash-keyed broadcast
+        join takes over; an absent key yields NULL either way."""
         prefix = self._dv_scan_prefix(m, required=True)
-        rb = self._row_bases_frame(m, dirs, prefix)
+        rows = dict(self._row_bases_rows(m, dirs, prefix))
         has_phys = _ROW_ID_PHYS in tagged.columns
-        out = tagged.join(
-            F.broadcast(rb),
-            tagged[_DV_FILE] == rb["__sg_rb_file"],
-            "left",
-        )
-        derived = F.col("__sg_rb_base") + F.col(_DV_POS)
-        out = out.withColumn(
-            _ROW_ID,
-            F.coalesce(F.col(_ROW_ID_PHYS), derived)
-            if has_phys
-            else derived,
-        ).drop("__sg_rb_file", "__sg_rb_base")
+        if 0 < len(rows) <= _RB_INLINE_MAX:
+            out = tagged
+            entries = ", ".join(
+                "'{}', {}L".format(
+                    f.replace("\\", "\\\\").replace("'", "\\'"), int(b)
+                )
+                for f, b in sorted(rows.items())
+            )
+            derived = F.expr(f"map({entries})")[F.col(_DV_FILE)] + F.col(
+                _DV_POS
+            )
+            out = out.withColumn(
+                _ROW_ID,
+                F.coalesce(F.col(_ROW_ID_PHYS), derived)
+                if has_phys
+                else derived,
+            )
+        else:
+            rb = self._row_bases_frame(m, dirs, prefix)
+            out = tagged.join(
+                F.broadcast(rb),
+                tagged[_DV_FILE] == rb["__sg_rb_file"],
+                "left",
+            )
+            derived = F.col("__sg_rb_base") + F.col(_DV_POS)
+            out = out.withColumn(
+                _ROW_ID,
+                F.coalesce(F.col(_ROW_ID_PHYS), derived)
+                if has_phys
+                else derived,
+            ).drop("__sg_rb_file", "__sg_rb_base")
         if fresh_flag is not None:
             # TRUE for rows whose id is DERIVED (no physical id):
             # on a freshly-written rewrite output these are exactly
@@ -4647,15 +4690,24 @@ class SnapshotTable:
         ).write.mode("errorifexists").parquet(
             os.path.join(self.dv_dir, dv_id)
         )
-        # touched files, read back from the tiny sidecar (no second
-        # evaluation of the matched plan)
-        touched = [
-            r["file"]
-            for r in self._dv_frame([dv_id])
-            .select("file")
-            .distinct()
-            .collect()
-        ]
+        # touched files, read back from the tiny sidecar DRIVER-SIDE
+        # (pyarrow over the just-written local files — the same access
+        # path the footer-count memo uses): no second evaluation of
+        # the matched plan AND no Spark job for a bounded-size list
+        import pyarrow.parquet as pq
+
+        touched_set: set[str] = set()
+        dv_root = os.path.join(self.dv_dir, dv_id)
+        for walk_root, _sub, files in os.walk(dv_root):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    tbl = pq.read_table(
+                        os.path.join(walk_root, fn), columns=["file"]
+                    )
+                    touched_set.update(
+                        tbl.column("file").to_pylist()
+                    )
+        touched = sorted(touched_set)
         if not touched:
             shutil.rmtree(
                 os.path.join(self.dv_dir, dv_id), ignore_errors=True

@@ -37,7 +37,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 
 import pandas as pd  # module-level: pandas_udf resolves stringified
                      # type hints against these globals
@@ -599,6 +599,220 @@ def decode_image_stats(
     return media.select(id_col, payload_col).mapInPandas(
         stats, schema=IMAGE_STATS_SCHEMA
     )
+
+
+def fused_image_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    carry_cols: Sequence[str] = ("source",),
+    formats: Sequence[str] = ("ppm", "png", "jpeg", "webp"),
+) -> DataFrame:
+    """FUSED encode+decode image statistics: ONE mapInPandas stage
+    materializes each row's synthetic payload per format and decodes
+    it in the same Python batch loop — the payload bytes never cross
+    the JVM boundary at all (the attach_*/decode_image_stats spelling
+    ships every payload Python->JVM->Python per format: 8 Python
+    evaluation nodes and 4 unioned re-evaluations of the base frame).
+    Decoders and encoders are byte-identical to the per-leg operators
+    (same synthetic_* constructors, same ``decode_image``), so pixel
+    statistics are equal by construction — pinned by
+    tests/test_multimodal.py's fused-vs-legacy equality test.
+    ``carry_cols`` ride through the stage so no re-join against the
+    base frame is needed for grouping columns."""
+    from .jpeg import synthetic_jpeg
+
+    encoders = {
+        "ppm": synthetic_ppm,
+        "png": synthetic_png,
+        "jpeg": synthetic_jpeg,
+        "webp": synthetic_webp,
+    }
+    fmts = list(formats)
+    carry = list(carry_cols)
+    in_fields = {f.name: f for f in df.schema.fields}
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            *[
+                T.StructField(c, in_fields[c].dataType)
+                for c in carry
+            ],
+            T.StructField("fmt", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_channels", T.IntegerType()),
+            T.StructField("pixel_sum", T.LongType()),
+        ]
+    )
+
+    def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict = {
+                "doc_id": [], "fmt": [], "width": [], "height": [],
+                "n_channels": [], "pixel_sum": [],
+                **{c: [] for c in carry},
+            }
+            for row in pdf.itertuples(index=False):
+                i = int(getattr(row, id_col))
+                for fmt in fmts:
+                    img = decode_image(encoders[fmt](i))
+                    out["doc_id"].append(i)
+                    for c in carry:
+                        out[c].append(getattr(row, c))
+                    out["fmt"].append(fmt)
+                    out["height"].append(img.shape[0])
+                    out["width"].append(img.shape[1])
+                    out["n_channels"].append(
+                        img.shape[2] if img.ndim == 3 else 1
+                    )
+                    out["pixel_sum"].append(int(img.sum()))
+            yield pd.DataFrame(out)[
+                ["doc_id", *carry, "fmt", "width", "height",
+                 "n_channels", "pixel_sum"]
+            ]
+
+    return df.select(id_col, *carry).mapInPandas(stats, schema)
+
+
+def fused_yuv_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    carry_cols: Sequence[str] = ("source",),
+) -> DataFrame:
+    """FUSED lossy-WebP fixture attach + RFC 6386 decode (same
+    rationale as ``fused_image_stats``): payloads come from the
+    committed fixture set and never cross the JVM boundary; the
+    distinct-payload memo is preserved (decode once per worker per
+    distinct fixture). Carry columns ride through so no re-join."""
+    carry = list(carry_cols)
+    in_fields = {f.name: f for f in df.schema.fields}
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            *[T.StructField(c, in_fields[c].dataType) for c in carry],
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("yuv_sum", T.LongType()),
+        ]
+    )
+
+    def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .vp8 import decode_vp8_yuv
+        from .vp8_fixtures import PAYLOADS
+        from .vp8l import riff_chunks
+
+        n = len(PAYLOADS)
+        memo: dict[int, tuple[int, int, int]] = {}
+
+        def one(fi: int) -> tuple[int, int, int]:
+            got = memo.get(fi)
+            if got is None:
+                chunk = next(
+                    (
+                        body
+                        for tag, body in riff_chunks(PAYLOADS[fi])
+                        if tag == b"VP8 "
+                    ),
+                    None,
+                )
+                if chunk is None:
+                    raise ValueError("no 'VP8 ' chunk in payload")
+                y, u, v = decode_vp8_yuv(chunk)
+                got = (
+                    y.shape[1],
+                    y.shape[0],
+                    int(y.sum()) + int(u.sum()) + int(v.sum()),
+                )
+                memo[fi] = got
+            return got
+
+        for pdf in batches:
+            out: dict = {
+                "doc_id": [], "width": [], "height": [],
+                "yuv_sum": [], **{c: [] for c in carry},
+            }
+            for row in pdf.itertuples(index=False):
+                i = int(getattr(row, id_col))
+                w, h, s = one(i % n)
+                out["doc_id"].append(i)
+                for c in carry:
+                    out[c].append(getattr(row, c))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["yuv_sum"].append(s)
+            yield pd.DataFrame(out)[
+                ["doc_id", *carry, "width", "height", "yuv_sum"]
+            ]
+
+    return df.select(id_col, *carry).mapInPandas(stats, schema)
+
+
+def fused_video_frame_stats(
+    df: DataFrame,
+    every: int = 2,
+    id_col: str = "doc_id",
+    carry_cols: Sequence[str] = ("source",),
+) -> DataFrame:
+    """FUSED MJPEG-AVI attach + frame-sampled decode (same rationale
+    as ``fused_image_stats``): the AVI container is built and walked
+    inside one Python batch loop — the clip bytes never cross the JVM
+    boundary — and only sampled frame indices run the real JPEG
+    decode, exactly like ``decode_video_frame_stats``."""
+    carry = list(carry_cols)
+    in_fields = {f.name: f for f in df.schema.fields}
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            *[T.StructField(c, in_fields[c].dataType) for c in carry],
+            T.StructField("fps", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("luma_sum", T.LongType()),
+        ]
+    )
+
+    def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .avi import decode_mjpeg_avi, synthetic_mjpeg_avi
+
+        for pdf in batches:
+            out: dict = {
+                "doc_id": [], "fps": [], "n_frames": [], "width": [],
+                "height": [], "frame_idx": [], "luma_sum": [],
+                **{c: [] for c in carry},
+            }
+            for row in pdf.itertuples(index=False):
+                i = int(getattr(row, id_col))
+                payload = synthetic_mjpeg_avi(i)
+                # chunk-header walk first: how many frames exist
+                meta = decode_mjpeg_avi(payload, frame_indices=())
+                sampled = range(0, meta["n_frames"], every)
+                got = decode_mjpeg_avi(payload, frame_indices=sampled)
+                for f in sampled:
+                    out["doc_id"].append(i)
+                    for c in carry:
+                        out[c].append(getattr(row, c))
+                    out["fps"].append(got["fps"])
+                    out["n_frames"].append(got["n_frames"])
+                    out["width"].append(got["width"])
+                    out["height"].append(got["height"])
+                    out["frame_idx"].append(f)
+                    out["luma_sum"].append(
+                        int(got["frames"][f].astype("int64").sum())
+                    )
+            yield pd.DataFrame(out)[
+                ["doc_id", *carry, "fps", "n_frames", "width",
+                 "height", "frame_idx", "luma_sum"]
+            ]
+
+    return df.select(id_col, *carry).mapInPandas(stats, schema)
 
 
 def attach_fake_media(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1552,43 +1552,23 @@ def media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform-inverse bug corrupts sum_pixels and fails the value hash.
     Python stages only encode/decode; zero shuffles before the tiny
     per-(source, fmt) aggregate."""
-    from .operators.multimodal import (
-        attach_synthetic_jpeg,
-        attach_synthetic_png,
-        attach_synthetic_ppm,
-        attach_synthetic_webp,
-        decode_image_stats,
-    )
+    from .operators.multimodal import fused_image_stats
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     # The codec stages are Python-compute-bound over a tiny id frame;
     # the parquet scan yields only a few partitions at bench scale, so
     # spread the rows across the executor cores first — one cheap
-    # 2-column shuffle buys full parallelism for all four decode legs
-    # (on a real cluster the scan itself would already be wide).
+    # 2-column shuffle buys full parallelism for every decode (on a
+    # real cluster the scan itself would already be wide).
     d = d.repartition(spark.sparkContext.defaultParallelism)
-    stats = (
-        decode_image_stats(attach_synthetic_ppm(d))
-        .withColumn("fmt", F.lit("ppm"))
-        .unionByName(
-            decode_image_stats(attach_synthetic_png(d)).withColumn(
-                "fmt", F.lit("png")
-            )
-        )
-        .unionByName(
-            decode_image_stats(attach_synthetic_jpeg(d)).withColumn(
-                "fmt", F.lit("jpeg")
-            )
-        )
-        .unionByName(
-            # lossless WebP: VP8L stream with subtract-green + LZ77
-            # backrefs, decoded by the pure-numpy operators/vp8l.py
-            decode_image_stats(attach_synthetic_webp(d)).withColumn(
-                "fmt", F.lit("webp")
-            )
-        )
-    )
-    joined = stats.join(d, "doc_id")
+    # FUSED encode+decode (guide §4): one mapInPandas stage per row
+    # emits all four formats' stats — payload bytes never cross the
+    # JVM boundary (the previous spelling shipped each payload
+    # Python->JVM->Python per format across 8 Python nodes and then
+    # re-joined the base frame for `source`). Same encoders, same
+    # decoders, same per-image arithmetic — equality with the per-leg
+    # composition is pinned by tests/test_multimodal.py.
+    joined = fused_image_stats(d)
     return (
         joined.groupBy("source", "fmt")
         .agg(
@@ -1661,16 +1641,18 @@ def media_pixel_stats_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: the reference engine stores media as opaque
     binaries and defers decode to external codec libraries; this repo
     decodes lossy WebP in-process, hermetically."""
-    from .operators.multimodal import attach_lossy_webp, decode_yuv_stats
+    from .operators.multimodal import fused_yuv_stats
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     # Python-compute-bound over a tiny id frame: one cheap 2-column
     # repartition buys full decode parallelism (see media_pixel_stats)
     d = d.repartition(spark.sparkContext.defaultParallelism)
-    stats = decode_yuv_stats(attach_lossy_webp(d))
+    # FUSED attach+decode (guide §4): fixture payloads never cross the
+    # JVM boundary, `source` rides through — no re-join. Same fixture
+    # selection, same RFC 6386 decode, same per-worker memo.
+    stats = fused_yuv_stats(d)
     return (
-        stats.join(d, "doc_id")
-        .groupBy("source")
+        stats.groupBy("source")
         .agg(
             F.count("*").alias("n_images"),
             F.sum("yuv_sum").alias("sum_yuv"),
@@ -1757,19 +1739,19 @@ def media_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     The reference has no media path (its ingest filters to
     .txt/.json, src/jobs/ingest_job.py:54); multimodal columns are a
     beyond-reference capability a training-data engine must have."""
-    from .operators.multimodal import (
-        attach_synthetic_avi,
-        decode_video_frame_stats,
-    )
+    from .operators.multimodal import fused_video_frame_stats
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     # same parallelism note as media_pixel_stats: the decode stage is
     # Python-compute-bound over a narrow id frame
     d = d.repartition(spark.sparkContext.defaultParallelism)
-    frames = decode_video_frame_stats(attach_synthetic_avi(d), every=2)
+    # FUSED attach+decode (guide §4): the AVI clip is built and walked
+    # inside one Python batch loop — the container bytes never cross
+    # the JVM boundary — and `source` rides through (no re-join). Same
+    # container writer, same sampled-frame JPEG decode.
+    frames = fused_video_frame_stats(d, every=2)
     return (
-        frames.join(d, "doc_id")
-        .groupBy("source", "n_frames")
+        frames.groupBy("source", "n_frames")
         .agg(
             F.countDistinct("doc_id").alias("n_videos"),
             F.count("*").alias("n_sampled"),

@@ -363,3 +363,93 @@ def test_decode_png_ignores_suggested_palette():
     patched = good[:idat_at] + plte + good[idat_at:]
     out = decode_png(patched)
     assert (out == a).all()
+
+
+# ---------------------------------------------------------------------------
+# Fused encode+decode operators: the single-Python-stage spellings must
+# produce row-identical statistics to the per-leg attach_*/decode_*
+# composition they optimize away (payloads never cross the JVM in the
+# fused form, so equality here is the proof the fusion changed the
+# execution shape, not the values).
+
+
+def test_fused_image_stats_equals_legacy(spark):
+    from pyspark.sql import functions as F
+
+    from scalable_etl_spark.operators.multimodal import (
+        attach_synthetic_jpeg,
+        attach_synthetic_png,
+        attach_synthetic_ppm,
+        attach_synthetic_webp,
+        decode_image_stats,
+        fused_image_stats,
+    )
+
+    d = spark.createDataFrame(
+        [(i, f"src{i % 2}") for i in range(6)], ["doc_id", "source"]
+    )
+    legacy = (
+        decode_image_stats(attach_synthetic_ppm(d))
+        .withColumn("fmt", F.lit("ppm"))
+        .unionByName(
+            decode_image_stats(attach_synthetic_png(d)).withColumn(
+                "fmt", F.lit("png")
+            )
+        )
+        .unionByName(
+            decode_image_stats(attach_synthetic_jpeg(d)).withColumn(
+                "fmt", F.lit("jpeg")
+            )
+        )
+        .unionByName(
+            decode_image_stats(attach_synthetic_webp(d)).withColumn(
+                "fmt", F.lit("webp")
+            )
+        )
+        .join(d, "doc_id")
+    )
+    fused = fused_image_stats(d)
+    cols = ["doc_id", "source", "fmt", "width", "height",
+            "n_channels", "pixel_sum"]
+    got = sorted(map(tuple, fused.select(*cols).collect()))
+    want = sorted(map(tuple, legacy.select(*cols).collect()))
+    assert got == want
+
+
+def test_fused_yuv_stats_equals_legacy(spark):
+    from scalable_etl_spark.operators.multimodal import (
+        attach_lossy_webp,
+        decode_yuv_stats,
+        fused_yuv_stats,
+    )
+
+    d = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(10)], ["doc_id", "source"]
+    )
+    legacy = decode_yuv_stats(attach_lossy_webp(d)).join(d, "doc_id")
+    fused = fused_yuv_stats(d)
+    cols = ["doc_id", "source", "width", "height", "yuv_sum"]
+    got = sorted(map(tuple, fused.select(*cols).collect()))
+    want = sorted(map(tuple, legacy.select(*cols).collect()))
+    assert got == want
+
+
+def test_fused_video_frame_stats_equals_legacy(spark):
+    from scalable_etl_spark.operators.multimodal import (
+        attach_synthetic_avi,
+        decode_video_frame_stats,
+        fused_video_frame_stats,
+    )
+
+    d = spark.createDataFrame(
+        [(i, f"src{i % 2}") for i in range(4)], ["doc_id", "source"]
+    )
+    legacy = decode_video_frame_stats(
+        attach_synthetic_avi(d), every=2
+    ).join(d, "doc_id")
+    fused = fused_video_frame_stats(d, every=2)
+    cols = ["doc_id", "source", "fps", "n_frames", "width", "height",
+            "frame_idx", "luma_sum"]
+    got = sorted(map(tuple, fused.select(*cols).collect()))
+    want = sorted(map(tuple, legacy.select(*cols).collect()))
+    assert got == want
