@@ -1069,6 +1069,14 @@ def streaming_cdf_gold_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="cdfgold_ckpt_")
 
     ev = load_table(spark, sf_dir, "events")
+    # NOTE (round 18): deliberately NOT persisted, although three
+    # silver commits each re-evaluate this aggregate. A persisted
+    # frame pins its pre-AQE partitioning (Spark keeps
+    # canChangeCachedPlanOutputPartitioning=false), so the overwrite
+    # would write shuffle.partitions tiny files per entry and every
+    # downstream time-travel read in the refresh loop pays that file
+    # count — measured 2x SLOWER end-to-end with the pin (30.3s vs
+    # 14.9s medians of 3) than re-running the agg per commit.
     daily = ev.groupBy(
         "user_id", F.to_date("ts").alias("event_date")
     ).agg(
